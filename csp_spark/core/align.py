@@ -1,0 +1,181 @@
+"""The align / as-of kernel — THE core primitive (SURVEY.md §7.1).
+
+csp's fundamental semantic is last-value persistence: any node reading
+input ``x`` sees x's most recent value, and binary ops fire when either
+input ticks but only once **both are valid** (csp/math.py:253-255
+``if csp.valid(x, y): return op(x, y)``; csp/baselib.py:290 ``sample``).
+
+Spark-first realization: union all input streams into one long frame
+tagged by source, then ``last(col, ignorenulls=True)`` over the engine
+order ``(ts, seq, src)`` per key. One shuffle (by key) serves the whole
+aligned frame; every downstream element-wise op is a column expression
+inside the same stage (whole-stage codegen, no further exchange).
+
+Scale note: the window is partitioned by ``key``, so alignment is
+embarrassingly parallel over keys — the 100 TB path keys by symbol /
+entity. Unkeyed streams collapse to one partition and are documented as
+test-scale only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ticks import KEY, SEQ, TS, GLOBAL_KEY, TickStream
+
+#: tag column identifying which input stream produced a row
+SRC = "__src"
+
+
+def _ticked(name: str) -> str:
+    return f"{name}__ticked"
+
+
+def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFrame:
+    """Union-align streams to a wide last-value frame.
+
+    Returns a DataFrame with one row per tick of ANY input, columns::
+
+        key, ts, seq, <name> (last value of that stream, NULL until its
+        first tick = csp 'not yet valid'), <name>__ticked (bool)
+
+    Ties: two streams ticking at the same (ts, seq) produce two rows
+    ordered by source position (csp executes same-time events on
+    successive engine cycles in rank order —
+    docs/wiki/concepts/Execution-Modes.md:54-118; declaration order is
+    our deterministic stand-in for node rank).
+    """
+    names = list(streams)
+    parts: list[DataFrame] = []
+    dtypes = {n: dict(s.df.dtypes)[s.value_col] for n, s in streams.items()}
+    for i, (name, s) in enumerate(streams.items()):
+        cols: list[Column] = [
+            F.col(KEY),
+            F.col(TS),
+            F.col(SEQ),
+            F.lit(i).alias(SRC),
+        ]
+        for j, other in enumerate(names):
+            if j == i:
+                cols.append(F.col(s.value_col).alias(other))
+            else:
+                cols.append(F.lit(None).cast(dtypes[other]).alias(other))
+        parts.append(s.df.select(*cols))
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy(TS, SEQ, SRC)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols: list[Column] = [F.col(KEY), F.col(TS), F.col(SEQ), F.col(SRC)]
+    for i, name in enumerate(names):
+        out_cols.append(F.last(name, ignorenulls=True).over(w).alias(name))
+        if keep_ticked:
+            out_cols.append((F.col(SRC) == i).alias(_ticked(name)))
+    return u.select(*out_cols)
+
+
+def sample(trigger: TickStream, x: TickStream) -> TickStream:
+    """csp.sample parity (csp/baselib.py:290-298): value of ``x`` at each
+    trigger tick; no output while x is invalid (never ticked)."""
+    a = align({"__trig": trigger, "__x": x})
+    out = (
+        a.filter(F.col(_ticked("__trig")) & F.col("__x").isNotNull())
+        .select(KEY, TS, SEQ, F.col("__x").alias("value"))
+    )
+    return TickStream(out)
+
+
+def binary_op(x: TickStream, y: TickStream, fn, result_name: str = "value") -> TickStream:
+    """Valid-gated binary combine — csp math-op semantics
+    (csp/math.py:234-303): fires on either input's tick, emits
+    fn(last_x, last_y) once both are valid."""
+    a = align({"__x": x, "__y": y}, keep_ticked=False)
+    out = (
+        a.filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .select(
+            KEY, TS, SEQ, fn(F.col("__x"), F.col("__y")).alias(result_name)
+        )
+    )
+    return TickStream(out, result_name)
+
+
+def align_wide(streams: Mapping[str, TickStream]) -> DataFrame:
+    """align() then drop rows before all inputs are valid — the frame on
+    which struct_fromts (csp/baselib.py:684-701) and multi-input stats
+    operate."""
+    a = align(streams, keep_ticked=True)
+    cond = reduce(
+        lambda c, n: c & F.col(n).isNotNull(), list(streams), F.lit(True)
+    )
+    return a.filter(cond)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = TS,
+    right_ts: str = TS,
+    right_cols: Sequence[str] | None = None,
+    tolerance=None,
+) -> DataFrame:
+    """General as-of join (left row picks the latest right row with
+    right_ts <= left_ts, per key) — the relational face of the align
+    kernel, exposed for table-shaped callers.
+
+    Implemented as union+window rather than range-join so that one
+    key-shuffle serves arbitrarily many right columns; Catalyst cannot
+    express this plan itself. ``tolerance`` (timedelta) discards matches
+    older than left_ts - tolerance (csp has no tolerance; pandas
+    merge_asof parity for pipeline users).
+    """
+    right_cols = list(
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in (*on, right_ts)]
+    )
+    lpart = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")).alias("s")).schema["s"].dataType
+        ).alias("__rrow"),
+    )
+    rpart = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s")).schema["s"].dataType
+        ).alias("__lrow"),
+        F.struct(*[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")).alias("__rrow"),
+    )
+    u = lpart.unionByName(rpart)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__r", F.last("__rrow", ignorenulls=True).over(w)).filter(
+        F.col("__is_left") == 1
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__r",
+            F.when(
+                F.col("__r.__rts")
+                >= F.col("__t") - F.expr(f"INTERVAL {tolerance.total_seconds()} SECONDS"),
+                F.col("__r"),
+            ),
+        )
+    sel = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    sel += [F.col(f"__r.{c}").alias(c) for c in right_cols]
+    return matched.select(*sel)

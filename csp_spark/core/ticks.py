@@ -1,0 +1,189 @@
+"""The tick table: csp's ``ts[T]`` edge re-expressed as a DataFrame.
+
+Reference data model (SURVEY.md §1.1): a csp edge is a typed event
+stream of ``(datetime, value)`` ticks with last-value persistence
+(csp/impl/types/tstype.py:11-60; docs/wiki/concepts/CSP-Node.md:96-105).
+Multiple engine cycles may share one timestamp and execute in a defined
+order (docs/wiki/concepts/Execution-Modes.md:54-118), so our encoding
+carries a ``seq`` tie-breaker: the total order of a stream is
+``(ts, seq)`` within a ``key`` partition.
+
+Encoding: ``DataFrame[(key: string, ts: timestamp, seq: long, value)]``.
+``key`` generalizes csp's per-symbol graphs / dict baskets — Spark is
+data-parallel over keys where csp spawns per-key subgraphs
+(csp/impl/wiring/dynamic.py). Unkeyed csp streams use key = "" and are
+documented as the non-scalable path (single partition per window op).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KEY = "key"
+TS = "ts"
+SEQ = "seq"
+VALUE = "value"
+
+#: default key for unkeyed (single-series) streams
+GLOBAL_KEY = ""
+
+
+def _as_ts(x: Any) -> _dt.datetime:
+    if isinstance(x, _dt.datetime):
+        return x
+    if isinstance(x, str):
+        return _dt.datetime.fromisoformat(x)
+    raise TypeError(f"cannot interpret {x!r} as timestamp")
+
+
+class TickStream:
+    """A (possibly keyed) event stream: DataFrame with (key, ts, seq, value).
+
+    Thin immutable wrapper; every operator returns a new TickStream over a
+    new lazy DataFrame, so Catalyst sees the whole plan (graph pruning and
+    common-subplan reuse come free — SURVEY.md §4 'graph pruning/memoized
+    wiring' rows).
+    """
+
+    __slots__ = ("df", "value_col")
+
+    def __init__(self, df: DataFrame, value_col: str = VALUE):
+        self.df = df
+        self.value_col = value_col
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_rows(
+        spark: SparkSession,
+        rows: Iterable[tuple],
+        value_type: T.DataType | str = "double",
+        key: str = GLOBAL_KEY,
+    ) -> "TickStream":
+        """csp.curve parity (csp/curve.py:16-65): replay (time, value) pairs.
+
+        Rows may be (ts, value) or (ts, seq, value); seq defaults to the
+        position among equal timestamps (csp engine-cycle order).
+        """
+        norm = []
+        last_ts = None
+        auto_seq = 0
+        for r in rows:
+            if len(r) == 2:
+                ts, v = r
+                ts = _as_ts(ts)
+                auto_seq = auto_seq + 1 if ts == last_ts else 0
+                seq = auto_seq
+                last_ts = ts
+            else:
+                ts, seq, v = r
+                ts = _as_ts(ts)
+            norm.append((key, ts, seq, v))
+        schema = T.StructType(
+            [
+                T.StructField(KEY, T.StringType(), False),
+                T.StructField(TS, T.TimestampType(), False),
+                T.StructField(SEQ, T.LongType(), False),
+                T.StructField(
+                    VALUE,
+                    value_type
+                    if isinstance(value_type, T.DataType)
+                    else T._parse_datatype_string(value_type),
+                    True,
+                ),
+            ]
+        )
+        return TickStream(spark.createDataFrame(norm, schema))
+
+    @staticmethod
+    def from_table(
+        df: DataFrame,
+        ts_col: str,
+        value_col: str,
+        key_col: str | Column | None = None,
+        seq_col: str | None = None,
+        extra_cols: Sequence[str] = (),
+    ) -> "TickStream":
+        """Adapt an arbitrary timestamped table into the tick encoding.
+
+        ParquetReader.subscribe parity (csp/adapters/parquet.py:109-180):
+        ``ts_col`` is the time column, ``key_col`` the symbol column. When
+        no natural ``seq`` exists we derive one per (key, ts) with a
+        row_number ordered by the remaining columns for determinism.
+        """
+        key_expr = (
+            F.lit(GLOBAL_KEY)
+            if key_col is None
+            else (F.col(key_col) if isinstance(key_col, str) else key_col)
+        ).cast("string")
+        out = df.select(
+            key_expr.alias(KEY),
+            F.col(ts_col).cast("timestamp").alias(TS),
+            (
+                F.col(seq_col).cast("long")
+                if seq_col
+                else F.lit(0).cast("long")
+            ).alias(SEQ),
+            F.col(value_col).alias(VALUE),
+            *[F.col(c) for c in extra_cols],
+        )
+        return TickStream(out)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.df.sparkSession
+
+    def with_df(self, df: DataFrame, value_col: str | None = None) -> "TickStream":
+        return TickStream(df, value_col or self.value_col)
+
+    # ------------------------------------------------------------------
+    # inspection / collection (csp.run output parity)
+    # ------------------------------------------------------------------
+    def value(self) -> Column:
+        return F.col(self.value_col)
+
+    def ordered(self) -> DataFrame:
+        return self.df.orderBy(KEY, TS, SEQ)
+
+    def collect_ticks(self, key: str | None = None) -> list[tuple]:
+        """Return [(ts, value)] in engine order — the shape of
+        ``csp.run`` output (csp/impl/wiring/runtime.py:160-220). For keyed
+        streams pass ``key`` or get a dict via :meth:`collect_all`."""
+        df = self.df
+        if key is not None:
+            df = df.filter(F.col(KEY) == key)
+        rows = df.orderBy(TS, SEQ).select(TS, self.value_col).collect()
+        return [(r[0], r[1]) for r in rows]
+
+    def collect_all(self) -> dict[str, list[tuple]]:
+        rows = self.ordered().select(KEY, TS, self.value_col).collect()
+        out: dict[str, list[tuple]] = {}
+        for r in rows:
+            out.setdefault(r[0], []).append((r[1], r[2]))
+        return out
+
+    # ------------------------------------------------------------------
+    # ordering helpers
+    # ------------------------------------------------------------------
+    @staticmethod
+    def order_window() -> Window:
+        """Engine total order within a key: (ts, seq) — SURVEY.md §2.8."""
+        return Window.partitionBy(KEY).orderBy(TS, SEQ)
+
+    def renumber(self) -> "TickStream":
+        """Re-derive a dense per-(key, ts) seq after ops that fan out rows
+        (e.g. unroll — baselib.py:464-484 emits successive engine cycles
+        at the same timestamp)."""
+        w = Window.partitionBy(KEY, TS).orderBy(SEQ)
+        return self.with_df(
+            self.df.withColumn(SEQ, F.row_number().over(w).cast("long") - 1)
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"TickStream(value_col={self.value_col!r}, schema={self.df.schema.simpleString()})"

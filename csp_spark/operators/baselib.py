@@ -1,0 +1,514 @@
+"""csp.baselib parity — per-tick streaming transforms as DataFrame ops.
+
+Each function mirrors one reference operator (cited file:line into
+/root/reference — csp/baselib.py unless noted) but is implemented
+Spark-first: column expressions and window functions over the tick
+table, never row-at-a-time Python. All ops preserve the (key, ts, seq)
+engine-order discipline (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Callable, Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.align import SRC, align, binary_op, sample
+from ..core.ticks import GLOBAL_KEY, KEY, SEQ, TS, VALUE, TickStream
+
+__all__ = [
+    "const", "timer", "curve", "null_ts", "filter_", "sample", "firstN",
+    "count", "delay", "diff", "merge", "split", "cast_int_to_float",
+    "drop_dups", "drop_nans", "unroll", "collect", "flatten", "gate",
+    "default", "accum", "exprtk", "times", "times_ns", "apply_",
+    "multiplex", "demultiplex", "struct_field", "struct_fromts",
+    "struct_collectts",
+]
+
+
+# ----------------------------------------------------------------------
+# sources (csp.const / csp.timer / csp.curve — SURVEY.md §2.1)
+# ----------------------------------------------------------------------
+
+def const(
+    spark: SparkSession,
+    value: Any,
+    start: _dt.datetime,
+    delay: _dt.timedelta | None = None,
+    value_type: str = "double",
+    key: str = GLOBAL_KEY,
+) -> TickStream:
+    """csp.const (baselib.py:73; ConstInputAdapter.h): one tick at
+    start(+delay). Batch mode needs the engine start time explicitly."""
+    ts = start + (delay or _dt.timedelta(0))
+    return TickStream.from_rows(spark, [(ts, value)], value_type, key=key)
+
+
+def timer(
+    spark: SparkSession,
+    start: _dt.datetime,
+    end: _dt.datetime,
+    interval: _dt.timedelta,
+    value: Any = True,
+    value_type: str = "boolean",
+    key: str = GLOBAL_KEY,
+) -> TickStream:
+    """csp.timer (baselib.py:74-83): periodic ticks. Batch: a generated
+    time grid via sequence()+explode — pure JVM, no driver loop."""
+    step_us = int(interval.total_seconds() * 1_000_000)
+    df = spark.range(1).select(
+        F.lit(key).alias(KEY),
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("timestamp"),
+                F.lit(end).cast("timestamp"),
+                F.expr(f"INTERVAL {step_us} MICROSECONDS"),
+            )
+        ).alias(TS),
+        F.lit(0).cast("long").alias(SEQ),
+        F.lit(value).alias(VALUE),
+    )
+    # csp.timer first fires at start+interval, not at start
+    df = df.filter(F.col(TS) > F.lit(start))
+    return TickStream(df)
+
+
+def curve(
+    spark: SparkSession,
+    data: Iterable[tuple],
+    value_type: str = "double",
+    key: str = GLOBAL_KEY,
+) -> TickStream:
+    """csp.curve (csp/curve.py:16-65): replay explicit (time, value)s."""
+    return TickStream.from_rows(spark, data, value_type, key=key)
+
+
+def null_ts(spark: SparkSession, value_type: str = "double") -> TickStream:
+    """csp.null_ts (baselib.py:544-551): never ticks."""
+    schema = (
+        f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {value_type}"
+    )
+    return TickStream(spark.createDataFrame([], schema))
+
+
+# ----------------------------------------------------------------------
+# filters / projections
+# ----------------------------------------------------------------------
+
+def filter_(flag: TickStream, x: TickStream) -> TickStream:
+    """csp.filter (baselib.py:412-420): pass x ticks while the *last*
+    value of flag is true — an as-of gate, not an equi-join."""
+    a = align({"__flag": flag, "__x": x})
+    out = a.filter(
+        F.col("__x__ticked") & (F.col("__flag") == F.lit(True))
+    ).select(KEY, TS, SEQ, F.col("__x").alias(VALUE))
+    return TickStream(out)
+
+
+def firstN(x: TickStream, n: int) -> TickStream:
+    """csp.firstN (baselib.py:301-314)."""
+    w = Window.partitionBy(KEY).orderBy(TS, SEQ)
+    out = (
+        x.df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    return x.with_df(out)
+
+
+def count(x: TickStream) -> TickStream:
+    """csp.count (baselib.py:317-321): running tick count."""
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy(TS, SEQ)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = x.df.select(
+        KEY, TS, SEQ, F.count(F.lit(1)).over(w).alias(VALUE)
+    )
+    return TickStream(out)
+
+
+def delay(x: TickStream, by: _dt.timedelta | int) -> TickStream:
+    """csp.delay (baselib.py:324-352): shift events later by a duration
+    (timestamps move) or by tick count (values shift down the stream)."""
+    if isinstance(by, _dt.timedelta):
+        us = int(by.total_seconds() * 1_000_000)
+        out = x.df.withColumn(
+            TS, F.col(TS) + F.expr(f"INTERVAL {us} MICROSECONDS")
+        )
+        return x.with_df(out)
+    w = Window.partitionBy(KEY).orderBy(TS, SEQ)
+    out = (
+        x.df.withColumn("__v", F.lag(x.value_col, by).over(w))
+        .filter(F.col("__v").isNotNull())
+        .select(KEY, TS, SEQ, F.col("__v").alias(x.value_col))
+    )
+    return x.with_df(out)
+
+
+def diff(x: TickStream, lag: int | _dt.timedelta = 1) -> TickStream:
+    """csp.diff (baselib.py:356-367): x - x.lagged. Time-based lag uses
+    the as-of value at (ts - lag)."""
+    if isinstance(lag, int):
+        w = Window.partitionBy(KEY).orderBy(TS, SEQ)
+        prev = F.lag(x.value_col, lag).over(w)
+        out = (
+            x.df.withColumn("__p", prev)
+            .filter(F.col("__p").isNotNull())
+            .select(KEY, TS, SEQ, (F.col(x.value_col) - F.col("__p")).alias(VALUE))
+        )
+        return TickStream(out)
+    shifted = delay(x, lag)
+    return binary_op(x, shifted, lambda a, b: a - b)
+
+
+def merge(x: TickStream, y: TickStream) -> TickStream:
+    """csp.merge (baselib.py:370-376): union; left wins when both tick on
+    the same engine cycle (same (ts, seq))."""
+    xs = x.df.select(KEY, TS, SEQ, F.col(x.value_col).alias(VALUE)).withColumn(
+        "__pri", F.lit(0)
+    )
+    ys = y.df.select(KEY, TS, SEQ, F.col(y.value_col).alias(VALUE)).withColumn(
+        "__pri", F.lit(1)
+    )
+    w = Window.partitionBy(KEY, TS, SEQ).orderBy("__pri")
+    out = (
+        xs.unionByName(ys)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(KEY, TS, SEQ, VALUE)
+    )
+    return TickStream(out)
+
+
+def split(flag: TickStream, x: TickStream) -> tuple[TickStream, TickStream]:
+    """csp.split (baselib.py:379-389): route to (true, false) streams.
+    Both sides share one aligned plan (Spark reuses the exchange)."""
+    a = align({"__flag": flag, "__x": x})
+    base = a.filter(F.col("__x__ticked") & F.col("__flag").isNotNull())
+    t = base.filter(F.col("__flag")).select(KEY, TS, SEQ, F.col("__x").alias(VALUE))
+    f = base.filter(~F.col("__flag")).select(KEY, TS, SEQ, F.col("__x").alias(VALUE))
+    return TickStream(t), TickStream(f)
+
+
+def cast_int_to_float(x: TickStream) -> TickStream:
+    """csp.cast_int_to_float (baselib.py:392-396)."""
+    return x.with_df(x.df.withColumn(x.value_col, F.col(x.value_col).cast("double")))
+
+
+def drop_dups(x: TickStream, eps: float | None = None) -> TickStream:
+    """csp.drop_dups (baselib.py:424-454): drop consecutive duplicates;
+    float mode treats |a-b| < eps as equal and NaN==NaN."""
+    w = Window.partitionBy(KEY).orderBy(TS, SEQ)
+    prev = F.lag(x.value_col).over(w)
+    cur = F.col(x.value_col)
+    if eps is not None:
+        same = (
+            (F.isnan(cur) & F.isnan(prev))
+            | (~F.isnan(cur) & ~F.isnan(prev) & (F.abs(cur - prev) < F.lit(eps)))
+        )
+    else:
+        same = cur.eqNullSafe(prev) | (
+            F.isnan(cur) & F.isnan(prev)
+            if dict(x.df.dtypes)[x.value_col] in ("double", "float")
+            else F.lit(False)
+        )
+    out = (
+        x.df.withColumn("__same", F.coalesce(same, F.lit(False)))
+        .filter(~F.col("__same"))
+        .drop("__same")
+    )
+    return x.with_df(out)
+
+
+def drop_nans(x: TickStream) -> TickStream:
+    """csp.drop_nans (baselib.py:457-461): remove NaN ticks (NaN, not
+    NULL — SURVEY.md §7.4 item 7)."""
+    return x.with_df(x.df.filter(~F.isnan(F.col(x.value_col))))
+
+
+def unroll(x: TickStream) -> TickStream:
+    """csp.unroll (baselib.py:464-484): explode a list tick into
+    per-element ticks at the same timestamp on successive engine cycles
+    → posexplode, then re-derive a dense seq per (key, ts)."""
+    out = x.df.select(
+        KEY, TS, SEQ, F.posexplode(F.col(x.value_col)).alias("__pos", VALUE)
+    )
+    w = Window.partitionBy(KEY, TS).orderBy(SEQ, "__pos")
+    out = out.select(
+        KEY,
+        TS,
+        (F.row_number().over(w).cast("long") - 1).alias(SEQ),
+        VALUE,
+    )
+    return TickStream(out)
+
+
+def collect(streams: Mapping[str, TickStream] | TickStream) -> TickStream:
+    """csp.collect (baselib.py:487-492): ticked values at each engine
+    cycle → one list tick. Long-format: groupBy (key, ts, seq) gathering
+    values ordered by stream position."""
+    if isinstance(streams, TickStream):
+        df = streams.df.select(
+            KEY, TS, SEQ, F.col(streams.value_col).alias(VALUE), F.lit(0).alias(SRC)
+        )
+    else:
+        parts = [
+            s.df.select(
+                KEY, TS, SEQ, F.col(s.value_col).alias(VALUE), F.lit(i).alias(SRC)
+            )
+            for i, s in enumerate(streams.values())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    out = (
+        df.groupBy(KEY, TS, SEQ)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(SRC), F.col(VALUE)))
+            ).alias("__sv")
+        )
+        .select(
+            KEY, TS, SEQ,
+            F.transform(F.col("__sv"), lambda s: s[VALUE]).alias(VALUE),
+        )
+    )
+    return TickStream(out)
+
+
+def flatten(streams: Iterable[TickStream]) -> TickStream:
+    """csp.flatten (baselib.py:494-503): interleave streams; ties keep
+    every tick (distinct cycles) ordered by stream position."""
+    streams = list(streams)
+    parts = [
+        s.df.select(KEY, TS, SEQ, F.col(s.value_col).alias(VALUE)).withColumn(
+            "__pri", F.lit(i)
+        )
+        for i, s in enumerate(streams)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    w = Window.partitionBy(KEY, TS).orderBy(SEQ, "__pri")
+    out = df.select(
+        KEY, TS, (F.row_number().over(w).cast("long") - 1).alias(SEQ), VALUE
+    )
+    return TickStream(out)
+
+
+def gate(x: TickStream, release: TickStream, release_on_tick: bool = False) -> TickStream:
+    """csp.gate (baselib.py:507-522): buffer x while the gate is closed
+    (last release value false); when it opens, flush the buffer as one
+    list tick; while open, each tick passes as a single-element list.
+
+    Batch realization: each x tick is assigned its flush row — itself if
+    the gate was open at its (ts, seq), else the next release tick that
+    opens the gate — then one groupBy gathers the lists.
+    """
+    a = align({"__rel": release, "__x": x})
+    wfwd = (
+        Window.partitionBy(KEY)
+        .orderBy(F.col(TS).desc(), F.col(SEQ).desc(), F.col(SRC).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    open_now = F.col("__rel") == F.lit(True)
+    opens_here = F.col("__rel__ticked") & open_now
+    a2 = a.withColumn(
+        "__next_open",
+        F.last(
+            F.when(opens_here, F.struct(F.col(TS), F.col(SEQ))), ignorenulls=True
+        ).over(wfwd),
+    )
+    xrows = a2.filter(F.col("__x__ticked"))
+    flush = F.when(open_now, F.struct(F.col(TS), F.col(SEQ))).otherwise(
+        F.col("__next_open")
+    )
+    xrows = xrows.withColumn("__flush", flush).filter(F.col("__flush").isNotNull())
+    out = (
+        xrows.groupBy(KEY, F.col("__flush"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(TS), F.col(SEQ), F.col("__x")))
+            ).alias("__sv")
+        )
+        .select(
+            KEY,
+            F.col(f"__flush.{TS}").alias(TS),
+            F.col(f"__flush.{SEQ}").alias(SEQ),
+            F.transform(F.col("__sv"), lambda s: s["__x"]).alias(VALUE),
+        )
+    )
+    return TickStream(out)
+
+
+def default(
+    x: TickStream,
+    value: Any,
+    start: _dt.datetime,
+    delay: _dt.timedelta | None = None,
+) -> TickStream:
+    """csp.default (baselib.py:525-532): synthetic initial value at
+    start(+delay) unless x already ticked at-or-before it."""
+    at = start + (delay or _dt.timedelta(0))
+    first_w = Window.partitionBy(KEY)
+    keys = x.df.select(KEY).distinct()
+    defaults = keys.select(
+        KEY,
+        F.lit(at).cast("timestamp").alias(TS),
+        F.lit(-1).cast("long").alias(SEQ),
+        F.lit(value).cast(dict(x.df.dtypes)[x.value_col]).alias(VALUE),
+    )
+    xs = x.df.select(KEY, TS, SEQ, F.col(x.value_col).alias(VALUE))
+    u = xs.unionByName(defaults)
+    u = u.withColumn("__min_ts", F.min(F.when(F.col(SEQ) >= 0, F.col(TS))).over(first_w))
+    out = u.filter(
+        (F.col(SEQ) >= 0) | (F.col("__min_ts").isNull()) | (F.col("__min_ts") > F.lit(at))
+    ).drop("__min_ts")
+    return TickStream(out)
+
+
+def accum(x: TickStream, start: float = 0.0) -> TickStream:
+    """csp.accum (baselib.py:615-622): running sum + initial value."""
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy(TS, SEQ)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = x.df.select(
+        KEY, TS, SEQ, (F.sum(x.value_col).over(w) + F.lit(start)).alias(VALUE)
+    )
+    return TickStream(out)
+
+
+def exprtk(aligned: DataFrame, expr_str: str, result: str = VALUE) -> DataFrame:
+    """csp.exprtk (baselib.py:625-673) — a C++ ExprTk JIT in the
+    reference; Spark SQL expressions ARE our JIT (Catalyst codegen)."""
+    return aligned.withColumn(result, F.expr(expr_str))
+
+
+def times(x: TickStream) -> TickStream:
+    """csp.times (baselib.py:744-751): tick → its timestamp."""
+    return TickStream(x.df.select(KEY, TS, SEQ, F.col(TS).alias(VALUE)))
+
+
+def times_ns(x: TickStream) -> TickStream:
+    """csp.times_ns (baselib.py:753-757): epoch nanoseconds (Spark
+    timestamps are µs resolution; we scale — documented delta)."""
+    return TickStream(
+        x.df.select(KEY, TS, SEQ, (F.unix_micros(F.col(TS)) * 1000).alias(VALUE))
+    )
+
+
+def apply_(x: TickStream, fn: Callable, result_type: str = "double") -> TickStream:
+    """csp.apply (baselib.py:399-409). Row-at-a-time Python — the slow
+    path by design; prefer column expressions / exprtk. Kept for parity."""
+    udf = F.udf(fn, result_type)
+    return x.with_df(x.df.withColumn(x.value_col, udf(F.col(x.value_col))))
+
+
+# ----------------------------------------------------------------------
+# baskets (SURVEY.md §1.1, §2.3 multiplex/demultiplex)
+# ----------------------------------------------------------------------
+
+def multiplex(x: TickStream, key_stream: TickStream) -> TickStream:
+    """csp.multiplex (baselib.py:554-580) over the long-format basket
+    encoding: ``x`` is a keyed stream (key column = basket key); emit
+    x ticks whose key equals the *last* value of ``key_stream``.
+
+    key_stream is unkeyed (GLOBAL_KEY); we broadcast-join its as-of
+    value onto x's timeline."""
+    sel = key_stream.df.select(
+        F.col(TS).alias("__kts"), F.col(SEQ).alias("__kseq"),
+        F.col(key_stream.value_col).alias("__sel"),
+    )
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy(TS, SEQ, F.col("__is_x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    xs = x.df.select(KEY, TS, SEQ, F.col(x.value_col).alias(VALUE)).withColumn(
+        "__is_x", F.lit(1)
+    )
+    # replicate selector rows into every basket key partition: selector is
+    # tiny (a control stream) → broadcast cross join with distinct keys
+    keys = x.df.select(KEY).distinct()
+    sel_rep = keys.crossJoin(F.broadcast(sel)).select(
+        KEY, F.col("__kts").alias(TS), F.col("__kseq").alias(SEQ),
+        F.lit(None).cast(dict(x.df.dtypes)[x.value_col]).alias(VALUE),
+        F.lit(0).alias("__is_x"), F.col("__sel"),
+    )
+    xs = xs.withColumn("__sel", F.lit(None).cast(dict(sel.dtypes)["__sel"]))
+    u = xs.unionByName(sel_rep)
+    u = u.withColumn("__cur", F.last("__sel", ignorenulls=True).over(w))
+    out = u.filter(
+        (F.col("__is_x") == 1) & (F.col("__cur") == F.col(KEY))
+    ).select(KEY, TS, SEQ, VALUE)
+    return TickStream(out)
+
+
+def demultiplex(x: TickStream, keys: list[str]) -> dict[str, TickStream]:
+    """csp.demultiplex (baselib.py:583-595): route a keyed stream to
+    per-key outputs. In the long format this is just filters sharing one
+    scan; dynamic_demultiplex (baselib.py:600-604) is the identity —
+    Spark is already keyed."""
+    return {k: TickStream(x.df.filter(F.col(KEY) == k), x.value_col) for k in keys}
+
+
+# ----------------------------------------------------------------------
+# structs (csp.Struct → StructType — SURVEY.md §1.2)
+# ----------------------------------------------------------------------
+
+def struct_field(x: TickStream, field: str) -> TickStream:
+    """csp.struct_field (baselib.py:676-681): project one field,
+    skipping ticks where it is unset (NULL)."""
+    out = (
+        x.df.select(KEY, TS, SEQ, F.col(f"{x.value_col}.{field}").alias(VALUE))
+        .filter(F.col(VALUE).isNotNull())
+    )
+    return TickStream(out)
+
+
+def struct_fromts(fields: Mapping[str, TickStream], trigger: TickStream | None = None) -> TickStream:
+    """csp.struct_fromts (baselib.py:684-701): struct of the last values
+    of each input, emitted on any tick (or on trigger)."""
+    streams = dict(fields)
+    if trigger is not None:
+        streams["__trigger"] = trigger
+    a = align(streams)
+    if trigger is not None:
+        a = a.filter(F.col("__trigger__ticked"))
+    out = a.select(
+        KEY, TS, SEQ, F.struct(*[F.col(n).alias(n) for n in fields]).alias(VALUE)
+    )
+    return TickStream(out)
+
+
+def struct_collectts(fields: Mapping[str, TickStream]) -> TickStream:
+    """csp.struct_collectts (baselib.py:704-709): struct of values that
+    ticked on this exact engine cycle (coincident join on (key,ts,seq));
+    absent fields are NULL/unset."""
+    parts = []
+    names = list(fields)
+    for i, (name, s) in enumerate(fields.items()):
+        cols = [F.col(KEY), F.col(TS), F.col(SEQ)]
+        for j, other in enumerate(names):
+            src = fields[other]
+            typ = dict(src.df.dtypes)[src.value_col]
+            cols.append(
+                (F.col(s.value_col) if j == i else F.lit(None).cast(typ)).alias(other)
+            )
+        parts.append(s.df.select(*cols))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    out = (
+        df.groupBy(KEY, TS, SEQ)
+        .agg(*[F.first(n, ignorenulls=True).alias(n) for n in names])
+        .select(KEY, TS, SEQ, F.struct(*[F.col(n) for n in names]).alias(VALUE))
+    )
+    return TickStream(out)

@@ -1,0 +1,101 @@
+"""csp.math parity — element-wise math over tick streams.
+
+Reference: csp/math.py:14-407 (op table 139-231, binary factory
+234-303; C++ kernels cpp/csp/cppnodes/mathimpl.cpp). Binary ops use
+*valid* semantics — fire when either input ticks, combine latest
+values, emit only once both inputs are valid (math.py:253-255) — which
+is exactly our align kernel. All functions are Spark built-ins
+(JVM-side, whole-stage codegen); none drop to Python.
+"""
+
+from __future__ import annotations
+
+import math as _m
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core.align import binary_op
+from ..core.ticks import TickStream
+
+# ---------------------------------------------------------------------
+# binary ops (csp/math.py:139-231 MATH_OPS / COMPARISON_OPS)
+# ---------------------------------------------------------------------
+
+def _bin(fn: Callable[[Column, Column], Column]):
+    def op(x: TickStream, y: TickStream) -> TickStream:
+        return binary_op(x, y, fn)
+    return op
+
+add = _bin(lambda a, b: a + b)
+sub = _bin(lambda a, b: a - b)
+multiply = _bin(lambda a, b: a * b)
+divide = _bin(lambda a, b: a.cast("double") / b)
+pow_ = _bin(lambda a, b: F.pow(a, b))
+floordiv = _bin(lambda a, b: F.floor(a / b))
+mod = _bin(lambda a, b: a % b)
+min_ = _bin(lambda a, b: F.least(a, b))
+max_ = _bin(lambda a, b: F.greatest(a, b))
+
+eq = _bin(lambda a, b: a == b)
+ne = _bin(lambda a, b: a != b)
+lt = _bin(lambda a, b: a < b)
+gt = _bin(lambda a, b: a > b)
+le = _bin(lambda a, b: a <= b)
+ge = _bin(lambda a, b: a >= b)
+
+and_ = _bin(lambda a, b: a & b)
+or_ = _bin(lambda a, b: a | b)
+
+
+# ---------------------------------------------------------------------
+# unary ops (csp/math.py:306-407)
+# ---------------------------------------------------------------------
+
+def _un(fn: Callable[[Column], Column]):
+    def op(x: TickStream) -> TickStream:
+        return x.with_df(x.df.withColumn(x.value_col, fn(F.col(x.value_col))))
+    return op
+
+pos = _un(lambda c: c)
+neg = _un(lambda c: -c)
+abs_ = _un(F.abs)
+ln = _un(lambda c: F.log(c))
+log2 = _un(F.log2)
+log10 = _un(F.log10)
+exp = _un(F.exp)
+exp2 = _un(lambda c: F.pow(F.lit(2.0), c))
+sqrt = _un(F.sqrt)
+sin = _un(F.sin)
+cos = _un(F.cos)
+tan = _un(F.tan)
+arcsin = _un(F.asin)
+arccos = _un(F.acos)
+arctan = _un(F.atan)
+sinh = _un(F.sinh)
+cosh = _un(F.cosh)
+tanh = _un(F.tanh)
+arcsinh = _un(lambda c: F.log(c + F.sqrt(c * c + 1)))
+arccosh = _un(lambda c: F.log(c + F.sqrt(c * c - 1)))
+arctanh = _un(lambda c: F.lit(0.5) * F.log((1 + c) / (1 - c)))
+not_ = _un(lambda c: ~c)
+bitwise_not = _un(F.bitwise_not)
+
+
+def _erf(c: Column) -> Column:
+    """erf via Abramowitz–Stegun 7.1.26 (|err| ≤ 1.5e-7), JVM-side —
+    Spark has no native erf; csp's comes from C++ std::erf
+    (mathimpl.cpp). Good to 7 decimals, matching the reference's own
+    test tolerance (csp/tests/test_stats.py:22)."""
+    a1, a2, a3, a4, a5, p = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429, 0.3275911
+    )
+    sign = F.when(c < 0, -1.0).otherwise(1.0)
+    z = F.abs(c)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(p) * z)
+    poly = t * (F.lit(a1) + t * (F.lit(a2) + t * (F.lit(a3) + t * (F.lit(a4) + t * F.lit(a5)))))
+    return sign * (F.lit(1.0) - poly * F.exp(-z * z))
+
+
+erf = _un(_erf)
