@@ -43,11 +43,12 @@ def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFr
         key, ts, seq, <name> (last value of that stream, NULL until its
         first tick = csp 'not yet valid'), <name>__ticked (bool)
 
-    Ties: two streams ticking at the same (ts, seq) produce two rows
-    ordered by source position (csp executes same-time events on
-    successive engine cycles in rank order —
-    docs/wiki/concepts/Execution-Modes.md:54-118; declaration order is
-    our deterministic stand-in for node rank).
+    Ties: two streams ticking at the same (ts, seq) are the SAME engine
+    cycle — csp delivers both updates before dependent nodes execute
+    (docs/wiki/concepts/Execution-Modes.md:54-118), so the aligned frame
+    collapses them into ONE row carrying both new values, with both
+    __ticked flags true. Distinct cycles at one timestamp differ in seq
+    and stay distinct rows.
     """
     names = list(streams)
     parts: list[DataFrame] = []
@@ -72,12 +73,25 @@ def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFr
         .orderBy(TS, SEQ, SRC)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out_cols: list[Column] = [F.col(KEY), F.col(TS), F.col(SEQ), F.col(SRC)]
+    # same (key, ts, seq) = same engine cycle: keep only the final row of
+    # the cycle (it has seen every same-cycle update via the running
+    # last()) and OR the ticked flags across the cycle's rows
+    w_cycle = Window.partitionBy(KEY, TS, SEQ)
+    out_cols: list[Column] = [F.col(KEY), F.col(TS), F.col(SEQ)]
     for i, name in enumerate(names):
         out_cols.append(F.last(name, ignorenulls=True).over(w).alias(name))
         if keep_ticked:
-            out_cols.append((F.col(SRC) == i).alias(_ticked(name)))
-    return u.select(*out_cols)
+            out_cols.append(
+                F.max((F.col(SRC) == i).cast("int")).over(w_cycle).cast("boolean")
+                .alias(_ticked(name))
+            )
+    out = u.select(
+        *out_cols,
+        F.row_number()
+        .over(Window.partitionBy(KEY, TS, SEQ).orderBy(F.desc(SRC)))
+        .alias("__cycle_rn"),
+    )
+    return out.filter(F.col("__cycle_rn") == 1).drop("__cycle_rn")
 
 
 def sample(trigger: TickStream, x: TickStream) -> TickStream:

@@ -17,6 +17,10 @@ _DEFAULTS = {
     # The reference engine is strictly ordered in naive-UTC nanoseconds;
     # Spark timestamps are microsecond UTC — we standardize on UTC.
     "spark.sql.session.timeZone": "UTC",
+    # csp semantics are non-ANSI: float ops yield NaN/Inf rather than
+    # raising (e.g. corr/var over a 1-point window must gate to NaN, not
+    # throw DIVIDE_BY_ZERO inside the window aggregate).
+    "spark.sql.ansi.enabled": "false",
     # AQE: runtime shuffle-partition coalescing + skew-join handling are
     # load-bearing at 100 TB (skewed keys in groupBy/join).
     "spark.sql.adaptive.enabled": "true",

@@ -281,6 +281,25 @@ def collect(streams: Mapping[str, TickStream] | TickStream) -> TickStream:
     return TickStream(out)
 
 
+def burst(x: TickStream) -> TickStream:
+    """PushMode.BURST emulation (csp/impl/types/common_definitions.py:
+    274-289; SURVEY.md §2.1): conflate all same-timestamp ticks of a
+    stream into one list tick, ordered by engine cycle (seq)."""
+    out = (
+        x.df.groupBy(KEY, TS)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(SEQ), F.col(x.value_col).alias(VALUE)))
+            ).alias("__sv")
+        )
+        .select(
+            KEY, TS, F.lit(0).cast("long").alias(SEQ),
+            F.transform(F.col("__sv"), lambda s: s[VALUE]).alias(VALUE),
+        )
+    )
+    return TickStream(out)
+
+
 def flatten(streams: Iterable[TickStream]) -> TickStream:
     """csp.flatten (baselib.py:494-503): interleave streams; ties keep
     every tick (distinct cycles) ordered by stream position."""
@@ -313,7 +332,7 @@ def gate(x: TickStream, release: TickStream, release_on_tick: bool = False) -> T
     a = align({"__rel": release, "__x": x})
     wfwd = (
         Window.partitionBy(KEY)
-        .orderBy(F.col(TS).desc(), F.col(SEQ).desc(), F.col(SRC).desc())
+        .orderBy(F.col(TS).desc(), F.col(SEQ).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     open_now = F.col("__rel") == F.lit(True)

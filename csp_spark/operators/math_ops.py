@@ -84,18 +84,15 @@ bitwise_not = _un(F.bitwise_not)
 
 
 def _erf(c: Column) -> Column:
-    """erf via Abramowitz–Stegun 7.1.26 (|err| ≤ 1.5e-7), JVM-side —
-    Spark has no native erf; csp's comes from C++ std::erf
-    (mathimpl.cpp). Good to 7 decimals, matching the reference's own
-    test tolerance (csp/tests/test_stats.py:22)."""
-    a1, a2, a3, a4, a5, p = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429, 0.3275911
-    )
-    sign = F.when(c < 0, -1.0).otherwise(1.0)
-    z = F.abs(c)
-    t = F.lit(1.0) / (F.lit(1.0) + F.lit(p) * z)
-    poly = t * (F.lit(a1) + t * (F.lit(a2) + t * (F.lit(a3) + t * (F.lit(a4) + t * F.lit(a5)))))
-    return sign * (F.lit(1.0) - poly * F.exp(-z * z))
+    """erf via commons-math3 (on Spark's classpath) through reflect() —
+    exact to machine precision, JVM-side, matching the reference's C++
+    std::erf (mathimpl.cpp)."""
+    return F.call_function(
+        "reflect",
+        F.lit("org.apache.commons.math3.special.Erf"),
+        F.lit("erf"),
+        c.cast("double"),
+    ).cast("double")
 
 
 erf = _un(_erf)

@@ -1,0 +1,1 @@
+from .parquet import read_table, subscribe

@@ -1,0 +1,164 @@
+"""csp.stats EMA family (stats.py:2910-3262; C++ kernels EMA :1473,
+AdjustedEMA :1542, AlphaDebiasEMA :1620, HalflifeEMA :1723).
+
+EMA is inherently recursive (s_i = a·v_i + (1-a)·s_{i-1}) — not
+expressible as a Spark window aggregate without numeric blow-up — so
+this is the designated Arrow/pandas path (SURVEY.md §7.3):
+``applyInPandas`` per key, pandas ``ewm`` inside (C-vectorized). This
+matches the reference's *own* test oracle (csp/tests/test_stats.py:
+247-261 uses pandas ewm as expected output).
+
+Scale: one pandas group = one key's full history. The 100 TB layout
+keys by symbol/entity (millions of keys × bounded history each), which
+is exactly the shape applyInPandas parallelizes. For unbounded single
+keys, pass ``horizon`` (csp's horizon param, stats.py:2918) to bound
+state.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..core.align import align
+from ..core.ticks import KEY, SEQ, TS, VALUE, TickStream
+
+_SCHEMA = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} double"
+
+
+def _ewm_kwargs(
+    alpha: float | None,
+    span: float | None,
+    com: float | None,
+    halflife: float | _dt.timedelta | None,
+    adjust: bool,
+    ignore_na: bool,
+) -> dict[str, Any]:
+    kw: dict[str, Any] = {"adjust": adjust, "ignore_na": ignore_na}
+    n_given = sum(p is not None for p in (alpha, span, com, halflife))
+    if n_given != 1:
+        raise ValueError("specify exactly one of alpha/span/com/halflife")
+    if alpha is not None:
+        kw["alpha"] = alpha
+    elif span is not None:
+        kw["span"] = span
+    elif com is not None:
+        kw["com"] = com
+    else:
+        kw["halflife"] = halflife
+    return kw
+
+
+def _run_ewm(x: TickStream, fn, horizon: int | None = None) -> TickStream:
+    df = x.df.select(KEY, TS, SEQ, F.col(x.value_col).cast("double").alias(VALUE))
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([TS, SEQ], kind="mergesort").reset_index(drop=True)
+        out = fn(pdf)
+        if horizon is not None:
+            out = out.iloc[len(out) - min(len(out), horizon):]
+        return out
+
+    # Arrow maps pandas NaN → SQL NULL; csp float streams carry NaN
+    out = df.groupBy(KEY).applyInPandas(apply, _SCHEMA).withColumn(
+        VALUE, F.coalesce(F.col(VALUE), F.lit(float("nan")))
+    )
+    return TickStream(out)
+
+
+def ema(
+    x: TickStream,
+    alpha: float | None = None,
+    span: float | None = None,
+    com: float | None = None,
+    halflife: float | _dt.timedelta | None = None,
+    adjust: bool = True,
+    ignore_na: bool = False,
+    horizon: int | None = None,
+) -> TickStream:
+    """csp.stats.ema (stats.py:2910-3006). timedelta halflife decays in
+    *event time* (HalflifeEMA :1723) → pandas ewm(times=ts)."""
+    kw = _ewm_kwargs(alpha, span, com, halflife, adjust, ignore_na)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if isinstance(kw.get("halflife"), _dt.timedelta):
+            e = pdf[VALUE].ewm(
+                halflife=kw["halflife"], times=pdf[TS], adjust=True,
+                ignore_na=kw["ignore_na"],
+            )
+        else:
+            e = pdf[VALUE].ewm(**kw)
+        return pdf.assign(**{VALUE: e.mean()})
+
+    return _run_ewm(x, fn, horizon)
+
+
+def ema_var(
+    x: TickStream,
+    alpha: float | None = None,
+    span: float | None = None,
+    com: float | None = None,
+    halflife: float | None = None,
+    adjust: bool = True,
+    bias: bool = False,
+    ignore_na: bool = False,
+    horizon: int | None = None,
+) -> TickStream:
+    """csp.stats.ema_var (stats.py:3127; debias kernels :1620-1858)."""
+    kw = _ewm_kwargs(alpha, span, com, halflife, adjust, ignore_na)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(**{VALUE: pdf[VALUE].ewm(**kw).var(bias=bias)})
+
+    return _run_ewm(x, fn, horizon)
+
+
+def ema_std(x: TickStream, **kwargs) -> TickStream:
+    """csp.stats.ema_std (stats.py:3009)."""
+    bias = kwargs.pop("bias", False)
+    kw = _ewm_kwargs(
+        kwargs.pop("alpha", None), kwargs.pop("span", None),
+        kwargs.pop("com", None), kwargs.pop("halflife", None),
+        kwargs.pop("adjust", True), kwargs.pop("ignore_na", False),
+    )
+    horizon = kwargs.pop("horizon", None)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(**{VALUE: pdf[VALUE].ewm(**kw).std(bias=bias)})
+
+    return _run_ewm(x, fn, horizon)
+
+
+def ema_cov(
+    x: TickStream,
+    y: TickStream,
+    alpha: float | None = None,
+    span: float | None = None,
+    com: float | None = None,
+    halflife: float | None = None,
+    adjust: bool = True,
+    bias: bool = False,
+    ignore_na: bool = False,
+) -> TickStream:
+    """csp.stats.ema_cov (stats.py:3195): EW covariance of the aligned
+    (last-value) pair series."""
+    kw = _ewm_kwargs(alpha, span, com, halflife, adjust, ignore_na)
+    a = align({"__x": x, "__y": y}, keep_ticked=True)
+    df = a.filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    ).select(KEY, TS, SEQ, "__x", "__y")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([TS, SEQ], kind="mergesort").reset_index(drop=True)
+        v = pdf["__x"].ewm(**kw).cov(pdf["__y"], bias=bias)
+        return pd.DataFrame(
+            {KEY: pdf[KEY], TS: pdf[TS], SEQ: pdf[SEQ], VALUE: v}
+        )
+
+    out = df.groupBy(KEY).applyInPandas(fn, _SCHEMA).withColumn(
+        VALUE, F.coalesce(F.col(VALUE), F.lit(float("nan")))
+    )
+    return TickStream(out)

