@@ -1,0 +1,3 @@
+from .ann import (
+    dot, norm, cosine, cosine_topk, lsh_index, lsh_topk, embedding_near_dups,
+)

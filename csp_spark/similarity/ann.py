@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- brute-force cosine top-k — exact baseline; one scan, JVM-side
+  zip_with/aggregate dot products, no shuffle until the final top-k.
+- LSH-bucketed ANN (random hyperplanes) — the 100 TB path: b sign-bits
+  bucket the corpus; a query probes its own bucket (+ optional
+  multi-probe neighbors), so the scan touches ~N/2^b vectors. Planes
+  are seeded → deterministic, reproducible across runs and engines.
+
+An IVF variant (k-means coarse quantizer) would use the same shape:
+assign → bucket column → partition pruning on bucket. LSH chosen here
+because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+    Single scan + global top-k (orderBy+limit → TakeOrderedAndProject,
+    no full sort shuffle)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id of a vector under the given hyperplanes —
+    pure column expressions, evaluated at scan time."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit_p = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec, lit_p) >= 0,
+                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_index(
+    embeddings: DataFrame,
+    bits: int = 8,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the LSH bucket column. At scale, write this out
+    partitioned/bucketed by `bucket` so queries prune partitions."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _planes(dim, bits, seed)
+    return embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only vectors whose bucket is within
+    probe_hamming bits of the query's bucket (multi-probe LSH). With a
+    bucket-partitioned table this becomes a partition-pruned scan."""
+    dim = len(query)
+    planes = _planes(dim, bits, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, p)) >= 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(bits)]
+    indexed = lsh_index(embeddings, bits=bits, dim=dim, vec_col=vec_col, seed=seed)
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        indexed.filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold): bucket by LSH,
+    pair only within buckets (plus 1-bit neighbors via multi-bucket
+    explode), verify exactly. The standard embedding-dedup sweep."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _planes(dim, bits, seed)
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucket = lsh_bucket(F.col("v"), planes)
+    # explode each vector into its own bucket + hamming-1 neighborhood →
+    # any pair with bucket distance ≤1 shares at least one probe bucket
+    probe_arr = F.array(
+        bucket, *[bucket.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i)) for i in range(bits)]
+    )
+    exploded = base.select("id", "v", F.explode(probe_arr).alias("bucket"))
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

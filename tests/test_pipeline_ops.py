@@ -1,0 +1,161 @@
+"""Tests for the training-data pipeline operators (text/dedup/
+similarity/multimodal) over the driver's documents/embeddings tables."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csp_spark.sources import read_table
+from csp_spark import text as TX
+from csp_spark import dedup as DD
+from csp_spark.similarity import (
+    cosine_topk, embedding_near_dups, lsh_index, lsh_topk,
+)
+from csp_spark.multimodal import (
+    audio_features, frame_sample, image_features, image_resize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, f"{SF}/embeddings.parquet")
+
+
+def test_text_annotate(docs):
+    out = TX.annotate(docs).limit(50).collect()
+    for r in out:
+        words = r["text"].split()
+        assert r["n_tokens"] == len(words)
+        assert r["n_chars_computed"] == len(r["text"])
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_guess"] in TX.STOPWORDS
+        exp_awl = sum(len(w) for w in words) / len(words)
+        assert abs(r["avg_word_len"] - exp_awl) < 1e-5
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "goodbye world")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "A  b C"), (3, "x y z")], "doc_id long, text string"
+    )
+    groups = DD.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0]["member_ids"] == [1, 2]
+    kept = sorted(r["doc_id"] for r in DD.dedup_exact(df).collect())
+    assert kept == [1, 3]
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely unrelated text about something different entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.ngram_jaccard_pairs(df, shingle_k=8, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert 0.5 < pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4 + "extra tail"),
+        (3, "numbers and symbols fill this other document with noise " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = DD.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    # LSH candidates verified with exact jaccard → subset of ground truth
+    truth = {(r["id_a"], r["id_b"]) for r in DD.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in got} <= truth
+
+
+def test_simhash(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 8),
+            (2, "the quick brown fox jumps over the lazy dog " * 8 + "tail"),
+            (3, "an entirely different corpus of legal boilerplate text " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.simhash_pairs(df, max_hamming=8).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids and (1, 3) not in ids and (2, 3) not in ids
+
+
+def test_cosine_topk_vs_numpy(emb):
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 0].embedding.iloc[0])
+    got = cosine_topk(emb, q, k=5).collect()
+    mat = np.array([list(v) for v in pdf.embedding], dtype=np.float64)
+    qv = np.array(q, dtype=np.float64)
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    exp_ids = list(pdf.vec_id.iloc[np.argsort(-sims)][:5])
+    assert [r["vec_id"] for r in got] == exp_ids
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cos_sim"] - 1.0) < 1e-6
+
+
+def test_lsh_topk_recall(emb):
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 3].embedding.iloc[0])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, q, k=10, bits=6, probe_hamming=1).collect()]
+    # the driver's embeddings are near-random (max off-self cosine ~0.34),
+    # so LSH recall is bounded by the probed fraction — assert mechanism:
+    # the probe finds the query itself, returns k rows, deterministically
+    assert approx[0] == 3 and exact[0] == 3
+    assert len(approx) == 10
+    approx2 = [r["vec_id"] for r in lsh_topk(emb, q, k=10, bits=6, probe_hamming=1).collect()]
+    assert approx == approx2
+    # buckets bounded to [0, 2^bits); probing all buckets == exact search
+    idx = lsh_index(emb, bits=6)
+    assert idx.filter("bucket < 0 or bucket > 63").count() == 0
+    full = [r["vec_id"] for r in lsh_topk(emb, q, k=10, bits=1, probe_hamming=1).collect()]
+    assert full == exact  # 1 bit + 1-bit probe covers both buckets
+
+
+def test_embedding_near_dups_self(spark, emb):
+    # duplicate a vector to guarantee one true near-dup pair
+    dup = emb.filter("vec_id = 1").withColumn("vec_id", F.lit(9999).cast("long"))
+    both = emb.unionByName(dup)
+    pairs = embedding_near_dups(both, threshold=0.99, bits=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 9999) in got
+
+
+def test_multimodal_stub_pipeline(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes-1"), 100), (2, bytearray(b"imagebytes-2"), 25)],
+        "media_id long, payload binary, n_frames int",
+    )
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert set(feats) == {1, 2}
+    assert feats[1]["mean_r"] == feats[1]["mean_g"]  # gray stub
+    resized = image_resize(media, 8, 8).collect()
+    assert all(len(bytes(r["payload"])) == 8 * 8 * 3 for r in resized)
+    af = audio_features(media).collect()
+    assert all(0.5 < r["rms"] < 0.9 for r in af)  # sine RMS ≈ 0.707
+    frames = frame_sample(media, every_n=10).collect()
+    assert len([f for f in frames if f["media_id"] == 1]) == 10
+    assert len([f for f in frames if f["media_id"] == 2]) == 3
