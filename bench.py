@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan build + execution to a driver-side
+count-style action). A warm-up pass on sf's smallest sibling is skipped
+deliberately: JVM/session startup is excluded (session built first),
+but per-query plan+exec time is what we report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from csp_spark import get_spark
+
+# Headline set: relational joins/aggs, window/tick-stream pipeline,
+# rolling stats, EMA (applyInPandas path), text, dedup (MinHash at
+# scale; the O(n^2)-prone exact-jaccard variant is excluded from the
+# bench set), ANN. Everything else in queries() is exercised by the
+# correctness gate; the bench set is the performance-representative core.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "op_count",
+    "op_sample_asof",
+    "stats_rolling_tick",
+    "stats_rolling_time",
+    "stats_expanding",
+    "stats_quantile",
+    "stats_ema",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="csp_spark_bench",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt_ = time.perf_counter() - t0
+        timings[name] = round(dt_, 3)
+        total += dt_
+        print(f"# {name}: {dt_:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
