@@ -35,6 +35,12 @@ _DEFAULTS = {
     # Parquet vectorized reader + pushdown are defaults but we pin them.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # local[N] runs executors inside the driver JVM, whose default heap
+    # is 1g — far too small for 32 concurrent tasks with array-heavy
+    # rows (shingle sets, signatures). On a real cluster this maps to
+    # spark.executor.memory instead. Only effective at JVM launch.
+    "spark.driver.memory": "32g",
+    "spark.driver.maxResultSize": "4g",
 }
 
 

@@ -60,39 +60,78 @@ def dedup_exact(
 # shingling + minhash
 # ----------------------------------------------------------------------
 
-def char_shingles(text: Column, k: int = 8) -> Column:
-    """Distinct k-character shingles of the normalized text, computed
-    JVM-side: transform over an index sequence + substring."""
-    norm = normalize(text)
+def _shingles_of_norm(norm: Column, k: int, use_words: bool) -> Column:
+    """Shingles from an ALREADY-materialized normalized-text column.
+
+    The caller must have projected the normalized text into its own
+    column first; passing the normalize() expression directly would
+    re-evaluate the regex tokenize inside the per-index lambda.
+    """
+    if use_words:
+        t = F.split(norm, " ")
+        n = F.greatest(F.size(t) - (k - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), n - 1)
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+        )
     n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n)
-    return F.array_distinct(
-        F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
-    )
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Distinct k-character shingles of the normalized text, computed
+    JVM-side: transform over an index sequence + substring.
+
+    NOTE: prefer projecting normalize(text) into a column and calling
+    _shingles_of_norm on it — inlining here re-runs normalization per
+    shingle index."""
+    return _shingles_of_norm(normalize(text), k, use_words=False)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-token shingles."""
-    t = tokens(text)
-    n = F.greatest(F.size(t) - (k - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n - 1)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
-    )
+    return _shingles_of_norm(normalize(text), k, use_words=True)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """num_hashes-wide MinHash signature: permutation i is approximated
-    by xxhash64(shingle, seed=i) (standard practice — e.g. Spark MLlib
-    MinHashLSH uses seeded hash families)."""
+    """num_hashes-wide MinHash signature of a shingle ARRAY column.
+
+    Convenience form for small inputs; the bulk path in
+    minhash_lsh_pairs uses the exploded-rows + hash-aggregate design
+    instead (higher-order array functions are interpreted, not
+    codegen'd, and are ~10x slower per element)."""
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(shingles, lambda s: _mix64(F.xxhash64(s), i))
             ).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
+
+
+# Deterministic odd multipliers/offsets for the a*h+b universal hash
+# family (splitmix64-style constants, seed fixed so signatures are
+# reproducible across runs). Permutation i ≈ min over a_i*h+b_i.
+def _mix_consts(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)
+    out = []
+    for _ in range(num_hashes):
+        a = rng.getrandbits(63) | 1  # odd
+        b = rng.getrandbits(63)
+        out.append((a, b))
+    return out
+
+
+def _mix64(h: Column, i: int, consts: list[tuple[int, int]] | None = None) -> Column:
+    a, b = (consts or _mix_consts(i + 1))[i]
+    # Long arithmetic wraps (ANSI off) — a*h+b mod 2^64, the classic
+    # multiply-shift family; one multiply+add per permutation instead of
+    # a fresh xxhash64 of the shingle text.
+    return h * F.lit(a) + F.lit(b)
 
 
 def minhash_lsh_pairs(
@@ -111,34 +150,84 @@ def minhash_lsh_pairs(
     Scale shape: explode to (band_id, band_hash) → shuffle by bucket →
     pairs only within buckets (collision probability s^(r) per band);
     the full cross-join never materializes. Exact-Jaccard verification
-    touches only candidates.
+    touches only candidates, so false candidates cost work but never
+    wrong output. Default r=4 rows/band balances recall at J≥0.5
+    (1-(1-J^4)^16: 64% at exactly 0.5, 99.6% at 0.7) against candidate
+    volume — r=2 has ~99% recall at 0.5 but on template-heavy corpora
+    (baseline inter-doc J ~0.2) floods verification with ~250x the
+    candidate pairs.
     """
     rows_per_band = num_hashes // bands
-    sh = (word_shingles if use_words else char_shingles)(
-        F.col(text_col), shingle_k
-    )
-    base = docs.select(
-        F.col(id_col).alias("id"), sh.alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    consts = _mix_consts(num_hashes)
 
+    # Stage 1 — exploded distinct shingle rows (id, h). Materialize the
+    # normalized text first (inlining normalize() into per-position
+    # expressions re-runs the regex tokenize per shingle — O(len^2) per
+    # doc), then explode positions: explode + substring + xxhash64 are
+    # all whole-stage-codegen, unlike higher-order array lambdas which
+    # run interpreted. No fat array column ever crosses a shuffle.
+    norm = docs.select(
+        F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("n")
+    )
+    if use_words:
+        toks = norm.select("id", F.split("n", " ").alias("t"))
+        pos = toks.select(
+            "id", "t",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - shingle_k, F.lit(0)))
+            ).alias("i"),
+        )
+        shing = pos.select(
+            "id", F.array_join(F.slice("t", F.col("i") + 1, shingle_k), " ").alias("s")
+        )
+    else:
+        pos = norm.select(
+            "id", "n",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("n") - (shingle_k - 1), F.lit(1))
+                )
+            ).alias("i"),
+        )
+        shing = pos.select(
+            "id", F.col("n").substr(F.col("i"), F.lit(shingle_k)).alias("s")
+        )
+    # No corpus-wide dropDuplicates: duplicate shingles cannot change a
+    # min, so the signature aggregate consumes raw shingle rows with no
+    # prior shuffle; distinct-ness is only enforced later, on the tiny
+    # candidate subset that Jaccard verification touches.
+    rows = shing.select("id", F.xxhash64("s").alias("h"))
+
+    # Stage 2 — signature via ONE codegen hash-aggregate: permutation i
+    # is the a_i*h+b_i mix of the single xxhash64, min'd per doc.
+    # Map-side partial agg collapses each partition to its distinct ids,
+    # so the shuffle carries |docs| x num_hashes longs regardless of
+    # corpus size.
+    sig = rows.groupBy("id").agg(
+        *[
+            F.min(_mix64(F.col("h"), i, consts)).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+    # Stage 3 — band buckets: candidate generation shuffles only
+    # (id, band, bucket) — 24 bytes/row.
     band_arr = F.array(
         *[
             F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 ),
                 F.lit(b),
             )
             for b in range(bands)
         ]
     )
-    banded = base.select(
-        "id", "sh", F.posexplode(band_arr).alias("band", "bucket")
-    )
+    banded = sig.select("id", F.posexplode(band_arr).alias("band", "bucket"))
     cand = (
         banded.alias("a")
         .join(
@@ -149,18 +238,48 @@ def minhash_lsh_pairs(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # The pair list feeds two different broadcasts below; without a
+    # persist each broadcast would recompute the whole signature +
+    # band-join pipeline. It is at most a few MB by construction.
+    cand = cand.persist()
+
+    # Stage 4 — exact-Jaccard verification restricted to candidates:
+    # filter the raw shingle rows down to candidate docs FIRST (broadcast
+    # semi-join against the tiny id set), dedup only that sliver, then
+    # count intersections by joining the two sides on shingle hash.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    candrows = (
+        rows.join(F.broadcast(cand_ids), "id", "left_semi")
+        .dropDuplicates(["id", "h"])
+    )
+    sizes = candrows.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+    inter = (
+        candrows.select(F.col("id").alias("id_a"), "h")
+        .join(F.broadcast(cand), "id_a")
+        .join(candrows.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        inter.join(
+            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("c").alias("ca"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("c").alias("cb"))),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -178,28 +297,43 @@ def ngram_jaccard_pairs(
     Candidate generation via shingle-inverted-index join: shuffles on
     shingle, cost ∝ Σ bucket². For 100 TB use minhash_lsh_pairs; this
     one is for bounded corpora / verification."""
-    sh = char_shingles(F.col(text_col), shingle_k)
-    base = docs.select(F.col(id_col).alias("id"), sh.alias("sh"))
-    sizes = base.select("id", F.size("sh").alias("n"))
-    inv = base.select("id", F.explode("sh").alias("s"))
+    norm = docs.select(
+        F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("n")
+    )
+    pos = norm.select(
+        "id", "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("n") - (shingle_k - 1), F.lit(1)))
+        ).alias("i"),
+    )
+    inv = (
+        pos.select("id", F.col("n").substr(F.col("i"), F.lit(shingle_k)).alias("s"))
+        .select("id", F.xxhash64("s").alias("h"))
+        .dropDuplicates(["id", "h"])
+    )
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         inv.alias("a")
         .join(
             inv.alias("b"),
-            on=[F.col("a.s") == F.col("b.s"), F.col("a.id") < F.col("b.id")],
+            on=[F.col("a.h") == F.col("b.h"), F.col("a.id") < F.col("b.id")],
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("double").alias("inter"))
     )
     return (
-        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        inter.join(
+            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))),
+            "id_b",
+        )
         .select(
             "id_a", "id_b",
             F.round(
-                F.col("inter")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
-                6,
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -211,34 +345,25 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------------------------
 
 def simhash(text: Column) -> Column:
-    """64-bit SimHash of the token multiset: per bit, sign of the sum of
-    ±1 contributions from each token's xxhash64. Pure higher-order
-    array expressions — no explode, no shuffle. Bits are read from the
-    two's-complement binary string (bin()) since Spark's shift
-    functions take only literal counts."""
-    t = tokens(text)
-    # 64-char two's-complement bit string per token hash
-    bitstrs = F.transform(
-        t, lambda w: F.lpad(F.bin(F.xxhash64(w)), 64, "0")
-    )
-    # majority vote per bit position (1..64, MSB first)
-    votes = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda p: F.aggregate(
-            bitstrs,
+    """64-bit SimHash of the token multiset: bit i is the sign of the
+    sum of ±1 contributions from bit i of each token's xxhash64.
+
+    Convenience single-column form (array lambdas, interpreted). The
+    bulk path in simhash_pairs computes the same signature (same bit
+    order) via explode + one codegen hash-aggregate — use that shape
+    for corpora."""
+    hashes = F.transform(tokens(text), lambda w: F.xxhash64(w))
+    sig = None
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
             F.lit(0),
-            lambda acc, s: acc
-            + F.when(s.substr(p, F.lit(1)) == "1", 1).otherwise(-1),
-        ),
-    )
-    sig_str = F.array_join(
-        F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")), ""
-    )
-    # assemble via two 32-bit halves (conv of a full unsigned 64-bit
-    # value overflows LongType)
-    hi = F.conv(F.substring(sig_str, 1, 32), 2, 10).cast("long")
-    lo = F.conv(F.substring(sig_str, 33, 32), 2, 10).cast("long")
-    return F.shiftleft(hi, 32).bitwiseOR(lo)
+            lambda acc, h, _i=i: acc
+            + F.when(F.shiftright(h, _i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit = F.shiftleft(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sig
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -255,9 +380,27 @@ def simhash_pairs(
     16-bit chunks (pigeonhole: ≤3 differing bits over 4 chunks → at
     least one chunk identical), so candidate generation shuffles on
     chunk value instead of cross-joining."""
-    base = docs.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    # Bulk path: explode tokens once, xxhash64 each, then 64 per-bit
+    # sign-sums in a single codegen hash-aggregate; the signature is
+    # assembled from the votes with literal-shift bit ops. (The
+    # array-lambda simhash() form is interpreted and re-hashes every
+    # token per bit position — ~20x slower.)
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).select("id", F.xxhash64("w").alias("h"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
+    sig_col = None
+    for i in range(64):
+        bit = F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+        sig_col = bit if sig_col is None else sig_col.bitwiseOR(bit)
+    base = votes.select("id", sig_col.alias("sh"))
     chunks = base.select(
         "id", "sh",
         F.posexplode(
