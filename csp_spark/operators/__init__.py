@@ -1,1 +1,2 @@
 from . import baselib, math_ops
+from . import basketlib

@@ -1,0 +1,1 @@
+from .runtime import run, feedback_iterate, dynamic_apply

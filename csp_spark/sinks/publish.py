@@ -1,0 +1,131 @@
+"""Output adapters (SURVEY.md §2.2).
+
+Reference surface: ParquetWriter.publish/publish_struct
+(csp/adapters/output_adapters/parquet.py:40-220), CSVWriter,
+KafkaAdapterManager.publish (csp/adapters/kafka.py:192-240),
+csp.print/csp.log (csp/baselib.py:181-274), write_record_batches
+(csp/adapters/arrow.py:104-155), add_graph_output
+(csp/impl/wiring/runtime.py:86-87).
+
+Spark-first: batch sinks are DataFrameWriter calls; streaming sinks are
+writeStream with the matching format. Partitioning: time-bucketed
+(date) partitions by default so a 100 TB history lands as prunable
+partitions rather than one directory of files.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.ticks import KEY, SEQ, TS, TickStream
+
+logger = logging.getLogger("csp_spark")
+
+
+def _df(x: TickStream | DataFrame) -> DataFrame:
+    return x.df if isinstance(x, TickStream) else x
+
+
+def publish_parquet(
+    x: TickStream | DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by_date: bool = True,
+    field_map: dict[str, str] | None = None,
+) -> None:
+    """ParquetWriter.publish parity (output_adapters/parquet.py:40-120).
+
+    ``field_map`` renames columns on the way out (the reference's
+    column-per-field mapping). Date partitioning keeps per-partition
+    file sizes bounded and enables partition pruning on replay.
+    """
+    df = _df(x)
+    if field_map:
+        for src, dst in field_map.items():
+            df = df.withColumnRenamed(src, dst)
+    writer = df.write.mode(mode)
+    if partition_by_date and TS in df.columns:
+        df = df.withColumn("__date", F.to_date(F.col(TS)))
+        writer = df.write.mode(mode).partitionBy("__date")
+    writer.parquet(path)
+
+
+def publish_csv(
+    x: TickStream | DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    """CSVWriter parity (csp/adapters/csv.py — writer side)."""
+    _df(x).write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_record_batches(x: TickStream | DataFrame) -> "Any":
+    """Arrow IPC out (csp/adapters/arrow.py:104-155): return the result
+    as a pyarrow Table (caller writes IPC/feather as needed)."""
+    return _df(x).toArrow()
+
+
+def publish_kafka_stream(
+    x: TickStream | DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    value_format: str = "json",
+):
+    """KafkaAdapterManager.publish parity (csp/adapters/kafka.py:192-240)
+    for realtime mode: value is the JSON of all non-key columns.
+    Returns the StreamingQuery. Requires a reachable broker (not
+    available in tests — exercised structurally only)."""
+    df = _df(x)
+    payload = F.to_json(F.struct(*[c for c in df.columns if c != KEY]))
+    out = df.select(
+        F.col(KEY).cast("string").alias("key"), payload.alias("value")
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def publish_parquet_stream(
+    x: TickStream | DataFrame, path: str, checkpoint_dir: str, trigger: dict | None = None
+):
+    """Streaming parquet sink (ParquetWriter in realtime mode)."""
+    writer = _df(x).writeStream.format("parquet").option("path", path).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def print_ticks(x: TickStream | DataFrame, tag: str = "", n: int = 20) -> None:
+    """csp.print parity (baselib.py:181-200)."""
+    df = _df(x)
+    if tag:
+        print(f"== {tag} ==")
+    (df.orderBy(TS, SEQ) if TS in df.columns and SEQ in df.columns else df).show(
+        n, truncate=False
+    )
+
+
+def log_ticks(
+    x: TickStream | DataFrame, level: int = logging.INFO, tag: str = "", n: int = 1000
+) -> None:
+    """csp.log parity (baselib.py:203-274): log collected rows. Driver-
+    side by design (logging is a driver/console concern, bounded by n)."""
+    for row in _df(x).limit(n).collect():
+        logger.log(level, "%s %s", tag, row.asDict())
+
+
+def stop_engine_limit(x: TickStream, n_ticks: int) -> TickStream:
+    """csp.stop_engine analog (baselib.py:535-541): bound the run to the
+    first ``n_ticks`` engine-ordered ticks (per key)."""
+    from ..operators.baselib import firstN
+
+    return firstN(x, n_ticks)

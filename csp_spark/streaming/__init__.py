@@ -1,0 +1,22 @@
+from .sources import file_ticks, kafka_ticks, rate_ticks
+from .ops import (
+    burst_stream,
+    conflate_last_value,
+    ema_stream,
+    rolling_time_stats_stream,
+    with_watermark,
+)
+from .run import collect_stream, start_memory_sink
+
+__all__ = [
+    "file_ticks",
+    "kafka_ticks",
+    "rate_ticks",
+    "with_watermark",
+    "conflate_last_value",
+    "burst_stream",
+    "rolling_time_stats_stream",
+    "ema_stream",
+    "collect_stream",
+    "start_memory_sink",
+]

@@ -1,0 +1,161 @@
+"""Streaming operators: PushModes, windowed stats, stateful EMA.
+
+Reference semantics being mapped (SURVEY.md §2.8):
+
+- PushMode.LAST_VALUE / BURST / NON_COLLAPSING
+  (csp/impl/types/common_definitions.py:274-289): how a realtime
+  adapter's backlog collapses into engine cycles. Spark microbatches
+  play the role of the backlog drain: LAST_VALUE keeps only the newest
+  row per (key, bucket), BURST emits the queued list, NON_COLLAPSING is
+  the raw stream with (ts, seq) order preserved.
+- csp has NO watermarks (adapters deliver in order); Structured
+  Streaming needs them for state cleanup, so every windowed op takes an
+  explicit ``watermark`` (documented semantic delta).
+- csp.stats in realtime = same rolling semantics driven by wall clock;
+  here: watermarked sliding windows (groupBy window()) for time-bucket
+  stats, and applyInPandasWithState for per-tick recursive state (EMA —
+  statsimpl.h:1473).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..core.ticks import KEY, SEQ, TS, VALUE
+
+
+def _iv(td: _dt.timedelta) -> str:
+    return f"{td.total_seconds()} seconds"
+
+
+def with_watermark(x: DataFrame, delay: _dt.timedelta) -> DataFrame:
+    return x.withWatermark(TS, _iv(delay))
+
+
+def conflate_last_value(
+    x: DataFrame, bucket: _dt.timedelta, watermark: _dt.timedelta | None = None
+) -> DataFrame:
+    """PushMode.LAST_VALUE: within each (key, bucket) keep the newest
+    value by (ts, seq). Emits (key, ts=bucket end, seq=0, value)."""
+    src = with_watermark(x, watermark or bucket)
+    out = (
+        src.groupBy(F.window(TS, _iv(bucket)).alias("__w"), KEY)
+        .agg(F.max_by(VALUE, F.struct(TS, SEQ)).alias(VALUE))
+        .select(
+            KEY,
+            F.col("__w.end").alias(TS),
+            F.lit(0).cast("long").alias(SEQ),
+            VALUE,
+        )
+    )
+    return out
+
+
+def burst_stream(
+    x: DataFrame, bucket: _dt.timedelta, watermark: _dt.timedelta | None = None
+) -> DataFrame:
+    """PushMode.BURST: each (key, bucket) emits the list of queued
+    values in engine order (csp burst delivers List[T] in one tick)."""
+    src = with_watermark(x, watermark or bucket)
+    return (
+        src.groupBy(F.window(TS, _iv(bucket)).alias("__w"), KEY)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(TS, SEQ, F.col(VALUE).alias("v")))
+            ).alias("__q")
+        )
+        .select(
+            KEY,
+            F.col("__w.end").alias(TS),
+            F.lit(0).cast("long").alias(SEQ),
+            F.transform("__q", lambda s: s["v"]).alias(VALUE),
+        )
+    )
+
+
+def rolling_time_stats_stream(
+    x: DataFrame,
+    window: _dt.timedelta,
+    slide: _dt.timedelta,
+    watermark: _dt.timedelta | None = None,
+) -> DataFrame:
+    """Sliding-window count/sum/mean/min/max over the stream — the
+    realtime face of csp.stats with a time interval (stats.py:218-282).
+    csp recomputes at every tick; Structured Streaming emits per slide
+    (documented delta — per-tick emission in streaming requires the
+    stateful path)."""
+    src = with_watermark(x, watermark or window)
+    return (
+        src.groupBy(F.window(TS, _iv(window), _iv(slide)).alias("__w"), KEY)
+        .agg(
+            F.count(VALUE).alias("roll_count"),
+            F.sum(VALUE).alias("roll_sum"),
+            F.avg(VALUE).alias("roll_mean"),
+            F.min(VALUE).alias("roll_min"),
+            F.max(VALUE).alias("roll_max"),
+        )
+        .select(
+            KEY,
+            F.col("__w.end").alias(TS),
+            F.lit(0).cast("long").alias(SEQ),
+            "roll_count", "roll_sum", "roll_mean", "roll_min", "roll_max",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# stateful per-tick EMA — applyInPandasWithState
+# ----------------------------------------------------------------------
+
+_EMA_OUT_SCHEMA = (
+    f"{KEY} string, {TS} timestamp, {SEQ} long, value double"
+)
+_EMA_STATE_SCHEMA = "ema double, n long"
+
+
+def ema_stream(x: DataFrame, alpha: float) -> DataFrame:
+    """Per-tick recursive EMA over the stream, exact parity with
+    csp.stats.ema(adjust=False) (stats.py:2910-3006; EMA kernel
+    statsimpl.h:1473): state (ema, n) lives in the state store per key
+    and survives across microbatches; each batch folds its rows in
+    (ts, seq) order.
+
+    Ordering contract: rows must arrive time-ordered per key ACROSS
+    microbatches (Kafka partition ordering / chronological file drops)
+    — the same in-order delivery the reference assumes of its adapters
+    (SURVEY.md §2.8 'csp assumes adapters deliver in order')."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ema, n = state.get
+        else:
+            ema, n = 0.0, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([TS, SEQ])
+            for ts, seq, v in zip(pdf[TS], pdf[SEQ], pdf[VALUE]):
+                fv = float(v)
+                if fv != fv:  # NaN: ignore_na=True semantics
+                    out.append((key[0], ts, seq, ema if n else float("nan")))
+                    continue
+                ema = fv if n == 0 else (1.0 - alpha) * ema + alpha * fv
+                n += 1
+                out.append((key[0], ts, seq, ema))
+        state.update((ema, n))
+        yield pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
+
+    return x.groupBy(KEY).applyInPandasWithState(
+        fold,
+        outputStructType=_EMA_OUT_SCHEMA,
+        stateStructType=_EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,108 @@
+"""Sinks, non-parquet sources, basketlib, and random generators."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from csp_spark import KEY, SEQ, TS, VALUE, TickStream
+from csp_spark.operators.basketlib import sample_basket, sync
+from csp_spark.sinks import publish_csv, publish_parquet, write_record_batches
+from csp_spark.sources import from_arrow, read_csv, read_table
+from csp_spark.sources.random_gen import brownian_motion, poisson_timer
+
+START = dt.datetime(2020, 1, 1)
+TD = dt.timedelta
+
+
+def _ticks(spark, pairs, key="k"):
+    return TickStream.from_rows(spark, pairs, key=key)
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    x = _ticks(spark, [(START + TD(days=i), float(i)) for i in range(5)])
+    publish_parquet(x, str(tmp_path / "out"))
+    back = read_table(spark, str(tmp_path / "out"))
+    assert back.count() == 5
+    # date partitioning applied
+    assert any(p.name.startswith("__date=") for p in (tmp_path / "out").iterdir())
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    x = _ticks(spark, [(START + TD(seconds=i), float(i)) for i in range(7)])
+    publish_csv(x, str(tmp_path / "out_csv"))
+    back = read_csv(
+        spark,
+        str(tmp_path / "out_csv"),
+        ts_col=TS,
+        value_col=VALUE,
+        key_col=KEY,
+        schema="key string, ts timestamp, seq long, value double",
+    )
+    got = back.collect_ticks("k")
+    assert [v for _, v in got] == [float(i) for i in range(7)]
+
+
+def test_arrow_roundtrip(spark):
+    x = _ticks(spark, [(START + TD(seconds=i), float(i)) for i in range(4)])
+    tbl = write_record_batches(x)
+    assert tbl.num_rows == 4
+    back = from_arrow(spark, tbl, ts_col=TS, value_col=VALUE, key_col=KEY)
+    assert back.collect_ticks("k") == x.collect_ticks("k")
+
+
+def test_sync_complete_buckets(spark):
+    a = _ticks(spark, [(START + TD(seconds=1), 1.0), (START + TD(seconds=61), 3.0)])
+    b = _ticks(spark, [(START + TD(seconds=2), 2.0)])
+    out = sync({"a": a, "b": b}, threshold=TD(minutes=1))
+    rows = out.ordered().collect()
+    # bucket 0 has both members; bucket 1 only 'a' -> dropped
+    assert len(rows) == 1
+    assert rows[0][TS] == START + TD(seconds=2)
+    assert dict(rows[0][VALUE]) == {"a": 1.0, "b": 2.0}
+    # output_incomplete=True keeps the partial bucket
+    out2 = sync({"a": a, "b": b}, threshold=TD(minutes=1), output_incomplete=True)
+    assert out2.df.count() == 2
+
+
+def test_sample_basket(spark):
+    trig = _ticks(spark, [(START + TD(seconds=10), 0.0), (START + TD(seconds=20), 0.0)])
+    a = _ticks(spark, [(START + TD(seconds=1), 1.0), (START + TD(seconds=15), 1.5)])
+    b = _ticks(spark, [(START + TD(seconds=12), 2.0)])
+    out = sample_basket(trig, {"a": a, "b": b}).ordered().collect()
+    assert len(out) == 2
+    assert out[0][VALUE]["a"] == 1.0 and out[0][VALUE]["b"] is None
+    assert out[1][VALUE]["a"] == 1.5 and out[1][VALUE]["b"] == 2.0
+
+
+def test_poisson_timer_deterministic(spark):
+    x = poisson_timer(spark, rate=1.0, start=START, end=START + TD(minutes=10), seed=7)
+    t1 = x.collect_ticks()
+    t2 = poisson_timer(
+        spark, rate=1.0, start=START, end=START + TD(minutes=10), seed=7
+    ).collect_ticks()
+    assert t1 == t2
+    assert all(START <= ts <= START + TD(minutes=10) for ts, _ in t1)
+    # rate sanity: ~600 events +- 5 sigma
+    assert 600 - 5 * 25 <= len(t1) <= 600 + 5 * 25
+    gaps = [
+        (b[0] - a[0]).total_seconds() for a, b in zip(t1, t1[1:])
+    ]
+    mean_gap = sum(gaps) / len(gaps)
+    assert 0.7 <= mean_gap <= 1.4
+
+
+def test_brownian_motion_stats(spark):
+    trig = _ticks(spark, [(START + TD(seconds=i), 0.0) for i in range(2000)])
+    x = brownian_motion(trig, drift=0.0, vol=1.0, seed=3)
+    vals = [v for _, v in x.collect_ticks("k")]
+    assert len(vals) == 2000
+    assert vals[0] == 0.0  # first tick: dt=0
+    incr = [b - a for a, b in zip(vals, vals[1:])]
+    mean = sum(incr) / len(incr)
+    var = sum((i - mean) ** 2 for i in incr) / len(incr)
+    assert abs(mean) < 0.1 and 0.8 < var < 1.2
+    gbm = brownian_motion(trig, drift=0.0, vol=0.2, x0=100.0, seed=3, geometric=True)
+    gvals = [v for _, v in gbm.collect_ticks("k")]
+    assert gvals[0] == 100.0 and all(v > 0 for v in gvals)

@@ -1,0 +1,62 @@
+"""csp.run-style harness, feedback fixed point, dynamic per-key apply."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from csp_spark import KEY, SEQ, TS, VALUE, TickStream, binary_op
+from csp_spark.plans import dynamic_apply, feedback_iterate, run
+
+START = dt.datetime(2020, 1, 1)
+TD = dt.timedelta
+
+
+def test_run_graph(spark):
+    def graph():
+        bid = TickStream.from_rows(spark, [(START, 99.0), (START + TD(seconds=2), 99.5)])
+        ask = TickStream.from_rows(spark, [(START + TD(seconds=1), 100.0)])
+        spread = binary_op(ask, bid, lambda a, b: a - b, "spread")
+        return {"spread": spread}
+
+    out = run(graph, starttime=START, endtime=START + TD(minutes=1))
+    assert out["spread"] == [(START + TD(seconds=1), 1.0), (START + TD(seconds=2), 0.5)]
+
+
+def test_run_output_numpy(spark):
+    def graph():
+        return TickStream.from_rows(spark, [(START + TD(seconds=i), float(i)) for i in range(3)])
+
+    out = run(graph, output_numpy=True)
+    times, vals = out["0"]
+    assert list(vals) == [0.0, 1.0, 2.0]
+    assert str(times.dtype) == "datetime64[us]"
+
+
+def test_feedback_fixed_point(spark):
+    # clamp-to-10 accumulator: value' = min(value * 2, 10); fixed point = all 10
+    init = TickStream.from_rows(spark, [(START + TD(seconds=i), 1.0) for i in range(4)])
+
+    def step(cur):
+        return cur.with_df(
+            cur.df.withColumn(VALUE, F.least(F.col(VALUE) * 2, F.lit(10.0)))
+        )
+
+    out = feedback_iterate(step, init, max_iters=20)
+    assert [v for _, v in out.collect_ticks()] == [10.0] * 4
+
+
+def test_dynamic_apply(spark):
+    rows = [("a", START + TD(seconds=i), 0, float(i)) for i in range(5)]
+    rows += [("b", START + TD(seconds=i), 0, float(10 * i)) for i in range(5)]
+    x = TickStream(spark.createDataFrame(rows, "key string, ts timestamp, seq long, value double"))
+
+    def cummax(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["value"] = pdf["value"].cummax()
+        return pdf
+
+    out = dynamic_apply(x, cummax, "key string, ts timestamp, seq long, value double")
+    got = out.collect_all()
+    assert [v for _, v in got["a"]] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert [v for _, v in got["b"]] == [0.0, 10.0, 20.0, 30.0, 40.0]
