@@ -24,11 +24,14 @@ from pyspark.sql import functions as F
 from csp_spark import TickStream
 from csp_spark.core.ticks import KEY, SEQ, TS
 from csp_spark.operators import baselib as bl
+from csp_spark.operators.basketlib import sync as basket_sync_op
+from csp_spark.plans import dynamic_apply, feedback_iterate
 from csp_spark.sources import read_table
-from csp_spark.stats import Rolling, RollingPair, ema
+from csp_spark.sources.random_gen import brownian_motion, poisson_timer
+from csp_spark.stats import Rolling, RollingPair, cov_matrix, corr_matrix, ema
 from csp_spark import dedup as DD
 from csp_spark import text as TX
-from csp_spark.similarity import cosine_topk, lsh_topk
+from csp_spark.similarity import cosine, cosine_topk, lsh_topk
 
 
 # ----------------------------------------------------------------------
@@ -258,6 +261,148 @@ def op_unroll(spark, sf_dir):
     )
 
 
+def op_split_false(spark, sf_dir):
+    purch = _events_stream(spark, sf_dir, "purchase")
+    flag = TickStream(purch.df.withColumn("value", F.col("value") > 50), "value")
+    clicks = _events_stream(spark, sf_dir, "click")
+    _t_side, f_side = bl.split(flag, clicks)
+    return _out(f_side, "value")
+
+
+def op_default(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    d = bl.default(clicks, value=-1.0, start=dt.datetime(2023, 12, 31))
+    return d.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(TS).alias("ts"),
+        F.col("value"),
+    )
+
+
+def op_multiplex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    basket = TickStream.from_table(
+        ev, ts_col="ts", value_col="value", key_col="event_type", seq_col="event_id"
+    )
+    sel_rows = ev.filter(F.col("user_id") == 7)
+    selector = TickStream.from_table(
+        sel_rows, ts_col="ts", value_col="event_type", seq_col="event_id"
+    )
+    out = bl.multiplex(basket, selector)
+    return out.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).alias("event_type"),
+        F.col("value"),
+    )
+
+
+def op_gate(spark, sf_dir):
+    purch = _events_stream(spark, sf_dir, "purchase")
+    release = TickStream(purch.df.withColumn("value", F.col("value") > 50), "value")
+    clicks = _events_stream(spark, sf_dir, "click")
+    g = bl.gate(clicks, release)
+    return g.df.select(
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(TS).alias("flush_ts"),
+        F.col(SEQ).alias("flush_id"),
+        F.size("value").alias("n_vals"),
+        F.round(
+            F.aggregate(
+                "value",
+                F.lit(0).cast(_DEC),
+                lambda acc, v: (acc + v.cast(_DEC)).cast(_DEC),
+            ).cast("double"),
+            4,
+        ).alias("sum_vals"),
+    )
+
+
+def op_struct_fromts(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    s = bl.struct_fromts({"c": clicks, "v": views})
+    return s.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col("value.c").alias("last_click"),
+        F.col("value.v").alias("last_view"),
+    )
+
+
+def basket_sync(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    out = basket_sync_op(
+        {"click": clicks, "view": views}, threshold=dt.timedelta(hours=6)
+    )
+    return out.df.select(
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(TS).alias("sync_ts"),
+        F.col("value")["click"].alias("click_v"),
+        F.col("value")["view"].alias("view_v"),
+    )
+
+
+def dyn_cummax(spark, sf_dir):
+    x = _events_stream(spark, sf_dir)
+
+    def cummax(pdf):
+        pdf = pdf.copy()
+        pdf["value"] = pdf["value"].cummax()
+        return pdf
+
+    out = dynamic_apply(x, cummax, f"{KEY} string, {TS} timestamp, {SEQ} long, value double")
+    return _out(out, "run_max")
+
+
+def feedback_clamp(spark, sf_dir):
+    # driver-side fixed point (csp.feedback analog) — no single-pass SQL
+    # equivalent; rows-only check (converges: value' = min(2v, 1000))
+    x = _events_stream(spark, sf_dir)
+    init = TickStream(x.df.filter(F.col(KEY).cast("long") < 10))
+
+    def step(cur):
+        return cur.with_df(
+            cur.df.withColumn("value", F.least(F.col("value") * 2, F.lit(1000.0)))
+        )
+
+    out = feedback_iterate(step, init, max_iters=30)
+    return _out(out, "clamped")
+
+
+def random_poisson(spark, sf_dir):
+    # seeded stochastic source — engine-specific RNG, rows-only check
+    x = poisson_timer(
+        spark, rate=0.5, start=dt.datetime(2024, 1, 1), end=dt.datetime(2024, 1, 2),
+        seed=42,
+    )
+    return x.df.select(TS, F.round("value", 6).alias("elapsed_s"))
+
+
+def random_brownian(spark, sf_dir):
+    trig = _events_stream(spark, sf_dir)
+    x = brownian_motion(trig, drift=0.01, vol=0.5, seed=42)
+    return x.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.round("value", 6).alias("path"),
+    )
+
+
+def mm_features(spark, sf_dir):
+    # multimodal plumbing: binary payload column -> deterministic fake
+    # feature extraction via mapInPandas (real decode is stubbed — no
+    # image/audio libs in this container); rows-only check
+    from csp_spark.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return image_features(payload, payload_col="payload", id_col="doc_id")
+
+
 # ----------------------------------------------------------------------
 # csp.stats queries (SURVEY.md §2.5)
 # ----------------------------------------------------------------------
@@ -389,6 +534,103 @@ def stats_ema_halflife(spark, sf_dir):
     )
 
 
+def stats_argminmax(spark, sf_dir):
+    x = _events_stream(spark, sf_dir)
+    r = Rolling(x, interval=None, min_window=1)
+    out = r.agg(t_max=r.argmax_col(), t_min=r.argmin_col())
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "t_max", "t_min",
+    )
+
+
+def stats_order(spark, sf_dir):
+    x = _events_stream(spark, sf_dir)
+    r = Rolling(x, interval=10, min_window=10)
+    out = r.agg(
+        w_first=r.first_col(),
+        w_last=r.last_col(),
+        w_lnprod=F.round(F.ln(r.prod_col()), 6),
+        w_gmean=F.round(r.gmean_col(), 6),
+        w_unique=r.unique_col(precision=0).cast("long"),
+    )
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "w_first", "w_last", "w_lnprod", "w_gmean", "w_unique",
+    )
+
+
+def stats_rank(spark, sf_dir):
+    x = _events_stream(spark, sf_dir)
+    r = Rolling(x, interval=20, min_window=20)
+    out = r.agg(
+        rank_min=r.rank_col("min"),
+        rank_max=r.rank_col("max"),
+        rank_avg=r.rank_col("avg"),
+    )
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "rank_min", "rank_max", "rank_avg",
+    )
+
+
+def stats_weighted(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    r = Rolling(clicks, interval=None, min_window=3, weights=views)
+    out = r.agg(
+        wmean=F.round(r.wmean_col(), 6),
+        wvar=F.round(r.wvar_col(1), 6),
+    )
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "wmean", "wvar",
+    )
+
+
+def stats_cov_matrix(spark, sf_dir):
+    # multi-series matrix stats: series = hourly DECIMAL-exact mean value
+    # per event_type (coincident hourly ticks across series)
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.col("event_type").alias(KEY), F.date_trunc("hour", "ts").alias(TS)
+    ).agg(
+        (F.sum(F.col("value").cast(_DEC)) / F.count(F.lit(1)))
+        .cast("double")
+        .alias("value")
+    ).withColumn(SEQ, F.lit(0).cast("long"))
+    x = TickStream(series)
+    c = cov_matrix(x, ddof=1)
+    r = corr_matrix(x).withColumnRenamed("corr", "corr_v")
+    out = c.join(r, on=["key_a", "key_b"]).select(
+        "key_a", "key_b",
+        F.round("cov", 6).alias("cov_v"),
+        F.round("corr_v", 6).alias("corr_v"),
+    )
+    return out
+
+
+def dedup_embedding(spark, sf_dir):
+    # exact cosine near-dup pairs (brute force; the LSH-probed variant is
+    # embedding_near_dups — approximate, tested in tests/)
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 # ----------------------------------------------------------------------
 # text / dedup / similarity queries (training-pipeline ops)
 # ----------------------------------------------------------------------
@@ -476,6 +718,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_sample_asof": op_sample_asof,
         "op_filter": op_filter,
         "op_unroll": op_unroll,
+        "op_split_false": op_split_false,
+        "op_default": op_default,
+        "op_multiplex": op_multiplex,
+        "op_gate": op_gate,
+        "op_struct_fromts": op_struct_fromts,
+        "basket_sync": basket_sync,
+        "dyn_cummax": dyn_cummax,
+        "feedback_clamp": feedback_clamp,
+        "random_poisson": random_poisson,
+        "random_brownian": random_brownian,
+        "mm_features": mm_features,
         "stats_rolling_tick": stats_rolling_tick,
         "stats_rolling_time": stats_rolling_time,
         "stats_expanding": stats_expanding,
@@ -484,6 +737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_corr": stats_corr,
         "stats_ema": stats_ema,
         "stats_ema_halflife": stats_ema_halflife,
+        "stats_argminmax": stats_argminmax,
+        "stats_order": stats_order,
+        "stats_rank": stats_rank,
+        "stats_weighted": stats_weighted,
+        "stats_cov_matrix": stats_cov_matrix,
+        "dedup_embedding": dedup_embedding,
         "text_stats": text_stats,
         "text_langid": text_langid,
         "dedup_exact": dedup_exact,
@@ -602,6 +861,181 @@ SELECT event_id, user_id, value FROM (
 SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, l[u.i] AS word
 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 50),
      LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) u
+""",
+        "op_split_false": f"""
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, event_type, value,
+    last_value(CASE WHEN event_type = 'purchase' THEN (value > 50) END IGNORE NULLS)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS flag
+  FROM events WHERE event_type IN ('purchase', 'click')
+) WHERE event_type = 'click' AND flag = false
+""",
+        "op_default": f"""
+SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT -1 AS event_id, user_id, TIMESTAMP '2023-12-31' AS ts, -1.0 AS value
+FROM (SELECT user_id, min(ts) m FROM events WHERE event_type = 'click' GROUP BY 1)
+WHERE m > TIMESTAMP '2023-12-31'
+""",
+        "op_multiplex": """
+WITH sel AS (SELECT ts, event_id, event_type AS s FROM events WHERE user_id = 7),
+ks AS (SELECT DISTINCT event_type AS k FROM events),
+u AS (
+  SELECT event_type AS k, ts, event_id, value, NULL AS s, 1 AS is_x FROM events
+  UNION ALL
+  SELECT ks.k, sel.ts, sel.event_id, NULL, sel.s, 0 FROM sel CROSS JOIN ks
+),
+w AS (
+  SELECT k, ts, event_id, value, is_x,
+    last_value(s IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY ts, event_id, is_x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+  FROM u
+)
+SELECT event_id, k AS event_type, value FROM w WHERE is_x = 1 AND cur = k
+""",
+        "op_gate": f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'purchase' THEN (value > 50) END AS rel,
+    CASE WHEN event_type = 'click' THEN value END AS x
+  FROM events WHERE event_type IN ('purchase', 'click')
+), w AS (
+  SELECT *,
+    last_value(rel IGNORE NULLS) OVER ({_W_USER}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now,
+    last_value(CASE WHEN rel THEN ts END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_open_ts,
+    last_value(CASE WHEN rel THEN event_id END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_open_id
+  FROM u
+), fl AS (
+  SELECT user_id, x,
+    CASE WHEN open_now THEN ts ELSE next_open_ts END AS flush_ts,
+    CASE WHEN open_now THEN event_id ELSE next_open_id END AS flush_id
+  FROM w WHERE x IS NOT NULL
+)
+SELECT user_id, flush_ts, flush_id, count(*) AS n_vals,
+  round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_vals
+FROM fl WHERE flush_ts IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+        "op_struct_fromts": f"""
+SELECT event_id, user_id, last_click, last_view FROM (
+  SELECT event_id, user_id,
+    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click,
+    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+  FROM events WHERE event_type IN ('click', 'view')
+)
+""",
+        "basket_sync": """
+WITH r AS (
+  SELECT user_id, event_type, ts, value,
+    CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS b,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT)
+      ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('click', 'view')
+), f AS (SELECT * FROM r WHERE rn = 1)
+SELECT user_id, max(ts) AS sync_ts,
+  max(CASE WHEN event_type = 'click' THEN value END) AS click_v,
+  max(CASE WHEN event_type = 'view' THEN value END) AS view_v
+FROM f GROUP BY user_id, b HAVING count(*) = 2
+""",
+        "dyn_cummax": f"""
+SELECT event_id, user_id,
+  max(value) {_WF_USER} AS run_max
+FROM events
+""",
+        "stats_argminmax": f"""
+SELECT event_id, user_id,
+  arg_max(ts, value) {_WF_USER} AS t_max,
+  arg_min(ts, value) {_WF_USER} AS t_min
+FROM events
+""",
+        "stats_order": f"""
+SELECT event_id, user_id, w_first, w_last, w_lnprod, w_gmean, w_unique FROM (
+  SELECT event_id, user_id,
+    first_value(value) OVER w20 AS w_first,
+    last_value(value) OVER w20 AS w_last,
+    round(sum(ln(value)) OVER w20, 6) AS w_lnprod,
+    round(exp(avg(ln(value)) OVER w20), 6) AS w_gmean,
+    len(list_distinct(list(round(value, 0)) OVER w20)) AS w_unique,
+    row_number() OVER ({_W_USER}) AS rn
+  FROM events
+  WINDOW w20 AS ({_W_USER} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+) WHERE rn >= 10
+""",
+        "stats_rank": f"""
+SELECT event_id, user_id,
+  CAST(len(list_filter(l, v -> v < value)) AS DOUBLE) AS rank_min,
+  CAST(len(list_filter(l, v -> v <= value)) - 1 AS DOUBLE) AS rank_max,
+  (len(list_filter(l, v -> v < value)) + len(list_filter(l, v -> v <= value)) - 1) / 2.0 AS rank_avg
+FROM (
+  SELECT event_id, user_id, value,
+    list(value) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l,
+    row_number() OVER ({_W_USER}) AS rn
+  FROM events
+) WHERE rn >= 20
+""",
+        "stats_weighted": f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'click' THEN value END AS x,
+    CASE WHEN event_type = 'view' THEN value END AS wr
+  FROM events WHERE event_type IN ('click', 'view')
+), a AS (
+  SELECT user_id, ts, event_id, x,
+    last_value(wr IGNORE NULLS) OVER ({_W_USER}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+  FROM u
+), c AS (
+  SELECT user_id, ts, event_id, x,
+    CASE WHEN w > 0 THEN w END AS w,
+    row_number() OVER ({_W_USER}) AS rn
+  FROM a WHERE x IS NOT NULL
+), s AS (
+  SELECT user_id, ts, event_id, rn,
+    sum(w) {_WF_USER} AS W,
+    sum(x * w) {_WF_USER} AS S1,
+    sum(x * x * w) {_WF_USER} AS S2,
+    min(CASE WHEN w IS NOT NULL THEN x END) {_WF_USER} AS mn,
+    max(CASE WHEN w IS NOT NULL THEN x END) {_WF_USER} AS mx
+  FROM c
+)
+SELECT event_id, user_id,
+  round(CASE WHEN W > 0 THEN S1 / W ELSE 'NaN'::DOUBLE END, 6) AS wmean,
+  round(CASE WHEN W > 1 THEN
+          CASE WHEN mn = mx THEN 0.0
+               ELSE greatest((S2 - S1 * S1 / W) / (W - 1), 0.0) END
+        ELSE 'NaN'::DOUBLE END, 6) AS wvar
+FROM s WHERE rn >= 3
+""",
+        "stats_cov_matrix": """
+WITH s AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS h,
+    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.k AS key_a, b.k AS key_b,
+  round(covar_samp(a.v, b.v), 6) AS cov_v,
+  round(corr(a.v, b.v), 6) AS corr_v
+FROM s a JOIN s b ON a.h = b.h AND a.k <= b.k
+GROUP BY 1, 2
+""",
+        "dedup_embedding": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
 """,
         "stats_rolling_tick": f"""
 SELECT event_id, user_id,

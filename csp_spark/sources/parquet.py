@@ -48,8 +48,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         for c in nanos:
+            # integer div, not `/` (double division rounds the µs value
+            # for ns-epochs > 2^53; DuckDB and the reference truncate)
             df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
         return df
     finally:

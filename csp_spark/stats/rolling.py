@@ -49,7 +49,7 @@ def _nan() -> Column:
 
 # row-kind priorities at equal (ts, seq): reset clears first, data
 # enters the (new) window, trigger reads after same-cycle data.
-_PRI_RESET, _PRI_DATA, _PRI_TRIGGER = 0, 1, 2
+_PRI_RESET, _PRI_WEIGHT, _PRI_DATA, _PRI_TRIGGER = 0, 1, 2, 3
 
 
 def _is_float(dtype: str) -> bool:
@@ -76,6 +76,7 @@ class Rolling:
         sampler: TickStream | None = None,
         reset: TickStream | None = None,
         start_time: _dt.datetime | None = None,
+        weights: TickStream | None = None,
     ):
         if isinstance(interval, _dt.timedelta) and interval <= _dt.timedelta(0):
             raise ValueError("time interval must be positive; expanding = None")
@@ -89,10 +90,10 @@ class Rolling:
         self.ignore_na = ignore_na
         self.start_time = start_time
         self._x = x
-        self._build(x, trigger, sampler, reset)
+        self._build(x, trigger, sampler, reset, weights)
 
     # ------------------------------------------------------------------
-    def _build(self, x, trigger, sampler, reset):
+    def _build(self, x, trigger, sampler, reset, weights=None):
         dtype = dict(x.df.dtypes)[x.value_col]
         self._float = _is_float(dtype)
         vcast = "double" if dtype in ("int", "bigint", "long") else dtype
@@ -118,6 +119,7 @@ class Rolling:
                     F.lit(_PRI_DATA).alias("__pri"),
                 )
             )
+        data = data.withColumn("__wraw", F.lit(None).cast("double"))
         parts = [data]
         for s, pri in ((trigger, _PRI_TRIGGER), (reset, _PRI_RESET)):
             if s is not None:
@@ -126,8 +128,22 @@ class Rolling:
                         KEY, TS, SEQ,
                         F.lit(None).cast(vcast).alias(VALUE),
                         F.lit(pri).alias("__pri"),
+                        F.lit(None).cast("double").alias("__wraw"),
                     )
                 )
+        if weights is not None:
+            # weights is a ts sampled at x's ticks with last-value
+            # semantics (stats.py:218-282 `weights` control): weight rows
+            # sort BEFORE data within a cycle (_PRI_WEIGHT < _PRI_DATA)
+            # so a same-cycle weight applies to that data tick.
+            parts.append(
+                weights.df.select(
+                    KEY, TS, SEQ,
+                    F.lit(None).cast(vcast).alias(VALUE),
+                    F.lit(_PRI_WEIGHT).alias("__pri"),
+                    F.col(weights.value_col).cast("double").alias("__wraw"),
+                )
+            )
         df = reduce(lambda a, b: a.unionByName(b), parts)
 
         w_all = (
@@ -138,13 +154,21 @@ class Rolling:
         is_data = (F.col("__pri") == _PRI_DATA).cast("int")
         is_reset = (F.col("__pri") == _PRI_RESET).cast("int")
         nanish = F.isnan(VALUE) if self._float else F.lit(False)
+        vv = F.when(F.col(VALUE).isNotNull() & ~nanish, F.col(VALUE))
+        wlast = F.last("__wraw", ignorenulls=True).over(w_all)
         df = df.select(
             KEY, TS, SEQ, "__pri", VALUE,
             F.sum(is_reset).over(w_all).alias("__epoch"),
             F.sum(is_data).over(w_all).alias("__didx"),
-            F.when(F.col(VALUE).isNotNull() & ~nanish, F.col(VALUE)).alias("__vv"),
+            vv.alias("__vv"),
             (F.col(VALUE).isNotNull() & nanish).cast("int").alias("__isnan"),
             F.unix_micros(F.col(TS)).alias("__tsu"),
+            # per-data-row weight: the as-of weight where the row carries a
+            # usable value AND a positive weight exists (w<=0 skipped —
+            # WeightedVariance::add, statsimpl.h:469-472)
+            F.when(
+                vv.isNotNull() & (wlast > 0) & (F.col("__pri") == _PRI_DATA), wlast
+            ).alias("__wv"),
         )
         self._frame = df
         self._emit_pri = _PRI_TRIGGER if trigger is not None else _PRI_DATA
@@ -283,6 +307,52 @@ class Rolling:
             needs=ddof + 1,
         )
 
+    # -- weighted family (stats.py `weights` arg; WeightedMean :340,
+    #    WeightedVariance :455, WeightedStandardError :~790). Elements
+    #    contribute only where both the value is usable and the as-of
+    #    weight is > 0 (__wv column, built in _build).
+    def _wgated(self, agg: Column, needs_w: Column | int) -> Column:
+        W = F.sum("__wv").over(self._w)
+        cond = W > (F.lit(needs_w) if isinstance(needs_w, int) else needs_w)
+        if self.min_data_points > 0:
+            cond = cond & (F.count("__wv").over(self._w) >= self.min_data_points)
+        if not self.ignore_na:
+            cond = cond & (F.sum("__isnan").over(self._w) == 0)
+        return F.when(cond, agg).otherwise(_nan())
+
+    def wsum_col(self) -> Column:
+        return self._gated(
+            F.coalesce(F.sum(F.col("__vv") * F.col("__wv")).over(self._w), F.lit(0.0)),
+            needs=0,
+        )
+
+    def wmean_col(self) -> Column:
+        return self._wgated(
+            F.sum(F.col("__vv") * F.col("__wv")).over(self._w)
+            / F.sum("__wv").over(self._w),
+            needs_w=0,
+        )
+
+    def wvar_col(self, ddof: int = 1) -> Column:
+        # (S2 - S1^2/W) / (W - ddof); homogeneous window -> 0
+        # (WeightedVariance::compute, statsimpl.h:508-519)
+        W = F.sum("__wv").over(self._w)
+        s1 = F.sum(F.col("__vv") * F.col("__wv")).over(self._w)
+        s2 = F.sum(F.col("__vv") * F.col("__vv") * F.col("__wv")).over(self._w)
+        raw = (s2 - s1 * s1 / W) / (W - ddof)
+        homog = F.min(F.when(F.col("__wv").isNotNull(), F.col("__vv"))).over(
+            self._w
+        ) == F.max(F.when(F.col("__wv").isNotNull(), F.col("__vv"))).over(self._w)
+        val = F.when(homog, F.lit(0.0)).otherwise(F.greatest(raw, F.lit(0.0)))
+        return self._wgated(val, needs_w=ddof)
+
+    def wstddev_col(self, ddof: int = 1) -> Column:
+        return F.sqrt(self.wvar_col(ddof))
+
+    def wsem_col(self, ddof: int = 1) -> Column:
+        # sqrt(wvar / W) (WeightedStandardError::compute)
+        return F.sqrt(self.wvar_col(ddof) / F.sum("__wv").over(self._w))
+
     def skew_col(self, bias: bool = False) -> Column:  # stats.py:2748; Skew :873
         n = F.count("__vv").over(self._w)
         g1 = F.skewness("__vv").over(self._w)
@@ -384,6 +454,11 @@ class Rolling:
     def last(self):   return self._emit(self.last_col())
     def unique(self, precision: int = 10):
         return self._emit(self.unique_col(precision))
+    def wsum(self):   return self._emit(self.wsum_col())
+    def wmean(self):  return self._emit(self.wmean_col())
+    def wvar(self, ddof: int = 1):    return self._emit(self.wvar_col(ddof))
+    def wstddev(self, ddof: int = 1): return self._emit(self.wstddev_col(ddof))
+    def wsem(self, ddof: int = 1):    return self._emit(self.wsem_col(ddof))
     def var(self, ddof: int = 1):   return self._emit(self.var_col(ddof))
     def stddev(self, ddof: int = 1): return self._emit(self.stddev_col(ddof))
     def sem(self, ddof: int = 1):   return self._emit(self.sem_col(ddof))

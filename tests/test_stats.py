@@ -204,3 +204,77 @@ def test_min_window_tick_gate(spark):
     r = Rolling(x, interval=3, min_window=5)
     got = r.mean().collect_ticks()
     assert [x[0] for x in got] == [t(4), t(5)]  # no output until 5 ticks seen
+
+
+# ----------------------------------------------------------------------
+# weighted stats (stats.py `weights`; WeightedMean/Variance kernels)
+# ----------------------------------------------------------------------
+
+def test_weighted_mean_var_vs_numpy(spark):
+    import numpy as np
+    from csp_spark.stats import Rolling
+
+    rng = np.random.RandomState(11)
+    vals = rng.normal(0, 1, 60)
+    wts = rng.uniform(0.1, 2.0, 60)
+    t0 = dt.datetime(2020, 1, 1)
+    xs = TickStream.from_rows(
+        spark, [(t0 + dt.timedelta(seconds=i), float(v)) for i, v in enumerate(vals)]
+    )
+    ws = TickStream.from_rows(
+        spark, [(t0 + dt.timedelta(seconds=i), float(w)) for i, w in enumerate(wts)]
+    )
+    r = Rolling(xs, interval=10, min_window=10, weights=ws)
+    out = r.agg(wm=r.wmean_col(), wv=r.wvar_col(1), ws=r.wsum_col())
+    rows = out.orderBy("ts").collect()
+    assert len(rows) == 51
+    for j, row in enumerate(rows):
+        lo = j  # window [j, j+10)
+        v = vals[lo : lo + 10]
+        w = wts[lo : lo + 10]
+        wm = np.sum(v * w) / np.sum(w)
+        wv = (np.sum(v * v * w) - np.sum(v * w) ** 2 / np.sum(w)) / (np.sum(w) - 1)
+        assert abs(row["wm"] - wm) < 1e-9
+        assert abs(row["wv"] - wv) < 1e-9
+        assert abs(row["ws"] - np.sum(v * w)) < 1e-9
+
+
+def test_weighted_homogeneous_window_is_zero_var(spark):
+    from csp_spark.stats import Rolling
+
+    t0 = dt.datetime(2020, 1, 1)
+    xs = TickStream.from_rows(
+        spark, [(t0 + dt.timedelta(seconds=i), 5.0) for i in range(10)]
+    )
+    ws = TickStream.from_rows(
+        spark, [(t0 + dt.timedelta(seconds=i), 1.0 + i) for i in range(10)]
+    )
+    r = Rolling(xs, interval=5, min_window=5, weights=ws)
+    vals = [v for _, v in r.wvar(1).collect_ticks()]
+    assert all(v == 0.0 for v in vals)
+
+
+def test_cov_corr_matrix_vs_numpy(spark):
+    import numpy as np
+    from csp_spark.stats import corr_matrix, cov_matrix
+
+    rng = np.random.RandomState(5)
+    series = {k: rng.normal(0, 1 + i, 50) for i, k in enumerate("abc")}
+    t0 = dt.datetime(2020, 1, 1)
+    rows = []
+    for k, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append((k, t0 + dt.timedelta(seconds=i), 0, float(v)))
+    x = TickStream(
+        spark.createDataFrame(rows, "key string, ts timestamp, seq long, value double")
+    )
+    got_cov = {(r["key_a"], r["key_b"]): r["cov"] for r in cov_matrix(x).collect()}
+    got_corr = {(r["key_a"], r["key_b"]): r["corr"] for r in corr_matrix(x).collect()}
+    m = np.vstack([series["a"], series["b"], series["c"]])
+    c_np = np.cov(m, ddof=1)
+    r_np = np.corrcoef(m)
+    keys = "abc"
+    for i in range(3):
+        for j in range(i, 3):
+            assert abs(got_cov[(keys[i], keys[j])] - c_np[i, j]) < 1e-9
+            assert abs(got_corr[(keys[i], keys[j])] - r_np[i, j]) < 1e-9
