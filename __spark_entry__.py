@@ -24,11 +24,14 @@ from pyspark.sql import functions as F
 from csp_spark import TickStream
 from csp_spark.core.ticks import KEY, SEQ, TS
 from csp_spark.operators import baselib as bl
+from csp_spark.operators.basketlib import sample_basket as basket_sample_op
 from csp_spark.operators.basketlib import sync as basket_sync_op
 from csp_spark.plans import dynamic_apply, feedback_iterate
 from csp_spark.sources import read_table
 from csp_spark.sources.random_gen import brownian_motion, poisson_timer
-from csp_spark.stats import Rolling, RollingPair, cov_matrix, corr_matrix, ema
+from csp_spark.stats import (
+    Rolling, RollingPair, cov_matrix, corr_matrix, ema, ema_std, ema_var,
+)
 from csp_spark import dedup as DD
 from csp_spark import text as TX
 from csp_spark.similarity import cosine, cosine_topk, lsh_topk
@@ -693,6 +696,182 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# coverage queries round 2: collect/flatten/drop_nans/apply/demux/
+# struct ops/times/sample_basket/min-max-sem/cross-sectional/ema_var/
+# timer source (SURVEY.md §2.1, §2.3, §2.5)
+# ----------------------------------------------------------------------
+
+def op_collect(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    doubled = TickStream(clicks.df.withColumn("value", F.col("value") * 2), "value")
+    out = bl.collect({"a": clicks, "b": doubled})
+    return out.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.size("value").alias("n"),
+        F.round(F.element_at("value", 1) + F.element_at("value", 2), 6).alias("tot"),
+    )
+
+
+def op_flatten(spark, sf_dir):
+    streams = [_events_stream(spark, sf_dir, t) for t in ("click", "view", "purchase")]
+    out = bl.flatten(streams)
+    return out.df.select(
+        F.col(KEY).cast("long").alias("user_id"), F.col(TS).alias("ts"), "value"
+    )
+
+
+def op_dropnans(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    noisy = TickStream(
+        clicks.df.withColumn(
+            "value",
+            F.when(F.col("value") < 50, F.lit(float("nan"))).otherwise(F.col("value")),
+        ),
+        "value",
+    )
+    return _out(bl.drop_nans(noisy), "value")
+
+
+def op_apply(spark, sf_dir):
+    # row-at-a-time Python UDF path (csp.apply parity; slow by design)
+    clicks = _events_stream(spark, sf_dir, "click")
+    out = bl.apply_(clicks, lambda v: v * 2.0 + 1.0, "double")
+    return _out(out, "value")
+
+
+def op_demultiplex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    basket = TickStream.from_table(
+        ev, ts_col="ts", value_col="value", key_col="event_type", seq_col="event_id"
+    )
+    members = bl.demultiplex(basket, ["purchase", "signup"])
+    out = members["purchase"].df.unionByName(members["signup"].df)
+    return out.select(
+        F.col(SEQ).alias("event_id"), F.col(KEY).alias("event_type"), "value"
+    )
+
+
+def op_struct_collectts(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    s = bl.struct_collectts({"c": clicks, "v": views})
+    return s.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col("value.c").alias("c"),
+        F.col("value.v").alias("v"),
+    )
+
+
+def op_struct_field(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    st = TickStream(
+        clicks.df.withColumn(
+            "value",
+            F.struct(
+                F.col("value").alias("raw"),
+                F.when(F.col("value") > 50, F.col("value")).alias("big"),
+            ),
+        ),
+        "value",
+    )
+    return _out(bl.struct_field(st, "big"), "big")
+
+
+def op_times(spark, sf_dir):
+    clicks = _events_stream(spark, sf_dir, "click")
+    tt = bl.times(clicks)
+    tn = bl.times_ns(clicks)
+    j = tt.df.select(KEY, SEQ, F.col("value").alias("tick_ts")).join(
+        tn.df.select(KEY, SEQ, F.col("value").alias("t_ns")), on=[KEY, SEQ]
+    )
+    return j.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "tick_ts", "t_ns",
+    )
+
+
+def basket_sample(spark, sf_dir):
+    purch = _events_stream(spark, sf_dir, "purchase")
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    out = basket_sample_op(purch, {"c": clicks, "v": views})
+    return out.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col("value.c").alias("c"),
+        F.col("value.v").alias("v"),
+    )
+
+
+def stats_minmax_sem(spark, sf_dir):
+    x = _events_stream(spark, sf_dir)
+    r = Rolling(x, interval=15, min_window=15)
+    out = r.agg(
+        w_min=r.min_col(),
+        w_max=r.max_col(),
+        w_sem=F.round(r.sem_col(1), 6),
+        w_count=r.count_col().cast("long"),
+    )
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "w_min", "w_max", "w_sem", "w_count",
+    )
+
+
+def stats_xsec(spark, sf_dir):
+    x = _events_stream(spark, sf_dir, "signup")
+    r = Rolling(x, interval=8, min_window=1)
+    out = r.agg(xs=r.cross_sectional_col())
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.size("xs").alias("n_xs"),
+        F.round(
+            F.aggregate(
+                "xs",
+                F.lit(0).cast(_DEC),
+                lambda a, v: (a + v.cast(_DEC)).cast(_DEC),
+            ).cast("double"),
+            6,
+        ).alias("sum_xs"),
+    )
+
+
+def stats_ema_var(spark, sf_dir):
+    # pandas-ewm parity (tests/test_stats.py oracle); not SQL-expressible
+    # in closed form -> rows-only driver check
+    x = _events_stream(spark, sf_dir, "click")
+    ev = ema_var(x, alpha=0.1, bias=False)
+    es = ema_std(x, alpha=0.1, bias=False)
+    j = ev.df.select(KEY, SEQ, F.col("value").alias("ew_var")).join(
+        es.df.select(KEY, SEQ, F.col("value").alias("ew_std")), on=[KEY, SEQ]
+    )
+    return j.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.round("ew_var", 6).alias("ew_var"),
+        F.round("ew_std", 6).alias("ew_std"),
+    )
+
+
+def src_timer(spark, sf_dir):
+    t = bl.timer(
+        spark,
+        start=dt.datetime(2024, 1, 1),
+        end=dt.datetime(2024, 2, 1),
+        interval=dt.timedelta(hours=1),
+        value=1.0,
+        value_type="double",
+    )
+    a = bl.accum(t)
+    return a.df.select(F.col(TS).alias("ts"), F.col("value").alias("running"))
+
+
+# ----------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------
 
@@ -723,7 +902,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_multiplex": op_multiplex,
         "op_gate": op_gate,
         "op_struct_fromts": op_struct_fromts,
+        "op_collect": op_collect,
+        "op_flatten": op_flatten,
+        "op_dropnans": op_dropnans,
+        "op_apply": op_apply,
+        "op_demultiplex": op_demultiplex,
+        "op_struct_collectts": op_struct_collectts,
+        "op_struct_field": op_struct_field,
+        "op_times": op_times,
+        "src_timer": src_timer,
         "basket_sync": basket_sync,
+        "basket_sample": basket_sample,
         "dyn_cummax": dyn_cummax,
         "feedback_clamp": feedback_clamp,
         "random_poisson": random_poisson,
@@ -741,6 +930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_order": stats_order,
         "stats_rank": stats_rank,
         "stats_weighted": stats_weighted,
+        "stats_minmax_sem": stats_minmax_sem,
+        "stats_xsec": stats_xsec,
+        "stats_ema_var": stats_ema_var,
         "stats_cov_matrix": stats_cov_matrix,
         "dedup_embedding": dedup_embedding,
         "text_stats": text_stats,
@@ -931,6 +1123,75 @@ SELECT event_id, user_id, last_click, last_view FROM (
       OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
   FROM events WHERE event_type IN ('click', 'view')
 )
+""",
+        "op_collect": """
+SELECT event_id, user_id, 2 AS n, round(value * 3, 6) AS tot
+FROM events WHERE event_type = 'click'
+""",
+        "op_flatten": """
+SELECT user_id, ts, value FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+""",
+        "op_dropnans": """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'click' AND value >= 50
+""",
+        "op_apply": """
+SELECT event_id, user_id, value * 2.0 + 1.0 AS value
+FROM events WHERE event_type = 'click'
+""",
+        "op_demultiplex": """
+SELECT event_id, event_type, value FROM events
+WHERE event_type IN ('purchase', 'signup')
+""",
+        "op_struct_collectts": """
+SELECT event_id, user_id,
+  CASE WHEN event_type = 'click' THEN value END AS c,
+  CASE WHEN event_type = 'view' THEN value END AS v
+FROM events WHERE event_type IN ('click', 'view')
+""",
+        "op_struct_field": """
+SELECT event_id, user_id, value AS big FROM events
+WHERE event_type = 'click' AND value > 50
+""",
+        "op_times": """
+SELECT event_id, user_id, ts AS tick_ts, epoch_us(ts) * 1000 AS t_ns
+FROM events WHERE event_type = 'click'
+""",
+        "src_timer": """
+SELECT ts, CAST(row_number() OVER (ORDER BY ts) AS DOUBLE) AS running
+FROM (SELECT unnest(generate_series(
+  TIMESTAMP '2024-01-01' + INTERVAL 1 HOUR,
+  TIMESTAMP '2024-02-01', INTERVAL 1 HOUR)) AS ts)
+""",
+        "basket_sample": f"""
+SELECT event_id, user_id, c, v FROM (
+  SELECT event_id, user_id, event_type,
+    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+) WHERE event_type = 'purchase'
+""",
+        "stats_minmax_sem": f"""
+SELECT event_id, user_id, w_min, w_max, round(w_sem, 6) AS w_sem, w_count FROM (
+  SELECT event_id, user_id,
+    min(value) OVER w15 AS w_min,
+    max(value) OVER w15 AS w_max,
+    stddev_samp(value) OVER w15 / sqrt(count(value) OVER w15) AS w_sem,
+    count(value) OVER w15 AS w_count,
+    row_number() OVER ({_W_USER}) AS rn
+  FROM events
+  WINDOW w15 AS ({_W_USER} ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+) WHERE rn >= 15
+""",
+        "stats_xsec": f"""
+SELECT event_id, user_id,
+  count(value) OVER w8 AS n_xs,
+  round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w8 AS DOUBLE), 6) AS sum_xs
+FROM events WHERE event_type = 'signup'
+WINDOW w8 AS ({_W_USER} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
 """,
         "basket_sync": """
 WITH r AS (
