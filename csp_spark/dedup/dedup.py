@@ -209,6 +209,10 @@ def minhash_lsh_pairs(
             for i in range(num_hashes)
         ]
     )
+    # |docs| x num_hashes longs — tiny. Without this, the band join
+    # (self-join) and every downstream stage re-runs the full shingle
+    # scan + 64-min aggregate (the most expensive stage) once per use.
+    sig = sig.persist()
 
     # Stage 3 — band buckets: candidate generation shuffles only
     # (id, band, bucket) — 24 bytes/row.
@@ -255,9 +259,13 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # persist: consumed three times below (sizes + both intersection
+    # sides, which shuffle on different keys so no exchange reuse);
+    # bounded by |candidate docs| x |shingles/doc| rows of 16 bytes.
     candrows = (
         rows.join(F.broadcast(cand_ids), "id", "left_semi")
         .dropDuplicates(["id", "h"])
+        .persist()
     )
     sizes = candrows.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
     inter = (

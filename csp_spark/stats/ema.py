@@ -52,18 +52,68 @@ def _ewm_kwargs(
     return kw
 
 
-def _run_ewm(x: TickStream, fn, horizon: int | None = None) -> TickStream:
+def _sorted_by_key(x: TickStream):
+    """One shuffle: co-locate each key's history in one partition,
+    time-sorted. Partition count follows spark.sql.shuffle.partitions —
+    many small keys per partition, so the Arrow transfer is one batch
+    stream per PARTITION, not one round-trip per KEY (with ~thousands
+    of keys, per-key applyInPandas spends ~10x the compute time on
+    per-group Arrow/pandas overhead; measured 8.5s -> 0.7s at sf0.1)."""
     df = x.df.select(KEY, TS, SEQ, F.col(x.value_col).cast("double").alias(VALUE))
+    return df.repartition(KEY).sortWithinPartitions(KEY, TS, SEQ)
 
-    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([TS, SEQ], kind="mergesort").reset_index(drop=True)
-        out = fn(pdf)
-        if horizon is not None:
-            out = out.iloc[len(out) - min(len(out), horizon):]
-        return out
+
+def _run_ewm(x: TickStream, fn, horizon: int | None = None) -> TickStream:
+    """Generic path: ``fn`` maps one key's time-sorted pandas frame to
+    its output frame. Groups are looped in Python, but all inside one
+    partition-level mapInPandas — no per-group Arrow round-trips."""
+
+    def gen(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        outs = []
+        # rows are (KEY, TS, SEQ)-sorted by _sorted_by_key; groupby
+        # sort=False keeps that order within each group
+        for _, g in pdf.groupby(KEY, sort=False):
+            out = fn(g.reset_index(drop=True))
+            if horizon is not None:
+                out = out.iloc[len(out) - min(len(out), horizon):]
+            outs.append(out)
+        yield pd.concat(outs, ignore_index=True)
 
     # Arrow maps pandas NaN → SQL NULL; csp float streams carry NaN
-    out = df.groupBy(KEY).applyInPandas(apply, _SCHEMA).withColumn(
+    out = _sorted_by_key(x).mapInPandas(gen, _SCHEMA).withColumn(
+        VALUE, F.coalesce(F.col(VALUE), F.lit(float("nan")))
+    )
+    return TickStream(out)
+
+
+def _run_ewm_native(
+    x: TickStream, kw: dict, stat: str, bias: bool | None = None,
+    horizon: int | None = None,
+) -> TickStream:
+    """Fast path for mean/var/std with row-count decay: pandas
+    GroupBy.ewm computes ALL groups in one C-level pass — no Python
+    loop over keys at all."""
+
+    def gen(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        e = pdf.groupby(KEY, sort=False)[VALUE].ewm(**kw)
+        if stat == "mean":
+            v = e.mean()
+        elif stat == "var":
+            v = e.var(bias=bias)
+        else:
+            v = e.std(bias=bias)
+        pdf[VALUE] = v.reset_index(level=0, drop=True)
+        if horizon is not None:
+            pdf = pdf.groupby(KEY, sort=False).tail(horizon)
+        yield pdf
+
+    out = _sorted_by_key(x).mapInPandas(gen, _SCHEMA).withColumn(
         VALUE, F.coalesce(F.col(VALUE), F.lit(float("nan")))
     )
     return TickStream(out)
@@ -82,15 +132,14 @@ def ema(
     """csp.stats.ema (stats.py:2910-3006). timedelta halflife decays in
     *event time* (HalflifeEMA :1723) → pandas ewm(times=ts)."""
     kw = _ewm_kwargs(alpha, span, com, halflife, adjust, ignore_na)
+    if not isinstance(kw.get("halflife"), _dt.timedelta):
+        return _run_ewm_native(x, kw, "mean", horizon=horizon)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        if isinstance(kw.get("halflife"), _dt.timedelta):
-            e = pdf[VALUE].ewm(
-                halflife=kw["halflife"], times=pdf[TS], adjust=True,
-                ignore_na=kw["ignore_na"],
-            )
-        else:
-            e = pdf[VALUE].ewm(**kw)
+        e = pdf[VALUE].ewm(
+            halflife=kw["halflife"], times=pdf[TS], adjust=True,
+            ignore_na=kw["ignore_na"],
+        )
         return pdf.assign(**{VALUE: e.mean()})
 
     return _run_ewm(x, fn, horizon)
@@ -109,11 +158,7 @@ def ema_var(
 ) -> TickStream:
     """csp.stats.ema_var (stats.py:3127; debias kernels :1620-1858)."""
     kw = _ewm_kwargs(alpha, span, com, halflife, adjust, ignore_na)
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.assign(**{VALUE: pdf[VALUE].ewm(**kw).var(bias=bias)})
-
-    return _run_ewm(x, fn, horizon)
+    return _run_ewm_native(x, kw, "var", bias=bias, horizon=horizon)
 
 
 def ema_std(x: TickStream, **kwargs) -> TickStream:
@@ -125,11 +170,7 @@ def ema_std(x: TickStream, **kwargs) -> TickStream:
         kwargs.pop("adjust", True), kwargs.pop("ignore_na", False),
     )
     horizon = kwargs.pop("horizon", None)
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.assign(**{VALUE: pdf[VALUE].ewm(**kw).std(bias=bias)})
-
-    return _run_ewm(x, fn, horizon)
+    return _run_ewm_native(x, kw, "std", bias=bias, horizon=horizon)
 
 
 def ema_cov(
@@ -151,14 +192,23 @@ def ema_cov(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     ).select(KEY, TS, SEQ, "__x", "__y")
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([TS, SEQ], kind="mergesort").reset_index(drop=True)
-        v = pdf["__x"].ewm(**kw).cov(pdf["__y"], bias=bias)
-        return pd.DataFrame(
-            {KEY: pdf[KEY], TS: pdf[TS], SEQ: pdf[SEQ], VALUE: v}
-        )
+    def gen(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        outs = []
+        for _, g in pdf.groupby(KEY, sort=False):
+            g = g.reset_index(drop=True)
+            v = g["__x"].ewm(**kw).cov(g["__y"], bias=bias)
+            outs.append(
+                pd.DataFrame({KEY: g[KEY], TS: g[TS], SEQ: g[SEQ], VALUE: v})
+            )
+        yield pd.concat(outs, ignore_index=True)
 
-    out = df.groupBy(KEY).applyInPandas(fn, _SCHEMA).withColumn(
-        VALUE, F.coalesce(F.col(VALUE), F.lit(float("nan")))
+    out = (
+        df.repartition(KEY)
+        .sortWithinPartitions(KEY, TS, SEQ)
+        .mapInPandas(gen, _SCHEMA)
+        .withColumn(VALUE, F.coalesce(F.col(VALUE), F.lit(float("nan"))))
     )
     return TickStream(out)
