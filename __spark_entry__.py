@@ -860,6 +860,34 @@ def stats_ema_var(spark, sf_dir):
     )
 
 
+def op_dynamic_collect(spark, sf_dir):
+    # dynamic basket keyed by event_type; hourly DECIMAL-exact mean per
+    # member -> per-hour map of ticked members
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.col("event_type").alias(KEY), F.date_trunc("hour", "ts").alias(TS))
+        .agg(
+            (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1)))
+            .alias("value")
+        )
+        .withColumn(SEQ, F.lit(0).cast("long"))
+    )
+    dc = bl.dynamic_collect(TickStream(series))
+    return dc.df.select(
+        F.col(TS).alias("ts"),
+        F.size("value").alias("n_members"),
+        F.round(F.element_at("value", "click"), 6).alias("click_v"),
+    )
+
+
+def op_edge_math(spark, sf_dir):
+    # fluent Edge API: (click + view)/2 - 1 with csp valid semantics
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    spread = (clicks + views) / 2.0 - 1.0
+    return _out(spread, "value").withColumn("value", F.round("value", 6))
+
+
 def src_timer(spark, sf_dir):
     t = bl.timer(
         spark,
@@ -912,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_struct_collectts": op_struct_collectts,
         "op_struct_field": op_struct_field,
         "op_times": op_times,
+        "op_dynamic_collect": op_dynamic_collect,
+        "op_edge_math": op_edge_math,
         "src_timer": src_timer,
         "basket_sync": basket_sync,
         "basket_sample": basket_sample,
@@ -1159,6 +1189,26 @@ WHERE event_type = 'click' AND value > 50
         "op_times": """
 SELECT event_id, user_id, ts AS tick_ts, epoch_us(ts) * 1000 AS t_ns
 FROM events WHERE event_type = 'click'
+""",
+        "op_dynamic_collect": """
+WITH s AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS h,
+    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT h AS ts, count(*) AS n_members,
+  round(max(CASE WHEN k = 'click' THEN v END), 6) AS click_v
+FROM s GROUP BY h
+""",
+        "op_edge_math": f"""
+SELECT event_id, user_id, round((c + v) / 2 - 1, 6) AS value FROM (
+  SELECT event_id, user_id,
+    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM events WHERE event_type IN ('click', 'view')
+) WHERE c IS NOT NULL AND v IS NOT NULL
 """,
         "src_timer": """
 SELECT ts, CAST(row_number() OVER (ORDER BY ts) AS DOUBLE) AS running

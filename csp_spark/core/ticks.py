@@ -185,5 +185,59 @@ class TickStream:
             self.df.withColumn(SEQ, F.row_number().over(w).cast("long") - 1)
         )
 
+    # ------------------------------------------------------------------
+    # fluent Edge API (csp/impl/wiring/edge.py:1-259 — `.pipe/.apply` and
+    # dunder arithmetic; docs Functional-Methods-API.md). Binary ops with
+    # another stream use csp valid semantics (latest-value combine, fire
+    # once both valid — csp/math.py:253-255) via the align kernel; scalar
+    # operands are plain column expressions.
+    # ------------------------------------------------------------------
+    def pipe(self, fn, *args, **kwargs):
+        return fn(self, *args, **kwargs)
+
+    def apply(self, fn, result_type: str = "double") -> "TickStream":
+        from ..operators.baselib import apply_
+
+        return apply_(self, fn, result_type)
+
+    def _binop(self, other, col_fn, swap: bool = False):
+        if isinstance(other, TickStream):
+            from .align import binary_op
+
+            a, b = (other, self) if swap else (self, other)
+            return binary_op(a, b, col_fn)
+        lit = F.lit(other)
+        this = F.col(self.value_col)
+        args = (lit, this) if swap else (this, lit)
+        return self.with_df(self.df.withColumn(self.value_col, col_fn(*args)))
+
+    def __add__(self, o):  return self._binop(o, lambda a, b: a + b)
+    def __radd__(self, o): return self._binop(o, lambda a, b: a + b, swap=True)
+    def __sub__(self, o):  return self._binop(o, lambda a, b: a - b)
+    def __rsub__(self, o): return self._binop(o, lambda a, b: a - b, swap=True)
+    def __mul__(self, o):  return self._binop(o, lambda a, b: a * b)
+    def __rmul__(self, o): return self._binop(o, lambda a, b: a * b, swap=True)
+    def __truediv__(self, o):
+        return self._binop(o, lambda a, b: a.cast("double") / b)
+    def __rtruediv__(self, o):
+        return self._binop(o, lambda a, b: a.cast("double") / b, swap=True)
+    def __floordiv__(self, o):
+        return self._binop(o, lambda a, b: F.floor(a / b))
+    def __mod__(self, o):  return self._binop(o, lambda a, b: a % b)
+    def __pow__(self, o):  return self._binop(o, lambda a, b: F.pow(a, b))
+    def __neg__(self):
+        return self.with_df(self.df.withColumn(self.value_col, -F.col(self.value_col)))
+    def __abs__(self):
+        return self.with_df(self.df.withColumn(self.value_col, F.abs(F.col(self.value_col))))
+    # comparison streams (csp Edge defines these as ops, not identity)
+    def __eq__(self, o):   return self._binop(o, lambda a, b: a == b)
+    def __ne__(self, o):   return self._binop(o, lambda a, b: a != b)
+    def __lt__(self, o):   return self._binop(o, lambda a, b: a < b)
+    def __gt__(self, o):   return self._binop(o, lambda a, b: a > b)
+    def __le__(self, o):   return self._binop(o, lambda a, b: a <= b)
+    def __ge__(self, o):   return self._binop(o, lambda a, b: a >= b)
+    # __eq__ is a stream op → restore identity hashing explicitly
+    __hash__ = object.__hash__
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"TickStream(value_col={self.value_col!r}, schema={self.df.schema.simpleString()})"

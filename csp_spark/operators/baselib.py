@@ -470,6 +470,25 @@ def multiplex(x: TickStream, key_stream: TickStream) -> TickStream:
     return TickStream(out)
 
 
+def dynamic_collect(x: TickStream) -> TickStream:
+    """csp.dynamic_collect (baselib.py:608-612): the ticked entries of a
+    dynamic basket per engine cycle → one map tick. Long format: the
+    basket IS the key column, so this is a coincident groupBy(ts, seq)
+    gathering (key → value) entries."""
+    out = (
+        x.df.groupBy(TS, SEQ)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(KEY), F.col(x.value_col)))
+                )
+            ).alias(VALUE)
+        )
+        .select(F.lit(GLOBAL_KEY).alias(KEY), TS, SEQ, VALUE)
+    )
+    return TickStream(out)
+
+
 def demultiplex(x: TickStream, keys: list[str]) -> dict[str, TickStream]:
     """csp.demultiplex (baselib.py:583-595): route a keyed stream to
     per-key outputs. In the long format this is just filters sharing one

@@ -150,3 +150,51 @@ def test_multiplex(spark):
     rows = got.df.orderBy("ts").collect()
     keys = [r["key"] for r in rows]
     assert keys == ["a", "a", "a", "b", "b", "b"]
+
+
+# ----------------------------------------------------------------------
+# fluent Edge API (csp/impl/wiring/edge.py dunders; Functional-Methods)
+# ----------------------------------------------------------------------
+
+def test_edge_dunder_math_valid_gating(spark):
+    bid = bl.curve(spark, [(t(0.5), 99.0), (t(1.5), 99.1)])
+    ask = bl.curve(spark, [(t(1), 100.0), (t(2), 100.2)])
+    spread = ask - bid                        # fires once both valid
+    got = spread.collect_ticks()
+    assert [x[0] for x in got] == [t(1), t(1.5), t(2)]
+    assert [round(x[1], 9) for x in got] == [1.0, 0.9, 1.1]
+    mid = (ask + bid) / 2.0                   # scalar operand path
+    got = mid.collect_ticks()
+    assert [round(x[1], 9) for x in got] == [99.5, 99.55, 99.65]
+
+
+def test_edge_dunder_compare_and_unary(spark):
+    x = bl.curve(spark, [(t(i), float(i)) for i in range(1, 4)])
+    flags = (x >= 2.0).collect_ticks()
+    assert [v for _, v in flags] == [False, True, True]
+    assert [v for _, v in (-x).collect_ticks()] == [-1.0, -2.0, -3.0]
+    assert [v for _, v in abs(x - 2.0).collect_ticks()] == [1.0, 0.0, 1.0]
+    # scalar-left reverse op
+    assert [v for _, v in (10.0 - x).collect_ticks()] == [9.0, 8.0, 7.0]
+
+
+def test_edge_pipe_apply(spark):
+    x = bl.curve(spark, [(t(1), 2.0), (t(2), 3.0)])
+    assert x.pipe(bl.count).collect_ticks() == [(t(1), 1), (t(2), 2)]
+    assert x.apply(lambda v: v * v).collect_ticks() == [(t(1), 4.0), (t(2), 9.0)]
+
+
+def test_dynamic_collect(spark):
+    rows = [
+        ("a", t(1), 0, 1.0), ("b", t(1), 0, 2.0),
+        ("a", t(2), 0, 3.0),
+        ("b", t(3), 0, 4.0), ("c", t(3), 0, 5.0),
+    ]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"))
+    got = bl.dynamic_collect(x).collect_ticks()
+    assert got == [
+        (t(1), {"a": 1.0, "b": 2.0}),
+        (t(2), {"a": 3.0}),
+        (t(3), {"b": 4.0, "c": 5.0}),
+    ]
