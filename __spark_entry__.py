@@ -451,9 +451,13 @@ def stats_expanding(spark, sf_dir):
     n = F.count("__vv").over(r._w).cast("double")
     s1 = F.sum(vd).over(r._w).cast("double")
     s2 = F.sum(vd * vd).over(r._w).cast("double")
-    var_det = (s2 - s1 * s1 / n) / (n - 1)
+    # when-guards: rows with n<2 are filtered by min_window downstream,
+    # but the window expressions still evaluate on them — under an
+    # ANSI-enabled session (e.g. the correctness harness) a bare /(n-1)
+    # raises DIVIDE_BY_ZERO before the filter runs.
+    var_det = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
     out = r.agg(
-        exp_mean=s1 / n,
+        exp_mean=F.when(n > 0, s1 / n),
         exp_var=var_det,
         exp_std=F.sqrt(var_det),
     )

@@ -160,6 +160,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     consts = _mix_consts(num_hashes)
 
+    # Parallelize the per-doc work: a small corpus often arrives as one
+    # parquet file = ONE input partition, serializing the whole shingle
+    # scan onto a single core (at 100 TB the file count provides the
+    # parallelism and this repartition is a cheap no-op round-robin).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par)
+
     # Stage 1 — exploded distinct shingle rows (id, h). Materialize the
     # normalized text first (inlining normalize() into per-position
     # expressions re-runs the regex tokenize per shingle — O(len^2) per
@@ -196,7 +203,12 @@ def minhash_lsh_pairs(
     # min, so the signature aggregate consumes raw shingle rows with no
     # prior shuffle; distinct-ness is only enforced later, on the tiny
     # candidate subset that Jaccard verification touches.
-    rows = shing.select("id", F.xxhash64("s").alias("h"))
+    # Persist + MATERIALIZE now: the shingle scan feeds both the
+    # signature aggregate and the Jaccard verification; an un-materialized
+    # persist lets the band self-join's two lineages race and compute the
+    # whole subtree twice before either populates the cache.
+    rows = shing.select("id", F.xxhash64("s").alias("h")).persist()
+    rows.count()
 
     # Stage 2 — signature via ONE codegen hash-aggregate: permutation i
     # is the a_i*h+b_i mix of the single xxhash64, min'd per doc.
@@ -213,19 +225,16 @@ def minhash_lsh_pairs(
     # (self-join) and every downstream stage re-runs the full shingle
     # scan + 64-min aggregate (the most expensive stage) once per use.
     sig = sig.persist()
+    sig.count()
 
     # Stage 3 — band buckets: candidate generation shuffles only
-    # (id, band, bucket) — 24 bytes/row.
+    # (id, band, bucket) — 24 bytes/row. Band hash = multi-arg xxhash64
+    # straight over the long signature columns: no string casts/concats,
+    # and a ~16x smaller expression tree for codegen to compile.
     band_arr = F.array(
         *[
             F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
                 F.lit(b),
             )
             for b in range(bands)
@@ -249,44 +258,41 @@ def minhash_lsh_pairs(
     # persist each broadcast would recompute the whole signature +
     # band-join pipeline. It is at most a few MB by construction.
     cand = cand.persist()
+    cand.count()
 
     # Stage 4 — exact-Jaccard verification restricted to candidates:
     # filter the raw shingle rows down to candidate docs FIRST (broadcast
-    # semi-join against the tiny id set), dedup only that sliver, then
-    # count intersections by joining the two sides on shingle hash.
+    # semi-join against the tiny id set), collect each candidate's
+    # distinct-shingle-hash set (collect_set dedups in the aggregate —
+    # no separate dropDuplicates shuffle), then intersect per pair with
+    # array_intersect. One shuffle + two joins replaces the previous
+    # 3-join/3-shuffle intersection-count pipeline. Set sizes are
+    # bounded by shingles-per-doc (not corpus size), and only candidate
+    # docs — an LSH-selected sliver — ever reach this stage.
     cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select(F.col("id_b").alias("id")))
-        .distinct()
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
-    # persist: consumed three times below (sizes + both intersection
-    # sides, which shuffle on different keys so no exchange reuse);
-    # bounded by |candidate docs| x |shingles/doc| rows of 16 bytes.
-    candrows = (
+    sets = (
         rows.join(F.broadcast(cand_ids), "id", "left_semi")
-        .dropDuplicates(["id", "h"])
-        .persist()
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("hs"))
+        .select("id", "hs", F.size("hs").cast("double").alias("c"))
     )
-    sizes = candrows.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
-    inter = (
-        candrows.select(F.col("id").alias("id_a"), "h")
-        .join(F.broadcast(cand), "id_a")
-        .join(candrows.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("double").alias("i"))
-    )
+    i = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("c").alias("ca"))),
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+                        F.col("c").alias("ca")),
             "id_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("c").alias("cb"))),
+            sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+                        F.col("c").alias("cb")),
             "id_b",
         )
         .withColumn(
             "jaccard",
-            F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 6),
+            F.round(i / (F.col("ca") + F.col("cb") - i), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -305,6 +311,7 @@ def ngram_jaccard_pairs(
     Candidate generation via shingle-inverted-index join: shuffles on
     shingle, cost ∝ Σ bucket². For 100 TB use minhash_lsh_pairs; this
     one is for bounded corpora / verification."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     norm = docs.select(
         F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("n")
     )
@@ -393,6 +400,7 @@ def simhash_pairs(
     # assembled from the votes with literal-shift bit ops. (The
     # array-lambda simhash() form is interpreted and re-hashes every
     # token per bit position — ~20x slower.)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
     ).select("id", F.xxhash64("w").alias("h"))

@@ -350,8 +350,11 @@ class Rolling:
         return F.sqrt(self.wvar_col(ddof))
 
     def wsem_col(self, ddof: int = 1) -> Column:
-        # sqrt(wvar / W) (WeightedStandardError::compute)
-        return F.sqrt(self.wvar_col(ddof) / F.sum("__wv").over(self._w))
+        # sqrt(wvar / W) (WeightedStandardError::compute). The W>0 guard
+        # keeps the division un-evaluated when the weight sum is zero —
+        # ANSI sessions raise DIVIDE_BY_ZERO on NaN/0 (NaN is non-null).
+        W = F.sum("__wv").over(self._w)
+        return F.sqrt(F.when(W > 0, self.wvar_col(ddof) / W).otherwise(_nan()))
 
     def skew_col(self, bias: bool = False) -> Column:  # stats.py:2748; Skew :873
         n = F.count("__vv").over(self._w)

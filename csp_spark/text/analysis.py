@@ -45,16 +45,22 @@ def avg_word_len(text: Column) -> Column:
     ) / F.size(t)
 
 
+def _ratio(num: Column, den: Column) -> Column:
+    # when-guard rather than bare division: ANSI sessions raise
+    # DIVIDE_BY_ZERO on empty text; non-ANSI would yield null anyway.
+    return F.when(den > 0, num / den)
+
+
 def punct_ratio(text: Column) -> Column:
-    return F.length(F.regexp_replace(text, r"[^.,;:!?]", "")) / F.length(text)
+    return _ratio(F.length(F.regexp_replace(text, r"[^.,;:!?]", "")), F.length(text))
 
 
 def digit_ratio(text: Column) -> Column:
-    return F.length(F.regexp_replace(text, r"[^0-9]", "")) / F.length(text)
+    return _ratio(F.length(F.regexp_replace(text, r"[^0-9]", "")), F.length(text))
 
 
 def upper_ratio(text: Column) -> Column:
-    return F.length(F.regexp_replace(text, r"[^A-Z]", "")) / F.length(text)
+    return _ratio(F.length(F.regexp_replace(text, r"[^A-Z]", "")), F.length(text))
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
