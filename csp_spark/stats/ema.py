@@ -21,6 +21,7 @@ import datetime as _dt
 from typing import Any
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core.align import align
@@ -130,19 +131,38 @@ def ema(
     horizon: int | None = None,
 ) -> TickStream:
     """csp.stats.ema (stats.py:2910-3006). timedelta halflife decays in
-    *event time* (HalflifeEMA :1723) → pandas ewm(times=ts)."""
+    *event time* (HalflifeEMA :1723), computed fully JVM-side: the
+    adjust-form EMA is the weighted mean with w_i = 2^((t_i-ref)/hl),
+    and the per-row normalization cancels in the num/den ratio, so two
+    running window sums express it — no Python in the path.
+
+    Numeric range: exponents are taken relative to the per-key first
+    tick, so weights overflow only when a single key spans more than
+    ~1000 halflives; for such series chunk by a coarse time bucket or
+    fall back to the pandas path (horizon=... also bounds the window).
+    """
     kw = _ewm_kwargs(alpha, span, com, halflife, adjust, ignore_na)
     if not isinstance(kw.get("halflife"), _dt.timedelta):
         return _run_ewm_native(x, kw, "mean", horizon=horizon)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        e = pdf[VALUE].ewm(
-            halflife=kw["halflife"], times=pdf[TS], adjust=True,
-            ignore_na=kw["ignore_na"],
-        )
-        return pdf.assign(**{VALUE: e.mean()})
-
-    return _run_ewm(x, fn, horizon)
+    hl_us = kw["halflife"].total_seconds() * 1e6
+    w = Window.partitionBy(KEY).orderBy(TS, SEQ).rowsBetween(
+        Window.unboundedPreceding if horizon is None else -(horizon - 1), 0
+    )
+    e_us = F.unix_micros(F.col(TS))
+    ref = F.min(e_us).over(Window.partitionBy(KEY))
+    wt = F.pow(F.lit(2.0), (e_us - ref).cast("double") / F.lit(hl_us))
+    v = F.col(x.value_col)
+    usable = v.isNotNull() & ~F.isnan(v)
+    num = F.sum(F.when(usable, v * wt)).over(w)
+    den = F.sum(F.when(usable, wt)).over(w)
+    if not kw["ignore_na"]:
+        # NaN poisoning: any NaN seen so far (within the window) → NaN
+        poisoned = F.max(F.when(F.isnan(v), F.lit(1)).otherwise(0)).over(w) == 1
+        val = F.when(poisoned | den.isNull(), F.lit(float("nan"))).otherwise(num / den)
+    else:
+        val = F.when(den.isNull(), F.lit(float("nan"))).otherwise(num / den)
+    return x.with_df(x.df.withColumn(x.value_col, val))
 
 
 def ema_var(

@@ -190,11 +190,28 @@ def test_ema_vs_pandas(ticks):
 
 
 def test_ema_halflife_event_time(ticks):
+    # Ground truth is the explicit weighted mean with w_i =
+    # 0.5^((t_n-t_i)/halflife) over valid ticks — the reference's
+    # HalflifeEMA (statsimpl.h:1723) decays by REAL elapsed time between
+    # valid ticks. (pandas ewm(times=..., ignore_na=True) instead drops
+    # the time gap at each NaN row — an implementation quirk, not
+    # event-time decay — so it is not a valid oracle here.)
     x, pdf = ticks
     hl = TD(seconds=30)
     got = [v for _, v in ema(x, halflife=hl, ignore_na=True).collect_ticks()]
-    exp = pdf["value"].ewm(halflife=hl, times=pdf["ts"], ignore_na=True).mean()
-    _assert_close(got, list(exp))
+    exp = []
+    for i in range(len(pdf)):
+        tn = pdf["ts"].iloc[i]
+        num = den = 0.0
+        for j in range(i + 1):
+            v = pdf["value"].iloc[j]
+            if math.isnan(v):
+                continue
+            w = 0.5 ** ((tn - pdf["ts"].iloc[j]).total_seconds() / 30.0)
+            num += w * v
+            den += w
+        exp.append(num / den if den else float("nan"))
+    _assert_close(got, exp)
 
 
 def test_min_window_tick_gate(spark):
