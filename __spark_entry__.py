@@ -974,6 +974,21 @@ def op_dropdups_eps(spark, sf_dir):
     return _out(bl.drop_dups(x, eps=50.0))
 
 
+def stats_ema_cov(spark, sf_dir):
+    # csp.stats.ema_cov (stats.py:3195) — pandas-ewm debiased pairwise
+    # covariance; recursive debias weights are not SQL-expressible ->
+    # rows-only driver check (pandas parity in tests/test_stats.py)
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    from csp_spark.stats import ema_cov
+    ec = ema_cov(clicks, views, alpha=0.2, bias=False)
+    return ec.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.round("value", 6).alias("ew_cov"),
+    )
+
+
 # ----------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------
@@ -1053,13 +1068,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_last_value": op_last_value,
         "op_exprtk": op_exprtk,
         "op_dropdups_eps": op_dropdups_eps,
+        "stats_ema_cov": stats_ema_cov,
     }
-    # Oracle-backed queries first: the correctness harness evaluates a
-    # bounded prefix of this dict, and a hash-checked query is stronger
-    # evidence than a rows-only one.
+    # The correctness harness evaluates a bounded prefix of this dict,
+    # so order by evidence value: oracle-backed queries that have never
+    # been driver-checked first, then oracle-backed ones already
+    # hash-verified in round 1, then rows-only (no-oracle) queries.
+    never_checked = [
+        "stats_minmax_sem", "stats_xsec", "stats_cov_matrix",
+        "dedup_embedding", "text_stats", "text_langid", "dedup_exact",
+        "dedup_ngram", "ann_topk", "stats_ema_halflife", "src_curve",
+        "op_burst", "op_last_value", "op_exprtk", "op_dropdups_eps",
+    ]
     o = oracle_sql()
+    front = {k: q[k] for k in never_checked if k in q and k in o}
     return {
-        **{k: v for k, v in q.items() if k in o},
+        **front,
+        **{k: v for k, v in q.items() if k in o and k not in front},
         **{k: v for k, v in q.items() if k not in o},
     }
 

@@ -189,6 +189,25 @@ def test_ema_vs_pandas(ticks):
     _assert_close(got, list(exp))
 
 
+def test_ema_cov_vs_pandas(spark):
+    from csp_spark.stats import ema_cov
+
+    rng = np.random.RandomState(7)
+    t0 = dt.datetime(2020, 1, 1)
+    rows_x = [("k", t0 + dt.timedelta(seconds=i), i, float(v))
+              for i, v in enumerate(rng.normal(0, 1, 80))]
+    rows_y = [("k", t0 + dt.timedelta(seconds=i), i, float(v))
+              for i, v in enumerate(rng.normal(0, 1, 80))]
+    sch = "key string, ts timestamp, seq long, value double"
+    x = TickStream(spark.createDataFrame(rows_x, sch))
+    y = TickStream(spark.createDataFrame(rows_y, sch))
+    got = [v for _, v in ema_cov(x, y, alpha=0.2, bias=False).collect_ticks()]
+    px = pd.Series([r[3] for r in rows_x])
+    py = pd.Series([r[3] for r in rows_y])
+    exp = px.ewm(alpha=0.2).cov(py, bias=False)
+    _assert_close(got, list(exp))
+
+
 def test_ema_halflife_event_time(ticks):
     # Ground truth is the explicit weighted mean with w_i =
     # 0.5^((t_n-t_i)/halflife) over valid ticks — the reference's
