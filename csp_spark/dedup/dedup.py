@@ -32,6 +32,9 @@ def exact_duplicates(
 ) -> DataFrame:
     """Groups of byte-identical (normalized) documents: one row per
     duplicated text with the canonical (min) id, member ids, count."""
+    # No pre-repartition here (unlike the shingle pipelines): the
+    # groupBy shuffle already redistributes, and the map side is one
+    # cheap md5 — an extra shuffle of raw text costs more than it saves.
     return (
         docs.groupBy(F.md5(normalize(F.col(text_col))).alias("text_hash"))
         .agg(
