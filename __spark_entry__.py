@@ -974,6 +974,17 @@ def op_dropdups_eps(spark, sf_dir):
     return _out(bl.drop_dups(x, eps=50.0))
 
 
+def text_fingerprint(spark, sf_dir):
+    # winnowing fingerprint sets, digested per doc so the compare stays
+    # scalar: count + md5 of the sorted selected-hash list
+    docs = _t(spark, sf_dir, "documents")
+    fp = TX.winnow_fingerprints(docs, k=8, w=4)
+    return fp.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("fp")))).alias("fp_digest"),
+    )
+
+
 def stats_ema_cov(spark, sf_dir):
     # csp.stats.ema_cov (stats.py:3195) — pandas-ewm debiased pairwise
     # covariance; recursive debias weights are not SQL-expressible ->
@@ -1069,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_exprtk": op_exprtk,
         "op_dropdups_eps": op_dropdups_eps,
         "stats_ema_cov": stats_ema_cov,
+        "text_fingerprint": text_fingerprint,
     }
     # The correctness harness evaluates a bounded prefix of this dict,
     # so order by evidence value: oracle-backed queries that have never
@@ -1079,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding", "text_stats", "text_langid", "dedup_exact",
         "dedup_ngram", "ann_topk", "stats_ema_halflife", "src_curve",
         "op_burst", "op_last_value", "op_exprtk", "op_dropdups_eps",
+        "text_fingerprint",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in never_checked if k in q and k in o}
@@ -1593,6 +1606,27 @@ SELECT e.vec_id,
            * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos_sim
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+""",
+        "text_fingerprint": r"""
+WITH norm AS (
+  SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS n
+  FROM documents
+), hashed AS (
+  SELECT doc_id, i, md5(substring(n, i, 8)) AS h FROM (
+    SELECT doc_id, n, unnest(generate_series(1, greatest(length(n)-7, 1))) AS i
+    FROM norm
+  )
+), sel AS (
+  SELECT DISTINCT doc_id, h AS fp FROM (
+    SELECT doc_id, h,
+      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+    FROM hashed
+  ) WHERE h = m
+)
+SELECT doc_id, count(*) AS n_fp,
+  md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
+FROM sel GROUP BY doc_id
 """,
         "src_curve": """
 SELECT ts, CAST(value AS DOUBLE) AS value FROM (VALUES

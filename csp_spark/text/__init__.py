@@ -1,5 +1,5 @@
 from .analysis import (
     annotate, tokens, token_count, char_count, avg_word_len, punct_ratio,
     digit_ratio, upper_ratio, stopword_ratio, quality_score, lang_guess,
-    fingerprint, STOPWORDS,
+    fingerprint, winnow_fingerprints, STOPWORDS,
 )

@@ -109,6 +109,52 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(F.array_join(tokens(text), " "))
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprints (min-sampling the rolling
+    k-gram hash sequence — Schleimer/Wilkerson/Aiken, SIGMOD'03): a
+    shingle hash is SELECTED when it is the minimum of the w-window
+    ending at its position; the distinct selected hashes are the doc's
+    fingerprint set (density ~1/w of all shingles, position-robust: a
+    local edit perturbs only nearby window minima).
+
+    Scale shape: explode shingle positions → hash → one shuffle by doc
+    id for the ordered window-min → filter + distinct. Per-doc work is
+    linear; no cross-doc joins. md5 (not xxhash64) so external engines
+    reproduce the selection bit-for-bit (lexicographic hex compare).
+
+    Returns (id, fp) rows — one per selected fingerprint hash.
+    """
+    from pyspark.sql import Window
+
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    norm = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_join(tokens(F.col(text_col)), " ").alias("n"),
+    )
+    pos = norm.select(
+        "id", "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("n") - (k - 1), F.lit(1)))
+        ).alias("i"),
+    )
+    hashed = pos.select(
+        "id", "i", F.md5(F.col("n").substr(F.col("i"), F.lit(k))).alias("h")
+    )
+    win = Window.partitionBy("id").orderBy("i").rowsBetween(-(w - 1), 0)
+    return (
+        hashed.withColumn("__m", F.min("h").over(win))
+        .filter(F.col("h") == F.col("__m"))
+        .select("id", F.col("h").alias("fp"))
+        .distinct()
+    )
+
+
 def annotate(
     docs: DataFrame, text_col: str = "text", lang: str = "en"
 ) -> DataFrame:

@@ -159,3 +159,22 @@ def test_multimodal_stub_pipeline(spark):
     frames = frame_sample(media, every_n=10).collect()
     assert len([f for f in frames if f["media_id"] == 1]) == 10
     assert len([f for f in frames if f["media_id"] == 2]) == 3
+
+
+def test_winnow_fingerprints(spark):
+    # explicit tiny corpus: identical docs share the full fingerprint
+    # set; a local edit perturbs only a bounded neighborhood of it
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("jumps", "leaps")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)], "doc_id long, text string"
+    )
+    rows = TX.winnow_fingerprints(docs, k=5, w=3).collect()
+    sets = {i: frozenset(r["fp"] for r in rows if r["id"] == i) for i in (1, 2, 3)}
+    assert sets[1] == sets[2] and len(sets[1]) > 5
+    # edit distance: most fingerprints survive a one-word change
+    shared = len(sets[1] & sets[3]) / len(sets[1] | sets[3])
+    assert 0.5 < shared < 1.0, shared
+    # density: ~1/w of the shingle count
+    n_shingles = len(" ".join(base.split())) - 4
+    assert len(sets[1]) < n_shingles / 2
