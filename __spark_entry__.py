@@ -974,6 +974,16 @@ def op_dropdups_eps(spark, sf_dir):
     return _out(bl.drop_dups(x, eps=50.0))
 
 
+def ann_ivf_topk(spark, sf_dir):
+    # IVF-flat ANN (KMeans coarse quantizer, n_probe cells scanned) —
+    # centroids are data/partitioning dependent, so rows-only check;
+    # recall vs brute force asserted in tests/test_pipeline_ops.py
+    from csp_spark.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, list(q), k=10, n_cells=16, n_probe=4)
+
+
 def text_fingerprint(spark, sf_dir):
     # winnowing fingerprint sets, digested per doc so the compare stays
     # scalar: count + md5 of the sorted selected-hash list
@@ -1081,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_dropdups_eps": op_dropdups_eps,
         "stats_ema_cov": stats_ema_cov,
         "text_fingerprint": text_fingerprint,
+        "ann_ivf_topk": ann_ivf_topk,
     }
     # The correctness harness evaluates a bounded prefix of this dict,
     # so order by evidence value: oracle-backed queries that have never

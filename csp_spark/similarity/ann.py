@@ -137,6 +137,71 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+    sample_fraction: float | None = None,
+):
+    """IVF coarse quantizer: MLlib KMeans assigns every vector a cell id.
+    At scale, train on a sample (`sample_fraction`) and write the indexed
+    table partitioned by `cell` so queries prune partitions — the classic
+    IVF-flat layout. Returns (indexed DataFrame with `cell`, centers
+    ndarray [n_cells, dim])."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.withColumn(
+        "__feat", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    train = feat if sample_fraction is None else feat.sample(sample_fraction, seed=seed)
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__feat", predictionCol="cell",
+    ).fit(train.select("__feat"))
+    indexed = model.transform(feat).drop("__feat")
+    return indexed, np.array(model.clusterCenters())
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: score only vectors in the n_probe cells whose
+    centroids are nearest the query (centroid ranking is a driver-side
+    numpy op over n_cells×dim — tiny). With a cell-partitioned table the
+    filter becomes partition pruning; the scan touches ~n_probe/n_cells
+    of the corpus."""
+    import numpy as np
+
+    indexed, centers = ivf_index(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+    probes = [int(c) for c in order[:n_probe]]
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        indexed.filter(F.col("cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -178,3 +178,16 @@ def test_winnow_fingerprints(spark):
     # density: ~1/w of the shingle count
     n_shingles = len(" ".join(base.split())) - 4
     assert len(sets[1]) < n_shingles / 2
+
+
+def test_ivf_topk_recall(spark):
+    from csp_spark.similarity import cosine_topk, ivf_topk
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_cells=8, n_probe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, (recall, exact, approx)
+    # the query vector itself must always be found (it sits in its own cell)
+    assert 3 in approx
