@@ -980,6 +980,28 @@ def op_dropdups_eps(spark, sf_dir):
     return _out(bl.drop_dups(x, eps=50.0))
 
 
+def stats_trigger_reset(spark, sf_dir):
+    # Full control-stream machinery (stats.py:218-282): data = ALL
+    # events, trigger = click ticks (emission clock decoupled from data
+    # ticks), reset = purchase ticks (window epoch clear, ordered
+    # before same-cycle data). Expanding count/sum within each epoch,
+    # emitted only at clicks.
+    x = _events_stream(spark, sf_dir)
+    trig = _events_stream(spark, sf_dir, "click")
+    rst = _events_stream(spark, sf_dir, "purchase")
+    r = Rolling(x, interval=None, min_window=1, trigger=trig, reset=rst)
+    vd = F.col("__vv").cast(_DEC)
+    out = r.agg(
+        epoch_n=F.count("__vv").over(r._w),
+        epoch_sum=F.sum(vd).over(r._w).cast("double"),
+    )
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "epoch_n", "epoch_sum",
+    )
+
+
 def ann_ivf_topk(spark, sf_dir):
     # IVF-flat ANN (KMeans coarse quantizer, n_probe cells scanned) —
     # centroids are data/partitioning dependent, so rows-only check;
@@ -1098,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ema_cov": stats_ema_cov,
         "text_fingerprint": text_fingerprint,
         "ann_ivf_topk": ann_ivf_topk,
+        "stats_trigger_reset": stats_trigger_reset,
     }
     # The correctness harness evaluates a bounded prefix of this dict,
     # so order by evidence value: oracle-backed queries that have never
@@ -1108,7 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding", "text_stats", "text_langid", "dedup_exact",
         "dedup_ngram", "ann_topk", "stats_ema_halflife", "src_curve",
         "op_burst", "op_last_value", "op_exprtk", "op_dropdups_eps",
-        "text_fingerprint",
+        "text_fingerprint", "stats_trigger_reset",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in never_checked if k in q and k in o}
@@ -1623,6 +1646,23 @@ SELECT e.vec_id,
            * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos_sim
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+""",
+        "stats_trigger_reset": """
+WITH e AS (
+  SELECT event_id, user_id, ts, value, event_type,
+    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM events
+), agg AS (
+  SELECT event_id, user_id, event_type,
+    count(*) OVER w AS epoch_n,
+    CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS epoch_sum
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, epoch ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_n, epoch_sum FROM agg WHERE event_type = 'click'
 """,
         "text_fingerprint": r"""
 WITH norm AS (
