@@ -114,3 +114,70 @@ def test_ema_stream_matches_batch(spark, landing):
     for g, e in zip(got, expect):
         assert (g[KEY], g[TS]) == (e[KEY], e[TS])
         assert math.isclose(g[VALUE], e[VALUE], rel_tol=1e-12)
+
+
+def test_rolling_time_stats_stream_matches_batch(spark, landing):
+    """Sliding-window stats over the stream == batch groupBy(window)
+    on the same ticks."""
+    path, rows = landing
+    from csp_spark.streaming import rolling_time_stats_stream
+
+    stream = file_ticks(
+        spark, path, SCHEMA, ts_col="ts", value_col="value", key_col="key"
+    )
+    win, slide = dt.timedelta(seconds=30), dt.timedelta(seconds=15)
+    got = collect_stream(
+        rolling_time_stats_stream(stream, win, slide), output_mode="complete"
+    ).collect()
+    batch = (
+        spark.createDataFrame(rows, SCHEMA)
+        .groupBy(F.window(TS, "30 seconds", "15 seconds").alias("__w"), KEY)
+        .agg(
+            F.count(VALUE).alias("roll_count"),
+            F.sum(VALUE).alias("roll_sum"),
+            F.avg(VALUE).alias("roll_mean"),
+        )
+        .select(KEY, F.col("__w.end").alias(TS), "roll_count", "roll_sum", "roll_mean")
+        .collect()
+    )
+    exp = {(r[KEY], r[TS]): r for r in batch}
+    assert len(got) == len(exp)
+    for r in got:
+        e = exp[(r[KEY], r[TS])]
+        assert r["roll_count"] == e["roll_count"]
+        assert math.isclose(r["roll_sum"], e["roll_sum"])
+        assert math.isclose(r["roll_mean"], e["roll_mean"])
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row older than the watermark arriving in a later microbatch is
+    dropped from append-mode windowed aggregation — the documented
+    semantic delta vs the reference (csp assumes in-order adapters and
+    has no watermarks; SURVEY.md §2.8)."""
+    from csp_spark.streaming import rolling_time_stats_stream
+
+    d = tmp_path / "late"
+    d.mkdir()
+    on_time = [("a", START + dt.timedelta(seconds=s), 0, 1.0) for s in (1, 5, 70)]
+    mid = [("a", START + dt.timedelta(seconds=75), 0, 1.0)]
+    late = [("a", START + dt.timedelta(seconds=2), 1, 100.0)]  # window [0,10) long closed
+    # the watermark advances one batch behind the data (Spark updates it
+    # at batch commit), so the late row arrives two batches after the
+    # on-time rows that moved the clock past its window
+    spark.createDataFrame(on_time, SCHEMA).coalesce(1).write.parquet(str(d / "c0.parquet"))
+    spark.createDataFrame(mid, SCHEMA).coalesce(1).write.parquet(str(d / "c1.parquet"))
+    spark.createDataFrame(late, SCHEMA).coalesce(1).write.parquet(str(d / "c2.parquet"))
+    stream = file_ticks(
+        spark, str(d) + "/*/", SCHEMA, ts_col="ts", value_col="value",
+        key_col="key", max_files_per_trigger=1,
+    )
+    out = rolling_time_stats_stream(
+        stream,
+        dt.timedelta(seconds=10), dt.timedelta(seconds=10),
+        watermark=dt.timedelta(seconds=10),
+    )
+    got = {r[TS]: r for r in collect_stream(out, output_mode="append").collect()}
+    w0_end = START + dt.timedelta(seconds=10)
+    assert w0_end in got
+    # the late 100.0 never entered the closed [0,10) window
+    assert got[w0_end]["roll_count"] == 2 and got[w0_end]["roll_sum"] == 2.0
