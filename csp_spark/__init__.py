@@ -11,9 +11,11 @@ Streaming over the same logical ops (csp realtime).
 from .core.session import get_spark
 from .core.ticks import TickStream, KEY, TS, SEQ, VALUE, GLOBAL_KEY
 from .core.align import align, align_wide, sample, binary_op, asof_join
+from .core.profiler import Profiler
 
 __version__ = "0.1.0"
 __all__ = [
     "get_spark", "TickStream", "align", "align_wide", "sample",
     "binary_op", "asof_join", "KEY", "TS", "SEQ", "VALUE", "GLOBAL_KEY",
+    "Profiler",
 ]

@@ -1,0 +1,97 @@
+"""csp.profiler parity (docs/wiki/api-references/csp.profiler-API.md:
+17-30; csp/profiler.py; examples/99_developer_tools/e1_profiling.py:
+31-36).
+
+The reference wraps a run in ``with profiler.Profiler(): csp.run(...)``
+and reports cycle_count, average_cycle_time, max_cycle_time,
+utilization, and per-node executions/total_time/max_time. Spark's
+execution units map onto that surface:
+
+- engine cycle       → job (one action over the lazily-built graph)
+- node               → stage (a codegen'd pipeline of operators)
+- node execution     → task (one partition's run of a stage)
+
+We scope the block with a unique job group so concurrent work in the
+same session is excluded, and snapshot the status tracker on exit.
+Wall-clock timing is driver-side (the public status tracker exposes
+counts, not durations); utilization is completed-task parallelism
+against the session's core budget.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+class Profiler:
+    """``with Profiler(spark) as p: ...actions...`` then ``p.results()``.
+
+    Results dict (reference field → ours):
+    - cycle_count        → jobs executed in the block
+    - average_cycle_time → wall_time / job_count (s)
+    - utilization        → completed_tasks / (wall_time * cores)
+      (≈ fraction of the core budget kept busy, like the reference's
+      engine-busy ratio)
+    - node_stats         → per-stage {name, executions (tasks),
+      completed, failed}
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._group = f"csp_profiler_{uuid.uuid4().hex[:12]}"
+        self._t0 = 0.0
+        self.results_dict: dict[str, Any] | None = None
+
+    def __enter__(self) -> "Profiler":
+        sc = self._spark.sparkContext
+        sc.setJobGroup(self._group, "csp_spark profiler block")
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        wall = time.perf_counter() - self._t0
+        sc = self._spark.sparkContext
+        tracker = sc.statusTracker()
+        job_ids = sorted(tracker.getJobIdsForGroup(self._group))
+        stage_ids: set[int] = set()
+        for j in job_ids:
+            info = tracker.getJobInfo(j)
+            if info is not None:
+                stage_ids.update(info.stageIds)
+        node_stats = {}
+        total_tasks = completed_tasks = 0
+        for s in sorted(stage_ids):
+            si = tracker.getStageInfo(s)
+            if si is None:
+                continue
+            node_stats[s] = {
+                "name": si.name,
+                "executions": si.numTasks,
+                "completed": si.numCompletedTasks,
+                "failed": si.numFailedTasks,
+            }
+            total_tasks += si.numTasks
+            completed_tasks += si.numCompletedTasks
+        cores = sc.defaultParallelism
+        n_jobs = len(job_ids)
+        self.results_dict = {
+            "wall_time": wall,
+            "cycle_count": n_jobs,
+            "average_cycle_time": (wall / n_jobs) if n_jobs else 0.0,
+            "utilization": (
+                min(1.0, completed_tasks / (wall * cores)) if wall > 0 else 0.0
+            ),
+            "total_tasks": total_tasks,
+            "completed_tasks": completed_tasks,
+            "node_stats": node_stats,
+        }
+        sc.setJobGroup("", "")
+
+    def results(self) -> dict[str, Any]:
+        if self.results_dict is None:
+            raise RuntimeError("Profiler block has not exited yet")
+        return self.results_dict

@@ -60,3 +60,21 @@ def test_dynamic_apply(spark):
     got = out.collect_all()
     assert [v for _, v in got["a"]] == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert [v for _, v in got["b"]] == [0.0, 10.0, 20.0, 30.0, 40.0]
+
+
+def test_profiler_block(spark):
+    from csp_spark import Profiler
+
+    with Profiler(spark) as p:
+        spark.range(10**5).selectExpr("sum(id)").collect()
+        spark.range(10**4).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    r = p.results()
+    assert r["cycle_count"] >= 2
+    assert r["wall_time"] > 0
+    assert r["average_cycle_time"] == r["wall_time"] / r["cycle_count"]
+    assert 0.0 <= r["utilization"] <= 1.0
+    assert r["completed_tasks"] > 0 and len(r["node_stats"]) >= 2
+    # jobs outside the block are not attributed to it
+    with Profiler(spark) as p2:
+        pass
+    assert p2.results()["cycle_count"] == 0
