@@ -1014,12 +1014,15 @@ def ann_ivf_topk(spark, sf_dir):
 
 def text_fingerprint(spark, sf_dir):
     # winnowing fingerprint sets, digested per doc so the compare stays
-    # scalar: count + md5 of the sorted selected-hash list
+    # scalar: count + md5 of the sorted selected-hash list. md5 hashes +
+    # distinct=False: the oracle needs reproducible hashes, and dedup
+    # happens inside collect_set (no dedicated distinct exchange).
     docs = _t(spark, sf_dir, "documents")
-    fp = TX.winnow_fingerprints(docs, k=8, w=4)
+    fp = TX.winnow_fingerprints(docs, k=8, w=4, hash_style="md5", distinct=False)
+    sfp = F.sort_array(F.collect_set("fp"))
     return fp.groupBy(F.col("id").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_fp"),
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("fp")))).alias("fp_digest"),
+        F.size(sfp).cast("long").alias("n_fp"),
+        F.md5(F.concat_ws(",", sfp)).alias("fp_digest"),
     )
 
 

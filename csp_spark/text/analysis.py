@@ -115,6 +115,8 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    hash_style: str = "xx64",
+    distinct: bool = True,
 ) -> DataFrame:
     """Winnowing-style document fingerprints (min-sampling the rolling
     k-gram hash sequence — Schleimer/Wilkerson/Aiken, SIGMOD'03): a
@@ -124,9 +126,19 @@ def winnow_fingerprints(
     local edit perturbs only nearby window minima).
 
     Scale shape: explode shingle positions → hash → one shuffle by doc
-    id for the ordered window-min → filter + distinct. Per-doc work is
-    linear; no cross-doc joins. md5 (not xxhash64) so external engines
-    reproduce the selection bit-for-bit (lexicographic hex compare).
+    id for the ordered window-min → filter (+ optional distinct). Per-doc
+    work is linear; no cross-doc joins.
+
+    hash_style: "xx64" (default) keeps the shuffled/sorted rows at 8-byte
+    longs — at 100M+ shingle rows the 32-char md5 hex strings quadruple
+    shuffle volume and make every sort comparison a string compare
+    (measured 15.5x vs 10x data growth; xx64 restores ~linear). "md5"
+    exists so external engines (DuckDB oracle) reproduce the selection
+    bit-for-bit.
+
+    distinct=False skips the final exchange when the consumer aggregates
+    anyway (e.g. collect_set per doc) — dedup then happens inside that
+    aggregate's map-side partials instead of a dedicated shuffle.
 
     Returns (id, fp) rows — one per selected fingerprint hash.
     """
@@ -143,16 +155,16 @@ def winnow_fingerprints(
             F.sequence(F.lit(1), F.greatest(F.length("n") - (k - 1), F.lit(1)))
         ).alias("i"),
     )
-    hashed = pos.select(
-        "id", "i", F.md5(F.col("n").substr(F.col("i"), F.lit(k))).alias("h")
-    )
+    shingle = F.col("n").substr(F.col("i"), F.lit(k))
+    hfn = F.md5(shingle) if hash_style == "md5" else F.xxhash64(shingle)
+    hashed = pos.select("id", "i", hfn.alias("h"))
     win = Window.partitionBy("id").orderBy("i").rowsBetween(-(w - 1), 0)
-    return (
+    out = (
         hashed.withColumn("__m", F.min("h").over(win))
         .filter(F.col("h") == F.col("__m"))
         .select("id", F.col("h").alias("fp"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def annotate(

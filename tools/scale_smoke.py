@@ -1,0 +1,99 @@
+"""Scale-stress smoke: run the core operator families at ~10x the bench
+scale (events self-unioned with shifted keys -> ~1M rows, documents
+duplicated with perturbed ids -> 50k docs) and report wall times next
+to the sf0.1 numbers. The point is catching scaling cliffs (quadratic
+candidate growth, per-key state blowups, driver collects) before they
+matter at 100 TB — times should grow ~linearly with rows.
+
+Usage: python tools/scale_smoke.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from csp_spark import get_spark
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "q1_pricing_summary",
+    "op_sample_asof",
+    "stats_rolling_tick",
+    "stats_expanding",
+    "stats_ema_halflife",
+    "stats_trigger_reset",
+    "dedup_minhash",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_smoke",
+                      **{"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="csp_scale_")
+
+    # events x MULT: shift keys so key-cardinality grows with data —
+    # the partition-by-key design should absorb this as parallelism
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+          .withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        for i in range(MULT)
+    ]
+    big_ev = parts[0]
+    for p in parts[1:]:
+        big_ev = big_ev.unionByName(p)
+    big_ev.repartition(64).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    # documents x MULT: perturb each copy's text (substitute a common
+    # letter per copy) so copies are NOT cross-copy near-dups — the
+    # corpus grows with its duplicate-pair structure intact per copy,
+    # and dedup work should scale ~linearly with docs
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    dparts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            .withColumn("text", F.regexp_replace("text", "e", f"x{i}y"))
+        for i in range(MULT)
+    ]
+    big_docs = dparts[0]
+    for p in dparts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.repartition(64).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    # copy-through the small dims the relational queries need
+    for t in ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "embeddings"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{tmp}/{t}.parquet"
+        )
+
+    n_ev = spark.read.parquet(f"{tmp}/events.parquet").count()
+    n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
+    print(f"scaled inputs: events={n_ev} documents={n_docs} (x{MULT})")
+
+    qs = E.queries()
+    for name in QUERIES:
+        t0 = time.time()
+        base = qs[name](spark, SRC).count()
+        t_base = time.time() - t0
+        t0 = time.time()
+        big = qs[name](spark, tmp).count()
+        t_big = time.time() - t0
+        ratio = t_big / t_base if t_base > 0 else float("inf")
+        flag = "" if ratio < MULT * 1.5 else "  <-- SUPERLINEAR"
+        print(f"{name:24s} sf0.1: {t_base:6.2f}s ({base} rows)   "
+              f"x{MULT}: {t_big:6.2f}s ({big} rows)  ratio {ratio:4.1f}{flag}")
+
+
+if __name__ == "__main__":
+    main()
