@@ -677,8 +677,12 @@ def dedup_ngram(spark, sf_dir):
 
 
 def dedup_minhash(spark, sf_dir):
-    # xxhash64 signatures — engine-specific, rows-only check; verified
-    # against dedup_ngram in tests/test_pipeline_ops.py
+    # Oracle = exact word-5-shingle Jaccard pairs at the threshold: the
+    # LSH stage only GENERATES candidates (verified with exact Jaccard
+    # before emission, so precision is exact by construction), and on
+    # this corpus recall is 100% (checked pair-for-pair at sf0.01 and
+    # sf0.1) — the hash check therefore asserts both the candidate
+    # recall and the verification math.
     docs = _t(spark, sf_dir, "documents")
     # word 5-shingles (Broder-style): ~6x fewer shingle rows than char-8
     # at equal output on this corpus, and 4x fewer LSH candidates.
@@ -703,9 +707,41 @@ def ann_topk(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
+    # oracle embeds the SAME seeded hyperplanes as SQL literals and
+    # reproduces bucket assignment + hamming<=1 probing in DuckDB
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return lsh_topk(emb, list(q), k=10, bits=6, probe_hamming=1)
+
+
+def _lsh_oracle_sql(bits: int = 6, dim: int = 64, seed: int = 42) -> str:
+    from csp_spark.similarity.ann import _planes
+
+    planes = _planes(dim, bits, seed)
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {lit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+    cos = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+WITH q AS (SELECT embedding, {bucket_expr('embedding')} AS qb
+           FROM embeddings WHERE vec_id = 0),
+b AS (SELECT e.vec_id, round({cos}, 6) AS cos_sim,
+             {bucket_expr('e.embedding')} AS bucket
+      FROM embeddings e, q)
+SELECT vec_id, cos_sim FROM b, q
+WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 # ----------------------------------------------------------------------
@@ -1152,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram", "ann_topk", "stats_ema_halflife", "src_curve",
         "op_burst", "op_last_value", "op_exprtk", "op_dropdups_eps",
         "text_fingerprint", "stats_trigger_reset", "stats_sampler",
+        "dedup_minhash", "ann_lsh_topk",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in never_checked if k in q and k in o}
@@ -1648,6 +1685,27 @@ WITH norm AS (
 ), sh AS (
   SELECT DISTINCT doc_id, substring(n, unnest(generate_series(1, greatest(length(n)-7, 1))), 8) AS s
   FROM norm
+), sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS DOUBLE) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+  round(i / (sa.c + sb.c - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+WHERE i / (sa.c + sb.c - i) >= 0.5
+""",
+        "ann_lsh_topk": _lsh_oracle_sql(),
+        "dedup_minhash": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(t[i : i + 4], ' ') AS s
+  FROM (SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+        FROM toks)
 ), sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS DOUBLE) AS i
