@@ -396,10 +396,14 @@ def random_brownian(spark, sf_dir):
 def mm_features(spark, sf_dir):
     # multimodal plumbing: binary payload column -> deterministic fake
     # feature extraction via mapInPandas (real decode is stubbed — no
-    # image/audio libs in this container); rows-only check
+    # image/audio libs in this container). The stub's gray level is
+    # sha256(payload)[0], which DuckDB can reproduce, so even the stub
+    # path is hash-checked end-to-end (plumbing + batch iteration +
+    # feature math). doc_id < 200 (not limit) keeps the subset
+    # deterministic.
     from csp_spark.multimodal import image_features
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     payload = docs.select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -1188,7 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram", "ann_topk", "stats_ema_halflife", "src_curve",
         "op_burst", "op_last_value", "op_exprtk", "op_dropdups_eps",
         "text_fingerprint", "stats_trigger_reset", "stats_sampler",
-        "dedup_minhash", "ann_lsh_topk",
+        "dedup_minhash", "ann_lsh_topk", "mm_features",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in never_checked if k in q and k in o}
@@ -1695,6 +1699,20 @@ SELECT ia AS id_a, ib AS id_b,
   round(i / (sa.c + sb.c - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
 WHERE i / (sa.c + sb.c - i) >= 0.5
+""",
+        "mm_features": """
+WITH h AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substring(sha256(text), 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substring(sha256(text), 2, 1)) - 1) AS level
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  CAST(level AS DOUBLE) AS mean_r,
+  CAST(level AS DOUBLE) AS mean_g,
+  CAST(level AS DOUBLE) AS mean_b,
+  CAST(0.0 AS DOUBLE) AS std_gray
+FROM h
 """,
         "ann_lsh_topk": _lsh_oracle_sql(),
         "dedup_minhash": r"""
