@@ -375,12 +375,44 @@ def feedback_clamp(spark, sf_dir):
 
 
 def random_poisson(spark, sf_dir):
-    # seeded stochastic source — engine-specific RNG, rows-only check
+    # hash-based RNG (md5 of seed|row-tag): partitioning-independent
+    # AND engine-reproducible — the DuckDB oracle replays the exact
+    # same draws, so even the stochastic source is hash-checked
     x = poisson_timer(
         spark, rate=0.5, start=dt.datetime(2024, 1, 1), end=dt.datetime(2024, 1, 2),
         seed=42,
     )
     return x.df.select(TS, F.round("value", 6).alias("elapsed_s"))
+
+
+def _hex13_sql(hexpr: str) -> str:
+    """DuckDB integer from the first 13 hex chars of an md5 expression
+    (no conv() in DuckDB) — mirrors hash_uniform's 52-bit draw."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring({hexpr}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (12 - i)}"
+        for i in range(13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _poisson_oracle_sql() -> str:
+    import math as _m
+
+    rate, horizon, seed = 0.5, 86400.0, 42
+    n = max(int(rate * horizon + 4 * _m.sqrt(rate * horizon)) + 1, 8)
+    md5e = f"md5(concat('{seed}|', CAST(id AS VARCHAR)))"
+    u = f"(({_hex13_sql(md5e)}) + 0.5) / 4503599627370496.0"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS id),
+g AS (SELECT id, round(-ln({u}) / {rate}, 6) AS gap FROM ids),
+t AS (SELECT id, sum(gap) OVER (ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t FROM g)
+SELECT TIMESTAMP '2024-01-01 00:00:00'
+         + to_microseconds(CAST(round(t * 1e6, 0) AS BIGINT)) AS ts,
+  round(t, 6) AS elapsed_s
+FROM t WHERE t <= {horizon}
+"""
 
 
 def random_brownian(spark, sf_dir):
@@ -391,6 +423,29 @@ def random_brownian(spark, sf_dir):
         F.col(KEY).cast("long").alias("user_id"),
         F.round("value", 6).alias("path"),
     )
+
+
+def _brownian_oracle_sql() -> str:
+    seed, drift, vol = 42, 0.01, 0.5
+    tag = "concat(CAST(user_id AS VARCHAR), '|', CAST(epoch_us(ts) AS VARCHAR), '|', CAST(event_id AS VARCHAR))"
+    def u(s: int) -> str:
+        md5e = f"md5(concat('{s}|', {tag}))"
+        return f"(({_hex13_sql(md5e)}) + 0.5) / 4503599627370496.0"
+    z = f"sqrt(-2.0 * ln({u(seed)})) * cos(2.0 * pi() * {u(seed + 1)})"
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id, ts,
+    coalesce((epoch_us(ts) - lag(epoch_us(ts)) OVER ({_W_USER})) / 1e6, 0.0) AS dt
+  FROM events
+), i AS (
+  SELECT event_id, user_id, ts,
+    round({drift} * dt + {vol} * sqrt(dt) * ({z}), 6) AS incr
+  FROM d
+)
+SELECT event_id, user_id,
+  round(sum(incr) OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS path
+FROM i
+"""
 
 
 def mm_features(spark, sf_dir):
@@ -1193,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_burst", "op_last_value", "op_exprtk", "op_dropdups_eps",
         "text_fingerprint", "stats_trigger_reset", "stats_sampler",
         "dedup_minhash", "ann_lsh_topk", "mm_features",
+        "random_poisson", "random_brownian",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in never_checked if k in q and k in o}
@@ -1700,6 +1756,8 @@ SELECT ia AS id_a, ib AS id_b,
 FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
 WHERE i / (sa.c + sb.c - i) >= 0.5
 """,
+        "random_poisson": _poisson_oracle_sql(),
+        "random_brownian": _brownian_oracle_sql(),
         "mm_features": """
 WITH h AS (
   SELECT doc_id,

@@ -5,11 +5,18 @@ inter-arrival gaps (csp/random.py:17-46); ``brownian_motion(trigger,
 drift, covariance)`` / ``brownian_motion_1d`` sample (geometric)
 Brownian paths at trigger ticks (csp/random.py:69-166).
 
-Spark-first: generate with ``spark.range`` + seeded rand/randn columns
-and window cumulative sums — fully distributed, no driver loop. Seeded
-F.rand/F.randn are deterministic per (seed, partition, row) so results
-are reproducible for a fixed partitioning; we pin the range partition
-count for exactly that reason.
+Spark-first with HASH-BASED randomness: every draw is a pure function
+of the row's identity (md5 of seed|row-tag → 52-bit uniform), so a
+generated stream is bit-identical regardless of partitioning, cluster
+size, task retries, or AQE re-plans. ``F.rand(seed)`` is seeded per
+PARTITION — its stream silently changes whenever the physical
+partitioning does, which breaks reproducibility at scale (a retry or a
+repartition yields different data). Hash draws also make the sources
+verifiable by any engine with md5 (the DuckDB oracle reproduces them).
+
+Gaps/increments are quantized to 1e-6 (µs resolution) BEFORE the
+cumulative sum, so the running sums are over identical doubles in
+identical order on every engine — bit-identical paths.
 """
 
 from __future__ import annotations
@@ -17,12 +24,28 @@ from __future__ import annotations
 import datetime as _dt
 import math
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import Column, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.ticks import GLOBAL_KEY, KEY, SEQ, TS, VALUE, TickStream
 
-_NUM_PARTS = 32  # pinned so seeded rand() streams are reproducible
+_U52 = float(1 << 52)
+
+
+def hash_uniform(tag: Column, seed: int = 42) -> Column:
+    """Uniform draw in (0,1): top 52 bits of md5(seed|tag), exactly
+    representable in a double. Deterministic per (seed, tag) — no
+    partition or ordering dependence."""
+    h13 = F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), tag)), 1, 13)
+    return (F.conv(h13, 16, 10).cast("double") + 0.5) / F.lit(_U52)
+
+
+def hash_normal(tag: Column, seed: int = 42) -> Column:
+    """Standard normal via Box-Muller over two independent hash
+    uniforms (seed and seed+1)."""
+    u1 = hash_uniform(tag, seed)
+    u2 = hash_uniform(tag, seed + 1)
+    return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * math.pi * u2)
 
 
 def poisson_timer(
@@ -34,22 +57,30 @@ def poisson_timer(
     key: str = GLOBAL_KEY,
 ) -> TickStream:
     """Poisson-process event times in [start, end] at ``rate`` events/sec
-    (csp/random.py:17-46). Gap_i = -ln(U_i)/rate; event time is the
-    running sum of gaps. Over-generates by 4*sigma then filters to end,
-    so the expected-count shortfall probability is negligible."""
+    (csp/random.py:17-46). Gap_i = -ln(U_i)/rate quantized to µs; event
+    time is the running sum of gaps. Over-generates by 4*sigma then
+    filters to end, so the expected-count shortfall probability is
+    negligible. The single-stream cumulative sum is one global window
+    (inherent to one timer stream); generate per key for parallel use.
+    """
     horizon = (end - start).total_seconds()
     n = max(int(rate * horizon + 4 * math.sqrt(rate * horizon)) + 1, 8)
     w = Window.orderBy("id")
-    gaps = spark.range(0, n, 1, _NUM_PARTS).withColumn(
-        "gap", -F.log(F.rand(seed)) / F.lit(rate)
+    gaps = spark.range(0, n).withColumn(
+        "gap",
+        F.round(-F.log(hash_uniform(F.col("id").cast("string"), seed)) / F.lit(rate), 6),
     )
     times = gaps.withColumn("t", F.sum("gap").over(w))
     out = (
         times.filter(F.col("t") <= horizon)
         .select(
             F.lit(key).alias(KEY),
+            # round, not floor: t is a sum of µs-quantized gaps, so t*1e6
+            # sits within an ulp of an integer — floor would flip ±1µs on
+            # summation-order differences (e.g. another engine's
+            # segment-tree window sum); round absorbs them
             F.timestamp_micros(
-                F.unix_micros(F.lit(start)) + (F.col("t") * 1e6).cast("long")
+                F.unix_micros(F.lit(start)) + F.round(F.col("t") * 1e6, 0).cast("long")
             ).alias(TS),
             F.lit(0).cast("long").alias(SEQ),
             F.col("t").alias(VALUE),
@@ -68,9 +99,9 @@ def brownian_motion(
 ) -> TickStream:
     """Sample a Brownian path at the trigger's tick times, per key
     (csp/random.py:69-166 brownian_motion/_1d). Increment over a gap of
-    dt seconds ~ N(drift*dt, vol^2*dt); the path is the windowed
-    cumulative sum — csp integrates the same SDE per trigger tick.
-    ``geometric=True`` exponentiates (GBM: x0*exp(path))."""
+    dt seconds ~ N(drift*dt, vol^2*dt) (µs-quantized); the path is the
+    windowed cumulative sum — csp integrates the same SDE per trigger
+    tick. ``geometric=True`` exponentiates (GBM: x0*exp(path))."""
     w = TickStream.order_window()
     df = trigger.df.select(KEY, TS, SEQ)
     dt_s = (
@@ -78,9 +109,15 @@ def brownian_motion(
         - F.unix_micros(F.lag(F.col(TS)).over(w))
     ) / 1e6
     df = df.withColumn("__dt", F.coalesce(dt_s, F.lit(0.0)))
-    incr = F.lit(drift) * F.col("__dt") + F.lit(vol) * F.sqrt(
-        F.col("__dt")
-    ) * F.randn(seed)
+    tag = F.concat_ws(
+        "|", F.col(KEY), F.unix_micros(F.col(TS)).cast("string"),
+        F.col(SEQ).cast("string"),
+    )
+    incr = F.round(
+        F.lit(drift) * F.col("__dt")
+        + F.lit(vol) * F.sqrt(F.col("__dt")) * hash_normal(tag, seed),
+        6,
+    )
     df = df.withColumn("__incr", incr)
     path = F.sum("__incr").over(w)
     value = (
