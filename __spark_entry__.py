@@ -949,9 +949,59 @@ def stats_xsec(spark, sf_dir):
     )
 
 
+def _ema_var_oracle_sql(alpha: float = 0.1) -> str:
+    # The pandas ewm-var recursion (adjust=True, bias=False) as a DuckDB
+    # list_reduce over each row's prefix list: state (m, c, sw, sw2, ow)
+    # folds exactly the operations pandas' kernel performs, so both
+    # engines agree to ~1e-14 and 6-dp rounding compares clean. O(n^2)
+    # per key is fine at oracle scale (~13 clicks/user at sf0.01).
+    d = f"CAST({1.0 - alpha} AS DOUBLE)"
+    d2 = f"CAST({(1.0 - alpha) ** 2} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    M = f"((a.ow * {d} * a.m + b.m) / (a.ow * {d} + {one}))"
+    C = (
+        f"(a.ow * {d} * (a.c + (a.m - {M}) * (a.m - {M}))"
+        f" + (b.m - {M}) * (b.m - {M})) / (a.ow * {d} + {one})"
+    )
+    var = "st.c * st.sw * st.sw / (st.sw * st.sw - st.sw2)"
+    guard = "len(l) >= 2 AND (st.sw * st.sw - st.sw2) > 0"
+    # NOTE field order (c, m, sw, sw2, ow) is load-bearing: DuckDB 1.0's
+    # list_reduce evaluates struct_pack fields SEQUENTIALLY into the
+    # accumulator, so a field expression sees already-updated values of
+    # earlier fields. c reads (a.c, a.m, a.ow) and must come first; ow
+    # is read by c and m and must come last.
+    return f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id,
+    list(v) OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+  FROM c
+), s AS (
+  SELECT event_id, user_id, l,
+    list_reduce(
+      list_transform(l, x -> struct_pack(
+        c := CAST(0.0 AS DOUBLE), m := x, sw := {one}, sw2 := {one}, ow := {one})),
+      (a, b) -> struct_pack(
+        c := {C},
+        m := {M},
+        sw := a.sw * {d} + {one},
+        sw2 := a.sw2 * {d2} + {one},
+        ow := a.ow * {d} + {one})
+    ) AS st
+  FROM p
+)
+SELECT event_id, user_id,
+  round(CASE WHEN {guard} THEN {var} ELSE 'NaN'::DOUBLE END, 6) AS ew_var,
+  round(CASE WHEN {guard} THEN sqrt({var}) ELSE 'NaN'::DOUBLE END, 6) AS ew_std
+FROM s
+"""
+
+
 def stats_ema_var(spark, sf_dir):
-    # pandas-ewm parity (tests/test_stats.py oracle); not SQL-expressible
-    # in closed form -> rows-only driver check
+    # pandas-ewm recursion on the Spark side; the DuckDB oracle replays
+    # the identical recursion via list_reduce over prefix lists
     x = _events_stream(spark, sf_dir, "click")
     ev = ema_var(x, alpha=0.1, bias=False)
     es = ema_std(x, alpha=0.1, bias=False)
@@ -1756,6 +1806,7 @@ SELECT ia AS id_a, ib AS id_b,
 FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
 WHERE i / (sa.c + sb.c - i) >= 0.5
 """,
+        "stats_ema_var": _ema_var_oracle_sql(),
         "random_poisson": _poisson_oracle_sql(),
         "random_brownian": _brownian_oracle_sql(),
         "mm_features": """
