@@ -1298,7 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_burst", "op_last_value", "op_exprtk", "op_dropdups_eps",
         "text_fingerprint", "stats_trigger_reset", "stats_sampler",
         "dedup_minhash", "ann_lsh_topk", "mm_features",
-        "random_poisson", "random_brownian",
+        "random_poisson", "random_brownian", "stats_ema_var",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in never_checked if k in q and k in o}
