@@ -1187,10 +1187,69 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+def _ema_cov_oracle_sql(alpha: float = 0.2) -> str:
+    # bivariate twin of _ema_var_oracle_sql: align click/view streams
+    # with last-value windows (the align kernel's semantics), keep
+    # both-valid rows, then fold the pandas ewmcov recursion over each
+    # prefix. Same DuckDB struct_pack sequential-evaluation constraint:
+    # c first (reads a.c/a.mx/a.my/a.ow), ow last.
+    d = f"CAST({1.0 - alpha} AS DOUBLE)"
+    d2 = f"CAST({(1.0 - alpha) ** 2} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    MX = f"((a.ow * {d} * a.mx + b.mx) / (a.ow * {d} + {one}))"
+    MY = f"((a.ow * {d} * a.my + b.my) / (a.ow * {d} + {one}))"
+    C = (
+        f"(a.ow * {d} * (a.c + (a.mx - {MX}) * (a.my - {MY}))"
+        f" + (b.mx - {MX}) * (b.my - {MY})) / (a.ow * {d} + {one})"
+    )
+    cov = "st.c * st.sw * st.sw / (st.sw * st.sw - st.sw2)"
+    guard = "len(l) >= 2 AND (st.sw * st.sw - st.sw2) > 0"
+    return f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'click' THEN CAST(value AS DOUBLE) END AS cx,
+    CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END AS cy
+  FROM events WHERE event_type IN ('click', 'view')
+), f AS (
+  SELECT user_id, ts, event_id,
+    last_value(cx IGNORE NULLS) OVER ({_W_USER}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x,
+    last_value(cy IGNORE NULLS) OVER ({_W_USER}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+  FROM u
+), v AS (
+  SELECT * FROM f WHERE x IS NOT NULL AND y IS NOT NULL
+), p AS (
+  SELECT event_id, user_id,
+    list(struct_pack(mx := x, my := y)) OVER ({_W_USER}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+  FROM v
+), s AS (
+  SELECT event_id, user_id, l,
+    list_reduce(
+      list_transform(l, e -> struct_pack(
+        c := CAST(0.0 AS DOUBLE), mx := e.mx, my := e.my,
+        sw := {one}, sw2 := {one}, ow := {one})),
+      (a, b) -> struct_pack(
+        c := {C},
+        mx := {MX},
+        my := {MY},
+        sw := a.sw * {d} + {one},
+        sw2 := a.sw2 * {d2} + {one},
+        ow := a.ow * {d} + {one})
+    ) AS st
+  FROM p
+)
+SELECT event_id, user_id,
+  round(CASE WHEN {guard} THEN {cov} ELSE 'NaN'::DOUBLE END, 6) AS ew_cov
+FROM s
+"""
+
+
 def stats_ema_cov(spark, sf_dir):
     # csp.stats.ema_cov (stats.py:3195) — pandas-ewm debiased pairwise
-    # covariance; recursive debias weights are not SQL-expressible ->
-    # rows-only driver check (pandas parity in tests/test_stats.py)
+    # covariance over the aligned pair; oracle replays the recursion
+    # via list_reduce (see _ema_cov_oracle_sql)
     clicks = _events_stream(spark, sf_dir, "click")
     views = _events_stream(spark, sf_dir, "view")
     from csp_spark.stats import ema_cov
@@ -1299,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint", "stats_trigger_reset", "stats_sampler",
         "dedup_minhash", "ann_lsh_topk", "mm_features",
         "random_poisson", "random_brownian", "stats_ema_var",
+        "stats_ema_cov",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in never_checked if k in q and k in o}
@@ -1807,6 +1867,7 @@ FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
 WHERE i / (sa.c + sb.c - i) >= 0.5
 """,
         "stats_ema_var": _ema_var_oracle_sql(),
+        "stats_ema_cov": _ema_cov_oracle_sql(),
         "random_poisson": _poisson_oracle_sql(),
         "random_brownian": _brownian_oracle_sql(),
         "mm_features": """
