@@ -1241,7 +1241,8 @@ WITH u AS (
   FROM p
 )
 SELECT event_id, user_id,
-  round(CASE WHEN {guard} THEN {cov} ELSE 'NaN'::DOUBLE END, 6) AS ew_cov
+  round(CASE WHEN {guard} THEN {cov} ELSE 'NaN'::DOUBLE END, 6)
+    + CAST(0.0 AS DOUBLE) AS ew_cov
 FROM s
 """
 
@@ -1254,10 +1255,13 @@ def stats_ema_cov(spark, sf_dir):
     views = _events_stream(spark, sf_dir, "view")
     from csp_spark.stats import ema_cov
     ec = ema_cov(clicks, views, alpha=0.2, bias=False)
+    # + 0.0 normalizes IEEE signed zero on BOTH sides (the r2 hash fail
+    # was 69 oracle -0.0 rows vs Spark +0.0; the driver hashes raw
+    # values and distinguishes them).
     return ec.df.select(
         F.col(SEQ).alias("event_id"),
         F.col(KEY).cast("long").alias("user_id"),
-        F.round("value", 6).alias("ew_cov"),
+        (F.round("value", 6) + F.lit(0.0)).alias("ew_cov"),
     )
 
 

@@ -114,27 +114,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
-# Deterministic odd multipliers/offsets for the a*h+b universal hash
-# family (splitmix64-style constants, seed fixed so signatures are
-# reproducible across runs). Permutation i ≈ min over a_i*h+b_i.
-def _mix_consts(num_hashes: int) -> list[tuple[int, int]]:
-    import random
-
-    rng = random.Random(42)
-    out = []
-    for _ in range(num_hashes):
-        a = rng.getrandbits(63) | 1  # odd
-        b = rng.getrandbits(63)
-        out.append((a, b))
-    return out
-
-
-def _mix64(h: Column, i: int, consts: list[tuple[int, int]] | None = None) -> Column:
-    a, b = (consts or _mix_consts(i + 1))[i]
-    # Long arithmetic wraps (ANSI off) — a*h+b mod 2^64, the classic
-    # multiply-shift family; one multiply+add per permutation instead of
-    # a fresh xxhash64 of the shingle text.
-    return h * F.lit(a) + F.lit(b)
+def _mix64(h: Column, i: int) -> Column:
+    # Permutation i = xxhash64 of the base shingle hash salted by the
+    # permutation index: independent per i, whole-stage-codegen, and —
+    # unlike the a*h+b multiply-shift family — safe under ANSI mode
+    # (Spark 4 default), where a raw long multiply throws
+    # ARITHMETIC_OVERFLOW instead of wrapping mod 2^64.
+    return F.xxhash64(h, F.lit(i))
 
 
 def minhash_lsh_pairs(
@@ -161,7 +147,6 @@ def minhash_lsh_pairs(
     candidate pairs.
     """
     rows_per_band = num_hashes // bands
-    consts = _mix_consts(num_hashes)
 
     # Parallelize the per-doc work: a small corpus often arrives as one
     # parquet file = ONE input partition, serializing the whole shingle
@@ -214,13 +199,13 @@ def minhash_lsh_pairs(
     rows.count()
 
     # Stage 2 — signature via ONE codegen hash-aggregate: permutation i
-    # is the a_i*h+b_i mix of the single xxhash64, min'd per doc.
+    # is the i-salted re-hash of the single base xxhash64, min'd per doc.
     # Map-side partial agg collapses each partition to its distinct ids,
     # so the shuffle carries |docs| x num_hashes longs regardless of
     # corpus size.
     sig = rows.groupBy("id").agg(
         *[
-            F.min(_mix64(F.col("h"), i, consts)).alias(f"mh{i}")
+            F.min(_mix64(F.col("h"), i)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )

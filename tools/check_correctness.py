@@ -30,6 +30,11 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # Mirror the driver: raw-value hashing distinguishes -0.0 from
+        # +0.0 (r2 stats_ema_cov failed on exactly this), so canon must
+        # keep them distinct too.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
@@ -44,7 +49,16 @@ def rowset(rows, cols):
 
 
 def main():
-    spark = get_spark(app_name="correctness", **{"spark.ui.showConsoleProgress": "false"})
+    # ANSI ON to mirror the driver's session (Spark 4 default): r2's
+    # dedup_minhash ARITHMETIC_OVERFLOW passed locally only because this
+    # gate ran ANSI-off. Queries must be correct under BOTH modes.
+    spark = get_spark(
+        app_name="correctness",
+        **{
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.ansi.enabled": "true",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
