@@ -106,8 +106,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit(dt.datetime(1998, 3, 15))
     )
+    # No forced broadcast: orders⋈customer is NOT a dimension table and
+    # at 100× scale a broadcast hint (which Catalyst obeys regardless of
+    # size) OOMs the build side. AQE picks broadcast at small SF anyway.
     j = l.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(c, o.o_custkey == c.c_custkey),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -129,10 +132,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    # Force broadcast ONLY for true dimension tables (nation 25 rows,
+    # region 5 rows — constant at every SF). supplier/customer/orders
+    # grow with SF: let AQE choose broadcast vs shuffle at runtime.
     j = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -172,9 +178,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
+    # customer grows with SF — no forced broadcast (AQE decides);
+    # nation is a constant-size dimension, keep the hint.
     j = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return (
@@ -755,8 +763,38 @@ def dedup_minhash(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
+    # md5_48 hash family → bit-exactly replayable in DuckDB; chunked
+    # bucketing is exhaustive by pigeonhole (max_hamming+1 chunks), so
+    # the LSH output EQUALS the exact all-pairs hamming filter the
+    # oracle computes — deterministic equality, not probabilistic.
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, max_hamming=6)
+    return DD.simhash_pairs(docs, max_hamming=6, hash_fn="md5_48")
+
+
+def _simhash_oracle_sql(max_hamming: int = 6, bits: int = 48) -> str:
+    # replay simhash_pairs(hash_fn="md5_48") exactly: same tokenizer
+    # (split lower(trim) on \s+), same 48-bit md5 token hash, same
+    # per-bit majority votes, then EXACT all-pairs hamming (the chunked
+    # candidate generation is recall-exhaustive, so outputs coincide).
+    sig_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), h AS (
+  SELECT id, CAST(concat('0x', substr(md5(w), 1, 12)) AS BIGINT) AS h FROM tok
+), sig AS (
+  SELECT id, ({sig_terms}) AS sh FROM h GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.sh, b.sh)) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
 
 
 def ann_topk(spark, sf_dir):
@@ -1173,6 +1211,17 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, list(q), k=10, n_cells=16, n_probe=4)
 
 
+def ann_ivf_exact(spark, sf_dir):
+    # IVF with n_probe = n_cells scans every cell, so the result must
+    # equal exact brute-force cosine top-k regardless of where KMeans
+    # puts the centroids — a hash-checkable oracle (ann_topk's SQL) for
+    # the IVF plumbing itself (assignment, cell filter, scoring).
+    from csp_spark.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, list(q), k=10, n_cells=8, n_probe=8)
+
+
 def text_fingerprint(spark, sf_dir):
     # winnowing fingerprint sets, digested per doc so the compare stays
     # scalar: count + md5 of the sorted selected-hash list. md5 hashes +
@@ -1347,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ema_cov": stats_ema_cov,
         "text_fingerprint": text_fingerprint,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_exact": ann_ivf_exact,
         "stats_trigger_reset": stats_trigger_reset,
         "stats_sampler": stats_sampler,
     }
@@ -1917,6 +1967,16 @@ SELECT e.vec_id,
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """,
+        # n_probe = n_cells ⇒ IVF degenerates to exact brute force
+        "ann_ivf_exact": """
+SELECT e.vec_id,
+  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+""",
+        "dedup_simhash": _simhash_oracle_sql(max_hamming=6, bits=48),
         "stats_sampler": f"""
 SELECT event_id, user_id,
   coalesce(round(avg(CASE WHEN event_type = 'click' THEN value END)

@@ -267,7 +267,7 @@ def minhash_lsh_pairs(
         .select("id", "hs", F.size("hs").cast("double").alias("c"))
     )
     i = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-    return (
+    out = (
         cand.join(
             sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
                         F.col("c").alias("ca")),
@@ -285,6 +285,15 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Materialize the (small) verified pair set, then drop the three
+    # intermediate caches so repeated invocations in one session don't
+    # accumulate executor memory; only the result stays cached.
+    out = out.persist()
+    out.count()
+    rows.unpersist()
+    sig.unpersist()
+    cand.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -378,30 +387,48 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with simhash distance ≤ max_hamming, bucketed by
-    16-bit chunks (pigeonhole: ≤3 differing bits over 4 chunks → at
-    least one chunk identical), so candidate generation shuffles on
-    chunk value instead of cross-joining."""
-    # Bulk path: explode tokens once, xxhash64 each, then 64 per-bit
+    bit chunks. Chunk count is max_hamming+1, so the pigeonhole
+    guarantee is EXACT for any threshold: a pair differing in ≤
+    max_hamming bits cannot differ in all max_hamming+1 chunks, hence
+    shares at least one (chunk_id, chunk) bucket — candidate generation
+    shuffles on chunk value instead of cross-joining, with 100% recall.
+
+    hash_fn: "xxhash64" (default, fastest JVM path, 64-bit) or
+    "md5_48" (48-bit from the first 12 hex chars of md5 — bit-exactly
+    replayable in any engine with md5, e.g. the DuckDB oracle)."""
+    # Bulk path: explode tokens once, hash each, then per-bit
     # sign-sums in a single codegen hash-aggregate; the signature is
     # assembled from the votes with literal-shift bit ops. (The
     # array-lambda simhash() form is interpreted and re-hashes every
     # token per bit position — ~20x slower.)
+    if hash_fn == "md5_48":
+        bits = 48
+        hcol = F.conv(F.substring(F.md5(F.col("w")), 1, 12), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        bits = 64
+        hcol = F.xxhash64("w")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    n_chunks = max_hamming + 1
+    widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
-    ).select("id", F.xxhash64("w").alias("h"))
+    ).select("id", hcol.alias("h"))
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sig_col = None
-    for i in range(64):
+    for i in range(bits):
         bit = F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
         sig_col = bit if sig_col is None else sig_col.bitwiseOR(bit)
     base = votes.select("id", sig_col.alias("sh"))
@@ -410,8 +437,10 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("int")
-                    for i in range(4)
+                    F.shiftright("sh", offsets[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                    .cast("int")
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("chunk_id", "chunk"),

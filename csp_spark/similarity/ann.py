@@ -145,12 +145,19 @@ def ivf_index(
     seed: int = 42,
     max_iter: int = 5,
     sample_fraction: float | None = None,
+    train_cap: int | None = 100_000,
 ):
     """IVF coarse quantizer: MLlib KMeans assigns every vector a cell id.
-    At scale, train on a sample (`sample_fraction`) and write the indexed
-    table partitioned by `cell` so queries prune partitions — the classic
-    IVF-flat layout. Returns (indexed DataFrame with `cell`, centers
-    ndarray [n_cells, dim])."""
+    At scale, train on a sample and write the indexed table partitioned
+    by `cell` so queries prune partitions — the classic IVF-flat layout.
+
+    Training never scans the full corpus by default: `train_cap` bounds
+    the KMeans input via limit() (cheap per-partition local limit — at
+    100 TB the quantizer quality saturates long before 100k vectors;
+    assignment still covers every row). `sample_fraction` gives a
+    uniform sample instead when set; pass both None to train on
+    everything. Returns (indexed DataFrame with `cell`, centers ndarray
+    [n_cells, dim])."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -158,7 +165,12 @@ def ivf_index(
     feat = embeddings.withColumn(
         "__feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    train = feat if sample_fraction is None else feat.sample(sample_fraction, seed=seed)
+    if sample_fraction is not None:
+        train = feat.sample(sample_fraction, seed=seed)
+    elif train_cap is not None:
+        train = feat.limit(train_cap)
+    else:
+        train = feat
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter,
         featuresCol="__feat", predictionCol="cell",
@@ -209,20 +221,28 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold): bucket by LSH,
     pair only within buckets (plus 1-bit neighbors via multi-bucket
-    explode), verify exactly. The standard embedding-dedup sweep."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    explode), verify exactly. The standard embedding-dedup sweep.
+
+    Scale shape: the probe explode carries ONLY (id, bucket) — 16
+    bytes/row × (bits+1) — never the vector payload; candidate docs (an
+    LSH-selected sliver) get their vectors back via a broadcast
+    semi-join, so shuffled bytes are independent of bits × vector
+    size. Same pattern as minhash_lsh_pairs' Jaccard verification."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = _planes(dim, bits, seed)
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucket = lsh_bucket(F.col("v"), planes)
-    # explode each vector into its own bucket + hamming-1 neighborhood →
+    # explode each id into its own bucket + hamming-1 neighborhood →
     # any pair with bucket distance ≤1 shares at least one probe bucket
     probe_arr = F.array(
         bucket, *[bucket.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i)) for i in range(bits)]
     )
-    exploded = base.select("id", "v", F.explode(probe_arr).alias("bucket"))
+    exploded = base.select("id", F.explode(probe_arr).alias("bucket"))
     cand = (
         exploded.alias("a")
         .join(
@@ -232,14 +252,27 @@ def embedding_near_dups(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    # The pair list feeds the id-set broadcast AND the verify joins;
+    # persist so the bucket self-join isn't recomputed per use. A few
+    # MB by construction (pairs, no payload).
+    cand = cand.persist()
+    cand.count()
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    vecs = base.join(F.broadcast(cand_ids), "id", "left_semi")
+    out = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    # Materialize the (small) verified pair set, then release the
+    # intermediate cache so repeated calls don't accumulate executor
+    # memory; only the result itself stays cached.
+    out = out.persist()
+    out.count()
+    cand.unpersist()
+    return out
