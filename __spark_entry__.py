@@ -205,6 +205,36 @@ def op_count(spark, sf_dir):
     return _out(bl.count(_events_stream(spark, sf_dir)), "n_ticks")
 
 
+def op_value_at(spark, sf_dir):
+    # Historical buffer API (csp.value_at/time_at/values_at —
+    # csp/impl/builtin_functions.py:105-270): every lookup form on one
+    # stream, joined on tick identity. Each lookup is one window op
+    # over the key partition; the joins reuse that partitioning.
+    from csp_spark.operators import history as H
+
+    x = _events_stream(spark, sf_dir)
+    lag3 = H.value_at(x, -3)
+    v60 = H.value_at(x, dt.timedelta(seconds=-60))
+    t2 = H.time_at(x, -2)
+    nw = H.values_at(x, -5, -1)
+    keys = [KEY, TS, SEQ]
+
+    def part(s, name):
+        return s.df.select(*keys, F.col("value").alias(name))
+
+    j = (
+        part(lag3, "v_lag3")
+        .join(part(v60, "v_60s"), keys)
+        .join(part(t2, "t_lag2"), keys)
+        .join(part(nw, "win").withColumn("n_win", F.size("win")).drop("win"), keys)
+    )
+    return j.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        "v_lag3", "v_60s", "t_lag2", "n_win",
+    )
+
+
 def op_accum(spark, sf_dir):
     x = _events_stream(spark, sf_dir)
     dec = TickStream(x.df.withColumn("value", F.col("value").cast("decimal(18,4)")))
@@ -1331,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
         "op_count": op_count,
+        "op_value_at": op_value_at,
         "op_accum": op_accum,
         "op_diff": op_diff,
         "op_delay": op_delay,
@@ -1977,6 +2008,16 @@ FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """,
         "dedup_simhash": _simhash_oracle_sql(max_hamming=6, bits=48),
+        "op_value_at": f"""
+SELECT event_id, user_id,
+  lag(value, 3) OVER w AS v_lag3,
+  last_value(value) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL 60 SECONDS PRECEDING) AS v_60s,
+  lag(ts, 2) OVER w AS t_lag2,
+  count(*) OVER ({_W_USER} ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS n_win
+FROM events
+WINDOW w AS ({_W_USER})
+""",
         "stats_sampler": f"""
 SELECT event_id, user_id,
   coalesce(round(avg(CASE WHEN event_type = 'click' THEN value END)

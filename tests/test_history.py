@@ -1,0 +1,111 @@
+"""Historical buffer tests — mirror the reference's test_history.py
+pattern: the canonical 4-tick buffer (09:30,0) (09:31,1) (09:31,2)
+(09:33,3) from the builtin_functions.py docstrings, assert the lookup
+each node call would observe at the final tick."""
+
+import datetime as dt
+
+import pytest
+
+from csp_spark import TickStream
+from csp_spark.operators import baselib as bl
+from csp_spark.operators import history as H
+
+from conftest import START, TD
+
+
+def t(s):
+    return START + TD(seconds=s)
+
+
+@pytest.fixture()
+def buf(spark):
+    # (0s,0) (60s,1) (60s,2 same-ts later cycle) (180s,3) — the
+    # docstring example with 09:30 mapped to START
+    return bl.curve(
+        spark, [(t(0), 0.0), (t(60), 1.0), (t(60), 1, 2.0), (t(180), 3.0)]
+    )
+
+
+def last(x):
+    return x.collect_ticks()[-1][1]
+
+
+def test_value_at_indices(buf):
+    assert last(H.value_at(buf)) == 3.0
+    assert last(H.value_at(buf, 0)) == 3.0
+    assert last(H.value_at(buf, -1)) == 2.0
+    assert last(H.value_at(buf, -3)) == 0.0
+    assert last(H.value_at(buf, -4)) is None        # out of range → default
+    assert last(H.value_at(buf, -4, default=-1.0)) == -1.0
+
+
+def test_value_at_times(buf):
+    # half a minute before 180s → last tick ≤ 150s is (60s, seq1, 2.0)
+    assert last(H.value_at(buf, TD(seconds=-30))) == 2.0
+    assert last(H.value_at(buf, TD(seconds=-120))) == 2.0
+    assert last(H.value_at(buf, TD(seconds=-180))) == 0.0  # exactly at 0s
+    assert last(H.value_at(buf, t(0))) == 0.0              # absolute
+    assert last(H.value_at(buf, t(59))) == 0.0
+    # probe before first tick → default
+    got = H.value_at(buf, TD(seconds=-300), default=-7.0).collect_ticks()
+    assert got[0][1] == -7.0
+
+
+def test_time_at(buf):
+    assert last(H.time_at(buf)) == t(180)
+    assert last(H.time_at(buf, -1)) == t(60)
+    assert last(H.time_at(buf, -3)) == t(0)
+    assert last(H.time_at(buf, TD(seconds=-30))) == t(60)
+    assert last(H.time_at(buf, t(59))) == t(0)
+    assert last(H.time_at(buf, -4)) is None
+
+
+def test_item_at(buf):
+    it = last(H.item_at(buf, -1))
+    assert (it["ts"], it["value"]) == (t(60), 2.0)
+    it = last(H.item_at(buf, TD(seconds=-30)))
+    assert (it["ts"], it["value"]) == (t(60), 2.0)
+
+
+def test_values_and_times_at(buf):
+    assert last(H.values_at(buf)) == [0.0, 1.0, 2.0, 3.0]
+    assert last(H.values_at(buf, -3, -1)) == [0.0, 1.0, 2.0]
+    assert last(H.times_at(buf, -3, -1)) == [t(0), t(60), t(60)]
+    # time-bounded: [-180s, -30s] from 180s → ticks in [0s, 150s]
+    assert last(H.values_at(buf, TD(seconds=-180), TD(seconds=-30))) == [
+        0.0, 1.0, 2.0,
+    ]
+    # exclusive start drops the 0s tick
+    assert last(
+        H.values_at(
+            buf, TD(seconds=-180), TD(seconds=-30), start_policy="exclusive"
+        )
+    ) == [1.0, 2.0]
+    # exclusive end at -120s (=60s) drops the two 60s ticks
+    assert last(
+        H.values_at(
+            buf, TD(seconds=-180), TD(seconds=-120), end_policy="exclusive"
+        )
+    ) == [0.0]
+    assert last(H.times_at(buf, TD(seconds=-180), TD(seconds=-30))) == [
+        t(0), t(60), t(60),
+    ]
+
+
+def test_every_tick_emits(buf):
+    # the lookup is computed at EVERY tick, not just the last one
+    got = H.value_at(buf, -1).collect_ticks()
+    assert [v for _, v in got] == [None, 0.0, 1.0, 2.0]
+    got = H.value_at(buf, TD(seconds=-60)).collect_ticks()
+    # at 0s→nothing ≤ -60s; at 60s(both cycles)→tick at 0s;
+    # at 180s→last ≤120s = (60s,seq1)
+    assert [v for _, v in got] == [None, 0.0, 0.0, 2.0]
+
+
+def test_buffering_policy_noop(buf):
+    assert H.set_buffering_policy(buf, tick_count=10) is buf
+    with pytest.raises(ValueError):
+        H.set_buffering_policy(buf, tick_count=0)
+    with pytest.raises(ValueError):
+        H.set_buffering_policy(buf, tick_history=TD(seconds=-1))
