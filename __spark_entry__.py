@@ -205,6 +205,34 @@ def op_count(spark, sf_dir):
     return _out(bl.count(_events_stream(spark, sf_dir)), "n_ticks")
 
 
+def op_struct_record(spark, sf_dir):
+    # csp.Struct parity (csp/impl/struct.py:17-346): typed record with a
+    # defaulted field (qty=1.0 until the view stream first ticks), an
+    # unset field (side → NULL), and last-value packing via
+    # Struct.fromts (csp.struct_fromts semantics).
+    from csp_spark import Struct
+
+    class OrderRec(Struct):
+        price: float
+        qty: float = 1.0
+        side: str
+
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    rec = OrderRec.fromts({"price": clicks, "qty": views})
+    v = rec.value_col
+    typed = rec.df.withColumn(
+        v, OrderRec.apply_defaults(F.col(v), ["price", "qty"])
+    )
+    return typed.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(f"{v}.price").alias("price"),
+        F.col(f"{v}.qty").alias("qty"),
+        F.col(f"{v}.side").alias("side"),
+    )
+
+
 def op_value_at(spark, sf_dir):
     # Historical buffer API (csp.value_at/time_at/values_at —
     # csp/impl/builtin_functions.py:105-270): every lookup form on one
@@ -1362,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "op_count": op_count,
         "op_value_at": op_value_at,
+        "op_struct_record": op_struct_record,
         "op_accum": op_accum,
         "op_diff": op_diff,
         "op_delay": op_delay,
@@ -2008,6 +2037,21 @@ FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """,
         "dedup_simhash": _simhash_oracle_sql(max_hamming=6, bits=48),
+        "op_struct_record": f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'click' THEN CAST(value AS DOUBLE) END AS cx,
+    CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE) END AS cy
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT event_id, user_id,
+  last_value(cx IGNORE NULLS) OVER ({_W_USER}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price,
+  coalesce(last_value(cy IGNORE NULLS) OVER ({_W_USER}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS qty,
+  CAST(NULL AS VARCHAR) AS side
+FROM u
+""",
         "op_value_at": f"""
 SELECT event_id, user_id,
   lag(value, 3) OVER w AS v_lag3,

@@ -1,0 +1,285 @@
+"""Typed record surface — csp.Struct parity over Spark StructType.
+
+Reference: csp/impl/struct.py:17-346 (annotation-driven metadata,
+defaults, inheritance, unset-field semantics, to_dict/from_dict) and
+cpp/csp/engine/Struct.h (the native layout, which Spark's Tungsten row
+format replaces outright — no layout code needed here).
+
+Design: a ``Struct`` subclass declares fields as class annotations with
+optional class-attribute defaults, exactly like the reference::
+
+    class Trade(Struct):
+        price: float
+        qty: int = 0
+        venue: str
+
+Python-side instances track SET vs UNSET per field (reading an unset
+field raises AttributeError, as in csp); ``to_dict`` emits only set
+fields; ``from_dict`` round-trips. Spark-side, ``cls.spark_type()`` is
+the StructType, UNSET maps to NULL, and ``cls.pack(...)`` builds a
+typed struct Column from per-field Columns, filling missing fields
+with their declared default (or NULL when none) — the bridge onto
+struct_fromts/struct_field/struct_collectts, which operate on plain
+struct columns.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import typing
+from typing import Any, Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["Struct", "UNSET"]
+
+
+class _Unset:
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "<UNSET>"
+
+    def __bool__(self):
+        return False
+
+
+#: sentinel for "field never set" (csp's unset state)
+UNSET = _Unset()
+
+_SCALAR_TYPES: dict[type, T.DataType] = {
+    float: T.DoubleType(),
+    int: T.LongType(),
+    str: T.StringType(),
+    bool: T.BooleanType(),
+    _dt.datetime: T.TimestampType(),
+    _dt.date: T.DateType(),
+    bytes: T.BinaryType(),
+}
+
+
+_NAMED_TYPES = {
+    "float": float, "int": int, "str": str, "bool": bool,
+    "bytes": bytes, "datetime": _dt.datetime, "dt.datetime": _dt.datetime,
+    "datetime.datetime": _dt.datetime, "date": _dt.date,
+    "dt.date": _dt.date, "datetime.date": _dt.date,
+}
+
+
+def _spark_type(py: Any) -> T.DataType:
+    # under `from __future__ import annotations` class annotations are
+    # strings — resolve the common scalar names without an eval
+    if isinstance(py, str):
+        if py in _NAMED_TYPES:
+            py = _NAMED_TYPES[py]
+        elif py.startswith("[") and py.endswith("]"):
+            return T.ArrayType(_spark_type(py[1:-1].strip()))
+        elif py.startswith("list[") and py.endswith("]"):
+            return T.ArrayType(_spark_type(py[5:-1].strip()))
+        else:
+            raise TypeError(
+                f"cannot resolve string annotation {py!r}; disable "
+                "`from __future__ import annotations` in the declaring "
+                "module or use real types"
+            )
+    # csp's list annotation styles: [T] and typing.List[T]
+    if isinstance(py, list):
+        if len(py) != 1:
+            raise TypeError(f"list annotation must be single-element, got {py}")
+        return T.ArrayType(_spark_type(py[0]))
+    if isinstance(py, type) and issubclass(py, Struct):
+        return py.spark_type()
+    if py in _SCALAR_TYPES:
+        return _SCALAR_TYPES[py]
+    origin = typing.get_origin(py)
+    if origin in (list, typing.List):
+        return T.ArrayType(_spark_type(typing.get_args(py)[0]))
+    if origin in (dict, typing.Dict):
+        k, v = typing.get_args(py)
+        return T.MapType(_spark_type(k), _spark_type(v))
+    raise TypeError(f"unsupported struct field type {py!r}")
+
+
+class StructMeta(type):
+    def __new__(mcls, name, bases, dct):
+        metadata: dict[str, Any] = {}
+        defaults: dict[str, Any] = {}
+        for base in bases:
+            if isinstance(base, StructMeta):
+                metadata.update(getattr(base, "__metadata__", {}))
+                defaults.update(getattr(base, "__defaults__", {}))
+        ann = dct.get("__annotations__", {}) or {}
+        for k, v in ann.items():
+            if k.startswith("_"):
+                continue
+            metadata[k] = v
+            if k in dct:
+                defaults[k] = dct.pop(k)
+        dct["__metadata__"] = metadata
+        dct["__defaults__"] = defaults
+        return super().__new__(mcls, name, bases, dct)
+
+
+class Struct(metaclass=StructMeta):
+    """Annotation-declared typed record (see module docstring)."""
+
+    __metadata__: dict[str, Any] = {}
+    __defaults__: dict[str, Any] = {}
+
+    def __init__(self, **kwargs: Any):
+        object.__setattr__(self, "_values", {})
+        for k, v in {**type(self).__defaults__, **kwargs}.items():
+            setattr(self, k, v)
+
+    # ---------------------------------------------------------- python
+    def __setattr__(self, name: str, value: Any):
+        if name not in type(self).__metadata__:
+            raise AttributeError(
+                f"{type(self).__name__} has no field {name!r}"
+            )
+        if value is UNSET:
+            self._values.pop(name, None)
+        else:
+            self._values[name] = value
+
+    def __getattr__(self, name: str):
+        # only called when normal lookup fails
+        meta = type(self).__metadata__
+        if name in meta:
+            values = object.__getattribute__(self, "_values")
+            if name in values:
+                return values[name]
+            raise AttributeError(
+                f"field {name!r} of {type(self).__name__} is not set"
+            )
+        raise AttributeError(name)
+
+    def __delattr__(self, name: str):
+        if name not in type(self).__metadata__:
+            raise AttributeError(name)
+        self._values.pop(name, None)
+
+    def is_set(self, name: str) -> bool:
+        if name not in type(self).__metadata__:
+            raise AttributeError(name)
+        return name in self._values
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self._values == other._values
+
+    def __hash__(self):
+        return hash((type(self), tuple(sorted(self._values.items(), key=lambda kv: kv[0]))))
+
+    def __repr__(self):
+        body = ", ".join(f"{k}={v!r}" for k, v in self._values.items())
+        return f"{type(self).__name__}({body})"
+
+    def copy(self) -> "Struct":
+        out = type(self)()
+        out._values.update(self._values)
+        return out
+
+    # ----------------------------------------------------- dict bridge
+    def to_dict(self) -> dict[str, Any]:
+        """Set fields only (csp struct.py to_dict — unset are absent);
+        nested Structs recurse."""
+        return {
+            k: (v.to_dict() if isinstance(v, Struct) else v)
+            for k, v in self._values.items()
+        }
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Struct":
+        out = cls()
+        for k, v in d.items():
+            meta = cls.__metadata__.get(k)
+            if (
+                isinstance(meta, type)
+                and issubclass(meta, Struct)
+                and isinstance(v, Mapping)
+            ):
+                v = meta.from_dict(v)
+            setattr(out, k, v)
+        return out
+
+    # ---------------------------------------------------- spark bridge
+    @classmethod
+    def fields(cls) -> list[str]:
+        return list(cls.__metadata__)
+
+    @classmethod
+    def spark_type(cls) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(k, _spark_type(v), nullable=True)
+                for k, v in cls.__metadata__.items()
+            ]
+        )
+
+    @classmethod
+    def pack(cls, **cols: Column | Any) -> Column:
+        """Typed struct Column in declared field order: provided fields
+        from their Columns (non-Column values become literals), missing
+        fields from their default (NULL when none — unset→NULL)."""
+        unknown = set(cols) - set(cls.__metadata__)
+        if unknown:
+            raise AttributeError(f"{cls.__name__} has no fields {sorted(unknown)}")
+        parts = []
+        for k, py in cls.__metadata__.items():
+            st = _spark_type(py)
+            if k in cols:
+                c = cols[k]
+                c = c if isinstance(c, Column) else F.lit(c)
+                parts.append(c.cast(st).alias(k))
+            elif k in cls.__defaults__:
+                parts.append(F.lit(cls.__defaults__[k]).cast(st).alias(k))
+            else:
+                parts.append(F.lit(None).cast(st).alias(k))
+        return F.struct(*parts)
+
+    @classmethod
+    def apply_defaults(cls, struct_col: Column, fields: list[str] | None = None) -> Column:
+        """Fill NULL (unset) fields of an existing struct column with
+        the declared defaults — e.g. over struct_collectts output,
+        where fields that didn't tick this cycle are NULL. ``fields``
+        names the fields actually present in the source struct (all
+        declared fields when None); absent ones are defaulted/NULL."""
+        present = set(cls.__metadata__ if fields is None else fields)
+        out = {}
+        for k, py in cls.__metadata__.items():
+            if k not in present:
+                continue  # pack() fills it from the default / NULL
+            c = struct_col[k]
+            if k in cls.__defaults__:
+                c = F.coalesce(c, F.lit(cls.__defaults__[k]).cast(_spark_type(py)))
+            out[k] = c
+        return cls.pack(**out)
+
+    @classmethod
+    def from_row(cls, row: Any) -> "Struct":
+        """Instance from a Spark Row / mapping; NULL → unset."""
+        d = row.asDict(recursive=True) if hasattr(row, "asDict") else dict(row)
+        return cls.from_dict({k: v for k, v in d.items() if v is not None})
+
+    @classmethod
+    def fromts(cls, fields: Mapping[str, Any], trigger=None):
+        """Typed struct_fromts (csp/baselib.py:684-701): last values of
+        each input stream packed into this record, missing fields
+        defaulted. Returns a TickStream of spark_type() structs."""
+        from ..core.ticks import TickStream  # noqa: F401 (type only)
+        from ..operators.baselib import struct_fromts
+
+        s = struct_fromts(dict(fields), trigger=trigger)
+        packed = cls.pack(
+            **{k: F.col(f"{s.value_col}.{k}") for k in fields}
+        )
+        return s.with_df(
+            s.df.withColumn(s.value_col, packed), s.value_col
+        )
