@@ -1,4 +1,4 @@
-from .sources import file_ticks, kafka_ticks, rate_ticks
+from .sources import PushAdapter, file_ticks, kafka_ticks, rate_ticks, socket_ticks
 from .ops import (
     burst_stream,
     conflate_last_value,
@@ -9,9 +9,11 @@ from .ops import (
 from .run import collect_stream, start_memory_sink
 
 __all__ = [
+    "PushAdapter",
     "file_ticks",
     "kafka_ticks",
     "rate_ticks",
+    "socket_ticks",
     "with_watermark",
     "conflate_last_value",
     "burst_stream",

@@ -13,11 +13,26 @@ operator pipeline compiles against either.
 - ``kafka_ticks`` — KafkaAdapterManager.subscribe
   (csp/adapters/kafka.py:39-191): readStream kafka + JSON decode.
   Requires a broker + the kafka connector jar; structural parity.
+- ``socket_ticks`` — WebsocketAdapterManager.subscribe parity
+  (csp/adapters/websocket.py:390-470): Spark's socket source + the
+  same JSON MsgMapper field-map decode as kafka_ticks. The ws://
+  framing/handshake layer belongs to a gateway process; the
+  engine-side contract (line-delimited JSON → typed ticks) is what
+  the graph sees in both systems.
+- ``PushAdapter`` — GenericPushAdapter parity
+  (csp/impl/genericpushadapter.py:19-60): an in-process harness whose
+  ``push_tick``/``flush`` feed the engine through an atomic landing
+  directory (each flush = one microbatch), with the reference's
+  started/stopped lifecycle surface.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import os
+import tempfile
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -115,3 +130,163 @@ def kafka_ticks(
         F.col("offset").alias(SEQ),
         F.col(f"v.{value_field}").alias(VALUE),
     )
+
+
+def socket_ticks(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    value_schema: str,
+    ts_field: str | None,
+    value_field: str,
+    key_field: str | None = None,
+) -> DataFrame:
+    """Websocket-subscribe parity (csp/adapters/websocket.py:390-470)
+    over Spark's line-based socket source: each line is one JSON
+    message, decoded with the same MsgMapper-style field map as
+    kafka_ticks. ``ts_field=None`` stamps arrival time (the
+    reference's behavior when the payload carries no timestamp).
+
+    The reference's reconnect loop / TLS / HTTP-upgrade handshake live
+    in the C++ adapter; on Spark that belongs to a tiny ws→tcp gateway
+    (or a kafka bridge) in front of this source — the engine-side
+    semantics (typed ticks in arrival order) are identical. seq is 0:
+    the socket source exposes no offset; per-connection arrival order
+    is preserved by the single reader, matching the reference's
+    per-adapter ordering guarantee."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    parsed = raw.select(F.from_json(F.col("value"), value_schema).alias("v"))
+    ts_expr = (
+        F.col(f"v.{ts_field}").cast("timestamp")
+        if ts_field
+        else F.current_timestamp()
+    )
+    key_expr = (
+        F.col(f"v.{key_field}").cast("string") if key_field else F.lit(GLOBAL_KEY)
+    )
+    return parsed.select(
+        key_expr.alias(KEY),
+        ts_expr.alias(TS),
+        F.lit(0).cast("long").alias(SEQ),
+        F.col(f"v.{value_field}").alias(VALUE),
+    )
+
+
+class PushAdapter:
+    """GenericPushAdapter parity (csp/impl/genericpushadapter.py:19-60):
+    non-engine threads push ticks into a running graph.
+
+    The reference hands values to the engine through a condvar-guarded
+    queue; the Spark-native equivalent is an atomic landing directory
+    read by a file stream — ``push_tick`` buffers, ``flush`` publishes
+    the buffer as ONE parquet file = ONE microbatch (write-then-rename,
+    so the stream never sees a partial file). Deterministic, no broker,
+    and the same at-least-once lifecycle surface (wait_for_start /
+    started / stopped / push returning False after stop).
+
+    Usage::
+
+        pa = PushAdapter(spark, "double")
+        stream = pa.out()                    # tick-schema DataFrame
+        q = ...writeStream...start()         # downstream graph
+        pa.push_tick(1.0); pa.push_tick(2.0)
+        pa.flush()                           # -> one microbatch
+        ...
+        pa.stop()
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        value_type: str = "double",
+        key: str = GLOBAL_KEY,
+        directory: str | None = None,
+    ):
+        self._spark = spark
+        self._value_type = value_type
+        self._key = key
+        self._dir = directory or tempfile.mkdtemp(prefix="csp_push_")
+        os.makedirs(self._dir, exist_ok=True)
+        self._lock = threading.Lock()
+        self._buf: list[tuple] = []
+        self._seq = 0
+        self._started = False
+        self._stopped = False
+
+    # -------------------------------------------------- reference API
+    def out(self) -> DataFrame:
+        """The tick-schema streaming DataFrame fed by this adapter."""
+        self._started = True
+        schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {self._value_type}"
+        return file_ticks(
+            self._spark,
+            self._dir,
+            schema,
+            ts_col=TS,
+            value_col=VALUE,
+            key_col=KEY,
+            seq_col=SEQ,
+            max_files_per_trigger=1,
+        )
+
+    def wait_for_start(self, timeout: float | None = None) -> bool:
+        return self._started
+
+    def started(self) -> bool:
+        return self._started
+
+    def stopped(self) -> bool:
+        return self._stopped
+
+    def push_tick(
+        self,
+        value,
+        ts: _dt.datetime | None = None,
+        key: str | None = None,
+    ) -> bool:
+        """Buffer one tick; returns False once stopped (reference
+        contract: push after unbind is dropped)."""
+        if self._stopped:
+            return False
+        with self._lock:
+            self._buf.append(
+                (
+                    key if key is not None else self._key,
+                    ts or _dt.datetime.utcnow(),
+                    self._seq,
+                    value,
+                )
+            )
+            self._seq += 1
+        return True
+
+    def flush(self) -> int:
+        """Publish buffered ticks as one atomic parquet drop (one
+        microbatch). Returns the number of rows published."""
+        with self._lock:
+            rows, self._buf = self._buf, []
+        if not rows:
+            return 0
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                KEY: pa.array([r[0] for r in rows], pa.string()),
+                TS: pa.array([r[1] for r in rows], pa.timestamp("us")),
+                SEQ: pa.array([r[2] for r in rows], pa.int64()),
+                VALUE: pa.array([r[3] for r in rows]),
+            }
+        )
+        tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self._dir, f"push-{uuid.uuid4().hex}.parquet"))
+        return len(rows)
+
+    def stop(self):
+        self._stopped = True

@@ -181,3 +181,81 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert w0_end in got
     # the late 100.0 never entered the closed [0,10) window
     assert got[w0_end]["roll_count"] == 2 and got[w0_end]["roll_sum"] == 2.0
+
+
+def test_push_adapter_microbatches(spark, tmp_path):
+    """GenericPushAdapter parity: push_tick from the test thread, each
+    flush = one microbatch, lifecycle flags per the reference."""
+    from csp_spark.streaming import PushAdapter
+
+    pa_ = PushAdapter(spark, "double", directory=str(tmp_path / "push"))
+    assert not pa_.started()
+    stream = pa_.out()
+    assert pa_.started() and pa_.wait_for_start()
+    for i in range(3):
+        assert pa_.push_tick(float(i), ts=START + dt.timedelta(seconds=i))
+    assert pa_.flush() == 3
+    pa_.push_tick(9.0, ts=START + dt.timedelta(seconds=9), key="b")
+    assert pa_.flush() == 1
+    got = collect_stream(stream).orderBy(SEQ).collect()
+    assert [(r[KEY], r[VALUE]) for r in got] == [
+        ("", 0.0), ("", 1.0), ("", 2.0), ("b", 9.0),
+    ]
+    assert [r[SEQ] for r in got] == [0, 1, 2, 3]
+    pa_.stop()
+    assert pa_.stopped() and pa_.push_tick(1.0) is False
+
+
+def test_socket_source_json_lines(spark):
+    """Websocket-adapter parity: a local TCP server pushes JSON lines;
+    the socket source decodes them into typed ticks while the query
+    runs live (conflate-style downstream ops attach unchanged)."""
+    import json
+    import socket
+    import threading
+    import time
+    import uuid
+
+    from csp_spark.streaming import socket_ticks, start_memory_sink
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    lines = [
+        json.dumps({"ts": f"2020-01-01 00:00:0{i}", "sym": "a", "px": float(i)})
+        for i in range(5)
+    ]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        stop.wait(30)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = socket_ticks(
+        spark, "127.0.0.1", port,
+        "ts string, sym string, px double",
+        ts_field="ts", value_field="px", key_field="sym",
+    )
+    name = f"sock_{uuid.uuid4().hex[:8]}"
+    q = start_memory_sink(stream, name, processingTime="500 milliseconds")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 5:
+                break
+            time.sleep(0.5)
+        rows = spark.table(name).orderBy(TS).collect()
+        assert len(rows) == 5
+        assert [r[VALUE] for r in rows] == [0.0, 1.0, 2.0, 3.0, 4.0]
+        assert rows[0][KEY] == "a"
+        assert rows[0][TS] == dt.datetime(2020, 1, 1, 0, 0, 0)
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
