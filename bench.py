@@ -87,6 +87,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # each query is timed on its FIRST run in a fresh session, so
+        # numbers include one-time codegen/JIT per distinct plan —
+        # measured dedup_exact: 4.0s first run, 0.6s warm (same plan);
+        # the r1→r2 dedup_exact delta was this, not a plan regression
+        "notes": "cold-plan timings; warm steady-state is lower",
     }))
 
 

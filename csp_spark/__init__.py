@@ -13,10 +13,11 @@ from .core.ticks import TickStream, KEY, TS, SEQ, VALUE, GLOBAL_KEY
 from .core.align import align, align_wide, sample, binary_op, asof_join
 from .core.profiler import Profiler
 from .core.record import Struct, UNSET
+from .frame import TsFrame
 
 __version__ = "0.1.0"
 __all__ = [
     "get_spark", "TickStream", "align", "align_wide", "sample",
     "binary_op", "asof_join", "KEY", "TS", "SEQ", "VALUE", "GLOBAL_KEY",
-    "Profiler", "Struct", "UNSET",
+    "Profiler", "Struct", "UNSET", "TsFrame",
 ]

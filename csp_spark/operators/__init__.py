@@ -1,3 +1,3 @@
-from . import baselib, math_ops
+from . import alarms, baselib, math_ops
 from . import basketlib
 from . import history

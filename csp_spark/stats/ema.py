@@ -70,7 +70,10 @@ def _run_ewm(x: TickStream, fn, horizon: int | None = None) -> TickStream:
     partition-level mapInPandas — no per-group Arrow round-trips."""
 
     def gen(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:
+            return  # empty partition: mapInPandas still invokes gen
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         outs = []
@@ -99,7 +102,10 @@ def _run_ewm_native(
     loop over keys at all."""
 
     def gen(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:
+            return  # empty partition: mapInPandas still invokes gen
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         e = pdf.groupby(KEY, sort=False)[VALUE].ewm(**kw)
@@ -137,9 +143,11 @@ def ema(
     running window sums express it — no Python in the path.
 
     Numeric range: exponents are taken relative to the per-key first
-    tick, so weights overflow only when a single key spans more than
-    ~1000 halflives; for such series chunk by a coarse time bucket or
-    fall back to the pandas path (horizon=... also bounds the window).
+    tick, so 2^((t-ref)/hl) overflows to inf once a key spans ~1075
+    halflives (inf/inf → NaN). Keys spanning more than 900 halflives
+    are therefore routed — per key, inside the same lazy plan — to an
+    O(n) decay-recursion pandas fallback whose decay factors are all
+    ≤ 1 (never overflows). Typical series never take that branch.
     """
     kw = _ewm_kwargs(alpha, span, com, halflife, adjust, ignore_na)
     if not isinstance(kw.get("halflife"), _dt.timedelta):
@@ -150,7 +158,8 @@ def ema(
         Window.unboundedPreceding if horizon is None else -(horizon - 1), 0
     )
     e_us = F.unix_micros(F.col(TS))
-    ref = F.min(e_us).over(Window.partitionBy(KEY))
+    key_w = Window.partitionBy(KEY)
+    ref = F.min(e_us).over(key_w)
     wt = F.pow(F.lit(2.0), (e_us - ref).cast("double") / F.lit(hl_us))
     v = F.col(x.value_col)
     usable = v.isNotNull() & ~F.isnan(v)
@@ -162,7 +171,76 @@ def ema(
         val = F.when(poisoned | den.isNull(), F.lit(float("nan"))).otherwise(num / den)
     else:
         val = F.when(den.isNull(), F.lit(float("nan"))).otherwise(num / den)
-    return x.with_df(x.df.withColumn(x.value_col, val))
+
+    # overflow guard: whole keys whose span exceeds 900 halflives take
+    # the recursion fallback; both branches live in one lazy plan, so
+    # there is no extra driver action and short-span keys pay nothing.
+    span_ok = ((F.max(e_us).over(key_w) - ref).cast("double") / F.lit(hl_us)) < 900.0
+    base = x.df.withColumn("__hl_ok", span_ok)
+    jvm_df = (
+        base.filter(F.col("__hl_ok")).drop("__hl_ok")
+        .withColumn(x.value_col, val)
+    )
+    risky = TickStream(base.filter(~F.col("__hl_ok")).drop("__hl_ok"), x.value_col)
+    fb = _run_ewm(
+        risky,
+        _halflife_recursion_fn(hl_us, kw["ignore_na"], horizon),
+        horizon=None,  # the recursion bounds its own window
+    )
+    # _run_ewm normalizes to the canonical 4 columns; project the JVM
+    # branch the same way before the union
+    jvm_norm = jvm_df.select(
+        KEY, TS, SEQ, F.col(x.value_col).cast("double").alias(VALUE)
+    )
+    return TickStream(jvm_norm.unionByName(fb.df.select(*jvm_norm.columns)))
+
+
+def _halflife_recursion_fn(hl_us: float, ignore_na: bool, horizon: int | None):
+    """Per-key event-time adjust-EMA via the decay recursion
+    num_i = num_{i-1}·d + v_i, den_i = den_{i-1}·d + 1 with
+    d = 2^((t_{i-1}-t_i)/hl) ≤ 1 — immune to the 2^span overflow of
+    the closed form. With ``horizon`` the window is slid by
+    subtracting the decayed expiring term. Only keys spanning >900
+    halflives ever run this (Python loop, rare by construction)."""
+    import math as _m
+
+    import numpy as np
+
+    def fn(g: "pd.DataFrame") -> "pd.DataFrame":
+        t = (g[TS].astype("int64").to_numpy() // 1000).astype(float)  # µs
+        v = g[VALUE].to_numpy(dtype=float)
+        n = len(v)
+        out = np.full(n, np.nan)
+        num = 0.0
+        den = 0.0
+        prev_t = None
+        nan_in_win = 0  # poisoning mirrors the window bound of the JVM path
+        for i in range(n):
+            if prev_t is not None:
+                d = 2.0 ** ((prev_t - t[i]) / hl_us)
+                num *= d
+                den *= d
+            prev_t = t[i]
+            if _m.isnan(v[i]):
+                nan_in_win += 1
+            else:
+                num += v[i]
+                den += 1.0
+            if horizon is not None and i >= horizon:
+                j = i - horizon
+                if _m.isnan(v[j]):
+                    nan_in_win -= 1
+                else:
+                    dj = 2.0 ** ((t[j] - t[i]) / hl_us)
+                    num -= v[j] * dj
+                    den -= dj
+            if den > 0.0 and not (nan_in_win > 0 and not ignore_na):
+                out[i] = num / den
+        g = g.copy()
+        g[VALUE] = out
+        return g
+
+    return fn
 
 
 def ema_var(
@@ -213,7 +291,10 @@ def ema_cov(
     ).select(KEY, TS, SEQ, "__x", "__y")
 
     def gen(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:
+            return  # empty partition: mapInPandas still invokes gen
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         outs = []

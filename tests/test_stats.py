@@ -314,3 +314,44 @@ def test_cov_corr_matrix_vs_numpy(spark):
         for j in range(i, 3):
             assert abs(got_cov[(keys[i], keys[j])] - c_np[i, j]) < 1e-9
             assert abs(got_corr[(keys[i], keys[j])] - r_np[i, j]) < 1e-9
+
+
+def test_ema_halflife_long_span_fallback(spark):
+    """Keys spanning >900 halflives route to the decay-recursion
+    fallback (the closed form's 2^span weights overflow to inf there);
+    ground truth is the same explicit weighted mean as the event-time
+    test, which the recursion must match on BOTH branches."""
+    def t(s):
+        return START + TD(seconds=s)
+
+    hl = TD(seconds=1)
+    # key "long": 40 ticks 100s apart → span 3900 halflives (fallback);
+    # key "short": 5 ticks 1s apart (JVM closed form)
+    rows = [("long", t(100 * i), 0, float(i % 7) + 0.25) for i in range(40)]
+    rows += [("short", t(i), 0, float(i)) for i in range(5)]
+    x = TickStream(
+        spark.createDataFrame(rows, "key string, ts timestamp, seq long, value double")
+    )
+    got = ema(x, halflife=hl).collect_all()
+
+    def expect(series):
+        out = []
+        for i in range(len(series)):
+            tn = series[i][0]
+            num = den = 0.0
+            for j in range(i + 1):
+                w = 0.5 ** ((tn - series[j][0]).total_seconds() / 1.0)
+                num += w * series[j][1]
+                den += w
+            out.append(num / den if den else float("nan"))
+        return out
+
+    for key in ("long", "short"):
+        series = [(ts, v) for k, ts, _s, v in rows if k == key]
+        exp = expect(series)
+        vals = [v for _, v in got[key]]
+        assert len(vals) == len(exp)
+        for g, e in zip(vals, exp):
+            assert math.isclose(g, e, rel_tol=1e-9), (key, g, e)
+    # every output is finite — the overflow would have produced NaNs
+    assert all(not math.isnan(v) for _, v in got["long"])
