@@ -233,6 +233,24 @@ def op_struct_record(spark, sf_dir):
     )
 
 
+def op_exprtk_state(spark, sf_dir):
+    # csp.exprtk with STATE VARIABLES (csp/baselib.py:640-673
+    # state_vars): per-key recurrence s := 0.5*s + x evaluated in the
+    # Arrow path; oracle replays the fold with DuckDB list_reduce.
+    from csp_spark.operators.exprtk import exprtk_ts
+
+    clicks = _events_stream(spark, sf_dir, "click")
+    out = exprtk_ts({"x": clicks}, "s := 0.5*s + x; s", state_vars={"s": 0.0})
+    # no rounding: both sides replay the identical IEEE fold, and the
+    # dyadic results land on exact .5 ties at 6dp where the engines'
+    # round() implementations disagree
+    return out.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col("value").alias("s_out"),
+    )
+
+
 def op_value_at(spark, sf_dir):
     # Historical buffer API (csp.value_at/time_at/values_at —
     # csp/impl/builtin_functions.py:105-270): every lookup form on one
@@ -411,6 +429,32 @@ def basket_sync(spark, sf_dir):
         F.col("value")["click"].alias("click_v"),
         F.col("value")["view"].alias("view_v"),
     )
+
+
+def dyn_snap_attach(spark, sf_dir):
+    # csp.snap/snapkey/attach analogues (csp/impl/types/tstype.py:
+    # 142-199): per-user subgraph triggered by clicks reads the view
+    # stream's value snapped at its first click (csp.snap), its own key
+    # (csp.snapkey), and the attached view slice (csp.attach).
+    from csp_spark.plans.runtime import DYN_SRC, attached, dynamic_apply, snap
+
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+
+    def fn(pdf):
+        base = snap(pdf, "ref")
+        n_att = len(attached(pdf, "ref"))
+        trig = pdf[pdf[DYN_SRC] == ""]
+        out = trig[[KEY, TS, SEQ]].copy()
+        out["value"] = trig["value"] + (base if base is not None else 0.0) + n_att
+        return out
+
+    out = dynamic_apply(
+        clicks, fn,
+        f"{KEY} string, {TS} timestamp, {SEQ} long, value double",
+        attach={"ref": views}, snap_streams={"ref": views},
+    )
+    return _out(out, "v_out")
 
 
 def dyn_cummax(spark, sf_dir):
@@ -1391,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_count": op_count,
         "op_value_at": op_value_at,
         "op_struct_record": op_struct_record,
+        "op_exprtk_state": op_exprtk_state,
+        "dyn_snap_attach": dyn_snap_attach,
         "op_accum": op_accum,
         "op_diff": op_diff,
         "op_delay": op_delay,
@@ -1473,7 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) fixed-but-unverified / new
         "stats_expanding", "dedup_minhash", "stats_ema_cov",
         "dedup_simhash", "ann_ivf_exact", "op_value_at",
-        "op_struct_record",
+        "op_struct_record", "op_exprtk_state", "dyn_snap_attach",
         # (2) green only in round 1
         "src_timer", "op_times", "op_edge_math", "op_struct_field",
         "op_struct_collectts", "op_dynamic_collect", "basket_sync",
@@ -2059,6 +2105,46 @@ SELECT event_id, user_id,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS qty,
   CAST(NULL AS VARCHAR) AS side
 FROM u
+""",
+        "dyn_snap_attach": """
+WITH c AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type = 'view'
+), t0 AS (
+  SELECT user_id, min(ts) AS t0 FROM c GROUP BY 1
+), snapv AS (
+  SELECT user_id, v AS sv FROM (
+    SELECT v.user_id, v.v,
+      row_number() OVER (PARTITION BY v.user_id
+                         ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM v JOIN t0 USING (user_id) WHERE v.ts <= t0.t0
+  ) WHERE rn = 1
+), att AS (
+  SELECT user_id, count(*) AS n FROM v GROUP BY 1
+)
+SELECT c.event_id, c.user_id,
+  c.v + coalesce(s.sv, 0.0) + coalesce(a.n, 0) AS v_out
+FROM c
+LEFT JOIN snapv s USING (user_id)
+LEFT JOIN att a USING (user_id)
+""",
+        "op_exprtk_state": f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id,
+    list(v) OVER ({_W_USER}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+  FROM c
+)
+SELECT event_id, user_id,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+              (a, b) -> 0.5 * a + b) AS s_out
+FROM p
 """,
         "op_value_at": f"""
 SELECT event_id, user_id,

@@ -17,7 +17,7 @@ from typing import Any, Callable, Mapping
 
 from pyspark.sql import functions as F
 
-from ..core.ticks import KEY, SEQ, TS, TickStream
+from ..core.ticks import KEY, SEQ, TS, VALUE, TickStream
 
 
 def _clip(x: TickStream, start, end) -> TickStream:
@@ -107,20 +107,117 @@ def feedback_iterate(
 # dynamic graphs — per-key subgraphs (SURVEY.md §2.8 'dynamic graphs')
 # ----------------------------------------------------------------------
 
+#: tag column distinguishing the triggering stream from attachments
+DYN_SRC = "__src"
+
+
+def snapkey(pdf) -> str:
+    """csp.snapkey analog (csp/impl/types/tstype.py:163-177): the basket
+    key that spawned this per-key subgraph — read inside a
+    dynamic_apply ``fn``."""
+    return pdf[KEY].iloc[0]
+
+
+def snap(pdf, name: str):
+    """csp.snap analog (tstype.py:142-160): the scalar value the named
+    snapped stream had when this key's subgraph started (= at the key's
+    first trigger tick) — read inside a dynamic_apply ``fn``. None if
+    the snapped stream had not yet ticked."""
+    v = pdf[f"__snap_{name}"].iloc[0]
+    import pandas as _pd
+
+    return None if _pd.isna(v) else v
+
+
+def attached(pdf, name: str):
+    """csp.attach analog (tstype.py:181-199): this key's slice of the
+    named attached stream, in engine order, as a pandas frame with
+    columns (ts, seq, value) — read inside a dynamic_apply ``fn``."""
+    rows = pdf[pdf[DYN_SRC] == name]
+    return rows[[TS, SEQ, name]].rename(columns={name: "value"}).reset_index(drop=True)
+
+
 def dynamic_apply(
     x: TickStream,
     fn: Callable,
     output_schema: str,
+    attach: Mapping[str, TickStream] | None = None,
+    snap_streams: Mapping[str, TickStream] | None = None,
 ) -> TickStream:
     """csp.dynamic analog (csp/impl/wiring/dynamic.py:12-100;
     DynamicEngine.cpp): the reference spawns a sub-graph per basket key
     at runtime; Spark is data-parallel over keys already, so a dynamic
     graph is ``groupBy(key).applyInPandas`` — ``fn(pdf)`` receives one
     key's ticks in engine order and returns that key's output table
-    (must include key/ts/seq columns per ``output_schema``)."""
+    (must include key/ts/seq columns per ``output_schema``).
+
+    Dynamic-argument parity:
+    - ``attach={name: stream}`` (csp.attach): each attachment's per-key
+      slice is unioned into the frame, tagged by the ``__src`` column,
+      with its values in a column named ``name`` — read it with
+      :func:`attached`. Trigger rows carry ``__src == ""``.
+    - ``snap_streams={name: stream}`` (csp.snap): the stream's
+      last value as of this key's FIRST trigger tick, delivered as a
+      constant ``__snap_<name>`` column — read it with :func:`snap`.
+      One tiny per-key aggregate + as-of lookup, joined in before the
+      group shuffle (AQE broadcasts it).
+    """
+    attach = dict(attach or {})
+    snap_streams = dict(snap_streams or {})
+    vt = dict(x.df.dtypes)[x.value_col]
+    df = x.df.select(
+        KEY, TS, SEQ,
+        F.col(x.value_col).alias(VALUE),
+        F.lit("").alias(DYN_SRC),
+        *[
+            F.lit(None).cast(dict(s.df.dtypes)[s.value_col]).alias(n)
+            for n, s in attach.items()
+        ],
+    )
+    for n, s in attach.items():
+        part = s.df.select(
+            KEY, TS, SEQ,
+            F.lit(None).cast(vt).alias(VALUE),
+            F.lit(n).alias(DYN_SRC),
+            *[
+                (F.col(s.value_col) if m == n
+                 else F.lit(None).cast(dict(t.df.dtypes)[t.value_col])).alias(m)
+                for m, t in attach.items()
+            ],
+        )
+        df = df.unionByName(part)
+    if snap_streams:
+        # first trigger tick per key = subgraph start time
+        t0 = x.df.groupBy(KEY).agg(F.min(TS).alias("__t0"))
+        for n, s in snap_streams.items():
+            hit = (
+                s.df.join(t0, KEY)
+                .filter(F.col(TS) <= F.col("__t0"))
+                .groupBy(KEY)
+                .agg(
+                    F.max_by(
+                        F.col(s.value_col), F.struct(F.col(TS), F.col(SEQ))
+                    ).alias(f"__snap_{n}")
+                )
+            )
+            df = df.join(hit, KEY, "left")
+
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st = (
+        _parse_datatype_string(output_schema)
+        if isinstance(output_schema, str)
+        else output_schema
+    )
+    names = st.fieldNames() if isinstance(st, StructType) else None
 
     def _per_key(pdf):
-        return fn(pdf.sort_values([TS, SEQ]))
+        out = fn(pdf.sort_values([TS, SEQ]))
+        # fn may return the input frame, which carries the __src /
+        # __snap_* plumbing columns — keep only the declared schema
+        if names is not None:
+            out = out[[c for c in names if c in out.columns]]
+        return out
 
-    out = x.df.groupBy(KEY).applyInPandas(_per_key, schema=output_schema)
+    out = df.groupBy(KEY).applyInPandas(_per_key, schema=output_schema)
     return TickStream(out)

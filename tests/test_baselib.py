@@ -198,3 +198,41 @@ def test_dynamic_collect(spark):
         (t(2), {"a": 3.0}),
         (t(3), {"b": 4.0, "c": 5.0}),
     ]
+
+
+def test_exprtk_full_surface(spark):
+    """csp.exprtk parity (reference test_baselib.py exprtk tests):
+    constants, inline functions, trigger sampling, state vars."""
+    from csp_spark.operators.exprtk import expand_functions, exprtk_ts
+
+    assert (
+        expand_functions("foo(a, b+1) + foo(2, 3)", {"foo": (("x", "y"), "x*y")})
+        == "((a)*(b+1)) + ((2)*(3))"
+    )
+
+    x = bl.curve(spark, [(t(i), float(i + 1)) for i in range(4)])
+    y = bl.curve(spark, [(t(0), 10.0), (t(2), 20.0)])
+    # stateless: constants + functions, fires on any tick once valid
+    out = exprtk_ts(
+        {"x": x, "y": y},
+        "scale * addup(x, y)",
+        functions={"addup": (("a", "b"), "a + b")},
+        constants={"scale": 2.0},
+    )
+    got = out.collect_ticks()
+    assert [v for _, v in got] == [22.0, 24.0, 46.0, 48.0]
+
+    # trigger: compute only at trigger ticks (sample semantics)
+    trig = bl.curve(spark, [(t(1.5), True), (t(3), True)], "boolean")
+    out_t = exprtk_ts({"x": x, "y": y}, "x + y", trigger=trig)
+    assert [v for _, v in out_t.collect_ticks()] == [12.0, 24.0]
+
+    # state vars: exponential accumulator s := 0.5*s + x
+    out_s = exprtk_ts({"x": x}, "s := 0.5*s + x; s", state_vars={"s": 0.0})
+    vals = [v for _, v in out_s.collect_ticks()]
+    exp = []
+    s = 0.0
+    for i in range(4):
+        s = 0.5 * s + (i + 1)
+        exp.append(s)
+    assert vals == exp

@@ -78,3 +78,39 @@ def test_profiler_block(spark):
     with Profiler(spark) as p2:
         pass
     assert p2.results()["cycle_count"] == 0
+
+
+def test_dynamic_snap_and_attach(spark):
+    """csp.snap/snapkey/attach analogues: per-key subgraph reads the
+    snapped scalar (value at its first trigger tick), its own key, and
+    an attached stream's per-key slice."""
+    from csp_spark.plans.runtime import attached, dynamic_apply, snap, snapkey
+
+    trig = [("a", START + TD(seconds=2), 0, 1.0), ("a", START + TD(seconds=4), 0, 2.0),
+            ("b", START + TD(seconds=3), 0, 3.0)]
+    ref_rows = [("a", START + TD(seconds=1), 0, 10.0), ("a", START + TD(seconds=3), 0, 11.0),
+                ("b", START + TD(seconds=1), 0, 20.0)]
+    side = [("a", START + TD(seconds=2), 1, 0.5), ("a", START + TD(seconds=5), 0, 0.7),
+            ("b", START + TD(seconds=9), 0, 0.9)]
+    sch = "key string, ts timestamp, seq long, value double"
+    x = TickStream(spark.createDataFrame(trig, sch))
+    ref = TickStream(spark.createDataFrame(ref_rows, sch))
+    s = TickStream(spark.createDataFrame(side, sch))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = snapkey(pdf)
+        base = snap(pdf, "ref")                      # value of ref at first trigger
+        att = attached(pdf, "side")                  # this key's side slice
+        trig_rows = pdf[pdf["__src"] == ""]
+        out = trig_rows[["key", "ts", "seq"]].copy()
+        out["value"] = trig_rows["value"] + base + len(att) + (0.0 if key else -1.0)
+        return out
+
+    out = dynamic_apply(
+        x, fn, sch, attach={"side": s}, snap_streams={"ref": ref}
+    )
+    got = out.collect_all()
+    # key a: snap(ref)=10.0 (last ref ≤ first trigger t=2), 2 side rows
+    assert [v for _, v in got["a"]] == [1.0 + 10.0 + 2, 2.0 + 10.0 + 2]
+    # key b: snap(ref)=20.0, 1 side row
+    assert [v for _, v in got["b"]] == [3.0 + 20.0 + 1]
