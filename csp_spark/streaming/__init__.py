@@ -1,4 +1,11 @@
-from .sources import PushAdapter, file_ticks, kafka_ticks, rate_ticks, socket_ticks
+from .sources import (
+    PushAdapter,
+    PushGroup,
+    file_ticks,
+    kafka_ticks,
+    rate_ticks,
+    socket_ticks,
+)
 from .ops import (
     burst_stream,
     conflate_last_value,
@@ -10,6 +17,7 @@ from .run import collect_stream, start_memory_sink
 
 __all__ = [
     "PushAdapter",
+    "PushGroup",
     "file_ticks",
     "kafka_ticks",
     "rate_ticks",

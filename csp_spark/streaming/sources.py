@@ -290,3 +290,126 @@ class PushAdapter:
 
     def stop(self):
         self._stopped = True
+
+
+class PushGroup:
+    """PushGroup barrier parity (cpp/csp/engine/PushInputAdapter.h:1-191,
+    PendingPushEvents.cpp): in the reference, adapters created in one
+    PushGroup deliver events pushed together in the SAME engine cycle,
+    so multi-stream updates are observed consistently.
+
+    Spark-native realization: every member adapter buffers into ONE
+    shared landing directory, and ``flush()`` publishes ALL members'
+    pending ticks as ONE atomic parquet file = ONE microbatch — the
+    microbatch is the engine cycle, so downstream consumers can never
+    observe one member's update without its group-mates'. Each member
+    keeps its own typed value column (NULL on other members' rows),
+    and ``out(name)`` filters the combined stream back to a per-member
+    tick stream.
+
+    Usage::
+
+        pg = PushGroup(spark, {"bid": "double", "ask": "double"})
+        bid, ask = pg.out("bid"), pg.out("ask")
+        pg.push_tick("bid", 99.0); pg.push_tick("ask", 100.0)
+        pg.flush()                     # both land in one microbatch
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        members: dict[str, str],
+        key: str = GLOBAL_KEY,
+        directory: str | None = None,
+    ):
+        if not members:
+            raise ValueError("PushGroup needs at least one member")
+        self._spark = spark
+        self._members = dict(members)
+        self._key = key
+        self._dir = directory or tempfile.mkdtemp(prefix="csp_pushgroup_")
+        os.makedirs(self._dir, exist_ok=True)
+        self._lock = threading.Lock()
+        self._buf: list[tuple] = []
+        self._seq = 0
+        self._stopped = False
+
+    def push_tick(
+        self,
+        member: str,
+        value,
+        ts: _dt.datetime | None = None,
+        key: str | None = None,
+    ) -> bool:
+        if member not in self._members:
+            raise KeyError(f"unknown PushGroup member {member!r}")
+        if self._stopped:
+            return False
+        with self._lock:
+            self._buf.append(
+                (
+                    key if key is not None else self._key,
+                    ts or _dt.datetime.utcnow(),
+                    self._seq,
+                    member,
+                    value,
+                )
+            )
+            self._seq += 1
+        return True
+
+    def flush(self) -> int:
+        """Publish every member's pending ticks as ONE file — the
+        group barrier. Returns rows published."""
+        with self._lock:
+            rows, self._buf = self._buf, []
+        if not rows:
+            return 0
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = {
+            KEY: pa.array([r[0] for r in rows], pa.string()),
+            TS: pa.array([r[1] for r in rows], pa.timestamp("us")),
+            SEQ: pa.array([r[2] for r in rows], pa.int64()),
+            "src": pa.array([r[3] for r in rows], pa.string()),
+        }
+        for m in self._members:
+            cols[m] = pa.array(
+                [r[4] if r[3] == m else None for r in rows]
+            )
+        table = pa.table(cols)
+        tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self._dir, f"group-{uuid.uuid4().hex}.parquet"))
+        return len(rows)
+
+    def combined(self) -> DataFrame:
+        """The raw combined stream (key, ts, seq, src, <member>...) —
+        one row per pushed tick, group-mates co-batched."""
+        fields = ", ".join(f"{m} {t}" for m, t in self._members.items())
+        schema = f"{KEY} string, {TS} timestamp, {SEQ} long, src string, {fields}"
+        reader = (
+            self._spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+        )
+        return reader.load(self._dir)
+
+    def out(self, member: str) -> DataFrame:
+        """Member's tick stream in the standard tick schema."""
+        if member not in self._members:
+            raise KeyError(f"unknown PushGroup member {member!r}")
+        return (
+            self.combined()
+            .filter(F.col("src") == member)
+            .select(
+                F.col(KEY),
+                F.col(TS),
+                F.col(SEQ),
+                F.col(member).alias(VALUE),
+            )
+        )
+
+    def stop(self):
+        self._stopped = True

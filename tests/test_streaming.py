@@ -259,3 +259,46 @@ def test_socket_source_json_lines(spark):
         stop.set()
         q.stop()
         srv.close()
+
+
+def test_push_group_barrier(spark, tmp_path):
+    """PushGroup parity: ticks pushed to different members before one
+    flush land in the SAME microbatch (the engine-cycle barrier)."""
+    from csp_spark.streaming import PushGroup
+
+    pg = PushGroup(
+        spark, {"bid": "double", "ask": "double"},
+        directory=str(tmp_path / "grp"),
+    )
+    t0 = START
+    pg.push_tick("bid", 99.0, ts=t0)
+    pg.push_tick("ask", 100.0, ts=t0)
+    assert pg.flush() == 2
+    pg.push_tick("bid", 99.5, ts=t0 + dt.timedelta(seconds=1))
+    assert pg.flush() == 1
+
+    # per-member views carry the right rows
+    bid = collect_stream(pg.out("bid")).orderBy(SEQ).collect()
+    ask = collect_stream(pg.out("ask")).collect()
+    assert [r[VALUE] for r in bid] == [99.0, 99.5]
+    assert [r[VALUE] for r in ask] == [100.0]
+
+    # barrier: group-mates share a microbatch id, the later push doesn't
+    import uuid as _uuid
+    batches = {}
+
+    def sink(df, bid_):
+        for r in df.collect():
+            batches[r[SEQ]] = bid_
+
+    q = (
+        pg.combined().writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ck{_uuid.uuid4().hex[:6]}"))
+        .start()
+    )
+    q.awaitTermination()
+    assert batches[0] == batches[1]      # bid+ask co-batched
+    assert batches[2] != batches[0]      # separate flush = later cycle
+    pg.stop()
+    assert pg.push_tick("bid", 1.0) is False
