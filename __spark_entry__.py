@@ -1416,6 +1416,133 @@ def stats_ema_cov(spark, sf_dir):
     )
 
 
+def dedup_components(spark, sf_dir):
+    """Transitive near-dup clusters: pairs from the exact 8-char-shingle
+    Jaccard generator (identical to dedup_ngram, whose oracle is already
+    hash-proven) closed under connectivity by the contraction loop in
+    dedup/components.py. Oracle = DuckDB recursive-CTE reachability —
+    an independent algorithm, so the check covers the iterative Spark
+    loop end-to-end, not just the pair stage."""
+    from csp_spark.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, shingle_k=8, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+def doc_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + per-language stratified
+    keep flag (pipeline/sampling.py): pure md5-keyed column expressions,
+    reproducible across engines/partitionings — the DuckDB oracle
+    replays the draws bit-exactly."""
+    from csp_spark.pipeline import hash_split, split_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id",
+        weights=(("train", 0.9), ("val", 0.05), ("test", 0.05)), seed=7,
+    )
+    keep_frac = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.25))
+    return out.select(
+        "doc_id",
+        "split",
+        (split_uniform(F.col("doc_id"), seed=11) < keep_frac)
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+def ann_knn_join(spark, sf_dir):
+    """Batch kNN join (similarity/ann.py knn_join): every 25th vector
+    queries the full corpus for its 5 nearest by cosine. Broadcast
+    query side + map-side local top-k → no shuffle of corpus rows."""
+    from csp_spark.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        ),
+        emb.select(F.col("vec_id").alias("cid"), "embedding"),
+        k=5, query_id="qid", corpus_id="cid",
+    )
+    return out.select(
+        "qid", "cid", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+def _components_oracle_sql() -> str:
+    # pair stage identical to dedup_ngram's proven oracle; closure via
+    # recursive reachability + min label (independent of the Spark
+    # contraction-loop algorithm)
+    return r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS n FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substring(n, unnest(generate_series(1, greatest(length(n)-7, 1))), 8) AS s
+  FROM norm
+), sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS DOUBLE) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia, ib FROM inter
+  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+  WHERE i / (sa.c + sb.c - i) >= 0.5
+),
+edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u
+"""
+
+
+def _split_oracle_sql() -> str:
+    u7 = f"(({_hex13_sql(_SPLIT_MD5_7)}) + 0.5) / 4503599627370496.0"
+    u11 = f"(({_hex13_sql(_SPLIT_MD5_11)}) + 0.5) / 4503599627370496.0"
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang, {u7} AS us, {u11} AS uk FROM documents
+)
+SELECT doc_id,
+  CASE WHEN us < 0.9 THEN 'train' WHEN us < 0.95 THEN 'val' ELSE 'test' END AS split,
+  CAST(uk < (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.25 END) AS INT) AS kept
+FROM u
+"""
+
+
+_SPLIT_MD5_7 = "md5(concat('7|', CAST(doc_id AS VARCHAR)))"
+_SPLIT_MD5_11 = "md5(concat('11|', CAST(doc_id AS VARCHAR)))"
+
+
+def _knn_oracle_sql(k: int = 5) -> str:
+    sim = (
+        "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0),
+s AS (
+  SELECT q.qid, e.vec_id AS cid, {sim} AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+)
+SELECT qid, cid, rank, cos_sim FROM (
+  SELECT qid, cid, cos_sim,
+    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------
@@ -1505,6 +1632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exact": ann_ivf_exact,
         "stats_trigger_reset": stats_trigger_reset,
         "stats_sampler": stats_sampler,
+        "dedup_components": dedup_components,
+        "doc_split": doc_split,
+        "ann_knn_join": ann_knn_join,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value:
@@ -1520,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_expanding", "dedup_minhash", "stats_ema_cov",
         "dedup_simhash", "ann_ivf_exact", "op_value_at",
         "op_struct_record", "op_exprtk_state", "dyn_snap_attach",
+        "dedup_components", "doc_split", "ann_knn_join",
         # (2) green only in round 1
         "src_timer", "op_times", "op_edge_math", "op_struct_field",
         "op_struct_collectts", "op_dynamic_collect", "basket_sync",
@@ -2036,6 +2167,9 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
 """,
         "stats_ema_var": _ema_var_oracle_sql(),
         "stats_ema_cov": _ema_cov_oracle_sql(),
+        "dedup_components": _components_oracle_sql(),
+        "doc_split": _split_oracle_sql(),
+        "ann_knn_join": _knn_oracle_sql(),
         "random_poisson": _poisson_oracle_sql(),
         "random_brownian": _brownian_oracle_sql(),
         "mm_features": """

@@ -3,3 +3,4 @@ from .dedup import (
     minhash_signature, minhash_lsh_pairs, ngram_jaccard_pairs, simhash,
     hamming64, simhash_pairs,
 )
+from .components import connected_components, resolve_duplicates

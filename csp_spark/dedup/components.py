@@ -1,0 +1,136 @@
+"""Connected components over near-duplicate pair graphs.
+
+The dedup pipelines (exact/minhash/simhash/embedding, see dedup.py)
+emit PAIRS; an actual corpus clean needs CLUSTERS — transitively
+closed groups where a chain a~b~c collapses to one canonical doc even
+when a~c was never directly detected. This is the standard final stage
+of a large-scale dedup pipeline (e.g. the MinHash dedup described in
+"Deduplicating Training Data Makes Language Models Better",
+Lee et al. 2022, and the MapReduce CC algorithms of Kiveris et al.
+2014, "Connected Components in MapReduce and Beyond").
+
+Spark-first design: an iterative contraction loop of pure DataFrame
+ops (join + groupBy-min), driver-paced like plans/runtime.py
+`feedback_iterate`. Each round:
+
+  1. every component label adopts the min label in its neighborhood
+     (one shuffle-on-key groupBy + one join), and
+  2. the edge set is REWRITTEN onto the new labels and deduplicated,
+     so resolved components drop out of the working set entirely.
+
+The label mapping is pointer-jumped (composed with itself) inside
+each round, so shortcut distance doubles per round and even
+adversarial path graphs converge in O(log n) rounds — the same
+asymptotics as the two-phase large-star/small-star of Kiveris et
+al., with a simpler invariant (the mapping is monotone: every
+composition step only decreases labels within a component). For
+near-dup graphs (dense, small clusters: diameter 1-3) it's 2-3
+rounds regardless of corpus size, and each round's shuffle is on the
+CURRENT edge set, which after round 1 is proportional to the number
+of unresolved clusters, not the corpus.
+
+No driver-side state beyond the loop counter and one `count()` (the
+convergence check) per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`, where
+    component is the MINIMUM node id reachable through the undirected
+    pair graph — the conventional canonical representative.
+
+    Reference parity: csp has no graph stage (it is a stream engine);
+    this is part of the LLM-pipeline mandate, not a csp port.
+    """
+    sym = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # labels over ORIGINAL nodes; cedges over current component labels.
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    cedges = sym
+    for _ in range(max_iter):
+        # min label in each current component's neighborhood (self incl.)
+        nmin = (
+            cedges.groupBy("u")
+            .agg(F.min("v").alias("nv"))
+            .select(F.col("u").alias("c"), F.least("u", "nv").alias("newc"))
+        )
+        # pointer-jump the mapping (newc := m[newc] where defined),
+        # twice: each application doubles the shortcut distance, so
+        # even path graphs collapse in O(log n) rounds — plain
+        # neighbor-min alone shortens a chain by ~1 hop per round
+        m = nmin
+        for _j in range(2):
+            hop = m.select(F.col("c").alias("c2"), F.col("newc").alias("n2"))
+            m = (
+                m.join(hop, m.newc == hop.c2, "left")
+                .select("c", F.coalesce("n2", "newc").alias("newc"))
+            )
+        moved = m.filter(F.col("c") != F.col("newc"))
+        if moved.isEmpty():
+            break
+        # re-point original nodes whose component label moved
+        labels = (
+            labels.join(moved, labels.component == moved.c, "left")
+            .select("id", F.coalesce("newc", "component").alias("component"))
+        )
+        # contract the edge graph onto the new labels; resolved
+        # components become self-loops and drop out
+        cedges = (
+            cedges.join(m.withColumnRenamed("c", "u"), "u")
+            .select(F.col("newc").alias("u"), "v")
+            .join(
+                m.withColumnRenamed("c", "v").withColumnRenamed("newc", "newv"),
+                "v",
+            )
+            .select("u", F.col("newv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # materialize the (shrinking) frontier so each round's lineage
+        # stays flat — without this the plan doubles every iteration
+        cedges = cedges.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Corpus-clean view: every doc annotated with its dup component
+    and whether it is the canonical survivor (min id of its cluster;
+    docs in no cluster survive as their own component). Filtering
+    `is_canonical` yields the deduplicated corpus. Left join against
+    the (small) component map — broadcast-eligible since the map is
+    proportional to duplicated docs only, not the corpus."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.join(
+            comp.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("is_canonical", F.col("component") == F.col(id_col))
+    )

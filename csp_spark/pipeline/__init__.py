@@ -1,0 +1,11 @@
+"""Training-data pipeline utilities beyond dedup/similarity/text:
+deterministic splits and samples (sampling.py). Part of the
+LLM-pipeline mandate — no csp reference counterpart (csp is a stream
+engine; corpus curation is out of its scope)."""
+
+from .sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_split,
+    split_uniform,
+    stratified_sample,
+)

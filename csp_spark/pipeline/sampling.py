@@ -1,0 +1,101 @@
+"""Deterministic, hash-based splits and samples for corpus curation.
+
+A 100 TB training pipeline needs train/val/test assignment and
+down-sampling that is (a) reproducible across runs and engines,
+(b) independent of partitioning/ordering, and (c) a pure column
+expression so it fuses into the scan (predicate pushdown keeps a
+`split='val'` read from touching the other 90% of row groups after a
+partitioned write). `df.sample`/`sampleBy` give none of these —
+they reseed per partition.
+
+Mechanism: the md5→52-bit uniform of sources/random_gen.py
+(`hash_uniform`) keyed on (seed | row id). Every draw is a pure
+function of the row's identity, so the same doc lands in the same
+split on any cluster, any partitioning, any engine with md5 — the
+DuckDB oracles replay it bit-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.random_gen import hash_uniform
+
+
+def split_uniform(id_col: Column, seed: int = 42) -> Column:
+    """The (0,1) assignment draw for a row id — exposed so callers can
+    bucket on it directly (e.g. partitioned writes by split)."""
+    return hash_uniform(id_col.cast("string"), seed)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with the given proportions by
+    cumulative thresholds over the uniform draw. Ordered sequence, not
+    a dict: the threshold intervals depend on order and must match the
+    oracle. Weights must sum to 1 (the last split absorbs the
+    remainder to be safe against float dust)."""
+    u = split_uniform(F.col(id_col), seed)
+    cond = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        cond = (
+            F.when(u < F.lit(acc), F.lit(name))
+            if cond is None
+            else cond.when(u < F.lit(acc), F.lit(name))
+        )
+    cond = (
+        cond.otherwise(F.lit(weights[-1][0]))
+        if cond is not None
+        else F.lit(weights[-1][0])
+    )
+    return df.withColumn(out_col, cond)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by row identity. Unlike
+    df.sample this is stable under repartition/rerun and is a plain
+    filter Catalyst can push into the scan."""
+    return df.filter(split_uniform(F.col(id_col), seed) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages or
+    quality buckets in a corpus): keep rows where the identity draw is
+    under the stratum's fraction. One column expression — no shuffle,
+    no per-stratum jobs; strata thresholds ride along as a CASE."""
+    u = split_uniform(F.col(id_col), seed)
+    cond = None
+    for k, frac in fractions.items():
+        branch = F.lit(frac)
+        cond = (
+            F.when(F.col(strata_col) == F.lit(k), branch)
+            if cond is None
+            else cond.when(F.col(strata_col) == F.lit(k), branch)
+        )
+    thresh = cond.otherwise(F.lit(default_fraction)) if cond is not None else F.lit(
+        default_fraction
+    )
+    return df.filter(u < thresh)

@@ -276,3 +276,82 @@ def embedding_near_dups(
     out.count()
     cand.unpersist()
     return out
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    corpus_id: str = "cid",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact k-nearest-neighbors JOIN: for EVERY query row, the top-k
+    corpus rows by cosine — the batch shape a training pipeline needs
+    (ann retrieval for eval sets, hard-negative mining), vs
+    cosine_topk's single literal query.
+
+    100 TB plan: broadcast the (small) query side → the |C|x|Q| score
+    computation is map-side over the corpus scan with ZERO shuffle of
+    corpus vectors; similarities are JVM-side zip_with/aggregate. The
+    only shuffled rows are per-partition local top-k survivors
+    (<= partitions x |Q| x k, independent of corpus size), selected
+    map-side BEFORE the global per-query window. Never broadcast a
+    large query side — flip the arguments and transpose the result
+    instead.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    )
+    scored = (
+        corpus.select(
+            F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+        )
+        .join(F.broadcast(q))
+        .select(
+            "__qid",
+            "__cid",
+            F.round(
+                cosine(F.col("__cv").cast("array<double>"),
+                       F.col("__qv").cast("array<double>")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("__qid") != F.col("__cid"))
+    from pyspark.sql import Window
+
+    # local pre-top-k WITHOUT shuffling the |C|x|Q| scored set: a
+    # mapInPandas pass keeps a running top-k per query within each
+    # corpus partition (selection only — every similarity was already
+    # computed and rounded JVM-side, so no float math crosses the
+    # Arrow boundary and the oracle stays bit-exact). Only
+    # partitions x |Q| x k survivor rows are shuffled by the final
+    # per-query window.
+    def _local_topk(batches):
+        import pandas as pd
+
+        best: "pd.DataFrame | None" = None
+        for pdf in batches:
+            pool = pdf if best is None else pd.concat((best, pdf))
+            pool = pool.sort_values(
+                ["__qid", "cos_sim", "__cid"], ascending=[True, False, True]
+            )
+            best = pool.groupby("__qid", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    pruned = scored.mapInPandas(_local_topk, schema=scored.schema)
+    final = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.col("__cid"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "rank",
+            "cos_sim",
+        )
+    )

@@ -191,3 +191,111 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.7, (recall, exact, approx)
     # the query vector itself must always be found (it sits in its own cell)
     assert 3 in approx
+
+
+# ---------------------------------------------------------------- round 3
+
+
+def test_connected_components_basic(spark):
+    from csp_spark.dedup import connected_components
+
+    # chain 1-2-3, clique 10-11-12, isolated pair (20,21): transitivity
+    # must collapse the chain even though (1,3) is not a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    from csp_spark.dedup import connected_components
+
+    n = 40  # path graph: worst case for label propagation depth
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs, max_iter=25).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == n + 1
+
+
+def test_resolve_duplicates_flags(spark):
+    from csp_spark.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["component"], r["is_canonical"])
+           for r in resolve_duplicates(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[4] == (1, False) and out[5] == (1, False)
+    # untouched docs survive as their own singleton component
+    assert out[0] == (0, True) and out[2] == (2, True) and out[3] == (3, True)
+
+
+def test_hash_split_deterministic_and_partition_independent(docs):
+    from csp_spark.pipeline import hash_split
+
+    a = hash_split(docs, "doc_id", seed=3).select("doc_id", "split")
+    b = hash_split(docs.repartition(7), "doc_id", seed=3).select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    frac = a.filter(F.col("split") == "train").count() / a.count()
+    assert 0.8 < frac < 0.97  # ~0.9 by construction
+
+
+def test_deterministic_sample_nested(docs):
+    from csp_spark.pipeline import deterministic_sample
+
+    small = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.6).collect()}
+    assert small <= big  # same hash, larger threshold → superset
+    assert 0 < len(small) < len(big) < docs.count()
+
+
+def test_stratified_sample_thresholds(docs):
+    from csp_spark.pipeline import stratified_sample
+
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0}, default_fraction=0.0
+    )
+    # en fully kept, everything else dropped
+    assert out.filter(F.col("lang") != "en").count() == 0
+    assert out.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_knn_join_vs_numpy(emb):
+    from csp_spark.similarity import knn_join
+
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    out = knn_join(
+        q.select(F.col("vec_id").alias("qid"), "embedding"),
+        emb.select(F.col("vec_id").alias("cid"), "embedding"),
+        k=3, query_id="qid", corpus_id="cid",
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cid"], r["cos_sim"]))
+    assert len(by_q) == q.count()
+    for qid, rows in by_q.items():
+        rows.sort()
+        qv = vecs[qid]
+        sims = sorted(
+            (
+                round(float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))), 6),
+                cid,
+            )
+            for cid, v in vecs.items() if cid != qid
+        )
+        expect = [(-s, c) for s, c in [(-s, c) for s, c in sims]]
+        top = sorted(((-s, c) for s, c in sims))[:3]
+        got = [(-r[2], r[1]) for r in rows]
+        assert [c for _, c in top] == [c for _, c in got]
+        for (es, _), (gs, _) in zip(top, got):
+            assert math.isclose(-es, -gs, abs_tol=2e-6)
