@@ -197,6 +197,80 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join (orders with a late-shipping
+    lineitem). left_semi keeps the probe side un-duplicated — no
+    post-join distinct, one shuffle on the join key."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1995, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1995, 4, 1)))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter (so
+    customers with zero qualifying orders stay, with count 0), then a
+    distribution re-aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: semi-join against a grouped-HAVING subquery
+    (orders whose total quantity exceeds a threshold), then a
+    customer join + top-N. Quantity sums go through DECIMAL on both
+    engines — association-independent, so the HAVING threshold can't
+    flip on float summation order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    j = (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(_dsum(F.col("l_quantity")), 4).alias("sum_qty"))
+        # order by the ROUNDED price (what both engines output) with a
+        # key tiebreak, so the top-50 cut can't differ on sub-4dp noise
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
 # ----------------------------------------------------------------------
 # baselib operator queries over the events tick stream (SURVEY.md §2.3)
 # ----------------------------------------------------------------------
@@ -1417,16 +1491,22 @@ def stats_ema_cov(spark, sf_dir):
 
 
 def dedup_components(spark, sf_dir):
-    """Transitive near-dup clusters: pairs from the exact 8-char-shingle
-    Jaccard generator (identical to dedup_ngram, whose oracle is already
-    hash-proven) closed under connectivity by the contraction loop in
-    dedup/components.py. Oracle = DuckDB recursive-CTE reachability —
-    an independent algorithm, so the check covers the iterative Spark
-    loop end-to-end, not just the pair stage."""
+    """Transitive near-dup clusters over the SCALE pair generator
+    (minhash LSH, word-5-shingles — the 100 TB path, not the
+    O(bucket^2) exact-jaccard tool), closed under connectivity by the
+    pointer-jumped contraction loop in dedup/components.py. Oracle =
+    DuckDB recursive-CTE reachability over the exact word-5-shingle
+    Jaccard pairs — valid because dedup_minhash already hash-asserts
+    the LSH pair set equals the exact pair set on this corpus, and an
+    independent closure algorithm, so the iterative Spark loop is
+    checked end-to-end."""
     from csp_spark.dedup import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, shingle_k=8, threshold=0.5)
+    pairs = DD.minhash_lsh_pairs(
+        docs, shingle_k=5, use_words=True, threshold=0.5,
+        num_hashes=48, bands=12,
+    )
     comp = connected_components(pairs)
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
@@ -1475,15 +1555,19 @@ def ann_knn_join(spark, sf_dir):
 
 
 def _components_oracle_sql() -> str:
-    # pair stage identical to dedup_ngram's proven oracle; closure via
-    # recursive reachability + min label (independent of the Spark
-    # contraction-loop algorithm)
+    # pair stage identical to dedup_minhash's proven oracle (exact
+    # word-5-shingle Jaccard = the LSH pair set on this corpus);
+    # closure via recursive reachability + min label (independent of
+    # the Spark contraction-loop algorithm)
     return r"""
-WITH RECURSIVE norm AS (
-  SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ') AS n FROM documents
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
 ), sh AS (
-  SELECT DISTINCT doc_id, substring(n, unnest(generate_series(1, greatest(length(n)-7, 1))), 8) AS s
-  FROM norm
+  SELECT DISTINCT doc_id,
+    array_to_string(t[i : i + 4], ' ') AS s
+  FROM (SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+        FROM toks)
 ), sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS DOUBLE) AS i
@@ -1635,6 +1719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "doc_split": doc_split,
         "ann_knn_join": ann_knn_join,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q18_large_volume_customer": q18_large_volume_customer,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value:
@@ -1651,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash", "ann_ivf_exact", "op_value_at",
         "op_struct_record", "op_exprtk_state", "dyn_snap_attach",
         "dedup_components", "doc_split", "ann_knn_join",
+        "q4_order_priority", "q13_customer_distribution",
+        "q18_large_volume_customer",
         # (2) green only in round 1
         "src_timer", "op_times", "op_edge_math", "op_struct_field",
         "op_struct_collectts", "op_dynamic_collect", "basket_sync",
@@ -2170,6 +2259,33 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "dedup_components": _components_oracle_sql(),
         "doc_split": _split_oracle_sql(),
         "ann_knn_join": _knn_oracle_sql(),
+        "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+        "q13_customer_distribution": """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+""",
+        "q18_large_volume_customer": """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+  round(o_totalprice, 4) AS o_totalprice,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                     HAVING sum(CAST(l_quantity AS DECIMAL(28,10))) > 250)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY round(o_totalprice, 4) DESC, o_orderkey LIMIT 50
+""",
         "random_poisson": _poisson_oracle_sql(),
         "random_brownian": _brownian_oracle_sql(),
         "mm_features": """

@@ -47,8 +47,15 @@ BENCH_QUERIES = [
     "text_stats",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_components",
+    "doc_split",
     "ann_topk",
+    "ann_knn_join",
 ]
+# r3 additions: dedup_components (minhash pairs + iterative closure),
+# doc_split (hash assignment), ann_knn_join (broadcast + mapInPandas
+# local top-k). Totals are NOT comparable to r1/r2 without subtracting
+# these per-query entries.
 
 
 def main() -> None:
@@ -91,7 +98,10 @@ def main() -> None:
         # numbers include one-time codegen/JIT per distinct plan —
         # measured dedup_exact: 4.0s first run, 0.6s warm (same plan);
         # the r1→r2 dedup_exact delta was this, not a plan regression
-        "notes": "cold-plan timings; warm steady-state is lower",
+        "notes": "cold-plan timings; warm steady-state is lower. r3 adds "
+                 "dedup_components/doc_split/ann_knn_join to the set — "
+                 "compare totals to r2 minus those three entries "
+                 "(r3 comparable subtotal ~21.4s vs r2 28.8s)",
     }))
 
 

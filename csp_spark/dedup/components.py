@@ -57,6 +57,10 @@ def connected_components(
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialize ONCE: the pair source is often an expensive
+        # pipeline (minhash LSH); without this every job in round 1
+        # (neighbor-min, convergence probe, relabel) re-executes it
+        .localCheckpoint(eager=True)
     )
     # labels over ORIGINAL nodes; cedges over current component labels.
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
