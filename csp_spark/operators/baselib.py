@@ -565,3 +565,117 @@ def struct_collectts(fields: Mapping[str, TickStream]) -> TickStream:
         .select(KEY, TS, SEQ, F.struct(*[F.col(n) for n in names]).alias(VALUE))
     )
     return TickStream(out)
+
+
+# ----------------------------------------------------------------------
+# casts / basket field access / delayed wiring (reference baselib tail)
+# ----------------------------------------------------------------------
+
+def static_cast(x: TickStream, to_type: str) -> TickStream:
+    """csp.static_cast (baselib.py:761-772): re-type without runtime
+    checking — a pure Catalyst ``cast``, free inside codegen. Caller
+    asserts validity, exactly like the reference's unchecked Edge
+    retype."""
+    return x.with_df(
+        x.df.withColumn(x.value_col, F.col(x.value_col).cast(to_type))
+    )
+
+
+def dynamic_cast(x: TickStream, to_type: str) -> TickStream:
+    """csp.dynamic_cast (baselib.py:776-780): checked re-type — any
+    value the cast cannot represent raises AT RUN TIME (the reference
+    runs values through a node for runtime type checking). JVM-side:
+    the error branch lives in the value expression, so no UDF and no
+    extra pass."""
+    src = F.col(x.value_col)
+    casted = src.cast(to_type)
+    out = x.df.withColumn(
+        x.value_col,
+        F.when(src.isNull(), casted)
+        .when(casted.isNotNull(), casted)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"dynamic_cast to {to_type} failed for value: "),
+                    src.cast("string"),
+                )
+            ).cast(to_type)
+        ),
+    )
+    return x.with_df(out)
+
+
+def get_basket_field(basket: TickStream, field: str) -> TickStream:
+    """csp.get_basket_field (baselib.py:586-598): from a keyed basket of
+    structs, the per-key time series of one field (ticks where the
+    field is set). Our baskets are long-format keyed streams, so this
+    is struct_field with the key column preserved — which it already
+    is (KEY rides through every op)."""
+    return struct_field(basket, field)
+
+
+def wrap_feedback(x: TickStream) -> TickStream:
+    """csp.wrap_feedback (baselib.py:713-731): mark a stream as a
+    feedback re-injection. The reference's feedback delivers the bound
+    value one ENGINE CYCLE later at the same timestamp; in the
+    (ts, seq) model that is exactly seq+1 — same time, ordered after
+    the producing cycle, so coincident-join ops (collect,
+    struct_collectts) correctly see it as a separate cycle."""
+    return x.with_df(x.df.withColumn(SEQ, F.col(SEQ) + F.lit(1)))
+
+
+class DelayedDemultiplex:
+    """csp.DelayedDemultiplex (baselib.py:783-815): demux a fat pipe by
+    keys requested AFTER the object is built. DataFrames are lazy
+    plans, so the 'delayed' wiring is natural: each demultiplex(key)
+    is a filter over the shared keyed stream — one scan, Catalyst
+    merges the branches. The routing key is the stream's KEY column
+    by default; pass a ``key`` stream to route by its as-of value
+    instead (the reference's ts[K] routing input)."""
+
+    def __init__(
+        self,
+        x: TickStream,
+        key: TickStream | None = None,
+        raise_on_bad_key: bool = False,
+    ):
+        if key is None:
+            self._routed = x
+        else:
+            a = align({"__v": x, "__k": key})
+            self._routed = TickStream(
+                a.filter(F.col("__v__ticked") & F.col("__k").isNotNull())
+                .select(
+                    KEY, TS, SEQ,
+                    F.col("__k").alias("__route"),
+                    F.col("__v").alias(VALUE),
+                ),
+                VALUE,
+            )
+        self._by_key_col = key is not None
+        self._raise = raise_on_bad_key
+
+    def demultiplex(self, key) -> TickStream:
+        col = F.col("__route") if self._by_key_col else F.col(KEY)
+        df = self._routed.df.filter(col == F.lit(key))
+        if self._by_key_col:
+            df = df.drop("__route")
+        return TickStream(df, self._routed.value_col)
+
+
+class DelayedCollect:
+    """csp.DelayedCollect (baselib.py:818-850): accumulate inputs from
+    many publish sites, then produce the single merged basket stream.
+    ``output()`` is csp's ts[List[T]]: the per-cycle collect of all
+    registered inputs."""
+
+    def __init__(self):
+        self._inputs: list[TickStream] = []
+
+    def add_input(self, x: TickStream) -> None:
+        self._inputs.append(x)
+
+    def output(self) -> TickStream:
+        if not self._inputs:
+            raise ValueError("DelayedCollect.output() with no inputs")
+        return collect({str(i): s for i, s in enumerate(self._inputs)})

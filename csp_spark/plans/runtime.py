@@ -45,22 +45,30 @@ def run(
     returns {name: (times_array, values_array)} (runtime.py:86-87
     output_numpy parity).
     """
-    outs = graph_fn(*args, **kwargs)
-    if isinstance(outs, TickStream):
-        outs = {"0": outs}
-    result: dict[str, list[tuple]] = {}
-    for name, stream in outs.items():
-        ticks = _clip(stream, starttime, endtime).collect_ticks()
-        if output_numpy:
-            import numpy as np
+    mark = len(_on_stop_callbacks)
+    try:
+        outs = graph_fn(*args, **kwargs)
+        if isinstance(outs, TickStream):
+            outs = {"0": outs}
+        result: dict[str, list[tuple]] = {}
+        for name, stream in outs.items():
+            ticks = _clip(stream, starttime, endtime).collect_ticks()
+            if output_numpy:
+                import numpy as np
 
-            result[name] = (
-                np.array([t for t, _ in ticks], dtype="datetime64[us]"),
-                np.array([v for _, v in ticks]),
-            )
-        else:
-            result[name] = ticks
-    return result
+                result[name] = (
+                    np.array([t for t, _ in ticks], dtype="datetime64[us]"),
+                    np.array([v for _, v in ticks]),
+                )
+            else:
+                result[name] = ticks
+        return result
+    finally:
+        # fire + drain callbacks registered during THIS run's build
+        # (csp.schedule_on_engine_stop), success or failure
+        mine, _on_stop_callbacks[mark:] = _on_stop_callbacks[mark:], []
+        for f in mine:
+            f()
 
 
 # ----------------------------------------------------------------------
@@ -304,3 +312,14 @@ def show_graph(out, mode: str = "formatted") -> None:
 
     df = out.df if isinstance(out, TickStream) else out
     df.explain(mode)
+
+
+_on_stop_callbacks: list = []
+
+
+def schedule_on_engine_stop(f) -> None:
+    """csp.schedule_on_engine_stop parity (reference baselib.py:735-741):
+    register a no-arg cleanup callback fired when the enclosing run()
+    finishes (success or failure) — callbacks registered during the
+    graph build fire exactly once, in registration order."""
+    _on_stop_callbacks.append(f)

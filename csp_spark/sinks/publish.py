@@ -114,13 +114,39 @@ def print_ticks(x: TickStream | DataFrame, tag: str = "", n: int = 20) -> None:
     )
 
 
+class LogSettings:
+    """csp.LogSettings parity (reference baselib.py:86-104): choose the
+    logger csp.log writes to (and a display timezone). Thread-local,
+    like the reference."""
+
+    import threading as _threading
+
+    TLS = _threading.local()
+
+    def __init__(self, logger_name: str = "csp_spark", logging_tz=None):
+        self.logger = logging.getLogger(logger_name)
+        self.logging_tz = logging_tz
+
+    @classmethod
+    def set(cls, logger_name: str = "csp_spark", logging_tz=None) -> None:
+        cls.TLS.instance = cls(logger_name=logger_name, logging_tz=logging_tz)
+
+    @classmethod
+    def current(cls) -> "LogSettings":
+        if not hasattr(cls.TLS, "instance"):
+            cls.set()
+        return cls.TLS.instance
+
+
 def log_ticks(
     x: TickStream | DataFrame, level: int = logging.INFO, tag: str = "", n: int = 1000
 ) -> None:
-    """csp.log parity (baselib.py:203-274): log collected rows. Driver-
-    side by design (logging is a driver/console concern, bounded by n)."""
+    """csp.log parity (baselib.py:203-274): log collected rows to the
+    LogSettings logger. Driver-side by design (logging is a driver/
+    console concern, bounded by n)."""
+    lg = LogSettings.current().logger
     for row in _df(x).limit(n).collect():
-        logger.log(level, "%s %s", tag, row.asDict())
+        lg.log(level, "%s %s", tag, row.asDict())
 
 
 def stop_engine_limit(x: TickStream, n_ticks: int) -> TickStream:

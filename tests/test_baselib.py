@@ -236,3 +236,93 @@ def test_exprtk_full_surface(spark):
         s = 0.5 * s + (i + 1)
         exp.append(s)
     assert vals == exp
+
+
+# ---------------------------------------------------------------- round 3
+# casts / basket field / delayed wiring / engine-stop hooks
+
+
+def test_static_and_dynamic_cast(spark):
+    x = bl.curve(spark, [(t(1), 1.0), (t(2), 2.9)])
+    assert bl.static_cast(x, "long").collect_ticks() == [(t(1), 1), (t(2), 2)]
+    s = bl.curve(spark, [(t(1), "10"), (t(2), "20")], "string")
+    assert bl.dynamic_cast(s, "int").collect_ticks() == [(t(1), 10), (t(2), 20)]
+
+
+def test_dynamic_cast_raises_on_bad_value(spark):
+    s = bl.curve(spark, [(t(1), "10"), (t(2), "oops")], "string")
+    out = bl.dynamic_cast(s, "int")
+    with pytest.raises(Exception, match="dynamic_cast"):
+        out.collect_ticks()
+    # static_cast silently nulls the bad value instead (unchecked)
+    assert bl.static_cast(s, "int").df.count() == 2
+
+
+def test_get_basket_field(spark):
+    a = bl.curve(spark, [(t(1), 1.0), (t(2), 2.0)])
+    b = bl.curve(spark, [(t(1.5), 10.0)])
+    st = bl.struct_fromts({"x": a, "y": b})
+    got = bl.get_basket_field(st, "y").collect_ticks()
+    assert got == [(t(1.5), 10.0), (t(2), 10.0)]
+
+
+def test_wrap_feedback_orders_after_cycle(spark):
+    x = bl.curve(spark, [(t(1), 1.0), (t(2), 2.0)])
+    fb = bl.wrap_feedback(x)
+    # same timestamps, one engine cycle later: coincident collect must
+    # see original and feedback as separate cycles
+    merged = bl.collect({"a": x, "b": fb})
+    got = merged.collect_ticks()
+    assert [ts for ts, _ in got] == [t(1), t(1), t(2), t(2)]
+    assert all(len(v) == 1 for _, v in got)
+
+
+def test_delayed_collect(spark):
+    dc = bl.DelayedCollect()
+    dc.add_input(bl.curve(spark, [(t(1), 1.0)]))
+    dc.add_input(bl.curve(spark, [(t(1), 2.0), (t(3), 3.0)]))
+    got = dc.output().collect_ticks()
+    assert got == [(t(1), [1.0, 2.0]), (t(3), [3.0])]
+
+
+def test_delayed_demultiplex_by_key_column(spark):
+    a = bl.curve(spark, [(t(1), 1.0), (t(2), 2.0)], key="k1")
+    b = bl.curve(spark, [(t(1.5), 5.0)], key="k2")
+    x = TickStream(a.df.union(b.df), a.value_col)
+    dd = bl.DelayedDemultiplex(x)
+    assert dd.demultiplex("k1").collect_ticks() == [(t(1), 1.0), (t(2), 2.0)]
+    assert dd.demultiplex("k2").collect_ticks() == [(t(1.5), 5.0)]
+
+
+def test_delayed_demultiplex_by_key_stream(spark):
+    x = bl.curve(spark, [(t(1), 1.0), (t(2), 2.0), (t(3), 3.0)])
+    key = bl.curve(spark, [(t(0), "a"), (t(1.5), "b")], "string")
+    dd = bl.DelayedDemultiplex(x, key)
+    assert dd.demultiplex("a").collect_ticks() == [(t(1), 1.0)]
+    assert dd.demultiplex("b").collect_ticks() == [(t(2), 2.0), (t(3), 3.0)]
+
+
+def test_log_settings_and_schedule_on_engine_stop(spark, caplog):
+    import logging
+
+    from csp_spark.plans.runtime import run, schedule_on_engine_stop
+    from csp_spark.sinks.publish import LogSettings, log_ticks
+
+    LogSettings.set("csp_spark_test_logger")
+    x = bl.curve(spark, [(t(1), 1.0)])
+    with caplog.at_level(logging.INFO, logger="csp_spark_test_logger"):
+        log_ticks(x, tag="tt", n=5)
+    assert any("tt" in r.message for r in caplog.records)
+    assert caplog.records[0].name == "csp_spark_test_logger"
+
+    fired = []
+
+    def graph():
+        schedule_on_engine_stop(lambda: fired.append("a"))
+        schedule_on_engine_stop(lambda: fired.append("b"))
+        return bl.curve(spark, [(t(1), 1.0)])
+
+    run(graph)
+    assert fired == ["a", "b"]
+    run(graph)  # callbacks re-register per build, fire once per run
+    assert fired == ["a", "b", "a", "b"]
