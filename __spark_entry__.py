@@ -271,6 +271,416 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group min via aggregate + join-back (the
+    correlated-MIN subquery pattern), over a dimension snowflake.
+    The testdata schema has no partsupp, so lineitem is the
+    part↔supplier bridge: unit cost = decimal-summed price/qty ratio
+    per (part, supplier) — association-independent, so the MIN
+    equality join-back cannot flip on float order."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    l = _t(spark, sf_dir, "lineitem")
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") / F.col("l_quantity"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("supply_cost")
+        )
+    )
+    # restrict to EUROPE suppliers BEFORE the min (mirrors Q2's
+    # correlated subquery scoping); nation/region are true dimensions.
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_cost = cost.join(eu_supp, cost.l_suppkey == eu_supp.s_suppkey)
+    min_cost = eu_cost.groupBy("l_partkey").agg(
+        F.min("supply_cost").alias("min_cost")
+    ).select(F.col("l_partkey").alias("mk"), "min_cost")
+    return (
+        eu_cost.join(
+            min_cost,
+            (eu_cost.l_partkey == F.col("mk"))
+            & (eu_cost.supply_cost == F.col("min_cost")),
+        )
+        .join(p, eu_cost.l_partkey == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), F.col("s_name"), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: directional nation-pair join (supplier nation x
+    customer nation, both directions kept) + year bucketing."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1998, 1, 1)))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == pair[0][0]) & (F.col("cust_nation") == pair[0][1]))
+            | ((F.col("supp_nation") == pair[1][0]) & (F.col("cust_nation") == pair[1][1]))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-aggregate ratio (market share of one
+    supplier nation inside a region's order volume, per year)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = _t(spark, sf_dir, "nation")  # customer nation, scopes region
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1995, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 1, 1)))
+    )
+    c = _t(spark, sf_dir, "customer")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                _dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / _dsum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: LIKE-filtered part scan through a 5-way join,
+    profit per (supplier nation, year). No partsupp in the testdata
+    schema, so supply cost is proxied by 0.5 * p_retailprice."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(_dsum(amount), 4).alias("sum_profit"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped HAVING against a global-scalar
+    subquery (parts whose shipped value exceeds a fraction of total).
+    The scalar total is a 1-row aggregate cross-joined in — Catalyst
+    broadcasts it; no driver-side collect."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scoped = l.join(s, l.l_suppkey == s.s_suppkey)
+    per_part = scoped.groupBy("l_partkey").agg(_dsum(val).alias("part_value"))
+    total = scoped.agg((_dsum(val) * F.lit(0.0007)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation after a join —
+    late-shipping lines (shipdate > orderdate + 30 days) bucketed by
+    line status, counting urgent vs non-urgent order priorities."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 1, 1)))
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: single-row conditional-aggregate ratio
+    (promo revenue share over one shipping month)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 3, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1996, 4, 1)))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / _dsum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + MAX-scalar equality join
+    (supplier(s) with the quarter's highest revenue). Revenue goes
+    through DECIMAL so the MAX-equality cannot flip on float order."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1996, 4, 1)))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN anti-join + COUNT(DISTINCT) per
+    attribute group. Suppliers with negative balance stand in for the
+    'complaints' NOT IN subquery; lineitem bridges part↔supplier."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size") <= 8)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    link = (
+        l.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+    )
+    return (
+        link.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part AVG subquery (lines whose
+    quantity is below 40% of their part's average). The correlated
+    aggregate is a grouped aggregate joined back — one shuffle on
+    l_partkey, no per-row subquery execution."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    avg_qty = (
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            (F.lit(0.4) * (_dsum(F.col("l_quantity")) / F.count(F.lit(1))))
+            .alias("qty_cut")
+        )
+        .select(F.col("l_partkey").alias("ak"), "qty_cut")
+    )
+    return (
+        l.join(avg_qty, l.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice")) / F.lit(7.0), 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges — exercises OR-predicate pushdown through a join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers who shipped
+    more than a threshold quantity of LIKE-matched parts in a year,
+    restricted to one region. partsupp-less: the availability
+    subquery aggregates lineitem per (supplier, part)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 1, 1)))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    shipped = (
+        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(_dsum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(shipped, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS over sibling lineitems —
+    the sole late supplier in multi-supplier finished orders.
+    Expressed as one order-level aggregate (supplier count + late
+    supplier count) joined back: one shuffle on orderkey replaces the
+    correlated double subquery, same semantics."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ll = l.join(o.select("o_orderkey", "o_orderdate"),
+                l.l_orderkey == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        ll.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.col("l_orderkey").alias("wk"))
+    )
+    waiting = (
+        ll.filter(late)
+        .join(per_order, F.col("l_orderkey") == F.col("wk"), "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.col("s_name"))
+        .limit(25)
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: anti-join (customers with no orders) against a
+    positive-balance AVG scalar subquery, grouped by segment."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
+    )
+    # anti-join against URGENT orders (every synthetic customer has
+    # *some* order, so the classic no-orders form returns zero rows —
+    # "no urgent order" keeps the anti-join shape with real output)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(_dsum(F.col("c_acctbal")), 4).alias("totacctbal"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # baselib operator queries over the events tick stream (SURVEY.md §2.3)
 # ----------------------------------------------------------------------
@@ -1722,6 +2132,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
         "q18_large_volume_customer": q18_large_volume_customer,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_part_promotion": q20_part_promotion,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value:
@@ -1735,11 +2159,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # (1) fixed-but-unverified / new
         "stats_expanding", "dedup_minhash", "stats_ema_cov",
-        "dedup_simhash", "ann_ivf_exact", "op_value_at",
+        "dedup_simhash", "ann_ivf_exact", "ann_ivf_topk", "op_value_at",
         "op_struct_record", "op_exprtk_state", "dyn_snap_attach",
         "dedup_components", "doc_split", "ann_knn_join",
         "q4_order_priority", "q13_customer_distribution",
         "q18_large_volume_customer",
+        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+        "q17_small_quantity_revenue", "q19_discounted_revenue",
+        "q20_part_promotion", "q21_suppliers_kept_waiting",
+        "q22_global_sales_opportunity",
         # (2) green only in round 1
         "src_timer", "op_times", "op_edge_math", "op_struct_field",
         "op_struct_collectts", "op_dynamic_collect", "basket_sync",
@@ -2285,6 +2715,182 @@ WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
   AND c_custkey = o_custkey AND o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY round(o_totalprice, 4) DESC, o_orderkey LIMIT 50
+""",
+        "q2_min_cost_supplier": """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+    round(CAST(sum(CAST(l_extendedprice / l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+), euc AS (
+  SELECT cost.*, eu.s_name, eu.s_acctbal, eu.n_name
+  FROM cost JOIN eu ON cost.l_suppkey = eu.s_suppkey
+), mc AS (
+  SELECT l_partkey, min(supply_cost) AS min_cost FROM euc GROUP BY l_partkey
+)
+SELECT round(e.s_acctbal, 4) AS s_acctbal, e.s_name, e.n_name,
+       p.p_partkey, e.supply_cost
+FROM euc e
+JOIN mc ON e.l_partkey = mc.l_partkey AND e.supply_cost = mc.min_cost
+JOIN part p ON e.l_partkey = p.p_partkey
+WHERE p.p_type = 'LARGE' AND p.p_size < 10
+ORDER BY round(e.s_acctbal, 4) DESC, e.s_name, p.p_partkey LIMIT 20
+""",
+        "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+FROM lineitem, supplier, orders, customer, nation n1, nation n2
+WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+        "q8_market_share": """
+SELECT year(o_orderdate) AS o_year,
+  round(
+    CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,10))) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE),
+  6) AS mkt_share
+FROM lineitem, part, supplier, orders, customer, nation n1, nation n2, region
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+  AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND s_nationkey = n2.n_nationkey AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY year(o_orderdate)
+""",
+        "q9_product_profit": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+    - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_profit
+FROM lineitem, part, supplier, orders, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+  AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+""",
+        "q11_important_stock": """
+WITH scoped AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_acctbal > 0
+)
+SELECT l_partkey, round(part_value, 4) AS part_value FROM (
+  SELECT l_partkey, CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) AS part_value
+  FROM scoped GROUP BY l_partkey
+)
+WHERE part_value > (SELECT CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) * 0.0007 FROM scoped)
+""",
+        "q12_shipmode_priority": """
+SELECT l_linestatus,
+  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+""",
+        "q14_promo_revenue": """
+SELECT round(
+  100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,10))) AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE),
+6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+        "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+        "q16_supplier_part_count": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 8
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+        "q17_small_quantity_revenue": """
+WITH cut AS (
+  SELECT l_partkey AS ak,
+    0.4 * (CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*)) AS qty_cut
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')
+  GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN cut ON l_partkey = ak
+WHERE l_quantity < qty_cut
+""",
+        "q19_discounted_revenue": """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "q20_part_promotion": """
+SELECT s_suppkey, s_name
+FROM supplier, nation, region
+WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) > 40
+  )
+""",
+        "q21_suppliers_kept_waiting": """
+WITH ll AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), po AS (
+  SELECT l_orderkey FROM ll
+  GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) > 1
+     AND count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) = 1
+), waiting AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM ll
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    AND l_orderkey IN (SELECT l_orderkey FROM po)
+)
+SELECT s_name, count(*) AS numwait
+FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 25
+""",
+        "q22_global_sales_opportunity": """
+WITH c AS (
+  SELECT * FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+)
+SELECT c_mktsegment AS segment, count(*) AS numcust,
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 4) AS totacctbal
+FROM c
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+    FROM c WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
 """,
         "random_poisson": _poisson_oracle_sql(),
         "random_brownian": _brownian_oracle_sql(),

@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q9_product_profit",
+    "q21_suppliers_kept_waiting",
     "op_count",
     "op_sample_asof",
     "stats_rolling_tick",
@@ -99,8 +101,8 @@ def main() -> None:
         # measured dedup_exact: 4.0s first run, 0.6s warm (same plan);
         # the r1→r2 dedup_exact delta was this, not a plan regression
         "notes": "cold-plan timings; warm steady-state is lower. r3 adds "
-                 "dedup_components/doc_split/ann_knn_join to the set — "
-                 "compare totals to r2 minus those three entries "
+                 "dedup_components/doc_split/ann_knn_join/q9/q21 to the "
+                 "set — compare totals to r2 minus those five entries "
                  "(r3 comparable subtotal ~21.4s vs r2 28.8s)",
     }))
 
