@@ -6,6 +6,14 @@ Core representation: the tick table (key, ts, seq, value); core kernel:
 the align/as-of last-value join (csp_spark.core.align). Batch mode =
 DataFrames over parquet (csp simulation); realtime = Structured
 Streaming over the same logical ops (csp realtime).
+
+The top level mirrors the reference's ``import csp`` surface
+(reference csp/__init__.py:3-32 pulls in baselib.*, math.*, builtin
+functions, Struct/Enum, stats) so a csp user can switch imports:
+``csp.merge`` → ``csp_spark.merge``, ``csp.stats.mean`` →
+``csp_spark.stats`` etc. Python-keyword collisions keep the
+reference's spelling where legal (``filter``, ``print``, ``apply``
+are plain attributes here) with underscore aliases alongside.
 """
 
 from .core.session import get_spark
@@ -15,12 +23,173 @@ from .core.enum import DynamicEnum, Enum
 from .core.profiler import Profiler
 from .core.record import Struct, UNSET
 from .frame import TsFrame
-from .plans.runtime import csp_memoized, memoize, run_on_thread, show_graph
+from .plans.runtime import (
+    attached,
+    csp_memoized,
+    dynamic_apply,
+    feedback_iterate,
+    memoize,
+    run,
+    run_on_thread,
+    schedule_on_engine_stop,
+    show_graph,
+    snap,
+    snapkey,
+    ThreadRunner,
+)
 
-__version__ = "0.1.0"
+# --- baselib surface (reference csp/baselib.py __all__) ---------------
+from .operators.baselib import (
+    DelayedCollect,
+    DelayedDemultiplex,
+    accum,
+    apply_,
+    burst,
+    cast_int_to_float,
+    collect,
+    const,
+    count,
+    curve,
+    default,
+    delay,
+    demultiplex,
+    diff,
+    drop_dups,
+    drop_nans,
+    dynamic_cast,
+    dynamic_collect,
+    exprtk,
+    filter_,
+    firstN,
+    flatten,
+    gate,
+    get_basket_field,
+    last_value,
+    merge,
+    multiplex,
+    null_ts,
+    split,
+    static_cast,
+    struct_collectts,
+    struct_field,
+    struct_fromts,
+    timer,
+    times,
+    times_ns,
+    unroll,
+    wrap_feedback,
+)
+from .operators.baselib import demultiplex as dynamic_demultiplex  # long-format identity, see baselib docstring
+from .operators.history import (
+    item_at,
+    set_buffering_policy,
+    time_at,
+    times_at,
+    value_at,
+    values_at,
+)
+from .operators.alarms import alarm_stream, schedule_alarm
+from .sinks.publish import (
+    LogSettings,
+    log_ticks,
+    print_ticks,
+    stop_engine_limit,
+)
+from .streaming.sources import PushAdapter, PushGroup
+
+# reference spellings that are Python builtins/keywords — legal as
+# module attributes, so expose both names (csp.filter / csp.print / …)
+filter = filter_  # noqa: A001
+apply = apply_  # noqa: A001
+print = print_ticks  # noqa: A001
+log = log_ticks
+stop_engine = stop_engine_limit
+GenericPushAdapter = PushAdapter
+
+# --- math surface (reference csp/math.py __all__) ---------------------
+from .operators.math_ops import (  # noqa: E402
+    abs_,
+    add,
+    and_,
+    arccos,
+    arccosh,
+    arcsin,
+    arcsinh,
+    arctan,
+    arctanh,
+    bitwise_not,
+    cos,
+    cosh,
+    divide,
+    eq,
+    erf,
+    exp,
+    exp2,
+    floordiv,
+    ge,
+    gt,
+    le,
+    ln,
+    log2,
+    log10,
+    lt,
+    max_,
+    min_,
+    mod,
+    multiply,
+    ne,
+    neg,
+    not_,
+    or_,
+    pos,
+    pow_,
+    sin,
+    sinh,
+    sqrt,
+    sub,
+    tan,
+    tanh,
+)
+
+abs = abs_  # noqa: A001
+min = min_  # noqa: A001
+max = max_  # noqa: A001
+pow = pow_  # noqa: A001
+
+# --- subpackage namespaces mirroring csp.<pkg> ------------------------
+from . import stats  # noqa: E402,F401  (csp.stats)
+from . import dedup, text, similarity, multimodal, pipeline  # noqa: E402,F401
+
+__version__ = "0.2.0"
 __all__ = [
+    # core
     "get_spark", "TickStream", "align", "align_wide", "sample",
     "binary_op", "asof_join", "KEY", "TS", "SEQ", "VALUE", "GLOBAL_KEY",
     "Profiler", "Struct", "UNSET", "TsFrame", "Enum", "DynamicEnum",
-    "run_on_thread", "memoize", "csp_memoized", "show_graph",
+    "run", "run_on_thread", "memoize", "csp_memoized", "show_graph",
+    "ThreadRunner", "dynamic_apply", "feedback_iterate",
+    "snap", "snapkey", "attached", "schedule_on_engine_stop",
+    # baselib
+    "DelayedCollect", "DelayedDemultiplex", "accum", "apply", "apply_",
+    "burst", "cast_int_to_float", "collect", "const", "count", "curve",
+    "default", "delay", "demultiplex", "diff", "drop_dups", "drop_nans",
+    "dynamic_cast", "dynamic_collect", "dynamic_demultiplex", "exprtk",
+    "filter", "filter_", "firstN", "flatten", "gate", "get_basket_field",
+    "last_value", "merge", "multiplex", "null_ts", "split", "static_cast",
+    "struct_collectts", "struct_field", "struct_fromts", "timer", "times",
+    "times_ns", "unroll", "wrap_feedback",
+    "value_at", "time_at", "item_at", "values_at", "times_at",
+    "set_buffering_policy", "schedule_alarm", "alarm_stream",
+    "LogSettings", "log", "log_ticks", "print", "print_ticks",
+    "stop_engine", "stop_engine_limit",
+    "PushAdapter", "GenericPushAdapter", "PushGroup",
+    # math
+    "abs", "abs_", "add", "and_", "arccos", "arccosh", "arcsin",
+    "arcsinh", "arctan", "arctanh", "bitwise_not", "cos", "cosh",
+    "divide", "eq", "erf", "exp", "exp2", "floordiv", "ge", "gt", "le",
+    "ln", "log2", "log10", "lt", "max", "max_", "min", "min_", "mod",
+    "multiply", "ne", "neg", "not_", "or_", "pos", "pow", "pow_", "sin",
+    "sinh", "sqrt", "sub", "tan", "tanh",
+    # subpackages
+    "stats", "dedup", "text", "similarity", "multimodal", "pipeline",
 ]

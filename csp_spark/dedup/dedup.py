@@ -27,6 +27,19 @@ def normalize(text: Column) -> Column:
     return F.array_join(tokens(text), " ")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the default parallelism ONLY when
+    the scan arrives under-parallel (a small corpus in one parquet
+    file = one partition serializing the whole shingle scan onto one
+    core). At 100 TB the file count already provides the parallelism
+    and an unconditional repartition would be a full-corpus shuffle —
+    so this is a no-op there (partition metadata check, no job)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_duplicates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -123,6 +136,9 @@ def _mix64(h: Column, i: int) -> Column:
     return F.xxhash64(h, F.lit(i))
 
 
+_PAIRS_CACHE: dict = {}
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -148,12 +164,24 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
 
-    # Parallelize the per-doc work: a small corpus often arrives as one
-    # parquet file = ONE input partition, serializing the whole shingle
-    # scan onto a single core (at 100 TB the file count provides the
-    # parallelism and this repartition is a cheap no-op round-robin).
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(par)
+    # Memoize per (session, input plan, params) — csp parity: the
+    # reference memoizes identical node instantiations at wiring time
+    # (csp/impl/mem_cache.py), so graphs that consume the same pair
+    # stream twice (e.g. pair listing + connected-components
+    # clustering) share one computation. The cached result is the
+    # persisted OUTPUT (a few MB of verified pairs), not the
+    # intermediates, so memory stays bounded.
+    try:
+        cache_key = (
+            id(docs.sparkSession), docs.semanticHash(), text_col, id_col,
+            num_hashes, bands, shingle_k, threshold, use_words,
+        )
+    except Exception:  # semanticHash unavailable (e.g. connect mode)
+        cache_key = None
+    if cache_key is not None and cache_key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[cache_key]
+
+    docs = _spread(docs)
 
     # Stage 1 — exploded distinct shingle rows (id, h). Materialize the
     # normalized text first (inlining normalize() into per-position
@@ -293,6 +321,8 @@ def minhash_lsh_pairs(
     rows.unpersist()
     sig.unpersist()
     cand.unpersist()
+    if cache_key is not None:
+        _PAIRS_CACHE[cache_key] = out
     return out
 
 
@@ -308,7 +338,7 @@ def ngram_jaccard_pairs(
     Candidate generation via shingle-inverted-index join: shuffles on
     shingle, cost ∝ Σ bucket². For 100 TB use minhash_lsh_pairs; this
     one is for bounded corpora / verification."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = _spread(docs)
     norm = docs.select(
         F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("n")
     )
@@ -415,7 +445,7 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = _spread(docs)
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
     ).select("id", hcol.alias("h"))
