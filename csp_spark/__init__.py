@@ -158,6 +158,8 @@ pow = pow_  # noqa: A001
 
 # --- subpackage namespaces mirroring csp.<pkg> ------------------------
 from . import stats  # noqa: E402,F401  (csp.stats)
+from . import random  # noqa: E402,F401,A004  (csp.random)
+from . import adapters  # noqa: E402,F401  (csp.adapters)
 from . import dedup, text, similarity, multimodal, pipeline  # noqa: E402,F401
 
 __version__ = "0.2.0"
@@ -191,5 +193,6 @@ __all__ = [
     "multiply", "ne", "neg", "not_", "or_", "pos", "pow", "pow_", "sin",
     "sinh", "sqrt", "sub", "tan", "tanh",
     # subpackages
-    "stats", "dedup", "text", "similarity", "multimodal", "pipeline",
+    "stats", "random", "adapters", "dedup", "text", "similarity",
+    "multimodal", "pipeline",
 ]

@@ -124,3 +124,76 @@ def brownian_motion(
         F.lit(x0) * F.exp(path) if geometric else F.lit(x0) + path
     )
     return TickStream(df.select(KEY, TS, SEQ, value.alias(VALUE)))
+
+
+#: reference naming: csp.random.brownian_motion_1d (csp/random.py:135)
+#: is the scalar form; our scalar form is the primary function.
+brownian_motion_1d = brownian_motion
+
+
+def brownian_motion_nd(
+    trigger: TickStream,
+    drift: list[float],
+    covariance: list[list[float]],
+    x0: list[float] | None = None,
+    seed: int = 42,
+) -> TickStream:
+    """N-dimensional correlated Brownian path sampled at trigger ticks
+    (reference csp/random.py:70-133 ``brownian_motion`` with a full
+    covariance matrix; it returns a numpy-array edge — here an
+    ArrayType(double) column).
+
+    The covariance is CONSTANT per stream, so its Cholesky factor is
+    computed once at plan-build time (numpy on the driver — a d×d
+    matrix, not data) and folded into the column expressions:
+    increment_vec = drift*dt + sqrt(dt) * L @ z with z the vector of
+    d independent hash-normals (seed offset 2j per dimension, matching
+    hash_normal's internal seed/seed+1 pair). Per-dimension running
+    sums are windowed cumulative sums — all JVM-side after the
+    constant fold; no per-row Python."""
+    import numpy as _np
+
+    d = len(drift)
+    cov = _np.asarray(covariance, dtype=float)
+    if cov.shape != (d, d):
+        raise ValueError(f"covariance must be {d}x{d}, got {cov.shape}")
+    L = _np.linalg.cholesky(cov)
+    x0 = x0 or [0.0] * d
+    w = TickStream.order_window()
+    df = trigger.df.select(KEY, TS, SEQ)
+    dt_s = (
+        F.unix_micros(F.col(TS)) - F.unix_micros(F.lag(F.col(TS)).over(w))
+    ) / 1e6
+    df = df.withColumn("__dt", F.coalesce(dt_s, F.lit(0.0)))
+    tag = F.concat_ws(
+        "|", F.col(KEY), F.unix_micros(F.col(TS)).cast("string"),
+        F.col(SEQ).cast("string"),
+    )
+    # d independent standard normals per tick
+    for j in range(d):
+        df = df.withColumn(f"__z{j}", hash_normal(tag, seed + 2 * j))
+    # correlated increments: row i of L mixes z[0..i]
+    for i in range(d):
+        mix = F.lit(0.0)
+        for j in range(i + 1):
+            if L[i, j] != 0.0:
+                mix = mix + F.lit(float(L[i, j])) * F.col(f"__z{j}")
+        df = df.withColumn(
+            f"__incr{i}",
+            F.round(
+                F.lit(float(drift[i])) * F.col("__dt")
+                + F.sqrt(F.col("__dt")) * mix,
+                6,
+            ),
+        )
+    paths = [
+        (F.lit(float(x0[i])) + F.sum(f"__incr{i}").over(w)).alias(f"__p{i}")
+        for i in range(d)
+    ]
+    df = df.select(KEY, TS, SEQ, *paths)
+    return TickStream(
+        df.select(
+            KEY, TS, SEQ,
+            F.array(*[F.col(f"__p{i}") for i in range(d)]).alias(VALUE),
+        )
+    )

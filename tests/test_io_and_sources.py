@@ -106,3 +106,45 @@ def test_brownian_motion_stats(spark):
     gbm = brownian_motion(trig, drift=0.0, vol=0.2, x0=100.0, seed=3, geometric=True)
     gvals = [v for _, v in gbm.collect_ticks("k")]
     assert gvals[0] == 100.0 and all(v > 0 for v in gvals)
+
+
+def test_brownian_motion_nd_covariance(spark):
+    """N-d correlated path: empirical increment covariance matches the
+    requested matrix (reference csp/random.py:70-133 brownian_motion
+    with full covariance; test style mirrors the reference's
+    statistical assertions in csp/tests/test_random.py)."""
+    import numpy as np
+
+    from csp_spark.sources.random_gen import brownian_motion_nd
+
+    trig = _ticks(spark, [(START + TD(seconds=10 * i), 0.0) for i in range(3000)])
+    cov = [[4.0, 1.2], [1.2, 1.0]]
+    bm = brownian_motion_nd(trig, drift=[0.0, 0.0], covariance=cov, seed=7)
+    path = np.array([v for _, v in bm.collect_ticks("k")])
+    assert path.shape == (3000, 2) and path[0].tolist() == [0.0, 0.0]
+    inc = np.diff(path, axis=0) / np.sqrt(10.0)
+    emp = np.cov(inc.T)
+    assert abs(emp[0, 0] - 4.0) < 0.5 and abs(emp[1, 1] - 1.0) < 0.15
+    assert abs(emp[0, 1] - 1.2) < 0.25
+
+
+def test_adapters_namespace():
+    """csp.adapters-style imports resolve to the Spark implementations."""
+    from csp_spark.adapters import arrow, csv, db, kafka, parquet, websocket
+
+    assert callable(parquet.read_table) and callable(parquet.subscribe)
+    assert callable(csv.read_csv) and callable(db.read_jdbc)
+    assert callable(arrow.from_arrow) and callable(kafka.kafka_ticks)
+    assert callable(websocket.socket_ticks)
+
+
+def test_top_level_surface():
+    """The package root mirrors the reference's `import csp` names."""
+    import csp_spark as csp
+
+    for name in ("merge", "filter", "sample", "delay", "const", "timer",
+                 "apply", "print", "log", "stop_engine", "value_at",
+                 "schedule_alarm", "Struct", "Enum", "min", "max", "erf"):
+        assert callable(getattr(csp, name)) or hasattr(csp, name), name
+    missing = [n for n in csp.__all__ if not hasattr(csp, n)]
+    assert not missing, missing
