@@ -1822,6 +1822,24 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+def text_repetition(spark, sf_dir):
+    # Gopher-style repetition profile: dup-word/dup-line fractions +
+    # top-bigram fraction (explode → two keyed hash-aggregates).
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs, n=2)
+
+
+def doc_chunk(spark, sf_dir):
+    # overlapping token-bounded chunking (training/RAG pre-tokenize
+    # step); digest chunk text to keep the compare scalar.
+    docs = _t(spark, sf_dir, "documents")
+    ch = TX.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return ch.select(
+        "doc_id", "chunk_id", "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_digest"),
+    )
+
+
 def _ema_cov_oracle_sql(alpha: float = 0.2) -> str:
     # bivariate twin of _ema_var_oracle_sql: align click/view streams
     # with last-value windows (the align kernel's semantics), keep
@@ -2146,6 +2164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_promotion": q20_part_promotion,
         "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "text_repetition": text_repetition,
+        "doc_chunk": doc_chunk,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value:
@@ -2169,7 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
         "q17_small_quantity_revenue", "q19_discounted_revenue",
         "q20_part_promotion", "q21_suppliers_kept_waiting",
-        "q22_global_sales_opportunity",
+        "q22_global_sales_opportunity", "text_repetition", "doc_chunk",
         # (2) green only in round 1
         "src_timer", "op_times", "op_edge_math", "op_struct_field",
         "op_struct_collectts", "op_dynamic_collect", "basket_sync",
@@ -2891,6 +2911,51 @@ WHERE c_acctbal > (
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
+""",
+        "text_repetition": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), base AS (
+  SELECT doc_id,
+    round(1.0 - CASE WHEN len(t) > 0
+      THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END, 6) AS dup_word_frac,
+    round(1.0 - CASE WHEN len(lines) > 0
+      THEN CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 6) AS dup_line_frac,
+    t
+  FROM toks
+), grams AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS g
+  FROM (SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+        FROM base)
+), per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), top AS (
+  SELECT doc_id,
+    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac
+  FROM per_gram GROUP BY 1
+)
+SELECT b.doc_id, b.dup_word_frac, b.dup_line_frac, t.top_ngram_frac
+FROM base b JOIN top t ON b.doc_id = t.doc_id
+""",
+        "doc_chunk": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, t, len(t) AS n, unnest(ss) AS s
+  FROM (SELECT doc_id, t, len(t),
+          list_filter(generate_series(0, greatest(len(t) - 1, 0), 48),
+                      s -> s = 0 OR s < len(t) - 16) AS ss
+        FROM toks)
+)
+SELECT doc_id,
+  CAST(s / 48 AS BIGINT) AS chunk_id,
+  CAST(least(64, n - s) AS INTEGER) AS n_chunk_tokens,
+  md5(array_to_string(t[s + 1 : s + 64], ' ')) AS chunk_digest
+FROM ex
 """,
         "random_poisson": _poisson_oracle_sql(),
         "random_brownian": _brownian_oracle_sql(),

@@ -20,24 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..text.analysis import spread as _spread
 from ..text.analysis import tokens
 
 
 def normalize(text: Column) -> Column:
     return F.array_join(tokens(text), " ")
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the input across the default parallelism ONLY when
-    the scan arrives under-parallel (a small corpus in one parquet
-    file = one partition serializing the whole shingle scan onto one
-    core). At 100 TB the file count already provides the parallelism
-    and an unconditional repartition would be a full-corpus shuffle —
-    so this is a no-op there (partition metadata check, no job)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
 
 
 def exact_duplicates(

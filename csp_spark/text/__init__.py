@@ -2,4 +2,6 @@ from .analysis import (
     annotate, tokens, token_count, char_count, avg_word_len, punct_ratio,
     digit_ratio, upper_ratio, stopword_ratio, quality_score, lang_guess,
     fingerprint, winnow_fingerprints, STOPWORDS,
+    dup_word_fraction, dup_line_fraction, repetition_stats,
+    chunk_documents, spread,
 )

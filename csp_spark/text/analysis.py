@@ -25,6 +25,19 @@ STOPWORDS = {
 }
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the default parallelism ONLY when
+    the scan arrives under-parallel (small corpus in one parquet file
+    = one partition serializing the whole per-doc scan onto one core).
+    At 100 TB the file count already provides the parallelism and an
+    unconditional repartition would be a full-corpus shuffle — this is
+    a no-op there (partition metadata check, no job)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (lowercased)."""
     return F.split(F.lower(F.trim(text)), r"\s+")
@@ -144,7 +157,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = spread(docs)
     norm = docs.select(
         F.col(id_col).alias("id"),
         F.array_join(tokens(F.col(text_col)), " ").alias("n"),
@@ -165,6 +178,107 @@ def winnow_fingerprints(
         .select("id", F.col("h").alias("fp"))
     )
     return out.distinct() if distinct else out
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    1 - distinct/total. One of the Gopher-style repetition signals
+    (Rae et al. 2021 §A1.1: 'duplicate n-gram fraction' family) used
+    to drop boilerplate/spam before training."""
+    t = tokens(text)
+    return F.round(1.0 - _ratio(F.size(F.array_distinct(t)), F.size(t)), 6)
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of newline-separated lines that are duplicates of an
+    earlier line (Gopher repetition rule #1)."""
+    lines = F.split(text, r"\n")
+    return F.round(
+        1.0 - _ratio(F.size(F.array_distinct(lines)), F.size(lines)), 6
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document repetition profile: duplicate-word and
+    duplicate-line fractions (column expressions) plus the fraction of
+    n-grams accounted for by the single most frequent n-gram
+    (top_ngram_fraction — Gopher's 'top n-gram fraction' rule).
+
+    Scale shape: the n-gram mode cannot be a column expression without
+    interpreted array lambdas, so it is explode → count per (doc,
+    gram) → max/sum per doc: two hash-aggregate shuffles keyed by doc,
+    no joins against the corpus, linear in total token count."""
+    docs = spread(docs)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        dup_word_fraction(F.col(text_col)).alias("dup_word_frac"),
+        dup_line_fraction(F.col(text_col)).alias("dup_line_frac"),
+        tokens(F.col(text_col)).alias("t"),
+    )
+    pos = base.select(
+        "id", "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - (n - 1), F.lit(1)))
+        ).alias("i"),
+    )
+    grams = pos.select(
+        "id", F.array_join(F.slice("t", F.col("i"), n), " ").alias("g")
+    )
+    per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    top = per_gram.groupBy("id").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_ngram_frac")
+    )
+    return (
+        base.select("id", "dup_word_frac", "dup_line_frac")
+        .join(top, "id")
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-bounded chunks — the
+    standard pre-tokenization step of a training pipeline (and of RAG
+    indexing). Chunk c starts at token c*(chunk_tokens-overlap); a
+    start is emitted while it still contributes unseen tokens
+    (start == 0 or start < n_tokens - overlap), so no chunk is fully
+    contained in its predecessor.
+
+    All JVM-side: tokenize → explode the (filtered) start grid →
+    slice + join. Chunk identity is (doc_id, chunk_id) with
+    chunk_id = start/stride — deterministic under any partitioning.
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    docs = spread(docs)
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    ).withColumn("n", F.size("t"))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s < F.col("n") - overlap),
+    )
+    ex = base.select("id", "t", "n", F.explode(starts).alias("s"))
+    return ex.select(
+        F.col("id").alias(id_col),
+        (F.col("s") / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("s")).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(
+            F.slice("t", F.col("s") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )
 
 
 def annotate(

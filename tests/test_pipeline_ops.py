@@ -299,3 +299,44 @@ def test_knn_join_vs_numpy(emb):
         assert [c for _, c in top] == [c for _, c in got]
         for (es, _), (gs, _) in zip(top, got):
             assert math.isclose(-es, -gs, abs_tol=2e-6)
+
+
+def test_repetition_stats_golden(spark):
+    """Golden-value check on constructed docs (reference test style:
+    small wired input, exact expected output)."""
+    rows = [
+        (1, "a b a b a b"),          # dup words 4/6; top bigram 'a b' 3/5
+        (2, "x y z"),                # no repetition
+        (3, "line\nline\nother"),    # dup lines 1/3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.repetition_stats(docs, n=2).collect()}
+    tol = 1e-6  # outputs are rounded to 6 dp
+    assert abs(out[1]["dup_word_frac"] - (1 - 2 / 6)) < tol
+    assert abs(out[1]["top_ngram_frac"] - 3 / 5) < tol
+    assert out[2]["dup_word_frac"] == 0.0
+    assert abs(out[2]["top_ngram_frac"] - 1 / 2) < tol
+    assert abs(out[3]["dup_line_frac"] - (1 - 2 / 3)) < tol
+
+
+def test_chunk_documents_coverage(spark):
+    """Every token lands in ≥1 chunk; consecutive chunks overlap by
+    exactly `overlap` when full; no chunk is contained in its
+    predecessor; reassembling strides reproduces the document."""
+    text = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+    ch = TX.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    rows = sorted(ch.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # starts at 0, 48, 96 → 150 tokens: chunks of 64, 64, 54
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in d1] == [64, 64, 54]
+    toks = d1[0]["chunk_text"].split()
+    toks2 = d1[1]["chunk_text"].split()
+    assert toks[48:] == toks2[:16]  # overlap region agrees
+    # stride-assembled tokens reproduce the document exactly
+    assembled = toks + toks2[16:] + d1[2]["chunk_text"].split()[16:]
+    assert assembled == text.split()
+    # short doc: single chunk, no phantom second chunk
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_chunk_tokens"] == 3
