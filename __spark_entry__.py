@@ -1982,6 +1982,28 @@ def ann_knn_join(spark, sf_dir):
     )
 
 
+def ann_knn_join_blas(spark, sf_dir):
+    """Scale variant of ann_knn_join: numpy-BLAS partition scoring
+    (method='blas', ~12x the exact path's scoring throughput at
+    sf0.1). Rows-only by design: BLAS sums differ from a sequential
+    replay in the last ulp, so value-hash equality vs the DuckDB
+    oracle would be theoretically flaky; exact-path agreement is
+    asserted in tests/test_pipeline_ops.py instead."""
+    from csp_spark.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        ),
+        emb.select(F.col("vec_id").alias("cid"), "embedding"),
+        k=5, query_id="qid", corpus_id="cid", method="blas",
+    )
+    return out.select(
+        "qid", "cid", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
 def _components_oracle_sql() -> str:
     # pair stage identical to dedup_minhash's proven oracle (exact
     # word-5-shingle Jaccard = the LSH pair set on this corpus);
@@ -2147,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "doc_split": doc_split,
         "ann_knn_join": ann_knn_join,
+        "ann_knn_join_blas": ann_knn_join_blas,
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
         "q18_large_volume_customer": q18_large_volume_customer,

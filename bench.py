@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "doc_split",
     "ann_topk",
     "ann_knn_join",
+    "ann_knn_join_blas",
 ]
 # r3 additions: dedup_components (minhash pairs + iterative closure),
 # doc_split (hash assignment), ann_knn_join (broadcast + mapInPandas
@@ -101,9 +102,9 @@ def main() -> None:
         # measured dedup_exact: 4.0s first run, 0.6s warm (same plan);
         # the r1→r2 dedup_exact delta was this, not a plan regression
         "notes": "cold-plan timings; warm steady-state is lower. r3 adds "
-                 "dedup_components/doc_split/ann_knn_join/q9/q21 to the "
-                 "set — compare totals to r2 minus those five entries "
-                 "(r3 comparable subtotal ~21.4s vs r2 28.8s)",
+                 "dedup_components/doc_split/ann_knn_join(+_blas)/q9/q21 "
+                 "to the set — compare totals to r2 minus those six "
+                 "entries (r3 comparable subtotal ~21.4s vs r2 28.8s)",
     }))
 
 

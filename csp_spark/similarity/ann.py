@@ -287,6 +287,7 @@ def knn_join(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
+    method: str = "exact",
 ) -> DataFrame:
     """Exact k-nearest-neighbors JOIN: for EVERY query row, the top-k
     corpus rows by cosine — the batch shape a training pipeline needs
@@ -295,55 +296,122 @@ def knn_join(
 
     100 TB plan: broadcast the (small) query side → the |C|x|Q| score
     computation is map-side over the corpus scan with ZERO shuffle of
-    corpus vectors; similarities are JVM-side zip_with/aggregate. The
-    only shuffled rows are per-partition local top-k survivors
-    (<= partitions x |Q| x k, independent of corpus size), selected
-    map-side BEFORE the global per-query window. Never broadcast a
-    large query side — flip the arguments and transpose the result
-    instead.
+    corpus vectors. The only shuffled rows are per-partition top-k
+    survivors (<= partitions x |Q| x k, independent of corpus size),
+    selected map-side BEFORE the global per-query window. Never
+    broadcast a large query side — flip the arguments and transpose
+    the result instead.
+
+    method="exact" (default): similarities are JVM-side sequential
+    zip_with/aggregate sums — bit-reproducible by any engine replaying
+    a sequential sum (the DuckDB oracle), at interpreted-expression
+    throughput. method="blas": one Arrow pass scores each corpus
+    partition against the whole query matrix with a numpy matmul
+    (C-BLAS; ~10-50x the exact path's scoring throughput at large
+    |C|x|Q|) — same top-k modulo last-ulp summation-order effects on
+    the 6-dp rounding, so use it for scale and the exact path for
+    conformance. (An unrolled codegen sum was measured and rejected:
+    64-dim element_at chains exceed Janino's 64KB method limit and
+    the compile latency exceeds the interpreted win.)
     """
+    from pyspark.sql import Window
+
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
     )
-    scored = (
-        corpus.select(
-            F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
-        )
-        .join(F.broadcast(q))
-        .select(
-            "__qid",
-            "__cid",
-            F.round(
-                cosine(F.col("__cv").cast("array<double>"),
-                       F.col("__qv").cast("array<double>")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("__qid") != F.col("__cid"))
-    from pyspark.sql import Window
+    if method == "blas":
+        from pyspark.sql.types import DoubleType, StructField, StructType
 
-    # local pre-top-k WITHOUT shuffling the |C|x|Q| scored set: a
-    # mapInPandas pass keeps a running top-k per query within each
-    # corpus partition (selection only — every similarity was already
-    # computed and rounded JVM-side, so no float math crosses the
-    # Arrow boundary and the oracle stays bit-exact). Only
-    # partitions x |Q| x k survivor rows are shuffled by the final
-    # per-query window.
-    def _local_topk(batches):
-        import pandas as pd
+        out_schema = StructType([
+            StructField("__qid", q.schema["__qid"].dataType),
+            StructField("__cid", corpus.schema[corpus_id].dataType),
+            StructField("cos_sim", DoubleType()),
+        ])
+        # Collect + broadcast the query side (small by the same
+        # contract that lets the exact path broadcast-join it).
+        qrows = q.collect()
+        qids = np.array([r["__qid"] for r in qrows])
+        qmat = np.array([list(r["__qv"]) for r in qrows], dtype=np.float64)
+        qnorm = np.linalg.norm(qmat, axis=1)
+        bq = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qnorm))
 
-        best: "pd.DataFrame | None" = None
-        for pdf in batches:
-            pool = pdf if best is None else pd.concat((best, pdf))
-            pool = pool.sort_values(
-                ["__qid", "cos_sim", "__cid"], ascending=[True, False, True]
+        def _score_topk(batches):
+            import pandas as pd
+
+            bqids, bqmat, bqnorm = bq.value
+            pools: "list[pd.DataFrame]" = []
+            for pdf in batches:
+                C = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+                cids = pdf["__cid"].to_numpy()
+                cn = np.linalg.norm(C, axis=1)
+                s = np.round(
+                    (C @ bqmat.T) / np.outer(cn, bqnorm), 6
+                )  # |batch| x |Q|
+                for j in range(len(bqids)):
+                    col = s[:, j]
+                    mask = cids != bqids[j] if exclude_self else slice(None)
+                    cc, ss = cids[mask], col[mask]
+                    if len(cc) > k:
+                        # keep EVERY candidate tied at the k-th value so
+                        # the final deterministic (cos_sim desc, cid asc)
+                        # sort breaks boundary ties identically to the
+                        # exact path
+                        kth = np.partition(ss, len(ss) - k)[len(ss) - k]
+                        keep = ss >= kth
+                        cc, ss = cc[keep], ss[keep]
+                    pools.append(pd.DataFrame(
+                        {"__qid": bqids[j], "__cid": cc, "cos_sim": ss}
+                    ))
+            if pools:
+                pool = pd.concat(pools).sort_values(
+                    ["__qid", "cos_sim", "__cid"], ascending=[True, False, True]
+                )
+                yield pool.groupby("__qid", sort=False).head(k)
+
+        pruned = (
+            corpus.select(
+                F.col(corpus_id).alias("__cid"),
+                F.col(corpus_vec).cast("array<double>").alias("__cv"),
             )
-            best = pool.groupby("__qid", sort=False).head(k)
-        if best is not None:
-            yield best
+            .mapInPandas(_score_topk, schema=out_schema)
+        )
+    else:
+        scored = (
+            corpus.select(
+                F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+            )
+            .join(F.broadcast(q))
+            .select(
+                "__qid",
+                "__cid",
+                F.round(
+                    cosine(F.col("__cv").cast("array<double>"),
+                           F.col("__qv").cast("array<double>")), 6
+                ).alias("cos_sim"),
+            )
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("__qid") != F.col("__cid"))
 
-    pruned = scored.mapInPandas(_local_topk, schema=scored.schema)
+        # local pre-top-k WITHOUT shuffling the |C|x|Q| scored set: a
+        # mapInPandas pass keeps a running top-k per query within each
+        # corpus partition (selection only — every similarity was
+        # already computed and rounded JVM-side, so no float math
+        # crosses the Arrow boundary and the oracle stays bit-exact).
+        def _local_topk(batches):
+            import pandas as pd
+
+            best: "pd.DataFrame | None" = None
+            for pdf in batches:
+                pool = pdf if best is None else pd.concat((best, pdf))
+                pool = pool.sort_values(
+                    ["__qid", "cos_sim", "__cid"], ascending=[True, False, True]
+                )
+                best = pool.groupby("__qid", sort=False).head(k)
+            if best is not None:
+                yield best
+
+        pruned = scored.mapInPandas(_local_topk, schema=scored.schema)
     final = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.col("__cid"))
     return (
         pruned.withColumn("rank", F.row_number().over(final))

@@ -340,3 +340,21 @@ def test_chunk_documents_coverage(spark):
     # short doc: single chunk, no phantom second chunk
     d2 = [r for r in rows if r["doc_id"] == 2]
     assert len(d2) == 1 and d2[0]["n_chunk_tokens"] == 3
+
+
+def test_knn_join_blas_matches_exact(spark, emb):
+    """The BLAS scale path returns the same ranked neighbor lists as
+    the oracle-checked exact path (sim values within 6-dp rounding)."""
+    from csp_spark.similarity import knn_join
+
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    cs = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    e = sorted((r.qid, r.rank, r.cid, r.cos_sim) for r in
+               knn_join(qs, cs, k=5, query_id="qid", corpus_id="cid").collect())
+    b = sorted((r.qid, r.rank, r.cid, r.cos_sim) for r in
+               knn_join(qs, cs, k=5, query_id="qid", corpus_id="cid",
+                        method="blas").collect())
+    assert len(e) == len(b) > 0
+    assert all(x[:3] == y[:3] and abs(x[3] - y[3]) <= 2e-6
+               for x, y in zip(e, b))
