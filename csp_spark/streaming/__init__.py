@@ -8,6 +8,7 @@ from .sources import (
 )
 from .ops import (
     burst_stream,
+    dedup_stream,
     conflate_last_value,
     ema_stream,
     rolling_time_stats_stream,
@@ -25,6 +26,7 @@ __all__ = [
     "with_watermark",
     "conflate_last_value",
     "burst_stream",
+    "dedup_stream",
     "rolling_time_stats_stream",
     "ema_stream",
     "collect_stream",

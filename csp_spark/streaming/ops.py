@@ -57,6 +57,31 @@ def conflate_last_value(
     return out
 
 
+def dedup_stream(
+    x: DataFrame,
+    cols: list[str],
+    watermark: _dt.timedelta,
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST row per `cols`
+    value — the streaming counterpart of dedup.dedup_exact for a live
+    document/event feed (dedup on a fingerprint column, e.g.
+    ``F.xxhash64(normalize(text))``, computed upstream).
+
+    State design for an unbounded corpus: with within_watermark=True
+    (default) Spark keeps a seen-set entry only until the watermark
+    passes it (``dropDuplicatesWithinWatermark``) — state is bounded
+    by the watermark horizon, so the stream runs forever; duplicates
+    separated by more than the horizon are NOT collapsed (document the
+    horizon as the dedup guarantee). within_watermark=False uses
+    ``dropDuplicates`` — exact across the whole stream but state grows
+    with distinct keys; only for bounded runs."""
+    src = with_watermark(x, watermark)
+    if within_watermark:
+        return src.dropDuplicatesWithinWatermark(cols)
+    return src.dropDuplicates(cols)
+
+
 def burst_stream(
     x: DataFrame, bucket: _dt.timedelta, watermark: _dt.timedelta | None = None
 ) -> DataFrame:

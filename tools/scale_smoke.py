@@ -33,6 +33,11 @@ QUERIES = [
     "stats_trigger_reset",
     "dedup_minhash",
     "text_fingerprint",
+    # r3 additions: clustering closure, chunking, repetition profile
+    # (all doc-keyed — should scale ~linearly with docs)
+    "dedup_components",
+    "doc_chunk",
+    "text_repetition",
 ]
 
 
