@@ -18,7 +18,9 @@ are plain attributes here) with underscore aliases alongside.
 
 from .core.session import get_spark
 from .core.ticks import TickStream, KEY, TS, SEQ, VALUE, GLOBAL_KEY
-from .core.align import align, align_wide, sample, binary_op, asof_join
+from .core.align import (
+    align, align_wide, asof_join, binary_op, now, sample, ticked, valid,
+)
 from .core.enum import DynamicEnum, Enum
 from .core.profiler import Profiler
 from .core.record import Struct, UNSET
@@ -80,6 +82,7 @@ from .operators.baselib import (
     wrap_feedback,
 )
 from .operators.baselib import demultiplex as dynamic_demultiplex  # long-format identity, see baselib docstring
+from .operators.baselib import count as num_ticks  # csp.num_ticks = tick counter
 from .operators.history import (
     item_at,
     set_buffering_policy,
@@ -166,7 +169,8 @@ __version__ = "0.2.0"
 __all__ = [
     # core
     "get_spark", "TickStream", "align", "align_wide", "sample",
-    "binary_op", "asof_join", "KEY", "TS", "SEQ", "VALUE", "GLOBAL_KEY",
+    "binary_op", "asof_join", "ticked", "valid", "now", "num_ticks",
+    "KEY", "TS", "SEQ", "VALUE", "GLOBAL_KEY",
     "Profiler", "Struct", "UNSET", "TsFrame", "Enum", "DynamicEnum",
     "run", "run_on_thread", "memoize", "csp_memoized", "show_graph",
     "ThreadRunner", "dynamic_apply", "feedback_iterate",

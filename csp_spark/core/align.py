@@ -94,6 +94,26 @@ def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFr
     return out.filter(F.col("__cycle_rn") == 1).drop("__cycle_rn")
 
 
+def ticked(name: str) -> Column:
+    """csp.ticked(x) over an align() frame (reference
+    csp/impl/builtin_functions.py:29-47): TRUE on rows where stream
+    ``name`` produced an update in this engine cycle."""
+    return F.col(_ticked(name))
+
+
+def valid(name: str) -> Column:
+    """csp.valid(x) over an align() frame (builtin_functions.py:48-66):
+    TRUE once stream ``name`` has ticked at least once (its last-value
+    column is non-NULL — align encodes 'never ticked' as NULL)."""
+    return F.col(name).isNotNull()
+
+
+def now() -> Column:
+    """csp.now() (builtin_functions.py:305-310): the engine-cycle time —
+    in the tick-table encoding, simply the row's ts column."""
+    return F.col(TS)
+
+
 def sample(trigger: TickStream, x: TickStream) -> TickStream:
     """csp.sample parity (csp/baselib.py:290-298): value of ``x`` at each
     trigger tick; no output while x is invalid (never ticked)."""

@@ -326,3 +326,27 @@ def test_log_settings_and_schedule_on_engine_stop(spark, caplog):
     assert fired == ["a", "b"]
     run(graph)  # callbacks re-register per build, fire once per run
     assert fired == ["a", "b", "a", "b"]
+
+
+def test_ticked_valid_now_over_align(spark):
+    """csp.ticked / csp.valid / csp.now combinators over an align()
+    frame (reference builtin_functions.py:29-66,305-310): ticked marks
+    the updating stream per cycle, valid turns on after first tick and
+    stays on, now() is the cycle time."""
+    import csp_spark as csp
+    from pyspark.sql import functions as F
+
+    x = bl.curve(spark, [(t(0), 1.0), (t(20), 2.0)])
+    y = bl.curve(spark, [(t(10), 5.0)])
+    a = csp.align({"x": x, "y": y})
+    rows = a.select(
+        "ts", csp.ticked("x").alias("tx"), csp.ticked("y").alias("ty"),
+        csp.valid("x").alias("vx"), csp.valid("y").alias("vy"),
+        (csp.now() == F.col("ts")).alias("now_ok"),
+    ).orderBy("ts").collect()
+    assert [(r.tx, r.ty, r.vx, r.vy) for r in rows] == [
+        (True, False, True, False),   # x ticks, y never ticked yet
+        (False, True, True, True),    # y's first tick: both now valid
+        (True, False, True, True),    # x ticks again, y stays valid
+    ]
+    assert all(r.now_ok for r in rows)

@@ -144,7 +144,8 @@ def test_top_level_surface():
 
     for name in ("merge", "filter", "sample", "delay", "const", "timer",
                  "apply", "print", "log", "stop_engine", "value_at",
-                 "schedule_alarm", "Struct", "Enum", "min", "max", "erf"):
+                 "schedule_alarm", "Struct", "Enum", "min", "max", "erf",
+                 "ticked", "valid", "now", "num_ticks"):
         assert callable(getattr(csp, name)) or hasattr(csp, name), name
     missing = [n for n in csp.__all__ if not hasattr(csp, n)]
     assert not missing, missing
