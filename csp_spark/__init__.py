@@ -85,6 +85,7 @@ from .operators.baselib import demultiplex as dynamic_demultiplex  # long-format
 from .operators.baselib import count as num_ticks  # csp.num_ticks = tick counter
 from .operators.history import (
     item_at,
+    items_at,
     set_buffering_policy,
     time_at,
     times_at,
@@ -184,7 +185,7 @@ __all__ = [
     "last_value", "merge", "multiplex", "null_ts", "split", "static_cast",
     "struct_collectts", "struct_field", "struct_fromts", "timer", "times",
     "times_ns", "unroll", "wrap_feedback",
-    "value_at", "time_at", "item_at", "values_at", "times_at",
+    "value_at", "time_at", "item_at", "values_at", "times_at", "items_at",
     "set_buffering_policy", "schedule_alarm", "alarm_stream",
     "LogSettings", "log", "log_ticks", "print", "print_ticks",
     "stop_engine", "stop_engine_limit",

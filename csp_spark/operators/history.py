@@ -315,6 +315,38 @@ def times_at(
     return TickStream(x.df.select(KEY, TS, SEQ, out.alias("value")))
 
 
+def items_at(
+    x: TickStream,
+    start: int | _dt.timedelta | None = None,
+    end: int | _dt.timedelta | None = None,
+    start_policy: str = "inclusive",
+    end_policy: str = "inclusive",
+) -> TickStream:
+    """csp.items_at parity (builtin_functions.py:250-270): at every
+    tick, the ARRAY of (ts, value) STRUCTS in range — the zipped form
+    of (times_at, values_at), ascending time order."""
+    w, use_struct = _range_frame(x, start, end, start_policy, end_policy)
+    v = F.col(x.value_col)
+    if use_struct:
+        arr = F.array_sort(
+            F.collect_list(
+                F.struct(_micros(F.col(TS)).alias("m"), F.col(SEQ).alias("s"),
+                         v.alias("v"))
+            ).over(w)
+        )
+        out = F.transform(
+            arr,
+            lambda e: F.struct(
+                F.timestamp_micros(e["m"]).alias("ts"), e["v"].alias("value")
+            ),
+        )
+    else:
+        out = F.collect_list(
+            F.struct(F.col(TS).alias("ts"), v.alias("value"))
+        ).over(w)
+    return TickStream(x.df.select(KEY, TS, SEQ, out.alias("value")))
+
+
 def set_buffering_policy(
     x: TickStream,
     tick_count: int | None = None,

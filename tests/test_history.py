@@ -109,3 +109,16 @@ def test_buffering_policy_noop(buf):
         H.set_buffering_policy(buf, tick_count=0)
     with pytest.raises(ValueError):
         H.set_buffering_policy(buf, tick_history=TD(seconds=-1))
+
+
+def test_items_at(buf):
+    """items_at = zip(times_at, values_at) as (ts, value) structs
+    (reference builtin_functions.py:250-270)."""
+    items = last(H.items_at(buf, -3, -1))
+    assert [(i["ts"], i["value"]) for i in items] == [
+        (t(0), 0.0), (t(60), 1.0), (t(60), 2.0),
+    ]
+    items = last(H.items_at(buf, TD(seconds=-180), TD(seconds=-30)))
+    assert [(i["ts"], i["value"]) for i in items] == [
+        (t(0), 0.0), (t(60), 1.0), (t(60), 2.0),
+    ]
