@@ -738,25 +738,22 @@ def op_exprtk_state(spark, sf_dir):
 def op_value_at(spark, sf_dir):
     # Historical buffer API (csp.value_at/time_at/values_at —
     # csp/impl/builtin_functions.py:105-270): every lookup form on one
-    # stream, joined on tick identity. Each lookup is one window op
-    # over the key partition; the joins reuse that partitioning.
+    # stream. All tick-index lookups ride ONE window partition via
+    # with_lookups (no joins — was 14 exchanges as per-lookup streams
+    # joined on tick identity, now 5); only the time-offset form needs
+    # its own union-pass stream, joined once.
     from csp_spark.operators import history as H
 
     x = _events_stream(spark, sf_dir)
-    lag3 = H.value_at(x, -3)
+    base = H.with_lookups(x, {
+        "v_lag3": ("value_at", -3),
+        "t_lag2": ("time_at", -2),
+        "win": ("values_at", -5, -1),
+    }).withColumn("n_win", F.size("win")).drop("win")
     v60 = H.value_at(x, dt.timedelta(seconds=-60))
-    t2 = H.time_at(x, -2)
-    nw = H.values_at(x, -5, -1)
     keys = [KEY, TS, SEQ]
-
-    def part(s, name):
-        return s.df.select(*keys, F.col("value").alias(name))
-
-    j = (
-        part(lag3, "v_lag3")
-        .join(part(v60, "v_60s"), keys)
-        .join(part(t2, "t_lag2"), keys)
-        .join(part(nw, "win").withColumn("n_win", F.size("win")).drop("win"), keys)
+    j = base.join(
+        v60.df.select(*keys, F.col("value").alias("v_60s")), keys
     )
     return j.select(
         F.col(SEQ).alias("event_id"),

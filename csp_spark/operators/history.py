@@ -39,8 +39,10 @@ __all__ = [
     "value_at",
     "time_at",
     "item_at",
+    "items_at",
     "values_at",
     "times_at",
+    "with_lookups",
     "set_buffering_policy",
 ]
 
@@ -345,6 +347,57 @@ def items_at(
             F.struct(F.col(TS).alias("ts"), v.alias("value"))
         ).over(w)
     return TickStream(x.df.select(KEY, TS, SEQ, out.alias("value")))
+
+
+def with_lookups(x: TickStream, specs: dict[str, tuple]):
+    """Several tick-index buffer lookups as COLUMNS of one frame.
+
+    A node body typically reads the buffer more than once per tick
+    (e.g. lag-3 value, lag-2 time, last-5 window). Composing the
+    single-lookup streams with equality joins costs one shuffle per
+    lookup plus the joins (measured: 14 exchanges for 4 lookups);
+    every tick-index form is just a window function over the SAME
+    (key | ts, seq) partition, so this computes them side by side in
+    one select — ONE exchange total, any number of lookups.
+
+    specs: name -> ("value_at", k) | ("time_at", k) | ("item_at", k)
+    | ("values_at", lo, hi) | ("times_at", lo, hi) |
+    ("items_at", lo, hi); tick indices only (ints ≤ 0). Time-offset /
+    absolute forms need a different plan shape — use value_at/time_at
+    and join their stream. Returns the tick frame (key, ts, seq,
+    <name>...).
+    """
+    cols: list[Column] = [F.col(KEY), F.col(TS), F.col(SEQ)]
+    for name, spec in specs.items():
+        kind, *args = spec
+        if any(isinstance(a, (_dt.timedelta, _dt.datetime)) for a in args):
+            raise TypeError(
+                f"{name}: with_lookups takes tick indices only; use "
+                "value_at/time_at for time-offset forms and join"
+            )
+        if kind in ("value_at", "time_at", "item_at"):
+            vcol, tcol = _lookup_cols(x, args[0] if args else 0, None)
+            c = {
+                "value_at": vcol,
+                "time_at": tcol,
+                "item_at": F.struct(tcol.alias("ts"), vcol.alias("value")),
+            }[kind]
+        elif kind in ("values_at", "times_at", "items_at"):
+            start = args[0] if len(args) > 0 else None
+            end = args[1] if len(args) > 1 else None
+            w, _ = _range_frame(x, start, end, "inclusive", "inclusive")
+            v = F.col(x.value_col)
+            c = {
+                "values_at": F.collect_list(v).over(w),
+                "times_at": F.collect_list(F.col(TS)).over(w),
+                "items_at": F.collect_list(
+                    F.struct(F.col(TS).alias("ts"), v.alias("value"))
+                ).over(w),
+            }[kind]
+        else:
+            raise ValueError(f"unknown lookup kind {kind!r}")
+        cols.append(c.alias(name))
+    return x.df.select(*cols)
 
 
 def set_buffering_policy(

@@ -122,3 +122,26 @@ def test_items_at(buf):
     assert [(i["ts"], i["value"]) for i in items] == [
         (t(0), 0.0), (t(60), 1.0), (t(60), 2.0),
     ]
+
+
+def test_with_lookups_matches_single_streams(buf):
+    """Multi-lookup frame computes the same answers as the per-lookup
+    streams, in one window partition (no joins)."""
+    frame = H.with_lookups(buf, {
+        "v1": ("value_at", -1),
+        "t1": ("time_at", -1),
+        "it": ("item_at", -1),
+        "vals": ("values_at", -3, -1),
+        "items": ("items_at", -3, -1),
+    })
+    r = sorted(frame.collect(), key=lambda r: (r["ts"], r["seq"]))[-1]
+    assert r["v1"] == last(H.value_at(buf, -1))
+    assert r["t1"] == last(H.time_at(buf, -1))
+    assert (r["it"]["ts"], r["it"]["value"]) == (t(60), 2.0)
+    assert r["vals"] == [0.0, 1.0, 2.0]
+    assert [(i["ts"], i["value"]) for i in r["items"]] == [
+        (t(0), 0.0), (t(60), 1.0), (t(60), 2.0),
+    ]
+    import pytest as _pt
+    with _pt.raises(TypeError):
+        H.with_lookups(buf, {"bad": ("value_at", TD(seconds=-30))})
