@@ -3,5 +3,5 @@ from .analysis import (
     digit_ratio, upper_ratio, stopword_ratio, quality_score, lang_guess,
     fingerprint, winnow_fingerprints, STOPWORDS,
     dup_word_fraction, dup_line_fraction, repetition_stats,
-    chunk_documents, spread,
+    chunk_documents, spread, redact_pii, pii_counts, PII_PATTERNS,
 )

@@ -180,6 +180,40 @@ def winnow_fingerprints(
     return out.distinct() if distinct else out
 
 
+#: PII patterns — deliberately simple, deterministic regexes (real
+#: pipelines layer model-based NER on top; the plumbing is identical).
+#: Patterns avoid lookarounds so they behave the same under Java regex
+#: (Spark) and RE2 (DuckDB/ripgrep-style engines).
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "IPV4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "SSN": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Replace PII spans with ``[KIND]`` tokens — the standard scrub
+    pass before training-corpus release. Pure regexp_replace chain
+    (codegen, scan-time); order matters: SSN/IPV4 before PHONE so the
+    generic digit-run pattern can't swallow the structured forms."""
+    out = text
+    for kind in kinds or ["EMAIL", "SSN", "IPV4", "PHONE"]:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind}]")
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-kind PII match counts — the audit/reporting face
+    of redact_pii (count before you scrub)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(kind.lower())
+            for kind, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
 def dup_word_fraction(text: Column) -> Column:
     """Fraction of tokens that are repeats of an earlier token —
     1 - distinct/total. One of the Gopher-style repetition signals

@@ -358,3 +358,23 @@ def test_knn_join_blas_matches_exact(spark, emb):
     assert len(e) == len(b) > 0
     assert all(x[:3] == y[:3] and abs(x[3] - y[3]) <= 2e-6
                for x, y in zip(e, b))
+
+
+def test_redact_pii_golden(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.com or call +1 (555) 123-4567"),
+        (2, "server 192.168.10.254 holds ssn 123-45-6789"),
+        (3, "no pii here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        TX.redact_pii(F.col("text")).alias("clean"),
+        TX.pii_counts(F.col("text")).alias("counts"),
+    ).collect()}
+    assert out[1]["clean"] == "mail me at [EMAIL] or call [PHONE]"
+    assert out[1]["counts"]["email"] == 1 and out[1]["counts"]["phone"] == 1
+    assert out[2]["clean"] == "server [IPV4] holds ssn [SSN]"
+    assert out[2]["counts"]["ipv4"] == 1 and out[2]["counts"]["ssn"] == 1
+    assert out[3]["clean"] == "no pii here at all"
+    assert sum(out[3]["counts"]) == 0
