@@ -770,6 +770,25 @@ def op_accum(spark, sf_dir):
     return out.withColumn("running_sum", F.round(F.col("running_sum"), 4))
 
 
+def op_accum_global(spark, sf_dir):
+    """Scalable UNKEYED running sum (core/unkeyed.py running_unkeyed):
+    the whole events table as ONE logical stream in engine order —
+    two-pass prefix plan, no single-partition window over the data
+    (the align engine's documented GLOBAL_KEY limitation, removed for
+    associative aggregates)."""
+    from csp_spark.core.unkeyed import running_unkeyed
+
+    ev = _t(spark, sf_dir, "events")
+    x = TickStream.from_table(
+        ev, ts_col="ts", value_col="value", seq_col="event_id"
+    )
+    out = running_unkeyed(x, "sum")
+    return out.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.round(F.col("value"), 4).alias("running_sum"),
+    )
+
+
 def op_diff(spark, sf_dir):
     return _out(bl.diff(_events_stream(spark, sf_dir), 1), "dv")
 
@@ -2186,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "text_repetition": text_repetition,
         "doc_chunk": doc_chunk,
+        "op_accum_global": op_accum_global,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value:
@@ -2210,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue", "q19_discounted_revenue",
         "q20_part_promotion", "q21_suppliers_kept_waiting",
         "q22_global_sales_opportunity", "text_repetition", "doc_chunk",
+        "op_accum_global",
         # (2) green only in round 1
         "src_timer", "op_times", "op_edge_math", "op_struct_field",
         "op_struct_collectts", "op_dynamic_collect", "basket_sync",
@@ -2931,6 +2952,13 @@ WHERE c_acctbal > (
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
+""",
+        "op_accum_global": """
+SELECT event_id,
+  round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (
+    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE), 4) AS running_sum
+FROM events
 """,
         "text_repetition": r"""
 WITH toks AS (

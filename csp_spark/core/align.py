@@ -13,8 +13,11 @@ inside the same stage (whole-stage codegen, no further exchange).
 
 Scale note: the window is partitioned by ``key``, so alignment is
 embarrassingly parallel over keys — the 100 TB path keys by symbol /
-entity. Unkeyed streams collapse to one partition and are documented as
-test-scale only.
+entity. Unkeyed streams collapse to one partition here; for ASSOCIATIVE
+running aggregates over an unkeyed stream use
+core.unkeyed.running_unkeyed (two-pass prefix plan, no global window);
+non-associative unkeyed ops remain sequential by semantics — as they
+are in the reference's single-threaded engine.
 """
 
 from __future__ import annotations

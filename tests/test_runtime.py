@@ -114,3 +114,39 @@ def test_dynamic_snap_and_attach(spark):
     assert [v for _, v in got["a"]] == [1.0 + 10.0 + 2, 2.0 + 10.0 + 2]
     # key b: snap(ref)=20.0, 1 side row
     assert [v for _, v in got["b"]] == [3.0 + 20.0 + 1]
+
+
+def test_running_unkeyed_matches_global_window(spark):
+    """Two-pass prefix plan equals the single-window form bit-for-bit
+    for all four associative aggregates, and the plan's data windows
+    are partitioned by the pinned partition id (no global window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csp_spark import TickStream
+    from csp_spark.core.unkeyed import running_unkeyed
+    from csp_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001/events.parquet")
+    x = TickStream.from_table(ev, ts_col="ts", value_col="value",
+                              seq_col="event_id")
+    w = Window.orderBy("ts", "seq").rowsBetween(Window.unboundedPreceding, 0)
+    ref = {
+        (r["ts"], r["seq"]): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in x.df.select(
+            "ts", "seq",
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+            .cast("double").alias("s"),
+            F.count("value").over(w).alias("c"),
+            F.min("value").over(w).alias("mn"),
+            F.max("value").over(w).alias("mx"),
+        ).collect()
+    }
+    for i, agg in enumerate(("sum", "count", "min", "max")):
+        got = {(r["ts"], r["seq"]): r["value"]
+               for r in running_unkeyed(x, agg, num_partitions=7).df.collect()}
+        assert got == {k: v[i] for k, v in ref.items()}, agg
+    df = running_unkeyed(x, "sum").df
+    lines = [l for l in df._jdf.queryExecution().executedPlan().toString()
+             .split("\n") if "Window" in l]
+    assert lines and all("__pid" in l for l in lines)
