@@ -114,3 +114,118 @@ def running_unkeyed(
         .select(KEY, TS, SEQ, total.alias("value"))
     )
     return TickStream(out)
+
+
+def ema_unkeyed(
+    x: TickStream, alpha: float, num_partitions: int | None = None
+) -> TickStream:
+    """Scalable EMA (adjust=False recursion: ``y_0 = x_0``,
+    ``y_i = (1-a)*y_{i-1} + a*x_i``) over an UNKEYED stream — the hard
+    unkeyed case, a LINEAR RECURRENCE rather than an associative
+    aggregate, parallelized with the classic affine-scan composition
+    (Blelloch-style scan over ``y → A*y + C``):
+
+    1. range-partition by engine order, pid pinned (as running_unkeyed);
+    2. pass 1: each partition reports its affine map — ``A = (1-a)^m``
+       and ``C`` = its zero-initialized EMA tail — plus partition 0's
+       true final state. #partitions rows reach the driver (documented
+       tiny collect, same class as IVF centroid ranking);
+    3. the incoming state per partition is the sequential fold of those
+       affine maps — #partitions driver-side multiply-adds;
+    4. pass 2: each partition computes rows as
+       ``zero_init_local_i + (1-a)^(i+1) * incoming`` — C-vectorized
+       pandas, partitions independent.
+
+    Exactness: algebraically identical to the sequential recursion;
+    floating-point grouping differs (the ``(1-a)^(i+1) * s`` term is a
+    pow+multiply instead of i repeated multiplies), so agreement with
+    the sequential form is ~1e-12 relative, asserted in tests — use
+    the keyed ``stats.ema`` when bit-replay against a sequential
+    oracle is required. ``(1-a)^(i+1)`` underflows to 0 for deep rows,
+    which is exactly the true weight of the incoming state. Input must
+    be NaN-free (drop_nans upstream); NaN-poisoning semantics don't
+    compose affinely."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    import pandas as pd
+
+    spark = x.df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    a1 = 1.0 - alpha
+
+    base = (
+        x.df.select(KEY, TS, SEQ, F.col(x.value_col).alias("__v"))
+        .repartitionByRange(n, TS, SEQ)
+        .sortWithinPartitions(TS, SEQ)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    base.count()
+
+    def _zero_init(vals: "pd.Series") -> "pd.Series":
+        # l_i = (1-a) l_{i-1} + a x_i with l_{-1} = 0: inject a leading
+        # zero so pandas' first-value-seeds rule realizes the zero init
+        z = pd.concat([pd.Series([0.0]), vals], ignore_index=True)
+        return z.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(
+            drop=True
+        )
+
+    def _p1(batches):
+        parts = [pdf for pdf in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pid = int(pdf["__pid"].iloc[0])
+        vals = pdf["__v"].astype("float64")
+        m = len(vals)
+        c = float(_zero_init(vals).iloc[-1]) if m else 0.0
+        y_final = (
+            float(vals.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+            if m
+            else 0.0
+        )
+        yield pd.DataFrame(
+            {"__pid": [pid], "m": [m], "c": [c], "y_final": [y_final]}
+        )
+
+    stats = sorted(
+        (
+            (int(r["__pid"]), int(r["m"]), float(r["c"]), float(r["y_final"]))
+            for r in base.mapInPandas(
+                _p1, schema="__pid long, m long, c double, y_final double"
+            ).collect()
+        )
+    )
+    incoming: dict[int, float | None] = {}
+    s: float | None = None
+    for pid, m, c, y_final in stats:
+        incoming[pid] = s
+        if s is None:
+            s = y_final  # partition 0 (or first non-empty): true state
+        else:
+            s = c + (a1 ** m) * s
+    b_in = spark.sparkContext.broadcast(incoming)
+
+    def _p2(batches):
+        parts = [pdf for pdf in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pid = int(pdf["__pid"].iloc[0])
+        vals = pdf["__v"].astype("float64")
+        s_in = b_in.value.get(pid)
+        if s_in is None:
+            y = vals.ewm(alpha=alpha, adjust=False).mean()
+        else:
+            import numpy as np
+
+            decay = a1 ** np.arange(1, len(vals) + 1, dtype="float64")
+            y = _zero_init(vals) + decay * s_in
+        out = pdf[[KEY, TS, SEQ]].copy()
+        out["value"] = y.to_numpy()
+        yield out
+
+    out = base.mapInPandas(
+        _p2, schema=f"{KEY} string, {TS} timestamp, {SEQ} long, value double"
+    )
+    return TickStream(out)

@@ -150,3 +150,29 @@ def test_running_unkeyed_matches_global_window(spark):
     lines = [l for l in df._jdf.queryExecution().executedPlan().toString()
              .split("\n") if "Window" in l]
     assert lines and all("__pid" in l for l in lines)
+
+
+def test_ema_unkeyed_matches_sequential(spark):
+    """Affine-scan EMA over a partitioned unkeyed stream agrees with
+    the sequential keyed EMA to ~machine epsilon, for both the
+    multi-partition and the degenerate single-partition plans."""
+    from pyspark.sql import functions as F
+
+    from csp_spark import TickStream
+    from csp_spark.core.unkeyed import ema_unkeyed
+    from csp_spark.sources import read_table
+    from csp_spark.stats import ema
+
+    ev = read_table(spark, "/root/testdata/sf0.001/events.parquet").filter(
+        ~F.isnan("value")
+    )
+    x = TickStream.from_table(ev, ts_col="ts", value_col="value",
+                              seq_col="event_id")
+    ref = {(r["ts"], r["seq"]): r["value"]
+           for r in ema(x, alpha=0.1, adjust=False).df.collect()}
+    got = {(r["ts"], r["seq"]): r["value"]
+           for r in ema_unkeyed(x, alpha=0.1, num_partitions=5).df.collect()}
+    assert got.keys() == ref.keys()
+    assert all(
+        abs(got[k] - ref[k]) <= 1e-9 * (abs(ref[k]) + 1e-12) for k in ref
+    )
