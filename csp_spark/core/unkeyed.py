@@ -36,7 +36,7 @@ from .ticks import KEY, SEQ, TS, TickStream
 
 _DEC = "decimal(28,10)"
 
-_AGGS = ("sum", "count", "min", "max")
+_AGGS = ("sum", "count", "min", "max", "last")
 
 
 def running_unkeyed(
@@ -75,20 +75,31 @@ def running_unkeyed(
     elif agg == "min":
         part = F.min("__v")
         within = F.min("__v")
-    else:
+    elif agg == "max":
         part = F.max("__v")
         within = F.max("__v")
+    else:  # last — the align kernel's running last-value, scalable:
+        # per-partition "last non-null by engine order" via max_by over
+        # the non-null rows (groupBy order-independent, unlike F.last)
+        part = F.max_by("__v", F.struct(TS, SEQ))
+        within = F.last("__v", ignorenulls=True)
 
     # exclusive prefix of the partials: partition i's offset combines
     # partitions 0..i-1 (NULL for partition 0)
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = base.groupBy("__pid").agg(part.alias("__part")).select(
+    partials = (
+        base.filter(F.col("__v").isNotNull()).groupBy("__pid")
+        if agg == "last"
+        else base.groupBy("__pid")
+    ).agg(part.alias("__part"))
+    offs = base.select("__pid").distinct().join(partials, "__pid", "left").select(
         "__pid",
         {
             "sum": F.sum("__part"),
             "count": F.sum("__part"),
             "min": F.min("__part"),
             "max": F.max("__part"),
+            "last": F.last("__part", ignorenulls=True),
         }[agg].over(woff).alias("__off"),
     )
 
@@ -106,8 +117,10 @@ def running_unkeyed(
         total = (run + F.coalesce(F.col("__off"), F.lit(0))).cast("long")
     elif agg == "min":
         total = F.least(run, F.coalesce(F.col("__off"), run))
-    else:
+    elif agg == "max":
         total = F.greatest(run, F.coalesce(F.col("__off"), run))
+    else:  # last: this partition's running last, else the carried one
+        total = F.coalesce(run, F.col("__off"))
 
     out = (
         base.join(F.broadcast(offs), "__pid")

@@ -146,6 +146,16 @@ def test_running_unkeyed_matches_global_window(spark):
         got = {(r["ts"], r["seq"]): r["value"]
                for r in running_unkeyed(x, agg, num_partitions=7).df.collect()}
         assert got == {k: v[i] for k, v in ref.items()}, agg
+    # running last (the align kernel's op) incl. null gaps
+    import pyspark.sql.functions as SF
+    xn = TickStream(x.df.withColumn(
+        "value", SF.when(SF.col("seq") % 3 == 0, SF.col("value"))))
+    lref = {(r["ts"], r["seq"]): r["l"] for r in xn.df.select(
+        "ts", "seq", SF.last("value", ignorenulls=True).over(w).alias("l")
+    ).collect()}
+    lgot = {(r["ts"], r["seq"]): r["value"]
+            for r in running_unkeyed(xn, "last", num_partitions=7).df.collect()}
+    assert lgot == lref
     df = running_unkeyed(x, "sum").df
     lines = [l for l in df._jdf.queryExecution().executedPlan().toString()
              .split("\n") if "Window" in l]
