@@ -78,11 +78,37 @@ def timer(
 
 def curve(
     spark: SparkSession,
-    data: Iterable[tuple],
+    data,
     value_type: str = "double",
     key: str = GLOBAL_KEY,
+    start: _dt.datetime | None = None,
 ) -> TickStream:
-    """csp.curve (csp/curve.py:16-65): replay explicit (time, value)s."""
+    """csp.curve (csp/curve.py:16-65): replay explicit (time, value)s.
+
+    Accepts the reference's three input forms: a list of
+    ``(datetime, value)`` tuples; a list of ``(timedelta, value)``
+    tuples resolved against ``start`` (the reference resolves against
+    the engine start time — here it must be passed); or the numpy fast
+    path ``(times_array, values_array)`` (reference ``_npcurve``)."""
+    if (
+        isinstance(data, tuple)
+        and len(data) == 2
+        and hasattr(data[0], "dtype")
+    ):
+        import pandas as pd
+
+        times = pd.to_datetime(data[0]).to_pydatetime().tolist()
+        vals = data[1].tolist()
+        data = list(zip(times, vals))
+    else:
+        data = list(data)
+    if data and isinstance(data[0][0], _dt.timedelta):
+        if start is None:
+            raise ValueError(
+                "timedelta-based curve data needs start= (the reference "
+                "resolves offsets against the engine start time)"
+            )
+        data = [(start + td, v) for td, v in data]
     return TickStream.from_rows(spark, data, value_type, key=key)
 
 

@@ -350,3 +350,24 @@ def test_ticked_valid_now_over_align(spark):
         (True, False, True, True),    # x ticks again, y stays valid
     ]
     assert all(r.now_ok for r in rows)
+
+
+def test_curve_input_forms(spark):
+    """curve accepts datetime tuples, timedelta tuples (+start), and
+    the numpy pair fast path (reference csp/curve.py:16-65, _npcurve)."""
+    import numpy as np
+    import pytest as _pt
+
+    want = [(t(1), 1.0), (t(2), 2.0)]
+    a = bl.curve(spark, want).collect_ticks()
+    b = bl.curve(
+        spark, [(TD(seconds=1), 1.0), (TD(seconds=2), 2.0)], start=START
+    ).collect_ticks()
+    c = bl.curve(
+        spark,
+        (np.array([t(1), t(2)], dtype="datetime64[us]"),
+         np.array([1.0, 2.0])),
+    ).collect_ticks()
+    assert a == b == c == want
+    with _pt.raises(ValueError):
+        bl.curve(spark, [(TD(seconds=1), 1.0)])
