@@ -22,7 +22,7 @@ from .core.align import (
     align, align_wide, asof_join, binary_op, now, sample, ticked, valid,
 )
 from .core.enum import DynamicEnum, Enum
-from .core.profiler import Profiler
+from .core.profiler import Profiler, graph_info
 from .core.record import Struct, UNSET
 from .frame import TsFrame
 from .plans.runtime import (
@@ -172,7 +172,7 @@ __all__ = [
     "get_spark", "TickStream", "align", "align_wide", "sample",
     "binary_op", "asof_join", "ticked", "valid", "now", "num_ticks",
     "KEY", "TS", "SEQ", "VALUE", "GLOBAL_KEY",
-    "Profiler", "Struct", "UNSET", "TsFrame", "Enum", "DynamicEnum",
+    "Profiler", "graph_info", "Struct", "UNSET", "TsFrame", "Enum", "DynamicEnum",
     "run", "run_on_thread", "memoize", "csp_memoized", "show_graph",
     "ThreadRunner", "dynamic_apply", "feedback_iterate",
     "snap", "snapkey", "attached", "schedule_on_engine_stop",

@@ -95,3 +95,45 @@ class Profiler:
         if self.results_dict is None:
             raise RuntimeError("Profiler block has not exited yet")
         return self.results_dict
+
+
+def graph_info(df) -> dict[str, Any]:
+    """csp.profiler.graph_info parity (reference csp/profiler.py:130-200):
+    static statistics of a wired graph. Here the graph IS the Catalyst
+    plan of a DataFrame (or TickStream), so:
+
+    - node_count       → optimized-plan operator count
+    - edge_count       → parent links between plan operators
+    - nodetype_counts  → operator-class histogram (Project, Filter,
+                         Join, Aggregate, Window, ...)
+    - longest_path     → operator names along the deepest lineage chain
+                         (the reference's critical path through the DAG)
+    """
+    plan = (
+        df.df if hasattr(df, "df") else df
+    )._jdf.queryExecution().optimizedPlan()
+
+    def walk(node):
+        name = node.nodeName()
+        children = [node.children().apply(i) for i in range(node.children().size())]
+        counts = {name: 1}
+        nodes = 1
+        edges = len(children)
+        deepest: list[str] = []
+        for ch in children:
+            c_nodes, c_edges, c_counts, c_path = walk(ch)
+            nodes += c_nodes
+            edges += c_edges
+            for k, v in c_counts.items():
+                counts[k] = counts.get(k, 0) + v
+            if len(c_path) > len(deepest):
+                deepest = c_path
+        return nodes, edges, counts, [name, *deepest]
+
+    node_count, edge_count, nodetype_counts, longest = walk(plan)
+    return {
+        "node_count": node_count,
+        "edge_count": edge_count,
+        "nodetype_counts": nodetype_counts,
+        "longest_path": longest,
+    }

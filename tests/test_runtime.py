@@ -186,3 +186,21 @@ def test_ema_unkeyed_matches_sequential(spark):
     assert all(
         abs(got[k] - ref[k]) <= 1e-9 * (abs(ref[k]) + 1e-12) for k in ref
     )
+
+
+def test_graph_info(spark):
+    """graph_info reports Catalyst-plan statistics (reference
+    csp/profiler.py:130-200 GraphInfo: node/edge counts, type
+    histogram, longest path)."""
+    from pyspark.sql import functions as F
+
+    import csp_spark as csp
+    from csp_spark.sources import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    df = li.filter("l_quantity > 10").groupBy("l_returnflag").agg(
+        F.sum("l_quantity"))
+    gi = csp.graph_info(df)
+    assert gi["node_count"] == gi["edge_count"] + 1  # a tree
+    assert gi["nodetype_counts"].get("Aggregate") == 1
+    assert gi["longest_path"][0] == "Aggregate"
