@@ -7,6 +7,7 @@ from .sources import (
     socket_ticks,
 )
 from .ops import (
+    align_stream,
     burst_stream,
     dedup_stream,
     conflate_last_value,
@@ -25,6 +26,7 @@ __all__ = [
     "socket_ticks",
     "with_watermark",
     "conflate_last_value",
+    "align_stream",
     "burst_stream",
     "dedup_stream",
     "rolling_time_stats_stream",

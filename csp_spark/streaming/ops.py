@@ -138,6 +138,77 @@ def rolling_time_stats_stream(
 # stateful per-tick EMA — applyInPandasWithState
 # ----------------------------------------------------------------------
 
+def align_stream(streams: "dict[str, DataFrame]") -> DataFrame:
+    """The align kernel in REALTIME mode: union the named tick streams
+    and maintain per-key last-value state in the state store, emitting
+    one wide row per tick with every stream's latest value (NULL until
+    a stream's first tick = csp 'not yet valid') plus per-stream
+    ``<name>__ticked`` flags — the same frame batch ``core.align``
+    produces, so downstream valid-gated column ops (binary math,
+    sample, struct_fromts) are IDENTICAL code in both modes.
+
+    Ordering contract (same as ema_stream and the reference's realtime
+    engine): rows arrive time-ordered per key across microbatches;
+    within a batch rows fold in (ts, seq, source-tag) order. Same
+    (ts, seq) across streams = one engine cycle → one output row with
+    both ticked flags true (batch align's cycle-collapse rule).
+    """
+    names = list(streams)
+    parts = []
+    for i, (name, s) in enumerate(streams.items()):
+        parts.append(
+            s.select(
+                F.col(KEY), F.col(TS), F.col(SEQ),
+                F.lit(i).alias("__src"),
+                F.col(VALUE).cast("double").alias(VALUE),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    out_schema = (
+        f"{KEY} string, {TS} timestamp, {SEQ} long, "
+        + ", ".join(f"{n} double, {n}__ticked boolean" for n in names)
+    )
+    state_schema = ", ".join(f"s{i} double" for i in range(len(names)))
+    n_src = len(names)
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = list(state.get) if state.exists else [None] * n_src
+        rows: dict[tuple, list] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([TS, SEQ, "__src"])
+            for ts, seq, src, v in zip(
+                pdf[TS], pdf[SEQ], pdf["__src"], pdf[VALUE]
+            ):
+                last[int(src)] = float(v)
+                cycle = (ts, seq)
+                row = rows.get(cycle)
+                if row is None:
+                    row = [key[0], ts, seq] + [None, False] * n_src
+                    rows[cycle] = row
+                # refresh EVERY stream's last value on this cycle row
+                for j in range(n_src):
+                    row[3 + 2 * j] = last[j]
+                row[3 + 2 * int(src) + 1] = True
+        state.update(tuple(last))
+        cols = [KEY, TS, SEQ] + [
+            c for n in names for c in (n, f"{n}__ticked")
+        ]
+        yield pd.DataFrame(list(rows.values()), columns=cols)
+
+    return u.groupBy(KEY).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _EMA_OUT_SCHEMA = (
     f"{KEY} string, {TS} timestamp, {SEQ} long, value double"
 )

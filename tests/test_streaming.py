@@ -332,3 +332,40 @@ def test_dedup_stream(spark, tmp_path):
     # including across the microbatch boundary
     assert sorted(r["value"] for r in got) == [0.0, 1.0, 2.0]
     assert sorted(r["ts"] for r in got) == [START + dt.timedelta(seconds=i) for i in range(3)]
+
+
+def test_align_stream_matches_batch(spark, tmp_path):
+    """Streaming align over microbatch drops equals batch core.align
+    on the same ticks — same wide frame, same valid/ticked semantics,
+    including a same-cycle (ts, seq) collision collapsing to one row."""
+    from csp_spark import TickStream, align
+    from csp_spark.streaming import align_stream, file_ticks
+
+    bid_rows = [("s", START + dt.timedelta(seconds=2 * i), 0, 99.0 + i)
+                for i in range(6)]
+    ask_rows = [("s", START + dt.timedelta(seconds=2 * i + (0 if i == 2 else 1)),
+                 0, 100.0 + i) for i in range(6)]
+    d1, d2 = tmp_path / "bid", tmp_path / "ask"
+    for d, rows in ((d1, bid_rows), (d2, ask_rows)):
+        d.mkdir()
+        half = len(rows) // 2
+        for part in (rows[:half], rows[half:]):
+            spark.createDataFrame(part, SCHEMA).coalesce(1).write.mode(
+                "append").parquet(str(d))
+    bid_s = file_ticks(spark, str(d1), SCHEMA, ts_col="ts",
+                       value_col="value", key_col="key")
+    ask_s = file_ticks(spark, str(d2), SCHEMA, ts_col="ts",
+                       value_col="value", key_col="key")
+    got = collect_stream(align_stream({"bid": bid_s, "ask": ask_s}))
+    grows = sorted(
+        (r["ts"], r["seq"], r["bid"], r["ask"], r["bid__ticked"],
+         r["ask__ticked"]) for r in got.collect()
+    )
+    bid_b = TickStream(spark.createDataFrame(bid_rows, SCHEMA))
+    ask_b = TickStream(spark.createDataFrame(ask_rows, SCHEMA))
+    ref = sorted(
+        (r["ts"], r["seq"], r["bid"], r["ask"], r["bid__ticked"],
+         r["ask__ticked"])
+        for r in align({"bid": bid_b, "ask": ask_b}).collect()
+    )
+    assert grows == ref
