@@ -110,9 +110,23 @@ def running_unkeyed(
     )
     run = within.over(wrun)
     if agg == "sum":
+        # NULL discipline must match the single-window form: SQL sum
+        # skips NULLs and is NULL only before the FIRST non-null row of
+        # the whole stream. A partition whose prefix is all-NULL has
+        # run=NULL but may still carry a non-null offset from earlier
+        # partitions — coalesce each side, and stay NULL only when both
+        # the local prefix and the carried offset are NULL.
         total = (
-            run + F.coalesce(F.col("__off"), F.lit(0).cast(_DEC))
-        ).cast("double")
+            F.when(
+                run.isNull() & F.col("__off").isNull(),
+                F.lit(None).cast(_DEC),
+            )
+            .otherwise(
+                F.coalesce(run, F.lit(0).cast(_DEC))
+                + F.coalesce(F.col("__off"), F.lit(0).cast(_DEC))
+            )
+            .cast("double")
+        )
     elif agg == "count":
         total = (run + F.coalesce(F.col("__off"), F.lit(0))).cast("long")
     elif agg == "min":

@@ -65,6 +65,18 @@ def cosine_topk(
     )
 
 
+def infer_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Read the vector dimensionality from ONE row — a deliberate,
+    visible driver action. Index builders below require ``dim``
+    explicitly so that plan construction never hides a job; call this
+    once up front and thread the result (at scale the dim is a known
+    property of the embedding model — pass the constant)."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer dim: {vec_col} has no rows")
+    return int(row["d"])
+
+
 def _planes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(bits, dim))
@@ -94,9 +106,15 @@ def lsh_index(
     seed: int = 42,
 ) -> DataFrame:
     """Attach the LSH bucket column. At scale, write this out
-    partitioned/bucketed by `bucket` so queries prune partitions."""
+    partitioned/bucketed by `bucket` so queries prune partitions.
+
+    ``dim`` is required: plan construction runs no hidden driver
+    action. Use :func:`infer_dim` once and thread the value."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_index requires dim (vector length); call "
+            "infer_dim(embeddings) once and pass it through"
+        )
     planes = _planes(dim, bits, seed)
     return embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
 
@@ -152,23 +170,42 @@ def ivf_index(
     by `cell` so queries prune partitions — the classic IVF-flat layout.
 
     Training never scans the full corpus by default: `train_cap` bounds
-    the KMeans input via limit() (cheap per-partition local limit — at
-    100 TB the quantizer quality saturates long before 100k vectors;
-    assignment still covers every row). `sample_fraction` gives a
-    uniform sample instead when set; pass both None to train on
-    everything. Returns (indexed DataFrame with `cell`, centers ndarray
+    the KMeans input to ~train_cap rows drawn by the DETERMINISTIC md5
+    identity sample (pipeline/sampling.split_uniform) — uniform over the
+    whole corpus regardless of file order. (A bare limit() would take
+    the first partitions, i.e. whatever files sort first — a time- or
+    source-skewed training set at 100 TB that degrades cell balance and
+    recall.) The one count() it needs is a parquet-footer-cheap
+    aggregate. `sample_fraction` skips the count and samples directly;
+    pass both None to train on everything. Quantizer quality saturates
+    long before 100k vectors; assignment still covers every row.
+    Returns (indexed DataFrame with `cell`, centers ndarray
     [n_cells, dim])."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from ..pipeline.sampling import split_uniform
+
     feat = embeddings.withColumn(
         "__feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     if sample_fraction is not None:
-        train = feat.sample(sample_fraction, seed=seed)
+        train = feat.filter(
+            split_uniform(F.col(id_col), seed) < F.lit(sample_fraction)
+        )
     elif train_cap is not None:
-        train = feat.limit(train_cap)
+        n_total = feat.count()
+        if n_total > train_cap:
+            # ~train_cap expected rows (binomial, ±sqrt(cap)); no
+            # residual limit() — that would re-introduce first-partition
+            # bias on the tail of the sample
+            frac = min(1.0, train_cap / n_total)
+            train = feat.filter(
+                split_uniform(F.col(id_col), seed) < F.lit(frac)
+            )
+        else:
+            train = feat
     else:
         train = feat
     model = KMeans(
@@ -231,9 +268,15 @@ def embedding_near_dups(
     bytes/row × (bits+1) — never the vector payload; candidate docs (an
     LSH-selected sliver) get their vectors back via a broadcast
     semi-join, so shuffled bytes are independent of bits × vector
-    size. Same pattern as minhash_lsh_pairs' Jaccard verification."""
+    size. Same pattern as minhash_lsh_pairs' Jaccard verification.
+
+    ``dim`` is required (see :func:`infer_dim`) — building the plan
+    runs no hidden driver action."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        raise ValueError(
+            "embedding_near_dups requires dim (vector length); call "
+            "infer_dim(embeddings) once and pass it through"
+        )
     planes = _planes(dim, bits, seed)
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     bucket = lsh_bucket(F.col("v"), planes)

@@ -179,8 +179,16 @@ def align_stream(streams: "dict[str, DataFrame]") -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         last = list(state.get) if state.exists else [None] * n_src
         rows: dict[tuple, list] = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values([TS, SEQ, "__src"])
+        # Concatenate ALL of the group's Arrow chunks before sorting:
+        # applyInPandasWithState splits a group's microbatch into
+        # multiple chunks (arrow.maxRecordsPerBatch) with no cross-chunk
+        # ordering guarantee — sorting per chunk would fold rows out of
+        # (ts, seq) order and corrupt last-value state.
+        parts = list(pdfs)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values(
+                [TS, SEQ, "__src"]
+            )
             for ts, seq, src, v in zip(
                 pdf[TS], pdf[SEQ], pdf["__src"], pdf[VALUE]
             ):
@@ -235,8 +243,12 @@ def ema_stream(x: DataFrame, alpha: float) -> DataFrame:
         else:
             ema, n = 0.0, 0
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([TS, SEQ])
+        # Same cross-chunk rule as align_stream's fold: concat every
+        # chunk first, sort once — per-chunk sorting breaks (ts, seq)
+        # order when a group's batch spans Arrow chunks.
+        parts = list(pdfs)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values([TS, SEQ])
             for ts, seq, v in zip(pdf[TS], pdf[SEQ], pdf[VALUE]):
                 fv = float(v)
                 if fv != fv:  # NaN: ignore_na=True semantics

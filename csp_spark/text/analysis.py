@@ -31,9 +31,16 @@ def spread(df: DataFrame) -> DataFrame:
     = one partition serializing the whole per-doc scan onto one core).
     At 100 TB the file count already provides the parallelism and an
     unconditional repartition would be a full-corpus shuffle — this is
-    a no-op there (partition metadata check, no job)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    a no-op there (a partition-count probe via the RDD plan, no data
+    job; the DataFrame→RDD conversion does cost a plan translation).
+    Under Spark Connect neither sparkContext nor .rdd exists — the
+    probe degrades to a no-op (trust the scan's parallelism)."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext / RDD access
+        return df
+    if n < par:
         return df.repartition(par)
     return df
 
@@ -203,14 +210,22 @@ def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
     return out
 
 
-def pii_counts(text: Column) -> Column:
+def pii_counts(text: Column, kinds: list[str] | None = None) -> Column:
     """Struct of per-kind PII match counts — the audit/reporting face
-    of redact_pii (count before you scrub)."""
+    of redact_pii (count before you scrub). Counts follow redact_pii's
+    precedence exactly: each kind is counted on the text with the
+    earlier kinds already redacted, so an SSN is counted once as `ssn`
+    and never double-counted by the generic PHONE digit-run pattern —
+    the audit equals what redact_pii actually replaces."""
+    order = kinds or ["EMAIL", "SSN", "IPV4", "PHONE"]
+    counts: dict[str, Column] = {}
+    cur = text
+    for kind in order:
+        pat = PII_PATTERNS[kind]
+        counts[kind] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"[{kind}]")
     return F.struct(
-        *[
-            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(kind.lower())
-            for kind, pat in PII_PATTERNS.items()
-        ]
+        *[counts[k].alias(k.lower()) for k in PII_PATTERNS if k in counts]
     )
 
 

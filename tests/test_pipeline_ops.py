@@ -11,7 +11,7 @@ from csp_spark.sources import read_table
 from csp_spark import text as TX
 from csp_spark import dedup as DD
 from csp_spark.similarity import (
-    cosine_topk, embedding_near_dups, lsh_index, lsh_topk,
+    cosine_topk, embedding_near_dups, infer_dim, lsh_index, lsh_topk,
 )
 from csp_spark.multimodal import (
     audio_features, frame_sample, image_features, image_resize,
@@ -129,7 +129,7 @@ def test_lsh_topk_recall(emb):
     approx2 = [r["vec_id"] for r in lsh_topk(emb, q, k=10, bits=6, probe_hamming=1).collect()]
     assert approx == approx2
     # buckets bounded to [0, 2^bits); probing all buckets == exact search
-    idx = lsh_index(emb, bits=6)
+    idx = lsh_index(emb, bits=6, dim=infer_dim(emb))
     assert idx.filter("bucket < 0 or bucket > 63").count() == 0
     full = [r["vec_id"] for r in lsh_topk(emb, q, k=10, bits=1, probe_hamming=1).collect()]
     assert full == exact  # 1 bit + 1-bit probe covers both buckets
@@ -139,9 +139,14 @@ def test_embedding_near_dups_self(spark, emb):
     # duplicate a vector to guarantee one true near-dup pair
     dup = emb.filter("vec_id = 1").withColumn("vec_id", F.lit(9999).cast("long"))
     both = emb.unionByName(dup)
-    pairs = embedding_near_dups(both, threshold=0.99, bits=6)
+    pairs = embedding_near_dups(both, threshold=0.99, bits=6, dim=infer_dim(emb))
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 9999) in got
+    # dim is required at plan-construction time — no hidden driver action
+    with pytest.raises(ValueError, match="dim"):
+        embedding_near_dups(both, threshold=0.99, bits=6)
+    with pytest.raises(ValueError, match="dim"):
+        lsh_index(both, bits=6)
 
 
 def test_multimodal_stub_pipeline(spark):
@@ -376,5 +381,8 @@ def test_redact_pii_golden(spark):
     assert out[1]["counts"]["email"] == 1 and out[1]["counts"]["phone"] == 1
     assert out[2]["clean"] == "server [IPV4] holds ssn [SSN]"
     assert out[2]["counts"]["ipv4"] == 1 and out[2]["counts"]["ssn"] == 1
+    # precedence: the SSN digit-run must NOT double-count as a phone —
+    # counts mirror exactly what redact_pii replaces
+    assert out[2]["counts"]["phone"] == 0
     assert out[3]["clean"] == "no pii here at all"
     assert sum(out[3]["counts"]) == 0

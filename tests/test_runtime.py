@@ -156,6 +156,25 @@ def test_running_unkeyed_matches_global_window(spark):
     lgot = {(r["ts"], r["seq"]): r["value"]
             for r in running_unkeyed(xn, "last", num_partitions=7).df.collect()}
     assert lgot == lref
+    # NULL discipline for the associative aggs: with 2/3 of rows NULL a
+    # small partition count makes all-NULL-prefix partitions likely —
+    # the two-pass form must still equal the single global window
+    # (sum previously went NULL instead of carrying the offset)
+    nref = {
+        (r["ts"], r["seq"]): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in xn.df.select(
+            "ts", "seq",
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+            .cast("double").alias("s"),
+            F.count("value").over(w).alias("c"),
+            F.min("value").over(w).alias("mn"),
+            F.max("value").over(w).alias("mx"),
+        ).collect()
+    }
+    for i, agg in enumerate(("sum", "count", "min", "max")):
+        ngot = {(r["ts"], r["seq"]): r["value"]
+                for r in running_unkeyed(xn, agg, num_partitions=13).df.collect()}
+        assert ngot == {k: v[i] for k, v in nref.items()}, agg
     df = running_unkeyed(x, "sum").df
     lines = [l for l in df._jdf.queryExecution().executedPlan().toString()
              .split("\n") if "Window" in l]
