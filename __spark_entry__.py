@@ -789,6 +789,29 @@ def op_accum_global(spark, sf_dir):
     )
 
 
+def op_windowed_global(spark, sf_dir):
+    """Scalable UNKEYED fixed tick-window stats (core/unkeyed.py
+    windowed_unkeyed): trailing-100-tick sum/count/mean/min/max over
+    the whole events table as ONE stream — tail-replication plan, every
+    window is __pid-partitioned; cross-partition traffic is (w-1) rows
+    per boundary (the windowed twin of op_accum_global)."""
+    from csp_spark.core.unkeyed import windowed_unkeyed
+
+    ev = _t(spark, sf_dir, "events")
+    x = TickStream.from_table(
+        ev, ts_col="ts", value_col="value", seq_col="event_id"
+    )
+    out = windowed_unkeyed(x, window=100)
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        (F.round(F.col("win_sum"), 4) + F.lit(0.0)).alias("w_sum"),
+        F.col("win_count").alias("w_count"),
+        (F.round(F.col("win_mean"), 6) + F.lit(0.0)).alias("w_mean"),
+        (F.round(F.col("win_min"), 6) + F.lit(0.0)).alias("w_min"),
+        (F.round(F.col("win_max"), 6) + F.lit(0.0)).alias("w_max"),
+    )
+
+
 def op_diff(spark, sf_dir):
     return _out(bl.diff(_events_stream(spark, sf_dir), 1), "dv")
 
@@ -2206,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "doc_chunk": doc_chunk,
         "op_accum_global": op_accum_global,
+        "op_windowed_global": op_windowed_global,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value:
@@ -2959,6 +2983,19 @@ SELECT event_id,
     ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS DOUBLE), 4) AS running_sum
 FROM events
+""",
+        "op_windowed_global": """
+SELECT event_id,
+  round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE), 4)
+    + CAST(0.0 AS DOUBLE) AS w_sum,
+  count(value) OVER w AS w_count,
+  round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w
+             / count(value) OVER w AS DOUBLE), 6)
+    + CAST(0.0 AS DOUBLE) AS w_mean,
+  round(min(value) OVER w, 6) + CAST(0.0 AS DOUBLE) AS w_min,
+  round(max(value) OVER w, 6) + CAST(0.0 AS DOUBLE) AS w_max
+FROM events
+WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
 """,
         "text_repetition": r"""
 WITH toks AS (

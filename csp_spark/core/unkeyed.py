@@ -143,6 +143,114 @@ def running_unkeyed(
     return TickStream(out)
 
 
+_WINDOWED_AGGS = ("sum", "count", "mean", "min", "max")
+
+
+def windowed_unkeyed(
+    x: TickStream,
+    window: int,
+    aggs: "tuple[str, ...] | list[str]" = _WINDOWED_AGGS,
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """Fixed TICK-window stats (trailing ``window`` rows, engine order)
+    over an UNKEYED stream, scalable — the windowed twin of
+    :func:`running_unkeyed`, closing the documented core/align.py
+    limit ("fixed-size windowed stats on an unkeyed stream run in one
+    window partition").
+
+    Plan (tail replication, the standard distributed sliding-window
+    trick): range-partition by engine order with pinned partition ids,
+    then REPLICATE each partition's last ``window-1`` rows into its
+    successor (tagged, excluded from output). Every row's trailing
+    frame is now fully local, so the whole computation is one
+    ``Window.partitionBy(__pid)`` pass — embarrassingly parallel; the
+    only cross-partition traffic is ``(window-1) × #partitions`` tail
+    rows, independent of total size. Rows earlier than ``window`` get
+    the partial frame, exactly like SQL ``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW`` (csp min_window gating composes on top
+    via a global row index if needed).
+
+    Requires every non-final partition to hold ≥ ``window-1`` rows (one
+    predecessor supplies the whole tail). When the partition layout is
+    too fine for the window — only possible on tiny inputs, where cost
+    is moot — it falls back to the exact single-window form.
+
+    Output: (key, ts, seq, win_<agg>...) one column per requested agg.
+    Sum/mean combine through DECIMAL(28,10) (order-independent, matches
+    any sequential replay bit-for-bit)."""
+    aggs = list(aggs)
+    bad = [a for a in aggs if a not in _WINDOWED_AGGS]
+    if bad:
+        raise ValueError(f"unsupported windowed aggs {bad}; pick from {_WINDOWED_AGGS}")
+    if window < 1:
+        raise ValueError("window must be >= 1 tick")
+    spark = x.df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    v = F.col(x.value_col)
+
+    def _cols(frame):
+        out = []
+        for a in aggs:
+            if a == "sum":
+                c = F.sum(F.col("__v").cast(_DEC)).over(frame).cast("double")
+            elif a == "count":
+                c = F.count("__v").over(frame)
+            elif a == "mean":
+                s = F.sum(F.col("__v").cast(_DEC)).over(frame)
+                k = F.count("__v").over(frame)
+                c = F.when(k > 0, (s / k).cast("double"))
+            elif a == "min":
+                c = F.min("__v").over(frame)
+            else:
+                c = F.max("__v").over(frame)
+            out.append(c.alias(f"win_{a}"))
+        return out
+
+    base = (
+        x.df.select(KEY, TS, SEQ, v.alias("__v"))
+        .repartitionByRange(n, TS, SEQ)
+        .sortWithinPartitions(TS, SEQ)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    base.count()  # pin pid assignment before the two reads below
+
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in base.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    max_pid = max(sizes)
+    if any(sz < window - 1 for pid, sz in sizes.items() if pid != max_pid):
+        # tiny input relative to the partition grain: exact fallback
+        wglob = (
+            Window.orderBy(TS, SEQ).rowsBetween(-(window - 1), 0)
+        )
+        out = base.select(KEY, TS, SEQ, *_cols(wglob))
+        return out
+
+    # tails: each partition's last window-1 rows, re-tagged into the
+    # successor partition id (the final partition feeds no successor)
+    wdesc = Window.partitionBy("__pid").orderBy(F.desc(TS), F.desc(SEQ))
+    tails = (
+        base.withColumn("__rn", F.row_number().over(wdesc))
+        .filter((F.col("__rn") <= window - 1) & (F.col("__pid") < max_pid))
+        .drop("__rn")
+        .withColumn("__pid", F.col("__pid") + 1)
+        .withColumn("__tail", F.lit(True))
+    )
+    aug = base.withColumn("__tail", F.lit(False)).unionByName(tails)
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(TS, SEQ)
+        .rowsBetween(-(window - 1), 0)
+    )
+    return (
+        aug.select(KEY, TS, SEQ, F.col("__tail"), *_cols(wloc))
+        .filter(~F.col("__tail"))
+        .drop("__tail")
+    )
+
+
 def ema_unkeyed(
     x: TickStream, alpha: float, num_partitions: int | None = None
 ) -> TickStream:

@@ -181,6 +181,62 @@ def test_running_unkeyed_matches_global_window(spark):
     assert lines and all("__pid" in l for l in lines)
 
 
+def test_windowed_unkeyed_matches_global_window(spark):
+    """Tail-replication windowed plan equals the single global window
+    bit-for-bit (sum/count/mean/min/max), including NULL gaps and the
+    tiny-input fallback, and its data windows are __pid-partitioned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csp_spark import TickStream
+    from csp_spark.core.unkeyed import windowed_unkeyed
+    from csp_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001/events.parquet")
+    x = TickStream.from_table(ev, ts_col="ts", value_col="value",
+                              seq_col="event_id")
+    W = 25
+    w = Window.orderBy("ts", "seq").rowsBetween(-(W - 1), 0)
+    sdec = F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+    cnt = F.count("value").over(w)
+    ref = {
+        (r["ts"], r["seq"]): (r["s"], r["c"], r["m"], r["mn"], r["mx"])
+        for r in x.df.select(
+            "ts", "seq",
+            sdec.cast("double").alias("s"), cnt.alias("c"),
+            F.when(cnt > 0, (sdec / cnt).cast("double")).alias("m"),
+            F.min("value").over(w).alias("mn"),
+            F.max("value").over(w).alias("mx"),
+        ).collect()
+    }
+    for npart in (7, 400):  # 400 → partitions of ~3 rows: fallback path
+        got = {
+            (r["ts"], r["seq"]):
+                (r["win_sum"], r["win_count"], r["win_mean"],
+                 r["win_min"], r["win_max"])
+            for r in windowed_unkeyed(x, W, num_partitions=npart).collect()
+        }
+        assert got == ref, npart
+    # NULL gaps: SQL frame aggs skip NULLs; the replicated tails must too
+    xn = TickStream(x.df.withColumn(
+        "value", F.when(F.col("seq") % 3 == 0, F.col("value"))))
+    nref = {(r["ts"], r["seq"]): (r["s"], r["c"]) for r in xn.df.select(
+        "ts", "seq",
+        F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+        .cast("double").alias("s"),
+        F.count("value").over(w).alias("c"),
+    ).collect()}
+    ngot = {(r["ts"], r["seq"]): (r["win_sum"], r["win_count"])
+            for r in windowed_unkeyed(
+                xn, W, aggs=["sum", "count"], num_partitions=7).collect()}
+    assert ngot == nref
+    # scale shape: every data window is partitioned by the pinned pid
+    df = windowed_unkeyed(x, W, num_partitions=7)
+    lines = [l for l in df._jdf.queryExecution().executedPlan().toString()
+             .split("\n") if "Window" in l]
+    assert lines and all("__pid" in l for l in lines)
+
+
 def test_ema_unkeyed_matches_sequential(spark):
     """Affine-scan EMA over a partitioned unkeyed stream agrees with
     the sequential keyed EMA to ~machine epsilon, for both the
