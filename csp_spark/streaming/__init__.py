@@ -16,8 +16,22 @@ from .ops import (
     with_watermark,
 )
 from .run import collect_stream, start_memory_sink
+from .hybrid import (
+    SEED_SEQ,
+    run_hybrid_align,
+    run_hybrid_ema,
+    seed_ticks,
+    spliced,
+    terminal_last_values,
+)
 
 __all__ = [
+    "SEED_SEQ",
+    "run_hybrid_align",
+    "run_hybrid_ema",
+    "seed_ticks",
+    "spliced",
+    "terminal_last_values",
     "PushAdapter",
     "PushGroup",
     "file_ticks",

@@ -369,3 +369,116 @@ def test_align_stream_matches_batch(spark, tmp_path):
         for r in align({"bid": bid_b, "ask": ask_b}).collect()
     )
     assert grows == ref
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def _write_drops(spark, d, rows, n_drops=2):
+    d.mkdir(parents=True, exist_ok=True)
+    rows = sorted(rows, key=lambda r: (r[1], r[2]))
+    step = max(1, len(rows) // n_drops)
+    for i in range(0, len(rows), step):
+        spark.createDataFrame(rows[i:i + step], SCHEMA).coalesce(1).write.mode(
+            "append").parquet(str(d))
+
+
+def test_hybrid_align_equals_pure_batch(spark, tmp_path):
+    """csp's replay->live splice (RootEngine.cpp:150-237): batch align
+    over history, terminal last values seeded into the streaming align,
+    live rows processed by the stream — the live-portion output must
+    EQUAL a pure-batch align over history ∪ live. Includes a key ('c')
+    whose bid never ticks live (its live frame must still carry the
+    replayed last value) and a source ('ask') with a key missing from
+    history ('d' — must stay not-yet-valid until its first live tick)."""
+    from csp_spark import TickStream, align
+    from csp_spark.streaming import file_ticks, run_hybrid_align
+
+    boundary = START + dt.timedelta(seconds=100)
+    bid_hist, ask_hist, bid_live, ask_live = [], [], [], []
+    for i, k in enumerate(("x", "y", "c")):
+        for j in range(4):
+            bid_hist.append((k, START + dt.timedelta(seconds=7 * j + i), 0, 10.0 * i + j))
+            ask_hist.append((k, START + dt.timedelta(seconds=7 * j + i + 2), 0, 10.0 * i + j + 0.5))
+    for i, k in enumerate(("x", "y", "d")):
+        for j in range(4):
+            bid_live.append((k, boundary + dt.timedelta(seconds=5 * j + i + 1), 0, 100.0 * i + j))
+            if k != "c":
+                ask_live.append((k, boundary + dt.timedelta(seconds=5 * j + i + 3), 0, 100.0 * i + j + 0.5))
+    d1, d2 = tmp_path / "bid_live", tmp_path / "ask_live"
+    _write_drops(spark, d1, bid_live)
+    _write_drops(spark, d2, ask_live)
+
+    histories = {
+        "bid": spark.createDataFrame(bid_hist, SCHEMA),
+        "ask": spark.createDataFrame(ask_hist, SCHEMA),
+    }
+    lives = {
+        "bid": file_ticks(spark, str(d1), SCHEMA, ts_col="ts",
+                          value_col="value", key_col="key"),
+        "ask": file_ticks(spark, str(d2), SCHEMA, ts_col="ts",
+                          value_col="value", key_col="key"),
+    }
+    replay, live_out = run_hybrid_align(histories, lives, boundary)
+    got = sorted(
+        (r["key"], r["ts"], r["seq"], r["bid"], r["ask"],
+         r["bid__ticked"], r["ask__ticked"])
+        for r in collect_stream(live_out).collect()
+    )
+    # oracle: ONE batch align over the union, live portion only
+    ref_all = align({
+        "bid": TickStream(spark.createDataFrame(bid_hist + bid_live, SCHEMA)),
+        "ask": TickStream(spark.createDataFrame(ask_hist + ask_live, SCHEMA)),
+    })
+    ref = sorted(
+        (r["key"], r["ts"], r["seq"], r["bid"], r["ask"],
+         r["bid__ticked"], r["ask__ticked"])
+        for r in ref_all.filter(F.col("ts") > boundary).collect()
+    )
+    assert got == ref
+    # the replay half is the batch align over history alone
+    assert replay.count() > 0
+    # state really crossed the splice: first live 'x' ask row sees the
+    # replayed bid last-value (not NULL)
+    first_ask = min(r for r in got if r[0] == "x" and r[6])
+    assert first_ask[3] is not None
+
+
+def test_hybrid_ema_equals_pure_batch(spark, tmp_path):
+    """Replay->live EMA: the recursion state (terminal EMA per key)
+    seeds the streaming kernel; live values must continue the batch
+    run bit-for-bit (rel 1e-12) vs one batch EMA over history ∪ live."""
+    from csp_spark import TickStream
+    from csp_spark.stats import ema
+    from csp_spark.streaming import file_ticks, run_hybrid_ema
+
+    boundary = START + dt.timedelta(seconds=100)
+    hist, live = [], []
+    for i, k in enumerate(("a", "b")):
+        for j in range(10):
+            hist.append((k, START + dt.timedelta(seconds=3 * j + i), 0,
+                         float(j) + 10 * i))
+            live.append((k, boundary + dt.timedelta(seconds=3 * j + i + 1), 0,
+                         float(9 - j) + 10 * i))
+    d = tmp_path / "live"
+    _write_drops(spark, d, live, n_drops=3)
+    live_s = file_ticks(spark, str(d), SCHEMA, ts_col="ts",
+                        value_col="value", key_col="key")
+    hist_df = spark.createDataFrame(hist, SCHEMA)
+    replay, live_out = run_hybrid_ema(hist_df, live_s, alpha=0.3,
+                                      boundary=boundary)
+    got = {(r["key"], r["ts"]): r["value"]
+           for r in collect_stream(live_out).collect()}
+    full = ema(TickStream(spark.createDataFrame(hist + live, SCHEMA)),
+               alpha=0.3, adjust=False).df
+    ref = {(r["key"], r["ts"]): r["value"]
+           for r in full.filter(F.col("ts") > boundary).collect()}
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12), (k, got[k], v)
+    # replay half = batch EMA over history alone
+    rep = {(r["key"], r["ts"]): r["value"] for r in replay.collect()}
+    refh = {(r["key"], r["ts"]): r["value"]
+            for r in ema(TickStream(hist_df), alpha=0.3, adjust=False)
+            .df.collect()}
+    assert rep == refh
