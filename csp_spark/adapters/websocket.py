@@ -1,6 +1,12 @@
 """csp.adapters.websocket parity (reference csp/adapters/websocket.py
-WebsocketAdapterManager): socket streaming source + in-memory push
-adapter (GenericPushAdapter) for realtime tests."""
+WebsocketAdapterManager): a real RFC 6455 client adapter
+(streaming/websocket.py — handshake, framing, ping/pong, reconnect)
+plus the line-based socket source and in-memory push adapter
+(GenericPushAdapter) for realtime tests."""
 from ..streaming.sources import PushAdapter, PushGroup, socket_ticks
+from ..streaming.websocket import WebSocketClient, WebsocketAdapter
 
-__all__ = ["socket_ticks", "PushAdapter", "PushGroup"]
+__all__ = [
+    "WebsocketAdapter", "WebSocketClient",
+    "socket_ticks", "PushAdapter", "PushGroup",
+]

@@ -16,6 +16,7 @@ from .ops import (
     with_watermark,
 )
 from .run import collect_stream, start_memory_sink
+from .websocket import WebSocketClient, WebsocketAdapter
 from .hybrid import (
     SEED_SEQ,
     run_hybrid_align,
@@ -26,6 +27,8 @@ from .hybrid import (
 )
 
 __all__ = [
+    "WebSocketClient",
+    "WebsocketAdapter",
     "SEED_SEQ",
     "run_hybrid_align",
     "run_hybrid_ema",

@@ -482,3 +482,169 @@ def test_hybrid_ema_equals_pure_batch(spark, tmp_path):
             for r in ema(TickStream(hist_df), alpha=0.3, adjust=False)
             .df.collect()}
     assert rep == refh
+
+
+class _WsTestServer:
+    """Minimal RFC 6455 server (stdlib): handshake + scripted frames —
+    exercises 7/16/64-bit lengths, fragmentation, ping→pong and the
+    close handshake against the client adapter."""
+
+    def __init__(self, messages, big_message=None, expect_pong=True):
+        import socket, threading
+        self._messages = messages
+        self._big = big_message
+        self._expect_pong = expect_pong
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self.got_pong = False
+        self.got_close_reply = False
+        self.handshake_key_ok = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        from csp_spark.streaming.websocket import (
+            OP_CLOSE, OP_CONT, OP_PING, OP_PONG, OP_TEXT,
+            _accept_key, encode_frame, read_frame,
+        )
+        conn, _ = self._srv.accept()
+        conn.settimeout(20)
+        head = b""
+        while b"\r\n\r\n" not in head:
+            head += conn.recv(4096)
+        key = None
+        for line in head.split(b"\r\n"):
+            if line.lower().startswith(b"sec-websocket-key:"):
+                key = line.split(b":", 1)[1].strip().decode()
+        self.handshake_key_ok = key is not None
+        conn.sendall((
+            "HTTP/1.1 101 Switching Protocols\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+        ).encode())
+        # one whole message per entry (server frames are unmasked)
+        for m in self._messages:
+            conn.sendall(encode_frame(OP_TEXT, m.encode(), mask=False))
+        # a 3-fragment message
+        frag = self._messages[0].encode()
+        third = max(1, len(frag) // 3)
+        conn.sendall(encode_frame(OP_TEXT, frag[:third], mask=False, fin=False))
+        conn.sendall(encode_frame(OP_CONT, frag[third:2 * third], mask=False, fin=False))
+        conn.sendall(encode_frame(OP_CONT, frag[2 * third:], mask=False, fin=True))
+        # ping → expect masked pong back
+        conn.sendall(encode_frame(OP_PING, b"hb", mask=False))
+        if self._expect_pong:
+            fin, op, payload = read_frame(conn)
+            self.got_pong = op == OP_PONG and payload == b"hb"
+        # 16-bit and 64-bit length paths
+        if self._big:
+            conn.sendall(encode_frame(OP_TEXT, self._big.encode(), mask=False))
+        # close handshake
+        conn.sendall(encode_frame(OP_CLOSE, b"", mask=False))
+        try:
+            fin, op, payload = read_frame(conn)
+            self.got_close_reply = op == OP_CLOSE
+        except Exception:
+            pass
+        conn.close()
+        self._srv.close()
+
+
+def test_websocket_adapter_protocol_and_ticks(spark):
+    """RFC 6455 client end-to-end: handshake, framing incl. a
+    fragmented message and a >64 KiB message (64-bit length), ping
+    answered with pong, close handshake completed — and the decoded
+    JSON messages arrive as typed ticks through subscribe()."""
+    import json, time
+    from csp_spark.streaming import WebsocketAdapter, collect_stream
+
+    msgs = [
+        json.dumps({"sym": "ES", "ts": "2020-01-01 00:00:0%d" % i,
+                    "price": 100.0 + i})
+        for i in range(5)
+    ]
+    # 64-bit length path: payload > 65535 bytes, still valid JSON
+    big = json.dumps({"sym": "BIG", "ts": "2020-01-01 00:01:00",
+                      "price": 7.0, "pad": "x" * 70000})
+    srv = _WsTestServer(msgs, big_message=big)
+    ad = WebsocketAdapter(
+        spark,
+        f"ws://127.0.0.1:{srv.port}/feed",
+        value_schema="sym string, ts string, price double, pad string",
+        ts_field="ts",
+        value_field="price",
+        key_field="sym",
+    )
+    ad.start()
+    srv._thread.join(timeout=30)
+    assert not srv._thread.is_alive(), "server script did not complete"
+    assert ad.join(30), "adapter did not drain after server close"
+    ad.stop()
+    assert srv.handshake_key_ok and srv.got_pong and srv.got_close_reply
+    got = collect_stream(ad.subscribe()).collect()
+    # 5 whole + 1 fragmented (same payload as msg 0) + 1 big = 7 ticks
+    assert len(got) == 7
+    es = sorted((r["ts"], r["value"]) for r in got if r["key"] == "ES")
+    assert [v for _, v in es] == [100.0, 100.0, 101.0, 102.0, 103.0, 104.0]
+    assert [r["value"] for r in got if r["key"] == "BIG"] == [7.0]
+
+
+def test_websocket_adapter_reconnect(spark):
+    """The reconnect loop re-establishes the session after a drop —
+    two sequential server incarnations, both batches of ticks land."""
+    import json, socket, threading, time
+    from csp_spark.streaming import WebsocketAdapter, collect_stream
+    from csp_spark.streaming.websocket import (
+        OP_CLOSE, OP_TEXT, _accept_key, encode_frame,
+    )
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+    served = []
+
+    def run():
+        for incarnation in range(2):
+            conn, _ = srv.accept()
+            conn.settimeout(20)
+            head = b""
+            while b"\r\n\r\n" not in head:
+                head += conn.recv(4096)
+            key = [l.split(b":", 1)[1].strip().decode()
+                   for l in head.split(b"\r\n")
+                   if l.lower().startswith(b"sec-websocket-key:")][0]
+            conn.sendall((
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+            ).encode())
+            m = json.dumps({"v": float(incarnation)})
+            conn.sendall(encode_frame(OP_TEXT, m.encode(), mask=False))
+            conn.sendall(encode_frame(OP_CLOSE, b"", mask=False))
+            served.append(incarnation)
+            conn.close()
+        srv.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    ad = WebsocketAdapter(
+        spark, f"ws://127.0.0.1:{port}/", value_schema="v double",
+        value_field="v", reconnect=0.2,
+    )
+    ad.start()
+    t.join(timeout=30)
+    # each incarnation flushes on its close frame — wait for both drops
+    import glob as _glob
+    deadline = time.time() + 20
+    while time.time() < deadline and len(
+            _glob.glob(ad._push._dir + "/push-*.parquet")) < 2:
+        time.sleep(0.1)
+    ad.stop()
+    assert served == [0, 1]
+    vals = sorted(r["value"] for r in collect_stream(ad.subscribe()).collect())
+    assert vals == [0.0, 1.0]
