@@ -22,6 +22,12 @@ from .core.align import (
     align, align_wide, asof_join, binary_op, now, sample, ticked, valid,
 )
 from .core.enum import DynamicEnum, Enum
+from .core.wiring import (
+    ArgTypeMismatchError,
+    TickSchemaError,
+    TSArgTypeMismatchError,
+    TypeMismatchError,
+)
 from .core.profiler import Profiler, graph_info
 from .core.record import Struct, UNSET
 from .frame import TsFrame

@@ -54,6 +54,13 @@ def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFr
     and stay distinct rows.
     """
     names = list(streams)
+    # wiring-time diagnostics (reference type-resolver parity): a
+    # miswired stream fails HERE with a csp-style message, not at
+    # action time with a Spark analysis error. Schema-only, no job.
+    from .wiring import check_tick_stream
+
+    for n, s in streams.items():
+        check_tick_stream(s, "align", n)
     parts: list[DataFrame] = []
     dtypes = {n: dict(s.df.dtypes)[s.value_col] for n, s in streams.items()}
     for i, (name, s) in enumerate(streams.items()):

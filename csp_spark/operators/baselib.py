@@ -127,6 +127,9 @@ def null_ts(spark: SparkSession, value_type: str = "double") -> TickStream:
 def filter_(flag: TickStream, x: TickStream) -> TickStream:
     """csp.filter (baselib.py:412-420): pass x ticks while the *last*
     value of flag is true — an as-of gate, not an equi-join."""
+    from ..core.wiring import require_boolean
+
+    require_boolean(flag, "filter", "flag")
     a = align({"__flag": flag, "__x": x})
     out = a.filter(
         F.col("__x__ticked") & (F.col("__flag") == F.lit(True))
@@ -195,6 +198,9 @@ def diff(x: TickStream, lag: int | _dt.timedelta = 1) -> TickStream:
 def merge(x: TickStream, y: TickStream) -> TickStream:
     """csp.merge (baselib.py:370-376): union; left wins when both tick on
     the same engine cycle (same (ts, seq))."""
+    from ..core.wiring import require_compatible
+
+    require_compatible(x, y, "merge")
     xs = x.df.select(KEY, TS, SEQ, F.col(x.value_col).alias(VALUE)).withColumn(
         "__pri", F.lit(0)
     )
@@ -370,6 +376,9 @@ def gate(x: TickStream, release: TickStream, release_on_tick: bool = False) -> T
     the gate was open at its (ts, seq), else the next release tick that
     opens the gate — then one groupBy gathers the lists.
     """
+    from ..core.wiring import require_boolean
+
+    require_boolean(release, "gate", "release")
     a = align({"__rel": release, "__x": x})
     wfwd = (
         Window.partitionBy(KEY)

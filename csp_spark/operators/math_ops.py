@@ -23,30 +23,49 @@ from ..core.ticks import TickStream
 # binary ops (csp/math.py:139-231 MATH_OPS / COMPARISON_OPS)
 # ---------------------------------------------------------------------
 
-def _bin(fn: Callable[[Column, Column], Column]):
+def _bin(fn: Callable[[Column, Column], Column], check: str = "numeric",
+         name: str | None = None):
+    """check: wiring-time input validation (reference resolver parity,
+    core/wiring.py) — 'numeric' (arithmetic), 'compatible'
+    (comparisons: same type or both numeric), 'boolean' (logic)."""
+
     def op(x: TickStream, y: TickStream) -> TickStream:
+        from ..core.wiring import (
+            require_boolean, require_compatible, require_numeric,
+        )
+
+        fname = name or getattr(fn, "__name__", "binary_op")
+        if check == "numeric":
+            require_numeric(x, fname, "x")
+            require_numeric(y, fname, "y")
+        elif check == "compatible":
+            require_compatible(x, y, fname)
+        elif check == "boolean":
+            require_boolean(x, fname, "x")
+            require_boolean(y, fname, "y")
         return binary_op(x, y, fn)
+
     return op
 
-add = _bin(lambda a, b: a + b)
-sub = _bin(lambda a, b: a - b)
-multiply = _bin(lambda a, b: a * b)
-divide = _bin(lambda a, b: a.cast("double") / b)
-pow_ = _bin(lambda a, b: F.pow(a, b))
-floordiv = _bin(lambda a, b: F.floor(a / b))
-mod = _bin(lambda a, b: a % b)
-min_ = _bin(lambda a, b: F.least(a, b))
-max_ = _bin(lambda a, b: F.greatest(a, b))
+add = _bin(lambda a, b: a + b, name="add")
+sub = _bin(lambda a, b: a - b, name="sub")
+multiply = _bin(lambda a, b: a * b, name="multiply")
+divide = _bin(lambda a, b: a.cast("double") / b, name="divide")
+pow_ = _bin(lambda a, b: F.pow(a, b), name="pow")
+floordiv = _bin(lambda a, b: F.floor(a / b), name="floordiv")
+mod = _bin(lambda a, b: a % b, name="mod")
+min_ = _bin(lambda a, b: F.least(a, b), name="min")
+max_ = _bin(lambda a, b: F.greatest(a, b), name="max")
 
-eq = _bin(lambda a, b: a == b)
-ne = _bin(lambda a, b: a != b)
-lt = _bin(lambda a, b: a < b)
-gt = _bin(lambda a, b: a > b)
-le = _bin(lambda a, b: a <= b)
-ge = _bin(lambda a, b: a >= b)
+eq = _bin(lambda a, b: a == b, check="compatible", name="eq")
+ne = _bin(lambda a, b: a != b, check="compatible", name="ne")
+lt = _bin(lambda a, b: a < b, check="compatible", name="lt")
+gt = _bin(lambda a, b: a > b, check="compatible", name="gt")
+le = _bin(lambda a, b: a <= b, check="compatible", name="le")
+ge = _bin(lambda a, b: a >= b, check="compatible", name="ge")
 
-and_ = _bin(lambda a, b: a & b)
-or_ = _bin(lambda a, b: a | b)
+and_ = _bin(lambda a, b: a & b, check="boolean", name="and")
+or_ = _bin(lambda a, b: a | b, check="boolean", name="or")
 
 
 # ---------------------------------------------------------------------

@@ -279,3 +279,73 @@ def test_graph_info(spark):
     assert gi["node_count"] == gi["edge_count"] + 1  # a tree
     assert gi["nodetype_counts"].get("Aggregate") == 1
     assert gi["longest_path"][0] == "Aggregate"
+
+
+def test_wiring_time_type_checks(spark):
+    """Miswired graphs fail at BUILD time with csp-style messages
+    (reference instantiation_type_resolver.py:100-190 /
+    test_type_checking.py), not at action time with an analysis error."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import csp_spark as csp
+    from csp_spark import (
+        TickStream, TSArgTypeMismatchError, TickSchemaError, align,
+    )
+    from csp_spark.operators import baselib as bl
+    from csp_spark.operators import math_ops as m
+
+    START = dt.datetime(2020, 1, 1)
+    SCHEMA = "key string, ts timestamp, seq long, value double"
+    nums = TickStream(spark.createDataFrame(
+        [("k", START, 0, 1.0)], SCHEMA))
+    ints = TickStream(spark.createDataFrame(
+        [("k", START, 0, 7)], "key string, ts timestamp, seq long, value long"))
+    strs = TickStream(spark.createDataFrame(
+        [("k", START, 0, "x")], "key string, ts timestamp, seq long, value string"))
+    flags = TickStream(spark.createDataFrame(
+        [("k", START, 0, True)], "key string, ts timestamp, seq long, value boolean"))
+
+    # arithmetic requires numeric on both sides — message mirrors csp
+    with pytest.raises(TSArgTypeMismatchError,
+                       match=r"In function add: Expected ts\[numeric\] for "
+                             r"argument 'y', got ts\[string\]"):
+        m.add(nums, strs)
+    # int/double unify (csp implicit int->float) — no error at build
+    m.add(nums, ints)
+    # merge requires one unifiable type
+    with pytest.raises(TSArgTypeMismatchError, match="In function merge"):
+        bl.merge(strs, nums)
+    bl.merge(nums, ints)  # numeric unification ok
+    # comparisons: same type or both numeric
+    with pytest.raises(TSArgTypeMismatchError, match="In function lt"):
+        m.lt(strs, nums)
+    m.eq(strs, strs)
+    # logic ops need booleans
+    with pytest.raises(TSArgTypeMismatchError,
+                       match=r"Expected ts\[bool\]"):
+        m.and_(nums, flags)
+    m.and_(flags, flags)
+    # filter/gate flag must be boolean
+    with pytest.raises(TSArgTypeMismatchError, match="In function filter"):
+        bl.filter_(nums, nums)
+    with pytest.raises(TSArgTypeMismatchError, match="In function gate"):
+        bl.gate(nums, nums)
+    # a DataFrame missing engine columns is rejected by align directly
+    bad = TickStream(spark.createDataFrame([(1.0,)], "value double"))
+    with pytest.raises(TickSchemaError,
+                       match="argument 'x' is not a valid tick stream: "
+                             "missing engine column 'key'"):
+        align({"x": bad})
+    # wrong engine column type (ts as string)
+    bad2 = TickStream(spark.createDataFrame(
+        [("k", "2020-01-01", 0, 1.0)],
+        "key string, ts string, seq long, value double"))
+    with pytest.raises(TickSchemaError, match="'ts' must be timestamp"):
+        align({"x": bad2})
+    # errors are picklable (reference __reduce__ contract)
+    import pickle
+    e = TSArgTypeMismatchError("f", "int", "str", "x")
+    assert "Expected ts[int]" in str(pickle.loads(pickle.dumps(e)))
