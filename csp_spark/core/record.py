@@ -73,7 +73,21 @@ _NAMED_TYPES = {
 }
 
 
+def _unwrap_optional(py: Any) -> tuple[Any, bool]:
+    """``Optional[T]`` / ``T | None`` → (T, True); metadata stores the
+    bare T (reference strict-struct rule: ``meta['opt_str'] is str``)."""
+    import types as _types
+
+    origin = typing.get_origin(py)
+    if origin is typing.Union or origin is getattr(_types, "UnionType", None):
+        args = [a for a in typing.get_args(py) if a is not type(None)]
+        if len(args) == 1:
+            return args[0], True
+    return py, False
+
+
 def _spark_type(py: Any) -> T.DataType:
+    py, _ = _unwrap_optional(py)
     # under `from __future__ import annotations` class annotations are
     # strings — resolve the common scalar names without an eval
     if isinstance(py, str):
@@ -108,23 +122,48 @@ def _spark_type(py: Any) -> T.DataType:
 
 
 class StructMeta(type):
-    def __new__(mcls, name, bases, dct):
+    def __new__(mcls, name, bases, dct, strict: bool | None = None):
         metadata: dict[str, Any] = {}
         defaults: dict[str, Any] = {}
+        base_strict = None
         for base in bases:
             if isinstance(base, StructMeta):
                 metadata.update(getattr(base, "__metadata__", {}))
                 defaults.update(getattr(base, "__defaults__", {}))
+                bs = getattr(base, "__strict__", None)
+                if bs is not None:
+                    base_strict = bs if base_strict is None else (base_strict or bs)
+        # strict-mode inheritance discipline (reference
+        # test_strict_structs.py test_no_mixed_inheritance): strictness
+        # must be restated, and may not flip across the hierarchy
+        declared = bool(strict) if strict is not None else False
+        if base_strict is not None and bases != (object,):
+            if base_strict and not declared:
+                raise ValueError(
+                    f"Struct {name} was declared non-strict but derives "
+                    f"from {bases[0].__name__} which is strict"
+                )
+            if declared and not base_strict and bases[0] is not Struct \
+                    and getattr(bases[0], "__metadata__", None):
+                raise ValueError(
+                    f"Struct {name} was declared strict but derives from "
+                    f"{bases[0].__name__} which is non-strict"
+                )
         ann = dct.get("__annotations__", {}) or {}
         for k, v in ann.items():
             if k.startswith("_"):
                 continue
+            v, _ = _unwrap_optional(v)
             metadata[k] = v
             if k in dct:
                 defaults[k] = dct.pop(k)
         dct["__metadata__"] = metadata
         dct["__defaults__"] = defaults
+        dct["__strict__"] = declared
         return super().__new__(mcls, name, bases, dct)
+
+    def __init__(cls, name, bases, dct, strict: bool | None = None):
+        super().__init__(name, bases, dct)
 
 
 class Struct(metaclass=StructMeta):
@@ -137,6 +176,16 @@ class Struct(metaclass=StructMeta):
         object.__setattr__(self, "_values", {})
         for k, v in {**type(self).__defaults__, **kwargs}.items():
             setattr(self, k, v)
+        cls = type(self)
+        if cls.__strict__:
+            # strict mode (reference test_strict_structs.py): every
+            # field without a default must be set at init
+            missing = [k for k in cls.__metadata__ if k not in self._values]
+            if missing:
+                raise ValueError(
+                    f"Struct {cls.__name__} is not valid; required fields "
+                    f"[{', '.join(missing)}] were not set on init"
+                )
 
     # ---------------------------------------------------------- python
     def __setattr__(self, name: str, value: Any):
@@ -164,6 +213,11 @@ class Struct(metaclass=StructMeta):
     def __delattr__(self, name: str):
         if name not in type(self).__metadata__:
             raise AttributeError(name)
+        if type(self).__strict__:
+            raise AttributeError(
+                f"Strict struct {type(self).__name__} does not allow the "
+                f"deletion of field {name}"
+            )
         self._values.pop(name, None)
 
     def is_set(self, name: str) -> bool:
@@ -187,27 +241,68 @@ class Struct(metaclass=StructMeta):
         return out
 
     # ----------------------------------------------------- dict bridge
+    @staticmethod
+    def _to_python(v: Any) -> Any:
+        if isinstance(v, Struct):
+            return v.to_dict()
+        if isinstance(v, (list, tuple)):
+            return [Struct._to_python(e) for e in v]
+        if isinstance(v, dict):
+            return {k: Struct._to_python(e) for k, e in v.items()}
+        return v
+
     def to_dict(self) -> dict[str, Any]:
         """Set fields only (csp struct.py to_dict — unset are absent);
-        nested Structs recurse."""
-        return {
-            k: (v.to_dict() if isinstance(v, Struct) else v)
-            for k, v in self._values.items()
-        }
+        nested Structs recurse, incl. inside lists/dicts."""
+        return {k: Struct._to_python(v) for k, v in self._values.items()}
+
+    @classmethod
+    def _element_struct(cls, meta: Any) -> "type[Struct] | None":
+        """The nested Struct type of a field annotation, if any —
+        direct, [T], list[T]."""
+        if isinstance(meta, type) and issubclass(meta, Struct):
+            return meta
+        if isinstance(meta, list) and len(meta) == 1:
+            return cls._element_struct(meta[0])
+        if typing.get_origin(meta) in (list, typing.List):
+            return cls._element_struct(typing.get_args(meta)[0])
+        return None
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "Struct":
-        out = cls()
+        # strict structs validate at construction, so build the kwargs
+        # first and construct once (matches reference from_dict)
+        kwargs: dict[str, Any] = {}
         for k, v in d.items():
             meta = cls.__metadata__.get(k)
-            if (
-                isinstance(meta, type)
-                and issubclass(meta, Struct)
-                and isinstance(v, Mapping)
-            ):
-                v = meta.from_dict(v)
-            setattr(out, k, v)
-        return out
+            nested = cls._element_struct(meta) if meta is not None else None
+            if nested is not None and isinstance(v, Mapping):
+                v = nested.from_dict(v)
+            elif nested is not None and isinstance(v, (list, tuple)):
+                v = [
+                    nested.from_dict(e) if isinstance(e, Mapping) else e
+                    for e in v
+                ]
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    # ----------------------------------------------------- yaml bridge
+    def to_yaml(self) -> str:
+        """YAML of the set fields (reference struct.py:312 to_yaml —
+        dict form through the YAML emitter; nested structs become
+        nested mappings)."""
+        import yaml
+
+        return yaml.safe_dump(
+            self.to_dict(), default_flow_style=False, sort_keys=False
+        )
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "Struct":
+        """Inverse of to_yaml (reference struct.py:329)."""
+        import yaml
+
+        return cls.from_dict(yaml.safe_load(text) or {})
 
     # ---------------------------------------------------- spark bridge
     @classmethod

@@ -109,3 +109,121 @@ def test_apply_defaults_on_collectts(spark):
     # t(1): qty didn't tick → default 0; t(2): both ticked
     assert got[0][1]["qty"] == 0
     assert got[1][1]["qty"] == 7
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_strict_struct_init_and_required():
+    """Reference test_strict_structs.py: strict structs must set every
+    non-default field at init; defaults and Optional-with-default fill
+    in; metadata unwraps Optional[T] to T."""
+    from typing import Optional
+
+    import pytest
+
+    from csp_spark import Struct
+
+    class MyStrictStruct(Struct, strict=True):
+        req_int: int
+        opt_str: Optional[str] = None
+        def_int: int = 123
+        opt_bool: Optional[bool]  # no default -> required
+
+    s1 = MyStrictStruct(req_int=10, opt_bool=True)
+    assert s1.req_int == 10 and s1.opt_bool is True
+    assert s1.def_int == 123 and s1.opt_str is None
+    assert MyStrictStruct.__metadata__["opt_str"] is str
+    assert MyStrictStruct.__metadata__["opt_bool"] is bool
+
+    with pytest.raises(ValueError, match=r"Struct MyStrictStruct is not "
+                       r"valid; required fields \[req_int, opt_bool\] were "
+                       r"not set on init"):
+        MyStrictStruct()
+    with pytest.raises(ValueError, match=r"required fields \[opt_bool\]"):
+        MyStrictStruct(req_int=10)
+    # delattr forbidden on strict structs
+    with pytest.raises(AttributeError, match="Strict struct MyStrictStruct "
+                       "does not allow the deletion of field req_int"):
+        del s1.req_int
+    # hasattr true for all defined fields (everything is set at init)
+    assert hasattr(s1, "opt_str") and hasattr(s1, "def_int")
+    # setting None is a value, not deletion
+    s1.opt_str = "x"
+    s1.opt_str = None
+    assert s1.opt_str is None
+
+
+def test_strict_struct_inheritance_rules():
+    import pytest
+
+    from csp_spark import Struct
+
+    class BaseStrict(Struct, strict=True):
+        base_req: int
+
+    class DerivedStrict(BaseStrict, strict=True):
+        derived_req: int
+
+    d = DerivedStrict(base_req=1, derived_req=2)
+    assert (d.base_req, d.derived_req) == (1, 2)
+    with pytest.raises(ValueError, match=r"required fields \[derived_req\]"):
+        DerivedStrict(base_req=10)
+    # mixed inheritance is rejected both ways
+    with pytest.raises(ValueError, match="declared non-strict but derives "
+                       "from BaseStrict which is strict"):
+        class NonStrictChild(BaseStrict):
+            child_val: int = 0
+    class NonStrictBase(Struct):
+        base_val: int
+    with pytest.raises(ValueError, match="declared strict but derives from "
+                       "NonStrictBase which is non-strict"):
+        class StrictChild(NonStrictBase, strict=True):
+            child_val: int = 0
+
+
+def test_struct_yaml_roundtrip():
+    """to_yaml/from_yaml (reference struct.py:312-330): nested structs
+    and lists of structs round-trip through the YAML text form."""
+    from csp_spark import Struct
+
+    class Leg(Struct):
+        sym: str
+        qty: int = 1
+
+    class Trade(Struct):
+        price: float
+        legs: list  # plain list (heterogeneous)
+        note: str
+
+    class Book(Struct):
+        name: str
+        top: Leg
+        all_legs: list[Leg]
+
+    t = Trade(price=1.5, note="hello")
+    y = t.to_yaml()
+    assert "price: 1.5" in y and "note: hello" in y and "legs" not in y
+    t2 = Trade.from_yaml(y)
+    assert t2 == t
+
+    b = Book(name="b1", top=Leg(sym="ES"),
+             all_legs=[Leg(sym="ES"), Leg(sym="NQ", qty=3)])
+    b2 = Book.from_yaml(b.to_yaml())
+    assert b2.name == "b1"
+    assert b2.top == Leg(sym="ES")
+    assert b2.all_legs == [Leg(sym="ES"), Leg(sym="NQ", qty=3)]
+    # yaml text is the dict form — nested mapping visible
+    assert "top:" in b.to_yaml() and "sym: ES" in b.to_yaml()
+
+
+def test_strict_struct_yaml_and_dict():
+    from csp_spark import Struct
+
+    class S(Struct, strict=True):
+        a: int
+        b: str = "d"
+
+    s = S(a=7)
+    assert S.from_yaml(s.to_yaml()) == s
+    assert S.from_dict({"a": 7}) == s
