@@ -735,6 +735,24 @@ def op_exprtk_state(spark, sf_dir):
     )
 
 
+def op_exprtk_vec(spark, sf_dir):
+    # csp.exprtk output_ndarray=True (baselib.py:665): 'return [..]'
+    # ticks a vector (array<double>); stateless form is one codegen
+    # F.array. Unrolled via posexplode so the oracle compares plain
+    # rows. Only correctly-rounded IEEE ops — bit-identical engines.
+    from csp_spark.operators.exprtk import exprtk_ts
+
+    clicks = _events_stream(spark, sf_dir, "click")
+    out = exprtk_ts(
+        {"x": clicks}, "return [x * 2, sqrt(x), x + 1]", output_ndarray=True
+    )
+    return out.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.posexplode("value").alias("comp", "v"),
+    )
+
+
 def op_value_at(spark, sf_dir):
     # Historical buffer API (csp.value_at/time_at/values_at —
     # csp/impl/builtin_functions.py:105-270): every lookup form on one
@@ -2230,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": doc_chunk,
         "op_accum_global": op_accum_global,
         "op_windowed_global": op_windowed_global,
+        "op_exprtk_vec": op_exprtk_vec,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value:
@@ -2996,6 +3015,14 @@ SELECT event_id,
   round(max(value) OVER w, 6) + CAST(0.0 AS DOUBLE) AS w_max
 FROM events
 WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+""",
+        "op_exprtk_vec": """
+SELECT event_id, user_id, c.comp,
+  CASE c.comp WHEN 0 THEN value * 2
+              WHEN 1 THEN sqrt(value)
+              ELSE value + 1 END AS v
+FROM events, (VALUES (0), (1), (2)) AS c(comp)
+WHERE event_type = 'click'
 """,
         "text_repetition": r"""
 WITH toks AS (

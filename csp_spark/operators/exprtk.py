@@ -103,6 +103,37 @@ def _bind_constants(expr: str, constants: Mapping[str, float]) -> str:
     return expr
 
 
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas at bracket/paren depth 0."""
+    parts, cur, depth = [], [], 0
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+_RETURN_VEC = re.compile(r"^return\s*\[(.*)\]\s*$", re.S)
+
+
+def _vector_return(stmt: str) -> list[str] | None:
+    """ExprTk's vector-return form ``return [e1, e2, ...]`` (reference
+    baselib.py:665 output_ndarray contract) → component expressions."""
+    m = _RETURN_VEC.match(stmt.strip())
+    if m is None:
+        return None
+    return _split_top_commas(m.group(1))
+
+
 def exprtk_ts(
     inputs: Mapping[str, TickStream],
     expression_str: str,
@@ -110,11 +141,18 @@ def exprtk_ts(
     trigger: TickStream | None = None,
     functions: Mapping[str, tuple] | None = None,
     constants: Mapping[str, float] | None = None,
+    output_ndarray: bool = False,
 ) -> TickStream:
     """csp.exprtk parity (baselib.py:640-673): evaluate the expression
     over the last values of ``inputs`` on every input tick (or on
     ``trigger`` ticks), with constants / inline functions / persistent
-    assignable state vars. Emits once all referenced inputs are valid."""
+    assignable state vars. Emits once all referenced inputs are valid.
+
+    ``output_ndarray=True`` (baselib.py:665): the final statement must
+    be ``return [e1, e2, ...]`` and the stream ticks a vector
+    (array<double> — the Spark-native ndarray carrier) instead of a
+    float. Stateless vectors stay whole-stage-codegen (one F.array of
+    column expressions)."""
     state_vars = dict(state_vars or {})
     expr = expand_functions(expression_str, dict(functions or {}))
     expr = _bind_constants(expr, dict(constants or {}))
@@ -131,6 +169,21 @@ def exprtk_ts(
         a = a.filter(F.col(_ticked("__trigger")))
 
     if not state_vars:
+        if output_ndarray:
+            stmts = [s.strip() for s in expr.split(";") if s.strip()]
+            comps = _vector_return(stmts[-1])
+            if comps is None:
+                raise ValueError(
+                    "output_ndarray=True requires the expression to end "
+                    "with 'return [e1, e2, ...]'"
+                )
+            if len(stmts) > 1:
+                raise ValueError(
+                    "statements before the vector return need state_vars "
+                    "(assignments are state)"
+                )
+            vec = F.array(*[F.expr(c).cast("double") for c in comps])
+            return TickStream(a.select(KEY, TS, SEQ, vec.alias(VALUE)))
         out = a.select(KEY, TS, SEQ, F.expr(expr).alias(VALUE))
         return TickStream(out)
 
@@ -138,6 +191,14 @@ def exprtk_ts(
     # state var, last expression is the output — evaluated per key in
     # engine order with Python syntax (math.* in scope).
     stmts = [s.strip() for s in expr.split(";") if s.strip()]
+    vec_comps = _vector_return(stmts[-1]) if stmts else None
+    if output_ndarray:
+        if vec_comps is None:
+            raise ValueError(
+                "output_ndarray=True requires the expression to end "
+                "with 'return [e1, e2, ...]'"
+            )
+        stmts[-1] = "[" + ", ".join(vec_comps) + "]"
     compiled = []
     for s in stmts:
         m = re.match(r"^([A-Za-z_]\w*)\s*(?::=|=(?!=))\s*(.+)$", s)
@@ -150,7 +211,8 @@ def exprtk_ts(
 
     import pandas as pd
 
-    schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} double"
+    vtype = "array<double>" if output_ndarray else "double"
+    schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {vtype}"
     base = a.select(KEY, TS, SEQ, *in_names).repartition(KEY).sortWithinPartitions(KEY, TS, SEQ)
 
     def gen(batches):
@@ -176,7 +238,11 @@ def exprtk_ts(
                         sv[target] = val
                         env[target] = val
                     result = val
-                out_vals.append(float(result))
+                out_vals.append(
+                    [float(v) for v in result]
+                    if output_ndarray
+                    else float(result)
+                )
             out = g[[KEY, TS, SEQ]].copy()
             out[VALUE] = out_vals
             yield out

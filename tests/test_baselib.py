@@ -238,6 +238,33 @@ def test_exprtk_full_surface(spark):
     assert vals == exp
 
 
+def test_exprtk_output_ndarray(spark):
+    """output_ndarray=True (reference baselib.py:665): 'return [..]'
+    ticks a vector — codegen F.array when stateless, list output on
+    the stateful path; malformed expressions fail at build."""
+    import pytest
+
+    from csp_spark.operators.exprtk import exprtk_ts
+
+    x = bl.curve(spark, [(t(i), float(i + 1)) for i in range(3)])
+    y = bl.curve(spark, [(t(0), 10.0)])
+    # stateless vector
+    out = exprtk_ts({"x": x, "y": y}, "return [x + y, x * y, 2]",
+                    output_ndarray=True)
+    got = [list(v) for _, v in out.collect_ticks()]
+    assert got == [[11.0, 10.0, 2.0], [12.0, 20.0, 2.0], [13.0, 30.0, 2.0]]
+    # stateful vector: running sum + last value
+    out_s = exprtk_ts({"x": x}, "s := s + x; return [s, x]",
+                      state_vars={"s": 0.0}, output_ndarray=True)
+    got_s = [list(v) for _, v in out_s.collect_ticks()]
+    assert got_s == [[1.0, 1.0], [3.0, 2.0], [6.0, 3.0]]
+    # contract errors at build time
+    with pytest.raises(ValueError, match="return"):
+        exprtk_ts({"x": x}, "x + 1", output_ndarray=True)
+    with pytest.raises(ValueError, match="state_vars"):
+        exprtk_ts({"x": x}, "x + 1; return [x]", output_ndarray=True)
+
+
 # ---------------------------------------------------------------- round 3
 # casts / basket field / delayed wiring / engine-stop hooks
 
