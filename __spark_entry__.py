@@ -735,6 +735,26 @@ def op_exprtk_state(spark, sf_dir):
     )
 
 
+def op_windowed_global_time(spark, sf_dir):
+    """Time-interval twin of op_windowed_global: trailing-6-hour
+    sum/count over the whole events table as ONE stream — tails
+    replicate only the rows within 6h of each partition boundary."""
+    from csp_spark.core.unkeyed import windowed_unkeyed
+
+    ev = _t(spark, sf_dir, "events")
+    x = TickStream.from_table(
+        ev, ts_col="ts", value_col="value", seq_col="event_id"
+    )
+    out = windowed_unkeyed(
+        x, window=dt.timedelta(hours=6), aggs=["sum", "count"]
+    )
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        (F.round(F.col("win_sum"), 4) + F.lit(0.0)).alias("w_sum"),
+        F.col("win_count").alias("w_count"),
+    )
+
+
 def op_exprtk_vec(spark, sf_dir):
     # csp.exprtk output_ndarray=True (baselib.py:665): 'return [..]'
     # ticks a vector (array<double>); stateless form is one codegen
@@ -2248,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": doc_chunk,
         "op_accum_global": op_accum_global,
         "op_windowed_global": op_windowed_global,
+        "op_windowed_global_time": op_windowed_global_time,
         "op_exprtk_vec": op_exprtk_vec,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
@@ -2265,7 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else holds a green row from r3 under unchanged code.
     priority = [
         # (1) new / never driver-run
-        "op_windowed_global", "op_exprtk_vec", "ann_knn_join_blas",
+        "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
+        "ann_knn_join_blas",
         # (2) stale green (module rewritten after the green round)
         "dedup_embedding", "stats_ema_halflife", "stats_ema_var",
         "dedup_exact", "dedup_ngram", "text_stats", "text_langid",
@@ -2281,7 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_sample_asof", "op_unroll", "op_split_false", "op_default",
         "op_multiplex", "op_collect", "op_flatten", "op_dropnans",
         "op_apply", "op_demultiplex", "src_curve", "op_burst",
-        "op_last_value", "op_dropdups_eps", "stats_minmax_sem",
+        "op_last_value", "op_dropdups_eps",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3016,6 +3038,15 @@ SELECT event_id,
   round(max(value) OVER w, 6) + CAST(0.0 AS DOUBLE) AS w_max
 FROM events
 WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+""",
+        "op_windowed_global_time": """
+SELECT event_id,
+  round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE), 4)
+    + CAST(0.0 AS DOUBLE) AS w_sum,
+  count(value) OVER w AS w_count
+FROM events
+WINDOW w AS (ORDER BY epoch_us(ts)
+             RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
 """,
         "op_exprtk_vec": """
 SELECT event_id, user_id, c.comp,

@@ -29,6 +29,8 @@ this is a capability beyond the reference, not a parity item.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -146,34 +148,133 @@ def running_unkeyed(
 _WINDOWED_AGGS = ("sum", "count", "mean", "min", "max")
 
 
+def _win_cols(aggs, frame):
+    """win_<agg> window columns over the given frame; sum/mean combine
+    through DECIMAL for order-independent exactness."""
+    out = []
+    for a in aggs:
+        if a == "sum":
+            c = F.sum(F.col("__v").cast(_DEC)).over(frame).cast("double")
+        elif a == "count":
+            c = F.count("__v").over(frame)
+        elif a == "mean":
+            s = F.sum(F.col("__v").cast(_DEC)).over(frame)
+            k = F.count("__v").over(frame)
+            c = F.when(k > 0, (s / k).cast("double"))
+        elif a == "min":
+            c = F.min("__v").over(frame)
+        else:
+            c = F.max("__v").over(frame)
+        out.append(c.alias(f"win_{a}"))
+    return out
+
+
+def _windowed_unkeyed_time(
+    x: TickStream,
+    window: _dt.timedelta,
+    aggs: list,
+    num_partitions: int | None,
+) -> "DataFrame":
+    """Time-interval twin of the tick path (see windowed_unkeyed):
+    frames are ``rangeBetween(-(us-1), 0)`` over unix-microseconds;
+    tails replicate each partition's rows that fall within ``window``
+    of its successor's first timestamp (exact per-partition bounds,
+    driver-side #partitions rows). Validity is checked exactly: no row
+    two partitions back may fall inside a successor's window — else
+    the exact single-window fallback runs (tiny inputs only)."""
+    us = int(window.total_seconds() * 1_000_000)
+    if us < 1:
+        raise ValueError("time window must be positive")
+    spark = x.df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    v = F.col(x.value_col)
+
+    base = (
+        x.df.select(KEY, TS, SEQ, v.alias("__v"))
+        .repartitionByRange(n, TS, SEQ)
+        .sortWithinPartitions(TS, SEQ)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__tsu", F.unix_micros(F.col(TS)))
+        .persist()
+    )
+    base.count()  # pin pid assignment
+
+    bounds = {
+        r["__pid"]: (r["mn"], r["mx"])
+        for r in base.groupBy("__pid").agg(
+            F.min("__tsu").alias("mn"), F.max("__tsu").alias("mx")
+        ).collect()
+    }
+    pids = sorted(bounds)
+    max_pid = pids[-1]
+    # exact single-predecessor condition: for every partition j+1, the
+    # rows it needs (__tsu >= min(j+1) - (us-1)) must all live in j —
+    # i.e. nothing in partitions <= j-1 reaches that cut
+    ok = all(
+        bounds[pids[k - 1]][1] < bounds[pids[k + 1]][0] - (us - 1)
+        for k in range(1, len(pids) - 1)
+    )
+    wframe = lambda w: w.orderBy("__tsu").rangeBetween(-(us - 1), 0)  # noqa: E731
+    if not ok:
+        out = base.select(KEY, TS, SEQ, *_win_cols(aggs, wframe(Window)))
+        return out
+
+    # per-pid cut for the tail it must send forward: the (next
+    # NON-EMPTY) successor's first timestamp minus the window, tagged
+    # with that successor's actual pid (broadcast — #partitions rows)
+    cuts = [
+        (pids[k], pids[k + 1], bounds[pids[k + 1]][0] - (us - 1))
+        for k in range(len(pids) - 1)
+    ]
+    cuts_df = spark.createDataFrame(cuts, "__pid int, __succ int, __cut long")
+    tails = (
+        base.join(F.broadcast(cuts_df), "__pid")
+        .filter(F.col("__tsu") >= F.col("__cut"))
+        .withColumn("__pid", F.col("__succ"))
+        .drop("__cut", "__succ")
+        .withColumn("__tail", F.lit(True))
+    )
+    aug = base.withColumn("__tail", F.lit(False)).unionByName(tails)
+    frame = wframe(Window.partitionBy("__pid"))
+    return (
+        aug.select(KEY, TS, SEQ, F.col("__tail"), *_win_cols(aggs, frame))
+        .filter(~F.col("__tail"))
+        .drop("__tail")
+    )
+
+
 def windowed_unkeyed(
     x: TickStream,
-    window: int,
+    window: "int | _dt.timedelta",
     aggs: "tuple[str, ...] | list[str]" = _WINDOWED_AGGS,
     num_partitions: int | None = None,
 ) -> "DataFrame":
-    """Fixed TICK-window stats (trailing ``window`` rows, engine order)
-    over an UNKEYED stream, scalable — the windowed twin of
-    :func:`running_unkeyed`, closing the documented core/align.py
-    limit ("fixed-size windowed stats on an unkeyed stream run in one
-    window partition").
+    """Fixed-window stats over an UNKEYED stream, scalable — the
+    windowed twin of :func:`running_unkeyed`, closing the documented
+    core/align.py limit ("fixed-size windowed stats on an unkeyed
+    stream run in one window partition"). ``window`` is either an int
+    (trailing N ticks, engine order) or a timedelta (trailing time
+    interval ``(t - w, t]``, inclusive of the current instant — the
+    same ``rangeBetween(-(us-1), 0)`` convention as the keyed
+    stats.Rolling time window).
 
     Plan (tail replication, the standard distributed sliding-window
     trick): range-partition by engine order with pinned partition ids,
-    then REPLICATE each partition's last ``window-1`` rows into its
-    successor (tagged, excluded from output). Every row's trailing
-    frame is now fully local, so the whole computation is one
+    then REPLICATE each partition's window-trailing edge into its
+    successor (tagged, excluded from output): the last ``window-1``
+    rows for tick windows, the rows within ``window`` of the
+    successor's first timestamp for time windows. Every row's trailing
+    frame is then fully local, so the whole computation is one
     ``Window.partitionBy(__pid)`` pass — embarrassingly parallel; the
-    only cross-partition traffic is ``(window-1) × #partitions`` tail
-    rows, independent of total size. Rows earlier than ``window`` get
-    the partial frame, exactly like SQL ``ROWS BETWEEN window-1
-    PRECEDING AND CURRENT ROW`` (csp min_window gating composes on top
-    via a global row index if needed).
+    only cross-partition traffic is the tail rows, independent of
+    total stream size. Early rows get the partial frame, exactly like
+    the SQL window form (csp min_window gating composes on top).
 
-    Requires every non-final partition to hold ≥ ``window-1`` rows (one
-    predecessor supplies the whole tail). When the partition layout is
-    too fine for the window — only possible on tiny inputs, where cost
-    is moot — it falls back to the exact single-window form.
+    Requires one predecessor to supply the whole tail (partitions at
+    least a window deep/long — checked exactly from the per-partition
+    bounds). When the partition layout is too fine for the window —
+    only possible on tiny inputs, where cost is moot — it falls back
+    to the exact single-window form.
 
     Output: (key, ts, seq, win_<agg>...) one column per requested agg.
     Sum/mean combine through DECIMAL(28,10) (order-independent, matches
@@ -182,6 +283,8 @@ def windowed_unkeyed(
     bad = [a for a in aggs if a not in _WINDOWED_AGGS]
     if bad:
         raise ValueError(f"unsupported windowed aggs {bad}; pick from {_WINDOWED_AGGS}")
+    if isinstance(window, _dt.timedelta):
+        return _windowed_unkeyed_time(x, window, aggs, num_partitions)
     if window < 1:
         raise ValueError("window must be >= 1 tick")
     spark = x.df.sparkSession
@@ -189,22 +292,7 @@ def windowed_unkeyed(
     v = F.col(x.value_col)
 
     def _cols(frame):
-        out = []
-        for a in aggs:
-            if a == "sum":
-                c = F.sum(F.col("__v").cast(_DEC)).over(frame).cast("double")
-            elif a == "count":
-                c = F.count("__v").over(frame)
-            elif a == "mean":
-                s = F.sum(F.col("__v").cast(_DEC)).over(frame)
-                k = F.count("__v").over(frame)
-                c = F.when(k > 0, (s / k).cast("double"))
-            elif a == "min":
-                c = F.min("__v").over(frame)
-            else:
-                c = F.max("__v").over(frame)
-            out.append(c.alias(f"win_{a}"))
-        return out
+        return _win_cols(aggs, frame)
 
     base = (
         x.df.select(KEY, TS, SEQ, v.alias("__v"))
@@ -219,8 +307,9 @@ def windowed_unkeyed(
         r["__pid"]: r["n"]
         for r in base.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    max_pid = max(sizes)
-    if any(sz < window - 1 for pid, sz in sizes.items() if pid != max_pid):
+    pids = sorted(sizes)  # non-empty partitions only, in engine order
+    max_pid = pids[-1]
+    if any(sizes[p] < window - 1 for p in pids if p != max_pid):
         # tiny input relative to the partition grain: exact fallback
         wglob = (
             Window.orderBy(TS, SEQ).rowsBetween(-(window - 1), 0)
@@ -228,14 +317,19 @@ def windowed_unkeyed(
         out = base.select(KEY, TS, SEQ, *_cols(wglob))
         return out
 
-    # tails: each partition's last window-1 rows, re-tagged into the
-    # successor partition id (the final partition feeds no successor)
+    # tails: each partition's last window-1 rows, re-tagged with its
+    # (next NON-EMPTY) successor's actual pid — a broadcast of
+    # #partitions rows (the final partition feeds no successor)
+    succ = [(pids[k], pids[k + 1]) for k in range(len(pids) - 1)]
+    succ_df = spark.createDataFrame(succ, "__pid int, __succ int")
     wdesc = Window.partitionBy("__pid").orderBy(F.desc(TS), F.desc(SEQ))
     tails = (
         base.withColumn("__rn", F.row_number().over(wdesc))
-        .filter((F.col("__rn") <= window - 1) & (F.col("__pid") < max_pid))
+        .filter(F.col("__rn") <= window - 1)
         .drop("__rn")
-        .withColumn("__pid", F.col("__pid") + 1)
+        .join(F.broadcast(succ_df), "__pid")
+        .withColumn("__pid", F.col("__succ"))
+        .drop("__succ")
         .withColumn("__tail", F.lit(True))
     )
     aug = base.withColumn("__tail", F.lit(False)).unionByName(tails)

@@ -235,6 +235,36 @@ def test_windowed_unkeyed_matches_global_window(spark):
     lines = [l for l in df._jdf.queryExecution().executedPlan().toString()
              .split("\n") if "Window" in l]
     assert lines and all("__pid" in l for l in lines)
+    # TIME window: trailing interval (t-w, t], rangeBetween convention —
+    # equals the single global range window, tail-replicated plan
+    import datetime as dt
+    Wt = dt.timedelta(hours=2)
+    us = int(Wt.total_seconds() * 1_000_000)
+    wt = Window.orderBy(F.unix_micros(F.col("ts"))).rangeBetween(-(us - 1), 0)
+    sdect = F.sum(F.col("value").cast("decimal(28,10)")).over(wt)
+    cntt = F.count("value").over(wt)
+    tref = {
+        (r["ts"], r["seq"]): (r["s"], r["c"], r["m"], r["mn"], r["mx"])
+        for r in x.df.select(
+            "ts", "seq",
+            sdect.cast("double").alias("s"), cntt.alias("c"),
+            F.when(cntt > 0, (sdect / cntt).cast("double")).alias("m"),
+            F.min("value").over(wt).alias("mn"),
+            F.max("value").over(wt).alias("mx"),
+        ).collect()
+    }
+    for npart in (7, 4000):  # 4000 → partitions narrower than 2h: fallback
+        tgot = {
+            (r["ts"], r["seq"]):
+                (r["win_sum"], r["win_count"], r["win_mean"],
+                 r["win_min"], r["win_max"])
+            for r in windowed_unkeyed(x, Wt, num_partitions=npart).collect()
+        }
+        assert tgot == tref, npart
+    dft = windowed_unkeyed(x, Wt, num_partitions=7)
+    tlines = [l for l in dft._jdf.queryExecution().executedPlan().toString()
+              .split("\n") if "Window" in l]
+    assert tlines and all("__pid" in l for l in tlines)
 
 
 def test_ema_unkeyed_matches_sequential(spark):
