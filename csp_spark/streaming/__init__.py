@@ -1,6 +1,7 @@
 from .sources import (
     PushAdapter,
     PushGroup,
+    PushPullAdapter,
     file_ticks,
     kafka_ticks,
     rate_ticks,
@@ -27,6 +28,7 @@ from .hybrid import (
 )
 
 __all__ = [
+    "PushPullAdapter",
     "WebSocketClient",
     "WebsocketAdapter",
     "SEED_SEQ",

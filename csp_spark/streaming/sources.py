@@ -292,6 +292,59 @@ class PushAdapter:
         self._stopped = True
 
 
+class PushPullAdapter(PushAdapter):
+    """PushPullInputAdapter parity (csp/impl/pushpulladapter.py; used by
+    every adapter that replays history then goes live, e.g. Kafka
+    start_offset replay — csp/adapters/kafka.py:39-191): ONE channel
+    that first delivers the historical rows in engine order, then the
+    live pushes, so downstream stateful kernels fold replay before any
+    live tick — state crosses the handover for free.
+
+    Spark-native realization: the history tick table is written into
+    the landing directory as the FIRST drop(s) before the stream
+    starts; ``push_tick``/``flush`` then append live microbatches.
+    ``flag_replay_complete`` is implicit (the history file is one
+    atomic drop and file order is preserved), but the method is kept
+    for reference API parity. For LARGE histories prefer
+    ``streaming.hybrid.run_hybrid_*`` — it processes history in the
+    batch engine and seeds only terminal state, instead of replaying
+    every row through the stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        history,  # DataFrame in tick schema (key, ts, seq, value)
+        value_type: str = "double",
+        key: str = GLOBAL_KEY,
+        directory: str | None = None,
+    ):
+        super().__init__(spark, value_type=value_type, key=key,
+                         directory=directory)
+        self._replay_done = False
+        if history is not None:
+            # ONE atomic parquet FILE (the landing source reads flat
+            # files, same as flush()); history is bounded by contract —
+            # large backlogs belong to streaming.hybrid, which replays
+            # them in the batch engine instead of through the stream
+            import pyarrow.parquet as pq
+
+            tbl = history.select(KEY, TS, SEQ, VALUE).toArrow()
+            tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}.parquet")
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, os.path.join(self._dir, "00-replay.parquet"))
+            with self._lock:
+                self._seq = max(self._seq, tbl.num_rows)
+
+    def flag_replay_complete(self) -> None:
+        """Reference lifecycle hook: replay is complete once the
+        history drop is on disk (done in __init__) — kept for API
+        parity with PushPullInputAdapter.flag_replay_complete."""
+        self._replay_done = True
+
+    def replay_complete(self) -> bool:
+        return True
+
+
 class PushGroup:
     """PushGroup barrier parity (cpp/csp/engine/PushInputAdapter.h:1-191,
     PendingPushEvents.cpp): in the reference, adapters created in one

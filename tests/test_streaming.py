@@ -648,3 +648,38 @@ def test_websocket_adapter_reconnect(spark):
     assert served == [0, 1]
     vals = sorted(r["value"] for r in collect_stream(ad.subscribe()).collect())
     assert vals == [0.0, 1.0]
+
+
+def test_pushpull_adapter_replay_then_live(spark):
+    """PushPullInputAdapter parity: one channel delivers the history
+    rows first, then live pushes — a stateful kernel downstream folds
+    replay before live, so its live output equals a batch run over
+    history + live."""
+    import math as _math
+
+    from csp_spark import TickStream
+    from csp_spark.stats import ema as batch_ema
+    from csp_spark.streaming import PushPullAdapter, collect_stream, ema_stream
+
+    hist = [("k", START + dt.timedelta(seconds=i), i, float(i % 5))
+            for i in range(10)]
+    hist_df = spark.createDataFrame(hist, SCHEMA)
+    pp = PushPullAdapter(spark, hist_df)
+    pp.flag_replay_complete()
+    assert pp.replay_complete()
+    live_t = [START + dt.timedelta(seconds=100 + i) for i in range(4)]
+    live_v = [7.0, 3.0, 9.0, 1.0]
+    for t_, v_ in zip(live_t, live_v):
+        pp.push_tick(v_, ts=t_, key="k")
+    pp.flush()
+    out = collect_stream(ema_stream(pp.out(), alpha=0.4))
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    all_rows = hist + [("k", t_, 1000 + i, v_)
+                       for i, (t_, v_) in enumerate(zip(live_t, live_v))]
+    ref = {r["ts"]: r["value"]
+           for r in batch_ema(TickStream(spark.createDataFrame(all_rows, SCHEMA)),
+                              alpha=0.4, adjust=False).df.collect()}
+    assert set(got) == set(ref) and len(got) == 14
+    for k in ref:
+        assert _math.isclose(got[k], ref[k], rel_tol=1e-12), k
+    pp.stop()
