@@ -1899,6 +1899,45 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+def text_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate-line removal (CCNet §4.1 family,
+    text/analysis.py boilerplate_lines/remove_boilerplate): the
+    testdata docs are single-line, so the query deterministically
+    line-structures them first (text + a doc_id%7 marker line — the
+    marker repeats across ~1/7 of the corpus = guaranteed boilerplate;
+    duplicate texts also collide). Output: per-doc removal audit."""
+    from csp_spark.text import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.concat(F.lit("marker-"), F.col("doc_id") % 7)
+        ).alias("text"),
+    )
+    out = remove_boilerplate(docs, min_docs=3)
+    return out.select(
+        "doc_id",
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.length("text").cast("long").alias("n_chars_left"),
+    )
+
+
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (text/analysis.py decontaminate —
+    GPT-3 appendix-C n-gram overlap): eval set = the deterministic
+    doc_id % 47 == 0 slice; training docs sharing >= 1 distinct word
+    8-gram with any eval doc are flagged. Eval grams broadcast; the
+    corpus side never shuffles its grams."""
+    from csp_spark.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 47 == 0)
+    out = decontaminate(docs, evals, n=8, min_matches=1)
+    return out.select(
+        "doc_id", "n_matches", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def text_repetition(spark, sf_dir):
     # Gopher-style repetition profile: dup-word/dup-line fractions +
     # top-bigram fraction (explode → two keyed hash-aggregates).
@@ -2270,6 +2309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_windowed_global": op_windowed_global,
         "op_windowed_global_time": op_windowed_global_time,
         "op_exprtk_vec": op_exprtk_vec,
+        "text_boilerplate": text_boilerplate,
+        "doc_decontaminate": doc_decontaminate,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2287,7 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # (1) new / never driver-run
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
-        "ann_knn_join_blas",
+        "text_boilerplate", "doc_decontaminate", "ann_knn_join_blas",
         # (2) stale green (module rewritten after the green round)
         "dedup_embedding", "stats_ema_halflife", "stats_ema_var",
         "dedup_exact", "dedup_ngram", "text_stats", "text_langid",
@@ -2303,7 +2344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_sample_asof", "op_unroll", "op_split_false", "op_default",
         "op_multiplex", "op_collect", "op_flatten", "op_dropnans",
         "op_apply", "op_demultiplex", "src_curve", "op_burst",
-        "op_last_value", "op_dropdups_eps",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3047,6 +3087,52 @@ SELECT event_id,
 FROM events
 WINDOW w AS (ORDER BY epoch_us(ts)
              RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+""",
+        "text_boilerplate": r"""
+WITH built AS (
+  SELECT doc_id,
+         text || chr(10) || 'marker-' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM built
+), bp AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS n FROM l
+    WHERE length(trim(line)) >= 1 GROUP BY 1
+  ) WHERE n >= 3
+), j AS (
+  SELECT l.doc_id, l.line, (bp.line IS NOT NULL) AS is_bp
+  FROM l LEFT JOIN bp ON l.line = bp.line
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(CASE WHEN sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) = 0 THEN 0
+       ELSE sum(CASE WHEN NOT is_bp THEN length(line) ELSE 0 END)
+            + sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) - 1
+       END AS BIGINT) AS n_chars_left
+FROM j GROUP BY 1
+""",
+        "doc_decontaminate": r"""
+WITH norm AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM norm WHERE len(t) >= 8
+), g AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM pos
+), eg AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 47 = 0
+), m AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_matches
+  FROM g JOIN eg ON g.gram = eg.gram GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+  CAST(CASE WHEN coalesce(m.n_matches, 0) >= 1 THEN 1 ELSE 0 END AS INT)
+    AS contaminated
+FROM documents d LEFT JOIN m USING (doc_id)
 """,
         "op_exprtk_vec": """
 SELECT event_id, user_id, c.comp,

@@ -4,4 +4,5 @@ from .analysis import (
     fingerprint, winnow_fingerprints, STOPWORDS,
     dup_word_fraction, dup_line_fraction, repetition_stats,
     chunk_documents, spread, redact_pii, pii_counts, PII_PATTERNS,
+    boilerplate_lines, remove_boilerplate, decontaminate,
 )

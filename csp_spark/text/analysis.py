@@ -330,6 +330,145 @@ def chunk_documents(
     )
 
 
+def boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Lines that appear in ≥ ``min_docs`` DISTINCT documents — the
+    corpus-level boilerplate census (CCNet §4.1 / Gopher C.2 line-dedup
+    family: navigation chrome, cookie banners, license headers repeat
+    VERBATIM across pages and are removed by cross-document line
+    frequency, which per-document repetition signals can't see).
+
+    Scale shape: explode lines → ONE hash-aggregate with map-side
+    partial ``count(DISTINCT id)`` — no self-join, no window; the
+    shuffle carries (line, id) pairs once. ``min_chars`` drops empty/
+    whitespace lines from the census. Output: (line, n_docs)."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\n")).alias("line"),
+    ).filter(F.length(F.trim(F.col("line"))) >= min_chars)
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Strip corpus-boilerplate lines from every document (see
+    :func:`boilerplate_lines`), preserving the remaining lines' order.
+
+    Plan: posexplode lines → left-anti join against the boilerplate
+    set (a SHUFFLE join — the set scales with the corpus and is not
+    broadcast) → reassemble per doc via array_sort(collect_list(
+    struct(pos, line))). One explode, one agg, one join, one agg —
+    every step keyed, no window. Docs whose every line is boilerplate
+    come back with empty text (kept, so downstream length filters
+    decide their fate). Output: (id_col, text_col, n_removed)."""
+    bp = boilerplate_lines(docs, text_col, id_col, min_docs, min_chars)
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    )
+    kept = ex.join(bp.select("line"), "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), r"\n"))
+    return (
+        docs.select(F.col(id_col), n_lines.alias("__total"))
+        .join(rebuilt.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .alias("n_removed"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    n: int = 8,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    ≥ ``min_matches`` distinct word ``n``-grams with ANY document of
+    the evaluation set (the GPT-3 appendix-C / PaLM n-gram-overlap
+    sweep run before every serious training job).
+
+    Scale shape: the eval set is SMALL by nature → its distinct gram
+    hashes broadcast; the 100 TB training side explodes to
+    (id, gram-hash) rows and broadcast-inner-joins — no shuffle of
+    corpus grams at all, then one keyed count-distinct. Normalization
+    (lower + whitespace collapse) matches the dedup family so the
+    same grams collide. Output: every doc as
+    (id_col, n_matches, contaminated)."""
+    eval_text_col = eval_text_col or text_col
+
+    def grams(df: DataFrame, col: str, idc: str | None):
+        toks = df.select(
+            *([F.col(idc).alias("id")] if idc else []),
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " "),
+                " ",
+            ).alias("t"),
+        )
+        pos = toks.select(
+            *(["id"] if idc else []), "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - (n - 1), F.lit(1))
+                )
+            ).alias("i"),
+        ).filter(F.size("t") >= n)
+        return pos.select(
+            *(["id"] if idc else []),
+            F.xxhash64(
+                F.array_join(F.slice("t", F.col("i"), n), " ")
+            ).alias("gh"),
+        )
+
+    eval_grams = grams(eval_docs, eval_text_col, None).distinct()
+    doc_grams = grams(docs, text_col, id_col)
+    matches = (
+        doc_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("id")
+        .agg(F.count_distinct("gh").alias("n_matches"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(matches.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            (F.coalesce(F.col("n_matches"), F.lit(0)) >= min_matches)
+            .alias("contaminated"),
+        )
+    )
+
+
 def annotate(
     docs: DataFrame, text_col: str = "text", lang: str = "en"
 ) -> DataFrame:

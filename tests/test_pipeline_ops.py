@@ -386,3 +386,66 @@ def test_redact_pii_golden(spark):
     assert out[2]["counts"]["phone"] == 0
     assert out[3]["clean"] == "no pii here at all"
     assert sum(out[3]["counts"]) == 0
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_boilerplate_lines_and_removal(spark):
+    """CCNet-style cross-document line dedup: lines repeated across
+    >= min_docs distinct docs are censused and stripped, order of the
+    surviving lines preserved; all-boilerplate docs come back empty."""
+    footer = "follow us on social media"
+    cookie = "this site uses cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha body one\n{cookie}\nunique tail 1\n{footer}"),
+            (2, f"{cookie}\nbeta body two\n{footer}"),
+            (3, f"gamma body three\n{footer}"),
+            (4, f"{cookie}\n{footer}"),           # nothing but boilerplate
+            (5, "delta body five"),               # untouched
+        ],
+        "doc_id long, text string",
+    )
+    bp = {r["line"]: r["n_docs"]
+          for r in TX.boilerplate_lines(docs, min_docs=3).collect()}
+    assert bp == {footer: 4, cookie: 3}
+    out = {r["doc_id"]: r for r in
+           TX.remove_boilerplate(docs, min_docs=3).collect()}
+    assert out[1]["text"] == "alpha body one\nunique tail 1"
+    assert out[1]["n_removed"] == 2
+    assert out[2]["text"] == "beta body two" and out[2]["n_removed"] == 2
+    assert out[3]["text"] == "gamma body three"
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 2
+    assert out[5]["text"] == "delta body five" and out[5]["n_removed"] == 0
+    # min_docs=2 also catches the footer-only pair overlap
+    bp2 = {r["line"] for r in TX.boilerplate_lines(docs, min_docs=2).collect()}
+    assert bp2 == {footer, cookie}
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """GPT-3-style eval-set decontamination: docs sharing >= k distinct
+    word n-grams with any eval doc are flagged; normalization makes
+    case/whitespace variants collide; short docs can't match."""
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {base} closing words"),   # contains eval text
+            (2, "совершенно unrelated text with many many words in a row ok"),
+            (3, "THE  Quick   Brown Fox JUMPS over the lazy dog tonight"),  # case/ws variant
+            (4, "too short to match"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(base,)], "text string")
+    out = {r["doc_id"]: r for r in
+           TX.decontaminate(docs, evals, n=8, min_matches=1).collect()}
+    assert out[1]["contaminated"] and out[1]["n_matches"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_matches"] == 0
+    assert out[3]["contaminated"]  # normalization collides the variant
+    assert not out[4]["contaminated"]
+    # threshold: require more matches than doc 3 shares
+    strict = {r["doc_id"]: r for r in
+              TX.decontaminate(docs, evals, n=10, min_matches=2).collect()}
+    assert strict[4]["n_matches"] == 0
+    assert len(strict) == 4  # every doc is reported, flagged or not
