@@ -1056,6 +1056,32 @@ def random_poisson(spark, sf_dir):
     return x.df.select(TS, F.round("value", 6).alias("elapsed_s"))
 
 
+def _quality_oracle_sql() -> str:
+    """Replays quality_classifier_scores: md5-uniform token weights,
+    DECIMAL-exact per-doc mean, sigmoid, rounded (+0.0 signed-zero
+    canon)."""
+    u = f"(({_hex13_sql(_QMODEL_MD5)}) + 0.5) / 4503599627370496.0"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), t2 AS (SELECT * FROM toks WHERE length(token) > 0),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(CAST(2.0 * ({u}) - 1.0 AS DECIMAL(28,10))) / count(*) AS DOUBLE)
+      AS m
+  FROM t2 GROUP BY 1
+)
+SELECT d.doc_id,
+  round(1.0 / (1.0 + exp(-coalesce(a.m, 0.0))), 6) + CAST(0.0 AS DOUBLE)
+    AS q_score
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_QMODEL_MD5 = "md5(concat('13|', token))"
+
+
 def _hex13_sql(hexpr: str) -> str:
     """DuckDB integer from the first 13 hex chars of an md5 expression
     (no conv() in DuckDB) — mirrors hash_uniform's 52-bit draw."""
@@ -1938,6 +1964,47 @@ def doc_decontaminate(spark, sf_dir):
     )
 
 
+def text_term_stats(spark, sf_dir):
+    """Corpus vocabulary census (text/analysis.py term_stats): per
+    token document frequency + corpus term frequency, one explode +
+    one hash-aggregate."""
+    from csp_spark.text import term_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_stats(docs, min_df=3).select(
+        "token",
+        F.col("df").cast("long").alias("df"),
+        F.col("tf").cast("long").alias("tf"),
+    )
+
+
+def text_tfidf(spark, sf_dir):
+    """Per-doc top-3 tokens by smoothed TF-IDF (text/analysis.py
+    doc_tfidf): two keyed aggregates + vocabulary shuffle join + one
+    keyed window; deterministic (score desc, token) tie-break."""
+    from csp_spark.text import doc_tfidf
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_tfidf(docs, top_k=3).select(
+        "doc_id", "rank", "token", (F.col("tfidf") + F.lit(0.0)).alias("tfidf")
+    )
+
+
+def text_quality_model(spark, sf_dir):
+    """Hash-feature linear quality classifier (text/analysis.py
+    quality_classifier_scores): md5-weighted tokens, DECIMAL-exact
+    per-doc mean, sigmoid — the model-based-filter plumbing with
+    deterministic stand-in weights."""
+    from csp_spark.text import quality_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_classifier_scores(docs, seed=13)
+    return out.select(
+        "doc_id",
+        (F.round(F.col("quality_score"), 6) + F.lit(0.0)).alias("q_score"),
+    )
+
+
 def text_repetition(spark, sf_dir):
     # Gopher-style repetition profile: dup-word/dup-line fractions +
     # top-bigram fraction (explode → two keyed hash-aggregates).
@@ -2311,6 +2378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_exprtk_vec": op_exprtk_vec,
         "text_boilerplate": text_boilerplate,
         "doc_decontaminate": doc_decontaminate,
+        "text_term_stats": text_term_stats,
+        "text_tfidf": text_tfidf,
+        "text_quality_model": text_quality_model,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2328,7 +2398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # (1) new / never driver-run
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
-        "text_boilerplate", "doc_decontaminate", "ann_knn_join_blas",
+        "text_boilerplate", "doc_decontaminate", "text_term_stats",
+        "text_tfidf", "text_quality_model", "ann_knn_join_blas",
         # (2) stale green (module rewritten after the green round)
         "dedup_embedding", "stats_ema_halflife", "stats_ema_var",
         "dedup_exact", "dedup_ngram", "text_stats", "text_langid",
@@ -2343,7 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_accum", "op_diff", "op_delay", "op_firstn", "op_dropdups",
         "op_sample_asof", "op_unroll", "op_split_false", "op_default",
         "op_multiplex", "op_collect", "op_flatten", "op_dropnans",
-        "op_apply", "op_demultiplex", "src_curve", "op_burst",
+        "op_apply",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3134,6 +3205,38 @@ SELECT d.doc_id,
     AS contaminated
 FROM documents d LEFT JOIN m USING (doc_id)
 """,
+        "text_term_stats": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT token,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+  CAST(count(*) AS BIGINT) AS tf
+FROM toks WHERE length(token) > 0
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+""",
+        "text_tfidf": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), t2 AS (SELECT * FROM toks WHERE length(token) > 0),
+tfd AS (SELECT doc_id, token, count(*) AS tf_d FROM t2 GROUP BY 1, 2),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT doc_id, token,
+         tf_d * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS score
+  FROM tfd JOIN dft USING (token) CROSS JOIN nn
+), r AS (
+  SELECT doc_id, token, round(score, 6) + CAST(0.0 AS DOUBLE) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rank
+  FROM s
+)
+SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3
+""",
+        "text_quality_model": _quality_oracle_sql(),
         "op_exprtk_vec": """
 SELECT event_id, user_id, c.comp,
   CASE c.comp WHEN 0 THEN value * 2

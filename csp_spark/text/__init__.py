@@ -5,4 +5,5 @@ from .analysis import (
     dup_word_fraction, dup_line_fraction, repetition_stats,
     chunk_documents, spread, redact_pii, pii_counts, PII_PATTERNS,
     boilerplate_lines, remove_boilerplate, decontaminate,
+    term_stats, doc_tfidf, quality_classifier_scores,
 )

@@ -469,6 +469,119 @@ def decontaminate(
     )
 
 
+def term_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary census: per (normalized) token, document
+    frequency and corpus term frequency — the input to vocabulary /
+    BPE seeding, stop-list induction, and IDF weighting at corpus
+    scale. ONE explode + ONE hash-aggregate (count + count-distinct
+    share the grouping); no window, no join.
+    Output: (token, df, tf)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count_distinct("id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def doc_tfidf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k tokens by smoothed TF-IDF
+    (``tf_d * (ln((N+1)/(df+1)) + 1)``) — keyword extraction over the
+    corpus. Doc term counts and the document-frequency table are two
+    keyed aggregates joined on token (shuffle join — the vocabulary
+    scales with the corpus); top-k per doc is one keyed window.
+    Deterministic tie-break (score desc, token asc).
+    Output: (id_col, rank, token, tfidf)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf_d = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf_d"))
+    df_t = toks.select("id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf_d.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf_d")
+            * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col), "rank", "token",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Model-based quality filter PLUMBING (the fastText-classifier
+    stage of C4/CCNet-style pipelines): a linear scorer over hashed
+    token features, ``score = sigmoid(mean_t w(t))`` with per-token
+    weights ``w(t) = 2*U(t) - 1`` drawn from the engine-portable md5
+    uniform (pipeline/sampling's draw — any engine replays it
+    bit-for-bit). The weights are a deterministic STAND-IN for trained
+    ones (no model ships in this environment); the distributed shape —
+    explode → codegen md5 per token row → one keyed mean — is exactly
+    how a real hashed linear classifier runs at 100 TB.
+    Output: (id_col, quality_score)."""
+    from ..sources.random_gen import hash_uniform
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.length("token") > 0)
+    # DECIMAL-exact mean: double avg is partition-order-dependent in
+    # the last ulps; summing 10dp-truncated weights is associative and
+    # bit-identical on any engine/partitioning (same rule as the
+    # unkeyed prefix sums)
+    w = (2.0 * hash_uniform(F.col("token"), seed) - 1.0).cast(
+        "decimal(28,10)"
+    )
+    agg = toks.groupBy("id").agg(
+        (F.sum(w) / F.count(F.lit(1))).cast("double").alias("m")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            (1.0 / (1.0 + F.exp(-F.coalesce(F.col("m"), F.lit(0.0)))))
+            .alias("quality_score"),
+        )
+    )
+
+
 def annotate(
     docs: DataFrame, text_col: str = "text", lang: str = "en"
 ) -> DataFrame:

@@ -449,3 +449,56 @@ def test_decontaminate_ngram_overlap(spark):
               TX.decontaminate(docs, evals, n=10, min_matches=2).collect()}
     assert strict[4]["n_matches"] == 0
     assert len(strict) == 4  # every doc is reported, flagged or not
+
+
+def test_term_stats_and_tfidf(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple elderberry"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["token"]: (r["df"], r["tf"])
+             for r in TX.term_stats(docs).collect()}
+    assert stats["apple"] == (2, 3)
+    assert stats["banana"] == (2, 2)
+    assert stats["cherry"] == (2, 3)
+    assert stats["date"] == (1, 1) and stats["elderberry"] == (1, 1)
+    assert {r["token"] for r in TX.term_stats(docs, min_df=2).collect()} == \
+        {"apple", "banana", "cherry"}
+    # tfidf: rare tokens outrank common ones at equal term frequency
+    import math as _m
+    top = {(r["doc_id"], r["rank"]): (r["token"], r["tfidf"])
+           for r in TX.doc_tfidf(docs, top_k=2).collect()}
+    # doc 1: apple tf_d=2 (df=2) beats cherry tf_d=1
+    assert top[(1, 1)][0] == "apple"
+    exp = 2 * (_m.log(4 / 3) + 1)
+    assert abs(top[(1, 1)][1] - round(exp, 6)) < 1e-9
+    # doc 3: elderberry (df=1) outranks apple (df=2) at tf_d=1 each
+    assert top[(3, 1)][0] == "elderberry"
+
+
+def test_quality_classifier_scores(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta eta theta"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["quality_score"]
+           for r in TX.quality_classifier_scores(docs, seed=13).collect()}
+    assert len(out) == 4
+    # deterministic: identical docs score identically, scores in (0,1)
+    assert out[1] == out[2]
+    assert all(0.0 < v < 1.0 for k, v in out.items() if k != 4)
+    assert out[4] == 0.5  # empty doc -> mean 0 -> sigmoid(0)
+    # partitioning-independent (DECIMAL-exact mean)
+    out2 = {r["doc_id"]: r["quality_score"]
+            for r in TX.quality_classifier_scores(
+                docs.repartition(17), seed=13).collect()}
+    assert out == out2
+    # a different seed is a different model
+    out3 = {r["doc_id"]: r["quality_score"]
+            for r in TX.quality_classifier_scores(docs, seed=14).collect()}
+    assert out3[1] != out[1]
