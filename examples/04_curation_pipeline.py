@@ -1,0 +1,76 @@
+"""End-to-end training-corpus curation over the synthetic documents
+table: boilerplate-line removal → exact + fuzzy dedup → benchmark
+decontamination → model-based quality scoring → deterministic split.
+Each stage is a declarative DataFrame transform — one Spark job chain,
+Catalyst-optimized end to end.
+
+Run: python examples/04_curation_pipeline.py
+"""
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+import csp_spark as csp
+from csp_spark.dedup import dedup_exact
+from csp_spark.pipeline.sampling import hash_split
+from csp_spark.sources import read_table
+from csp_spark.text import (
+    decontaminate,
+    quality_classifier_scores,
+    remove_boilerplate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = csp.get_spark(app_name="ex_curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, f"{SF}/documents.parquet").select("doc_id", "text")
+    n0 = docs.count()
+
+    # 1. corpus-level boilerplate: the testdata is single-line, so give
+    #    every doc a synthetic repeated footer to demonstrate the sweep
+    lined = docs.withColumn(
+        "text", F.concat_ws("\n", F.col("text"), F.lit("(c) example corp"))
+    )
+    clean = remove_boilerplate(lined, min_docs=2)
+    assert clean.filter(F.col("n_removed") >= 1).count() == n0  # footer gone
+
+    # 2. exact dedup on normalized text
+    deduped = dedup_exact(clean.select("doc_id", "text"))
+    n2 = deduped.count()
+
+    # 3. decontamination vs a (tiny) benchmark set
+    evals = docs.filter(F.col("doc_id") % 97 == 0)
+    decon = decontaminate(deduped, evals, n=8, min_matches=1)
+    keep_ids = decon.filter(~F.col("contaminated")).select("doc_id")
+    survivors = deduped.join(keep_ids, "doc_id", "left_semi")
+
+    # 4. quality scoring + filter (deterministic hashed linear model)
+    scored = survivors.join(
+        quality_classifier_scores(survivors), "doc_id"
+    ).filter(F.col("quality_score") > 0.35)
+
+    # 5. reproducible train/val/test assignment (pure column expr —
+    #    the same doc lands in the same split on any cluster/engine)
+    final = hash_split(scored, "doc_id")
+    dist = {r["split"]: r["n"] for r in
+            final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_final = sum(dist.values())
+    print(f"docs: {n0} -> dedup {n2} -> decontaminated+scored {n_final}")
+    print("splits:", dist)
+    assert set(dist) <= {"train", "val", "test"} and dist["train"] > 0
+    assert n_final <= n2 <= n0
+    # end-to-end determinism: the whole pipeline replays identically
+    again = {r["split"]: r["n"] for r in
+             hash_split(scored, "doc_id").groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == dist
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
