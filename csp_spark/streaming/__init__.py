@@ -13,6 +13,7 @@ from .ops import (
     dedup_stream,
     conflate_last_value,
     ema_stream,
+    rolling_tick_stats_stream,
     rolling_time_stats_stream,
     with_watermark,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "align_stream",
     "burst_stream",
     "dedup_stream",
+    "rolling_tick_stats_stream",
     "rolling_time_stats_stream",
     "ema_stream",
     "collect_stream",

@@ -134,6 +134,68 @@ def rolling_time_stats_stream(
     )
 
 
+def rolling_tick_stats_stream(
+    x: DataFrame, window: int
+) -> DataFrame:
+    """PER-TICK trailing-``window``-tick stats over the stream — exact
+    csp.stats realtime semantics (recompute at every tick), unlike
+    ``rolling_time_stats_stream`` which emits per slide (the documented
+    watermark-window delta). The per-key state is the window's value
+    ring (≤ ``window`` doubles per key in the state store, bounded by
+    construction); each tick appends, evicts, and emits
+    count/sum/mean/min/max of the current ring.
+
+    Same in-order contract as ema_stream: rows arrive time-ordered per
+    key across microbatches; within a batch the fold sorts by
+    (ts, seq). Equality-tested against the batch stats.Rolling tick
+    window."""
+    if window < 1:
+        raise ValueError("window must be >= 1 tick")
+
+    out_schema = (
+        f"{KEY} string, {TS} timestamp, {SEQ} long, roll_count long, "
+        "roll_sum double, roll_mean double, roll_min double, "
+        "roll_max double"
+    )
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ring: list = list(state.get[0]) if state.exists else []
+        out = []
+        parts = list(pdfs)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values([TS, SEQ])
+            for ts, seq, v in zip(pdf[TS], pdf[SEQ], pdf[VALUE]):
+                fv = float(v)
+                ring.append(fv)
+                if len(ring) > window:
+                    ring.pop(0)
+                vals = [r for r in ring if r == r]  # NaN-skipping stats
+                n = len(vals)
+                s = sum(vals) if n else None
+                out.append((
+                    key[0], ts, seq, n, s,
+                    (s / n) if n else None,
+                    min(vals) if n else None,
+                    max(vals) if n else None,
+                ))
+        state.update((ring,))
+        yield pd.DataFrame(
+            out,
+            columns=[KEY, TS, SEQ, "roll_count", "roll_sum", "roll_mean",
+                     "roll_min", "roll_max"],
+        )
+
+    return x.groupBy(KEY).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="ring array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ----------------------------------------------------------------------
 # stateful per-tick EMA — applyInPandasWithState
 # ----------------------------------------------------------------------

@@ -683,3 +683,39 @@ def test_pushpull_adapter_replay_then_live(spark):
     for k in ref:
         assert _math.isclose(got[k], ref[k], rel_tol=1e-12), k
     pp.stop()
+
+
+def test_rolling_tick_stats_stream_matches_batch(spark, landing):
+    """PER-TICK trailing-N-tick stats over the stream — csp.stats
+    realtime semantics (emit every tick, not per slide) — equals the
+    batch tick-window form, ring state carried across microbatches."""
+    from pyspark.sql import Window
+    from csp_spark.streaming import rolling_tick_stats_stream
+
+    path, rows = landing
+    stream = file_ticks(
+        spark, path, SCHEMA, ts_col="ts", value_col="value", key_col="key",
+        max_files_per_trigger=1,
+    )
+    W = 7
+    got = {(r[KEY], r[TS], r[SEQ]):
+           (r["roll_count"], r["roll_sum"], r["roll_mean"],
+            r["roll_min"], r["roll_max"])
+           for r in collect_stream(rolling_tick_stats_stream(stream, W)).collect()}
+    w = (Window.partitionBy(KEY).orderBy(TS, SEQ)
+         .rowsBetween(-(W - 1), 0))
+    batch = spark.createDataFrame(rows, SCHEMA).select(
+        KEY, TS, SEQ,
+        F.count(VALUE).over(w).alias("c"),
+        F.sum(VALUE).over(w).alias("s"),
+        F.avg(VALUE).over(w).alias("m"),
+        F.min(VALUE).over(w).alias("mn"),
+        F.max(VALUE).over(w).alias("mx"),
+    ).collect()
+    assert len(got) == len(batch) > 0
+    for r in batch:
+        g = got[(r[KEY], r[TS], r[SEQ])]
+        assert g[0] == r["c"]
+        assert math.isclose(g[1], r["s"], rel_tol=1e-12)
+        assert math.isclose(g[2], r["m"], rel_tol=1e-12)
+        assert g[3] == r["mn"] and g[4] == r["mx"]
