@@ -773,6 +773,26 @@ def op_exprtk_vec(spark, sf_dir):
     )
 
 
+def op_feedback_scan(spark, sf_dir):
+    """True per-cycle feedback (plans/runtime.py feedback_scan —
+    csp.feedback's one-edge-latency topology): each tick sees the
+    previous cycle's output; here a clamped decaying accumulator
+    out = least(0.5*prev + x, 200). Per-key Arrow fold; the oracle
+    replays the identical IEEE recursion with list_reduce — exact,
+    no rounding."""
+    from csp_spark.plans.runtime import feedback_scan
+
+    clicks = _events_stream(spark, sf_dir, "click")
+    out = feedback_scan(
+        clicks, lambda v, prev: min(0.5 * prev + v, 200.0), init=0.0
+    )
+    return out.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col("value").alias("fb_out"),
+    )
+
+
 def op_value_at(spark, sf_dir):
     # Historical buffer API (csp.value_at/time_at/values_at —
     # csp/impl/builtin_functions.py:105-270): every lookup form on one
@@ -2381,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_term_stats": text_term_stats,
         "text_tfidf": text_tfidf,
         "text_quality_model": text_quality_model,
+        "op_feedback_scan": op_feedback_scan,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2399,7 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) new / never driver-run
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
-        "text_tfidf", "text_quality_model", "ann_knn_join_blas",
+        "text_tfidf", "text_quality_model", "op_feedback_scan",
+        "ann_knn_join_blas",
         # (2) stale green (module rewritten after the green round)
         "dedup_embedding", "stats_ema_halflife", "stats_ema_var",
         "dedup_exact", "dedup_ngram", "text_stats", "text_langid",
@@ -2414,7 +2436,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_accum", "op_diff", "op_delay", "op_firstn", "op_dropdups",
         "op_sample_asof", "op_unroll", "op_split_false", "op_default",
         "op_multiplex", "op_collect", "op_flatten", "op_dropnans",
-        "op_apply",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3384,6 +3405,21 @@ SELECT c.event_id, c.user_id,
 FROM c
 LEFT JOIN snapv s USING (user_id)
 LEFT JOIN att a USING (user_id)
+""",
+        "op_feedback_scan": f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id,
+    list(v) OVER ({_W_USER}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+  FROM c
+)
+SELECT event_id, user_id,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+              (a, b) -> least(0.5 * a + b, 200.0)) AS fb_out
+FROM p
 """,
         "op_exprtk_state": f"""
 WITH c AS (

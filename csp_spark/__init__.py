@@ -36,6 +36,7 @@ from .plans.runtime import (
     csp_memoized,
     dynamic_apply,
     feedback_iterate,
+    feedback_scan,
     memoize,
     run,
     run_on_thread,
@@ -181,7 +182,7 @@ __all__ = [
     "KEY", "TS", "SEQ", "VALUE", "GLOBAL_KEY",
     "Profiler", "graph_info", "Struct", "UNSET", "TsFrame", "Enum", "DynamicEnum",
     "run", "run_on_thread", "memoize", "csp_memoized", "show_graph",
-    "ThreadRunner", "dynamic_apply", "feedback_iterate",
+    "ThreadRunner", "dynamic_apply", "feedback_iterate", "feedback_scan",
     "snap", "snapkey", "attached", "schedule_on_engine_stop",
     # baselib
     "DelayedCollect", "DelayedDemultiplex", "accum", "apply", "apply_",

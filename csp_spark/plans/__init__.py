@@ -1,1 +1,1 @@
-from .runtime import run, feedback_iterate, dynamic_apply
+from .runtime import run, feedback_iterate, feedback_scan, dynamic_apply

@@ -119,6 +119,58 @@ def feedback_iterate(
 DYN_SRC = "__src"
 
 
+def feedback_scan(
+    x: TickStream,
+    fn: Callable[[Any, Any], Any],
+    init: Any = 0.0,
+    result_type: str = "double",
+) -> TickStream:
+    """TRUE per-cycle feedback for the one-edge-latency topology —
+    csp.feedback's dominant use (csp/impl/wiring/feedback.py; engine
+    Feedback.h: the bound edge's value re-enters the graph one engine
+    cycle later): at each tick the node sees the PREVIOUS cycle's
+    output (``init`` before the first) and emits
+    ``out_i = fn(x_i, out_{i-1})``.
+
+    This is a per-key sequential recurrence — inherently not a window
+    aggregate — so it runs on the designated Arrow path (same shape as
+    exprtk state vars): ONE repartition(key) + sortWithinPartitions,
+    partition-level pandas batches, per-key Python fold. Keys are
+    independent → embarrassingly parallel; within a key the fold is
+    sequential, exactly as the reference engine executes it.
+
+    For multi-round fixed-point graphs (label propagation) use
+    :func:`feedback_iterate`; for cycle-delayed *wiring* of an already
+    computed stream use ``baselib.wrap_feedback``."""
+    import pandas as pd
+
+    base = (
+        x.df.select(KEY, TS, SEQ, F.col(x.value_col).alias("__v"))
+        .repartition(KEY)
+        .sortWithinPartitions(KEY, TS, SEQ)
+    )
+    schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {result_type}"
+
+    def gen(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        for _, g in pdf.groupby(KEY, sort=False):
+            prev = init
+            vals = []
+            for v in g["__v"]:
+                prev = fn(v, prev)
+                vals.append(prev)
+            out = g[[KEY, TS, SEQ]].copy()
+            out[VALUE] = vals
+            yield out
+
+    return TickStream(base.mapInPandas(gen, schema))
+
+
 def snapkey(pdf) -> str:
     """csp.snapkey analog (csp/impl/types/tstype.py:163-177): the basket
     key that spawned this per-key subgraph — read inside a

@@ -379,3 +379,33 @@ def test_wiring_time_type_checks(spark):
     import pickle
     e = TSArgTypeMismatchError("f", "int", "str", "x")
     assert "Expected ts[int]" in str(pickle.loads(pickle.dumps(e)))
+
+
+def test_feedback_scan_per_cycle(spark):
+    """csp.feedback one-cycle-latency semantics: at each tick the node
+    sees the PREVIOUS cycle's output (init before the first); keys are
+    independent."""
+    import datetime as dt
+
+    from csp_spark import TickStream, feedback_scan
+
+    START = dt.datetime(2020, 1, 1)
+    rows = [("a", START + dt.timedelta(seconds=i), 0, float(v))
+            for i, v in enumerate([10, 1, 1, 50])]
+    rows += [("b", START + dt.timedelta(seconds=i), 0, float(v))
+             for i, v in enumerate([100, 100])]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"))
+    out = feedback_scan(x, lambda v, prev: min(0.9 * prev + v, 60.0),
+                        init=5.0)
+    got = out.collect_all()
+
+    def ref(vals):
+        prev, acc = 5.0, []
+        for v in vals:
+            prev = min(0.9 * prev + v, 60.0)
+            acc.append(prev)
+        return acc
+
+    assert [v for _, v in got["a"]] == ref([10, 1, 1, 50])
+    assert [v for _, v in got["b"]] == ref([100, 100]) == [60.0, 60.0]
