@@ -251,6 +251,79 @@ def ivf_topk(
     )
 
 
+def save_index(
+    indexed: DataFrame,
+    path: str,
+    partition_col: str = "cell",
+    centers=None,
+) -> None:
+    """Persist an ANN index table PARTITIONED by its bucket/cell column
+    — the on-disk form of the 100 TB contract: a probe filter on the
+    partition column becomes directory-level partition PRUNING, so a
+    query reads ~n_probe/n_cells of the corpus and never opens the
+    rest (verify with .explain: PartitionFilters on the scan).
+    Centroids (tiny) ride along as one JSON sidecar so queries need no
+    re-training."""
+    indexed.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    if centers is not None:
+        import json
+        import os
+
+        import numpy as np
+
+        payload = json.dumps(np.asarray(centers).tolist())
+        with open(os.path.join(path, "_centers.json"), "w") as f:
+            f.write(payload)
+
+
+def load_index(spark, path: str):
+    """Read back a saved index → (DataFrame, centers ndarray | None).
+    The partition column comes from the directory layout, so probe
+    filters prune at the file listing."""
+    import json
+    import os
+
+    import numpy as np
+
+    df = spark.read.parquet(path)
+    centers = None
+    sidecar = os.path.join(path, "_centers.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            centers = np.asarray(json.load(f))
+    return df, centers
+
+
+def ivf_topk_indexed(
+    index_df: DataFrame,
+    centers,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a PRE-BUILT (typically disk-partitioned) index:
+    no training pass, no assignment — rank centroids driver-side
+    (n_cells×dim numpy, tiny), filter to the n_probe nearest cells
+    (partition pruning on a saved index), score only those vectors."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((np.asarray(centers) - q) ** 2).sum(axis=1))
+    probes = [int(c) for c in order[:n_probe]]
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        index_df.filter(F.col("cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

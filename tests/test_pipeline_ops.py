@@ -502,3 +502,47 @@ def test_quality_classifier_scores(spark):
     out3 = {r["doc_id"]: r["quality_score"]
             for r in TX.quality_classifier_scores(docs, seed=14).collect()}
     assert out3[1] != out[1]
+
+
+def test_saved_ivf_index_prunes_partitions(spark, emb, tmp_path):
+    """The persisted, cell-partitioned IVF index answers queries
+    identically to the in-memory path AND its probe filter reaches the
+    scan as a PARTITION filter — the reader lists only the probed cell
+    directories (the 100 TB pruning contract, asserted on the plan)."""
+    from csp_spark.similarity import (
+        ivf_index, ivf_topk, ivf_topk_indexed, load_index, save_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    indexed, centers = ivf_index(emb, n_cells=8)
+    save_index(indexed, path, partition_col="cell", centers=centers)
+    df, centers2 = load_index(spark, path)
+    assert centers2.shape == centers.shape and (centers2 == centers).all()
+    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           ivf_topk_indexed(df, centers2, q, k=10, n_probe=3).collect()]
+    ref = [(r["vec_id"], r["cos_sim"]) for r in
+           ivf_topk(emb, q, k=10, n_cells=8, n_probe=3).collect()]
+    assert got == ref and len(got) == 10
+    # the probe filter is a PartitionFilters entry on the file scan —
+    # not a post-scan Filter over all cells — and the EXECUTED scan's
+    # own metrics show only the probed partitions were read
+    probed = ivf_topk_indexed(df, centers2, q, k=10, n_probe=3)
+    probed.collect()
+    ex = probed._jdf.queryExecution().executedPlan()
+    plan = ex.toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters")[1][:200]
+
+    def find_scan(node):
+        if "Scan" in node.nodeName():
+            return node
+        for i in range(node.children().length()):
+            r = find_scan(node.children().apply(i))
+            if r is not None:
+                return r
+        return None
+
+    m = find_scan(ex).metrics()
+    assert m.apply("numPartitions").value() <= 3  # of 8 cells
+    assert m.apply("numFiles").value() <= 3 * 4
