@@ -106,7 +106,7 @@ from .sinks.publish import (
     print_ticks,
     stop_engine_limit,
 )
-from .streaming.sources import PushAdapter, PushGroup
+from .streaming.sources import PushAdapter, PushGroup, PushPullAdapter
 
 # reference spellings that are Python builtins/keywords — legal as
 # module attributes, so expose both names (csp.filter / csp.print / …)
@@ -197,7 +197,7 @@ __all__ = [
     "set_buffering_policy", "schedule_alarm", "alarm_stream",
     "LogSettings", "log", "log_ticks", "print", "print_ticks",
     "stop_engine", "stop_engine_limit",
-    "PushAdapter", "GenericPushAdapter", "PushGroup",
+    "PushAdapter", "GenericPushAdapter", "PushGroup", "PushPullAdapter",
     # math
     "abs", "abs_", "add", "and_", "arccos", "arccosh", "arcsin",
     "arcsinh", "arctan", "arctanh", "bitwise_not", "cos", "cosh",
