@@ -115,3 +115,48 @@ def test_unroll_of_burst_preserves_multiset(spark, rows):
     got = sorted((r[KEY], r[TS], r[VALUE]) for r in rt.df.collect())
     exp = sorted((k, ts, v) for k, ts, _s, v in data)
     assert got == exp
+
+
+# ---------------------------------------------------------------- round 4
+
+
+@given(
+    rows=rows_strategy,
+    window=st.integers(min_value=1, max_value=8),
+    nparts=st.sampled_from([1, 3, 9]),
+)
+@settings(**_SETTINGS)
+def test_windowed_unkeyed_equals_bruteforce(spark, rows, window, nparts):
+    """Tail-replication windowed sums/counts equal a Python brute force
+    over the engine-ordered stream, for any window/partitioning —
+    covering both the replicated and fallback plans."""
+    from csp_spark.core.unkeyed import windowed_unkeyed
+
+    x, data = _mk(spark, rows)
+    got = {r["seq"]: (r["win_sum"], r["win_count"], r["win_min"], r["win_max"])
+           for r in windowed_unkeyed(
+               x, window, aggs=["sum", "count", "min", "max"],
+               num_partitions=nparts).collect()}
+    ordered = sorted(data, key=lambda r: (r[1], r[2]))
+    for i, (_k, _t, seq, _v) in enumerate(ordered):
+        frame = [r[3] for r in ordered[max(0, i - window + 1): i + 1]]
+        s, c, mn, mx = got[seq]
+        assert c == len(frame)
+        assert math.isclose(s, sum(frame), abs_tol=1e-6)
+        assert mn == min(frame) and mx == max(frame)
+
+
+@given(rows=rows_strategy, init=st.floats(-10, 10, allow_nan=False))
+@settings(**_SETTINGS)
+def test_feedback_scan_equals_python_fold(spark, rows, init):
+    """Per-cycle feedback equals the sequential per-key Python fold for
+    a nonlinear update, for any generated stream and init."""
+    from csp_spark import feedback_scan
+
+    x, data = _mk(spark, rows)
+    fn = lambda v, prev: max(min(0.7 * prev + 0.3 * v, 50.0), -50.0)  # noqa: E731
+    got = {r["seq"]: r["value"] for r in feedback_scan(x, fn, init=init).df.collect()}
+    prevs: dict = {}
+    for k, t, seq, v in sorted(data, key=lambda r: (r[1], r[2])):
+        prevs[k] = fn(v, prevs.get(k, init))
+        assert math.isclose(got[seq], prevs[k], rel_tol=1e-12), seq
