@@ -1202,6 +1202,21 @@ def stats_rolling_tick(spark, sf_dir):
     )
 
 
+def stats_unique(spark, sf_dir):
+    """csp.stats.unique(precision) (stats.py:1504; Unique kernel
+    statsimpl.h:242): distinct values (rounded to `precision` dp) in
+    the trailing tick window — the one stats row that was pytest-only
+    until now."""
+    x = _events_stream(spark, sf_dir)
+    r = Rolling(x, interval=25, min_window=5)
+    out = r.agg(uniq=r.unique_col(precision=1))
+    return out.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col("uniq").cast("long").alias("uniq"),
+    )
+
+
 def stats_rolling_time(spark, sf_dir):
     x = _events_stream(spark, sf_dir)
     r = Rolling(x, interval=dt.timedelta(hours=6), min_window=dt.timedelta(0))
@@ -2334,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_brownian": random_brownian,
         "mm_features": mm_features,
         "stats_rolling_tick": stats_rolling_tick,
+        "stats_unique": stats_unique,
         "stats_rolling_time": stats_rolling_time,
         "stats_expanding": stats_expanding,
         "stats_quantile": stats_quantile,
@@ -2817,6 +2833,15 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+""",
+        "stats_unique": f"""
+SELECT event_id, user_id, uniq FROM (
+  SELECT event_id, user_id,
+    CAST(count(DISTINCT round(value, 1)) OVER ({_W_USER}
+      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS BIGINT) AS uniq,
+    row_number() OVER ({_W_USER}) AS rn
+  FROM events
+) WHERE rn >= 5
 """,
         "stats_rolling_tick": f"""
 SELECT event_id, user_id,
