@@ -205,48 +205,53 @@ def minhash_lsh_pairs(
 
     docs = _spread(docs)
 
-    # Stage 1 — exploded distinct shingle rows (id, h). Materialize the
-    # normalized text first (inlining normalize() into per-position
-    # expressions re-runs the regex tokenize per shingle — O(len^2) per
-    # doc), then explode positions: explode + substring + xxhash64 are
-    # all whole-stage-codegen, unlike higher-order array lambdas which
-    # run interpreted. No fat array column ever crosses a shuffle.
-    norm = docs.select(
-        F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("n")
-    )
-    if use_words:
-        toks = norm.select("id", F.split("n", " ").alias("t"))
-        pos = toks.select(
-            "id", "t",
-            F.explode(
-                F.sequence(F.lit(0), F.greatest(F.size("t") - shingle_k, F.lit(0)))
-            ).alias("i"),
+    # Stage 1 — exploded shingle-hash rows (id, h), as a REUSABLE
+    # subplan builder: the full corpus feeds the signature aggregate
+    # ONCE; verification later rebuilds shingles for only the
+    # candidate docs (an LSH-selected sliver) instead of caching the
+    # whole exploded set — at 100 TB, persisting every shingle row is
+    # a storage hazard, while re-scanning the sliver is a pushed-down
+    # semi-join + a tiny explode. Materialize the normalized text
+    # first (inlining normalize() into per-position expressions
+    # re-runs the regex tokenize per shingle — O(len^2) per doc), then
+    # explode positions: explode + substring + xxhash64 are all
+    # whole-stage-codegen, unlike higher-order array lambdas which run
+    # interpreted. No fat array column ever crosses a shuffle.
+    def _shingle_rows(src: DataFrame) -> DataFrame:
+        norm = src.select(
+            F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("n")
         )
-        shing = pos.select(
-            "id", F.array_join(F.slice("t", F.col("i") + 1, shingle_k), " ").alias("s")
-        )
-    else:
-        pos = norm.select(
-            "id", "n",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("n") - (shingle_k - 1), F.lit(1))
-                )
-            ).alias("i"),
-        )
-        shing = pos.select(
-            "id", F.col("n").substr(F.col("i"), F.lit(shingle_k)).alias("s")
-        )
+        if use_words:
+            toks = norm.select("id", F.split("n", " ").alias("t"))
+            pos = toks.select(
+                "id", "t",
+                F.explode(
+                    F.sequence(F.lit(0), F.greatest(F.size("t") - shingle_k, F.lit(0)))
+                ).alias("i"),
+            )
+            shing = pos.select(
+                "id",
+                F.array_join(F.slice("t", F.col("i") + 1, shingle_k), " ").alias("s"),
+            )
+        else:
+            pos = norm.select(
+                "id", "n",
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("n") - (shingle_k - 1), F.lit(1))
+                    )
+                ).alias("i"),
+            )
+            shing = pos.select(
+                "id", F.col("n").substr(F.col("i"), F.lit(shingle_k)).alias("s")
+            )
+        return shing.select("id", F.xxhash64("s").alias("h"))
+
     # No corpus-wide dropDuplicates: duplicate shingles cannot change a
     # min, so the signature aggregate consumes raw shingle rows with no
     # prior shuffle; distinct-ness is only enforced later, on the tiny
     # candidate subset that Jaccard verification touches.
-    # Persist + MATERIALIZE now: the shingle scan feeds both the
-    # signature aggregate and the Jaccard verification; an un-materialized
-    # persist lets the band self-join's two lineages race and compute the
-    # whole subtree twice before either populates the cache.
-    rows = shing.select("id", F.xxhash64("s").alias("h")).persist()
-    rows.count()
+    rows = _shingle_rows(docs)
 
     # Stage 2 — signature via ONE codegen hash-aggregate: permutation i
     # is the i-salted re-hash of the single base xxhash64, min'd per doc.
@@ -299,19 +304,23 @@ def minhash_lsh_pairs(
     cand.count()
 
     # Stage 4 — exact-Jaccard verification restricted to candidates:
-    # filter the raw shingle rows down to candidate docs FIRST (broadcast
-    # semi-join against the tiny id set), collect each candidate's
+    # semi-join the SOURCE DOCS down to the candidate id set first
+    # (broadcast; the predicate pushes into the doc scan), then rebuild
+    # shingles for just that sliver and collect each candidate's
     # distinct-shingle-hash set (collect_set dedups in the aggregate —
     # no separate dropDuplicates shuffle), then intersect per pair with
-    # array_intersect. One shuffle + two joins replaces the previous
-    # 3-join/3-shuffle intersection-count pipeline. Set sizes are
-    # bounded by shingles-per-doc (not corpus size), and only candidate
-    # docs — an LSH-selected sliver — ever reach this stage.
+    # array_intersect. Recomputing the sliver beats caching the full
+    # exploded shingle set: memory stays bounded by candidates, not
+    # corpus. Set sizes are bounded by shingles-per-doc.
     cand_ids = (
         cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
+    cand_docs = docs.join(
+        F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
+        id_col, "left_semi",
+    )
     sets = (
-        rows.join(F.broadcast(cand_ids), "id", "left_semi")
+        _shingle_rows(cand_docs)
         .groupBy("id")
         .agg(F.collect_set("h").alias("hs"))
         .select("id", "hs", F.size("hs").cast("double").alias("c"))
@@ -335,12 +344,11 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # Materialize the (small) verified pair set, then drop the three
+    # Materialize the (small) verified pair set, then drop the two
     # intermediate caches so repeated invocations in one session don't
     # accumulate executor memory; only the result stays cached.
     out = out.persist()
     out.count()
-    rows.unpersist()
     sig.unpersist()
     cand.unpersist()
     if cache_key is not None and use_cache:
