@@ -9,3 +9,7 @@ from .sampling import (  # noqa: F401
     split_uniform,
     stratified_sample,
 )
+from .storage import (  # noqa: F401
+    exchanges_in_plan,
+    write_bucketed_table,
+)

@@ -1,0 +1,56 @@
+"""Bucketed / partitioned storage layouts for repeated big joins.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle. If a
+table is written BUCKETED on its join key, Spark records the hash
+layout in the catalog and a join between two tables bucketed the same
+way runs with NO exchange on either side — the co-location is paid
+once at write time and amortized over every subsequent join/aggregate
+on that key (the classic warehouse layout contract; Spark's bucketed
+scan elimination).
+
+These helpers wrap the saveAsTable bucketBy path (bucketing metadata
+lives in the catalog, so plain .parquet() cannot express it) and give
+the plan-level assertion hook used by the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: "str | list[str]",
+    num_buckets: int = 8,
+    sort_by: "str | list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog table hash-bucketed on
+    ``bucket_by`` (optionally sorted within buckets — enables
+    sort-merge joins with neither shuffle NOR sort). Every later join
+    or aggregation on the bucket key over tables with the SAME bucket
+    count skips its exchange."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).bucketBy(num_buckets, *cols)
+    if sort_by is not None:
+        s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*s)
+    w.format("parquet").saveAsTable(name)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog read — bucketing metadata rides along, so joins on the
+    bucket key plan without exchanges."""
+    return spark.table(name)
+
+
+def exchanges_in_plan(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the executed plan — the metric a
+    bucketed layout is supposed to drive to zero for key-aligned
+    joins."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1 for line in plan.split("\n")
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
+    )

@@ -546,3 +546,42 @@ def test_saved_ivf_index_prunes_partitions(spark, emb, tmp_path):
     m = find_scan(ex).metrics()
     assert m.apply("numPartitions").value() <= 3  # of 8 cells
     assert m.apply("numFiles").value() <= 3 * 4
+
+
+def test_bucketed_tables_eliminate_join_shuffle(spark, tmp_path):
+    """Two tables bucketed the same way on the join key plan their
+    join with ZERO exchanges (the write-once co-location contract);
+    the same join over plain parquet shuffles both sides."""
+    from csp_spark.pipeline.storage import (
+        exchanges_in_plan, write_bucketed_table,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(0, 1000).selectExpr(
+            "id AS doc_id", "CAST(id % 97 AS DOUBLE) AS score")
+        meta = spark.range(0, 1000).selectExpr(
+            "id AS doc_id", "concat('lang', id % 5) AS lang")
+        write_bucketed_table(docs, "t_docs_b", "doc_id", num_buckets=4,
+                             sort_by="doc_id")
+        write_bucketed_table(meta, "t_meta_b", "doc_id", num_buckets=4,
+                             sort_by="doc_id")
+        a, b = spark.table("t_docs_b"), spark.table("t_meta_b")
+        joined = a.join(b, "doc_id")
+        assert joined.count() == 1000
+        assert exchanges_in_plan(joined) == 0, "bucketed join must not shuffle"
+        # keyed aggregation on the bucket key is exchange-free too
+        agg = a.groupBy("doc_id").count()
+        agg.collect()
+        assert exchanges_in_plan(agg) == 0
+        # baseline: the identical unbucketed join shuffles both sides
+        p1, p2 = str(tmp_path / "d"), str(tmp_path / "m")
+        docs.write.parquet(p1)
+        meta.write.parquet(p2)
+        plain = spark.read.parquet(p1).join(spark.read.parquet(p2), "doc_id")
+        plain.count()
+        assert exchanges_in_plan(plain) >= 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
