@@ -13,11 +13,14 @@ inside the same stage (whole-stage codegen, no further exchange).
 
 Scale note: the window is partitioned by ``key``, so alignment is
 embarrassingly parallel over keys — the 100 TB path keys by symbol /
-entity. Unkeyed streams collapse to one partition here; for ASSOCIATIVE
-running aggregates over an unkeyed stream use
-core.unkeyed.running_unkeyed (two-pass prefix plan, no global window);
-non-associative unkeyed ops remain sequential by semantics — as they
-are in the reference's single-threaded engine.
+entity. Unkeyed (or skewed-hot-key) streams collapse to one partition
+here; the escape hatches live in core.unkeyed: ``running_unkeyed``
+(two-pass prefix plan) for running aggregates, ``windowed_unkeyed``
+(tail replication) for fixed tick/time windows, ``windowed_hot_keys``
+to route a skewed key set through that plan while normal keys keep the
+plain keyed window, and ``ema_unkeyed`` (affine scan) for the EMA
+recursion. Non-associative unkeyed ops beyond these remain sequential
+by semantics — as they are in the reference's single-threaded engine.
 """
 
 from __future__ import annotations

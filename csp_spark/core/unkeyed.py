@@ -345,6 +345,63 @@ def windowed_unkeyed(
     )
 
 
+def windowed_hot_keys(
+    x: TickStream,
+    window: "int | _dt.timedelta",
+    hot_keys: "list[str]",
+    aggs: "tuple[str, ...] | list[str]" = _WINDOWED_AGGS,
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """Keyed fixed-window stats that survive KEY SKEW: ordinary keys
+    run the standard one-window-partition-per-key plan (embarrassingly
+    parallel — that's the 100 TB path when keys are balanced), while
+    each key in ``hot_keys`` (a handful of symbols carrying a huge
+    share of the stream — the classic skew shape) is routed through
+    the tail-replication plan of :func:`windowed_unkeyed`, spreading
+    that ONE key over ``num_partitions`` tasks instead of one.
+
+    ``hot_keys`` is explicit and small by definition (the caller knows
+    its whales, or finds them with one groupBy count); per hot key the
+    plan costs the two tiny driver-side bound collections that
+    windowed_unkeyed documents. Only tick windows support min/max on
+    the hot path (same as windowed_unkeyed). Output matches
+    windowed_unkeyed: (key, ts, seq, win_<agg>...)."""
+    aggs = list(aggs)
+    hot = list(dict.fromkeys(hot_keys))
+    if not hot:
+        raise ValueError("hot_keys must name at least one key")
+    normal = TickStream(
+        x.df.filter(~F.col(KEY).isin(hot)), x.value_col
+    )
+    # ordinary keys: plain keyed window — one partition per key
+    if isinstance(window, _dt.timedelta):
+        us = int(window.total_seconds() * 1_000_000)
+        worder = (
+            Window.partitionBy(KEY)
+            .orderBy(F.unix_micros(F.col(TS)))
+            .rangeBetween(-(us - 1), 0)
+        )
+    else:
+        worder = (
+            Window.partitionBy(KEY)
+            .orderBy(TS, SEQ)
+            .rowsBetween(-(window - 1), 0)
+        )
+    norm_out = normal.df.select(
+        KEY, TS, SEQ, F.col(x.value_col).alias("__v")
+    ).select(KEY, TS, SEQ, *_win_cols(aggs, worder))
+    out = norm_out
+    for k in hot:
+        hk = TickStream(
+            x.df.filter(F.col(KEY) == k), x.value_col
+        )
+        hot_out = windowed_unkeyed(
+            hk, window, aggs=aggs, num_partitions=num_partitions
+        )  # key column rides through the plan unchanged
+        out = out.unionByName(hot_out.select(*out.columns))
+    return out
+
+
 def ema_unkeyed(
     x: TickStream, alpha: float, num_partitions: int | None = None
 ) -> TickStream:

@@ -409,3 +409,68 @@ def test_feedback_scan_per_cycle(spark):
 
     assert [v for _, v in got["a"]] == ref([10, 1, 1, 50])
     assert [v for _, v in got["b"]] == ref([100, 100]) == [60.0, 60.0]
+
+
+def test_windowed_hot_keys_matches_plain_keyed_window(spark):
+    """Skew-routing: hot keys run the tail-replication plan, normal
+    keys the plain keyed window — together they equal the single keyed
+    window over everything, for both tick and time windows."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csp_spark import TickStream
+    from csp_spark.core.unkeyed import windowed_hot_keys
+
+    START = dt.datetime(2020, 1, 1)
+    rows = [("whale", START + dt.timedelta(seconds=i), i, float((i * 3) % 17))
+            for i in range(400)]
+    for j, k in enumerate(("m1", "m2", "m3")):
+        rows += [(k, START + dt.timedelta(seconds=5 * i + j), i,
+                  float(i + j)) for i in range(10)]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"))
+    W = 25
+    wk = Window.partitionBy("key").orderBy("ts", "seq").rowsBetween(-(W - 1), 0)
+    sdec = F.sum(F.col("value").cast("decimal(28,10)")).over(wk)
+    cnt = F.count("value").over(wk)
+    ref = {
+        (r["key"], r["seq"]): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in x.df.select(
+            "key", "seq", sdec.cast("double").alias("s"), cnt.alias("c"),
+            F.min("value").over(wk).alias("mn"),
+            F.max("value").over(wk).alias("mx"),
+        ).collect()
+    }
+    got = {
+        (r["key"], r["seq"]): (r["win_sum"], r["win_count"],
+                               r["win_min"], r["win_max"])
+        for r in windowed_hot_keys(
+            x, W, hot_keys=["whale"],
+            aggs=["sum", "count", "min", "max"], num_partitions=6,
+        ).collect()
+    }
+    assert got == ref
+    # time-window variant (sum/count)
+    Wt = dt.timedelta(seconds=40)
+    us = int(Wt.total_seconds() * 1e6)
+    wt = Window.partitionBy("key").orderBy(
+        F.unix_micros(F.col("ts"))).rangeBetween(-(us - 1), 0)
+    tref = {
+        (r["key"], r["seq"]): (r["s"], r["c"])
+        for r in x.df.select(
+            "key", "seq",
+            F.sum(F.col("value").cast("decimal(28,10)")).over(wt)
+            .cast("double").alias("s"),
+            F.count("value").over(wt).alias("c"),
+        ).collect()
+    }
+    tgot = {
+        (r["key"], r["seq"]): (r["win_sum"], r["win_count"])
+        for r in windowed_hot_keys(
+            x, Wt, hot_keys=["whale"], aggs=["sum", "count"],
+            num_partitions=6,
+        ).collect()
+    }
+    assert tgot == tref
