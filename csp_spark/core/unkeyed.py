@@ -38,6 +38,19 @@ from .ticks import KEY, SEQ, TS, TickStream
 
 _DEC = "decimal(28,10)"
 
+
+def _parallelism(spark, num_partitions: "int | None") -> int:
+    """Partition count for the range repartition: explicit argument,
+    else the cluster's default parallelism, else (Spark Connect — no
+    sparkContext) the session's shuffle-partitions setting."""
+    if num_partitions:
+        return num_partitions
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
 _AGGS = ("sum", "count", "min", "max", "last")
 
 
@@ -56,7 +69,7 @@ def running_unkeyed(
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {_AGGS}")
     spark = x.df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _parallelism(spark, num_partitions)
     v = F.col(x.value_col)
 
     base = (
@@ -186,7 +199,7 @@ def _windowed_unkeyed_time(
     if us < 1:
         raise ValueError("time window must be positive")
     spark = x.df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _parallelism(spark, num_partitions)
     v = F.col(x.value_col)
 
     base = (
@@ -288,7 +301,7 @@ def windowed_unkeyed(
     if window < 1:
         raise ValueError("window must be >= 1 tick")
     spark = x.df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _parallelism(spark, num_partitions)
     v = F.col(x.value_col)
 
     def _cols(frame):
@@ -436,7 +449,7 @@ def ema_unkeyed(
     import pandas as pd
 
     spark = x.df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = _parallelism(spark, num_partitions)
     a1 = 1.0 - alpha
 
     base = (
