@@ -236,9 +236,28 @@ class Struct(metaclass=StructMeta):
         return f"{type(self).__name__}({body})"
 
     def copy(self) -> "Struct":
-        out = type(self)()
-        out._values.update(self._values)
+        out = type(self).__new__(type(self))
+        object.__setattr__(out, "_values", dict(self._values))
         return out
+
+    def deepcopy(self) -> "Struct":
+        """Reference PyStruct.deepcopy: nested structs/containers are
+        copied, not shared."""
+        import copy as _copy
+
+        out = type(self).__new__(type(self))
+        object.__setattr__(out, "_values", _copy.deepcopy(self._values))
+        return out
+
+    def update(self, **kwargs: Any) -> None:
+        """Reference PyStruct.update: set the given fields, leave the
+        rest as they are."""
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+    def all_fields_set(self) -> bool:
+        """Reference PyStruct.all_fields_set."""
+        return all(k in self._values for k in type(self).__metadata__)
 
     # ----------------------------------------------------- dict bridge
     @staticmethod
@@ -285,6 +304,52 @@ class Struct(metaclass=StructMeta):
                 ]
             kwargs[k] = v
         return cls(**kwargs)
+
+    # ----------------------------------------------------- json bridge
+    def to_json(self, callback=None) -> str:
+        """Reference struct.py:309 to_json: the set-fields dict as JSON;
+        datetimes serialize ISO-8601; ``callback`` maps types the
+        default encoder can't handle (the reference contract)."""
+        import json as _json
+
+        def _default(o):
+            if isinstance(o, (_dt.datetime, _dt.date)):
+                return o.isoformat()
+            if callback is not None:
+                return callback(o)
+            raise TypeError(f"unserializable field value {o!r}")
+
+        return _json.dumps(self.to_dict(), default=_default)
+
+    @classmethod
+    def _revive_json(cls, d: Mapping[str, Any]) -> dict:
+        """Recursively revive ISO datetime/date strings using the
+        declared metadata types, incl. inside nested structs/lists."""
+        out: dict[str, Any] = {}
+        for k, v in d.items():
+            meta = cls.__metadata__.get(k)
+            nested = cls._element_struct(meta) if meta is not None else None
+            if nested is not None and isinstance(v, Mapping):
+                v = nested._revive_json(v)
+            elif nested is not None and isinstance(v, (list, tuple)):
+                v = [
+                    nested._revive_json(e) if isinstance(e, Mapping) else e
+                    for e in v
+                ]
+            elif meta is _dt.datetime and isinstance(v, str):
+                v = _dt.datetime.fromisoformat(v)
+            elif meta is _dt.date and isinstance(v, str):
+                v = _dt.date.fromisoformat(v)
+            out[k] = v
+        return out
+
+    @classmethod
+    def from_json(cls, text: str) -> "Struct":
+        """Inverse of to_json (datetime fields are revived from the
+        ISO strings via the declared metadata types, recursively)."""
+        import json as _json
+
+        return cls.from_dict(cls._revive_json(_json.loads(text)))
 
     # ----------------------------------------------------- yaml bridge
     def to_yaml(self) -> str:

@@ -227,3 +227,48 @@ def test_strict_struct_yaml_and_dict():
     s = S(a=7)
     assert S.from_yaml(s.to_yaml()) == s
     assert S.from_dict({"a": 7}) == s
+
+
+def test_struct_json_update_copy_surface():
+    """Reference PyStruct surface: to_json/from_json (ISO datetimes),
+    update, all_fields_set, copy/deepcopy — incl. on strict structs,
+    whose copy must not re-run required-field validation."""
+    import datetime as dt
+    import json
+
+    from csp_spark import Struct
+
+    class Fill(Struct):
+        when: dt.datetime
+        px: float
+
+    class Order(Struct, strict=True):
+        oid: int
+        note: str = "n"
+        fills: list[Fill] = []
+
+    o = Order(oid=1, fills=[Fill(when=dt.datetime(2024, 1, 2, 3), px=9.5)])
+    j = o.to_json()
+    assert json.loads(j)["fills"][0]["when"] == "2024-01-02T03:00:00"
+    o2 = Order.from_json(j)
+    assert o2 == o and o2.fills[0].when == dt.datetime(2024, 1, 2, 3)
+    # update sets named fields only
+    o2.update(note="changed")
+    assert o2.note == "changed" and o2.oid == 1
+    # all_fields_set
+    assert o.all_fields_set()
+
+    class Partial(Struct):
+        a: int
+        b: int
+    p = Partial(a=1)
+    assert not p.all_fields_set()
+    # copy/deepcopy on strict structs (copy must bypass init validation)
+    c = o.copy()
+    assert c == o
+    dcp = o.deepcopy()
+    dcp.fills[0].px = 1.0
+    assert o.fills[0].px == 9.5  # deep copy did not share the nested Fill
+    c2 = o.copy()
+    c2.fills[0].px = 2.0
+    assert o.fills[0].px == 2.0  # shallow copy DOES share (reference copy)
