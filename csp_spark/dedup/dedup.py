@@ -454,6 +454,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with simhash distance ≤ max_hamming, bucketed by
     bit chunks. Chunk count is max_hamming+1, so the pigeonhole
@@ -464,7 +465,18 @@ def simhash_pairs(
 
     hash_fn: "xxhash64" (default, fastest JVM path, 64-bit) or
     "md5_48" (48-bit from the first 12 hex chars of md5 — bit-exactly
-    replayable in any engine with md5, e.g. the DuckDB oracle)."""
+    replayable in any engine with md5, e.g. the DuckDB oracle).
+
+    n_blocks — the billion-doc control (Manku et al., WWW'07 §3): the
+    default layout keys each table on ONE of max_hamming+1 chunks, so
+    bucket cardinality is only 2^(bits/(d+1)) — fine at millions of
+    docs, flooded at billions. With ``n_blocks = k > d+1`` the
+    signature splits into k blocks and candidate tables key on every
+    (k−d)-block COMBINATION: a pair within hamming d has ≥ k−d clean
+    blocks, so some table's whole key matches (still 100% recall), and
+    keys widen to ~bits·(k−d)/k bits — e.g. k=8, d=3 keys 40 of 64
+    bits (2^40 buckets) at C(8,5)=56 tables of 16-byte rows. Output is
+    bucketing-independent (exact hamming verification runs last)."""
     # Bulk path: explode tokens once, hash each, then per-bit
     # sign-sums in a single codegen hash-aggregate; the signature is
     # assembled from the votes with literal-shift bit ops. (The
@@ -478,7 +490,20 @@ def simhash_pairs(
         hcol = F.xxhash64("w")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    n_chunks = max_hamming + 1
+    n_chunks = n_blocks if n_blocks is not None else max_hamming + 1
+    if n_chunks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming")
+    comb_r = n_chunks - max_hamming
+    import math as _math
+    from itertools import combinations as _combinations
+
+    n_tables = _math.comb(n_chunks, comb_r)
+    if n_tables > 256:
+        raise ValueError(
+            f"n_blocks={n_chunks}, max_hamming={max_hamming} needs "
+            f"{n_tables} tables; choose a smaller combination count"
+        )
+    combos = list(_combinations(range(n_chunks), comb_r))
     widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
     docs = _spread(docs)
@@ -498,18 +523,21 @@ def simhash_pairs(
         bit = F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
         sig_col = bit if sig_col is None else sig_col.bitwiseOR(bit)
     base = votes.select("id", sig_col.alias("sh"))
+    # each table keys on one (k−d)-block combination; the default
+    # layout is the comb_r=1 special case (one block per table)
+    block = [
+        F.shiftright("sh", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_chunks)
+    ]
+    table_keys = F.array(
+        *[
+            F.xxhash64(*[block[i] for i in comb], F.lit(tid))
+            for tid, comb in enumerate(combos)
+        ]
+    )
     chunks = base.select(
         "id", "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("sh", offsets[i])
-                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                    .cast("int")
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_id", "chunk"),
+        F.posexplode(table_keys).alias("chunk_id", "chunk"),
     )
     cand = (
         chunks.alias("a")

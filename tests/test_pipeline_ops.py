@@ -585,3 +585,30 @@ def test_bucketed_tables_eliminate_join_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
+def test_simhash_block_combination_tables(spark):
+    """The Manku block-combination layout (n_blocks > d+1) returns the
+    SAME pairs as the single-block pigeonhole — recall is 100% in both,
+    exact hamming verification last — while keying tables on wider
+    block combinations; invalid layouts fail at build."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 8),
+            (2, "the quick brown fox jumps over the lazy dog " * 8 + "tail"),
+            (3, "an entirely different corpus of legal boilerplate text " * 8),
+            (4, "the quick brown fox jumps over the lazy dog " * 8 + "other end"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in DD.simhash_pairs(df, max_hamming=8).collect()}
+    for k in (9, 10, 11):  # C(9,1)=9, C(10,2)=45, C(11,3)=165 tables
+        manku = {(r["id_a"], r["id_b"], r["hamming"])
+                 for r in DD.simhash_pairs(df, max_hamming=8,
+                                           n_blocks=k).collect()}
+        assert manku == base, k
+    with pytest.raises(ValueError, match="exceed max_hamming"):
+        DD.simhash_pairs(df, max_hamming=8, n_blocks=8)
+    with pytest.raises(ValueError, match="tables"):
+        DD.simhash_pairs(df, max_hamming=8, n_blocks=30)
