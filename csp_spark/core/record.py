@@ -194,6 +194,13 @@ class Struct(metaclass=StructMeta):
                 f"{type(self).__name__} has no field {name!r}"
             )
         if value is UNSET:
+            if type(self).__strict__:
+                # assigning UNSET is deletion — same strict-mode rule
+                # as __delattr__ (required-field invariant holds)
+                raise AttributeError(
+                    f"Strict struct {type(self).__name__} does not allow "
+                    f"the deletion of field {name}"
+                )
             self._values.pop(name, None)
         else:
             self._values[name] = value

@@ -8,8 +8,9 @@ single-task bottleneck at 100 TB. For ASSOCIATIVE running aggregates
 two-pass prefix pattern (parallel prefix-sum / MapReduce "scan"):
 
 1. range-partition the stream by engine order ``(ts, seq)`` and pin
-   each row's partition id (persisted — a recompute could reassign
-   ids, so the id column is materialized exactly once);
+   each row's partition id (localCheckpoint — a recompute could
+   reassign ids, so the id column is materialized exactly once, and
+   the checkpoint is released when the plan is garbage-collected);
 2. one per-partition partial aggregate → a #partitions-row frame; its
    exclusive prefix combine (a window over ≤ thousands of rows — the
    only intentionally-single-partition step, and it is tiny) gives
@@ -77,9 +78,10 @@ def running_unkeyed(
         .repartitionByRange(n, TS, SEQ)
         .sortWithinPartitions(TS, SEQ)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    base.count()  # pin the pid assignment before it is read twice
+        .localCheckpoint(eager=True)
+    )  # pin the pid assignment; localCheckpoint (not persist) so the
+    #    materialized copy is released when the plan is GC'd — repeated
+    #    calls in one session don't accumulate executor storage
 
     if agg == "sum":
         part = F.sum(F.col("__v").cast(_DEC))
@@ -208,9 +210,8 @@ def _windowed_unkeyed_time(
         .sortWithinPartitions(TS, SEQ)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__tsu", F.unix_micros(F.col(TS)))
-        .persist()
-    )
-    base.count()  # pin pid assignment
+        .localCheckpoint(eager=True)
+    )  # pinned + GC-released (see running_unkeyed)
 
     bounds = {
         r["__pid"]: (r["mn"], r["mx"])
@@ -219,10 +220,11 @@ def _windowed_unkeyed_time(
         ).collect()
     }
     pids = sorted(bounds)
-    max_pid = pids[-1]
     # exact single-predecessor condition: for every partition j+1, the
     # rows it needs (__tsu >= min(j+1) - (us-1)) must all live in j —
-    # i.e. nothing in partitions <= j-1 reaches that cut
+    # i.e. nothing in partitions <= j-1 reaches that cut. This also
+    # forces the fallback when one timestamp tie-group spans three or
+    # more partitions (max(j) == min(j+2) violates the inequality).
     ok = all(
         bounds[pids[k - 1]][1] < bounds[pids[k + 1]][0] - (us - 1)
         for k in range(1, len(pids) - 1)
@@ -248,6 +250,28 @@ def _windowed_unkeyed_time(
         .withColumn("__tail", F.lit(True))
     )
     aug = base.withColumn("__tail", F.lit(False)).unionByName(tails)
+    # RANGE frames also include LATER rows with the SAME timestamp —
+    # when a tie-group straddles a boundary (max(j) == min(j+1)), the
+    # rows of j at the boundary timestamp must also see j+1's head
+    # rows carrying that timestamp: replicate those heads BACKWARD
+    # (3+-partition ties already fell back above)
+    head_ties = [
+        (pids[k + 1], pids[k], bounds[pids[k + 1]][0])
+        for k in range(len(pids) - 1)
+        if bounds[pids[k + 1]][0] == bounds[pids[k]][1]
+    ]
+    if head_ties:
+        ties_df = spark.createDataFrame(
+            head_ties, "__pid int, __pred int, __tie long"
+        )
+        heads = (
+            base.join(F.broadcast(ties_df), "__pid")
+            .filter(F.col("__tsu") == F.col("__tie"))
+            .withColumn("__pid", F.col("__pred"))
+            .drop("__tie", "__pred")
+            .withColumn("__tail", F.lit(True))
+        )
+        aug = aug.unionByName(heads)
     frame = wframe(Window.partitionBy("__pid"))
     return (
         aug.select(KEY, TS, SEQ, F.col("__tail"), *_win_cols(aggs, frame))
@@ -312,9 +336,8 @@ def windowed_unkeyed(
         .repartitionByRange(n, TS, SEQ)
         .sortWithinPartitions(TS, SEQ)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    base.count()  # pin pid assignment before the two reads below
+        .localCheckpoint(eager=True)
+    )  # pinned + GC-released (see running_unkeyed)
 
     sizes = {
         r["__pid"]: r["n"]
@@ -457,9 +480,8 @@ def ema_unkeyed(
         .repartitionByRange(n, TS, SEQ)
         .sortWithinPartitions(TS, SEQ)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    base.count()
+        .localCheckpoint(eager=True)
+    )  # pinned + GC-released (see running_unkeyed)
 
     def _zero_init(vals: "pd.Series") -> "pd.Series":
         # l_i = (1-a) l_{i-1} + a x_i with l_{-1} = 0: inject a leading

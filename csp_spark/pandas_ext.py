@@ -58,11 +58,10 @@ class TsDtype(ExtensionDtype):
             return subtype
         if isinstance(subtype, str):
             m = cls._match.match(subtype)
-            if m:
-                subtype = m.group("subtype")
-            subtype = _NAMED.get(subtype)
+            name = m.group("subtype") if m else subtype
+            subtype = _NAMED.get(name)
             if subtype is None:
-                raise TypeError(f"cannot construct TsDtype from {subtype!r}")
+                raise TypeError(f"cannot construct TsDtype from {name!r}")
         if subtype in cls._cache:
             return cls._cache[subtype]
         obj = object.__new__(cls)

@@ -15,7 +15,7 @@ the plan-level assertion hook used by the tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 
 def write_bucketed_table(
@@ -37,12 +37,6 @@ def write_bucketed_table(
         s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         w = w.sortBy(*s)
     w.format("parquet").saveAsTable(name)
-
-
-def read_table(spark: SparkSession, name: str) -> DataFrame:
-    """Catalog read — bucketing metadata rides along, so joins on the
-    bucket key plan without exchanges."""
-    return spark.table(name)
 
 
 def exchanges_in_plan(df: DataFrame) -> int:

@@ -332,8 +332,15 @@ class PushPullAdapter(PushAdapter):
             tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}.parquet")
             pq.write_table(tbl, tmp)
             os.rename(tmp, os.path.join(self._dir, "00-replay.parquet"))
-            with self._lock:
-                self._seq = max(self._seq, tbl.num_rows)
+            if tbl.num_rows:
+                import pyarrow.compute as pc
+
+                # live seqs must sort AFTER every replay seq at a tied
+                # timestamp — continue from max(history seq)+1, not the
+                # row count
+                hi = pc.max(tbl.column(SEQ)).as_py()
+                with self._lock:
+                    self._seq = max(self._seq, int(hi) + 1)
 
     def flag_replay_complete(self) -> None:
         """Reference lifecycle hook: replay is complete once the

@@ -161,10 +161,16 @@ class WebSocketClient:
         self._sock = sock
 
     def _recv_exact(self, n: int) -> bytes:
-        """Buffered read: serve from the handshake leftover first."""
-        assert self._sock is not None, "not connected"
+        """Buffered read: serve from the handshake leftover first.
+        A concurrent close() (stop() from another thread) nulls
+        ``_sock`` — surface that as ConnectionError so the reader
+        loop's normal disconnect handling applies, never an
+        AttributeError escaping the adapter thread."""
         while len(self._buf) < n:
-            chunk = self._sock.recv(max(4096, n - len(self._buf)))
+            sock = self._sock
+            if sock is None:
+                raise ConnectionError("websocket closed")
+            chunk = sock.recv(max(4096, n - len(self._buf)))
             if not chunk:
                 raise ConnectionError("websocket peer closed mid-frame")
             self._buf += chunk
@@ -172,23 +178,29 @@ class WebSocketClient:
         return out
 
     def send_text(self, text: str) -> None:
-        assert self._sock is not None, "not connected"
-        self._sock.sendall(encode_frame(OP_TEXT, text.encode(), mask=True))
+        sock = self._sock
+        if sock is None:
+            raise ConnectionError("websocket closed")
+        sock.sendall(encode_frame(OP_TEXT, text.encode(), mask=True))
 
     def recv_message(self) -> bytes | None:
         """Next complete data message; None once the peer closes."""
-        assert self._sock is not None, "not connected"
+        if self._sock is None:
+            raise ConnectionError("websocket closed")
         buf = b""
         while True:
             fin, opcode, payload = _parse_frame(self._recv_exact)
+            sock = self._sock
+            if sock is None:
+                raise ConnectionError("websocket closed")
             if opcode == OP_PING:  # §5.5.2-3: answer with same payload
-                self._sock.sendall(encode_frame(OP_PONG, payload, mask=True))
+                sock.sendall(encode_frame(OP_PONG, payload, mask=True))
                 continue
             if opcode == OP_PONG:
                 continue
             if opcode == OP_CLOSE:  # §5.5.1: echo the close, report EOS
                 try:
-                    self._sock.sendall(encode_frame(OP_CLOSE, payload, mask=True))
+                    sock.sendall(encode_frame(OP_CLOSE, payload, mask=True))
                 except OSError:
                     pass
                 return None

@@ -272,3 +272,25 @@ def test_struct_json_update_copy_surface():
     c2 = o.copy()
     c2.fills[0].px = 2.0
     assert o.fills[0].px == 2.0  # shallow copy DOES share (reference copy)
+
+
+def test_strict_struct_unset_assignment_forbidden():
+    """Assigning UNSET is deletion — strict structs must reject it
+    (review regression: it used to bypass the required-field rule)."""
+    import pytest
+
+    from csp_spark import Struct, UNSET
+
+    class S(Struct, strict=True):
+        a: int
+
+    s = S(a=1)
+    with pytest.raises(AttributeError, match="does not allow the deletion"):
+        s.a = UNSET
+    assert s.a == 1
+    # non-strict structs keep the un-setting behavior
+    class P(Struct):
+        a: int
+    p = P(a=1)
+    p.a = UNSET
+    assert not p.is_set("a")

@@ -474,3 +474,41 @@ def test_windowed_hot_keys_matches_plain_keyed_window(spark):
         ).collect()
     }
     assert tgot == tref
+
+
+def test_windowed_unkeyed_time_boundary_ties(spark):
+    """RANGE frames include later same-timestamp peers; when a
+    timestamp tie-group straddles a range-partition boundary the plan
+    must replicate the successor's head ties backward (or fall back) —
+    equality vs the global window with heavy ties and many partitions."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csp_spark import TickStream
+    from csp_spark.core.unkeyed import windowed_unkeyed
+
+    START = dt.datetime(2020, 1, 1)
+    rows = [("k", START + dt.timedelta(hours=i // 30), 1000 + i, float(i % 13))
+            for i in range(300)]  # 10 distinct timestamps, 30 rows each
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"))
+    Wt = dt.timedelta(hours=3)
+    us = int(Wt.total_seconds() * 1e6)
+    w = Window.orderBy(F.unix_micros(F.col("ts"))).rangeBetween(-(us - 1), 0)
+    ref = {
+        r["seq"]: (r["s"], r["c"])
+        for r in x.df.select(
+            "seq",
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+            .cast("double").alias("s"),
+            F.count("value").over(w).alias("c"),
+        ).collect()
+    }
+    for nparts in (4, 7, 12):
+        got = {r["seq"]: (r["win_sum"], r["win_count"])
+               for r in windowed_unkeyed(
+                   x, Wt, aggs=["sum", "count"],
+                   num_partitions=nparts).collect()}
+        assert got == ref, nparts

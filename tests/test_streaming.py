@@ -719,3 +719,33 @@ def test_rolling_tick_stats_stream_matches_batch(spark, landing):
         assert math.isclose(g[1], r["s"], rel_tol=1e-12)
         assert math.isclose(g[2], r["m"], rel_tol=1e-12)
         assert g[3] == r["mn"] and g[4] == r["mx"]
+
+
+def test_pushpull_live_seq_after_history_seq(spark):
+    """Live seqs continue from max(history seq)+1, not the row count —
+    a live tick at the SAME timestamp as the last replay row must fold
+    AFTER it (review regression)."""
+    from csp_spark import TickStream
+    from csp_spark.stats import ema as batch_ema
+    from csp_spark.streaming import PushPullAdapter, collect_stream, ema_stream
+
+    t_last = START + dt.timedelta(seconds=9)
+    hist = [("k", START + dt.timedelta(seconds=i), 500 + i, float(i))
+            for i in range(10)]  # seqs 500..509
+    pp = PushPullAdapter(spark, spark.createDataFrame(hist, SCHEMA))
+    pp.push_tick(99.0, ts=t_last, key="k")   # same ts as last replay row
+    pp.flush()
+    out = collect_stream(ema_stream(pp.out(), alpha=0.5)).collect()
+    rows = sorted(((r["ts"], r["seq"]) for r in out))
+    # live row's seq sorts after 509
+    assert rows[-1][1] >= 510
+    got = {(r["ts"], r["seq"]): r["value"] for r in out}
+    all_rows = hist + [("k", t_last, 510, 99.0)]
+    ref = {(r["ts"], r["seq"]): r["value"] for r in batch_ema(
+        TickStream(spark.createDataFrame(all_rows, SCHEMA)),
+        alpha=0.5, adjust=False).df.collect()}
+    assert len(got) == len(ref) == 11
+    # the final value folds live AFTER the (t_last, 509) replay row
+    assert math.isclose(got[(t_last, rows[-1][1])],
+                        ref[(t_last, 510)], rel_tol=1e-12)
+    pp.stop()
