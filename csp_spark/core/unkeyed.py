@@ -381,6 +381,50 @@ def windowed_unkeyed(
     )
 
 
+def running_hot_keys(
+    x: TickStream,
+    agg: str,
+    hot_keys: "list[str]",
+    num_partitions: int | None = None,
+) -> TickStream:
+    """Keyed RUNNING aggregate under key skew — the running twin of
+    :func:`windowed_hot_keys`: balanced keys use the plain keyed
+    window, each hot key runs the two-pass prefix plan of
+    :func:`running_unkeyed` spread over many tasks. Value semantics
+    match running_unkeyed exactly (sum through DECIMAL → double,
+    count → long, min/max/last native)."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {_AGGS}")
+    hot = list(dict.fromkeys(hot_keys))
+    if not hot:
+        raise ValueError("hot_keys must name at least one key")
+    v = F.col(x.value_col)
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy(TS, SEQ)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = {
+        "sum": F.sum(v.cast(_DEC)).over(w).cast("double"),
+        "count": F.count(v).over(w).cast("long"),
+        "min": F.min(v).over(w),
+        "max": F.max(v).over(w),
+        "last": F.last(v, ignorenulls=True).over(w),
+    }[agg]
+    normal = (
+        x.df.filter(~F.col(KEY).isin(hot))
+        .select(KEY, TS, SEQ, run.alias("value"))
+    )
+    out = normal
+    for k in hot:
+        hk = TickStream(x.df.filter(F.col(KEY) == k), x.value_col)
+        out = out.unionByName(
+            running_unkeyed(hk, agg, num_partitions=num_partitions)
+            .df.select(*out.columns)
+        )
+    return TickStream(out)
+
+
 def windowed_hot_keys(
     x: TickStream,
     window: "int | _dt.timedelta",

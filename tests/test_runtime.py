@@ -512,3 +512,44 @@ def test_windowed_unkeyed_time_boundary_ties(spark):
                    x, Wt, aggs=["sum", "count"],
                    num_partitions=nparts).collect()}
         assert got == ref, nparts
+
+
+def test_running_hot_keys_matches_plain_keyed_window(spark):
+    """Running-aggregate skew routing equals the single keyed window
+    for every agg, incl. NULL gaps on the hot key."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csp_spark import TickStream
+    from csp_spark.core.unkeyed import running_hot_keys
+
+    START = dt.datetime(2020, 1, 1)
+    rows = [("whale", START + dt.timedelta(seconds=i), i,
+             None if i % 5 == 0 else float((i * 7) % 23))
+            for i in range(300)]
+    rows += [("m", START + dt.timedelta(seconds=3 * i), i, float(i))
+             for i in range(12)]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"))
+    w = (Window.partitionBy("key").orderBy("ts", "seq")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ref = {
+        (r["key"], r["seq"]): (r["s"], r["c"], r["mn"], r["mx"], r["l"])
+        for r in x.df.select(
+            "key", "seq",
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+            .cast("double").alias("s"),
+            F.count("value").over(w).cast("long").alias("c"),
+            F.min("value").over(w).alias("mn"),
+            F.max("value").over(w).alias("mx"),
+            F.last("value", ignorenulls=True).over(w).alias("l"),
+        ).collect()
+    }
+    for i, agg in enumerate(("sum", "count", "min", "max", "last")):
+        got = {(r["key"], r["seq"]): r["value"]
+               for r in running_hot_keys(
+                   x, agg, hot_keys=["whale"], num_partitions=5
+               ).df.collect()}
+        assert got == {k: vs[i] for k, vs in ref.items()}, agg
