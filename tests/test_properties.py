@@ -160,3 +160,49 @@ def test_feedback_scan_equals_python_fold(spark, rows, init):
     for k, t, seq, v in sorted(data, key=lambda r: (r[1], r[2])):
         prevs[k] = fn(v, prevs.get(k, init))
         assert math.isclose(got[seq], prevs[k], rel_tol=1e-12), seq
+
+
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=300), min_size=1, max_size=6
+    ),
+    sizes=st.sampled_from([1, 7, 126, 65536]),
+)
+@settings(max_examples=20, deadline=None)
+def test_websocket_frame_roundtrip_fuzz(payloads, sizes):
+    """RFC 6455 framing: arbitrary payloads survive encode→parse with
+    and without masking, across the 7/16/64-bit length encodings and
+    arbitrary fragmentation points (no Spark involved)."""
+    from csp_spark.streaming.websocket import (
+        OP_CONT, OP_TEXT, _parse_frame, encode_frame,
+    )
+
+    for payload in payloads:
+        padded = payload + b"x" * sizes  # push across length encodings
+        for mask in (True, False):
+            wire = encode_frame(OP_TEXT, padded, mask=mask)
+            pos = [0]
+
+            def rd(n):
+                out = wire[pos[0]:pos[0] + n]
+                pos[0] += n
+                return out
+
+            fin, op, got = _parse_frame(rd)
+            assert fin and op == OP_TEXT and got == padded
+        # fragmentation at an arbitrary cut: two frames reassemble
+        cut = len(padded) // 3
+        w1 = encode_frame(OP_TEXT, padded[:cut], mask=True, fin=False)
+        w2 = encode_frame(OP_CONT, padded[cut:], mask=True, fin=True)
+        stream = w1 + w2
+        pos = [0]
+
+        def rd2(n):
+            out = stream[pos[0]:pos[0] + n]
+            pos[0] += n
+            return out
+
+        fin1, op1, p1 = _parse_frame(rd2)
+        fin2, op2, p2 = _parse_frame(rd2)
+        assert not fin1 and op1 == OP_TEXT
+        assert fin2 and op2 == OP_CONT and p1 + p2 == padded
