@@ -735,6 +735,23 @@ def op_exprtk_state(spark, sf_dir):
     )
 
 
+def op_hot_key_running(spark, sf_dir):
+    """Skew routing (core/unkeyed.py running_hot_keys): one user_id is
+    declared hot and runs the two-pass prefix plan over 8 tasks while
+    every other key keeps the plain keyed window — output is identical
+    either way (the routing is a physical choice), so the oracle is
+    the ordinary keyed running-sum SQL over ALL keys."""
+    from csp_spark.core.unkeyed import running_hot_keys
+
+    x = _events_stream(spark, sf_dir)
+    out = running_hot_keys(x, "sum", hot_keys=["7"], num_partitions=8)
+    return out.df.select(
+        F.col(SEQ).alias("event_id"),
+        F.col(KEY).cast("long").alias("user_id"),
+        (F.round(F.col("value"), 4) + F.lit(0.0)).alias("running_sum"),
+    )
+
+
 def op_windowed_global_time(spark, sf_dir):
     """Time-interval twin of op_windowed_global: trailing-6-hour
     sum/count over the whole events table as ONE stream — tails
@@ -2418,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text_tfidf,
         "text_quality_model": text_quality_model,
         "op_feedback_scan": op_feedback_scan,
+        "op_hot_key_running": op_hot_key_running,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -3195,6 +3213,13 @@ SELECT event_id,
   round(max(value) OVER w, 6) + CAST(0.0 AS DOUBLE) AS w_max
 FROM events
 WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+""",
+        "op_hot_key_running": f"""
+SELECT event_id, user_id,
+  round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER ({_W_USER}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+    + CAST(0.0 AS DOUBLE) AS running_sum
+FROM events
 """,
         "op_windowed_global_time": """
 SELECT event_id,
