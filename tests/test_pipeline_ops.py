@@ -196,6 +196,21 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.7, (recall, exact, approx)
     # the query vector itself must always be found (it sits in its own cell)
     assert 3 in approx
+    # sf0.01: top-10 must recover >= 8/10 of brute force, and the
+    # quantizer trained on the md5-sampled subset (train_cap < corpus)
+    # must keep that recall too
+    from csp_spark.similarity import ivf_index, ivf_topk_indexed
+
+    emb01 = read_table(spark, "/root/testdata/sf0.01/embeddings.parquet")
+    q01 = list(emb01.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+    exact01 = {r["vec_id"] for r in cosine_topk(emb01, q01, k=10).collect()}
+    approx01 = {r["vec_id"] for r in ivf_topk(
+        emb01, q01, k=10, n_cells=8, n_probe=3).collect()}
+    assert len(exact01 & approx01) >= 8, (exact01, approx01)
+    idx, centers = ivf_index(emb01, n_cells=8, train_cap=200)  # sampled
+    sampled = {r["vec_id"] for r in ivf_topk_indexed(
+        idx, centers, q01, k=10, n_probe=3).collect()}
+    assert len(exact01 & sampled) >= 8, (exact01, sampled)
 
 
 # ---------------------------------------------------------------- round 3
