@@ -425,6 +425,38 @@ def running_hot_keys(
     return TickStream(out)
 
 
+def ema_hot_keys(
+    x: TickStream,
+    alpha: float,
+    hot_keys: "list[str]",
+    num_partitions: int | None = None,
+) -> TickStream:
+    """EMA (adjust=False) under key skew — the recursion member of the
+    hot-key family: balanced keys run the exact sequential keyed EMA
+    (stats.ema), each hot key runs the :func:`ema_unkeyed` affine scan
+    over many tasks. Hot-key values agree with the sequential
+    recursion to ~1e-12 relative (the affine scan's documented float
+    regrouping); use the plain keyed EMA when bit-replay against a
+    sequential oracle is required."""
+    from ..stats.ema import ema as _ema
+
+    hot = list(dict.fromkeys(hot_keys))
+    if not hot:
+        raise ValueError("hot_keys must name at least one key")
+    normal = _ema(
+        TickStream(x.df.filter(~F.col(KEY).isin(hot)), x.value_col),
+        alpha=alpha, adjust=False,
+    ).df.select(KEY, TS, SEQ, F.col("value"))
+    out = normal
+    for k in hot:
+        hk = TickStream(x.df.filter(F.col(KEY) == k), x.value_col)
+        out = out.unionByName(
+            ema_unkeyed(hk, alpha, num_partitions=num_partitions)
+            .df.select(*out.columns)
+        )
+    return TickStream(out)
+
+
 def windowed_hot_keys(
     x: TickStream,
     window: "int | _dt.timedelta",

@@ -553,3 +553,31 @@ def test_running_hot_keys_matches_plain_keyed_window(spark):
                    x, agg, hot_keys=["whale"], num_partitions=5
                ).df.collect()}
         assert got == {k: vs[i] for k, vs in ref.items()}, agg
+
+
+def test_ema_hot_keys_matches_sequential(spark):
+    """EMA skew routing: hot key via the affine scan, others via the
+    exact keyed EMA — all values agree with the sequential recursion
+    to ~1e-12."""
+    import datetime as dt
+    import math
+
+    from csp_spark import TickStream
+    from csp_spark.core.unkeyed import ema_hot_keys
+    from csp_spark.stats import ema
+
+    START = dt.datetime(2020, 1, 1)
+    rows = [("whale", START + dt.timedelta(seconds=i), i, float((i * 7) % 23))
+            for i in range(300)]
+    rows += [("m", START + dt.timedelta(seconds=2 * i), i, float(i))
+             for i in range(15)]
+    sch = "key string, ts timestamp, seq long, value double"
+    x = TickStream(spark.createDataFrame(rows, sch))
+    got = {(r["key"], r["seq"]): r["value"]
+           for r in ema_hot_keys(x, 0.2, hot_keys=["whale"],
+                                 num_partitions=6).df.collect()}
+    ref = {(r["key"], r["seq"]): r["value"]
+           for r in ema(x, alpha=0.2, adjust=False).df.collect()}
+    assert set(got) == set(ref) and len(got) == 315
+    for k, v in ref.items():
+        assert math.isclose(got[k], v, rel_tol=1e-11), k
