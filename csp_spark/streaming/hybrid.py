@@ -141,6 +141,83 @@ def run_hybrid_align(
     return replay, out.filter(F.col(SEQ) != SEED_SEQ)
 
 
+def seed_history_tail(
+    spark: SparkSession,
+    history: DataFrame,
+    rows_per_key: int,
+    directory: str | None = None,
+) -> DataFrame:
+    """Seed stream carrying each key's LAST ``rows_per_key`` history
+    ticks with their original timestamps and seqs shifted far negative
+    (relative order preserved, every seed sorts before any live row
+    and is filterable by ``seq < 0``) — the window-state analogue of
+    :func:`seed_ticks`: kernels whose state is a value ring rebuild it
+    by folding the actual tail rows."""
+    from pyspark.sql import Window
+
+    wdesc = Window.partitionBy(KEY).orderBy(F.desc(TS), F.desc(SEQ))
+    tail = (
+        history.withColumn("__rn", F.row_number().over(wdesc))
+        .filter(F.col("__rn") <= rows_per_key)
+        .drop("__rn")
+        .select(
+            KEY, TS,
+            (F.col(SEQ) - F.lit(1_000_000_000_000)).alias(SEQ),
+            VALUE,
+        )
+    )
+    d = directory or _tempfile.mkdtemp(prefix="csp_seed_")
+    _os.makedirs(d, exist_ok=True)
+    tmp = _os.path.join(d, f".tmp-{_uuid.uuid4().hex}")
+    tail.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = _os.path.join(d, "seed.parquet")
+    _os.rename(tmp, final)
+    vtype = dict(tail.dtypes)[VALUE]
+    schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {vtype}"
+    return file_ticks(
+        spark, final, schema, ts_col=TS, value_col=VALUE,
+        key_col=KEY, seq_col=SEQ,
+    )
+
+
+def run_hybrid_rolling(
+    history: DataFrame,
+    live: DataFrame,
+    window: int,
+    boundary: _dt.datetime,
+) -> tuple[DataFrame, DataFrame]:
+    """Replay→live for the trailing-``window``-tick rolling kernel
+    (streaming/ops.rolling_tick_stats_stream): the replay half is the
+    batch keyed window over history; the live stream's ring state is
+    seeded with each key's last ``window-1`` HISTORY ROWS (the ring IS
+    those values), so the first live tick's window already spans the
+    boundary. Live output equals a pure-batch run over
+    history ∪ live."""
+    from pyspark.sql import Window
+
+    from .ops import rolling_tick_stats_stream
+
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy(TS, SEQ)
+        .rowsBetween(-(window - 1), 0)
+    )
+    replay = history.select(
+        KEY, TS, SEQ,
+        F.count(VALUE).over(w).alias("roll_count"),
+        F.sum(VALUE).over(w).alias("roll_sum"),
+        F.avg(VALUE).over(w).alias("roll_mean"),
+        F.min(VALUE).over(w).alias("roll_min"),
+        F.max(VALUE).over(w).alias("roll_max"),
+    )
+    spark = live.sparkSession
+    seeds = seed_history_tail(spark, history, window - 1)
+    out = rolling_tick_stats_stream(
+        spliced(seeds, live), window
+    )
+    return replay, out.filter(F.col(SEQ) >= 0)
+
+
 def run_hybrid_ema(
     history: DataFrame,
     live: DataFrame,

@@ -749,3 +749,56 @@ def test_pushpull_live_seq_after_history_seq(spark):
     assert math.isclose(got[(t_last, rows[-1][1])],
                         ref[(t_last, 510)], rel_tol=1e-12)
     pp.stop()
+
+
+def test_hybrid_rolling_equals_pure_batch(spark, tmp_path):
+    """Replay->live for the rolling kernel: the ring state is seeded
+    with each key's last window-1 history rows, so live windows span
+    the boundary — live output equals one batch keyed window over
+    history ∪ live."""
+    from pyspark.sql import Window
+    from csp_spark.streaming import file_ticks, run_hybrid_rolling
+
+    boundary = START + dt.timedelta(seconds=100)
+    W = 6
+    hist, live = [], []
+    for j, k in enumerate(("a", "b")):
+        for i in range(12):
+            hist.append((k, START + dt.timedelta(seconds=2 * i + j), i,
+                         float((i * 3 + j) % 9)))
+        for i in range(5):
+            live.append((k, boundary + dt.timedelta(seconds=2 * i + j + 1),
+                         100 + i, float(i + 10 * j)))
+    d = tmp_path / "roll_live"
+    _write_drops(spark, d, live, n_drops=2)
+    live_s = file_ticks(spark, str(d), SCHEMA, ts_col="ts",
+                        value_col="value", key_col="key", seq_col="seq")
+    hist_df = spark.createDataFrame(hist, SCHEMA)
+    replay, live_out = run_hybrid_rolling(hist_df, live_s, window=W,
+                                          boundary=boundary)
+    got = {(r["key"], r["ts"]):
+           (r["roll_count"], r["roll_sum"], r["roll_mean"],
+            r["roll_min"], r["roll_max"])
+           for r in collect_stream(live_out).collect()}
+    w = (Window.partitionBy("key").orderBy("ts", "seq")
+         .rowsBetween(-(W - 1), 0))
+    full = spark.createDataFrame(hist + live, SCHEMA).select(
+        "key", "ts",
+        F.count("value").over(w).alias("c"),
+        F.sum("value").over(w).alias("s"),
+        F.avg("value").over(w).alias("m"),
+        F.min("value").over(w).alias("mn"),
+        F.max("value").over(w).alias("mx"),
+    ).filter(F.col("ts") > boundary)
+    ref = {(r["key"], r["ts"]): (r["c"], r["s"], r["m"], r["mn"], r["mx"])
+           for r in full.collect()}
+    assert set(got) == set(ref) and len(got) == 10
+    for k in ref:
+        assert got[k][0] == ref[k][0]
+        for gi, ri in zip(got[k][1:], ref[k][1:]):
+            assert math.isclose(gi, ri, rel_tol=1e-12), (k, got[k], ref[k])
+    # the first live window REALLY spans the boundary (count == W)
+    first_a = min(t for kk, t in got if kk == "a")
+    assert got[("a", first_a)][0] == W
+    # replay half matches the batch window over history alone
+    assert replay.count() == 24
