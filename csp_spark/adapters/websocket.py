@@ -4,9 +4,11 @@ WebsocketAdapterManager): a real RFC 6455 client adapter
 plus the line-based socket source and in-memory push adapter
 (GenericPushAdapter) for realtime tests."""
 from ..streaming.sources import PushAdapter, PushGroup, socket_ticks
-from ..streaming.websocket import WebSocketClient, WebsocketAdapter
+from ..streaming.websocket import (
+    WebSocketClient, WebsocketAdapter, publish_websocket_stream,
+)
 
 __all__ = [
-    "WebsocketAdapter", "WebSocketClient",
+    "WebsocketAdapter", "WebSocketClient", "publish_websocket_stream",
     "socket_ticks", "PushAdapter", "PushGroup",
 ]

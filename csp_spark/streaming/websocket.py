@@ -220,6 +220,40 @@ class WebSocketClient:
                 self._sock = None
 
 
+def publish_websocket_stream(
+    x: DataFrame,
+    uri: str,
+    checkpoint_dir: str | None = None,
+):
+    """WebsocketAdapterManager.publish parity (the outbound half of
+    csp/adapters/websocket.py): each streaming row is serialized to a
+    JSON text frame and sent over ONE RFC 6455 client connection per
+    microbatch via foreachBatch (rows collected per batch — websocket
+    publishing is a low-volume control/UI channel by nature, not a
+    bulk sink; bulk egress belongs to Kafka/parquet sinks). Returns
+    the StreamingQuery."""
+    from pyspark.sql import functions as FF
+
+    def _send_batch(batch_df, batch_id):
+        rows = batch_df.select(
+            FF.to_json(FF.struct(*batch_df.columns)).alias("j")
+        ).collect()
+        if not rows:
+            return
+        client = WebSocketClient(uri)
+        client.connect()
+        try:
+            for r in rows:
+                client.send_text(r["j"])
+        finally:
+            client.close()
+
+    writer = x.writeStream.foreachBatch(_send_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 class WebsocketAdapter:
     """WebsocketAdapterManager parity (csp/adapters/websocket.py:390-470):
     a client thread reads WS messages and pushes them into the engine;

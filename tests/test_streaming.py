@@ -802,3 +802,79 @@ def test_hybrid_rolling_equals_pure_batch(spark, tmp_path):
     assert got[("a", first_a)][0] == W
     # replay half matches the batch window over history alone
     assert replay.count() == 24
+
+
+def test_publish_websocket_stream(spark, tmp_path):
+    """Outbound websocket publish: streaming rows arrive at a real WS
+    server as JSON text frames (one client connection per microbatch)."""
+    import json as _json
+    import socket as _socket
+    import threading as _threading
+    import time
+
+    from csp_spark.streaming import file_ticks, publish_websocket_stream
+    from csp_spark.streaming.websocket import (
+        OP_CLOSE, OP_TEXT, _accept_key, encode_frame, read_frame,
+    )
+
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    received, done = [], _threading.Event()
+
+    def run_srv():
+        # one connection per microbatch until the publisher stops
+        srv.settimeout(30)
+        try:
+            while not done.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except OSError:
+                    return
+                conn.settimeout(20)
+                head = b""
+                while b"\r\n\r\n" not in head:
+                    head += conn.recv(4096)
+                key = [l.split(b":", 1)[1].strip().decode()
+                       for l in head.split(b"\r\n")
+                       if l.lower().startswith(b"sec-websocket-key:")][0]
+                conn.sendall((
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+                ).encode())
+                try:
+                    while True:
+                        fin, op, payload = read_frame(conn)
+                        if op == OP_CLOSE:
+                            conn.sendall(encode_frame(OP_CLOSE, b"", mask=False))
+                            break
+                        if op == OP_TEXT:
+                            received.append(payload.decode())
+                except (ConnectionError, OSError):
+                    pass
+                conn.close()
+        finally:
+            srv.close()
+
+    t = _threading.Thread(target=run_srv, daemon=True)
+    t.start()
+
+    rows = [("k", START + dt.timedelta(seconds=i), i, float(i)) for i in range(5)]
+    d = tmp_path / "pub"
+    _write_drops(spark, d, rows, n_drops=2)
+    stream = file_ticks(spark, str(d), SCHEMA, ts_col="ts",
+                        value_col="value", key_col="key", seq_col="seq")
+    q = publish_websocket_stream(stream, f"ws://127.0.0.1:{port}/")
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and len(received) < 5:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        done.set()
+    assert len(received) == 5, received
+    vals = sorted(_json.loads(m)["value"] for m in received)
+    assert vals == [0.0, 1.0, 2.0, 3.0, 4.0]
