@@ -3,11 +3,17 @@ deterministic splits and samples (sampling.py). Part of the
 LLM-pipeline mandate — no csp reference counterpart (csp is a stream
 engine; corpus curation is out of its scope)."""
 
+from .packing import (  # noqa: F401
+    pack_next_fit,
+    pack_offsets,
+    pack_stats,
+)
 from .sampling import (  # noqa: F401
     deterministic_sample,
     hash_split,
     split_uniform,
     stratified_sample,
+    weighted_sample,
 )
 from .storage import (  # noqa: F401
     exchanges_in_plan,

@@ -74,6 +74,32 @@ def deterministic_sample(
     return df.filter(split_uniform(F.col(id_col), seed) < F.lit(fraction))
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    temperature: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Quality/temperature sampling: keep each row with probability
+    ``clip(w, 0, 1) ** (1/temperature)`` where ``w`` is a per-row
+    weight in [0, 1] (a quality or relevance score). ``temperature=1``
+    keeps proportionally to the weight; ``t → 0`` sharpens toward
+    keeping only w≈1 rows; ``t → ∞`` flattens toward keeping
+    everything with w > 0. Same identity-hash draw as the other
+    samplers — deterministic, partition-independent, a pure filter
+    Catalyst pushes into the scan (weight permitting)."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    p = F.pow(
+        F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0)),
+        F.lit(1.0 / temperature),
+    )
+    u = split_uniform(F.col(id_col), seed)
+    return df.filter(u < p)
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

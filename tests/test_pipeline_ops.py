@@ -627,3 +627,101 @@ def test_simhash_block_combination_tables(spark):
         DD.simhash_pairs(df, max_hamming=8, n_blocks=8)
     with pytest.raises(ValueError, match="tables"):
         DD.simhash_pairs(df, max_hamming=8, n_blocks=30)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + weighted sampling (pipeline/packing.py, sampling.py)
+
+
+def _md5_uniform(ident, seed):
+    import hashlib
+
+    h13 = hashlib.md5(f"{seed}|{ident}".encode()).hexdigest()[:13]
+    return (int(h13, 16) + 0.5) / float(1 << 52)
+
+
+def test_pack_offsets_layout(docs):
+    from csp_spark.pipeline import pack_offsets
+    from csp_spark import text as TX
+
+    budget, shards, seed = 128, 4, 11
+    t = docs.select("doc_id", TX.token_count(F.col("text")).alias("tok"))
+    out = pack_offsets(t, "doc_id", "tok", budget, num_shards=shards,
+                       order="shuffle", seed=seed).collect()
+    assert len(out) == t.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+        # shard + order key replay bit-exactly from the row identity
+        assert r["shard"] == int(_md5_uniform(r["doc_id"], seed + 1) * shards)
+        assert r["begin_seq"] == r["shard"] * (1 << 40) + r["start_offset"] // budget
+        assert r["begin_offset"] == r["start_offset"] % budget
+        end_tok = max(r["start_offset"] + r["n_tokens"] - 1, r["start_offset"])
+        assert r["end_seq"] == r["shard"] * (1 << 40) + end_tok // budget
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        off = 0
+        for r in rows:  # concat-and-cut: offsets are gap-free
+            assert r["start_offset"] == off
+            off += r["n_tokens"]
+
+
+def test_pack_next_fit_matches_reference_fold(docs):
+    from csp_spark.pipeline import pack_next_fit, pack_stats
+    from csp_spark import text as TX
+
+    budget, shards, seed = 128, 4, 11
+    t = docs.select("doc_id", TX.token_count(F.col("text")).alias("tok"))
+    out = pack_next_fit(t, "doc_id", "tok", budget, num_shards=shards,
+                        order="shuffle", seed=seed)
+    rows = out.collect()
+    # reference: python next-fit fold over the same deterministic order
+    per_shard = {}
+    for r in t.collect():
+        did = r["doc_id"]
+        s = int(_md5_uniform(did, seed + 1) * shards)
+        per_shard.setdefault(s, []).append(
+            (_md5_uniform(did, seed), did, r["tok"]))
+    expect = {}
+    for s, items in per_shard.items():
+        b, fill = 0, 0
+        for _, did, tok in sorted(items):
+            if fill > 0 and fill + tok > budget:
+                b, fill = b + 1, 0
+            expect[did] = (s, s * (1 << 40) + b, fill)
+            fill += tok
+    got = {r["doc_id"]: (r["shard"], r["seq"], r["offset"]) for r in rows}
+    assert got == expect
+    # no sequence overflows the budget unless it is a single oversized doc
+    for st in pack_stats(out, budget).collect():
+        assert st["n_tokens"] <= budget or st["n_docs"] == 1
+    # stable under a different input partitioning
+    t8 = t.repartition(8)
+    out8 = pack_next_fit(t8, "doc_id", "tok", budget, num_shards=shards,
+                         order="shuffle", seed=seed)
+    assert {tuple(r) for r in out8.collect()} == {tuple(r) for r in rows}
+
+
+def test_weighted_sample_temperature(docs):
+    from csp_spark.pipeline import weighted_sample
+
+    w = F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0))
+    t = docs.select("doc_id", w.alias("w"))
+    sharp = {r["doc_id"] for r in weighted_sample(t, "doc_id", "w",
+                                                  temperature=0.25).collect()}
+    flat = {r["doc_id"] for r in weighted_sample(t, "doc_id", "w",
+                                                 temperature=4.0).collect()}
+    # p = w^(1/T) is monotone in T for w in [0,1] → nested kept-sets
+    assert sharp <= flat
+    # exact per-row replay of the decision
+    for r in t.collect():
+        u = _md5_uniform(r["doc_id"], 42)
+        p = min(max(r["w"], 0.0), 1.0) ** (1.0 / 0.25)
+        assert (r["doc_id"] in sharp) == (u < p)
+    # degenerate weights
+    ones = t.withColumn("w", F.lit(1.0))
+    assert weighted_sample(ones, "doc_id", "w").count() == t.count()
+    zeros = t.withColumn("w", F.lit(0.0))
+    assert weighted_sample(zeros, "doc_id", "w").count() == 0
+    with pytest.raises(ValueError, match="temperature"):
+        weighted_sample(t, "doc_id", "w", temperature=0.0)
