@@ -30,7 +30,28 @@ from .core.wiring import (
 )
 from .core.profiler import Profiler, graph_info
 from .core.record import Struct, UNSET
+from .core.surface import (
+    CspParseError,
+    DelayedEdge,
+    DynamicBasket,
+    OutputBasket,
+    Outputs,
+    OutputTypeError,
+    PushMode,
+    ReplayMode,
+    add_graph_output,
+    build_graph,
+    clear_global_context,
+    feedback,
+    graph,
+    new_global_context,
+    node,
+    numba_node,
+    set_print_full_exception_stack,
+    ts,
+)
 from .frame import TsFrame
+from .frame import TsFrame as DataFrame  # csp.DataFrame reference name
 from .plans.runtime import (
     attached,
     csp_memoized,
@@ -46,6 +67,8 @@ from .plans.runtime import (
     snapkey,
     ThreadRunner,
 )
+from .plans.runtime import dynamic_apply as dynamic  # csp.dynamic name
+from .plans.runtime import attached as attach  # csp.attach reference name
 
 # --- baselib surface (reference csp/baselib.py __all__) ---------------
 from .operators.baselib import (
@@ -181,6 +204,12 @@ __all__ = [
     "binary_op", "asof_join", "ticked", "valid", "now", "num_ticks",
     "KEY", "TS", "SEQ", "VALUE", "GLOBAL_KEY",
     "Profiler", "graph_info", "Struct", "UNSET", "TsFrame", "Enum", "DynamicEnum",
+    # reference top-level surface shims (core/surface.py)
+    "CspParseError", "DataFrame", "DelayedEdge", "DynamicBasket",
+    "OutputBasket", "Outputs", "OutputTypeError", "PushMode", "ReplayMode",
+    "add_graph_output", "attach", "build_graph", "clear_global_context",
+    "dynamic", "feedback", "graph", "new_global_context", "node",
+    "numba_node", "set_print_full_exception_stack", "ts",
     "run", "run_on_thread", "memoize", "csp_memoized", "show_graph",
     "ThreadRunner", "dynamic_apply", "feedback_iterate", "feedback_scan",
     "snap", "snapkey", "attached", "schedule_on_engine_stop",

@@ -45,11 +45,22 @@ def run(
     returns {name: (times_array, values_array)} (runtime.py:86-87
     output_numpy parity).
     """
+    from ..core import surface as _surface
+
     mark = len(_on_stop_callbacks)
     try:
-        outs = graph_fn(*args, **kwargs)
+        # build under an output context so csp.add_graph_output side
+        # outputs registered during wiring are collected too
+        _surface._output_ctx.append({})
+        try:
+            outs = graph_fn(*args, **kwargs)
+        finally:
+            _side = _surface._output_ctx.pop()
+        if outs is None:
+            outs = {}
         if isinstance(outs, TickStream):
             outs = {"0": outs}
+        outs = {**_side, **dict(outs)}
         result: dict[str, list[tuple]] = {}
         for name, stream in outs.items():
             ticks = _clip(stream, starttime, endtime).collect_ticks()
@@ -348,7 +359,14 @@ def memoize(fn):
     common-subexpression reuse) wherever it is referenced."""
     import functools
 
-    return functools.lru_cache(maxsize=None)(fn)
+    cached = functools.lru_cache(maxsize=None)(fn)
+    _memo_caches.append(cached)
+    return cached
+
+
+# every memoize()-wrapped builder, so core/surface.clear_global_context
+# (csp.clear_global_context parity) can drop all cached wiring at once
+_memo_caches: list = []
 
 
 csp_memoized = memoize
