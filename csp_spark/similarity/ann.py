@@ -54,11 +54,19 @@ def cosine_topk(
     """Exact top-k by cosine similarity to a literal query vector.
     Single scan + global top-k (orderBy+limit → TakeOrderedAndProject,
     no full sort shuffle)."""
+    import math
+
     q = F.array(*[F.lit(float(v)) for v in query])
+    # the query norm is a constant: fold it driver-side (same 0.0-seeded
+    # sequential accumulation as norm(), so the double is bit-identical)
+    qn = math.sqrt(sum(float(v) * float(v) for v in query))
     return (
         embeddings.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn)),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
@@ -492,17 +500,29 @@ def knn_join(
             .mapInPandas(_score_topk, schema=out_schema)
         )
     else:
+        # Precompute each side's norm ONCE per row below the join
+        # (cosine() inline would recompute the corpus norm per query
+        # and the query norm per corpus row — |C|x|Q| redundant
+        # interpreted aggregates). Same factor expressions in the same
+        # (norm_c * norm_q) order, so every double is bit-identical to
+        # the inline form and the oracle comparison is unaffected.
+        qn = q.select(
+            "__qid",
+            F.col("__qv").cast("array<double>").alias("__qv"),
+        ).withColumn("__qn", norm(F.col("__qv")))
+        cn = corpus.select(
+            F.col(corpus_id).alias("__cid"),
+            F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        ).withColumn("__cn", norm(F.col("__cv")))
         scored = (
-            corpus.select(
-                F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
-            )
-            .join(F.broadcast(q))
+            cn.join(F.broadcast(qn))
             .select(
                 "__qid",
                 "__cid",
                 F.round(
-                    cosine(F.col("__cv").cast("array<double>"),
-                           F.col("__qv").cast("array<double>")), 6
+                    dot(F.col("__cv"), F.col("__qv"))
+                    / (F.col("__cn") * F.col("__qn")),
+                    6,
                 ).alias("cos_sim"),
             )
         )

@@ -64,6 +64,22 @@ def main() -> None:
     print("splits:", dist)
     assert set(dist) <= {"train", "val", "test"} and dist["train"] > 0
     assert n_final <= n2 <= n0
+
+    # 6. temperature-weighted sampling on the quality score, then pack
+    #    the kept train docs into 256-token training sequences
+    from csp_spark.pipeline import pack_next_fit, pack_stats, weighted_sample
+    from csp_spark.text import token_count
+
+    train = final.filter(F.col("split") == "train")
+    kept = weighted_sample(train, "doc_id", "quality_score", temperature=2.0)
+    toks = kept.select("doc_id", token_count(F.col("text")).alias("tok"))
+    packed = pack_next_fit(toks, "doc_id", "tok", budget=256, num_shards=8)
+    st = pack_stats(packed, 256)
+    n_seq = st.count()
+    fill = st.agg(F.avg("fill")).first()[0]
+    print(f"train {train.count()} -> sampled {kept.count()} "
+          f"-> {n_seq} sequences (mean fill {fill:.2f})")
+    assert n_seq > 0 and 0.0 < fill <= 1.0
     # end-to-end determinism: the whole pipeline replays identically
     again = {r["split"]: r["n"] for r in
              hash_split(scored, "doc_id").groupBy("split")
