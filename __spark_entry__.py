@@ -2285,6 +2285,42 @@ def doc_weighted_sample(spark, sf_dir):
     )
 
 
+def doc_cap_per_source(spark, sf_dir):
+    """Per-group corpus caps (pipeline/sampling.py cap_per_group):
+    keep at most 15 docs per source — the hash-chosen unbiased cap,
+    plus the 'n best by quality proxy' variant on a second column.
+    One shuffle on the group key; window row_number."""
+    from csp_spark.pipeline import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    capped = cap_per_group(docs, "doc_id", "source", 15)
+    best = cap_per_group(docs, "doc_id", "source", 15, by="n_chars")
+    return (
+        capped.select("doc_id", "source", F.lit("hash").alias("how"))
+        .unionByName(
+            best.select("doc_id", "source", F.lit("best").alias("how"))
+        )
+    )
+
+
+def _cap_oracle_sql() -> str:
+    u = f"(({_hex13_sql(_SPLIT_MD5_42)}) + 0.5) / 4503599627370496.0"
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY {u} ASC, doc_id) AS rn
+  FROM documents
+), b AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, 'hash' AS how FROM h WHERE rn <= 15
+UNION ALL
+SELECT doc_id, source, 'best' AS how FROM b WHERE rn <= 15
+"""
+
+
 def _pack_base_sql() -> str:
     """Shared CTE: per-doc token count + md5 shard/order draws
     (seed 11 → order, seed 12 → shard), mirroring pack_offsets'
@@ -2560,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack": doc_pack,
         "doc_pack_fit": doc_pack_fit,
         "doc_weighted_sample": doc_weighted_sample,
+        "doc_cap_per_source": doc_cap_per_source,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2577,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # (1) new / never driver-run
         "doc_pack", "doc_pack_fit", "doc_weighted_sample",
+        "doc_cap_per_source",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3116,6 +3154,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "dedup_components": _components_oracle_sql(),
         "doc_split": _split_oracle_sql(),
         "doc_pack": _pack_offsets_oracle_sql(),
+        "doc_cap_per_source": _cap_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "ann_knn_join": _knn_oracle_sql(),

@@ -9,6 +9,7 @@ from .packing import (  # noqa: F401
     pack_stats,
 )
 from .sampling import (  # noqa: F401
+    cap_per_group,
     deterministic_sample,
     hash_split,
     split_uniform,

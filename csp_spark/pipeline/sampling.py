@@ -100,6 +100,46 @@ def weighted_sample(
     return df.filter(u < p)
 
 
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    by: Column | str | None = None,
+    descending: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group (per-domain/source caps, the
+    RefinedWeb-style guard against any one site dominating a corpus).
+
+    Selection is deterministic: by the identity-hash uniform when
+    ``by`` is None (an unbiased within-group sample, stable across
+    partitionings), or by ranking on ``by`` (e.g. a quality score —
+    "keep the n best per domain"); ties always break on the id.
+
+    Plan: one shuffle on the group key + a per-group window. Exact-n
+    semantics require ordering each group, so a pathologically heavy
+    group sorts in one task — for corpora where a single group can
+    exceed an executor's share, pre-thin heavy groups first with
+    ``stratified_sample`` (approximate) and apply the exact cap to the
+    survivors."""
+    from pyspark.sql.window import Window
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if by is None:
+        order = [split_uniform(F.col(id_col), seed).asc()]
+    else:
+        byc = F.col(by) if isinstance(by, str) else by
+        order = [byc.desc() if descending else byc.asc()]
+    w = Window.partitionBy(group_col).orderBy(*order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

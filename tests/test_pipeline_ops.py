@@ -725,3 +725,30 @@ def test_weighted_sample_temperature(docs):
     assert weighted_sample(zeros, "doc_id", "w").count() == 0
     with pytest.raises(ValueError, match="temperature"):
         weighted_sample(t, "doc_id", "w", temperature=0.0)
+
+
+def test_cap_per_group(docs):
+    from csp_spark.pipeline import cap_per_group
+
+    t = docs.select("doc_id", "source", "n_chars")
+    capped = cap_per_group(t, "doc_id", "source", 5)
+    sizes = {r["source"]: r["n"] for r in
+             capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    orig = {r["source"]: r["n"] for r in
+            t.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in sizes.items():
+        assert n == min(5, orig[s])
+    # hash selection is stable under repartitioning
+    again = cap_per_group(t.repartition(7), "doc_id", "source", 5)
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in capped.collect()}
+    # by= keeps the n largest per group (ties by id)
+    best = cap_per_group(t, "doc_id", "source", 3, by="n_chars")
+    for s in orig:
+        kept = sorted(r["n_chars"] for r in best.collect() if r["source"] == s)
+        all_chars = sorted(
+            (r["n_chars"] for r in t.collect() if r["source"] == s),
+            reverse=True)
+        assert kept == sorted(all_chars[:3])
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_group(t, "doc_id", "source", 0)
