@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -44,10 +45,21 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`, where
     component is the MINIMUM node id reachable through the undirected
     pair graph — the conventional canonical representative.
+
+    Size-based hybrid (the standard production shape, cf. GraphFrames'
+    broadcast-threshold strategy): the distributed contraction loop
+    exists for pair graphs too big for one machine, but after LSH the
+    pair set is usually orders of magnitude smaller than the corpus —
+    when the materialized edge count is ≤ ``local_threshold`` (~32 MB
+    of id pairs at the default), ONE collect + path-compressed
+    union-find replaces the whole multi-job loop with identical
+    output (union-by-min preserves the min-label contract). Set
+    ``local_threshold=0`` to force the distributed path.
 
     Reference parity: csp has no graph stage (it is a stream engine);
     this is part of the LLM-pipeline mandate, not a csp port.
@@ -62,6 +74,9 @@ def connected_components(
         # (neighbor-min, convergence probe, relabel) re-executes it
         .localCheckpoint(eager=True)
     )
+    # the checkpoint materialized sym, so this count reads cached blocks
+    if sym.count() <= local_threshold:
+        return _local_components(sym)
     # labels over ORIGINAL nodes; cedges over current component labels.
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
         "component", F.col("id")
@@ -115,6 +130,40 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels
+
+
+def _local_components(sym: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small (pre-counted) edge set.
+    Union-by-min + path compression: the root of every set is its
+    minimum id, so labels equal the distributed loop's bit-for-bit."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.toLocalIterator():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if ru < rv:
+            parent[rv] = ru
+        else:
+            parent[ru] = rv
+
+    out_schema = T.StructType([
+        T.StructField("id", sym.schema["u"].dataType),
+        T.StructField("component", sym.schema["u"].dataType),
+    ])
+    rows = [(n, find(n)) for n in parent]
+    return sym.sparkSession.createDataFrame(rows, out_schema)
 
 
 def resolve_duplicates(

@@ -752,3 +752,26 @@ def test_cap_per_group(docs):
         assert kept == sorted(all_chars[:3])
     with pytest.raises(ValueError, match="positive"):
         cap_per_group(t, "doc_id", "source", 0)
+
+
+def test_connected_components_local_equals_distributed(spark):
+    """The size-based local union-find fallback returns exactly the
+    distributed contraction loop's labels (union-by-min contract),
+    on a graph mixing chains, cliques, and singleton pairs."""
+    import random
+
+    from csp_spark.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(10, 40)]            # long chain
+    edges += [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]
+    edges += [(200 + 2 * i, 201 + 2 * i) for i in range(20)]  # pairs
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {(r["id"], r["component"])
+             for r in connected_components(pairs).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(
+                pairs, local_threshold=0).collect()}
+    assert local == dist
+    assert {c for _, c in local if _ in range(10, 41)} == {10}
