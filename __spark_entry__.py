@@ -630,20 +630,25 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll = l.join(o.select("o_orderkey", "o_orderdate"),
                 l.l_orderkey == F.col("o_orderkey"))
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
-        ll.groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-        )
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .select(F.col("l_orderkey").alias("wk"))
+    # ONE aggregation pipeline, two levels: per-(order, supplier)
+    # late-flag first (plain hash agg with map-side partials — no
+    # distinct-aggregate Expand), then per-order counts over the tiny
+    # pair rows. A qualifying order has exactly one late supplier, so
+    # min(late suppkey) IS that supplier — no second lineitem⋈orders
+    # pass, no semi-join-back, no distinct.
+    per_pair = ll.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("is_late")
     )
     waiting = (
-        ll.filter(late)
-        .join(per_order, F.col("l_orderkey") == F.col("wk"), "left_semi")
+        per_pair.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late_supp"),
+            F.min(F.when(F.col("is_late") == 1, F.col("l_suppkey")))
+            .alias("l_suppkey"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
