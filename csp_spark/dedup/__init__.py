@@ -3,4 +3,8 @@ from .dedup import (
     minhash_signature, minhash_lsh_pairs, ngram_jaccard_pairs, simhash,
     hamming64, simhash_pairs,
 )
-from .components import connected_components, resolve_duplicates
+from .components import (
+    connected_components,
+    incremental_dedup,
+    resolve_duplicates,
+)

@@ -187,3 +187,61 @@ def resolve_duplicates(
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .withColumn("is_canonical", F.col("component") == F.col(id_col))
     )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    pair_fn=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingestion-time dedup: keep the incoming docs that duplicate
+    neither the existing corpus nor an earlier (smaller-id) incoming
+    doc — the production shape for rolling corpus builds, where the
+    already-published corpus must stay fixed and only new docs are
+    dropped.
+
+    ``pair_fn(docs) -> (id_a, id_b)`` generates near-dup pairs over
+    the UNION (default: MinHash LSH via dedup.minhash_lsh_pairs);
+    ids must be globally unique across both sides. Existing docs are
+    never dropped; an incoming doc is dropped iff it pairs (directly
+    or transitively through other incoming docs) with an existing doc
+    or with a surviving smaller-id incoming doc — i.e., the component
+    rule, with every existing member forced canonical.
+
+    Scale: the union feeds one pair pipeline (bucketed, no all-pairs);
+    component resolution touches only paired docs. Cost grows with
+    |incoming| + |pairs|, not |existing| beyond its signature scan; to
+    amortize repeated ingests against a fixed corpus, persist the
+    existing side's signatures via pipeline/storage bucketed tables.
+    """
+    if pair_fn is None:
+        from .dedup import minhash_lsh_pairs
+
+        def pair_fn(d):
+            return minhash_lsh_pairs(d, text_col=text_col, id_col=id_col)
+
+    ex_ids = existing.select(F.col(id_col).alias("id")).withColumn(
+        "is_existing", F.lit(True)
+    )
+    union = existing.select(id_col, text_col).unionByName(
+        incoming.select(id_col, text_col)
+    )
+    pairs = pair_fn(union)
+    comp = connected_components(pairs).join(ex_ids, "id", "left").withColumn(
+        "is_existing", F.coalesce("is_existing", F.lit(False))
+    )
+    # a component is "anchored" if any member is existing: every
+    # incoming member of an anchored component is a duplicate. In an
+    # unanchored (all-incoming) component, the min id survives.
+    anchored = comp.groupBy("component").agg(
+        F.max(F.col("is_existing").cast("int")).alias("anchored")
+    )
+    drop = (
+        comp.filter(~F.col("is_existing"))
+        .join(anchored, "component")
+        .filter((F.col("anchored") == 1) | (F.col("id") != F.col("component")))
+        .select(F.col("id").alias(id_col))
+    )
+    return incoming.join(drop, id_col, "left_anti")

@@ -288,6 +288,51 @@ def repetition_stats(
     )
 
 
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) —
+    the classic cheap quality signal (low ratio = repetitive
+    boilerplate, near-1 ratio = high-entropy noise; natural prose sits
+    in between). Used as a filter stage alongside the Gopher
+    repetition rules.
+
+    No column-expression form exists (Spark has no zlib expression),
+    so this is an Arrow-batched pandas UDF — CPU-bound, linear, no
+    shuffle; deterministic for a fixed zlib version, which is why it
+    stays a library+unit-test surface rather than a cross-engine
+    oracle query."""
+    import pandas
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(s: "pandas.Series") -> "pandas.Series":
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    # explicit annotations resolvable at decoration time (the module
+    # uses `from __future__ import annotations`, so inline hints would
+    # be unresolvable strings to pyspark's eval-type inference)
+    _ratio.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    _ratio_udf = pandas_udf(_ratio, "double")
+
+    return docs.select(
+        F.col(id_col), _ratio_udf(F.col(text_col)).alias("compression_ratio")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",

@@ -775,3 +775,89 @@ def test_connected_components_local_equals_distributed(spark):
                 pairs, local_threshold=0).collect()}
     assert local == dist
     assert {c for _, c in local if _ in range(10, 41)} == {10}
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from csp_spark.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 8),   # boilerplate
+            (2, "The quick brown fox jumps over the lazy dog near a bank."),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    # exact replay of the UDF's arithmetic
+    for did, text in [(1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 8),
+                      (2, "The quick brown fox jumps over the lazy dog near a bank.")]:
+        raw = text.encode()
+        assert got[did] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert got[1] < 0.1 < got[2]        # repetitive text compresses away
+    assert got[3] == 1.0 and got[4] is None
+
+
+def test_pack_offsets_plan_shape(docs):
+    """pack_offsets compiles to exactly ONE shuffle (the shard hash
+    partition for the per-shard window) — the 100 TB contract: no
+    global window, no extra exchanges."""
+    from csp_spark.pipeline import pack_offsets
+    from csp_spark.pipeline.storage import exchanges_in_plan
+    from csp_spark import text as TX
+
+    t = docs.select("doc_id", TX.token_count(F.col("text")).alias("tok"))
+    po = pack_offsets(t, "doc_id", "tok", budget=128, num_shards=8)
+    assert exchanges_in_plan(po) == 1
+    # and the weighted sampler stays shuffle-free entirely
+    from csp_spark.pipeline import weighted_sample
+
+    ws = weighted_sample(
+        docs.select("doc_id", F.lit(0.5).alias("w")), "doc_id", "w")
+    assert exchanges_in_plan(ws) == 0
+
+
+def test_incremental_dedup(spark):
+    """Ingestion-time dedup: existing corpus fixed, incoming docs drop
+    iff they (transitively) duplicate an existing doc or lose the
+    min-id rule inside an all-incoming component."""
+    from csp_spark.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    other = "entirely different legal boilerplate about indemnification "
+    third = "a third unrelated passage regarding maritime insurance law "
+    existing = spark.createDataFrame(
+        [(1, base * 6), (2, other * 6)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base * 6),            # dup of existing 1 -> drop
+            (11, third * 6),           # new pair, smaller id -> keep
+            (12, third * 6 + "tail"),  # near-dup of 11 -> drop
+            (13, "completely novel content about orbital mechanics " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(existing, incoming).collect()
+    )
+    assert kept == [11, 13]
+    # transitive anchoring: existing -> incA -> incB chain drops BOTH
+    # incoming docs even though incB never pairs with existing directly
+    inc2 = spark.createDataFrame(
+        [(20, base * 6 + "x"), (21, base * 3 + "x " + base * 3 + " y z")],
+        "doc_id long, text string",
+    )
+    def chain_pairs(d):
+        return spark.createDataFrame(
+            [(1, 20), (20, 21)], "id_a long, id_b long"
+        )
+    kept2 = [r["doc_id"]
+             for r in incremental_dedup(existing, inc2,
+                                        pair_fn=chain_pairs).collect()]
+    assert kept2 == []

@@ -38,6 +38,12 @@ QUERIES = [
     "dedup_components",
     "doc_chunk",
     "text_repetition",
+    # r4 additions: packing (window + per-shard fold), caps/sampling
+    # (pure window / filter) — all doc-keyed, ~linear by construction
+    "doc_pack",
+    "doc_pack_fit",
+    "doc_cap_per_source",
+    "doc_weighted_sample",
 ]
 
 
