@@ -18,5 +18,7 @@ from .sampling import (  # noqa: F401
 )
 from .storage import (  # noqa: F401
     exchanges_in_plan,
+    load_tick_stream,
+    save_tick_stream,
     write_bucketed_table,
 )

@@ -39,6 +39,45 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(name)
 
 
+def save_tick_stream(
+    stream,
+    name: str,
+    num_buckets: int = 256,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a TickStream bucketed by ``key`` and sorted by
+    (key, ts, seq): every later per-key window over the stored stream
+    — rolling/expanding stats, history buffers, single-stream align
+    consumers — runs with ZERO exchange (asserted on the executed
+    plan in tests). The engine's dominant per-query cost at 100 TB is
+    the key shuffle; this pays it once at write time, the classic
+    warehouse trade. The repartition before write yields one file per
+    bucket so scans stay wide-row-group and sorted within buckets.
+
+    Note: align() over MULTIPLE streams unions its inputs first, and a
+    union of bucketed scans no longer advertises a single hash
+    distribution, so the multi-stream union-align still shuffles —
+    store pre-aligned frames (or one multi-column stream) when that
+    matters."""
+    from ..core.ticks import KEY, SEQ, TS
+
+    df = stream.df.repartition(num_buckets, KEY)
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, KEY)
+        .sortBy(KEY, TS, SEQ)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def load_tick_stream(spark, name: str, value_col: str | None = None):
+    """Read back a save_tick_stream table as a TickStream."""
+    from ..core.ticks import TickStream, VALUE
+
+    return TickStream(spark.table(name), value_col or VALUE)
+
+
 def exchanges_in_plan(df: DataFrame) -> int:
     """Number of shuffle exchanges in the executed plan — the metric a
     bucketed layout is supposed to drive to zero for key-aligned

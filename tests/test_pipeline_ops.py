@@ -861,3 +861,33 @@ def test_incremental_dedup(spark):
              for r in incremental_dedup(existing, inc2,
                                         pair_fn=chain_pairs).collect()]
     assert kept2 == []
+
+
+def test_tick_stream_bucketed_storage(spark):
+    """A tick stream stored via save_tick_stream (bucketed by key,
+    sorted (key, ts, seq)) runs per-key windowed stats with ZERO
+    exchanges, and the stat values equal the plain-scan path."""
+    from csp_spark.pipeline.storage import (
+        exchanges_in_plan, load_tick_stream, save_tick_stream,
+    )
+    from csp_spark.sources import subscribe
+    from csp_spark.stats import Rolling
+
+    ev = subscribe(
+        spark, "/root/testdata/sf0.001/events.parquet",
+        time_column="ts", value_column="value",
+        symbol_column="user_id", seq_column="event_id",
+    )
+    save_tick_stream(ev, "t_tick_ev", num_buckets=4)
+    try:
+        stored = load_tick_stream(spark, "t_tick_ev")
+        r_stored = Rolling(stored, interval=10, min_window=1).mean()
+        r_plain = Rolling(ev, interval=10, min_window=1).mean()
+        assert exchanges_in_plan(r_stored.df) == 0, \
+            "window over the bucketed tick table must not shuffle"
+        assert exchanges_in_plan(r_plain.df) >= 1
+        a = sorted(map(tuple, r_stored.df.collect()))
+        b = sorted(map(tuple, r_plain.df.collect()))
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tick_ev")
