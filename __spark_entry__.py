@@ -2326,6 +2326,77 @@ SELECT doc_id, source, 'best' AS how FROM b WHERE rn <= 15
 """
 
 
+def doc_incremental_dedup(spark, sf_dir):
+    """Ingestion-time dedup (dedup/components.py incremental_dedup):
+    even-id docs are the published corpus, odd-id docs the incoming
+    batch; an incoming doc survives unless its near-dup component is
+    anchored by an existing doc or it loses the min-id rule among
+    incoming-only components. Pair generator = the same scale minhash
+    path dedup_components ★-validates; oracle = recursive-CTE
+    reachability over the exact word-5-shingle Jaccard pairs + the
+    anchored-component rule."""
+    from csp_spark.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = incremental_dedup(
+        existing, incoming,
+        pair_fn=lambda d: DD.minhash_lsh_pairs(
+            d, shingle_k=5, use_words=True, threshold=0.5,
+            num_hashes=48, bands=12,
+        ),
+    )
+    return kept.select("doc_id")
+
+
+def _incremental_oracle_sql() -> str:
+    # pair + reachability stages identical to _components_oracle_sql
+    # (proven equal to the Spark LSH pair set on this corpus), then the
+    # anchored-component keep rule over the even/odd corpus split
+    return r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(t[i : i + 4], ' ') AS s
+  FROM (SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+        FROM toks)
+), sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS DOUBLE) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia, ib FROM inter
+  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+  WHERE i / (sa.c + sb.c - i) >= 0.5
+),
+edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         d.doc_id % 2 = 0 AS ex
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+g AS (
+  SELECT component,
+         max(CASE WHEN ex THEN 1 ELSE 0 END) AS anchored,
+         min(CASE WHEN NOT ex THEN doc_id END) AS minin
+  FROM lab GROUP BY component
+)
+SELECT l.doc_id FROM lab l JOIN g ON l.component = g.component
+WHERE NOT l.ex AND g.anchored = 0 AND l.doc_id = g.minin
+"""
+
+
 def _pack_base_sql() -> str:
     """Shared CTE: per-doc token count + md5 shard/order draws
     (seed 11 → order, seed 12 → shard), mirroring pack_offsets'
@@ -2602,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_fit": doc_pack_fit,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_cap_per_source": doc_cap_per_source,
+        "doc_incremental_dedup": doc_incremental_dedup,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2619,7 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     priority = [
         # (1) new / never driver-run
         "doc_pack", "doc_pack_fit", "doc_weighted_sample",
-        "doc_cap_per_source",
+        "doc_cap_per_source", "doc_incremental_dedup",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -2632,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_accum_global", "op_struct_record", "op_exprtk_state",
         "op_exprtk", "op_merge", "op_filter", "op_gate",
         "dedup_minhash", "dedup_simhash", "dedup_components",
+        "q21_suppliers_kept_waiting",
         "ann_topk", "ann_lsh_topk", "ann_ivf_exact", "ann_knn_join",
         "text_repetition", "doc_chunk", "op_struct_fromts",
         # (4) r2-only greens, refreshed
@@ -3160,6 +3233,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "doc_split": _split_oracle_sql(),
         "doc_pack": _pack_offsets_oracle_sql(),
         "doc_cap_per_source": _cap_oracle_sql(),
+        "doc_incremental_dedup": _incremental_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "ann_knn_join": _knn_oracle_sql(),
