@@ -171,17 +171,26 @@ def asof_join(
     right_ts: str = TS,
     right_cols: Sequence[str] | None = None,
     tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """General as-of join (left row picks the latest right row with
-    right_ts <= left_ts, per key) — the relational face of the align
-    kernel, exposed for table-shaped callers.
+    """General as-of join — the relational face of the align kernel,
+    exposed for table-shaped callers, with pandas merge_asof's three
+    directions: ``backward`` (latest right with right_ts <= left_ts,
+    the csp last-value rule), ``forward`` (earliest right with
+    right_ts >= left_ts), ``nearest`` (closer of the two in absolute
+    time; exact ties resolve backward, matching pandas).
 
     Implemented as union+window rather than range-join so that one
     key-shuffle serves arbitrarily many right columns; Catalyst cannot
-    express this plan itself. ``tolerance`` (timedelta) discards matches
-    older than left_ts - tolerance (csp has no tolerance; pandas
-    merge_asof parity for pipeline users).
+    express this plan itself (nearest adds a second window over the
+    SAME partitioning, so it still costs one shuffle). ``tolerance``
+    (timedelta) bounds the match distance per direction (csp has no
+    tolerance; pandas merge_asof parity for pipeline users).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     right_cols = list(
         right_cols
         if right_cols is not None
@@ -206,23 +215,51 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")).alias("__rrow"),
     )
     u = lpart.unionByName(rpart)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__t", F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tol = (
+        F.expr(f"INTERVAL {tolerance.total_seconds()} SECONDS")
+        if tolerance is not None
+        else None
     )
-    matched = u.withColumn("__r", F.last("__rrow", ignorenulls=True).over(w)).filter(
-        F.col("__is_left") == 1
-    )
-    if tolerance is not None:
-        matched = matched.withColumn(
-            "__r",
-            F.when(
-                F.col("__r.__rts")
-                >= F.col("__t") - F.expr(f"INTERVAL {tolerance.total_seconds()} SECONDS"),
-                F.col("__r"),
-            ),
+    if direction in ("backward", "nearest"):
+        # right (0) sorts before left (1) at equal __t → exact matches
+        wb = (
+            Window.partitionBy(*on)
+            .orderBy("__t", F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        u = u.withColumn("__rb", F.last("__rrow", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        # left (1) sorts before right (0) at equal __t → the forward
+        # window starting at the current row still sees exact matches
+        wf = (
+            Window.partitionBy(*on)
+            .orderBy("__t", F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        u = u.withColumn("__rf", F.first("__rrow", ignorenulls=True).over(wf))
+    matched = u.filter(F.col("__is_left") == 1)
+    if direction == "backward":
+        r = F.col("__rb")
+        if tol is not None:
+            r = F.when(F.col("__rb.__rts") >= F.col("__t") - tol, r)
+    elif direction == "forward":
+        r = F.col("__rf")
+        if tol is not None:
+            r = F.when(F.col("__rf.__rts") <= F.col("__t") + tol, r)
+    else:  # nearest: tolerance bounds each candidate, then pick closer
+        rb, rf = F.col("__rb"), F.col("__rf")
+        if tol is not None:
+            rb = F.when(F.col("__rb.__rts") >= F.col("__t") - tol, rb)
+            rf = F.when(F.col("__rf.__rts") <= F.col("__t") + tol, rf)
+        back_dist = F.col("__t").cast("double") - rb["__rts"].cast("double")
+        fwd_dist = rf["__rts"].cast("double") - F.col("__t").cast("double")
+        r = (
+            F.when(rb.isNull(), rf)
+            .when(rf.isNull(), rb)
+            .when(back_dist <= fwd_dist, rb)  # tie → backward (pandas)
+            .otherwise(rf)
+        )
+    matched = matched.withColumn("__r", r)
     sel = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     sel += [F.col(f"__r.{c}").alias(c) for c in right_cols]
     return matched.select(*sel)

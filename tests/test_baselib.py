@@ -398,3 +398,61 @@ def test_curve_input_forms(spark):
     assert a == b == c == want
     with _pt.raises(ValueError):
         bl.curve(spark, [(TD(seconds=1), 1.0)])
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """asof_join's backward/forward/nearest (+tolerance) reproduce
+    pandas.merge_asof row-for-row, including exact-tie resolution."""
+    import numpy as np
+    import pandas as pd
+
+    from csp_spark import asof_join
+
+    rng = np.random.RandomState(5)
+    base = pd.Timestamp("2020-01-01")
+
+    def frame(n, vals=False, lo=0, hi=2000):
+        secs = rng.choice(np.arange(lo, hi), size=2 * n, replace=False)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["a", "b"], 2 * n),
+            "ts": base + pd.to_timedelta(secs, unit="s"),
+        })
+        # unique ts per key (duplicate right stamps are tie-broken by
+        # input order in pandas, which a distributed join can't see)
+        pdf = pdf.drop_duplicates(["k", "ts"]).head(n)
+        if vals:
+            pdf["v"] = np.arange(len(pdf)).astype(float)
+        return pdf.sort_values("ts").reset_index(drop=True)
+
+    lpdf, rpdf = frame(35), frame(25, vals=True)
+    # deterministic exact-distance tie: left at t, rights at t±7s
+    tiek = pd.DataFrame({
+        "k": ["a", "a", "a"],
+        "ts": [base + pd.Timedelta(seconds=5000 + s) for s in (-7, 0, 7)],
+    })
+    lpdf = (pd.concat([lpdf, tiek.iloc[[1]]])
+            .sort_values("ts").reset_index(drop=True))
+    rt = tiek.iloc[[0, 2]].copy()
+    rt["v"] = [100.0, 101.0]
+    rpdf = pd.concat([rpdf, rt]).sort_values("ts").reset_index(drop=True)
+
+    sl = spark.createDataFrame(lpdf)
+    sr = spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, pd.Timedelta(seconds=60)):
+            exp = pd.merge_asof(
+                lpdf, rpdf, on="ts", by="k",
+                direction=direction, tolerance=tol,
+            )
+            got = asof_join(
+                sl, sr, on=["k"], left_ts="ts", right_ts="ts",
+                right_cols=["v"], direction=direction,
+                tolerance=None if tol is None else tol.to_pytimedelta(),
+            ).toPandas()
+            key = ["k", "ts", "v"]
+            e = exp[key].sort_values(["k", "ts"]).reset_index(drop=True)
+            g = got[key].sort_values(["k", "ts"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(e, g, check_dtype=False), (
+                direction, tol)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(sl, sr, on=["k"], direction="sideways")
