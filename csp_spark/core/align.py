@@ -251,8 +251,10 @@ def asof_join(
         if tol is not None:
             rb = F.when(F.col("__rb.__rts") >= F.col("__t") - tol, rb)
             rf = F.when(F.col("__rf.__rts") <= F.col("__t") + tol, rf)
-        back_dist = F.col("__t").cast("double") - rb["__rts"].cast("double")
-        fwd_dist = rf["__rts"].cast("double") - F.col("__t").cast("double")
+        # timestamp subtraction → DayTimeInterval, directly comparable
+        # (works for both TIMESTAMP and TIMESTAMP_NTZ columns)
+        back_dist = F.col("__t") - rb["__rts"]
+        fwd_dist = rf["__rts"] - F.col("__t")
         r = (
             F.when(rb.isNull(), rf)
             .when(rf.isNull(), rb)
