@@ -2326,6 +2326,50 @@ SELECT doc_id, source, 'best' AS how FROM b WHERE rn <= 15
 """
 
 
+def stats_ohlc_bars(spark, sf_dir):
+    """Per-key tumbling OHLC bars (stats/resample.py): 1-hour epoch-
+    aligned buckets, open/close in exact (ts, seq) engine order — ONE
+    keyed hash-aggregate with map-side partials, no window function."""
+    import datetime as dt_
+
+    from csp_spark.stats import ohlc_bars
+
+    x = _events_stream(spark, sf_dir)
+    bars = ohlc_bars(x, dt_.timedelta(hours=1))
+    return bars.select(
+        F.col("key").cast("long").alias("user_id"),
+        "bar_start", "open", "high", "low", "close", "n_ticks",
+        F.round("mean", 6).alias("mean_v"),
+    )
+
+
+def _ohlc_oracle_sql() -> str:
+    return """
+WITH t AS (
+  SELECT user_id, ts, event_id, value,
+    CAST(to_timestamp(CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600)
+      AS TIMESTAMP) AS bar_start
+  FROM events
+),
+w AS (
+  SELECT user_id, bar_start, value,
+    first_value(value) OVER (PARTITION BY user_id, bar_start
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+    last_value(value) OVER (PARTITION BY user_id, bar_start
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+  FROM t
+)
+SELECT user_id, bar_start,
+  max(open) AS open, max(value) AS high, min(value) AS low,
+  max(close) AS close, count(*) AS n_ticks,
+  round(avg(value), 6) AS mean_v
+FROM w
+GROUP BY user_id, bar_start
+"""
+
+
 def op_asof_directions(spark, sf_dir):
     """General asof_join in all three merge_asof directions over the
     events table: every 10th event (per id) probes the others for its
@@ -2734,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cap_per_source": doc_cap_per_source,
         "doc_incremental_dedup": doc_incremental_dedup,
         "op_asof_directions": op_asof_directions,
+        "stats_ohlc_bars": stats_ohlc_bars,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2752,7 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) new / never driver-run
         "doc_pack", "doc_pack_fit", "doc_weighted_sample",
         "doc_cap_per_source", "doc_incremental_dedup",
-        "op_asof_directions",
+        "op_asof_directions", "stats_ohlc_bars",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3296,6 +3341,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "doc_cap_per_source": _cap_oracle_sql(),
         "doc_incremental_dedup": _incremental_oracle_sql(),
         "op_asof_directions": _asof_directions_oracle_sql(),
+        "stats_ohlc_bars": _ohlc_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "ann_knn_join": _knn_oracle_sql(),

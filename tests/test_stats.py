@@ -355,3 +355,30 @@ def test_ema_halflife_long_span_fallback(spark):
             assert math.isclose(g, e, rel_tol=1e-9), (key, g, e)
     # every output is finite — the overflow would have produced NaNs
     assert all(not math.isnan(v) for _, v in got["long"])
+
+
+def test_ohlc_bars(spark):
+    """Tumbling OHLC bars: open/close follow exact (ts, seq) engine
+    order (incl. same-timestamp cycles), buckets align to the epoch."""
+    import datetime as dt
+
+    from csp_spark.stats import ohlc_bars
+
+    S = dt.datetime(2020, 1, 1)
+    x = TickStream.from_rows(spark, [
+        (S + dt.timedelta(seconds=1), 5.0),
+        (S + dt.timedelta(seconds=30), 9.0),
+        (S + dt.timedelta(seconds=30), 2.0),   # same ts, later cycle
+        (S + dt.timedelta(seconds=59), 7.0),
+        (S + dt.timedelta(seconds=61), 4.0),   # next bar
+    ])
+    bars = {r["bar_start"]: r for r in
+            ohlc_bars(x, dt.timedelta(minutes=1)).collect()}
+    b0 = bars[S]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"],
+            b0["n_ticks"]) == (5.0, 9.0, 2.0, 7.0, 4)
+    assert abs(b0["mean"] - (5 + 9 + 2 + 7) / 4) < 1e-12
+    b1 = bars[S + dt.timedelta(minutes=1)]
+    assert (b1["open"], b1["close"], b1["n_ticks"]) == (4.0, 4.0, 1)
+    with pytest.raises(ValueError, match="positive"):
+        ohlc_bars(x, dt.timedelta(0))
