@@ -2,3 +2,21 @@ from .rolling import Rolling, RollingPair
 from .ema import ema, ema_var, ema_std, ema_cov
 from .matrix import cov_matrix, corr_matrix, rolling_cov_matrix
 from .resample import ohlc_bars
+
+# functional csp.stats surface (reference csp/stats.py names) — thin
+# adapters over Rolling/RollingPair so reference code is source-portable
+from .functions import (  # noqa: F401
+    argmax, argmin, corr, count, cov, cross_sectional, first, gmean,
+    kurt, last, list_to_numpy, max, mean, median, min, min_max,
+    numpy_to_list, prod, quantile, rank, sem, skew, stddev, sum, unique,
+    var,
+)
+
+__all__ = [
+    "Rolling", "RollingPair", "ema", "ema_var", "ema_std", "ema_cov",
+    "cov_matrix", "corr_matrix", "rolling_cov_matrix", "ohlc_bars",
+    "argmax", "argmin", "corr", "count", "cov", "cross_sectional",
+    "first", "gmean", "kurt", "last", "list_to_numpy", "max", "mean",
+    "median", "min", "min_max", "numpy_to_list", "prod", "quantile",
+    "rank", "sem", "skew", "stddev", "sum", "unique", "var",
+]

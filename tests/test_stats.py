@@ -382,3 +382,47 @@ def test_ohlc_bars(spark):
     assert (b1["open"], b1["close"], b1["n_ticks"]) == (4.0, 4.0, 1)
     with pytest.raises(ValueError, match="positive"):
         ohlc_bars(x, dt.timedelta(0))
+
+
+def test_functional_stats_surface(spark, ticks):
+    """The reference-shaped functional API (csp.stats.mean(x, interval,
+    ...)) adapts onto the Rolling engine: values equal the fluent
+    path, reference option names work, unknown options raise."""
+    import csp_spark.stats as stats
+
+    x, pdf = ticks
+    got = stats.mean(x, interval=5, min_window=3).collect_ticks()
+    ref = Rolling(x, interval=5, min_window=3).mean().collect_ticks()
+    assert got == ref
+    # quantile + interpolation option passes through
+    q = stats.quantile(x, interval=6, quant=0.25, interpolation="lower",
+                       min_window=1).collect_ticks()
+    qref = Rolling(x, interval=6, min_window=1).quantile(
+        0.25, "lower").collect_ticks()
+    assert q == qref
+    # min_max emits a (min, max) struct in one pass
+    mm = stats.min_max(x, interval=4, min_window=1).collect_ticks()
+    mn = Rolling(x, interval=4, min_window=1).min().collect_ticks()
+    mx = Rolling(x, interval=4, min_window=1).max().collect_ticks()
+    assert [(t, v["min"], v["max"]) for t, v in mm] == [
+        (t1, v1, v2) for (t1, v1), (_, v2) in zip(mn, mx)]
+    # bivariate + identity + error surface
+    y = x.with_df(x.df.withColumn("value", x.df["value"] * 2.0))
+    c = stats.corr(x, y, interval=None).collect_ticks()
+    assert all(v is None or math.isnan(v) or abs(v - 1.0) < 1e-9
+               for _, v in c)
+    assert stats.list_to_numpy(x) is x and stats.numpy_to_list(x) is x
+    with pytest.raises(TypeError, match="unexpected"):
+        stats.mean(x, interval=5, bogus=1)
+    # weighted dispatch hits the weighted kernel
+    w = x.with_df(x.df.withColumn("value", F_lit_one(x)))
+    ws = stats.sum(x, interval=5, min_window=1, weights=w).collect_ticks()
+    us = stats.sum(x, interval=5, min_window=1).collect_ticks()
+    assert [v for _, v in ws] == pytest.approx(
+        [v for _, v in us], nan_ok=True)
+
+
+def F_lit_one(x):
+    from pyspark.sql import functions as F
+
+    return F.when(x.df["value"].isNotNull(), 1.0)
