@@ -329,3 +329,41 @@ def ema_stream(x: DataFrame, alpha: float) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ohlc_bars_stream(
+    x: DataFrame,
+    interval: _dt.timedelta,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Tumbling OHLC bars over a stream — the realtime twin of
+    stats/resample.ohlc_bars: per-key epoch-aligned ``interval``
+    buckets with open/close in (ts, seq) order, built on the native
+    watermarked window aggregate (state = one running bar per open
+    window per key, dropped when the watermark passes the bar end).
+
+    Append mode emits each bar exactly once when it finalizes;
+    ``complete`` mode (no finalization wait) suits bounded test runs.
+    Equality-tested against the batch form over the same rows."""
+    if interval <= _dt.timedelta(0):
+        raise ValueError("interval must be positive")
+    secs = interval.total_seconds()
+    order = F.struct(F.col(TS), F.col(SEQ))
+    v = F.col(VALUE)
+    return (
+        x.withWatermark(TS, watermark)
+        .groupBy(F.col(KEY), F.window(F.col(TS), f"{secs} seconds"))
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(v).alias("n_ticks"),
+            F.avg(v).alias("mean"),
+        )
+        .select(
+            KEY,
+            F.col("window.start").alias("bar_start"),
+            "open", "high", "low", "close", "n_ticks", "mean",
+        )
+    )

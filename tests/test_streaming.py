@@ -878,3 +878,32 @@ def test_publish_websocket_stream(spark, tmp_path):
     assert len(received) == 5, received
     vals = sorted(_json.loads(m)["value"] for m in received)
     assert vals == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_ohlc_bars_stream_matches_batch(spark, landing):
+    """Streaming tumbling OHLC bars equal the batch resample over the
+    same rows (epoch-aligned buckets, (ts, seq) open/close order)."""
+    from csp_spark.stats import ohlc_bars
+    from csp_spark.streaming import ohlc_bars_stream
+
+    path, rows = landing
+    stream = file_ticks(
+        spark, path, SCHEMA, ts_col="ts", value_col="value", key_col="key",
+        max_files_per_trigger=1,
+    )
+    iv = dt.timedelta(seconds=10)
+    got = {(r[KEY], r["bar_start"]): (r["open"], r["high"], r["low"],
+                                      r["close"], r["n_ticks"], r["mean"])
+           for r in collect_stream(
+               ohlc_bars_stream(stream, iv), output_mode="complete"
+           ).collect()}
+    ref = {(r["key"], r["bar_start"]): (r["open"], r["high"], r["low"],
+                                        r["close"], r["n_ticks"], r["mean"])
+           for r in ohlc_bars(
+               TickStream(spark.createDataFrame(rows, SCHEMA)), iv
+           ).collect()}
+    assert len(got) == len(ref) > 2
+    for k, v in ref.items():
+        g = got[k]
+        assert g[:5] == v[:5], k
+        assert math.isclose(g[5], v[5], rel_tol=1e-12)
