@@ -124,3 +124,18 @@ def test_graph_node_decorators_and_contexts(spark):
 
     old = csp.set_print_full_exception_stack(True)
     assert csp.set_print_full_exception_stack(old) is True
+
+
+def test_typing_markers():
+    import numpy as np
+
+    from csp_spark.typing import Numpy1DArray, NumpyNDArray
+
+    a = NumpyNDArray[np.float64]([[1, 2], [3, 4]])
+    assert a.dtype == np.float64 and a.shape == (2, 2)
+    v = Numpy1DArray[np.float64]([1, 2, 3])
+    assert v.dtype == np.float64 and v.ndim == 1
+    with pytest.raises(ValueError, match="1-dimensional"):
+        Numpy1DArray[np.float64]([[1, 2]])
+    # bare (unsubscripted) coercion also works, reference-style
+    assert NumpyNDArray([1.5]).tolist() == [1.5]
