@@ -2538,6 +2538,48 @@ FROM w
 """
 
 
+def doc_pack_manifest(spark, sf_dir):
+    """Dataloader manifest of the doc_pack layout (pipeline/packing.py
+    sequence_manifest): one row per (sequence, doc segment) with the
+    token slice to read — pure arithmetic + one explode over spanned
+    sequence ids, no extra shuffle."""
+    from csp_spark.pipeline import pack_offsets, sequence_manifest
+    from csp_spark.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count(F.col("text")).alias("tok"))
+    packed = pack_offsets(
+        t, "doc_id", "tok", budget=128, num_shards=4, order="shuffle", seed=11
+    )
+    return sequence_manifest(packed, 128)
+
+
+def _pack_manifest_oracle_sql() -> str:
+    return f"""
+WITH t AS ({_pack_base_sql()}),
+w AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+  FROM t
+),
+d AS (
+  SELECT doc_id, shard, n_tokens, start_offset,
+    CAST(floor(start_offset / 128.0) AS BIGINT) AS b0,
+    CAST(floor(greatest(start_offset + n_tokens - 1, start_offset) / 128.0)
+      AS BIGINT) AS b1
+  FROM w
+),
+e AS (SELECT *, unnest(generate_series(b0, b1)) AS k FROM d)
+SELECT doc_id,
+  shard * {_SEQ_BASE} + k AS seq,
+  greatest(k * 128 - start_offset, 0) AS doc_from,
+  least(n_tokens, (k + 1) * 128 - start_offset) AS doc_to,
+  greatest(start_offset - k * 128, 0) AS seq_offset
+FROM e
+"""
+
+
 def _pack_fit_oracle_sql() -> str:
     return f"""
 WITH RECURSIVE t AS (
@@ -2779,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": doc_incremental_dedup,
         "op_asof_directions": op_asof_directions,
         "stats_ohlc_bars": stats_ohlc_bars,
+        "doc_pack_manifest": doc_pack_manifest,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2797,7 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) new / never driver-run
         "doc_pack", "doc_pack_fit", "doc_weighted_sample",
         "doc_cap_per_source", "doc_incremental_dedup",
-        "op_asof_directions", "stats_ohlc_bars",
+        "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3342,6 +3385,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "doc_incremental_dedup": _incremental_oracle_sql(),
         "op_asof_directions": _asof_directions_oracle_sql(),
         "stats_ohlc_bars": _ohlc_oracle_sql(),
+        "doc_pack_manifest": _pack_manifest_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "ann_knn_join": _knn_oracle_sql(),

@@ -7,6 +7,7 @@ from .packing import (  # noqa: F401
     pack_next_fit,
     pack_offsets,
     pack_stats,
+    sequence_manifest,
 )
 from .sampling import (  # noqa: F401
     cap_per_group,

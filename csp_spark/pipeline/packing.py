@@ -172,6 +172,44 @@ def pack_next_fit(
     return t.groupBy("shard").applyInPandas(fold, schema=schema)
 
 
+def sequence_manifest(
+    packed: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dataloader view of a ``pack_offsets`` layout: one row per
+    (sequence, document segment) with the token slice to read —
+    ``seq``, ``doc_from``/``doc_to`` (token range within the doc,
+    end-exclusive) and ``seq_offset`` (where the segment starts inside
+    the sequence). A doc straddling k boundaries contributes k+1
+    segments; each sequence's segments tile it contiguously.
+
+    Pure arithmetic + one explode over the spanned sequence ids — no
+    shuffle beyond what pack_offsets already did (and none at all if
+    its output was persisted)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    b = F.lit(budget)
+    base = packed.withColumn(
+        "seq", F.explode(F.sequence(F.col("begin_seq"), F.col("end_seq")))
+    )
+    local_bin = F.col("seq") - F.col("shard").cast("long") * F.lit(1 << 40)
+    bin_start = local_bin * b
+    return base.select(
+        F.col(id_col),
+        "seq",
+        F.greatest(bin_start - F.col("start_offset"), F.lit(0)).alias(
+            "doc_from"
+        ),
+        F.least(
+            F.col("n_tokens"), (local_bin + 1) * b - F.col("start_offset")
+        ).alias("doc_to"),
+        F.greatest(F.col("start_offset") - bin_start, F.lit(0)).alias(
+            "seq_offset"
+        ),
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int, seq_col: str = "seq") -> DataFrame:
     """Per-sequence utilization for a ``pack_next_fit`` layout: docs,
     tokens, fill fraction. One keyed hash-aggregate."""

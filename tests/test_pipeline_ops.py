@@ -891,3 +891,39 @@ def test_tick_stream_bucketed_storage(spark):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS t_tick_ev")
+
+
+def test_sequence_manifest_tiles_sequences(docs):
+    """The dataloader manifest tiles every sequence contiguously:
+    per-doc segments cover [0, n_tokens) in order, and per-sequence
+    segment lengths sum to the tokens the offsets layout placed there."""
+    from csp_spark.pipeline import pack_offsets, sequence_manifest
+    from csp_spark import text as TX
+
+    budget, shards, seed = 128, 4, 11
+    t = docs.select("doc_id", TX.token_count(F.col("text")).alias("tok"))
+    packed = pack_offsets(t, "doc_id", "tok", budget, num_shards=shards,
+                          order="shuffle", seed=seed)
+    man = sequence_manifest(packed, budget).collect()
+    by_doc, by_seq = {}, {}
+    for r in man:
+        assert 0 <= r["doc_from"] < r["doc_to"]
+        assert 0 <= r["seq_offset"] < budget
+        assert r["doc_to"] - r["doc_from"] <= budget
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq"], []).append(r)
+    toks = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    for did, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_from"])
+        assert segs[0]["doc_from"] == 0
+        assert segs[-1]["doc_to"] == toks[did]
+        for a, b in zip(segs, segs[1:]):
+            assert a["doc_to"] == b["doc_from"]  # contiguous doc coverage
+    for segs in by_seq.values():
+        segs.sort(key=lambda r: r["seq_offset"])
+        off = segs[0]["seq_offset"]
+        assert off == 0 or len(segs) == 1  # a seq starts at 0 unless it
+        for s in segs:                      # holds one doc's tail only
+            assert s["seq_offset"] == off
+            off += s["doc_to"] - s["doc_from"]
+        assert off <= budget
