@@ -19,6 +19,8 @@ are plain attributes here) with underscore aliases alongside.
 from .core.session import get_spark
 from .core.ticks import TickStream, KEY, TS, SEQ, VALUE, GLOBAL_KEY
 from .core.align import (
+    make_active,
+    make_passive,
     align, align_wide, asof_join, binary_op, now, sample, ticked, valid,
 )
 from .core.enum import DynamicEnum, Enum
@@ -54,6 +56,10 @@ from .frame import TsFrame
 from .frame import TsFrame as DataFrame  # csp.DataFrame reference name
 from .plans.runtime import (
     attached,
+    engine_end_time,
+    engine_start_time,
+    in_realtime,
+    is_configured_realtime,
     csp_memoized,
     dynamic_apply,
     feedback_iterate,
@@ -122,7 +128,7 @@ from .operators.history import (
     value_at,
     values_at,
 )
-from .operators.alarms import alarm_stream, schedule_alarm
+from .operators.alarms import alarm_stream, cancel_alarm, schedule_alarm
 from .sinks.publish import (
     LogSettings,
     log_ticks,
@@ -223,7 +229,9 @@ __all__ = [
     "struct_collectts", "struct_field", "struct_fromts", "timer", "times",
     "times_ns", "unroll", "wrap_feedback",
     "value_at", "time_at", "item_at", "values_at", "times_at", "items_at",
-    "set_buffering_policy", "schedule_alarm", "alarm_stream",
+    "set_buffering_policy", "schedule_alarm", "alarm_stream", "cancel_alarm",
+    "make_passive", "make_active", "engine_start_time", "engine_end_time",
+    "in_realtime", "is_configured_realtime",
     "LogSettings", "log", "log_ticks", "print", "print_ticks",
     "stop_engine", "stop_engine_limit",
     "PushAdapter", "GenericPushAdapter", "PushGroup", "PushPullAdapter",

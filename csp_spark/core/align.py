@@ -41,6 +41,26 @@ def _ticked(name: str) -> str:
     return f"{name}__ticked"
 
 
+class PassiveTickStream(TickStream):
+    """A stream marked passive for align consumers (csp.make_passive,
+    builtin_functions.py:67-104): its ticks still update the last-value
+    columns but no longer produce output cycles of their own."""
+
+    __slots__ = ()
+
+
+def make_passive(x: TickStream) -> TickStream:
+    """csp.make_passive: downstream align()s stop emitting rows for
+    this input's ticks; its values keep flowing as last-values (the
+    reference's 'passive inputs don't wake the node' rule)."""
+    return PassiveTickStream(x.df, x.value_col)
+
+
+def make_active(x: TickStream) -> TickStream:
+    """csp.make_active: undo make_passive."""
+    return TickStream(x.df, x.value_col)
+
+
 def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFrame:
     """Union-align streams to a wide last-value frame.
 
@@ -98,13 +118,31 @@ def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFr
                 F.max((F.col(SRC) == i).cast("int")).over(w_cycle).cast("boolean")
                 .alias(_ticked(name))
             )
+    passive = [
+        i for i, s in enumerate(streams.values())
+        if isinstance(s, PassiveTickStream)
+    ]
+    if passive and len(passive) < len(names):
+        # passive inputs update last-values but emit no cycles of their
+        # own: keep only cycles where some ACTIVE stream ticked
+        active_tick = reduce(
+            lambda c, i: c | F.max(
+                (F.col(SRC) == i).cast("int")
+            ).over(w_cycle).cast("boolean"),
+            [i for i in range(len(names)) if i not in passive],
+            F.lit(False),
+        )
+        out_cols.append(active_tick.alias("__active_tick"))
     out = u.select(
         *out_cols,
         F.row_number()
         .over(Window.partitionBy(KEY, TS, SEQ).orderBy(F.desc(SRC)))
         .alias("__cycle_rn"),
     )
-    return out.filter(F.col("__cycle_rn") == 1).drop("__cycle_rn")
+    out = out.filter(F.col("__cycle_rn") == 1).drop("__cycle_rn")
+    if passive and len(passive) < len(names):
+        out = out.filter(F.col("__active_tick")).drop("__active_tick")
+    return out
 
 
 def ticked(name: str) -> Column:

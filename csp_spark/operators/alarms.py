@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..core.ticks import KEY, SEQ, TS, TickStream
 
-__all__ = ["schedule_alarm", "alarm_stream"]
+__all__ = ["schedule_alarm", "alarm_stream", "cancel_alarm"]
 
 
 def schedule_alarm(
@@ -60,6 +60,16 @@ def alarm_stream(
     fired = schedule_alarm(requests, delay)
     if cancels is None:
         return fired
+    return cancel_alarm(fired, delay, cancels)
+
+
+def cancel_alarm(
+    fired: TickStream, delay: _dt.timedelta, cancels: TickStream
+) -> TickStream:
+    """csp.cancel_alarm (builtin_functions.py:297-304) as a stream op:
+    revoke scheduled alarms whose request seq a cancel tick names
+    before the fire time. Exposed under the reference name; the
+    combined request→fire→cancel pipeline is ``alarm_stream``."""
     us = round(delay.total_seconds() * 1_000_000)
     c = cancels.df.select(
         F.col(KEY).alias("__ck"),

@@ -48,6 +48,9 @@ def run(
     from ..core import surface as _surface
 
     mark = len(_on_stop_callbacks)
+    _run_info_stack.append(
+        {"start": starttime, "end": endtime, "realtime": False}
+    )
     try:
         # build under an output context so csp.add_graph_output side
         # outputs registered during wiring are collected too
@@ -75,11 +78,52 @@ def run(
                 result[name] = ticks
         return result
     finally:
+        _run_info_stack.pop()
         # fire + drain callbacks registered during THIS run's build
         # (csp.schedule_on_engine_stop), success or failure
         mine, _on_stop_callbacks[mark:] = _on_stop_callbacks[mark:], []
         for f in mine:
             f()
+
+
+# ----------------------------------------------------------------------
+# engine run-time services (reference builtin_functions.py:305-349:
+# csp.now is a column — core/align.now; the run-scoped services below
+# read the active run() frame, like GraphRunInfo in the reference)
+# ----------------------------------------------------------------------
+
+_run_info_stack: list = []
+
+
+def _cur_run() -> dict:
+    if not _run_info_stack:
+        raise RuntimeError(
+            "engine run-time services are only valid while a run() is "
+            "building/collecting a graph (reference: node/graph context)"
+        )
+    return _run_info_stack[-1]
+
+
+def engine_start_time():
+    """csp.engine_start_time (builtin_functions.py:328): the active
+    run's starttime (None = unbounded replay-from-data-start)."""
+    return _cur_run()["start"]
+
+
+def engine_end_time():
+    """csp.engine_end_time (builtin_functions.py:336)."""
+    return _cur_run()["end"]
+
+
+def in_realtime() -> bool:
+    """csp.in_realtime (builtin_functions.py:322): batch run() frames
+    report False; streaming harnesses mark their frame realtime."""
+    return bool(_cur_run()["realtime"])
+
+
+def is_configured_realtime() -> bool:
+    """csp.is_configured_realtime (builtin_functions.py:344)."""
+    return bool(_cur_run()["realtime"])
 
 
 # ----------------------------------------------------------------------

@@ -19,15 +19,22 @@ def collect_stream(x: DataFrame, output_mode: str = "append") -> DataFrame:
     (Trigger.AvailableNow — processes every pending microbatch, then
     stops) into an in-memory table; returns it as a batch DataFrame.
     This is simulation-mode-over-a-stream: same operators, bounded run."""
+    from ..plans.runtime import _run_info_stack
+
     name = f"csp_sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        x.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a streaming run is a realtime engine frame (csp.in_realtime True)
+    _run_info_stack.append({"start": None, "end": None, "realtime": True})
+    try:
+        q = (
+            x.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _run_info_stack.pop()
     return x.sparkSession.table(name)
 
 

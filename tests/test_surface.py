@@ -139,3 +139,37 @@ def test_typing_markers():
         Numpy1DArray[np.float64]([[1, 2]])
     # bare (unsubscripted) coercion also works, reference-style
     assert NumpyNDArray([1.5]).tolist() == [1.5]
+
+
+def test_make_passive_and_engine_services(spark):
+    """Passive inputs update last-values without emitting cycles
+    (builtin_functions.py:67-104), and the run-scoped engine services
+    report the active frame's configuration."""
+    from csp_spark import align, make_active, make_passive
+
+    x = _curve(spark, 3)  # ticks at t0, t0+1s, t0+2s
+    y = TickStream.from_rows(
+        spark, [(START + TD(milliseconds=500), 10.0),
+                (START + TD(seconds=10), 20.0)]
+    )
+    a = align({"x": x, "y": make_passive(y)}).orderBy("ts").collect()
+    # only x's three ticks produce cycles; y's 10.0 still flows as a
+    # last value into the t0+1s and t0+2s cycles
+    assert [r["ts"] for r in a] == [START + TD(seconds=i) for i in range(3)]
+    assert [r["y"] for r in a] == [None, 10.0, 10.0]
+    b = align({"x": x, "y": make_active(make_passive(y))}).collect()
+    assert len(b) == 5  # reactivated: every tick emits again
+
+    seen = {}
+
+    def graph():
+        seen["start"] = csp.engine_start_time()
+        seen["end"] = csp.engine_end_time()
+        seen["rt"] = csp.in_realtime(), csp.is_configured_realtime()
+        return _curve(spark, 2)
+
+    run(graph, starttime=START, endtime=START + TD(minutes=1))
+    assert seen == {"start": START, "end": START + TD(minutes=1),
+                    "rt": (False, False)}
+    with pytest.raises(RuntimeError, match="only valid"):
+        csp.engine_start_time()
