@@ -2429,6 +2429,41 @@ FROM m
 """
 
 
+def doc_token_ids(spark, sf_dir):
+    """Vocabulary build + token-id encoding (text/analysis.py
+    build_vocab/encode_tokens): frequency-ranked 500-token vocab, ids
+    by (count desc, token asc), OOV → 0; per-doc ordered id arrays —
+    the tokenize→ids step ahead of sequence packing. One corpus
+    hash-aggregate + broadcast vocab join + one keyed collect."""
+    from csp_spark.text import build_vocab, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return encode_tokens(docs, build_vocab(docs, vocab_size=500))
+
+
+def _token_ids_oracle_sql() -> str:
+    return r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, ts[i] AS token, i AS pos
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM base)
+),
+counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY c DESC, token) AS tid
+  FROM counts QUALIFY tid <= 500
+),
+enc AS (
+  SELECT t.doc_id, t.pos, CAST(COALESCE(v.tid, 0) AS INT) AS tid
+  FROM toks t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id, list(tid ORDER BY pos) AS token_ids FROM enc GROUP BY doc_id
+"""
+
+
 def doc_incremental_dedup(spark, sf_dir):
     """Ingestion-time dedup (dedup/components.py incremental_dedup):
     even-id docs are the published corpus, odd-id docs the incoming
@@ -2822,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_asof_directions": op_asof_directions,
         "stats_ohlc_bars": stats_ohlc_bars,
         "doc_pack_manifest": doc_pack_manifest,
+        "doc_token_ids": doc_token_ids,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2840,7 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) new / never driver-run
         "doc_pack", "doc_pack_fit", "doc_weighted_sample",
         "doc_cap_per_source", "doc_incremental_dedup",
-        "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
+        "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest", "doc_token_ids",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3386,6 +3422,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "op_asof_directions": _asof_directions_oracle_sql(),
         "stats_ohlc_bars": _ohlc_oracle_sql(),
         "doc_pack_manifest": _pack_manifest_oracle_sql(),
+        "doc_token_ids": _token_ids_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "ann_knn_join": _knn_oracle_sql(),

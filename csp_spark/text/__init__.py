@@ -3,7 +3,8 @@ from .analysis import (
     digit_ratio, upper_ratio, stopword_ratio, quality_score, lang_guess,
     fingerprint, winnow_fingerprints, STOPWORDS,
     dup_word_fraction, dup_line_fraction, repetition_stats,
-    chunk_documents, compression_ratio, spread, redact_pii, pii_counts,
+    chunk_documents, compression_ratio, build_vocab, encode_tokens,
+    spread, redact_pii, pii_counts,
     PII_PATTERNS,
     boilerplate_lines, remove_boilerplate, decontaminate,
     term_stats, doc_tfidf, quality_classifier_scores,

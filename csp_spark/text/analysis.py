@@ -288,6 +288,70 @@ def repetition_stats(
     )
 
 
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary: (token, token_id, count) with
+    token_id 1..vocab_size assigned by (count desc, token asc) — a
+    deterministic, engine-portable id assignment (0 is reserved for
+    OOV by encode_tokens).
+
+    Scale shape: the corpus-sized work is ONE token hash-aggregate
+    (map-side partials); ranking then runs over the aggregated
+    distinct-token table, pre-pruned by ``min_count`` — Heaps'-law
+    small relative to the corpus, but the global row_number is still
+    a single-partition sort of the candidate vocabulary, so raise
+    ``min_count`` at web scale to keep candidates bounded."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.desc("count"), F.col("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= vocab_size)
+    )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-id encoding: (doc_id, token_ids array) with ids from
+    ``vocab`` (build_vocab's schema) and 0 for out-of-vocabulary —
+    the tokenize→ids step in front of sequence packing.
+
+    Plan: posexplode → broadcast-join the (small by construction)
+    vocab → one keyed collect, order restored by sorting the
+    (position, id) structs inside the aggregate's result — no window,
+    one shuffle on doc id."""
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "token"),
+    )
+    enc = pos.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col, "__pos",
+        F.coalesce("token_id", F.lit(0)).cast("int").alias("__tid"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos", "__tid"))),
+            lambda s: s["__tid"],
+        ).alias("token_ids")
+    )
+
+
 def compression_ratio(
     docs: DataFrame,
     text_col: str = "text",

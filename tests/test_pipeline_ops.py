@@ -927,3 +927,25 @@ def test_sequence_manifest_tiles_sequences(docs):
             assert s["seq_offset"] == off
             off += s["doc_to"] - s["doc_from"]
         assert off <= budget
+
+
+def test_build_vocab_and_encode_tokens(spark):
+    from csp_spark.text import build_vocab, encode_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b a c a b"), (2, "b c d"), (3, "a zz")],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: (r["token_id"], r["count"])
+             for r in build_vocab(df, vocab_size=3).collect()}
+    # count desc, token asc: a(4)=1, b(3)=2, c(2)=3; d/zz cut
+    assert vocab == {"a": (1, 4), "b": (2, 3), "c": (3, 2)}
+    enc = {r["doc_id"]: r["token_ids"]
+           for r in encode_tokens(df, build_vocab(df, vocab_size=3)).collect()}
+    assert enc[1] == [1, 2, 1, 3, 1, 2]
+    assert enc[2] == [2, 3, 0]       # d -> OOV 0
+    assert enc[3] == [1, 0]
+    # min_count prunes the ranking candidates
+    v2 = {r["token"] for r in
+          build_vocab(df, vocab_size=10, min_count=2).collect()}
+    assert v2 == {"a", "b", "c"}
