@@ -42,8 +42,13 @@ QUERIES = [
     # (pure window / filter) — all doc-keyed, ~linear by construction
     "doc_pack",
     "doc_pack_fit",
+    "doc_pack_manifest",
     "doc_cap_per_source",
     "doc_weighted_sample",
+    "doc_incremental_dedup",
+    "doc_token_ids",
+    "stats_ohlc_bars",
+    "op_asof_directions",
 ]
 
 
