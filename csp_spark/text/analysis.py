@@ -145,46 +145,63 @@ def winnow_fingerprints(
     fingerprint set (density ~1/w of all shingles, position-robust: a
     local edit perturbs only nearby window minima).
 
-    Scale shape: explode shingle positions → hash → one shuffle by doc
-    id for the ordered window-min → filter (+ optional distinct). Per-doc
-    work is linear; no cross-doc joins.
+    Scale shape: ZERO shuffle — the rolling hash sequence AND the
+    window-min selection are per-doc array expressions (higher-order
+    functions), so the whole operator is scan → per-row codegen →
+    explode of the (small, ~L/w element) selected array. The earlier
+    explode-then-window plan carried the full normalized text on every
+    shingle row (O(len²) bytes per doc) and shuffled every shingle by
+    doc id for the ordered window-min; at 10x corpus that spilled and
+    scaled 13.4x. This form holds per-row memory at O(len) and
+    per-doc work at O(len·w), all inside WholeStageCodegen.
 
-    hash_style: "xx64" (default) keeps the shuffled/sorted rows at 8-byte
-    longs — at 100M+ shingle rows the 32-char md5 hex strings quadruple
-    shuffle volume and make every sort comparison a string compare
-    (measured 15.5x vs 10x data growth; xx64 restores ~linear). "md5"
-    exists so external engines (DuckDB oracle) reproduce the selection
-    bit-for-bit.
+    hash_style: "xx64" (default) keeps the per-doc hash array at
+    8-byte longs; "md5" exists so external engines (DuckDB oracle)
+    reproduce the selection bit-for-bit (string min ordering matches).
 
-    distinct=False skips the final exchange when the consumer aggregates
-    anyway (e.g. collect_set per doc) — dedup then happens inside that
-    aggregate's map-side partials instead of a dedicated shuffle.
+    distinct=True dedups INSIDE the array (array_distinct — per-doc
+    sets are global sets since id is part of the key), so there is no
+    dedicated distinct exchange in either mode; distinct=False keeps
+    one row per selected position (multiplicity preserved) for
+    consumers that aggregate anyway (e.g. collect_set per doc).
 
     Returns (id, fp) rows — one per selected fingerprint hash.
     """
-    from pyspark.sql import Window
-
     docs = spread(docs)
     norm = docs.select(
         F.col(id_col).alias("id"),
         F.array_join(tokens(F.col(text_col)), " ").alias("n"),
     )
-    pos = norm.select(
-        "id", "n",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("n") - (k - 1), F.lit(1)))
-        ).alias("i"),
+
+    def hfn(c):
+        return F.md5(c) if hash_style == "md5" else F.xxhash64(c)
+
+    seq = F.sequence(F.lit(1), F.greatest(F.length("n") - (k - 1), F.lit(1)))
+    # Materialize the hash array as a bound column BEFORE the selection
+    # pass: the selection lambda slices the array per element, and an
+    # attribute reference makes that an O(w) read — inlining the
+    # transform expression there would re-evaluate the whole rolling
+    # hash per element (O(len²) compute).
+    hashed = norm.select(
+        "id",
+        F.transform(seq, lambda i: hfn(F.col("n").substr(i, F.lit(k)))).alias("hs"),
     )
-    shingle = F.col("n").substr(F.col("i"), F.lit(k))
-    hfn = F.md5(shingle) if hash_style == "md5" else F.xxhash64(shingle)
-    hashed = pos.select("id", "i", hfn.alias("h"))
-    win = Window.partitionBy("id").orderBy("i").rowsBetween(-(w - 1), 0)
-    out = (
-        hashed.withColumn("__m", F.min("h").over(win))
-        .filter(F.col("h") == F.col("__m"))
-        .select("id", F.col("h").alias("fp"))
+    # Select h[i] when it equals the min of the w-window ending at i
+    # (trailing window truncated at the doc start, matching the
+    # rowsBetween(-(w-1), 0) frame of the window-function form).
+    sel = F.filter(
+        F.col("hs"),
+        lambda x, i: x
+        == F.array_min(
+            F.slice(
+                F.col("hs"),
+                F.greatest(i - (w - 2), F.lit(1)),
+                F.least(i + F.lit(1), F.lit(w)),
+            )
+        ),
     )
-    return out.distinct() if distinct else out
+    arr = F.array_distinct(sel) if distinct else sel
+    return hashed.select("id", F.explode(arr).alias("fp"))
 
 
 #: PII patterns — deliberately simple, deterministic regexes (real
