@@ -2035,6 +2035,20 @@ def text_term_stats(spark, sf_dir):
     )
 
 
+def doc_repeated_spans(spark, sf_dir):
+    """Exact repeated-substring dedup (the Lee et al. ACL'22
+    ExactSubstr family; text/analysis.py repeated_spans): merged cover
+    intervals of duplicated word-10-grams, the globally-first
+    occurrence of each gram exempt so one canonical copy of every
+    duplicated passage survives. One row per merged span; the oracle
+    censuses gram TEXT where Spark censuses xxhash64 of it — identical
+    selection, engine-portable."""
+    from csp_spark.text import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(docs, k=10)
+
+
 def text_tfidf(spark, sf_dir):
     """Per-doc top-3 tokens by smoothed TF-IDF (text/analysis.py
     doc_tfidf): two keyed aggregates + vocabulary shuffle join + one
@@ -2858,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ohlc_bars": stats_ohlc_bars,
         "doc_pack_manifest": doc_pack_manifest,
         "doc_token_ids": doc_token_ids,
+        "doc_repeated_spans": doc_repeated_spans,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2876,7 +2891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) new / never driver-run
         "doc_pack", "doc_pack_fit", "doc_weighted_sample",
         "doc_cap_per_source", "doc_incremental_dedup",
-        "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest", "doc_token_ids",
+        "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
+        "doc_token_ids", "doc_repeated_spans",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3710,6 +3726,35 @@ SELECT d.doc_id,
   CAST(CASE WHEN coalesce(m.n_matches, 0) >= 1 THEN 1 ELSE 0 END AS INT)
     AS contaminated
 FROM documents d LEFT JOIN m USING (doc_id)
+""",
+        "doc_repeated_spans": r"""
+WITH norm AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), occ AS (
+  SELECT id, unnest(generate_series(1, len(t) - 9)) AS pos, t
+  FROM norm WHERE len(t) >= 10
+), g AS (
+  SELECT id, pos, array_to_string(t[pos:pos+9], ' ') AS gram FROM occ
+), census AS (
+  SELECT gram, min(id * 1000000000 + pos) AS min_ok
+  FROM g GROUP BY 1 HAVING count(*) > 1
+), marked AS (
+  SELECT g.id, g.pos FROM g JOIN census USING (gram)
+  WHERE g.id * 1000000000 + g.pos <> census.min_ok
+), brk AS (
+  SELECT id, pos,
+    CASE WHEN pos <= max(pos + 10) OVER (PARTITION BY id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 0 ELSE 1 END AS b
+  FROM marked
+), isl AS (
+  SELECT id, pos, sum(b) OVER (PARTITION BY id ORDER BY pos) AS grp FROM brk
+)
+SELECT id AS doc_id,
+  CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(pos) + 10 AS BIGINT) AS span_end
+FROM isl GROUP BY id, grp
 """,
         "text_term_stats": r"""
 WITH toks AS (

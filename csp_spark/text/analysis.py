@@ -530,6 +530,23 @@ def remove_boilerplate(
     )
 
 
+def _gram_hashes(toks: Column, n: int) -> Column:
+    """xxhash64 of every word ``n``-gram of a token array, as an array
+    (one element per start position, in position order). Computed with
+    a higher-order transform so downstream explodes carry 8-byte
+    hashes, never the token array itself (the explode-positions-then-
+    slice form duplicates the whole array onto every exploded row —
+    O(len²) bytes per doc, the same cliff winnow_fingerprints hit).
+    Docs shorter than ``n`` tokens yield an empty array."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -545,12 +562,13 @@ def decontaminate(
     sweep run before every serious training job).
 
     Scale shape: the eval set is SMALL by nature → its distinct gram
-    hashes broadcast; the 100 TB training side explodes to
-    (id, gram-hash) rows and broadcast-inner-joins — no shuffle of
-    corpus grams at all, then one keyed count-distinct. Normalization
-    (lower + whitespace collapse) matches the dedup family so the
-    same grams collide. Output: every doc as
-    (id_col, n_matches, contaminated)."""
+    hashes broadcast; the 100 TB training side computes its gram-hash
+    ARRAY per doc row (higher-order transform — the exploded rows then
+    carry only 8-byte hashes, never the token array itself) and
+    broadcast-inner-joins — no shuffle of corpus grams at all, then one
+    keyed count-distinct. Normalization (lower + whitespace collapse)
+    matches the dedup family so the same grams collide. Output: every
+    doc as (id_col, n_matches, contaminated)."""
     eval_text_col = eval_text_col or text_col
 
     def grams(df: DataFrame, col: str, idc: str | None):
@@ -561,19 +579,12 @@ def decontaminate(
                 " ",
             ).alias("t"),
         )
-        pos = toks.select(
-            *(["id"] if idc else []), "t",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("t") - (n - 1), F.lit(1))
-                )
-            ).alias("i"),
-        ).filter(F.size("t") >= n)
-        return pos.select(
+        hashed = toks.select(
             *(["id"] if idc else []),
-            F.xxhash64(
-                F.array_join(F.slice("t", F.col("i"), n), " ")
-            ).alias("gh"),
+            _gram_hashes(F.col("t"), n).alias("ghs"),
+        )
+        return hashed.select(
+            *(["id"] if idc else []), F.explode("ghs").alias("gh")
         )
 
     eval_grams = grams(eval_docs, eval_text_col, None).distinct()
@@ -592,6 +603,159 @@ def decontaminate(
             (F.coalesce(F.col("n_matches"), F.lit(0)) >= min_matches)
             .alias("contaminated"),
         )
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Exact repeated-substring detection (the Lee et al., ACL'22
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr family, word-granular): find every maximal token span
+    that also occurs elsewhere in the corpus — verbatim quotes, mirrored
+    articles, templated passages — as mergeable cover intervals of the
+    duplicated word ``k``-grams. The paper builds a corpus-wide suffix
+    array (inherently sequential); the distributed equivalent is a
+    k-gram-anchor census: a span of length ≥ k repeats iff each of its
+    k-grams repeats, so duplicated-gram cover intervals recover the
+    same regions with resolution k.
+
+    Semantics: a (doc, position) k-gram occurrence is DUPLICATED when
+    the same gram text (lower + whitespace-collapsed, matching the
+    dedup family) occurs anywhere else in the corpus — other docs or
+    the same doc. With ``keep_first`` the globally-minimal occurrence
+    (smallest ``(id, pos)``) of each gram is exempt, so one canonical
+    copy of every duplicated passage survives removal (the paper's
+    all-but-one discipline). Marked occurrences cover tokens
+    ``[pos, pos+k)``; overlapping/adjacent covers merge per doc.
+
+    Scale shape: gram-hash arrays per doc row (higher-order transform,
+    no token-array duplication) → explode to (id, pos, gh) — 8-byte
+    hashes, linear in corpus tokens → ONE hash-aggregate by gh
+    (count + min occurrence key, map-side partial) → one shuffle join
+    back on gh → per-doc sorted-positions fold merges intervals inside
+    an array aggregate (no window, no second shuffle beyond the keyed
+    collect). Everything JVM-side.
+
+    Returns (id_col, span_start, span_end): 1-based token offsets,
+    end exclusive, one row per merged duplicated span.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+            " ",
+        ).alias("t"),
+    )
+    occ = toks.select(
+        "id", F.posexplode(_gram_hashes(F.col("t"), k)).alias("p0", "gh")
+    ).select("id", (F.col("p0") + 1).alias("pos"), "gh")
+    # single-BIGINT occurrence key: min() over it picks the smallest
+    # (id, pos) pair — deterministic and portable to the SQL oracle
+    # (struct-min ordering differs across engines). Positions are
+    # bounded by doc token counts (< 1e9 by any practical measure).
+    okey = F.col("id") * F.lit(1_000_000_000) + F.col("pos")
+    census = (
+        occ.select("gh", okey.alias("ok"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("ok").alias("min_ok"))
+        .filter(F.col("n_occ") > 1)
+    )
+    marked = occ.join(census, "gh")
+    if keep_first:
+        marked = marked.filter(okey != F.col("min_ok"))
+    spans = marked.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    # fold sorted start positions into merged [s, e) intervals:
+    # extend the open interval while the next start is ≤ its end
+    # (overlap or adjacency), else open a new one
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+    merged = F.aggregate(
+        F.col("ps"),
+        empty,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], (p + k).cast("long")
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.cast("long").alias("s"), (p + k).cast("long").alias("e")
+                    )
+                ),
+            )
+        ),
+    )
+    return spans.select(
+        F.col("id").alias(id_col), F.explode(merged).alias("sp")
+    ).select(
+        id_col,
+        F.col("sp.s").alias("span_start"),
+        F.col("sp.e").alias("span_end"),
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Strip the duplicated spans found by :func:`repeated_spans` from
+    every document (normalized tokenization, matching the span
+    offsets), keeping the canonical first occurrence when
+    ``keep_first``. Docs keep their row even when fully covered (empty
+    text — downstream length filters decide). One extra keyed
+    collect + left join over the span pipeline; the rebuild is a
+    per-row array filter. Output: (id_col, text_col,
+    n_removed_tokens)."""
+    spans = repeated_spans(docs, text_col, id_col, k, keep_first)
+    per_doc = spans.groupBy(F.col(id_col).alias("id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sps")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+            " ",
+        ).alias("t"),
+    )
+    joined = toks.join(
+        per_doc.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.exists(
+            F.coalesce(
+                F.col("sps"),
+                F.array().cast(
+                    "array<struct<span_start:long,span_end:long>>"
+                ),
+            ),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
 
 

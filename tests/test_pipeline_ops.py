@@ -466,6 +466,44 @@ def test_decontaminate_ngram_overlap(spark):
     assert len(strict) == 4  # every doc is reported, flagged or not
 
 
+def test_repeated_spans(spark):
+    """Lee-et-al-style exact repeated-substring dedup: duplicated
+    k-gram cover intervals merge into spans; the globally-first
+    occurrence is exempt (one canonical copy survives); within-doc
+    repeats are caught too."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one {shared} tail one"),
+            (2, f"other start here {shared} and more words beyond"),
+            (3, "totally different text with no duplication at all whatsoever"),
+            (4, f"{shared} {shared} double up"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in TX.repeated_spans(docs, k=5).collect()
+    }
+    # doc 1 holds the minimal occurrence of every shared gram — exempt
+    assert 1 not in spans and 3 not in spans
+    # doc 2: shared sits at tokens 4..13; covered exactly
+    assert spans[2] == (4, 14)
+    # doc 4: both copies merge into one span over tokens 1..20
+    assert spans[4] == (1, 21)
+    out = {r["doc_id"]: r for r in
+           TX.remove_repeated_spans(docs, k=5).collect()}
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[2]["text"] == "other start here and more words beyond"
+    assert out[2]["n_removed_tokens"] == 10
+    assert out[4]["text"] == "double up" and out[4]["n_removed_tokens"] == 20
+    # keep_first=False removes every duplicated occurrence everywhere
+    all_gone = {r["doc_id"]: r for r in
+                TX.remove_repeated_spans(docs, k=5, keep_first=False).collect()}
+    assert all_gone[1]["n_removed_tokens"] == 10
+    assert all_gone[3]["n_removed_tokens"] == 0
+
+
 def test_term_stats_and_tfidf(spark):
     docs = spark.createDataFrame(
         [
