@@ -2049,6 +2049,20 @@ def doc_repeated_spans(spark, sf_dir):
     return repeated_spans(docs, k=10)
 
 
+def text_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal (text/analysis.py lm_scores):
+    add-1-smoothed bigram model self-trained on the corpus, every doc
+    scored by mean negative log-likelihood. avg_nll rounded to 6dp in
+    both engines (the tfidf precedent) — double averaging orders
+    differ across engines in the last ulps."""
+    from csp_spark.text import lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_scores(docs, n=2, add_k=1.0).select(
+        "doc_id", "n_grams", F.round("avg_nll", 6).alias("avg_nll")
+    )
+
+
 def text_tfidf(spark, sf_dir):
     """Per-doc top-3 tokens by smoothed TF-IDF (text/analysis.py
     doc_tfidf): two keyed aggregates + vocabulary shuffle join + one
@@ -2873,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_manifest": doc_pack_manifest,
         "doc_token_ids": doc_token_ids,
         "doc_repeated_spans": doc_repeated_spans,
+        "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict, so order by evidence value (round 4):
@@ -2892,7 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack", "doc_pack_fit", "doc_weighted_sample",
         "doc_cap_per_source", "doc_incremental_dedup",
         "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
-        "doc_token_ids", "doc_repeated_spans",
+        "doc_token_ids", "doc_repeated_spans", "text_lm_score",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3755,6 +3770,39 @@ SELECT id AS doc_id,
   CAST(min(pos) AS BIGINT) AS span_start,
   CAST(max(pos) + 10 AS BIGINT) AS span_end
 FROM isl GROUP BY id, grp
+""",
+        "text_lm_score": r"""
+WITH norm AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w FROM norm
+), ctx AS (
+  SELECT w, count(*) AS c_ctx FROM tok GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT w) AS V FROM tok WHERE length(w) > 0
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM norm WHERE len(t) >= 2
+), bi AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos
+), bic AS (
+  SELECT w1, w2, count(*) AS c_gram FROM bi GROUP BY 1, 2
+), lp AS (
+  SELECT b.doc_id,
+    ln((bic.c_gram + 1.0)
+       / (ctx.c_ctx + 1.0 * (SELECT V FROM vocab))) AS lp
+  FROM bi b
+  JOIN bic ON bic.w1 = b.w1 AND bic.w2 = b.w2
+  JOIN ctx ON ctx.w = b.w1
+), agg AS (
+  SELECT doc_id, count(*) AS n_grams, -avg(lp) AS avg_nll
+  FROM lp GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+  round(a.avg_nll, 6) AS avg_nll
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         "text_term_stats": r"""
 WITH toks AS (

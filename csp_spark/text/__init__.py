@@ -7,6 +7,6 @@ from .analysis import (
     spread, redact_pii, pii_counts,
     PII_PATTERNS,
     boilerplate_lines, remove_boilerplate, decontaminate,
-    repeated_spans, remove_repeated_spans,
+    repeated_spans, remove_repeated_spans, lm_scores,
     term_stats, doc_tfidf, quality_classifier_scores,
 )

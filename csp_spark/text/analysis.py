@@ -872,6 +872,100 @@ def quality_classifier_scores(
     )
 
 
+def lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    add_k: float = 1.0,
+    lm_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document n-gram language-model score — the CCNet-style LM
+    quality signal (Wenzek et al., LREC'20 train a 5-gram KenLM on
+    Wikipedia and keep low-perplexity web docs; Gopher/C4 use the same
+    shape). This is the statistical version: an add-k-smoothed word
+    ``n``-gram model with ``P(w|ctx) = (c(ctx·w)+k) / (c(ctx)+k·V)``
+    trained on ``lm_docs`` (default: the corpus itself —
+    self-perplexity flags statistical outliers), scoring every doc by
+    the mean negative log-likelihood of its n-grams (``avg_nll`` =
+    ln-perplexity).
+
+    Scale shape: training = two hash-aggregates over 8-byte gram
+    hashes (n-gram and context counts; map-side partials) + one
+    count-distinct for V; scoring = per-doc gram/context hash arrays
+    (higher-order transform — exploded rows carry hashes only) → two
+    shuffle joins against the count tables → one keyed average.
+    Nothing leaves the JVM. Grams the model never saw score with
+    count 0 (pure smoothing mass), so an external ``lm_docs`` corpus
+    works unchanged.
+
+    Output: (id_col, n_grams, avg_nll); docs shorter than ``n``
+    tokens have n_grams=0 and NULL avg_nll (no evidence — downstream
+    filters decide).
+    """
+    lm_docs = lm_docs if lm_docs is not None else docs
+
+    def norm_toks(df: DataFrame) -> Column:
+        return F.split(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+            " ",
+        )
+
+    tr = lm_docs.select(norm_toks(lm_docs).alias("t"))
+    gram_counts = (
+        tr.select(F.explode(_gram_hashes(F.col("t"), n)).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c_gram"))
+    )
+    ctx_counts = (
+        tr.select(F.explode(_gram_hashes(F.col("t"), n - 1)).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c_ctx"))
+    )
+    vocab = tr.select(F.explode("t").alias("w")).filter(
+        F.length("w") > 0
+    ).agg(F.count_distinct("w").alias("V"))
+
+    d = docs.select(F.col(id_col).alias("id"), norm_toks(docs).alias("t"))
+    pairs = d.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(
+                    _gram_hashes(F.col("t"), n - 1),
+                    1,
+                    F.size(_gram_hashes(F.col("t"), n)),
+                ).alias("ch"),
+                _gram_hashes(F.col("t"), n).alias("gh"),
+            )
+        ).alias("z"),
+    ).select("id", F.col("z.ch").alias("ch"), F.col("z.gh").alias("gh"))
+    scored = (
+        pairs.join(gram_counts, "gh", "left")
+        .join(ctx_counts, "ch", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.log(
+                (F.coalesce(F.col("c_gram"), F.lit(0)) + F.lit(add_k))
+                / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(add_k) * F.col("V"))
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"), (-F.avg("lp")).alias("avg_nll")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.col("avg_nll"),
+        )
+    )
+
+
 def annotate(
     docs: DataFrame, text_col: str = "text", lang: str = "en"
 ) -> DataFrame:

@@ -504,6 +504,43 @@ def test_repeated_spans(spark):
     assert all_gone[3]["n_removed_tokens"] == 0
 
 
+def test_lm_scores(spark):
+    """Bigram add-k LM self-perplexity equals a pure-Python fold; the
+    statistical-outlier doc scores worse than the repetitive ones."""
+    import math
+    from collections import Counter
+
+    texts = {
+        1: "the cat sat on the mat the cat sat again",
+        2: "the cat sat on the mat the cat slept",
+        3: "zq xw vv kj qpr mno zzz yyy xxx www",
+        4: "tiny",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.lm_scores(docs, n=2, add_k=1.0).collect()}
+
+    toks = {i: t.split() for i, t in texts.items()}
+    grams = Counter(g for t in toks.values() for g in zip(t, t[1:]))
+    ctxs = Counter(w for t in toks.values() for w in t)
+    V = len(set(w for t in toks.values() for w in t))
+    for i, t in toks.items():
+        bi = list(zip(t, t[1:]))
+        if not bi:
+            assert out[i]["n_grams"] == 0 and out[i]["avg_nll"] is None
+            continue
+        want = -sum(
+            math.log((grams[g] + 1.0) / (ctxs[g[0]] + V)) for g in bi
+        ) / len(bi)
+        assert abs(out[i]["avg_nll"] - want) < 1e-12, (i, out[i]["avg_nll"], want)
+        assert out[i]["n_grams"] == len(bi)
+    assert out[3]["avg_nll"] > out[1]["avg_nll"]
+    # external LM corpus: unseen grams get pure smoothing mass
+    lm = docs.filter(F.col("doc_id") != 3)
+    ext = {r["doc_id"]: r for r in
+           TX.lm_scores(docs, n=2, add_k=1.0, lm_docs=lm).collect()}
+    assert ext[3]["avg_nll"] > ext[1]["avg_nll"]
+
+
 def test_term_stats_and_tfidf(spark):
     docs = spark.createDataFrame(
         [
