@@ -1968,6 +1968,20 @@ def ann_ivf_exact(spark, sf_dir):
     return ivf_topk(emb, list(q), k=10, n_cells=8, n_probe=8)
 
 
+def ann_pq_topk(spark, sf_dir):
+    """PQ/ADC top-k (similarity/ann.py pq_index/pq_topk — Jégou
+    TPAMI'11): 8 subspaces x 32 codes over the 64-dim embeddings;
+    rows-only by design (lossy quantization has no SQL oracle; the
+    ADC plumbing is reconstruction-equality-tested and recall-tested
+    in test_pipeline_ops)."""
+    from csp_spark.similarity import pq_index, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    enc, books = pq_index(emb, m=8, n_codes=32)
+    return pq_topk(enc, books, list(q), k=10)
+
+
 def text_fingerprint(spark, sf_dir):
     # winnowing fingerprint sets, digested per doc so the compare stays
     # scalar: count + md5 of the sorted selected-hash list. md5 hashes +
@@ -2840,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ema_cov": stats_ema_cov,
         "text_fingerprint": text_fingerprint,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "ann_ivf_exact": ann_ivf_exact,
         "stats_trigger_reset": stats_trigger_reset,
         "stats_sampler": stats_sampler,
@@ -2908,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cap_per_source", "doc_incremental_dedup",
         "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
         "doc_token_ids", "doc_repeated_spans", "text_lm_score",
+        "ann_pq_topk",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
