@@ -1968,6 +1968,26 @@ def ann_ivf_exact(spark, sf_dir):
     return ivf_topk(emb, list(q), k=10, n_cells=8, n_probe=8)
 
 
+def doc_bpe_tokens(spark, sf_dir):
+    """BPE tokenize (text/bpe.py): train 64 merges on the corpus
+    sample, apply distributed; per-doc piece count + compression vs
+    whitespace tokens. Rows-only by design (the greedy merge recursion
+    has no SQL form; training and inference are deterministic and
+    golden-tested on the Sennrich ACL'16 example)."""
+    from csp_spark.text import train_bpe, apply_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=64, sample_cap=400, id_col="doc_id")
+    out = apply_bpe(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_pieces"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
 def ann_pq_topk(spark, sf_dir):
     """PQ/ADC top-k (similarity/ann.py pq_index/pq_topk — Jégou
     TPAMI'11): 8 subspaces x 32 codes over the 64-dim embeddings;
@@ -2855,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
+        "doc_bpe_tokens": doc_bpe_tokens,
         "ann_ivf_exact": ann_ivf_exact,
         "stats_trigger_reset": stats_trigger_reset,
         "stats_sampler": stats_sampler,
@@ -2923,7 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cap_per_source", "doc_incremental_dedup",
         "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
         "doc_token_ids", "doc_repeated_spans", "text_lm_score",
-        "ann_pq_topk",
+        "ann_pq_topk", "doc_bpe_tokens",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",

@@ -10,3 +10,4 @@ from .analysis import (
     repeated_spans, remove_repeated_spans, lm_scores,
     term_stats, doc_tfidf, quality_classifier_scores,
 )
+from .bpe import train_bpe, apply_bpe, bpe_vocab, EOW

@@ -213,6 +213,41 @@ def test_ivf_topk_recall(spark):
     assert len(exact01 & sampled) >= 8, (exact01, sampled)
 
 
+def test_bpe_train_and_apply(spark):
+    """BPE on the Sennrich ACL'16 example corpus: the first merges are
+    the known ones; applying the merges reproduces each word's
+    concatenation; the tokenization round-trips deterministically."""
+    from csp_spark.text import train_bpe, apply_bpe, EOW
+
+    # low x5, lower x2, newest x6, widest x3 — the paper's worked example
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=4, sample_cap=None)
+    # pair counts: (e,s)=9, then (es,t)=9, (est,</w>)=9, (l,o)=7
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o")], merges
+
+    out = apply_bpe(docs, merges).first()["bpe_tokens"]
+    # every word's subwords concatenate back to word + EOW
+    rebuilt = []
+    cur = ""
+    for s in out:
+        cur += s
+        if cur.endswith(EOW):
+            rebuilt.append(cur[: -len(EOW)])
+            cur = ""
+    assert rebuilt == words
+    # the learned suffix actually fuses: "newest" ends in one est</w> piece
+    assert "est" + EOW in out
+    # training is deterministic on re-run
+    assert train_bpe(docs, n_merges=4, sample_cap=None) == merges
+    # sampled training still yields usable merges on a larger corpus
+    big = spark.createDataFrame(
+        [(i, " ".join(words)) for i in range(50)], "doc_id long, text string"
+    )
+    sampled = train_bpe(big, n_merges=4, sample_cap=20, id_col="doc_id")
+    assert sampled == merges
+
+
 def test_pq_adc_matches_reconstruction_and_recall(spark):
     """PQ/ADC: the Spark lut-scored similarity must equal the numpy
     cosine of (query, reconstructed-from-codes vector) — that verifies
