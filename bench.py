@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "op_windowed_global",
     "doc_pack",
     "doc_pack_fit",
+    "doc_repeated_spans",
+    "text_lm_score",
 ]
 # Queries added to the bench set after round 2 — totals are NOT
 # comparable across rounds without excluding these, so the comparable
@@ -67,7 +69,8 @@ ADDED_R3 = {
     "dedup_components", "doc_split", "ann_knn_join", "ann_knn_join_blas",
     "q9_product_profit", "q21_suppliers_kept_waiting",
 }
-ADDED_R4 = {"op_windowed_global", "doc_pack", "doc_pack_fit"}
+ADDED_R4 = {"op_windowed_global", "doc_pack", "doc_pack_fit",
+            "doc_repeated_spans", "text_lm_score"}
 
 
 def main() -> None:

@@ -367,3 +367,62 @@ def ohlc_bars_stream(
             "open", "high", "low", "close", "n_ticks", "mean",
         )
     )
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_fn=None,
+):
+    """Streaming rolling-corpus build: each microbatch of incoming
+    documents is cleaned against the ACCUMULATED corpus with
+    dedup.components.incremental_dedup (near-dup pairs over corpus ∪
+    batch; existing docs immutable, anchored components drop their
+    incoming members, all-incoming components keep the min id) and the
+    survivors are appended to the corpus — the live form of
+    ingestion-time dedup. Processing batches b1..bn lands exactly the
+    corpus the batch loop ``for b: corpus += incremental_dedup(corpus,
+    b)`` builds (equality-tested).
+
+    Idempotence: each microbatch writes its survivors to a
+    ``batch=<epoch_id>`` partition directory with overwrite semantics,
+    so a retried batch rewrites the same partition instead of
+    double-appending (the standard foreachBatch exactly-once recipe).
+    Readers see the corpus as one partitioned parquet table.
+
+    Cost per batch = one bucketed pair pipeline over corpus ∪ batch —
+    see incremental_dedup's scale note; persist the corpus side's
+    MinHash signatures (pipeline/storage bucketed tables) to amortize
+    repeated ingests at 100 TB.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from ..dedup.components import incremental_dedup
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        incoming = batch_df.select(id_col, text_col)
+        try:
+            existing = spark.read.parquet(corpus_path).select(
+                id_col, text_col
+            )
+        except Exception:  # first batch: no corpus yet
+            existing = spark.createDataFrame([], incoming.schema)
+        kept = incremental_dedup(
+            existing, incoming,
+            pair_fn=pair_fn, id_col=id_col, text_col=text_col,
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{corpus_path}/batch={int(epoch_id)}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -926,17 +926,19 @@ def lm_scores(
         F.length("w") > 0
     ).agg(F.count_distinct("w").alias("V"))
 
-    d = docs.select(F.col(id_col).alias("id"), norm_toks(docs).alias("t"))
+    d = docs.select(
+        F.col(id_col).alias("id"), norm_toks(docs).alias("t")
+    ).select(
+        "id",
+        _gram_hashes(F.col("t"), n - 1).alias("chs"),
+        _gram_hashes(F.col("t"), n).alias("ghs"),
+    )
     pairs = d.select(
         "id",
         F.explode(
             F.arrays_zip(
-                F.slice(
-                    _gram_hashes(F.col("t"), n - 1),
-                    1,
-                    F.size(_gram_hashes(F.col("t"), n)),
-                ).alias("ch"),
-                _gram_hashes(F.col("t"), n).alias("gh"),
+                F.slice(F.col("chs"), 1, F.size("ghs")).alias("ch"),
+                F.col("ghs").alias("gh"),
             )
         ).alias("z"),
     ).select("id", F.col("z.ch").alias("ch"), F.col("z.gh").alias("gh"))

@@ -1,8 +1,9 @@
 """End-to-end training-corpus curation over the synthetic documents
-table: boilerplate-line removal → exact + fuzzy dedup → benchmark
-decontamination → model-based quality scoring → deterministic split.
-Each stage is a declarative DataFrame transform — one Spark job chain,
-Catalyst-optimized end to end.
+table: boilerplate-line removal → exact dedup → repeated-substring
+removal → benchmark decontamination → model-based + LM-perplexity
+quality scoring → deterministic split → temperature sampling → BPE
+tokenize → sequence packing. Each stage is a declarative DataFrame
+transform — one Spark job chain, Catalyst-optimized end to end.
 
 Run: python examples/04_curation_pipeline.py
 """
@@ -43,16 +44,38 @@ def main() -> None:
     deduped = dedup_exact(clean.select("doc_id", "text"))
     n2 = deduped.count()
 
+    # 2b. sub-document dedup: strip token spans duplicated elsewhere
+    #     in the corpus (Lee et al. ACL'22 family), keeping one
+    #     canonical copy of every repeated passage
+    from csp_spark.text import remove_repeated_spans
+
+    despanned = remove_repeated_spans(deduped, k=10)
+    n_span_tokens = despanned.agg(F.sum("n_removed_tokens")).first()[0]
+    deduped = despanned.select("doc_id", "text")
+
     # 3. decontamination vs a (tiny) benchmark set
     evals = docs.filter(F.col("doc_id") % 97 == 0)
     decon = decontaminate(deduped, evals, n=8, min_matches=1)
     keep_ids = decon.filter(~F.col("contaminated")).select("doc_id")
     survivors = deduped.join(keep_ids, "doc_id", "left_semi")
 
-    # 4. quality scoring + filter (deterministic hashed linear model)
-    scored = survivors.join(
-        quality_classifier_scores(survivors), "doc_id"
-    ).filter(F.col("quality_score") > 0.35)
+    # 4. quality scoring + filter: the deterministic hashed linear
+    #    model AND the statistical LM signal (drop the worst-perplexity
+    #    tail — the CCNet discipline)
+    from csp_spark.text import lm_scores
+
+    lm = lm_scores(survivors)
+    nll_cap = lm.agg(
+        F.percentile_approx("avg_nll", 0.95, 10_000)
+    ).first()[0]
+    scored = (
+        survivors.join(quality_classifier_scores(survivors), "doc_id")
+        .join(lm.select("doc_id", "avg_nll"), "doc_id")
+        .filter(
+            (F.col("quality_score") > 0.35)
+            & (F.col("avg_nll").isNull() | (F.col("avg_nll") <= nll_cap))
+        )
+    )
 
     # 5. reproducible train/val/test assignment (pure column expr —
     #    the same doc lands in the same split on any cluster/engine)
@@ -72,13 +95,24 @@ def main() -> None:
 
     train = final.filter(F.col("split") == "train")
     kept = weighted_sample(train, "doc_id", "quality_score", temperature=2.0)
-    toks = kept.select("doc_id", token_count(F.col("text")).alias("tok"))
+
+    # 7. tokenize with a corpus-trained BPE (sample-based training,
+    #    distributed apply), then pack the PIECE counts into 256-token
+    #    training sequences
+    from csp_spark.text import apply_bpe, train_bpe
+
+    merges = train_bpe(kept, n_merges=64, sample_cap=200, id_col="doc_id")
+    toks = apply_bpe(kept, merges).select(
+        "doc_id", F.size("bpe_tokens").alias("tok")
+    )
     packed = pack_next_fit(toks, "doc_id", "tok", budget=256, num_shards=8)
     st = pack_stats(packed, 256)
     n_seq = st.count()
     fill = st.agg(F.avg("fill")).first()[0]
     print(f"train {train.count()} -> sampled {kept.count()} "
-          f"-> {n_seq} sequences (mean fill {fill:.2f})")
+          f"-> {len(merges)} BPE merges -> {n_seq} sequences "
+          f"(mean fill {fill:.2f}, {n_span_tokens} duplicated tokens "
+          f"stripped upstream)")
     assert n_seq > 0 and 0.0 < fill <= 1.0
     # end-to-end determinism: the whole pipeline replays identically
     again = {r["split"]: r["n"] for r in

@@ -907,3 +907,61 @@ def test_ohlc_bars_stream_matches_batch(spark, landing):
         g = got[k]
         assert g[:5] == v[:5], k
         assert math.isclose(g[5], v[5], rel_tol=1e-12)
+
+
+def test_incremental_dedup_stream_matches_batch_loop(spark, tmp_path):
+    """Streaming rolling-corpus dedup over two microbatch waves lands
+    exactly the corpus the sequential batch loop builds: duplicates of
+    already-landed docs are dropped, fresh docs survive, and the
+    within-wave min-id rule holds across the stream/batch boundary."""
+    from csp_spark.dedup.components import incremental_dedup
+    from csp_spark.streaming import incremental_dedup_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "in the warm afternoon sun beside the old garden wall")
+    other = ("completely different content about distributed query "
+             "engines shuffling hashed tokens across many partitions")
+    third = ("a third unique passage mentioning neither foxes nor "
+             "engines just rain on a tin roof all through the night")
+    dschema = "doc_id long, text string"
+    wave1 = [(1, base), (2, base + " extra"), (3, other)]
+    wave2 = [(10, base), (11, third), (12, third + " coda"), (13, other)]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(wave1, dschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+
+    stream = (
+        spark.readStream.schema(dschema).parquet(str(landing))
+    )
+    q = incremental_dedup_stream(
+        stream, corpus, str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(wave2, dschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(landing))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    )
+
+    # reference: the sequential batch loop
+    ref_corpus = spark.createDataFrame([], dschema)
+    for wave in (wave1, wave2):
+        kept = incremental_dedup(
+            ref_corpus, spark.createDataFrame(wave, dschema)
+        )
+        ref_corpus = ref_corpus.unionByName(kept.select("doc_id", "text"))
+    want = sorted(r["doc_id"] for r in ref_corpus.collect())
+    assert got == want, (got, want)
+    # and the semantics are the expected ones: near-dups of landed docs
+    # dropped (10 dups 1, 12 dups 11), fresh docs kept
+    assert 1 in got and 3 in got and 11 in got
+    assert 10 not in got and 12 not in got

@@ -49,6 +49,11 @@ QUERIES = [
     "doc_token_ids",
     "stats_ohlc_bars",
     "op_asof_directions",
+    # r4 late additions: span dedup (census + join-back), LM scoring
+    # (two joins vs count tables), BPE apply (pandas UDF, word cache)
+    "doc_repeated_spans",
+    "text_lm_score",
+    "doc_bpe_tokens",
 ]
 
 
