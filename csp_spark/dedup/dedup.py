@@ -490,22 +490,6 @@ def simhash_pairs(
         hcol = F.xxhash64("w")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    n_chunks = n_blocks if n_blocks is not None else max_hamming + 1
-    if n_chunks <= max_hamming:
-        raise ValueError("n_blocks must exceed max_hamming")
-    comb_r = n_chunks - max_hamming
-    import math as _math
-    from itertools import combinations as _combinations
-
-    n_tables = _math.comb(n_chunks, comb_r)
-    if n_tables > 256:
-        raise ValueError(
-            f"n_blocks={n_chunks}, max_hamming={max_hamming} needs "
-            f"{n_tables} tables; choose a smaller combination count"
-        )
-    combos = list(_combinations(range(n_chunks), comb_r))
-    widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
-    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     docs = _spread(docs)
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
@@ -523,6 +507,45 @@ def simhash_pairs(
         bit = F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
         sig_col = bit if sig_col is None else sig_col.bitwiseOR(bit)
     base = votes.select("id", sig_col.alias("sh"))
+    return hamming_pairs(
+        base, id_col="id", sig_col="sh",
+        bits=bits, max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """All pairs whose PRECOMPUTED ``bits``-wide signatures differ in ≤
+    ``max_hamming`` bits — the generic bucketed hamming join behind
+    simhash_pairs, reusable for any signature family (text simhash,
+    image perceptual hashes, audio chromaprints): pigeonhole bit
+    chunks (or the Manku WWW'07 block-combination tables via
+    ``n_blocks``, see simhash_pairs) generate candidates with 100%
+    recall and no cross join; exact hamming verification runs last.
+    Output: (id_a, id_b, hamming)."""
+    n_chunks = n_blocks if n_blocks is not None else max_hamming + 1
+    if n_chunks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming")
+    comb_r = n_chunks - max_hamming
+    import math as _math
+    from itertools import combinations as _combinations
+
+    n_tables = _math.comb(n_chunks, comb_r)
+    if n_tables > 256:
+        raise ValueError(
+            f"n_blocks={n_chunks}, max_hamming={max_hamming} needs "
+            f"{n_tables} tables; choose a smaller combination count"
+        )
+    combos = list(_combinations(range(n_chunks), comb_r))
+    widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    base = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
     # each table keys on one (k−d)-block combination; the default
     # layout is the comb_r=1 special case (one block per table)
     block = [

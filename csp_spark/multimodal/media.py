@@ -146,3 +146,92 @@ def frame_sample(
             F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG/pHash transform) — pure
+    numpy so the container needs no scipy."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    D = np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+    D[0] /= np.sqrt(2)
+    return D * np.sqrt(2.0 / n)
+
+
+def phash64(img: np.ndarray, hash_size: int = 8, highfreq: int = 4) -> int:
+    """64-bit perceptual hash of one image (the classic pHash recipe):
+    grayscale → block-mean downsample to (hash_size*highfreq)² →
+    2-D DCT → keep the top-left hash_size×hash_size low-frequency
+    block → threshold each coefficient against the block's MEDIAN
+    (DC term excluded from the median so flat images don't bias it)
+    → pack row-major into an int. Robust to resize/recompress/small
+    edits; hamming distance ≈ visual difference."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    side = hash_size * highfreq
+    h, w = g.shape
+    # block-mean resample to side×side (pad by edge if too small)
+    if (h, w) != (side, side):
+        ys = (np.arange(side) * h // side).clip(0, h - 1)
+        xs = (np.arange(side) * w // side).clip(0, w - 1)
+        g = g[np.ix_(ys, xs)]
+    D = _dct_matrix(side)
+    coef = D @ g @ D.T
+    block = coef[:hash_size, :hash_size]
+    flat = block.flatten()
+    med = np.median(flat[1:])  # exclude DC
+    bits = flat > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # int64 wrap: Spark LongType is signed
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_phash(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode=None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual hash per image: (id_col, phash long). ``decode``
+    injects the real codec (payload bytes → HxWx[3] uint8 array);
+    default is the container's deterministic stub. One Arrow pass,
+    no shuffle; the hash math is numpy per row."""
+    dec = decode or _decode_image
+    schema = f"{id_col} long, phash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (mid, phash64(dec(bytes(payload)), hash_size))
+                for mid, payload in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+
+    return media.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def phash_near_dups(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode=None,
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash — the visual twin
+    of text simhash dedup, sharing its bucketed hamming join
+    (dedup.hamming_pairs): pigeonhole bit chunks generate candidates
+    with 100% recall and NO cross join; ``n_blocks`` enables the
+    Manku WWW'07 combination tables at billion-image scale. Output:
+    (id_a, id_b, hamming)."""
+    from ..dedup import hamming_pairs
+
+    sigs = image_phash(media, payload_col, id_col, decode)
+    return hamming_pairs(
+        sigs, id_col=id_col, sig_col="phash",
+        bits=64, max_hamming=max_hamming, n_blocks=n_blocks,
+    )

@@ -213,6 +213,53 @@ def test_ivf_topk_recall(spark):
     assert len(exact01 & sampled) >= 8, (exact01, sampled)
 
 
+def test_image_phash_near_dups(spark):
+    """Perceptual-hash image dedup with an injected structured decoder
+    (the stub's flat-gray fake would make every hash degenerate): a
+    noisy copy of an image hashes within a small hamming distance of
+    the original and pairs up; a structurally different image does
+    not. The distributed hash equals the local phash64 on the same
+    pixels."""
+    import numpy as np
+    from csp_spark.multimodal import image_phash, phash64, phash_near_dups
+
+    def synth(payload: bytes) -> np.ndarray:
+        # deterministic structured image per payload: id byte selects
+        # a smooth multi-frequency pattern (rich low-freq spectrum, so
+        # coefficient signs sit well away from the median and survive
+        # pixel noise — the regime pHash is built for), second byte
+        # seeds mild noise
+        pid, noise = payload[0], payload[1]
+        y, x = np.mgrid[0:32, 0:32]
+        if pid == 0:
+            img = (128 + 60 * np.sin(x / 3.0) + 50 * np.cos(y / 4.0)
+                   + 30 * np.sin((x + y) / 5.0))
+        else:
+            img = (128 + 60 * np.cos(x / 2.5) + 50 * np.sin(y / 3.5)
+                   - 30 * np.sin((x - y) / 4.0))
+        rng = np.random.RandomState(noise)
+        img = img + rng.randint(0, 3, img.shape)     # tiny noise
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    rows = [
+        (1, bytes([0, 0])),   # pattern A
+        (2, bytes([0, 3])),   # pattern A + different tiny noise
+        (3, bytes([1, 0])),   # pattern B
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = {r["media_id"]: r["phash"] for r in
+              image_phash(media, decode=synth).collect()}
+    # distributed == local
+    for mid, payload in rows:
+        assert hashes[mid] == phash64(synth(payload)), mid
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(hashes[1], hashes[2]) <= 6
+    assert ham(hashes[1], hashes[3]) > 6
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             phash_near_dups(media, decode=synth, max_hamming=6).collect()]
+    assert pairs == [(1, 2)]
+
+
 def test_bpe_train_and_apply(spark):
     """BPE on the Sennrich ACL'16 example corpus: the first merges are
     the known ones; applying the merges reproduces each word's
