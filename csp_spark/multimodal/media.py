@@ -171,11 +171,19 @@ def phash64(img: np.ndarray, hash_size: int = 8, highfreq: int = 4) -> int:
         g = g.mean(axis=2)
     side = hash_size * highfreq
     h, w = g.shape
-    # block-mean resample to side×side (pad by edge if too small)
+    # true block-MEAN resample to side×side (averaging is what buys
+    # noise/recompression robustness; point-sampling would feed single
+    # pixels straight into the DCT)
     if (h, w) != (side, side):
-        ys = (np.arange(side) * h // side).clip(0, h - 1)
-        xs = (np.arange(side) * w // side).clip(0, w - 1)
-        g = g[np.ix_(ys, xs)]
+        yb = (np.arange(side + 1) * h // side).clip(1, h)
+        xb = (np.arange(side + 1) * w // side).clip(1, w)
+        yb[0] = xb[0] = 0
+        rows = np.add.reduceat(g, yb[:-1], axis=0)
+        cells = np.add.reduceat(rows, xb[:-1], axis=1)
+        area = np.maximum(np.diff(yb), 1)[:, None] * np.maximum(
+            np.diff(xb), 1
+        )[None, :]
+        g = cells / area
     D = _dct_matrix(side)
     coef = D @ g @ D.T
     block = coef[:hash_size, :hash_size]

@@ -612,8 +612,18 @@ def pq_index(
             train = feat.filter(
                 split_uniform(F.col(id_col), seed) < F.lit(frac)
             )
+    # sort the collected sample by id: collect() order follows the
+    # partition/file layout, and Lloyd's init picks row indices — an
+    # unsorted matrix would make the codebooks depend on how the
+    # corpus happens to be laid out on disk
     X = np.array(
-        [list(r[0]) for r in train.select(vec_col).collect()], dtype=np.float64
+        [
+            list(r[1])
+            for r in sorted(
+                train.select(id_col, vec_col).collect(), key=lambda r: r[0]
+            )
+        ],
+        dtype=np.float64,
     )
     if len(X) < n_codes:
         raise ValueError(

@@ -408,10 +408,25 @@ def incremental_dedup_stream(
         spark = batch_df.sparkSession
         incoming = batch_df.select(id_col, text_col)
         try:
-            existing = spark.read.parquet(corpus_path).select(
-                id_col, text_col
+            # exclude the CURRENT epoch's partition: on a retry (epoch
+            # ran, crashed before the checkpoint commit) its half-done
+            # batch=N files must neither count as corpus nor sit in
+            # the scan's file index while the overwrite below deletes
+            # them. Partition pruning keeps them unread.
+            existing = (
+                spark.read.parquet(corpus_path)
+                .filter(F.col("batch") < F.lit(int(epoch_id)))
+                .select(id_col, text_col)
             )
-        except Exception:  # first batch: no corpus yet
+            existing.schema  # force analysis so a missing path raises HERE
+        except Exception as ex:
+            # only "no corpus yet" may fall through to the empty frame;
+            # a corrupt file / IO / permission error must abort the
+            # batch, not silently dedup against nothing
+            msg = str(ex)
+            if not ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg):
+                raise
             existing = spark.createDataFrame([], incoming.schema)
         kept = incremental_dedup(
             existing, incoming,

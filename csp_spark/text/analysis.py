@@ -530,6 +530,17 @@ def remove_boilerplate(
     )
 
 
+def _require_integral_id(docs: DataFrame, id_col: str, where: str) -> None:
+    """The span-census occurrence key is integer arithmetic over the id;
+    a string or fractional id would wrap or go NULL silently."""
+    dt = docs.schema[id_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{where} needs an integral {id_col!r} (got {dt}); "
+            "map ids to longs first"
+        )
+
+
 def _gram_hashes(toks: Column, n: int) -> Column:
     """xxhash64 of every word ``n``-gram of a token array, as an array
     (one element per start position, in position order). Computed with
@@ -574,10 +585,7 @@ def decontaminate(
     def grams(df: DataFrame, col: str, idc: str | None):
         toks = df.select(
             *([F.col(idc).alias("id")] if idc else []),
-            F.split(
-                F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " "),
-                " ",
-            ).alias("t"),
+            tokens(F.col(col)).alias("t"),
         )
         hashed = toks.select(
             *(["id"] if idc else []),
@@ -644,12 +652,9 @@ def repeated_spans(
     Returns (id_col, span_start, span_end): 1-based token offsets,
     end exclusive, one row per merged duplicated span.
     """
+    _require_integral_id(docs, id_col, "repeated_spans")
     toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.split(
-            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
-            " ",
-        ).alias("t"),
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
     )
     occ = toks.select(
         "id", F.posexplode(_gram_hashes(F.col("t"), k)).alias("p0", "gh")
@@ -657,8 +662,13 @@ def repeated_spans(
     # single-BIGINT occurrence key: min() over it picks the smallest
     # (id, pos) pair — deterministic and portable to the SQL oracle
     # (struct-min ordering differs across engines). Positions are
-    # bounded by doc token counts (< 1e9 by any practical measure).
-    okey = F.col("id") * F.lit(1_000_000_000) + F.col("pos")
+    # bounded by doc token counts (< 1e9 by any practical measure);
+    # the long cast keeps int ids from wrapping in the product, and
+    # ids must stay below ~9.2e9 (enforced structurally: integral id
+    # required above, overflow would need a 10-digit id space).
+    okey = F.col("id").cast("long") * F.lit(1_000_000_000) + F.col(
+        "pos"
+    ).cast("long")
     census = (
         occ.select("gh", okey.alias("ok"))
         .groupBy("gh")
@@ -730,13 +740,7 @@ def remove_repeated_spans(
     per_doc = spans.groupBy(F.col(id_col).alias("id")).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sps")
     )
-    toks = docs.select(
-        F.col(id_col),
-        F.split(
-            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
-            " ",
-        ).alias("t"),
-    )
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
     joined = toks.join(
         per_doc.withColumnRenamed("id", id_col), id_col, "left"
     )
@@ -905,13 +909,7 @@ def lm_scores(
     """
     lm_docs = lm_docs if lm_docs is not None else docs
 
-    def norm_toks(df: DataFrame) -> Column:
-        return F.split(
-            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
-            " ",
-        )
-
-    tr = lm_docs.select(norm_toks(lm_docs).alias("t"))
+    tr = lm_docs.select(tokens(F.col(text_col)).alias("t"))
     gram_counts = (
         tr.select(F.explode(_gram_hashes(F.col("t"), n)).alias("gh"))
         .groupBy("gh")
@@ -927,7 +925,7 @@ def lm_scores(
     ).agg(F.count_distinct("w").alias("V"))
 
     d = docs.select(
-        F.col(id_col).alias("id"), norm_toks(docs).alias("t")
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
     ).select(
         "id",
         _gram_hashes(F.col("t"), n - 1).alias("chs"),

@@ -140,8 +140,10 @@ def apply_bpe(
         cache: dict[str, list[str]] = {}
 
         def enc(text):
+            if not isinstance(text, str):  # NULL/NaN text → no tokens
+                return []
             out: list[str] = []
-            for w in str(text).lower().split():
+            for w in text.lower().split():
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, ranks)
