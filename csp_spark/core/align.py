@@ -122,7 +122,11 @@ def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFr
         i for i, s in enumerate(streams.values())
         if isinstance(s, PassiveTickStream)
     ]
-    if passive and len(passive) < len(names):
+    if passive and len(passive) == len(names):
+        # every input passive = a node that never wakes (reference:
+        # a node whose inputs are all passive gets no cycles at all)
+        return u.select(*out_cols).filter(F.lit(False))
+    if passive:
         # passive inputs update last-values but emit no cycles of their
         # own: keep only cycles where some ACTIVE stream ticked
         active_tick = reduce(
@@ -140,7 +144,7 @@ def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFr
         .alias("__cycle_rn"),
     )
     out = out.filter(F.col("__cycle_rn") == 1).drop("__cycle_rn")
-    if passive and len(passive) < len(names):
+    if passive:
         out = out.filter(F.col("__active_tick")).drop("__active_tick")
     return out
 

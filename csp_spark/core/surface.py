@@ -242,6 +242,33 @@ numba_node = node  # reference @csp.numba_node: JIT superseded by Arrow batching
 
 
 _output_ctx: list[dict] = []
+#: tick_history specs per output context, keyed by id(ctx dict) —
+#: consumed by run()/build_graph when the context pops
+import collections as _collections
+
+_output_history: "dict[int, dict]" = _collections.defaultdict(dict)
+
+
+def _history_clip(x, hist, end=None):
+    """Trailing tick_history window over a stream: anchored at ``end``
+    (the run's endtime) when given, else at the stream's own max ts
+    via a lazy global-window max (no wiring-time action)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .ticks import TS
+
+    df = x.df
+    if end is not None:
+        df = df.filter(F.col(TS) >= F.lit(end - hist))
+    else:
+        w = Window.partitionBy()
+        df = (
+            df.withColumn("__maxts", F.max(TS).over(w))
+            .filter(F.col(TS) >= F.col("__maxts") - F.lit(hist))
+            .drop("__maxts")
+        )
+    return x.with_df(df)
 
 
 def add_graph_output(key: str, x: TickStream, tick_count: int = -1,
@@ -269,11 +296,13 @@ def add_graph_output(key: str, x: TickStream, tick_count: int = -1,
                 .filter(F.col("__rn") <= tick_count)
                 .drop("__rn")
             )
-        if tick_history is not None:
-            end = df.agg(F.max(TS)).first()[0]
-            if end is not None:
-                df = df.filter(F.col(TS) >= F.lit(end - tick_history))
         x = x.with_df(df)
+    if tick_history is not None:
+        # DEFERRED: the trailing window anchors to the RUN's endtime
+        # (run() applies it after clipping), falling back to the
+        # stream's own max ts for unbounded build_graph use — and
+        # never as an eager Spark action at wiring time
+        _output_history[id(_output_ctx[-1])][key] = tick_history
     _output_ctx[-1][key] = x
 
 
@@ -287,6 +316,7 @@ def build_graph(fn: Callable, *args: Any, **kwargs: Any) -> dict:
         outs = fn(*args, **kwargs)
     finally:
         side = _output_ctx.pop()
+        hist = _output_history.pop(id(side), {})
     if outs is None:
         outs = {}
     elif isinstance(outs, TickStream):
@@ -296,7 +326,7 @@ def build_graph(fn: Callable, *args: Any, **kwargs: Any) -> dict:
     for k, v in side.items():
         if k in outs:
             raise ValueError(f"duplicate graph output key {k!r}")
-        outs[k] = v
+        outs[k] = _history_clip(v, hist[k]) if k in hist else v
     return outs
 
 

@@ -190,7 +190,7 @@ def sequence_manifest(
     if budget <= 0:
         raise ValueError("budget must be positive")
     b = F.lit(budget)
-    base = packed.withColumn(
+    base = packed.filter(F.col("n_tokens") > 0).withColumn(
         "seq", F.explode(F.sequence(F.col("begin_seq"), F.col("end_seq")))
     )
     local_bin = F.col("seq") - F.col("shard").cast("long") * F.lit(1 << 40)

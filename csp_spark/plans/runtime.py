@@ -59,14 +59,26 @@ def run(
             outs = graph_fn(*args, **kwargs)
         finally:
             _side = _surface._output_ctx.pop()
+            _hist = _surface._output_history.pop(id(_side), {})
         if outs is None:
             outs = {}
         if isinstance(outs, TickStream):
             outs = {"0": outs}
-        outs = {**_side, **dict(outs)}
+        outs = dict(outs)
+        for _k in _side:
+            if _k in outs:  # same rule as build_graph — never silently
+                raise ValueError(f"duplicate graph output key {_k!r}")
+        outs = {**_side, **outs}
         result: dict[str, list[tuple]] = {}
         for name, stream in outs.items():
-            ticks = _clip(stream, starttime, endtime).collect_ticks()
+            clipped = _clip(stream, starttime, endtime)
+            if name in _hist:
+                # tick_history trailing window, anchored at the RUN's
+                # endtime (the engine end), not the data's max ts
+                clipped = _surface._history_clip(
+                    clipped, _hist[name], end=endtime
+                )
+            ticks = clipped.collect_ticks()
             if output_numpy:
                 import numpy as np
 

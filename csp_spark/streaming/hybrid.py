@@ -191,12 +191,15 @@ def run_hybrid_rolling(
     batch keyed window over history; the live stream's ring state is
     seeded with each key's last ``window-1`` HISTORY ROWS (the ring IS
     those values), so the first live tick's window already spans the
-    boundary. Live output equals a pure-batch run over
-    history ∪ live."""
+    boundary. ``boundary`` clips history to ts < boundary (the same
+    handover instant the sibling kernels stamp their seeds with), so
+    a history frame that overlaps the live side cannot double-count.
+    Live output equals a pure-batch run over history ∪ live."""
     from pyspark.sql import Window
 
     from .ops import rolling_tick_stats_stream
 
+    history = history.filter(F.col(TS) < F.lit(boundary))
     w = (
         Window.partitionBy(KEY)
         .orderBy(TS, SEQ)

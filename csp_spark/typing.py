@@ -31,10 +31,16 @@ class NumpyNDArray(Generic[T]):
         return sub
 
     def __new__(cls, value: Any):
+        # an unresolved TypeVar dtype (bare Numpy1DArray inherits
+        # _dtype = ~T from the NumpyNDArray[T] base subscription)
+        # means "no dtype constraint", same as the bare ND form
+        dtype = cls._dtype
+        if dtype is None or isinstance(dtype, TypeVar):
+            dtype = None
         try:
             return (
-                numpy.asarray(value, dtype=cls._dtype)
-                if cls._dtype is not None
+                numpy.asarray(value, dtype=dtype)
+                if dtype is not None
                 else numpy.asarray(value)
             )
         except TypeError:
