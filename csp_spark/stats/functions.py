@@ -207,3 +207,63 @@ def list_to_numpy(x: TickStream, **_kw: Any) -> TickStream:
 def numpy_to_list(x: TickStream, **_kw: Any) -> TickStream:
     """Inverse of list_to_numpy — identity here (stats.py:206)."""
     return x
+
+
+def cov_matrix(x: TickStream, interval=None, ddof: int = 1, **kw):
+    """Reference csp.stats.cov_matrix (stats.py:2337): the reference
+    consumes one np-array edge and emits a matrix per tick; the
+    Spark-first form consumes the LONG-format tick table (series =
+    key column) and returns matrix ENTRIES — (key_a, key_b, cov)
+    for the full window, or (key_a, key_b, ts, seq, cov) per tick
+    when ``interval`` is given (matrix.py; SURVEY §2.5). Pairs
+    parallelize over the cluster instead of vectorizing per row."""
+    from .matrix import cov_matrix as _full, rolling_cov_matrix as _roll_m
+
+    kw.pop("recalc", None)
+    kw.pop("ignore_na", None)  # pair frame drops non-coincident rows
+    if kw:
+        raise TypeError(
+            f"stats.cov_matrix() got unexpected options {sorted(kw)}"
+        )
+    if interval is None:
+        return _full(x, ddof=ddof)
+    return _roll_m(x, interval, ddof=ddof)
+
+
+def corr_matrix(x: TickStream, interval=None, **kw):
+    """Reference csp.stats.corr_matrix (stats.py:2694) — see
+    cov_matrix for the long-format mapping. Rolling form derives
+    each pair correlation from the rolling covariance with ddof=0
+    normalization cancelling in the ratio."""
+    from pyspark.sql import Window
+
+    from ..core.ticks import SEQ, TS
+    from .matrix import _pairs, corr_matrix as _full
+
+    kw.pop("recalc", None)
+    kw.pop("ignore_na", None)
+    if kw:
+        raise TypeError(
+            f"stats.corr_matrix() got unexpected options {sorted(kw)}"
+        )
+    if interval is None:
+        return _full(x)
+    p = _pairs(x)
+    if isinstance(interval, int):
+        w = (
+            Window.partitionBy("key_a", "key_b")
+            .orderBy(TS, SEQ)
+            .rowsBetween(-(interval - 1), 0)
+        )
+    else:
+        us = int(interval.total_seconds() * 1_000_000)
+        p = p.withColumn("__tsu", F.unix_micros(F.col(TS)))
+        w = (
+            Window.partitionBy("key_a", "key_b")
+            .orderBy("__tsu")
+            .rangeBetween(-(us - 1), 0)
+        )
+    return p.select(
+        "key_a", "key_b", TS, SEQ,
+        F.corr("va", "vb").over(w).alias("corr"),
+    )

@@ -420,6 +420,20 @@ def test_functional_stats_surface(spark, ticks):
     us = stats.sum(x, interval=5, min_window=1).collect_ticks()
     assert [v for _, v in ws] == pytest.approx(
         [v for _, v in us], nan_ok=True)
+    # matrix functions under the reference names: full-window entries
+    # symmetric-consistent with the pair kernel, rolling corr bounded
+    import csp_spark.stats.functions as sfn
+
+    full = {(r["key_a"], r["key_b"]): r["cov"]
+            for r in sfn.cov_matrix(x).collect()}
+    pair_cov = {(r["key_a"], r["key_b"]): r["corr"]
+                for r in sfn.corr_matrix(x).collect()}
+    assert set(full) == set(pair_cov) and len(full) > 0
+    roll_m = sfn.corr_matrix(x, interval=5).collect()
+    assert all(r["corr"] is None or math.isnan(r["corr"])
+               or -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9 for r in roll_m)
+    with pytest.raises(TypeError, match="unexpected"):
+        sfn.cov_matrix(x, bogus=1)
 
 
 def F_lit_one(x):
