@@ -206,3 +206,115 @@ def test_websocket_frame_roundtrip_fuzz(payloads, sizes):
         fin2, op2, p2 = _parse_frame(rd2)
         assert not fin1 and op1 == OP_TEXT
         assert fin2 and op2 == OP_CONT and p1 + p2 == padded
+
+
+@given(
+    sigs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2, max_size=12, unique=True,
+    ),
+    max_hamming=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_hamming_pairs_exact_recall(spark, sigs, max_hamming):
+    """The pigeonhole bucket join must find EXACTLY the pairs within
+    max_hamming bits — 100% recall (the structural guarantee) and no
+    false positives (the verification filter)."""
+    from csp_spark.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(df, max_hamming=max_hamming).collect()}
+    want = {}
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            d = bin((a ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                want[(i, j)] = d
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=5,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_repeated_spans_equals_bruteforce(spark, texts, k):
+    """repeated_spans == a brute-force Python census + interval merge
+    on arbitrary tiny corpora (within-doc repeats, cross-doc repeats,
+    docs shorter than k)."""
+    from csp_spark.text import repeated_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_spans(docs, k=k).collect()
+    )
+
+    from collections import defaultdict
+    occ = defaultdict(list)
+    for i, t in enumerate(texts):
+        for p in range(len(t) - k + 1):
+            occ[tuple(t[p:p + k])].append((i, p + 1))
+    marked = defaultdict(list)
+    for g, places in occ.items():
+        if len(places) < 2:
+            continue
+        keep = min(places)
+        for pl in places:
+            if pl != keep:
+                marked[pl[0]].append(pl[1])
+    want = []
+    for i, ps in marked.items():
+        ps.sort()
+        s, e = ps[0], ps[0] + k
+        for p in ps[1:]:
+            if p <= e:
+                e = max(e, p + k)
+            else:
+                want.append((i, s, e))
+                s, e = p, p + k
+        want.append((i, s, e))
+    assert got == sorted(want)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        min_size=8, max_size=24,
+    ),
+    m=st.sampled_from([2, 4]),
+)
+@settings(**_SETTINGS)
+def test_pq_codes_select_nearest_center(spark, vals, m):
+    """Every PQ code must point at the nearest codebook center of its
+    subvector (the argmin contract of the distributed encoder)."""
+    import numpy as np
+    from csp_spark.similarity import pq_index
+
+    dim = 4
+    rows = [
+        (i, [float(vals[(i * dim + j) % len(vals)]) for j in range(dim)])
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enc, books = pq_index(emb, m=m, n_codes=3, train_cap=None)
+    dsub = dim // m
+    vecs = dict(rows)
+    for r in enc.select("vec_id", "codes").collect():
+        v = np.array(vecs[r["vec_id"]], dtype=np.float64)
+        for j, code in enumerate(r["codes"]):
+            sub = v[j * dsub:(j + 1) * dsub]
+            d2 = ((books[j] - sub) ** 2).sum(axis=1)
+            assert d2[code] <= d2.min() + 1e-9, (r, j, d2)
