@@ -400,44 +400,63 @@ def incremental_dedup_stream(
 
     Returns the started StreamingQuery (caller stops it).
     """
-    from ..dedup.components import incremental_dedup
-
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        incoming = batch_df.select(id_col, text_col)
-        try:
-            # exclude the CURRENT epoch's partition: on a retry (epoch
-            # ran, crashed before the checkpoint commit) its half-done
-            # batch=N files must neither count as corpus nor sit in
-            # the scan's file index while the overwrite below deletes
-            # them. Partition pruning keeps them unread.
-            existing = (
-                spark.read.parquet(corpus_path)
-                .filter(F.col("batch") < F.lit(int(epoch_id)))
-                .select(id_col, text_col)
-            )
-            existing.schema  # force analysis so a missing path raises HERE
-        except Exception as ex:
-            # only "no corpus yet" may fall through to the empty frame;
-            # a corrupt file / IO / permission error must abort the
-            # batch, not silently dedup against nothing
-            msg = str(ex)
-            if not ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
-                    or "UNABLE_TO_INFER_SCHEMA" in msg):
-                raise
-            existing = spark.createDataFrame([], incoming.schema)
-        kept = incremental_dedup(
-            existing, incoming,
-            pair_fn=pair_fn, id_col=id_col, text_col=text_col,
-        )
-        kept.write.mode("overwrite").parquet(
-            f"{corpus_path}/batch={int(epoch_id)}"
+        ingest_dedup_batch(
+            batch_df, epoch_id, corpus_path,
+            id_col=id_col, text_col=text_col, pair_fn=pair_fn,
         )
 
     return (
         docs.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def ingest_dedup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_fn=None,
+) -> None:
+    """One microbatch of the rolling-corpus build (the foreachBatch
+    body of incremental_dedup_stream, exposed so retry behavior is
+    directly testable): dedup ``batch_df`` against the corpus
+    accumulated by EARLIER epochs and (over)write this epoch's
+    survivors partition."""
+    from ..dedup.components import incremental_dedup
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    incoming = batch_df.select(id_col, text_col)
+    try:
+        # exclude the CURRENT epoch's partition: on a retry (epoch
+        # ran, crashed before the checkpoint commit) its half-done
+        # batch=N files must neither count as corpus nor sit in
+        # the scan's file index while the overwrite below deletes
+        # them. Partition pruning keeps them unread.
+        existing = (
+            spark.read.parquet(corpus_path)
+            .filter(F.col("batch") < F.lit(int(epoch_id)))
+            .select(id_col, text_col)
+        )
+        existing.schema  # force analysis so a missing path raises HERE
+    except Exception as ex:
+        # only "no corpus yet" may fall through to the empty frame;
+        # a corrupt file / IO / permission error must abort the
+        # batch, not silently dedup against nothing
+        msg = str(ex)
+        if not ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg):
+            raise
+        existing = spark.createDataFrame([], incoming.schema)
+    kept = incremental_dedup(
+        existing, incoming,
+        pair_fn=pair_fn, id_col=id_col, text_col=text_col,
+    )
+    kept.write.mode("overwrite").parquet(
+        f"{corpus_path}/batch={int(epoch_id)}"
     )

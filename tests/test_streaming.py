@@ -965,3 +965,49 @@ def test_incremental_dedup_stream_matches_batch_loop(spark, tmp_path):
     # dropped (10 dups 1, 12 dups 11), fresh docs kept
     assert 1 in got and 3 in got and 11 in got
     assert 10 not in got and 12 not in got
+
+
+def test_incremental_dedup_batch_retry_idempotent(spark, tmp_path):
+    """A retried epoch (ran fully, crashed before the checkpoint
+    commit, re-executed on restart) must land the same corpus: the
+    current epoch's own partition neither counts as existing corpus
+    nor breaks the overwrite; and a corrupt corpus read aborts the
+    batch instead of silently deduping against nothing."""
+    from csp_spark.streaming.ops import ingest_dedup_batch
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "in the warm afternoon sun beside the old garden wall")
+    other = ("completely different content about distributed query "
+             "engines shuffling hashed tokens across many partitions")
+    dschema = "doc_id long, text string"
+    corpus = str(tmp_path / "corpus")
+    b0 = spark.createDataFrame([(1, base), (2, other)], dschema)
+    third = ("a third unique passage mentioning neither foxes nor "
+             "engines just rain on a tin roof all through the night")
+    b1 = spark.createDataFrame([(10, base), (11, third)], dschema)
+
+    def snapshot():
+        return sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+
+    ingest_dedup_batch(b0, 0, corpus)
+    first = snapshot()
+    ingest_dedup_batch(b0, 0, corpus)  # retry epoch 0
+    assert snapshot() == first == [1, 2]
+
+    ingest_dedup_batch(b1, 1, corpus)
+    second = snapshot()
+    ingest_dedup_batch(b1, 1, corpus)  # retry epoch 1
+    assert snapshot() == second
+    # 10 near-dups doc 1 (dropped); 11 is fresh
+    assert second == [1, 2, 11]
+
+    # corrupt corpus: a broken parquet footer must raise, not be
+    # treated as "first batch"
+    bad = tmp_path / "corpus" / "batch=0" / "zzz-corrupt.parquet"
+    bad.write_bytes(b"not a parquet file")
+    try:
+        ingest_dedup_batch(b1, 2, corpus)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
