@@ -1968,6 +1968,42 @@ def ann_ivf_exact(spark, sf_dir):
     return ivf_topk(emb, list(q), k=10, n_cells=8, n_probe=8)
 
 
+def doc_mixture(spark, sf_dir):
+    """Domain-mixture sampling to a token budget (pipeline/sampling.py
+    mix_to_budget — the Pile/DoReMi mixture step): weights src0:3,
+    src1:1, src2:1 over a 10k-char budget; unweighted sources drop;
+    keep fractions clamp at 1. The oracle replays the normalized
+    fractions and the md5 identity draw in SQL."""
+    from csp_spark.pipeline import mix_to_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_to_budget(
+        docs, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, 10_000,
+        token_col="n_chars",
+    )
+    return out.select(
+        "doc_id", "source", F.round("keep_frac", 6).alias("keep_frac")
+    )
+
+
+def _mixture_oracle_sql() -> str:
+    u = f"(({_hex13_sql(_SPLIT_MD5_42)}) + 0.5) / 4503599627370496.0"
+    return f"""
+WITH totals AS (
+  SELECT source, sum(n_chars) AS tok FROM documents GROUP BY 1
+), fr AS (
+  SELECT source,
+    least(1.0, (10000.0 * (CASE source WHEN 'src0' THEN {3.0 / 5.0!r}
+      WHEN 'src1' THEN {1.0 / 5.0!r} WHEN 'src2' THEN {1.0 / 5.0!r} END))
+      / tok) AS keep_frac
+  FROM totals WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT d.doc_id, d.source, round(fr.keep_frac, 6) AS keep_frac
+FROM documents d JOIN fr USING (source)
+WHERE ({u}) < fr.keep_frac
+"""
+
+
 def doc_bpe_tokens(spark, sf_dir):
     """BPE tokenize (text/bpe.py): train 64 merges on the corpus
     sample, apply distributed; per-doc piece count + compression vs
@@ -2876,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
         "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_mixture": doc_mixture,
         "ann_ivf_exact": ann_ivf_exact,
         "stats_trigger_reset": stats_trigger_reset,
         "stats_sampler": stats_sampler,
@@ -2944,7 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cap_per_source", "doc_incremental_dedup",
         "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
         "doc_token_ids", "doc_repeated_spans", "text_lm_score",
-        "ann_pq_topk", "doc_bpe_tokens",
+        "ann_pq_topk", "doc_bpe_tokens", "doc_mixture",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3493,6 +3530,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "doc_token_ids": _token_ids_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
+        "doc_mixture": _mixture_oracle_sql(),
         "ann_knn_join": _knn_oracle_sql(),
         "q4_order_priority": """
 SELECT o_orderpriority, count(*) AS order_count

@@ -13,6 +13,7 @@ from .sampling import (  # noqa: F401
     cap_per_group,
     deterministic_sample,
     hash_split,
+    mix_to_budget,
     split_uniform,
     stratified_sample,
     weighted_sample,

@@ -165,3 +165,55 @@ def stratified_sample(
         default_fraction
     )
     return df.filter(u < thresh)
+
+
+def mix_to_budget(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    token_budget: int | float,
+    token_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling to a token budget — the
+    Pile/DoReMi-style mixture step ahead of training: each group
+    ``g`` keeps rows with probability
+    ``min(1, budget·w_g / tokens_g)`` (weights normalized to sum 1),
+    so the kept token mass approaches ``token_budget`` split per the
+    weights; groups absent from ``weights`` are dropped. A weight
+    whose implied keep fraction exceeds 1 keeps the whole group (no
+    oversampling — pair with weighted/temperature sampling upstream
+    if a group must repeat).
+
+    Selection is the md5 identity draw — partition/engine-independent
+    and replayable in SQL. Cost: ONE per-group totals aggregate
+    (tiny, broadcast back) + a scan-pushable filter; the corpus
+    itself never shuffles. Output: kept rows + ``keep_frac``.
+    """
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum positive")
+    norm = {k: v / wsum for k, v in weights.items()}
+    totals = df.groupBy(group_col).agg(F.sum(token_col).alias("__tok"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in norm.items() for x in kv]
+    )
+    # try_element_at: NULL (not an ANSI error) for unweighted groups;
+    # the when() gate matters because least(1.0, NULL) skips NULLs
+    # and would keep unweighted groups WHOLE instead of dropping them
+    raw = (
+        F.lit(float(token_budget))
+        * F.try_element_at(wmap, F.col(group_col))
+        / F.col("__tok")
+    )
+    fr = totals.select(
+        group_col,
+        F.when(raw.isNotNull(), F.least(F.lit(1.0), raw)).alias(
+            "keep_frac"
+        ),
+    ).filter(F.col("keep_frac").isNotNull())
+    return (
+        df.join(F.broadcast(fr), group_col)
+        .filter(split_uniform(F.col(id_col), seed) < F.col("keep_frac"))
+    )

@@ -913,6 +913,42 @@ def test_weighted_sample_temperature(docs):
         weighted_sample(t, "doc_id", "w", temperature=0.0)
 
 
+def test_mix_to_budget(docs):
+    """Domain-mixture sampling: keep fractions follow budget*w/tokens
+    clamped at 1, unweighted groups drop, and every per-row decision
+    replays from the md5 draw."""
+    from csp_spark.pipeline import mix_to_budget
+
+    totals = {r["source"]: r["tok"] for r in
+              docs.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()}
+    weights = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+    budget = 10_000
+    out = mix_to_budget(docs, weights, budget, token_col="n_chars")
+    rows = out.collect()
+    assert set(r["source"] for r in rows) <= set(weights)
+    wsum = sum(weights.values())
+    for r in rows:
+        frac = min(1.0, budget * (weights[r["source"]] / wsum)
+                   / totals[r["source"]])
+        assert abs(r["keep_frac"] - frac) < 1e-12
+        assert _md5_uniform(r["doc_id"], 42) < frac
+    # completeness: every doc of a weighted group whose draw is under
+    # the fraction is kept
+    kept_ids = {r["doc_id"] for r in rows}
+    for r in docs.select("doc_id", "source").collect():
+        if r["source"] in weights:
+            frac = min(1.0, budget * (weights[r["source"]] / wsum)
+                       / totals[r["source"]])
+            assert (r["doc_id"] in kept_ids) == (
+                _md5_uniform(r["doc_id"], 42) < frac)
+    # a huge budget keeps every weighted group whole (frac clamps at 1)
+    full = mix_to_budget(docs, weights, 10**9, token_col="n_chars")
+    want = docs.filter(F.col("source").isin(*weights)).count()
+    assert full.count() == want
+    with pytest.raises(ValueError, match="positive"):
+        mix_to_budget(docs, {"src0": 0.0}, 10, token_col="n_chars")
+
+
 def test_cap_per_group(docs):
     from csp_spark.pipeline import cap_per_group
 
