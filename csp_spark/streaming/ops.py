@@ -135,7 +135,7 @@ def rolling_time_stats_stream(
 
 
 def rolling_tick_stats_stream(
-    x: DataFrame, window: int
+    x: DataFrame, window: int, quantiles: "dict[str, float] | None" = None
 ) -> DataFrame:
     """PER-TICK trailing-``window``-tick stats over the stream — exact
     csp.stats realtime semantics (recompute at every tick), unlike
@@ -148,15 +148,34 @@ def rolling_tick_stats_stream(
     Same in-order contract as ema_stream: rows arrive time-ordered per
     key across microbatches; within a batch the fold sorts by
     (ts, seq). Equality-tested against the batch stats.Rolling tick
-    window."""
+    window.
+
+    ``quantiles``: extra per-tick exact quantile columns, e.g.
+    ``{"roll_p50": 0.5}`` — csp.stats.quantile's realtime form. The
+    interpolation replicates Spark SQL percentile()'s linear rule
+    (``lower·(hi−pos) + higher·(pos−lo)``) bit-for-bit so the column
+    equals the batch Rolling.quantile path."""
     if window < 1:
         raise ValueError("window must be >= 1 tick")
+    qcols = dict(quantiles or {})
 
     out_schema = (
         f"{KEY} string, {TS} timestamp, {SEQ} long, roll_count long, "
         "roll_sum double, roll_mean double, roll_min double, "
         "roll_max double"
+        + "".join(f", {name} double" for name in qcols)
     )
+
+    def _pct(sorted_vals: list, q: float):
+        n = len(sorted_vals)
+        if not n:
+            return None
+        pos = (n - 1) * q
+        lo = int(pos // 1)
+        hi = -(-pos // 1)
+        if hi == lo:
+            return sorted_vals[lo]
+        return sorted_vals[lo] * (hi - pos) + sorted_vals[int(hi)] * (pos - lo)
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -174,17 +193,21 @@ def rolling_tick_stats_stream(
                 vals = [r for r in ring if r == r]  # NaN-skipping stats
                 n = len(vals)
                 s = sum(vals) if n else None
-                out.append((
+                row = [
                     key[0], ts, seq, n, s,
                     (s / n) if n else None,
                     min(vals) if n else None,
                     max(vals) if n else None,
-                ))
+                ]
+                if qcols:
+                    sv = sorted(vals)
+                    row += [_pct(sv, q) for q in qcols.values()]
+                out.append(tuple(row))
         state.update((ring,))
         yield pd.DataFrame(
             out,
             columns=[KEY, TS, SEQ, "roll_count", "roll_sum", "roll_mean",
-                     "roll_min", "roll_max"],
+                     "roll_min", "roll_max", *qcols],
         )
 
     return x.groupBy(KEY).applyInPandasWithState(

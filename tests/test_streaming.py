@@ -700,8 +700,10 @@ def test_rolling_tick_stats_stream_matches_batch(spark, landing):
     W = 7
     got = {(r[KEY], r[TS], r[SEQ]):
            (r["roll_count"], r["roll_sum"], r["roll_mean"],
-            r["roll_min"], r["roll_max"])
-           for r in collect_stream(rolling_tick_stats_stream(stream, W)).collect()}
+            r["roll_min"], r["roll_max"], r["roll_p50"], r["roll_p25"])
+           for r in collect_stream(rolling_tick_stats_stream(
+               stream, W, quantiles={"roll_p50": 0.5, "roll_p25": 0.25}
+           )).collect()}
     w = (Window.partitionBy(KEY).orderBy(TS, SEQ)
          .rowsBetween(-(W - 1), 0))
     batch = spark.createDataFrame(rows, SCHEMA).select(
@@ -711,6 +713,8 @@ def test_rolling_tick_stats_stream_matches_batch(spark, landing):
         F.avg(VALUE).over(w).alias("m"),
         F.min(VALUE).over(w).alias("mn"),
         F.max(VALUE).over(w).alias("mx"),
+        F.percentile(VALUE, F.lit(0.5)).over(w).alias("p50"),
+        F.percentile(VALUE, F.lit(0.25)).over(w).alias("p25"),
     ).collect()
     assert len(got) == len(batch) > 0
     for r in batch:
@@ -719,6 +723,9 @@ def test_rolling_tick_stats_stream_matches_batch(spark, landing):
         assert math.isclose(g[1], r["s"], rel_tol=1e-12)
         assert math.isclose(g[2], r["m"], rel_tol=1e-12)
         assert g[3] == r["mn"] and g[4] == r["mx"]
+        # exact quantile: the ring replicates Spark percentile()'s
+        # linear interpolation arithmetic bit-for-bit
+        assert g[5] == r["p50"] and g[6] == r["p25"], (g, r)
 
 
 def test_pushpull_live_seq_after_history_seq(spark):
