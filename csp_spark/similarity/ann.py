@@ -727,3 +727,30 @@ def pq_topk(
         .orderBy(F.desc("pq_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def save_pq_index(encoded: DataFrame, codebooks, path: str) -> None:
+    """Persist a PQ index: the (id, codes) table as parquet — m bytes
+    of payload per vector, the compressed scan set — with the m
+    codebooks in a JSON sidecar (same contract as save_index's
+    centroid sidecar). Queries then run pq_topk over the codes table
+    WITHOUT the original vectors or a re-encode: the 100 TB shape is
+    a scan of ~m bytes/vector plus a driver-side lookup-table build."""
+    import json
+    import os
+
+    encoded.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_codebooks.json"), "w") as f:
+        f.write(json.dumps(np.asarray(codebooks).tolist()))
+
+
+def load_pq_index(spark, path: str):
+    """Read back a saved PQ index → (codes DataFrame, codebooks
+    ndarray [m, n_codes, dsub])."""
+    import json
+    import os
+
+    df = spark.read.parquet(path)
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        books = np.asarray(json.load(f))
+    return df, books

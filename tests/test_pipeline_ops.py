@@ -260,6 +260,29 @@ def test_image_phash_near_dups(spark):
     assert pairs == [(1, 2)]
 
 
+def test_saved_pq_index_roundtrip(spark, tmp_path):
+    """A persisted PQ index (codes table + codebook sidecar) answers
+    pq_topk identically to the freshly-built index — no original
+    vectors, no re-encode."""
+    from csp_spark.similarity import (
+        load_pq_index, pq_index, pq_topk, save_pq_index,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    enc, books = pq_index(emb, m=8, n_codes=32)
+    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
+    ref = [(r["vec_id"], r["pq_sim"]) for r in
+           pq_topk(enc, books, q, k=10).collect()]
+    path = str(tmp_path / "pq")
+    save_pq_index(enc.select("vec_id", "codes"), books, path)
+    df, books2 = load_pq_index(spark, path)
+    assert books2.shape == books.shape and (books2 == books).all()
+    assert "embedding" not in df.columns  # codes only — m bytes/vector
+    got = [(r["vec_id"], r["pq_sim"]) for r in
+           pq_topk(df, books2, q, k=10).collect()]
+    assert got == ref and len(got) == 10
+
+
 def test_bpe_train_and_apply(spark):
     """BPE on the Sennrich ACL'16 example corpus: the first merges are
     the known ones; applying the merges reproduces each word's
