@@ -22,5 +22,6 @@ from .storage import (  # noqa: F401
     exchanges_in_plan,
     load_tick_stream,
     save_tick_stream,
+    write_training_shards,
     write_bucketed_table,
 )

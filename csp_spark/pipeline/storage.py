@@ -87,3 +87,34 @@ def exchanges_in_plan(df: DataFrame) -> int:
         1 for line in plan.split("\n")
         if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    rows_per_shard: int = 100_000,
+    n_shards: int | None = None,
+) -> None:
+    """Write a training table as size-balanced, ORDER-PRESERVING
+    shards — the dataloader handoff (webdataset/Megatron-style: many
+    equal files, each internally sorted by ``order_col`` such as the
+    packed sequence id, so workers stream disjoint contiguous ranges).
+
+    Plan: ONE range repartition on ``order_col`` (contiguous,
+    balanced via range-partition sampling) + an in-partition sort +
+    ``maxRecordsPerFile`` to cap file size. n_shards defaults to
+    ceil(count / rows_per_shard) — the count is the only extra job.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards is None:
+        total = df.count()
+        n_shards = max(1, -(-total // rows_per_shard))
+    (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )

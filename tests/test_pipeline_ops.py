@@ -1194,3 +1194,36 @@ def test_build_vocab_and_encode_tokens(spark):
     v2 = {r["token"] for r in
           build_vocab(df, vocab_size=10, min_count=2).collect()}
     assert v2 == {"a", "b", "c"}
+
+
+def test_write_training_shards(spark, tmp_path):
+    """Sharded dataloader output: files are balanced, each internally
+    sorted, ranges disjoint across shards, and the union reproduces
+    the input exactly."""
+    import glob
+    from csp_spark.pipeline import write_training_shards
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("seq"), (F.col("id") * 2).alias("payload")
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "seq", rows_per_shard=100)
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 10
+    ranges = []
+    total = 0
+    for f in files:
+        rows = [r["seq"] for r in spark.read.parquet(f).collect()]
+        if not rows:
+            continue
+        assert rows == sorted(rows)          # internally sorted
+        assert len(rows) <= 100              # capped
+        ranges.append((rows[0], rows[-1]))
+        total += len(rows)
+    assert total == 1000
+    ranges.sort()
+    for (a, b), (c, d) in zip(ranges, ranges[1:]):
+        assert b < c                          # disjoint contiguous ranges
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("payload")).first()[0] == sum(2 * i for i in range(1000))
