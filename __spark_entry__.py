@@ -1968,6 +1968,68 @@ def ann_ivf_exact(spark, sf_dir):
     return ivf_topk(emb, list(q), k=10, n_cells=8, n_probe=8)
 
 
+def sink_parquet_roundtrip(spark, sf_dir):
+    """The parquet SINK as a hash-checked query (sinks/publish.py
+    publish_parquet — ParquetWriter.publish parity, field_map +
+    date partitioning): publish the events tick table to a temp
+    directory, read it back through the source path, aggregate per
+    key. The oracle aggregates the ORIGINAL table — equality proves
+    the sink wrote losslessly (values, timestamps, partition layout
+    re-assembly). The write is the query's own temp dir (unique per
+    call, no cross-run state)."""
+    import tempfile
+
+    from csp_spark.sinks import publish_parquet
+    from csp_spark.sources import read_table
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="csp_sinkpq_")
+    publish_parquet(ev, out, field_map={"value": "amount_out"})
+    back = read_table(spark, out)
+    return (
+        back.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount_out").alias("sum_v"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.col("seq")).cast("long").alias("sum_seq"),
+        )
+        .select(
+            "key", "n", F.round("sum_v", 6).alias("sum_v"),
+            "first_ts", "last_ts", "sum_seq",
+        )
+    )
+
+
+def sink_csv_roundtrip(spark, sf_dir):
+    """The CSV SINK as a hash-checked query (sinks/publish.py
+    publish_csv — CSVWriter parity): write the integer/string slice
+    of documents (text-lossless types) to a temp dir, read back with
+    an explicit schema, aggregate per source; oracle aggregates the
+    original table."""
+    import tempfile
+
+    from csp_spark.sinks import publish_csv
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="csp_sinkcsv_")
+    publish_csv(d, out)
+    back = spark.read.option("header", "true").schema(
+        "doc_id long, source string, n_chars long"
+    ).csv(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def doc_mixture(spark, sf_dir):
     """Domain-mixture sampling to a token budget (pipeline/sampling.py
     mix_to_budget — the Pile/DoReMi mixture step): weights src0:3,
@@ -2913,6 +2975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_mixture": doc_mixture,
+        "sink_parquet_roundtrip": sink_parquet_roundtrip,
+        "sink_csv_roundtrip": sink_csv_roundtrip,
         "ann_ivf_exact": ann_ivf_exact,
         "stats_trigger_reset": stats_trigger_reset,
         "stats_sampler": stats_sampler,
@@ -2982,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
         "doc_token_ids", "doc_repeated_spans", "text_lm_score",
         "ann_pq_topk", "doc_bpe_tokens", "doc_mixture",
+        "sink_parquet_roundtrip", "sink_csv_roundtrip",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3531,6 +3596,21 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "doc_mixture": _mixture_oracle_sql(),
+        "sink_parquet_roundtrip": """
+SELECT CAST(user_id AS VARCHAR) AS key,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 6) AS sum_v,
+  min(ts) AS first_ts, max(ts) AS last_ts,
+  CAST(sum(event_id) AS BIGINT) AS sum_seq
+FROM events GROUP BY 1
+""",
+        "sink_csv_roundtrip": """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY 1
+""",
         "ann_knn_join": _knn_oracle_sql(),
         "q4_order_priority": """
 SELECT o_orderpriority, count(*) AS order_count
