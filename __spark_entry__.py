@@ -2030,6 +2030,33 @@ def sink_csv_roundtrip(spark, sf_dir):
     )
 
 
+def sink_arrow_roundtrip(spark, sf_dir):
+    """The Arrow sink as a hash-checked query (sinks/publish.py
+    write_record_batches — arrow.py:104-155 parity): export documents
+    to a pyarrow Table, serialize through the Arrow IPC stream format
+    (the reference's wire form), deserialize, return to Spark, and
+    aggregate; oracle aggregates the original table."""
+    import io
+
+    import pyarrow as pa
+
+    from csp_spark.sinks import write_record_batches
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tbl = write_record_batches(d)
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, tbl.schema) as w:
+        w.write_table(tbl)
+    buf.seek(0)
+    back_tbl = pa.ipc.open_stream(buf).read_all()
+    back = spark.createDataFrame(back_tbl.to_pandas())
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def doc_mixture(spark, sf_dir):
     """Domain-mixture sampling to a token budget (pipeline/sampling.py
     mix_to_budget — the Pile/DoReMi mixture step): weights src0:3,
@@ -2977,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture": doc_mixture,
         "sink_parquet_roundtrip": sink_parquet_roundtrip,
         "sink_csv_roundtrip": sink_csv_roundtrip,
+        "sink_arrow_roundtrip": sink_arrow_roundtrip,
         "ann_ivf_exact": ann_ivf_exact,
         "stats_trigger_reset": stats_trigger_reset,
         "stats_sampler": stats_sampler,
@@ -3047,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_ids", "doc_repeated_spans", "text_lm_score",
         "ann_pq_topk", "doc_bpe_tokens", "doc_mixture",
         "sink_parquet_roundtrip", "sink_csv_roundtrip",
+        "sink_arrow_roundtrip",
         "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
         "text_boilerplate", "doc_decontaminate", "text_term_stats",
         "text_tfidf", "text_quality_model", "op_feedback_scan",
@@ -3603,6 +3632,13 @@ SELECT CAST(user_id AS VARCHAR) AS key,
   min(ts) AS first_ts, max(ts) AS last_ts,
   CAST(sum(event_id) AS BIGINT) AS sum_seq
 FROM events GROUP BY 1
+""",
+        "sink_arrow_roundtrip": """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY 1
 """,
         "sink_csv_roundtrip": """
 SELECT source,
