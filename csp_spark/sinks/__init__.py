@@ -1,5 +1,6 @@
 from .publish import (
     publish_parquet,
+    publish_struct,
     publish_csv,
     publish_kafka_stream,
     publish_parquet_stream,

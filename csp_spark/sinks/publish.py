@@ -54,6 +54,27 @@ def publish_parquet(
     writer.parquet(path)
 
 
+def publish_struct(
+    x: TickStream | DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by_date: bool = True,
+    field_map: dict[str, str] | None = None,
+    value_col: str = "value",
+) -> None:
+    """ParquetWriter.publish_struct parity (output_adapters/
+    parquet.py:120-180): one parquet column per struct FIELD — the
+    struct value column flattens to top-level columns before the
+    write (unset fields land as NULL), then the normal publish path
+    (field_map rename, date partitioning) applies. A dict-basket
+    publish is the same call: in the long format the basket key IS
+    the ``key`` column, already a top-level column."""
+    df = _df(x)
+    others = [c for c in df.columns if c != value_col]
+    df = df.select(*others, F.col(f"{value_col}.*"))
+    publish_parquet(df, path, mode, partition_by_date, field_map)
+
+
 def publish_csv(
     x: TickStream | DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:

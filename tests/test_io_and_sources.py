@@ -149,3 +149,26 @@ def test_top_level_surface():
         assert callable(getattr(csp, name)) or hasattr(csp, name), name
     missing = [n for n in csp.__all__ if not hasattr(csp, n)]
     assert not missing, missing
+
+
+def test_publish_struct_flattens_fields(spark, tmp_path):
+    """publish_struct: one parquet column per struct field, unset
+    (NULL) fields preserved, field_map applied after flattening."""
+    from csp_spark.sinks import publish_struct
+
+    df = spark.createDataFrame(
+        [
+            ("k", START, 0, (1.0, "a")),
+            ("k", START + TD(seconds=1), 0, (2.0, None)),
+        ],
+        "key string, ts timestamp, seq long, "
+        "value struct<px: double, venue: string>",
+    )
+    out = str(tmp_path / "sp")
+    publish_struct(df, out, field_map={"px": "price"})
+    back = read_table(spark, out)
+    assert {"key", "ts", "seq", "price", "venue"} <= set(back.columns)
+    assert "value" not in back.columns
+    rows = sorted(back.collect(), key=lambda r: r["ts"])
+    assert rows[0]["price"] == 1.0 and rows[0]["venue"] == "a"
+    assert rows[1]["price"] == 2.0 and rows[1]["venue"] is None
