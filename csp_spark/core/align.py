@@ -258,7 +258,13 @@ def asof_join(
     )
     u = lpart.unionByName(rpart)
     tol = (
-        F.expr(f"INTERVAL {tolerance.total_seconds()} SECONDS")
+        # integer microseconds: float total_seconds() renders sub-100µs
+        # tolerances in scientific notation, which the INTERVAL literal
+        # parser rejects (delay/timer use the same µs form)
+        F.expr(
+            f"INTERVAL {int(tolerance.total_seconds() * 1_000_000)} "
+            "MICROSECONDS"
+        )
         if tolerance is not None
         else None
     )

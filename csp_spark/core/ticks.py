@@ -84,6 +84,11 @@ class TickStream:
             else:
                 ts, seq, v = r
                 ts = _as_ts(ts)
+                # keep the auto-numbering consistent when 2- and
+                # 3-tuples mix: a later 2-tuple at this timestamp must
+                # continue AFTER the explicit seq, not restart at 0
+                auto_seq = seq
+                last_ts = ts
             norm.append((key, ts, seq, v))
         schema = T.StructType(
             [
@@ -125,14 +130,24 @@ class TickStream:
         out = df.select(
             key_expr.alias(KEY),
             F.col(ts_col).cast("timestamp").alias(TS),
-            (
-                F.col(seq_col).cast("long")
-                if seq_col
-                else F.lit(0).cast("long")
-            ).alias(SEQ),
+            *([F.col(seq_col).cast("long").alias(SEQ)] if seq_col else []),
             F.col(value_col).alias(VALUE),
             *[F.col(c) for c in extra_cols],
         )
+        if not seq_col:
+            # the documented derivation — NOT a constant 0: coincident
+            # ticks (same key, same ts) must land in DISTINCT engine
+            # cycles or every cycle-collapsing op (align's final-row
+            # filter, merge, last_value) silently drops all but one.
+            # Ordered by the value/extra columns for determinism.
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(KEY, TS).orderBy(
+                VALUE, *[c for c in extra_cols]
+            )
+            out = out.withColumn(SEQ, F.row_number().over(w) - 1).select(
+                KEY, TS, SEQ, VALUE, *extra_cols
+            )
         return TickStream(out)
 
     @property

@@ -344,6 +344,10 @@ def windowed_unkeyed(
         for r in base.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     pids = sorted(sizes)  # non-empty partitions only, in engine order
+    if not pids:  # empty input: empty frame, matching the time path
+        return base.select(KEY, TS, SEQ, *_cols(
+            Window.orderBy(TS, SEQ).rowsBetween(-(window - 1), 0)
+        ))
     max_pid = pids[-1]
     if any(sizes[p] < window - 1 for p in pids if p != max_pid):
         # tiny input relative to the partition grain: exact fallback
@@ -601,7 +605,10 @@ def ema_unkeyed(
             s = y_final  # partition 0 (or first non-empty): true state
         else:
             s = c + (a1 ** m) * s
-    b_in = spark.sparkContext.broadcast(incoming)
+    # tiny dict (#partitions entries) — plain closure capture, not an
+    # sc.broadcast: serialized once into the task closure, and works
+    # under Spark Connect where sparkContext does not exist
+    b_in_value = incoming
 
     def _p2(batches):
         parts = [pdf for pdf in batches]
@@ -610,7 +617,7 @@ def ema_unkeyed(
         pdf = pd.concat(parts, ignore_index=True)
         pid = int(pdf["__pid"].iloc[0])
         vals = pdf["__v"].astype("float64")
-        s_in = b_in.value.get(pid)
+        s_in = b_in_value.get(pid)
         if s_in is None:
             y = vals.ewm(alpha=alpha, adjust=False).mean()
         else:

@@ -69,7 +69,7 @@ def timer(
             )
         ).alias(TS),
         F.lit(0).cast("long").alias(SEQ),
-        F.lit(value).alias(VALUE),
+        F.lit(value).cast(value_type).alias(VALUE),
     )
     # csp.timer first fires at start+interval, not at start
     df = df.filter(F.col(TS) > F.lit(start))
@@ -191,8 +191,12 @@ def diff(x: TickStream, lag: int | _dt.timedelta = 1) -> TickStream:
             .select(KEY, TS, SEQ, (F.col(x.value_col) - F.col("__p")).alias(VALUE))
         )
         return TickStream(out)
+    # reference form: x - sample(x, delay(x, lag)) — the lagged side
+    # ticks ONLY on x's own cycles (sample re-times it), so no output
+    # fires at t+lag where x itself did not tick
     shifted = delay(x, lag)
-    return binary_op(x, shifted, lambda a, b: a - b)
+    lagged = sample(x, shifted)
+    return binary_op(x, lagged, lambda a, b: a - b)
 
 
 def merge(x: TickStream, y: TickStream) -> TickStream:
@@ -375,6 +379,11 @@ def gate(x: TickStream, release: TickStream, release_on_tick: bool = False) -> T
     Batch realization: each x tick is assigned its flush row — itself if
     the gate was open at its (ts, seq), else the next release tick that
     opens the gate — then one groupBy gathers the lists.
+
+    ``release_on_tick=True`` (reference: ``not release_on_tick or
+    csp.ticked(release)``) flushes ONLY on cycles where release itself
+    ticks true: x ticks buffer even while the gate sits open, and the
+    flush row is always the next opening release tick.
     """
     from ..core.wiring import require_boolean
 
@@ -394,9 +403,12 @@ def gate(x: TickStream, release: TickStream, release_on_tick: bool = False) -> T
         ).over(wfwd),
     )
     xrows = a2.filter(F.col("__x__ticked"))
-    flush = F.when(open_now, F.struct(F.col(TS), F.col(SEQ))).otherwise(
-        F.col("__next_open")
-    )
+    if release_on_tick:
+        flush = F.col("__next_open")
+    else:
+        flush = F.when(open_now, F.struct(F.col(TS), F.col(SEQ))).otherwise(
+            F.col("__next_open")
+        )
     xrows = xrows.withColumn("__flush", flush).filter(F.col("__flush").isNotNull())
     out = (
         xrows.groupBy(KEY, F.col("__flush"))
@@ -420,12 +432,26 @@ def default(
     value: Any,
     start: _dt.datetime,
     delay: _dt.timedelta | None = None,
+    keys: Iterable[str] | None = None,
 ) -> TickStream:
     """csp.default (baselib.py:525-532): synthetic initial value at
-    start(+delay) unless x already ticked at-or-before it."""
+    start(+delay) unless x already ticked at-or-before it.
+
+    ``keys``: the key set to seed. Defaults to the keys OBSERVED in
+    ``x`` — which means a stream that never ticks yields no default
+    row (the long format carries no key universe of its own; the
+    reference's unkeyed edge always fires its default). Pass the key
+    list explicitly (e.g. ``[GLOBAL_KEY]`` for unkeyed streams) when
+    the default must fire for keys x may never tick."""
     at = start + (delay or _dt.timedelta(0))
     first_w = Window.partitionBy(KEY)
-    keys = x.df.select(KEY).distinct()
+    if keys is not None:
+        spark = x.df.sparkSession
+        keys = spark.createDataFrame(
+            [(str(k),) for k in keys], f"{KEY} string"
+        )
+    else:
+        keys = x.df.select(KEY).distinct()
     defaults = keys.select(
         KEY,
         F.lit(at).cast("timestamp").alias(TS),
@@ -541,12 +567,26 @@ def dynamic_collect(x: TickStream) -> TickStream:
     return TickStream(out)
 
 
-def demultiplex(x: TickStream, keys: list[str]) -> dict[str, TickStream]:
+def demultiplex(
+    x: TickStream, keys: list[str], raise_on_bad_key: bool = False
+) -> dict[str, TickStream]:
     """csp.demultiplex (baselib.py:583-595): route a keyed stream to
     per-key outputs. In the long format this is just filters sharing one
     scan; dynamic_demultiplex (baselib.py:600-604) is the identity —
-    Spark is already keyed."""
-    return {k: TickStream(x.df.filter(F.col(KEY) == k), x.value_col) for k in keys}
+    Spark is already keyed. ``raise_on_bad_key`` mirrors the reference
+    node's runtime check: a tick whose key is outside ``keys`` raises
+    at execution (in-expression, same pattern as dynamic_cast)."""
+    route = F.col(KEY)
+    if raise_on_bad_key:
+        route = F.when(
+            ~F.col(KEY).isin([str(k) for k in keys]),
+            F.raise_error(
+                F.concat(F.lit("demultiplex: unrecognized key "), F.col(KEY))
+            ),
+        ).otherwise(F.col(KEY))
+    return {
+        k: TickStream(x.df.filter(route == k), x.value_col) for k in keys
+    }
 
 
 # ----------------------------------------------------------------------
@@ -691,10 +731,38 @@ class DelayedDemultiplex:
             )
         self._by_key_col = key is not None
         self._raise = raise_on_bad_key
+        self._requested: list = []
 
     def demultiplex(self, key) -> TickStream:
         col = F.col("__route") if self._by_key_col else F.col(KEY)
+        self._requested.append(key)
         df = self._routed.df.filter(col == F.lit(key))
+        if self._by_key_col:
+            df = df.drop("__route")
+        return TickStream(df, self._routed.value_col)
+
+    def unclaimed(self) -> TickStream:
+        """Ticks routed to a key NO demultiplex() call claimed. With
+        ``raise_on_bad_key`` the stream RAISES at execution on its
+        first such tick (in-expression, the dynamic_cast pattern) —
+        the delayed analog of the reference node's runtime check.
+        Call after all demultiplex() calls (the reference's delayed
+        node also resolves at end of wiring) and attach it to the run
+        (csp.add_graph_output) so the check executes."""
+        col = F.col("__route") if self._by_key_col else F.col(KEY)
+        df = self._routed.df.filter(
+            ~col.isin([F.lit(k) for k in self._requested])
+        )
+        if self._raise:
+            df = df.withColumn(
+                VALUE,
+                F.raise_error(
+                    F.concat(
+                        F.lit("demultiplex: unrecognized key "),
+                        col.cast("string"),
+                    )
+                ),
+            )
         if self._by_key_col:
             df = df.drop("__route")
         return TickStream(df, self._routed.value_col)

@@ -64,7 +64,7 @@ def _sorted_by_key(x: TickStream):
     return df.repartition(KEY).sortWithinPartitions(KEY, TS, SEQ)
 
 
-def _run_ewm(x: TickStream, fn, horizon: int | None = None) -> TickStream:
+def _run_ewm(x: TickStream, fn) -> TickStream:
     """Generic path: ``fn`` maps one key's time-sorted pandas frame to
     its output frame. Groups are looped in Python, but all inside one
     partition-level mapInPandas — no per-group Arrow round-trips."""
@@ -80,10 +80,7 @@ def _run_ewm(x: TickStream, fn, horizon: int | None = None) -> TickStream:
         # rows are (KEY, TS, SEQ)-sorted by _sorted_by_key; groupby
         # sort=False keeps that order within each group
         for _, g in pdf.groupby(KEY, sort=False):
-            out = fn(g.reset_index(drop=True))
-            if horizon is not None:
-                out = out.iloc[len(out) - min(len(out), horizon):]
-            outs.append(out)
+            outs.append(fn(g.reset_index(drop=True)))
         yield pd.concat(outs, ignore_index=True)
 
     # Arrow maps pandas NaN → SQL NULL; csp float streams carry NaN
@@ -93,13 +90,95 @@ def _run_ewm(x: TickStream, fn, horizon: int | None = None) -> TickStream:
     return TickStream(out)
 
 
+def _alpha_of(kw: dict) -> float:
+    import math as _m
+
+    if "alpha" in kw:
+        return float(kw["alpha"])
+    if "span" in kw:
+        return 2.0 / (float(kw["span"]) + 1.0)
+    if "com" in kw:
+        return 1.0 / (1.0 + float(kw["com"]))
+    return 1.0 - _m.exp(_m.log(0.5) / float(kw["halflife"]))
+
+
+def _windowed_ewm_fn(alpha: float, h: int, ignore_na: bool, stat: str,
+                     bias: bool | None):
+    """Finite-horizon adjusted EMA: values older than ``h`` ticks are
+    REMOVED from the computation (reference stats.py:2938 — 'making
+    EMA a window computation'), i.e. every output tick is the plain
+    adjusted EW statistic of its trailing-h slice. Weight of slot i in
+    the window is (1-α)^age, with age counted over ALL slots
+    (ignore_na=False, pandas convention) or over non-NaN slots only
+    (ignore_na=True). Vectorized per key via a sliding window matrix."""
+    import numpy as np
+
+    def fn(g: "pd.DataFrame") -> "pd.DataFrame":
+        v = g[VALUE].to_numpy(dtype=float)
+        n = len(v)
+        pad = np.full(h - 1, np.nan)
+        vv = np.concatenate([pad, v])
+        win = np.lib.stride_tricks.sliding_window_view(vv, h)  # [n, h]
+        valid = ~np.isnan(win)
+        if ignore_na:
+            # age = # of valid entries strictly AFTER the slot
+            suffix = (
+                np.cumsum(valid[:, ::-1], axis=1)[:, ::-1] - valid
+            ).astype(float)
+            w = np.where(valid, (1.0 - alpha) ** suffix, 0.0)
+        else:
+            ages = np.arange(h - 1, -1, -1, dtype=float)  # slot age
+            w = np.where(valid, (1.0 - alpha) ** ages[None, :], 0.0)
+        x0 = np.where(valid, win, 0.0)
+        sw = w.sum(axis=1)
+        swx = (w * x0).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(sw > 0, swx / sw, np.nan)
+            if stat == "mean":
+                outv = mean
+            else:
+                swx2 = (w * x0 * x0).sum(axis=1)
+                var_b = np.where(sw > 0, swx2 / sw - mean * mean, np.nan)
+                var_b = np.maximum(var_b, 0.0)  # FP guard
+                if bias:
+                    outv = var_b
+                else:
+                    sw2 = (w * w).sum(axis=1)
+                    denom = sw * sw - sw2
+                    outv = np.where(denom > 0, var_b * sw * sw / denom, np.nan)
+                if stat == "std":
+                    outv = np.sqrt(outv)
+        g = g.copy()
+        g[VALUE] = outv
+        return g
+
+    return fn
+
+
 def _run_ewm_native(
     x: TickStream, kw: dict, stat: str, bias: bool | None = None,
     horizon: int | None = None,
 ) -> TickStream:
     """Fast path for mean/var/std with row-count decay: pandas
     GroupBy.ewm computes ALL groups in one C-level pass — no Python
-    loop over keys at all."""
+    loop over keys at all. A finite ``horizon`` switches to the
+    windowed kernel (every tick recomputed over its trailing-h slice
+    — the reference's remove-from-computation semantics, NOT an
+    output truncation) and, per the reference contract
+    (stats.py:328), requires adjust=True."""
+    if horizon is not None:
+        if not kw.get("adjust", True):
+            raise ValueError(
+                "EMA with finite horizon must use adjusted EMA for "
+                "weight normalization"
+            )
+        return _run_ewm(
+            x,
+            _windowed_ewm_fn(
+                _alpha_of(kw), horizon, kw.get("ignore_na", False),
+                stat, bias,
+            ),
+        )
 
     def gen(batches):
         chunks = list(batches)
@@ -116,8 +195,6 @@ def _run_ewm_native(
         else:
             v = e.std(bias=bias)
         pdf[VALUE] = v.reset_index(level=0, drop=True)
-        if horizon is not None:
-            pdf = pdf.groupby(KEY, sort=False).tail(horizon)
         yield pdf
 
     out = _sorted_by_key(x).mapInPandas(gen, _SCHEMA).withColumn(
@@ -153,6 +230,21 @@ def ema(
     if not isinstance(kw.get("halflife"), _dt.timedelta):
         return _run_ewm_native(x, kw, "mean", horizon=horizon)
 
+    if not adjust:
+        # reference dispatch: timedelta halflife + adjust=False is the
+        # UNADJUSTED kernel (statsimpl.h HalflifeEMA :1723 —
+        # y += (1 - 2^(-Δt/hl))·(x - y)), a distinct recursion from
+        # the adjusted weighted-mean form below
+        if horizon is not None:
+            raise ValueError(
+                "EMA with finite horizon must use adjusted EMA for "
+                "weight normalization"
+            )
+        hl_us = kw["halflife"].total_seconds() * 1e6
+        return _run_ewm(
+            x, _halflife_unadjusted_fn(hl_us, kw["ignore_na"])
+        )
+
     hl_us = kw["halflife"].total_seconds() * 1e6
     w = Window.partitionBy(KEY).orderBy(TS, SEQ).rowsBetween(
         Window.unboundedPreceding if horizon is None else -(horizon - 1), 0
@@ -185,7 +277,6 @@ def ema(
     fb = _run_ewm(
         risky,
         _halflife_recursion_fn(hl_us, kw["ignore_na"], horizon),
-        horizon=None,  # the recursion bounds its own window
     )
     # _run_ewm normalizes to the canonical 4 columns; project the JVM
     # branch the same way before the union
@@ -236,6 +327,46 @@ def _halflife_recursion_fn(hl_us: float, ignore_na: bool, horizon: int | None):
                     den -= dj
             if den > 0.0 and not (nan_in_win > 0 and not ignore_na):
                 out[i] = num / den
+        g = g.copy()
+        g[VALUE] = out
+        return g
+
+    return fn
+
+
+def _halflife_unadjusted_fn(hl_us: float, ignore_na: bool):
+    """The reference's UNADJUSTED event-time halflife recursion
+    (statsimpl.h HalflifeEMA :1723): first tick seeds y = x; then
+    y += (1 − 2^(−Δt/hl))·(x − y). Same-timestamp ticks have Δt=0 ⇒
+    decay 0 ⇒ the later value leaves y unchanged (faithful to the
+    kernel). NaN discipline follows this module's adjusted path:
+    ignore_na=True skips NaN ticks (emitting the held value);
+    ignore_na=False poisons from the first NaN on."""
+    import math as _m
+
+    import numpy as np
+
+    def fn(g: "pd.DataFrame") -> "pd.DataFrame":
+        t = (g[TS].astype("int64").to_numpy() // 1000).astype(float)  # µs
+        v = g[VALUE].to_numpy(dtype=float)
+        n = len(v)
+        out = np.full(n, np.nan)
+        y = _m.nan
+        last_t = None
+        poisoned = False
+        for i in range(n):
+            if _m.isnan(v[i]):
+                if not ignore_na:
+                    poisoned = True
+                out[i] = _m.nan if poisoned else y
+                continue
+            if last_t is None:
+                y = v[i]
+            else:
+                decay = 1.0 - 2.0 ** ((last_t - t[i]) / hl_us)
+                y += decay * (v[i] - y)
+            last_t = t[i]
+            out[i] = _m.nan if poisoned else y
         g = g.copy()
         g[VALUE] = out
         return g

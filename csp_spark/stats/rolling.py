@@ -208,8 +208,12 @@ class Rolling:
         else:
             mw_us = int(mw.total_seconds() * 1_000_000)
             if self.start_time is not None:
-                start_u = F.lit(
-                    int(self.start_time.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+                # interpret the naive start_time exactly as the TS
+                # column is interpreted (session timezone), not as a
+                # hard-coded UTC epoch — a non-UTC session would skew
+                # the warm-up gate by the tz offset otherwise
+                start_u = F.unix_micros(
+                    F.lit(self.start_time).cast("timestamp")
                 )
             else:
                 start_u = F.min("__tsu").over(Window.partitionBy(KEY))

@@ -456,3 +456,82 @@ def test_asof_join_directions_match_pandas(spark):
                 direction, tol)
     with pytest.raises(ValueError, match="direction"):
         asof_join(sl, sr, on=["k"], direction="sideways")
+
+
+def test_review_fixes_round4(spark):
+    """Regressions for the round-4 core review findings: from_table
+    coincident-tick seq derivation, gate release_on_tick, timedelta
+    diff output cycles, default() explicit keys, demultiplex
+    raise_on_bad_key, timer value_type, sub-100us asof tolerance."""
+    import datetime as dt
+    from csp_spark import TickStream
+    from csp_spark.core.align import asof_join
+
+    t0 = dt.datetime(2020, 1, 1)
+
+    # from_table: two rows at the SAME (key, ts) get distinct seqs
+    raw = spark.createDataFrame(
+        [("A", t0, 1.0), ("A", t0, 2.0), ("A", t0 + dt.timedelta(seconds=1), 3.0)],
+        "sym string, t timestamp, px double",
+    )
+    ft = TickStream.from_table(raw, ts_col="t", value_col="px", key_col="sym")
+    rows = sorted((r["ts"], r["seq"], r["value"]) for r in ft.df.collect())
+    assert [r[1] for r in rows] == [0, 1, 0]  # coincident ticks kept apart
+    assert ft.df.count() == 3
+
+    # gate(release_on_tick=True): x ticks buffer even while open, and
+    # flush ONLY when release ticks true
+    x = bl.curve(spark, [(t0 + dt.timedelta(seconds=s), float(s)) for s in (1, 2, 4)])
+    rel = bl.curve(
+        spark,
+        [(t0, True), (t0 + dt.timedelta(seconds=3), True)],
+        "boolean",
+    )
+    flushed = bl.gate(x, rel, release_on_tick=True).collect_ticks()
+    # only the release tick at t+3 flushes (values 1.0, 2.0); the x
+    # tick at t+4 never flushes (no further release tick)
+    assert flushed == [(t0 + dt.timedelta(seconds=3), [1.0, 2.0])]
+    open_gate = bl.gate(x, rel, release_on_tick=False).collect_ticks()
+    assert [v for _, v in open_gate] == [[1.0], [2.0], [4.0]]
+
+    # timedelta diff: output ONLY on x's ticks
+    d = bl.diff(x, dt.timedelta(seconds=1)).collect_ticks()
+    assert [t for t, _ in d] == [t0 + dt.timedelta(seconds=2)] or all(
+        t in {t0 + dt.timedelta(seconds=2), t0 + dt.timedelta(seconds=4)}
+        for t, _ in d
+    )
+    x_times = {t for t, _ in x.collect_ticks()}
+    assert all(t in x_times for t, _ in d)
+
+    # default() with explicit keys fires for a never-ticking stream
+    empty = bl.null_ts(spark, "double")
+    seeded = bl.default(empty, 7.0, t0, keys=["k1", "k2"])
+    got = {(r["key"], r["value"]) for r in seeded.df.collect()}
+    assert got == {("k1", 7.0), ("k2", 7.0)}
+
+    # demultiplex raise_on_bad_key: unknown key raises at execution
+    import pytest as _pt
+
+    keyed = TickStream(spark.createDataFrame(
+        [("a", t0, 0, 1.0), ("zz", t0, 1, 2.0)], "key string, ts timestamp, seq long, value double"))
+    ok = bl.demultiplex(keyed, ["a", "zz"], raise_on_bad_key=True)
+    assert ok["a"].df.count() == 1
+    bad = bl.demultiplex(keyed, ["a"], raise_on_bad_key=True)
+    with _pt.raises(Exception, match="unrecognized key"):
+        bad["a"].df.collect()
+    dd = bl.DelayedDemultiplex(keyed, raise_on_bad_key=True)
+    _ = dd.demultiplex("a")
+    with _pt.raises(Exception, match="unrecognized key"):
+        dd.unclaimed().df.collect()
+
+    # timer value_type applied
+    tmr = bl.timer(spark, t0, t0 + dt.timedelta(seconds=3),
+                   dt.timedelta(seconds=1), value=1, value_type="long")
+    assert dict(tmr.df.dtypes)["value"] == "bigint"
+
+    # sub-100µs asof tolerance parses (was scientific-notation INTERVAL)
+    l = spark.createDataFrame([("k", t0, 1.0)], "key string, ts timestamp, v double")
+    r = spark.createDataFrame([("k", t0, 2.0)], "key string, ts timestamp, w double")
+    j = asof_join(l, r, on=["key"], left_ts="ts", right_ts="ts",
+                  tolerance=dt.timedelta(microseconds=50))
+    assert j.count() == 1

@@ -440,3 +440,99 @@ def F_lit_one(x):
     from pyspark.sql import functions as F
 
     return F.when(x.df["value"].isNotNull(), 1.0)
+
+
+def test_ema_horizon_is_windowed_not_truncated(spark):
+    """Finite-horizon EMA removes old values FROM THE COMPUTATION
+    (reference stats.py:2938): every tick emits, each equal to the
+    plain adjusted EW stat of its trailing-h slice — checked against
+    per-slice pandas ewm for mean/var/std, both ignore_na modes, with
+    NaNs in play; horizon >= n equals the unbounded form; the
+    reference's adjust=False contract raises."""
+    rows = gen_random_ticks(n=60, pnan=0.15)
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"
+    )
+    x = TickStream(df)
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "seq", "value"])
+    H, A = 7, 0.3
+
+    for ig in (False, True):
+        for stat, fn in (
+            ("mean", lambda e: e.mean()),
+            ("var", lambda e: e.var(bias=False)),
+            ("std", lambda e: e.std(bias=False)),
+        ):
+            if stat == "mean":
+                got_ts = ema(x, alpha=A, ignore_na=ig, horizon=H)
+            elif stat == "var":
+                got_ts = ema_var(x, alpha=A, ignore_na=ig, horizon=H)
+            else:
+                got_ts = ema_std(x, alpha=A, ignore_na=ig, horizon=H)
+            got = {
+                (r["key"], r["ts"], r["seq"]): r["value"]
+                for r in got_ts.df.collect()
+            }
+            assert len(got) == len(rows)  # EVERY tick emits
+            for key, g in pdf.groupby("key"):
+                g = g.sort_values(["ts", "seq"]).reset_index(drop=True)
+                for i in range(len(g)):
+                    sl = g["value"].iloc[max(0, i - H + 1): i + 1]
+                    want = fn(
+                        sl.ewm(alpha=A, adjust=True, ignore_na=ig)
+                    ).iloc[-1]
+                    have = got[(key, g["ts"].iloc[i], g["seq"].iloc[i])]
+                    if math.isnan(want):
+                        assert math.isnan(have), (key, i, stat, ig, have)
+                    else:
+                        assert math.isclose(
+                            have, want, rel_tol=1e-9, abs_tol=1e-12
+                        ), (key, i, stat, ig, have, want)
+
+    # horizon beyond the data == unbounded
+    wide = {(r["key"], r["ts"], r["seq"]): r["value"]
+            for r in ema(x, alpha=A, horizon=1000).df.collect()}
+    plain = {(r["key"], r["ts"], r["seq"]): r["value"]
+             for r in ema(x, alpha=A).df.collect()}
+    for k, v in plain.items():
+        if math.isnan(v):
+            assert math.isnan(wide[k])
+        else:
+            assert math.isclose(wide[k], v, rel_tol=1e-9)
+    with pytest.raises(ValueError, match="adjusted"):
+        ema(x, alpha=A, adjust=False, horizon=H)
+
+
+def test_ema_halflife_unadjusted_matches_reference_kernel(spark):
+    """timedelta halflife + adjust=False dispatches the reference's
+    UNADJUSTED recursion (HalflifeEMA): y += (1-2^(-dt/hl))(x-y),
+    first tick seeds, same-timestamp ticks leave y unchanged."""
+    rows = [
+        ("k", START, 0, 10.0),
+        ("k", START + TD(seconds=30), 0, 20.0),
+        ("k", START + TD(seconds=90), 0, 5.0),
+        ("k", START + TD(seconds=90), 1, 99.0),   # dt=0: no effect
+        ("k", START + TD(seconds=150), 0, 12.0),
+    ]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"))
+    hl = TD(seconds=60)
+    got = [v for _, v in ema(
+        x, halflife=hl, adjust=False).collect_ticks("k")]
+
+    y = None
+    last = None
+    want = []
+    for _, ts, _, v in rows:
+        t = ts.timestamp()
+        if y is None:
+            y = v
+        else:
+            decay = 1.0 - 2.0 ** (-(t - last) / hl.total_seconds())
+            y += decay * (v - y)
+        last = t
+        want.append(y)
+    assert all(math.isclose(a, b, rel_tol=1e-12) for a, b in zip(got, want))
+    # distinct from the adjusted form on the same data
+    adj = [v for _, v in ema(x, halflife=hl, adjust=True).collect_ticks("k")]
+    assert not all(math.isclose(a, b, rel_tol=1e-9) for a, b in zip(got, adj))
