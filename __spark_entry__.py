@@ -1024,7 +1024,9 @@ def basket_sync(spark, sf_dir):
     clicks = _events_stream(spark, sf_dir, "click")
     views = _events_stream(spark, sf_dir, "view")
     out = basket_sync_op(
-        {"click": clicks, "view": views}, threshold=dt.timedelta(hours=6)
+        {"click": clicks, "view": views},
+        threshold=dt.timedelta(hours=6),
+        output_incomplete=False,
     )
     return out.df.select(
         F.col(KEY).cast("long").alias("user_id"),

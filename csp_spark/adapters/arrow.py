@@ -1,6 +1,20 @@
 """csp.adapters.arrow parity (reference csp/adapters/arrow.py):
-RecordBatch replay in, record-batch collection out."""
-from ..sources.other import from_arrow
-from ..sinks.publish import write_record_batches
+RecordBatch replay in (plain batches or PyCapsule C Data interface),
+typed-Struct conversion both ways, record-batch collection out."""
+from ..sinks.publish import struct_to_record_batches, write_record_batches
+from ..sources.other import from_arrow, record_batch_pull, record_batches_to_struct
 
-__all__ = ["from_arrow", "write_record_batches"]
+# both reference adapters (Python and C-Data) resolve to the one pull
+# path here — record_batch_pull accepts RecordBatches AND capsule tuples
+RecordBatchPullInputAdapter = record_batch_pull
+CRecordBatchPullInputAdapter = record_batch_pull
+
+__all__ = [
+    "CRecordBatchPullInputAdapter",
+    "RecordBatchPullInputAdapter",
+    "from_arrow",
+    "record_batch_pull",
+    "record_batches_to_struct",
+    "struct_to_record_batches",
+    "write_record_batches",
+]

@@ -1,7 +1,174 @@
 """csp.adapters.parquet parity: ParquetReader.subscribe / ParquetWriter
-(reference csp/adapters/parquet.py) over Spark's vectorized parquet
-scan + writer."""
-from ..sources.parquet import read_table, subscribe
-from ..sinks.publish import publish_parquet, publish_parquet_stream
+(reference csp/adapters/parquet.py:109-330; output_adapters/parquet.py:
+26-180) over Spark's vectorized parquet scan + writer.
 
-__all__ = ["read_table", "subscribe", "publish_parquet", "publish_parquet_stream"]
+The functional surface (read_table/subscribe/publish_parquet) is the
+native shape here; the classes below carry the reference's
+object-oriented calling convention onto it 1:1 — a ParquetReader holds
+(files, time/symbol columns, window) and hands out per-column
+subscriptions; a ParquetWriter holds (path, config) and publishes
+streams/structs. No state beyond the constructor args: every method
+call builds a fresh Catalyst plan, so readers are reusable and
+thread-safe (unlike the reference's stateful C++ reader)."""
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+from ..sinks.publish import (
+    publish_parquet,
+    publish_parquet_stream,
+    publish_struct,
+    write_record_batches,
+)
+from ..sources.parquet import read_table, subscribe
+
+
+@dataclass
+class ParquetOutputConfig:
+    """output_adapters/parquet.py:26-38. batch_size/write_dictionary
+    map onto parquet writer options; allow_overwrite selects the save
+    mode; write_arrow_binary selects the Arrow IPC egress path."""
+
+    allow_overwrite: bool = False
+    batch_size: int = 2**15
+    compression: str | None = None
+    write_arrow_binary: bool = False
+    write_dictionary: bool = True
+
+    def resolve_compression(self) -> "ParquetOutputConfig":
+        if self.compression is None:
+            self.compression = "" if self.write_arrow_binary else "snappy"
+        return self
+
+
+class ParquetReader:
+    """csp/adapters/parquet.py:109-330 calling convention. One reader =
+    one file set + time/symbol column config; ``subscribe(symbol,
+    column)`` returns that column's TickStream (scan-pushed filters),
+    ``subscribe_all(columns)`` the struct form."""
+
+    def __init__(
+        self,
+        spark,
+        filename_or_list: str | Sequence[str],
+        time_column: str,
+        symbol_column: str | None = None,
+        start_time: _dt.datetime | None = None,
+        end_time: _dt.datetime | None = None,
+        time_shift: _dt.timedelta | None = None,
+    ):
+        self.spark = spark
+        self.paths = (
+            [filename_or_list]
+            if isinstance(filename_or_list, str)
+            else list(filename_or_list)
+        )
+        self.time_column = time_column
+        self.symbol_column = symbol_column
+        self.start_time = start_time
+        self.end_time = end_time
+        self.time_shift = time_shift
+
+    def _table(self):
+        from functools import reduce
+
+        dfs = [read_table(self.spark, p) for p in self.paths]
+        df = reduce(lambda a, b: a.unionByName(b), dfs)
+        if self.time_shift is not None:
+            from pyspark.sql import functions as F
+
+            us = int(self.time_shift.total_seconds() * 1e6)
+            df = df.withColumn(
+                self.time_column,
+                F.timestamp_micros(
+                    F.unix_micros(F.col(self.time_column)) + us
+                ),
+            )
+        return df
+
+    def subscribe(self, column: str, symbol: str | None = None):
+        from ..core.ticks import TickStream
+        from pyspark.sql import functions as F
+
+        df = self._table()
+        if symbol is not None and self.symbol_column is not None:
+            df = df.filter(F.col(self.symbol_column) == symbol)
+        if self.start_time is not None:
+            df = df.filter(F.col(self.time_column) >= F.lit(self.start_time))
+        if self.end_time is not None:
+            df = df.filter(F.col(self.time_column) <= F.lit(self.end_time))
+        return TickStream.from_table(
+            df,
+            ts_col=self.time_column,
+            value_col=column,
+            key_col=self.symbol_column,
+        )
+
+    def subscribe_all(self, columns: Sequence[str], symbol: str | None = None):
+        """Struct subscription (reference subscribe_all:294): the named
+        columns as one struct-valued stream."""
+        from ..core.ticks import TickStream
+        from pyspark.sql import functions as F
+
+        df = self._table()
+        if symbol is not None and self.symbol_column is not None:
+            df = df.filter(F.col(self.symbol_column) == symbol)
+        if self.start_time is not None:
+            df = df.filter(F.col(self.time_column) >= F.lit(self.start_time))
+        if self.end_time is not None:
+            df = df.filter(F.col(self.time_column) <= F.lit(self.end_time))
+        keep = [self.time_column] + (
+            [self.symbol_column] if self.symbol_column else []
+        )
+        df = df.select(*keep, F.struct(*columns).alias("value"))
+        return TickStream.from_table(
+            df,
+            ts_col=self.time_column,
+            value_col="value",
+            key_col=self.symbol_column,
+        )
+
+
+class ParquetWriter:
+    """output_adapters/parquet.py:40-180 calling convention: construct
+    with (path, timestamp column, config), then ``publish`` streams
+    into it. Batch publish = one parquet write; ``write_arrow_binary``
+    returns the Arrow table instead (IPC egress)."""
+
+    def __init__(
+        self,
+        file_name: str,
+        timestamp_column_name: str = "ts",
+        config: ParquetOutputConfig | None = None,
+    ):
+        self.path = file_name
+        self.ts_col = timestamp_column_name
+        self.config = (config or ParquetOutputConfig()).resolve_compression()
+
+    def publish(self, x, field_map: dict[str, str] | None = None) -> Any:
+        mode = "overwrite" if self.config.allow_overwrite else "error"
+        if self.config.write_arrow_binary:
+            return write_record_batches(x)
+        publish_parquet(
+            x, self.path, mode=mode, partition_by_date=False, field_map=field_map
+        )
+        return None
+
+    def publish_struct(self, x, field_map: dict[str, str] | None = None) -> None:
+        mode = "overwrite" if self.config.allow_overwrite else "error"
+        publish_struct(
+            x, self.path, mode=mode, partition_by_date=False, field_map=field_map
+        )
+
+
+__all__ = [
+    "ParquetOutputConfig",
+    "ParquetReader",
+    "ParquetWriter",
+    "read_table",
+    "subscribe",
+    "publish_parquet",
+    "publish_parquet_stream",
+]

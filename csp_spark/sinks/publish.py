@@ -176,3 +176,32 @@ def stop_engine_limit(x: TickStream, n_ticks: int) -> TickStream:
     from ..operators.baselib import firstN
 
     return firstN(x, n_ticks)
+
+
+def struct_to_record_batches(
+    x: "TickStream | DataFrame",
+    cls: type | None = None,
+    field_map: dict[str, str] | None = None,
+    max_batch_size: int = 65536,
+    value_col: str = "value",
+) -> list:
+    """struct_to_record_batches parity (csp/adapters/arrow.py:270-330):
+    a struct-valued stream out as Arrow RecordBatches — struct fields
+    flatten to one arrow column each, ``field_map`` maps struct field
+    -> arrow column name, ``max_batch_size`` chunks rows per batch
+    (0 disables chunking, reference default 65536).
+
+    The flatten/rename happens in the Spark plan; the Arrow transfer is
+    one ``toArrow()`` IPC collection (this is a driver-side egress
+    tool, same contract as write_record_batches)."""
+    df = _df(x)
+    others = [c for c in df.columns if c != value_col]
+    df = df.select(*others, F.col(f"{value_col}.*"))
+    if field_map:
+        for f, col in field_map.items():
+            if f in df.columns:
+                df = df.withColumnRenamed(f, col)
+    tbl = df.toArrow()
+    if max_batch_size and max_batch_size > 0:
+        return tbl.to_batches(max_chunksize=max_batch_size)
+    return tbl.to_batches()

@@ -103,3 +103,110 @@ def from_arrow(
         data = pa.Table.from_batches(data)
     df = spark.createDataFrame(data)
     return TickStream.from_table(df, ts_col=ts_col, value_col=value_col, key_col=key_col)
+
+
+def record_batch_pull(
+    spark: SparkSession,
+    ts_col_name: str,
+    source: Any,
+    schema: "Any | None" = None,
+    value_col: str | None = None,
+    key_col: str | None = None,
+) -> TickStream:
+    """RecordBatchPullInputAdapter / CRecordBatchPullInputAdapter parity
+    (csp/adapters/arrow.py:26-90): pull an iterator/generator of Arrow
+    record batches — or PyCapsule-interface objects exposing
+    ``__arrow_c_array__`` (the C Data path the reference's C adapter
+    takes) — into one TickStream ordered by ``ts_col_name``.
+
+    Spark mapping: the batches are concatenated into one Arrow table
+    (zero-copy column stitch) and handed to ``createDataFrame``, which
+    ships Arrow IPC straight to the JVM; ordering comes from the
+    (ts, seq) encoding, so the reference's "caller must pre-sort"
+    contract is NOT required here. For sources too large to
+    materialize, write them to parquet and use sources.parquet
+    (the reference adapter is an in-memory replay tool; so is this).
+
+    ``value_col=None`` keeps ALL non-ts columns as a struct value (the
+    multi-column subscribe shape); naming one column gives the scalar
+    stream form.
+    """
+    import pyarrow as pa
+
+    batches = []
+    for item in source:
+        if isinstance(item, pa.RecordBatch):
+            batches.append(item)
+        elif isinstance(item, tuple):
+            # raw __arrow_c_array__() output: (schema_capsule, array_capsule)
+            class _C:
+                def __init__(self, tup):
+                    self._t = tup
+
+                def __arrow_c_array__(self, requested_schema=None):
+                    return self._t
+
+            batches.append(pa.record_batch(_C(item)))
+        else:  # any PyCapsule-interface object
+            batches.append(pa.record_batch(item))
+    if not batches:
+        if schema is None:
+            raise ValueError("empty source requires an explicit schema")
+        tbl = pa.Table.from_pylist([], schema=schema)
+    else:
+        tbl = pa.Table.from_batches(batches)
+    df = spark.createDataFrame(tbl)
+    if value_col is None:
+        others = [c for c in df.columns if c not in (ts_col_name, key_col)]
+        if len(others) == 1:
+            value_col = others[0]
+        else:
+            df = df.select(
+                *( [key_col] if key_col else [] ),
+                ts_col_name,
+                F.struct(*others).alias("value"),
+            )
+            value_col = "value"
+    return TickStream.from_table(
+        df, ts_col=ts_col_name, value_col=value_col, key_col=key_col
+    )
+
+
+def record_batches_to_struct(
+    spark: SparkSession,
+    data: Any,
+    cls: type,
+    ts_col: str,
+    field_map: "dict[str, str] | None" = None,
+    key_col: str | None = None,
+) -> TickStream:
+    """record_batches_to_struct parity (csp/adapters/arrow.py:209-260):
+    Arrow record batches in, a TickStream of typed ``cls`` Struct
+    values out. ``field_map`` maps struct field -> arrow column (the
+    reference's orientation); unmapped fields land NULL (csp's unset).
+    The cast to ``cls.spark_type()`` happens column-wise in the plan —
+    no Python per-row work."""
+    import pyarrow as pa
+
+    from ..core.record import Struct
+
+    if not (isinstance(cls, type) and issubclass(cls, Struct)):
+        raise TypeError(f"cls must be a csp_spark Struct subclass, got {cls}")
+    if isinstance(data, list):
+        data = pa.Table.from_batches(data)
+    df = spark.createDataFrame(data)
+    field_map = field_map or {f: f for f in cls.fields()}
+    styp = cls.spark_type()
+    cols = []
+    for f in styp.fieldNames():
+        src = field_map.get(f)
+        if src is not None and src in df.columns:
+            cols.append(F.col(src).cast(styp[f].dataType).alias(f))
+        else:
+            cols.append(F.lit(None).cast(styp[f].dataType).alias(f))
+    out = df.select(
+        *( [key_col] if key_col else [] ),
+        ts_col,
+        F.struct(*cols).alias("value"),
+    )
+    return TickStream.from_table(out, ts_col=ts_col, value_col="value", key_col=key_col)

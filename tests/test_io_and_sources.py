@@ -55,15 +55,53 @@ def test_arrow_roundtrip(spark):
 def test_sync_complete_buckets(spark):
     a = _ticks(spark, [(START + TD(seconds=1), 1.0), (START + TD(seconds=61), 3.0)])
     b = _ticks(spark, [(START + TD(seconds=2), 2.0)])
-    out = sync({"a": a, "b": b}, threshold=TD(minutes=1))
+    out = sync({"a": a, "b": b}, threshold=TD(minutes=1), output_incomplete=False)
     rows = out.ordered().collect()
     # bucket 0 has both members; bucket 1 only 'a' -> dropped
     assert len(rows) == 1
     assert rows[0][TS] == START + TD(seconds=2)
     assert dict(rows[0][VALUE]) == {"a": 1.0, "b": 2.0}
-    # output_incomplete=True keeps the partial bucket
-    out2 = sync({"a": a, "b": b}, threshold=TD(minutes=1), output_incomplete=True)
+    # the default (reference basketlib.py:60 output_incomplete=True)
+    # keeps the partial bucket
+    out2 = sync({"a": a, "b": b}, threshold=TD(minutes=1))
     assert out2.df.count() == 2
+
+
+def test_sync_list_and_trigger(spark):
+    from csp_spark.operators.basketlib import sync_list
+
+    a = _ticks(spark, [(START + TD(seconds=1), 1.0), (START + TD(seconds=61), 3.0)])
+    b = _ticks(spark, [(START + TD(seconds=2), 2.0)])
+    # list basket -> list basket; incomplete batch: only member 0 ticks
+    ra, rb = sync_list([a, b], threshold=TD(minutes=1))
+    assert [v for _, v in ra.collect_ticks("k")] == [1.0, 3.0]
+    assert [v for _, v in rb.collect_ticks("k")] == [2.0]
+    # trigger opens the window: a trigger at t=60 collects the ticks in
+    # [60, 120); the t=1/t=2 ticks precede any window and are dropped
+    trig = _ticks(spark, [(START + TD(seconds=60), 0.0)])
+    out = sync({"a": a, "b": b}, threshold=TD(minutes=1), trigger=trig)
+    rows = out.ordered().collect()
+    assert len(rows) == 1
+    assert dict(rows[0][VALUE]) == {"a": 3.0}  # unset member omitted
+    # triggers inside an open window are ignored (reference: alarm
+    # re-arms only after it fires): t=60 and t=90 -> one window
+    trig2 = _ticks(
+        spark, [(START + TD(seconds=60), 0.0), (START + TD(seconds=90), 0.0)]
+    )
+    out2 = sync({"a": a, "b": b}, threshold=TD(minutes=1), trigger=trig2)
+    assert out2.df.count() == 1
+
+
+def test_sample_list(spark):
+    from csp_spark.operators.basketlib import sample_basket
+
+    trig = _ticks(spark, [(START + TD(seconds=10), 0.0), (START + TD(seconds=20), 0.0)])
+    a = _ticks(spark, [(START + TD(seconds=1), 1.0), (START + TD(seconds=15), 1.5)])
+    b = _ticks(spark, [(START + TD(seconds=12), 2.0)])
+    ra, rb = sample_basket(trig, [a, b])
+    # member b is not yet valid at the first trigger -> no tick
+    assert [v for _, v in ra.collect_ticks("k")] == [1.0, 1.5]
+    assert [v for _, v in rb.collect_ticks("k")] == [2.0]
 
 
 def test_sample_basket(spark):
@@ -172,3 +210,98 @@ def test_publish_struct_flattens_fields(spark, tmp_path):
     rows = sorted(back.collect(), key=lambda r: r["ts"])
     assert rows[0]["price"] == 1.0 and rows[0]["venue"] == "a"
     assert rows[1]["price"] == 2.0 and rows[1]["venue"] is None
+
+
+def test_record_batch_pull_and_capsule(spark):
+    import pyarrow as pa
+
+    from csp_spark.adapters.arrow import RecordBatchPullInputAdapter
+
+    tbl = pa.table(
+        {
+            "t": [START + TD(seconds=i) for i in range(6)],
+            "px": [float(i) for i in range(6)],
+        }
+    )
+    batches = tbl.to_batches(max_chunksize=2)
+    x = RecordBatchPullInputAdapter(spark, "t", iter(batches))
+    assert [v for _, v in x.collect_ticks()] == [float(i) for i in range(6)]
+    # PyCapsule C Data path (CRecordBatchPullInputAdapter contract):
+    # feed raw __arrow_c_array__() tuples
+    caps = [rb.__arrow_c_array__() for rb in tbl.to_batches(max_chunksize=3)]
+    y = RecordBatchPullInputAdapter(spark, "t", iter(caps))
+    assert y.collect_ticks() == x.collect_ticks()
+
+
+def test_record_batches_struct_roundtrip(spark):
+    import pyarrow as pa
+
+    from csp_spark.adapters.arrow import (
+        record_batches_to_struct,
+        struct_to_record_batches,
+    )
+    from csp_spark.core.record import Struct
+
+    class Quote(Struct):
+        price: float
+        size: int
+
+    tbl = pa.table(
+        {
+            "t": [START + TD(seconds=i) for i in range(4)],
+            "p": [1.0, 2.0, 3.0, 4.0],
+            "sz": [10, 20, 30, 40],
+        }
+    )
+    x = record_batches_to_struct(
+        spark, tbl.to_batches(), Quote, ts_col="t",
+        field_map={"price": "p", "size": "sz"},
+    )
+    rows = x.ordered().collect()
+    assert rows[0][VALUE]["price"] == 1.0 and rows[0][VALUE]["size"] == 10
+    # back out: struct fields -> arrow columns, renamed + chunked
+    out = struct_to_record_batches(
+        x, field_map={"price": "p", "size": "sz"}, max_batch_size=3
+    )
+    assert sum(b.num_rows for b in out) == 4
+    assert len(out) == 2  # 4 rows chunked at 3
+    cols = set(out[0].schema.names)
+    assert {"p", "sz"} <= cols
+
+
+def test_parquet_reader_writer_classes(spark, tmp_path):
+    from csp_spark.adapters.parquet import (
+        ParquetOutputConfig,
+        ParquetReader,
+        ParquetWriter,
+    )
+
+    x = _ticks(spark, [(START + TD(seconds=i), float(i)) for i in range(5)])
+    w = ParquetWriter(
+        str(tmp_path / "pw"), TS, ParquetOutputConfig(allow_overwrite=True)
+    )
+    w.publish(x)
+    r = ParquetReader(
+        spark, str(tmp_path / "pw"), time_column=TS, symbol_column=KEY
+    )
+    back = r.subscribe(column=VALUE, symbol="k")
+    assert [v for _, v in back.collect_ticks("k")] == [float(i) for i in range(5)]
+    # subscribe_all struct form + time_shift
+    r2 = ParquetReader(
+        spark,
+        str(tmp_path / "pw"),
+        time_column=TS,
+        symbol_column=KEY,
+        time_shift=TD(minutes=1),
+    )
+    st = r2.subscribe_all([VALUE, SEQ])
+    rows = st.ordered().collect()
+    assert rows[0][TS] == START + TD(minutes=1)
+    assert rows[0][VALUE][VALUE] == 0.0
+    # arrow-binary egress path
+    w2 = ParquetWriter(
+        str(tmp_path / "pw2"), TS,
+        ParquetOutputConfig(write_arrow_binary=True),
+    )
+    tbl = w2.publish(x)
+    assert tbl.num_rows == 5
