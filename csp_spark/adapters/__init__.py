@@ -12,6 +12,8 @@ implementation so `from csp.adapters.parquet import ...` ports become
 | arrow.py RecordBatch in/out | .arrow (sources/other.py, sinks/publish.py) |
 | kafka.py KafkaAdapterManager | .kafka (streaming/sources.py + sinks/publish.py) |
 | websocket.py WebsocketAdapterManager | .websocket (streaming/sources.py socket_ticks / PushAdapter) |
+| status.py Status/Level | .status (+ StreamingQuery health bridge) |
+| utils.py MsgMapper family | .utils (declarative value-decode expressions) |
 | perspective.py / slack.py / symphony.py | out of scope (UI/chat sinks; SURVEY §2.2) |
 
 These are thin namespaces, not re-implementations — the underlying
@@ -19,6 +21,8 @@ functions are the same objects as in csp_spark.sources / .sinks /
 .streaming.
 """
 
-from . import arrow, csv, db, kafka, parquet, websocket
+from . import arrow, csv, db, kafka, parquet, status, utils, websocket
 
-__all__ = ["parquet", "csv", "db", "arrow", "kafka", "websocket"]
+__all__ = [
+    "parquet", "csv", "db", "arrow", "kafka", "websocket", "status", "utils",
+]

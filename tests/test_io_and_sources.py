@@ -305,3 +305,34 @@ def test_parquet_reader_writer_classes(spark, tmp_path):
     )
     tbl = w2.publish(x)
     assert tbl.num_rows == 5
+
+
+def test_status_and_msgmapper(spark):
+    from csp_spark.adapters.status import Level, Status
+    from csp_spark.adapters.utils import (
+        DateTimeType,
+        JSONTextMessageMapper,
+        RawBytesMessageMapper,
+        RawTextMessageMapper,
+        epoch_to_ts,
+    )
+
+    s = Status(level=int(Level.ERROR), status_code=7, msg="disconnect")
+    assert s.level == 3 and s.to_dict()["msg"] == "disconnect"
+
+    df = spark.createDataFrame(
+        [(bytearray(b'{"t": 1577836800000, "px": 1.5}'),)], "value binary"
+    )
+    m = JSONTextMessageMapper(DateTimeType.UINT64_MILLIS)
+    parsed = df.select(
+        m.decode(F.col("value"), "t long, px double").alias("v")
+    ).select(
+        epoch_to_ts(F.col("v.t"), DateTimeType.UINT64_MILLIS).alias("ts"),
+        F.col("v.px").alias("px"),
+    )
+    row = parsed.first()
+    assert row["ts"] == dt.datetime(2020, 1, 1) and row["px"] == 1.5
+    raw = df.select(RawTextMessageMapper().decode(F.col("value")).alias("s")).first()
+    assert raw["s"].startswith('{"t"')
+    rb = df.select(RawBytesMessageMapper().decode(F.col("value")).alias("b")).first()
+    assert bytes(rb["b"]).startswith(b'{"t"')
