@@ -1036,6 +1036,30 @@ def basket_sync(spark, sf_dir):
     )
 
 
+def basket_sync_trigger(spark, sf_dir):
+    # trigger-opened sync windows (reference basketlib.py:14-38
+    # sync_list_internal: the threshold alarm arms on a trigger tick and
+    # re-arms only after it fires): purchases open 6h windows per user;
+    # clicks/views collected first-per-member inside each window.
+    # Accepted triggers are the greedy >=threshold-apart subsequence —
+    # the oracle reproduces that with a recursive CTE.
+    clicks = _events_stream(spark, sf_dir, "click")
+    views = _events_stream(spark, sf_dir, "view")
+    purchases = _events_stream(spark, sf_dir, "purchase")
+    out = basket_sync_op(
+        {"click": clicks, "view": views},
+        threshold=dt.timedelta(hours=6),
+        output_incomplete=False,
+        trigger=purchases,
+    )
+    return out.df.select(
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(TS).alias("sync_ts"),
+        F.col("value")["click"].alias("click_v"),
+        F.col("value")["view"].alias("view_v"),
+    )
+
+
 def dyn_snap_attach(spark, sf_dir):
     # csp.snap/snapkey/attach analogues (csp/impl/types/tstype.py:
     # 142-199): per-user subgraph triggered by clicks reads the view
@@ -2961,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_edge_math": op_edge_math,
         "src_timer": src_timer,
         "basket_sync": basket_sync,
+        "basket_sync_trigger": basket_sync_trigger,
         "basket_sample": basket_sample,
         "dyn_cummax": dyn_cummax,
         "feedback_clamp": feedback_clamp,
@@ -3090,8 +3115,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_accum_global", "op_struct_record", "op_exprtk_state",
         "op_exprtk", "op_merge", "op_filter", "op_gate",
         "dedup_minhash", "dedup_simhash", "dedup_components",
+        # basket_sync_trigger also re-exercises the rewritten sync body
+        # (basket_sync keeps its r3 green; local gate re-verified);
+        # ann_topk's brute path is untouched this round, so the slots
+        # go to the lsh/ivf/knn paths that DID change (infer_dim,
+        # split_uniform training sample).
+        "basket_sync_trigger",
+        "ann_lsh_topk", "ann_ivf_exact", "ann_knn_join",
         "q21_suppliers_kept_waiting",
-        "ann_topk", "ann_lsh_topk", "ann_ivf_exact", "ann_knn_join",
         "text_repetition", "doc_chunk", "op_struct_fromts",
         # (4) r2-only greens, refreshed
         "op_accum", "op_diff", "op_delay", "op_firstn", "op_dropdups",
@@ -3387,6 +3418,37 @@ SELECT user_id, max(ts) AS sync_ts,
   max(CASE WHEN event_type = 'click' THEN value END) AS click_v,
   max(CASE WHEN event_type = 'view' THEN value END) AS view_v
 FROM f GROUP BY user_id, b HAVING count(*) = 2
+""",
+        # trigger-opened windows: accepted purchases are the greedy
+        # >=6h-apart subsequence per user (recursive CTE: each step
+        # takes the earliest remaining trigger past the last accepted
+        # one); members attach to the window [t, t+6h) — disjoint by
+        # construction, so a plain range join reproduces the engine's
+        # last-trigger-carry assignment.
+        "basket_sync_trigger": """
+WITH RECURSIVE trg AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+  WHERE event_type = 'purchase'
+), sel AS (
+  SELECT user_id, min(tus) AS tus FROM trg GROUP BY user_id
+  UNION ALL
+  SELECT t.user_id, min(t.tus) AS tus
+  FROM sel s JOIN trg t
+    ON t.user_id = s.user_id AND t.tus >= s.tus + 21600000000
+  GROUP BY t.user_id
+), mem AS (
+  SELECT e.user_id, s.tus AS wtus, e.event_type, e.ts, e.value,
+    row_number() OVER (
+      PARTITION BY e.user_id, s.tus, e.event_type
+      ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN sel s ON e.user_id = s.user_id
+    AND epoch_us(e.ts) >= s.tus AND epoch_us(e.ts) < s.tus + 21600000000
+  WHERE e.event_type IN ('click', 'view')
+), f AS (SELECT * FROM mem WHERE rn = 1)
+SELECT user_id, max(ts) AS sync_ts,
+  max(CASE WHEN event_type = 'click' THEN value END) AS click_v,
+  max(CASE WHEN event_type = 'view' THEN value END) AS view_v
+FROM f GROUP BY user_id, wtus HAVING count(*) = 2
 """,
         "dyn_cummax": f"""
 SELECT event_id, user_id,
