@@ -30,6 +30,7 @@ from .core.wiring import (
     TSArgTypeMismatchError,
     TypeMismatchError,
 )
+from .core.noderun import NO_OUTPUT, NodeCycle, run_node
 from .core.profiler import Profiler, graph_info
 from .core.record import Struct, UNSET
 from .core.surface import (
@@ -216,6 +217,7 @@ __all__ = [
     "add_graph_output", "attach", "build_graph", "clear_global_context",
     "dynamic", "feedback", "graph", "new_global_context", "node",
     "numba_node", "set_print_full_exception_stack", "ts",
+    "run_node", "NodeCycle", "NO_OUTPUT",
     "run", "run_on_thread", "memoize", "csp_memoized", "show_graph",
     "ThreadRunner", "dynamic_apply", "feedback_iterate", "feedback_scan",
     "snap", "snapkey", "attached", "schedule_on_engine_stop",

@@ -581,3 +581,80 @@ def test_ema_hot_keys_matches_sequential(spark):
     assert set(got) == set(ref) and len(got) == 315
     for k, v in ref.items():
         assert math.isclose(got[k], v, rel_tol=1e-11), k
+
+
+def test_run_node_cumsum_matches_accum(spark):
+    """Imperative node authoring (reference @csp.node model): a
+    stateful cumulative-sum node equals the accum combinator."""
+    import csp_spark as csp
+    from csp_spark import run_node
+    from csp_spark.operators import baselib as bl
+
+    x = TickStream.from_rows(
+        spark,
+        [(START + TD(seconds=i), float(i % 7)) for i in range(50)],
+        key="k",
+    )
+
+    @csp.node
+    def cum(cycle):
+        cycle.state["s"] += cycle["x"]
+        return cycle.state["s"]
+
+    got = run_node(cum, x, state={"s": 0.0}).collect_ticks("k")
+    want = bl.accum(x).collect_ticks("k")
+    assert got == want
+
+
+def test_run_node_two_inputs_valid_gating(spark):
+    """Two-input node: output only when both inputs are valid, on
+    either's tick — checked against a hand fold in plain Python."""
+    from csp_spark import run_node
+
+    bid = TickStream.from_rows(
+        spark, [(START + TD(seconds=2 * i), 10.0 + i) for i in range(10)], key="k"
+    )
+    ask = TickStream.from_rows(
+        spark, [(START + TD(seconds=3 * i + 1), 11.0 + i) for i in range(7)], key="k"
+    )
+
+    def spread(cycle):
+        if not (cycle.valid("bid") and cycle.valid("ask")):
+            return None
+        return cycle["ask"] - cycle["bid"]
+
+    got = run_node(spread, {"bid": bid, "ask": ask}).collect_ticks("k")
+    # independent fold over the merged event sequence
+    ev = sorted(
+        [(START + TD(seconds=2 * i), "bid", 10.0 + i) for i in range(10)]
+        + [(START + TD(seconds=3 * i + 1), "ask", 11.0 + i) for i in range(7)]
+    )
+    last, want = {}, []
+    from itertools import groupby
+
+    for ts, grp in groupby(ev, key=lambda e: e[0]):
+        for _, name, v in grp:
+            last[name] = v
+        if "bid" in last and "ask" in last:
+            want.append((ts, last["ask"] - last["bid"]))
+    assert got == want
+
+
+def test_run_node_no_output_and_ticked(spark):
+    """NO_OUTPUT skips cycles; ticked() sees only the ticking input."""
+    from csp_spark import NO_OUTPUT, run_node
+
+    a = TickStream.from_rows(
+        spark, [(START + TD(seconds=2 * i), float(i)) for i in range(6)], key="k"
+    )
+    b = TickStream.from_rows(
+        spark, [(START + TD(seconds=2 * i + 1), 100.0 + i) for i in range(6)], key="k"
+    )
+
+    def only_b(cycle):
+        if not cycle.ticked("b"):
+            return NO_OUTPUT
+        return cycle["b"]
+
+    got = run_node(only_b, {"a": a, "b": b}).collect_ticks("k")
+    assert [v for _, v in got] == [100.0 + i for i in range(6)]
