@@ -3,11 +3,13 @@ keyed-parallel (reference csp/impl/wiring/node.py + engine
 cpp/csp/engine/CspEngine.cpp node-cycle loop).
 
 A reference node is a per-tick Python function with ``csp.state()``
-variables, ``csp.ticked``/``csp.valid`` input queries, and an optional
-output per cycle. ``run_node`` gives the same authoring surface on
-Spark: the inputs align to engine cycles (core/align.py — one row per
-cycle with last-values and ticked flags), and the user's function runs
-over each KEY's cycles sequentially inside ``applyInPandas``.
+variables, ``csp.ticked``/``csp.valid`` input queries, ``csp.alarms``
+self-scheduling, and an optional output per cycle. ``run_node`` gives
+the same authoring surface on Spark: the inputs align to engine
+cycles (core/align.py — one row per cycle with last-values and ticked
+flags), and the user's function runs over each KEY's cycles
+sequentially inside ``applyInPandas``, with an alarm heap merged into
+the cycle sequence.
 
 Scale shape: per-key sequential Python — the deliberate slow path,
 exactly like the reference's Python nodes vs their cppimpl twins.
@@ -20,6 +22,8 @@ this exists so imperative reference nodes port line-for-line.
 
 from __future__ import annotations
 
+import datetime as _dt
+import heapq
 from collections.abc import Mapping
 from typing import Any, Callable
 
@@ -34,12 +38,22 @@ from .ticks import KEY, SEQ, TS, VALUE, TickStream
 #: ``return``/``csp.output``)
 NO_OUTPUT = object()
 
+#: seq base for synthetic alarm cycles — orders them after any
+#: coincident input cycle at the same timestamp
+_ALARM_SEQ_BASE = 1 << 40
+
+#: per-key cap on alarm cycles (guards a node that reschedules itself
+#: forever against an unbounded loop; reference runs are bounded by
+#: endtime the same way)
+_MAX_ALARM_CYCLES = 1_000_000
+
 
 class NodeCycle:
     """One engine cycle as seen from inside a node: ``now``/``seq``,
     the mutable per-key ``state`` dict (csp.state), input last-values
-    by name (``cycle['bid']``), and the reference's input queries
-    ``ticked(name)`` / ``valid(name)``.
+    by name (``cycle['bid']``), the reference's input queries
+    ``ticked(name)`` / ``valid(name)``, and the alarm surface
+    (csp.alarms: ``schedule_alarm``/``cancel_alarm``/``alarm``).
 
     Note: inputs arrive as pandas scalars; a float input that is not
     yet valid reads as NaN AND valid()==False — a stream that ticks
@@ -47,24 +61,40 @@ class NodeCycle:
     drop_nans upstream if that matters).
     """
 
-    __slots__ = ("now", "seq", "state", "_vals", "_ticked")
+    __slots__ = ("now", "seq", "state", "alarm", "_vals", "_ticked", "_rt")
 
-    def __init__(self, now, seq, state, vals, ticked):
+    def __init__(self, now, seq, state, vals, ticked, rt, alarm=None):
         self.now = now
         self.seq = seq
         self.state = state
+        self.alarm = alarm  # the firing alarm's value (alarm cycles only)
         self._vals = vals
         self._ticked = ticked
+        self._rt = rt  # runtime: the per-key alarm heap closure
 
     def __getitem__(self, name: str):
         return self._vals[name]
 
     def ticked(self, name: str) -> bool:
-        return bool(self._ticked[name])
+        if name == "alarm":
+            return self.alarm is not None
+        return bool(self._ticked.get(name, False))
 
     def valid(self, name: str) -> bool:
-        v = self._vals[name]
+        v = self._vals.get(name)
         return v is not None and not (isinstance(v, float) and v != v)
+
+    def schedule_alarm(self, when: _dt.timedelta | _dt.datetime, value: Any = True):
+        """csp.schedule_alarm (builtin_functions.py:160-190): arrange a
+        self-wake at ``now + timedelta`` (or an absolute time); returns
+        a handle for cancel_alarm. The alarm cycle sees the value on
+        ``cycle.alarm`` and ``cycle.ticked('alarm')``."""
+        ats = (self.now + when) if isinstance(when, _dt.timedelta) else when
+        return self._rt(ats, value)
+
+    def cancel_alarm(self, handle) -> None:
+        """csp.cancel_alarm: a cancelled handle never fires."""
+        handle["alive"] = False
 
 
 def run_node(
@@ -72,6 +102,7 @@ def run_node(
     inputs: TickStream | Mapping[str, TickStream],
     state: Mapping[str, Any] | Callable[[], dict] | None = None,
     output_type: str = "double",
+    end: _dt.datetime | None = None,
 ) -> TickStream:
     """Run an imperative per-cycle function over every key's engine
     cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
@@ -83,6 +114,13 @@ def run_node(
     last-values without producing cycles, exactly as in align().
     ``state`` seeds the per-key state: a dict (copied per key) or a
     zero-arg factory.
+
+    Alarms: ``cycle.schedule_alarm(delta, value)`` inserts a synthetic
+    cycle at now+delta (after any coincident input cycle — synthetic
+    seq orders above input seqs). Pending alarms past the last input
+    tick fire up to ``end`` when given, else all fire (the engine-run
+    endtime analog; a self-rescheduling node without ``end`` is capped
+    at 1e6 alarm cycles per key).
     """
     streams = (
         {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
@@ -99,19 +137,61 @@ def run_node(
         tcols = {n: pdf[_ticked_col(n)].to_numpy() for n in names}
         vcols = {n: pdf[n] for n in names}
         tss, seqs = pdf[TS], pdf[SEQ]
+        n_rows = len(pdf)
+
+        heap: list = []  # (alarm_ts, order, handle)
+        order = [0]
+
+        def _schedule(ats, value):
+            handle = {"alive": True, "value": value, "ts": ats}
+            order[0] += 1
+            heapq.heappush(heap, (pd.Timestamp(ats), order[0], handle))
+            return handle
+
         out = []
-        for i in range(len(pdf)):
+        last_vals = {n: None for n in names}
+
+        def _emit(cyc, r):
+            if r is not NO_OUTPUT and r is not None:
+                out.append((key, cyc.now, cyc.seq, r))
+
+        def _fire_alarms(limit_ts, fired):
+            """Fire due alarms strictly before limit_ts (None = all)."""
+            while heap and fired[0] < _MAX_ALARM_CYCLES:
+                ats, _, handle = heap[0]
+                if not handle["alive"]:
+                    heapq.heappop(heap)
+                    continue
+                if limit_ts is not None and ats >= limit_ts:
+                    break
+                if end is not None and ats > pd.Timestamp(end):
+                    heapq.heappop(heap)
+                    continue
+                heapq.heappop(heap)
+                fired[0] += 1
+                cyc = NodeCycle(
+                    ats, _ALARM_SEQ_BASE + fired[0], st,
+                    dict(last_vals), {}, _schedule, alarm=handle["value"],
+                )
+                _emit(cyc, fn(cyc))
+
+        fired = [0]
+        i = 0
+        while i < n_rows:
+            ts_i = tss.iloc[i]
+            _fire_alarms(ts_i, fired)
             vals = {}
             for n in names:
                 v = vcols[n].iloc[i]
                 vals[n] = None if v is pd.NaT else v
+            last_vals = vals
             cyc = NodeCycle(
-                tss.iloc[i], int(seqs.iloc[i]), st, vals,
-                {n: tcols[n][i] for n in names},
+                ts_i, int(seqs.iloc[i]), st, vals,
+                {n: tcols[n][i] for n in names}, _schedule,
             )
-            r = fn(cyc)
-            if r is not NO_OUTPUT and r is not None:
-                out.append((key, tss.iloc[i], int(seqs.iloc[i]), r))
+            _emit(cyc, fn(cyc))
+            i += 1
+        _fire_alarms(None, fired)  # trailing alarms (bounded by end/cap)
         return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
 
     return TickStream(wide.groupBy(KEY).applyInPandas(_run, schema))

@@ -658,3 +658,53 @@ def test_run_node_no_output_and_ticked(spark):
 
     got = run_node(only_b, {"a": a, "b": b}).collect_ticks("k")
     assert [v for _, v in got] == [100.0 + i for i in range(6)]
+
+
+def test_run_node_alarms_timeout_pattern(spark):
+    """csp.alarms inside run_node: each tick re-arms a 5s timeout
+    alarm (cancelling the previous); the alarm fires -1 when a gap
+    exceeds 5s. Checked against a hand fold over the gaps."""
+    from csp_spark import run_node
+
+    times = [0, 2, 4, 12, 13, 25]
+    x = TickStream.from_rows(
+        spark, [(START + TD(seconds=s), float(s)) for s in times], key="k"
+    )
+
+    def watchdog(cycle):
+        if cycle.ticked("alarm"):
+            return -1.0
+        h = cycle.state.get("h")
+        if h is not None:
+            cycle.cancel_alarm(h)
+        cycle.state["h"] = cycle.schedule_alarm(TD(seconds=5), True)
+        return cycle["x"]
+
+    got = run_node(watchdog, x, state={}).collect_ticks("k")
+    # hand fold: value at each tick; -1 five seconds after any tick
+    # whose successor is >5s away (and after the final tick)
+    want = []
+    for i, s in enumerate(times):
+        want.append((START + TD(seconds=s), float(s)))
+        nxt = times[i + 1] if i + 1 < len(times) else None
+        if nxt is None or nxt - s > 5:
+            want.append((START + TD(seconds=s + 5), -1.0))
+    assert got == want
+
+
+def test_run_node_alarm_end_bound(spark):
+    """Trailing alarms are clipped at the run end time."""
+    from csp_spark import run_node
+
+    x = TickStream.from_rows(spark, [(START, 1.0)], key="k")
+
+    def arm(cycle):
+        if cycle.ticked("alarm"):
+            return 99.0
+        cycle.schedule_alarm(TD(hours=2), True)
+        return None
+
+    got = run_node(arm, x, end=START + TD(hours=1)).collect_ticks("k")
+    assert got == []  # alarm at +2h falls past end
+    got2 = run_node(arm, x, end=START + TD(hours=3)).collect_ticks("k")
+    assert got2 == [(START + TD(hours=2), 99.0)]
