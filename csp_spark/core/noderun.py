@@ -103,7 +103,8 @@ def run_node(
     state: Mapping[str, Any] | Callable[[], dict] | None = None,
     output_type: str = "double",
     end: _dt.datetime | None = None,
-) -> TickStream:
+    outputs: Mapping[str, str] | None = None,
+) -> "TickStream | dict[str, TickStream]":
     """Run an imperative per-cycle function over every key's engine
     cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
     with that key's state dict carried across calls; its return value
@@ -121,6 +122,12 @@ def run_node(
     tick fire up to ``end`` when given, else all fire (the engine-run
     endtime analog; a self-rescheduling node without ``end`` is capped
     at 1e6 alarm cycles per key).
+
+    Multiple outputs (csp.Outputs / csp.output(name=value)): pass
+    ``outputs={"a": "double", "b": "long"}`` and return a dict from
+    ``fn`` — only the names present tick that cycle. run_node then
+    returns ``{name: TickStream}``. One node execution feeds all
+    outputs (the frame is computed once and sliced per output).
     """
     streams = (
         {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
@@ -128,7 +135,14 @@ def run_node(
     names = list(streams)
     wide = align(streams, keep_ticked=True)
     mk_state = state if callable(state) else (lambda s=dict(state or {}): dict(s))
-    schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}"
+    multi = dict(outputs) if outputs else None
+    if multi:
+        out_cols = ", ".join(
+            f"{n} {t}, {n}__t boolean" for n, t in multi.items()
+        )
+        schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {out_cols}"
+    else:
+        schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}"
 
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([TS, SEQ])
@@ -152,7 +166,14 @@ def run_node(
         last_vals = {n: None for n in names}
 
         def _emit(cyc, r):
-            if r is not NO_OUTPUT and r is not None:
+            if r is NO_OUTPUT or r is None:
+                return
+            if multi:
+                row = [key, cyc.now, cyc.seq]
+                for n in multi:
+                    row.extend((r.get(n), n in r))
+                out.append(tuple(row))
+            else:
                 out.append((key, cyc.now, cyc.seq, r))
 
         def _fire_alarms(limit_ts, fired):
@@ -192,6 +213,23 @@ def run_node(
             _emit(cyc, fn(cyc))
             i += 1
         _fire_alarms(None, fired)  # trailing alarms (bounded by end/cap)
+        if multi:
+            cols = [KEY, TS, SEQ]
+            for n in multi:
+                cols.extend((n, f"{n}__t"))
+            return pd.DataFrame(out, columns=cols)
         return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
 
-    return TickStream(wide.groupBy(KEY).applyInPandas(_run, schema))
+    res = wide.groupBy(KEY).applyInPandas(_run, schema)
+    if multi:
+        from pyspark.sql import functions as F
+
+        return {
+            n: TickStream(
+                res.filter(F.col(f"{n}__t")).select(
+                    KEY, TS, SEQ, F.col(n).alias(VALUE)
+                )
+            )
+            for n in multi
+        }
+    return TickStream(res)

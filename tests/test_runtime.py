@@ -708,3 +708,47 @@ def test_run_node_alarm_end_bound(spark):
     assert got == []  # alarm at +2h falls past end
     got2 = run_node(arm, x, end=START + TD(hours=3)).collect_ticks("k")
     assert got2 == [(START + TD(hours=2), 99.0)]
+
+
+def test_run_node_multiple_outputs(spark):
+    """csp.Outputs parity: a node returning {name: value} dicts feeds
+    several output streams from one execution; absent names don't
+    tick. Checked against two independent single-purpose folds."""
+    from csp_spark import run_node
+
+    x = TickStream.from_rows(
+        spark,
+        [(START + TD(seconds=i), float(v)) for i, v in
+         enumerate([3, 7, 2, 9, 9, 1, 5])],
+        key="k",
+    )
+
+    def hi_lo(cycle):
+        v = cycle["x"]
+        st = cycle.state
+        out = {}
+        if st.get("hi") is None or v > st["hi"]:
+            st["hi"] = v
+            out["new_high"] = v
+        if st.get("lo") is None or v < st["lo"]:
+            st["lo"] = v
+            out["new_low"] = v
+        out["n"] = st["n"] = st.get("n", 0) + 1
+        return out
+
+    outs = run_node(
+        hi_lo, x, outputs={"new_high": "double", "new_low": "double", "n": "long"}
+    )
+    vals = [3.0, 7.0, 2.0, 9.0, 9.0, 1.0, 5.0]
+    highs, hi = [], None
+    lows, lo = [], None
+    for v in vals:
+        if hi is None or v > hi:
+            hi = v
+            highs.append(v)
+        if lo is None or v < lo:
+            lo = v
+            lows.append(v)
+    assert [v for _, v in outs["new_high"].collect_ticks("k")] == highs
+    assert [v for _, v in outs["new_low"].collect_ticks("k")] == lows
+    assert [v for _, v in outs["n"].collect_ticks("k")] == list(range(1, 8))
