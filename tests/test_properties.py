@@ -318,3 +318,75 @@ def test_pq_codes_select_nearest_center(spark, vals, m):
             sub = v[j * dsub:(j + 1) * dsub]
             d2 = ((books[j] - sub) ** 2).sum(axis=1)
             assert d2[code] <= d2.min() + 1e-9, (r, j, d2)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1, max_size=20,
+    ),
+    nkeys=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_run_node_cumsum_equals_accum(spark, vals, nkeys):
+    """Property: the imperative cumsum node equals the accum
+    combinator for any tick values across any key split."""
+    from csp_spark import run_node
+
+    start = dt.datetime(2020, 1, 1)
+    rows = [
+        (f"k{i % nkeys}", start + dt.timedelta(seconds=i), 0, float(v))
+        for i, v in enumerate(vals)
+    ]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"
+    ))
+
+    def cum(c):
+        c.state["s"] += c["x"]
+        return c.state["s"]
+
+    got = run_node(cum, x, state={"s": 0.0}).collect_all()
+    want = bl.accum(x).collect_all()
+    assert set(got) == set(want)
+    for k in want:
+        for (gt, gv), (wt, wv) in zip(got[k], want[k]):
+            assert gt == wt and math.isclose(gv, wv, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=10), min_size=1, max_size=12),
+    timeout=st.integers(min_value=2, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_run_node_alarm_fires_iff_gap_exceeds_timeout(spark, gaps, timeout):
+    """Property: a re-armed timeout alarm fires exactly after ticks
+    whose successor gap exceeds the timeout (plus the trailing one)."""
+    from csp_spark import run_node
+
+    start = dt.datetime(2020, 1, 1)
+    times, t = [], 0
+    for g in gaps:
+        times.append(t)
+        t += g
+    x = TickStream.from_rows(
+        spark, [(start + dt.timedelta(seconds=s), float(s)) for s in times],
+        key="k",
+    )
+
+    def watchdog(c):
+        if c.ticked("alarm"):
+            return -1.0
+        h = c.state.get("h")
+        if h is not None:
+            c.cancel_alarm(h)
+        c.state["h"] = c.schedule_alarm(dt.timedelta(seconds=timeout), True)
+        return None
+
+    got = [ts for ts, _ in run_node(watchdog, x, state={}).collect_ticks("k")]
+    want = []
+    for i, s in enumerate(times):
+        nxt = times[i + 1] if i + 1 < len(times) else None
+        if nxt is None or nxt - s > timeout:
+            want.append(start + dt.timedelta(seconds=s + timeout))
+    assert got == want
