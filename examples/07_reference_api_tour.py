@@ -53,6 +53,41 @@ def main() -> None:
     print("avg5 tail:", [round(v, 4) for _, v in out["avg5"][-3:]])
     print("spread ticks:", len(out["spread"]),
           "| echoed ticks:", len(out["echoed"]))
+
+    # ------------------------------------------------------------------
+    # imperative node authoring (@csp.node body style): per-cycle state,
+    # ticked/valid queries, alarms, multiple outputs — run keyed-parallel
+    prices = csp.curve(
+        spark, [(START + TD(seconds=s), v) for s, v in
+                [(0, 3.0), (1, 7.0), (2, 2.0), (9, 9.0), (10, 1.0)]]
+    )
+
+    @csp.node
+    def monitor(cycle):
+        out = {}
+        if cycle.ticked("alarm"):                 # csp.alarms
+            out["stale"] = 1.0
+            return out
+        st = cycle.state                          # csp.state
+        h = st.get("h")
+        if h is not None:
+            cycle.cancel_alarm(h)
+        st["h"] = cycle.schedule_alarm(TD(seconds=5), True)
+        v = cycle["x"]
+        if st.get("hi") is None or v > st["hi"]:
+            st["hi"] = v
+            out["new_high"] = v                   # csp.output(name=...)
+        return out
+
+    outs = csp.run_node(
+        monitor, prices, end=START + TD(seconds=20),
+        outputs={"new_high": "double", "stale": "double"},
+    )
+    highs = [v for _, v in outs["new_high"].collect_ticks()]
+    stales = outs["stale"].collect_ticks()
+    assert highs == [3.0, 7.0, 9.0]
+    assert len(stales) == 2  # gaps at 2->9 and after the last tick
+    print("new highs:", highs, "| stale alarms:", len(stales))
     print("OK")
 
 
