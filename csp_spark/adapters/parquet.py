@@ -130,6 +130,16 @@ class ParquetReader:
             key_col=self.symbol_column,
         )
 
+    def subscribe_dict_basket(self, column: str, shape: Sequence[str]):
+        """Reference subscribe_dict_basket (csp/adapters/parquet.py:322):
+        one edge per symbol in ``shape``. The long tick format already
+        IS the dict basket (symbol = key column), so this returns
+        ``{symbol: TickStream}`` as per-symbol filters sharing one scan
+        — Catalyst pushes each symbol predicate to the parquet reader."""
+        if self.symbol_column is None:
+            raise ValueError("subscribe_dict_basket requires symbol_column")
+        return {s: self.subscribe(column, symbol=s) for s in shape}
+
 
 class ParquetWriter:
     """output_adapters/parquet.py:40-180 calling convention: construct
