@@ -483,3 +483,109 @@ def ingest_dedup_batch(
     kept.write.mode("overwrite").parquet(
         f"{corpus_path}/batch={int(epoch_id)}"
     )
+
+
+def run_node_stream(
+    fn,
+    streams: "DataFrame | dict[str, DataFrame]",
+    state: "dict | None" = None,
+    output_type: str = "double",
+) -> DataFrame:
+    """:func:`csp_spark.run_node` in REALTIME mode — imperative
+    per-cycle nodes over live microbatches, per-key state in the state
+    store (reference: the same @csp.node body runs unchanged in
+    csp.run(realtime=True)).
+
+    One stateful stage does both jobs: the tagged union folds to
+    engine cycles with last-value carry (align_stream's kernel), and
+    the user's ``fn(cycle)`` runs once per cycle with its state dict
+    pickled into the store between microbatches (arbitrary Python
+    state, same bytes the batch runner keeps in-process). Alarms are
+    batch-only — ``schedule_alarm`` raises here (streaming wakeups
+    belong to watermark/timeout operators); use run_node for replayed
+    history, then hand over via streaming.hybrid.
+
+    Ordering contract: rows arrive time-ordered per key across
+    microbatches; within a batch cycles fold in (ts, seq) order with
+    coincident multi-stream ticks collapsed to ONE cycle (batch
+    align's rule). Equality-tested against batch run_node.
+    """
+    import pickle
+
+    from ..core.noderun import NO_OUTPUT, NodeCycle
+
+    named = {"x": streams} if isinstance(streams, DataFrame) else dict(streams)
+    names = list(named)
+    n_src = len(names)
+    parts = []
+    for i, (name, s) in enumerate(named.items()):
+        parts.append(
+            s.select(
+                F.col(KEY), F.col(TS), F.col(SEQ),
+                F.lit(i).alias("__src"),
+                F.col(VALUE).cast("double").alias(VALUE),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    out_schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}"
+    state_schema = (
+        ", ".join(f"s{i} double" for i in range(n_src)) + ", ustate binary"
+    )
+    init_state = dict(state or {})
+
+    def _no_alarms(*_a, **_k):
+        raise NotImplementedError(
+            "alarms are batch-only: run_node over history, then hand over "
+            "via streaming.hybrid / watermark operators"
+        )
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stored = state.get
+            last = list(stored[:n_src])
+            ustate = pickle.loads(bytes(stored[n_src]))
+        else:
+            last = [None] * n_src
+            ustate = dict(init_state)
+        out = []
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [TS, SEQ, "__src"]
+            )
+            # group into engine cycles: apply ALL coincident updates,
+            # then run the node once (csp cycle-collapse rule)
+            cycles: "list[tuple]" = []
+            cur = None
+            for ts, seq, src, v in zip(
+                pdf[TS], pdf[SEQ], pdf["__src"], pdf[VALUE]
+            ):
+                if cur is None or (ts, seq) != cur[0]:
+                    cur = ((ts, seq), [])
+                    cycles.append(cur)
+                cur[1].append((int(src), float(v)))
+            for (ts, seq), updates in cycles:
+                ticked = {}
+                for src, v in updates:
+                    last[src] = v
+                    ticked[names[src]] = True
+                vals = {n: last[i] for i, n in enumerate(names)}
+                cyc = NodeCycle(ts, int(seq), ustate, vals, ticked, _no_alarms)
+                r = fn(cyc)
+                if r is not NO_OUTPUT and r is not None:
+                    out.append((key[0], ts, int(seq), r))
+        state.update(tuple(last) + (pickle.dumps(ustate),))
+        yield pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
+
+    return u.groupBy(KEY).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

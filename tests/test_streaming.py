@@ -1018,3 +1018,76 @@ def test_incremental_dedup_batch_retry_idempotent(spark, tmp_path):
     except Exception:
         raised = True
     assert raised
+
+
+def test_run_node_stream_matches_batch(spark, tmp_path):
+    """Streaming imperative nodes equal batch run_node on the same
+    ticks: a two-input stateful spread-watcher (cumulative count of
+    spread widenings) over microbatch drops vs the batch runner."""
+    from csp_spark import TickStream, run_node
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    bid_rows = [("s", START + dt.timedelta(seconds=2 * i), 0, 99.0 + 0.3 * i)
+                for i in range(8)]
+    ask_rows = [("s", START + dt.timedelta(seconds=2 * i + (0 if i == 4 else 1)),
+                 0, 100.0 + 0.45 * i) for i in range(8)]
+    d1, d2 = tmp_path / "bid", tmp_path / "ask"
+    for d, rows in ((d1, bid_rows), (d2, ask_rows)):
+        d.mkdir()
+        half = len(rows) // 2
+        for part in (rows[:half], rows[half:]):
+            spark.createDataFrame(part, SCHEMA).coalesce(1).write.mode(
+                "append").parquet(str(d))
+
+    def widenings(cycle):
+        if not (cycle.valid("bid") and cycle.valid("ask")):
+            return None
+        sp = cycle["ask"] - cycle["bid"]
+        prev = cycle.state.get("prev")
+        cycle.state["prev"] = sp
+        if prev is not None and sp > prev:
+            cycle.state["n"] = cycle.state.get("n", 0) + 1
+            return float(cycle.state["n"])
+        return None
+
+    bid_s = file_ticks(spark, str(d1), SCHEMA, ts_col="ts",
+                       value_col="value", key_col="key")
+    ask_s = file_ticks(spark, str(d2), SCHEMA, ts_col="ts",
+                       value_col="value", key_col="key")
+    got = collect_stream(
+        run_node_stream(widenings, {"bid": bid_s, "ask": ask_s})
+    )
+    grows = sorted((r["ts"], r["seq"], r["value"]) for r in got.collect())
+
+    bid_b = TickStream(spark.createDataFrame(bid_rows, SCHEMA))
+    ask_b = TickStream(spark.createDataFrame(ask_rows, SCHEMA))
+    ref = sorted(
+        (ts, 0, v)
+        for ts, v in run_node(
+            widenings, {"bid": bid_b, "ask": ask_b}
+        ).collect_ticks("s")
+    )
+    assert grows == ref and len(grows) > 0
+
+
+def test_run_node_stream_alarm_raises(spark, tmp_path):
+    """schedule_alarm inside a streaming node raises the documented
+    batch-only error instead of silently misbehaving."""
+    import pytest as _pytest
+
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame(
+        [("s", START, 0, 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    x = file_ticks(spark, str(d), SCHEMA, ts_col="ts",
+                   value_col="value", key_col="key")
+
+    def arm(cycle):
+        cycle.schedule_alarm(dt.timedelta(seconds=1), True)
+        return 1.0
+
+    with _pytest.raises(Exception, match="batch-only"):
+        collect_stream(run_node_stream(arm, x))
