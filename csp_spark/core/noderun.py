@@ -233,3 +233,118 @@ def run_node(
             for n in multi
         }
     return TickStream(res)
+
+
+#: seq marker for the per-key terminal-state row emitted by
+#: run_node_with_states (mirrors streaming.hybrid.SEED_SEQ's "synthetic
+#: row" convention; filtered from user-visible output)
+STATE_SEQ = -(1 << 40)
+
+
+def run_node_with_states(
+    fn: Callable[[NodeCycle], Any],
+    inputs: TickStream | Mapping[str, TickStream],
+    state: Mapping[str, Any] | Callable[[], dict] | None = None,
+    output_type: str = "double",
+    end: _dt.datetime | None = None,
+) -> "tuple[TickStream, Any]":
+    """run_node plus each key's TERMINAL state: returns
+    ``(output, states)`` where ``states`` is a DataFrame of
+    ``(key, state binary)`` — the node's state dict pickled after its
+    last cycle. This is the replay half of a hybrid node run
+    (streaming.hybrid: batch over history, then seed the live
+    stream's state store); one execution produces both (the combined
+    frame is checkpointed before slicing, so the fold runs once).
+
+    Scale note: the states frame is one small row per key (pickled
+    dict); the hybrid consumer collects it to the driver, which suits
+    bounded key sets — for unbounded cardinality keep the streaming
+    query running from its checkpoint instead of re-seeding.
+    """
+    import pickle
+
+    streams = (
+        {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
+    )
+    names = list(streams)
+    wide = align(streams, keep_ticked=True)
+    mk_state = state if callable(state) else (lambda s=dict(state or {}): dict(s))
+    schema = (
+        f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}, "
+        "__state binary"
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([TS, SEQ])
+        st = mk_state()
+        key = pdf[KEY].iloc[0]
+        tcols = {n: pdf[_ticked_col(n)].to_numpy() for n in names}
+        vcols = {n: pdf[n] for n in names}
+        tss, seqs = pdf[TS], pdf[SEQ]
+        out = []
+        heap: list = []
+        order = [0]
+
+        def _schedule(ats, value):
+            handle = {"alive": True, "value": value, "ts": ats}
+            order[0] += 1
+            heapq.heappush(heap, (pd.Timestamp(ats), order[0], handle))
+            return handle
+
+        last_vals = {n: None for n in names}
+        fired = [0]
+
+        def _fire(limit_ts):
+            while heap and fired[0] < _MAX_ALARM_CYCLES:
+                ats, _, handle = heap[0]
+                if not handle["alive"]:
+                    heapq.heappop(heap)
+                    continue
+                if limit_ts is not None and ats >= limit_ts:
+                    break
+                if end is not None and ats > pd.Timestamp(end):
+                    heapq.heappop(heap)
+                    continue
+                heapq.heappop(heap)
+                fired[0] += 1
+                cyc = NodeCycle(
+                    ats, _ALARM_SEQ_BASE + fired[0], st,
+                    dict(last_vals), {}, _schedule, alarm=handle["value"],
+                )
+                r = fn(cyc)
+                if r is not NO_OUTPUT and r is not None:
+                    out.append((key, cyc.now, cyc.seq, r, None))
+
+        for i in range(len(pdf)):
+            ts_i = tss.iloc[i]
+            _fire(ts_i)
+            vals = {}
+            for n in names:
+                v = vcols[n].iloc[i]
+                vals[n] = None if v is pd.NaT else v
+            last_vals = vals
+            cyc = NodeCycle(
+                ts_i, int(seqs.iloc[i]), st, vals,
+                {n: tcols[n][i] for n in names}, _schedule,
+            )
+            r = fn(cyc)
+            if r is not NO_OUTPUT and r is not None:
+                out.append((key, ts_i, int(seqs.iloc[i]), r, None))
+        _fire(None)
+        final_ts = tss.iloc[len(pdf) - 1] if len(pdf) else None
+        out.append((key, final_ts, STATE_SEQ, None, pickle.dumps(st)))
+        return pd.DataFrame(
+            out, columns=[KEY, TS, SEQ, VALUE, "__state"]
+        )
+
+    from pyspark.sql import functions as F
+
+    combined = wide.groupBy(KEY).applyInPandas(_run, schema)
+    combined = combined.localCheckpoint(eager=False)
+    ticks = TickStream(
+        combined.filter(F.col(SEQ) != STATE_SEQ).select(KEY, TS, SEQ, VALUE)
+    )
+    states = combined.filter(F.col(SEQ) == STATE_SEQ).select(
+        KEY, F.col("__state").alias("state")
+    )
+    return ticks, states

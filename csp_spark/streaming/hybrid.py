@@ -239,3 +239,49 @@ def run_hybrid_ema(
     spark = live.sparkSession
     out = ema_stream(spliced(seed_ticks(spark, seeds, boundary), live), alpha)
     return replay, out.filter(F.col(SEQ) != SEED_SEQ)
+
+
+def run_hybrid_node(
+    fn,
+    histories: "Mapping[str, DataFrame] | DataFrame",
+    lives: "Mapping[str, DataFrame] | DataFrame",
+    state: "dict | None" = None,
+    output_type: str = "double",
+) -> tuple[DataFrame, DataFrame]:
+    """Replay→live for IMPERATIVE nodes (core/noderun.run_node): the
+    batch runner replays history and hands each key's terminal state
+    dict to the streaming runner, whose first live cycle continues the
+    node exactly where replay ended — the @csp.node analog of the
+    kernel splices above.
+
+    Returns ``(replay_ticks, live_ticks)``. Unlike the align/ema/
+    rolling splices (whose state rides seed TICKS through the value
+    channel), a node's state is an arbitrary Python dict — it travels
+    as pickled bytes via ``run_node_stream(initial_states=...)``, one
+    row per key collected at the handover (documented driver action;
+    unbounded key cardinality should instead keep the streaming query
+    running from its checkpoint). Note the live fold starts 'not yet
+    valid' on inputs: only the node's STATE crosses the boundary, so
+    a node reading last-values it never stored must re-observe them
+    (store what you need in state — same contract as a csp node
+    restarting from a snapshot).
+    """
+    from ..core.noderun import run_node_with_states
+    from .ops import run_node_stream
+
+    hmap = {"x": histories} if isinstance(histories, DataFrame) else dict(histories)
+    lmap = {"x": lives} if isinstance(lives, DataFrame) else dict(lives)
+    if set(hmap) != set(lmap):
+        raise ValueError(
+            f"history/live source names differ: {sorted(hmap)} vs {sorted(lmap)}"
+        )
+    replay, states = run_node_with_states(
+        fn,
+        {n: TickStream(h) for n, h in hmap.items()},
+        state=state,
+        output_type=output_type,
+    )
+    live = run_node_stream(
+        fn, lmap, state=state, output_type=output_type, initial_states=states
+    )
+    return replay.df, live

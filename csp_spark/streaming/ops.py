@@ -490,6 +490,7 @@ def run_node_stream(
     streams: "DataFrame | dict[str, DataFrame]",
     state: "dict | None" = None,
     output_type: str = "double",
+    initial_states: "dict | DataFrame | None" = None,
 ) -> DataFrame:
     """:func:`csp_spark.run_node` in REALTIME mode — imperative
     per-cycle nodes over live microbatches, per-key state in the state
@@ -535,6 +536,16 @@ def run_node_stream(
         ", ".join(f"s{i} double" for i in range(n_src)) + ", ustate binary"
     )
     init_state = dict(state or {})
+    # hybrid handover: per-key replay-terminal states (see
+    # run_node_with_states / run_hybrid_node). A DataFrame of
+    # (key, state binary) is collected HERE — a visible driver action,
+    # sized one pickled dict per key (bounded key sets; unbounded
+    # cardinality should resume from the streaming checkpoint instead).
+    if initial_states is not None and not isinstance(initial_states, dict):
+        initial_states = {
+            r[0]: pickle.loads(bytes(r[1])) for r in initial_states.collect()
+        }
+    seed_states = initial_states or {}
 
     def _no_alarms(*_a, **_k):
         raise NotImplementedError(
@@ -549,6 +560,9 @@ def run_node_stream(
             stored = state.get
             last = list(stored[:n_src])
             ustate = pickle.loads(bytes(stored[n_src]))
+        elif key[0] in seed_states:
+            last = [None] * n_src
+            ustate = dict(seed_states[key[0]])
         else:
             last = [None] * n_src
             ustate = dict(init_state)

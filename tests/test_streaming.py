@@ -1091,3 +1091,55 @@ def test_run_node_stream_alarm_raises(spark, tmp_path):
 
     with _pytest.raises(Exception, match="batch-only"):
         collect_stream(run_node_stream(arm, x))
+
+
+def test_hybrid_node_equals_pure_batch(spark, tmp_path):
+    """Replay->live for imperative nodes: a stateful counter/EW node
+    replays history, its terminal state dicts seed the streaming
+    runner, and the live output equals a pure-batch run_node over
+    history ∪ live (state crossing the boundary, not last-values —
+    the node stores everything it needs)."""
+    import math as _math
+
+    from csp_spark import TickStream, run_node
+    from csp_spark.streaming import file_ticks, run_hybrid_node
+
+    boundary = START + dt.timedelta(seconds=100)
+    hist, live = [], []
+    for i, k in enumerate(("a", "b")):
+        for j in range(12):
+            hist.append((k, START + dt.timedelta(seconds=3 * j + i), 0,
+                         float(j % 5) + 10 * i))
+            live.append((k, boundary + dt.timedelta(seconds=3 * j + i + 1), 0,
+                         float((9 - j) % 4) + 10 * i))
+
+    def ew_count(cycle):
+        st = cycle.state
+        st["n"] = st.get("n", 0) + 1
+        st["ew"] = (
+            cycle["x"] if "ew" not in st
+            else 0.7 * st["ew"] + 0.3 * cycle["x"]
+        )
+        return st["ew"] * st["n"]
+
+    d = tmp_path / "live_node"
+    _write_drops(spark, d, live, n_drops=3)
+    live_s = file_ticks(spark, str(d), SCHEMA, ts_col="ts",
+                        value_col="value", key_col="key")
+    hist_df = spark.createDataFrame(hist, SCHEMA)
+    replay, live_out = run_hybrid_node(ew_count, hist_df, live_s)
+    got = {(r["key"], r["ts"]): r["value"]
+           for r in collect_stream(live_out).collect()}
+    full = run_node(
+        ew_count, TickStream(spark.createDataFrame(hist + live, SCHEMA))
+    ).df
+    ref = {(r["key"], r["ts"]): r["value"]
+           for r in full.filter(F.col("ts") > boundary).collect()}
+    assert set(got) == set(ref) and len(got) == 24
+    for k, v in ref.items():
+        assert _math.isclose(got[k], v, rel_tol=1e-12), (k, got[k], v)
+    # replay half = batch run_node over history alone
+    rep = {(r["key"], r["ts"]): r["value"] for r in replay.collect()}
+    refh = {(r["key"], r["ts"]): r["value"]
+            for r in run_node(ew_count, TickStream(hist_df)).df.collect()}
+    assert rep == refh
