@@ -1,3 +1,12 @@
 from .parquet import read_table, subscribe
-from .other import read_csv, read_jdbc, from_arrow
+from .other import (
+    PullInputAdapter,
+    from_arrow,
+    from_pull_adapter,
+    py_pull_adapter_def,
+    read_csv,
+    read_jdbc,
+    record_batch_pull,
+    record_batches_to_struct,
+)
 from .random_gen import poisson_timer, brownian_motion

@@ -210,3 +210,106 @@ def record_batches_to_struct(
         F.struct(*cols).alias("value"),
     )
     return TickStream.from_table(out, ts_col=ts_col, value_col="value", key_col=key_col)
+
+
+class PullInputAdapter:
+    """User pull-adapter authoring base (reference
+    csp/impl/pulladapter.py:10-44): subclass with ``next()`` returning
+    ``(datetime, value)`` tuples or None when exhausted; optional
+    ``start(start_time, end_time)`` / ``stop()`` lifecycle hooks.
+    Drive it through :func:`from_pull_adapter`."""
+
+    def __init__(self):
+        import datetime as _dtm
+
+        self._start_time = _dtm.datetime.min
+        self._end_time = _dtm.datetime.max
+
+    def start(self, start_time, end_time):
+        self._start_time = start_time
+        self._end_time = end_time
+
+    def stop(self):
+        pass
+
+    def next(self):
+        raise NotImplementedError
+
+
+def from_pull_adapter(
+    spark: SparkSession,
+    adapter: PullInputAdapter,
+    start: "_dt.datetime | None" = None,
+    end: "_dt.datetime | None" = None,
+    key: str = "",
+    value_schema: str = "double",
+    max_ticks: int = 10_000_000,
+) -> TickStream:
+    """py_pull_adapter_def parity (csp/impl/wiring/adapters.py): run a
+    user PullInputAdapter's ``next()`` loop to exhaustion and replay
+    the ticks as a TickStream.
+
+    The drain happens ON THE DRIVER, exactly like the reference engine
+    (a pull adapter is a single-threaded replay source on the engine
+    thread) — it suits bounded hand-authored sources (curves, test
+    fixtures, API paginators). Bulk data belongs in the parquet/arrow
+    sources, which scan distributed. ``max_ticks`` guards a next()
+    that never returns None.
+    """
+    import datetime as _dtm
+
+    from ..core.ticks import GLOBAL_KEY
+
+    adapter.start(
+        start if start is not None else _dtm.datetime.min,
+        end if end is not None else _dtm.datetime.max,
+    )
+    rows = []
+    try:
+        for i in range(max_ticks):
+            nxt = adapter.next()
+            if nxt is None:
+                break
+            ts, v = nxt
+            if start is not None and ts < start:
+                continue
+            if end is not None and ts > end:
+                break
+            rows.append((key or GLOBAL_KEY, ts, i, v))
+        else:
+            raise RuntimeError(f"pull adapter exceeded max_ticks={max_ticks}")
+    finally:
+        adapter.stop()
+    df = spark.createDataFrame(
+        rows, f"key string, ts timestamp, seq long, value {value_schema}"
+    )
+    return TickStream(df)
+
+
+def py_pull_adapter_def(name: str, adapterimpl: type, out_type=None, **defaults):
+    """Reference py_pull_adapter_def calling convention: returns a
+    factory — ``MyAdapter = py_pull_adapter_def('MyAdapter', Impl)``,
+    then ``MyAdapter(spark, start=..., **impl_kwargs)`` builds the
+    stream. ``out_type`` maps to the tick value schema (e.g. "double",
+    "string"); constructor kwargs pass through to the impl."""
+
+    def factory(
+        spark,
+        start=None,
+        end=None,
+        key: str = "",
+        **kwargs,
+    ) -> TickStream:
+        merged = dict(defaults)
+        merged.update(kwargs)
+        return from_pull_adapter(
+            spark,
+            adapterimpl(**merged),
+            start=start,
+            end=end,
+            key=key,
+            value_schema=out_type or "double",
+        )
+
+    factory.__name__ = name
+    return factory

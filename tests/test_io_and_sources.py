@@ -336,3 +336,44 @@ def test_status_and_msgmapper(spark):
     assert raw["s"].startswith('{"t"')
     rb = df.select(RawBytesMessageMapper().decode(F.col("value")).alias("b")).first()
     assert bytes(rb["b"]).startswith(b'{"t"')
+
+
+def test_pull_adapter_authoring(spark):
+    """User pull-adapter (reference PullInputAdapter/py_pull_adapter_def):
+    a next()-based source replays into a TickStream with window clipping
+    and lifecycle hooks."""
+    from csp_spark.sources import (
+        PullInputAdapter,
+        from_pull_adapter,
+        py_pull_adapter_def,
+    )
+
+    class Fib(PullInputAdapter):
+        def __init__(self, n=10):
+            super().__init__()
+            self.n = n
+            self.stopped = False
+
+        def start(self, start_time, end_time):
+            super().start(start_time, end_time)
+            self.a, self.b, self.i = 0.0, 1.0, 0
+
+        def stop(self):
+            self.stopped = True
+
+        def next(self):
+            if self.i >= self.n:
+                return None
+            out = (START + TD(seconds=self.i), self.a)
+            self.a, self.b = self.b, self.a + self.b
+            self.i += 1
+            return out
+
+    ad = Fib(8)
+    x = from_pull_adapter(spark, ad, key="fib")
+    assert [v for _, v in x.collect_ticks("fib")] == [0, 1, 1, 2, 3, 5, 8, 13]
+    assert ad.stopped
+    # window clipping + factory convention
+    FibAdapter = py_pull_adapter_def("FibAdapter", Fib, "double", n=8)
+    y = FibAdapter(spark, start=START + TD(seconds=2), end=START + TD(seconds=5))
+    assert [v for _, v in y.collect_ticks()] == [1.0, 2.0, 3.0, 5.0]
