@@ -21,7 +21,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.ticks import KEY, SEQ, TS, TickStream
+from ..core.ticks import KEY, SEQ, TS, VALUE, TickStream
 
 logger = logging.getLogger("csp_spark")
 
@@ -205,3 +205,58 @@ def struct_to_record_batches(
     if max_batch_size and max_batch_size > 0:
         return tbl.to_batches(max_chunksize=max_batch_size)
     return tbl.to_batches()
+
+
+class OutputAdapter:
+    """User output-adapter authoring base (reference
+    csp/impl/outputadapter.py:8-17): subclass with ``on_tick(time,
+    value)`` plus optional start/stop hooks; drive it through
+    :func:`to_output_adapter` (batch) or ``foreachBatch`` (streaming).
+    """
+
+    def on_tick(self, time, value):
+        raise NotImplementedError
+
+    def start(self):
+        pass
+
+    def stop(self):
+        pass
+
+
+def to_output_adapter(
+    x: "TickStream | DataFrame",
+    adapter: OutputAdapter,
+    key: str | None = None,
+) -> int:
+    """py_output_adapter_def parity (csp/impl/wiring/adapters.py:351):
+    deliver the stream's ticks to a user OutputAdapter in engine order.
+    Driver-side delivery, exactly like the reference engine thread
+    calling on_tick row-by-row — an egress tool for bounded results
+    (UIs, sockets, hand-rolled writers), not the bulk path (that's the
+    parquet/kafka sinks). Returns the tick count delivered."""
+    df = _df(x)
+    if key is not None:
+        df = df.filter(F.col(KEY) == key)
+    rows = df.orderBy(TS, SEQ).collect()
+    adapter.start()
+    try:
+        for r in rows:
+            adapter.on_tick(r[TS], r[VALUE])
+    finally:
+        adapter.stop()
+    return len(rows)
+
+
+def py_output_adapter_def(name: str, adapterimpl: type, **defaults):
+    """Factory convention mirroring the reference: returns a callable
+    ``Out(x, **impl_kwargs)`` that constructs the impl and delivers the
+    stream through it."""
+
+    def factory(x, key: str | None = None, **kwargs) -> int:
+        merged = dict(defaults)
+        merged.update(kwargs)
+        return to_output_adapter(x, adapterimpl(**merged), key=key)
+
+    factory.__name__ = name
+    return factory

@@ -377,3 +377,44 @@ def test_pull_adapter_authoring(spark):
     FibAdapter = py_pull_adapter_def("FibAdapter", Fib, "double", n=8)
     y = FibAdapter(spark, start=START + TD(seconds=2), end=START + TD(seconds=5))
     assert [v for _, v in y.collect_ticks()] == [1.0, 2.0, 3.0, 5.0]
+
+
+def test_output_adapter_authoring(spark):
+    """User output adapter (reference OutputAdapter): on_tick receives
+    every tick in engine order with start/stop bracketing."""
+    from csp_spark.sinks.publish import (
+        OutputAdapter,
+        py_output_adapter_def,
+        to_output_adapter,
+    )
+
+    x = _ticks(spark, [(START + TD(seconds=i), float(i * i)) for i in range(6)])
+
+    class Collect(OutputAdapter):
+        def __init__(self, scale=1.0):
+            self.scale = scale
+            self.got = []
+            self.events = []
+
+        def start(self):
+            self.events.append("start")
+
+        def stop(self):
+            self.events.append("stop")
+
+        def on_tick(self, time, value):
+            self.got.append((time, value * self.scale))
+
+    c = Collect()
+    n = to_output_adapter(x, c)
+    assert n == 6 and c.events == ["start", "stop"]
+    assert c.got == [(START + TD(seconds=i), float(i * i)) for i in range(6)]
+    # factory convention with bound kwargs
+    made = []
+    class Collect2(Collect):
+        def __init__(self, scale=1.0):
+            super().__init__(scale)
+            made.append(self)
+    Out = py_output_adapter_def("Out", Collect2, scale=2.0)
+    assert Out(x) == 6
+    assert made[0].got[3] == (START + TD(seconds=3), 18.0)
