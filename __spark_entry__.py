@@ -842,6 +842,26 @@ def op_value_at(spark, sf_dir):
     )
 
 
+def op_node_cumsum(spark, sf_dir):
+    # imperative @csp.node execution (core/noderun.run_node): a
+    # stateful per-cycle cumsum over every user's events, exact under
+    # DECIMAL state (Python Decimal addition inside the node — same
+    # precision discipline as op_accum's plan-side decimal sum).
+    from decimal import Decimal
+
+    from csp_spark import run_node
+
+    x = _events_stream(spark, sf_dir)
+    dec = TickStream(x.df.withColumn("value", F.col("value").cast("decimal(18,4)")))
+
+    def cum(cycle):
+        cycle.state["s"] = cycle.state.get("s", Decimal(0)) + cycle["x"]
+        return float(round(cycle.state["s"], 4))
+
+    out = run_node(cum, dec)
+    return _out(out, "running_sum")
+
+
 def op_accum(spark, sf_dir):
     x = _events_stream(spark, sf_dir)
     dec = TickStream(x.df.withColumn("value", F.col("value").cast("decimal(18,4)")))
@@ -2960,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_exprtk_state": op_exprtk_state,
         "dyn_snap_attach": dyn_snap_attach,
         "op_accum": op_accum,
+        "op_node_cumsum": op_node_cumsum,
         "op_diff": op_diff,
         "op_delay": op_delay,
         "op_firstn": op_firstn,
@@ -3120,7 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_topk's brute path is untouched this round, so the slots
         # go to the lsh/ivf/knn paths that DID change (infer_dim,
         # split_uniform training sample).
-        "basket_sync_trigger",
+        "basket_sync_trigger", "op_node_cumsum",
         "ann_lsh_topk", "ann_ivf_exact", "ann_knn_join",
         "q21_suppliers_kept_waiting",
         "text_repetition", "doc_chunk", "op_struct_fromts",
@@ -3197,6 +3218,13 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 SELECT event_id, user_id, count(*) {_WF_USER} AS n_ticks FROM events
 """,
         "op_accum": f"""
+SELECT event_id, user_id,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4))) {_WF_USER} AS DOUBLE) + 0.0, 4) AS running_sum
+FROM events
+""",
+        # the imperative node runner computes the same exact-decimal
+        # running sum per key, sequentially inside the node's state
+        "op_node_cumsum": f"""
 SELECT event_id, user_id,
   round(CAST(sum(CAST(value AS DECIMAL(18,4))) {_WF_USER} AS DOUBLE) + 0.0, 4) AS running_sum
 FROM events
