@@ -1,5 +1,6 @@
 from .parquet import read_table, subscribe
 from .other import (
+    AdapterManager,
     PullInputAdapter,
     from_arrow,
     from_pull_adapter,

@@ -313,3 +313,66 @@ def py_pull_adapter_def(name: str, adapterimpl: type, out_type=None, **defaults)
 
     factory.__name__ = name
     return factory
+
+
+class AdapterManager:
+    """User sim adapter-MANAGER authoring (reference
+    csp/impl/adaptermanager.py:7-25 AdapterManagerImpl +
+    ManagedSimInputAdapter): one manager owns an external source and
+    feeds several named input channels; the engine walks its
+    timeslices in order.
+
+    Spark mapping: subclass ``timeslices()`` yielding
+    ``(datetime, channel, key, value)`` tuples (the analog of
+    process_next_sim_timeslice pushing onto adapter inputs). The
+    manager drains ONCE into a single replay table; ``subscribe``
+    hands out per-channel TickStreams as filters sharing that scan —
+    the same one-source/many-subscriptions shape the reference
+    manager provides, with start/stop lifecycle preserved.
+    ``max_ticks`` guards runaway generators; bulk sources belong on
+    the native scan adapters.
+    """
+
+    def __init__(self, spark: SparkSession, value_schema: str = "double",
+                 max_ticks: int = 10_000_000):
+        self.spark = spark
+        self.value_schema = value_schema
+        self.max_ticks = max_ticks
+        self._table = None
+
+    def start(self, start_time=None, end_time=None):
+        """Connect to the external source (optional override)."""
+
+    def stop(self):
+        """Disconnect (optional override)."""
+
+    def timeslices(self):
+        """Yield (datetime, channel, key, value) in time order."""
+        raise NotImplementedError
+
+    def _build(self) -> DataFrame:
+        if self._table is None:
+            self.start()
+            rows = []
+            try:
+                for i, (ts, channel, key, value) in enumerate(self.timeslices()):
+                    if i >= self.max_ticks:
+                        raise RuntimeError(
+                            f"adapter manager exceeded max_ticks={self.max_ticks}"
+                        )
+                    rows.append((str(channel), str(key), ts, i, value))
+            finally:
+                self.stop()
+            self._table = self.spark.createDataFrame(
+                rows,
+                f"__channel string, key string, ts timestamp, seq long, "
+                f"value {self.value_schema}",
+            )
+        return self._table
+
+    def subscribe(self, channel: str) -> TickStream:
+        """One channel's stream — a filter over the shared replay table
+        (reference: each ManagedSimInputAdapter subscribed to the
+        manager)."""
+        df = self._build().filter(F.col("__channel") == channel).drop("__channel")
+        return TickStream(df)

@@ -418,3 +418,33 @@ def test_output_adapter_authoring(spark):
     Out = py_output_adapter_def("Out", Collect2, scale=2.0)
     assert Out(x) == 6
     assert made[0].got[3] == (START + TD(seconds=3), 18.0)
+
+
+def test_adapter_manager_authoring(spark):
+    """User sim adapter manager: one drained source feeds several
+    channel subscriptions, with lifecycle bracketing."""
+    from csp_spark.sources import AdapterManager
+
+    class Feed(AdapterManager):
+        def __init__(self, spark):
+            super().__init__(spark)
+            self.events = []
+
+        def start(self, start_time=None, end_time=None):
+            self.events.append("start")
+
+        def stop(self):
+            self.events.append("stop")
+
+        def timeslices(self):
+            for i in range(6):
+                ts = START + TD(seconds=i)
+                yield (ts, "trade" if i % 2 == 0 else "quote", "AAPL", float(i))
+
+    mgr = Feed(spark)
+    trades = mgr.subscribe("trade")
+    quotes = mgr.subscribe("quote")
+    assert [v for _, v in trades.collect_ticks("AAPL")] == [0.0, 2.0, 4.0]
+    assert [v for _, v in quotes.collect_ticks("AAPL")] == [1.0, 3.0, 5.0]
+    # drained exactly once despite two subscriptions
+    assert mgr.events == ["start", "stop"]
