@@ -38,9 +38,15 @@ class ParquetOutputConfig:
     write_dictionary: bool = True
 
     def resolve_compression(self) -> "ParquetOutputConfig":
-        if self.compression is None:
-            self.compression = "" if self.write_arrow_binary else "snappy"
-        return self
+        """Returns a RESOLVED COPY (never mutates the caller's config —
+        a shared instance reused across writers stays pristine)."""
+        if self.compression is not None:
+            return self
+        from dataclasses import replace
+
+        return replace(
+            self, compression="" if self.write_arrow_binary else "snappy"
+        )
 
 
 class ParquetReader:
@@ -157,12 +163,29 @@ class ParquetWriter:
         self.ts_col = timestamp_column_name
         self.config = (config or ParquetOutputConfig()).resolve_compression()
 
+    def _options(self) -> dict:
+        """config → parquet writer options (the reference's
+        ParquetOutputConfig knobs applied to the Spark writer)."""
+        opts = {
+            "compression": self.config.compression or "none",
+            "parquet.enable.dictionary": str(self.config.write_dictionary).lower(),
+        }
+        if self.config.batch_size:
+            opts["parquet.page.row.count.limit"] = str(self.config.batch_size)
+        return opts
+
     def publish(self, x, field_map: dict[str, str] | None = None) -> Any:
         mode = "overwrite" if self.config.allow_overwrite else "error"
         if self.config.write_arrow_binary:
-            return write_record_batches(x)
+            from ..sinks.publish import _df
+
+            df = _df(x)
+            for src, dst in (field_map or {}).items():
+                df = df.withColumnRenamed(src, dst)
+            return write_record_batches(df)
         publish_parquet(
-            x, self.path, mode=mode, partition_by_date=False, field_map=field_map
+            x, self.path, mode=mode, partition_by_date=False,
+            field_map=field_map, options=self._options(),
         )
         return None
 

@@ -27,22 +27,17 @@ class DateTimeType(IntEnum):
     UINT64_SECONDS = 4
 
 
-#: divisor to microseconds per wire format (timestamp_micros is the
-#: session-native resolution)
-_TO_MICROS = {
-    DateTimeType.UINT64_NANOS: 1000,
-    DateTimeType.UINT64_MICROS: 1,
-    DateTimeType.UINT64_MILLIS: None,  # multiply instead
-    DateTimeType.UINT64_SECONDS: None,
-}
-
-
 def epoch_to_ts(col: Column, datetime_type: DateTimeType) -> Column:
     """Decode an integer epoch column of the given wire format to a
     timestamp (used on ts fields parsed out of JSON payloads)."""
     c = col.cast("long")
     if datetime_type == DateTimeType.UINT64_NANOS:
-        return F.timestamp_micros((c / 1000).cast("long"))
+        # exact integer division: `/` on longs is DOUBLE division in
+        # Spark, and epoch-ns (~1.6e18) exceeds 2^53 — the rounding
+        # error (±128 ns) would shift values near a µs boundary into
+        # the previous microsecond. DECIMAL division is exact.
+        us = (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        return F.timestamp_micros(us)
     if datetime_type == DateTimeType.UINT64_MICROS:
         return F.timestamp_micros(c)
     if datetime_type == DateTimeType.UINT64_MILLIS:
@@ -86,10 +81,35 @@ class JSONTextMessageMapper(MsgMapper):
         self.properties["datetime_type"] = datetime_type.name
         self.datetime_type = datetime_type
 
-    def decode(self, value: Column, schema: str | None = None) -> Column:
+    def decode(
+        self,
+        value: Column,
+        schema: str | None = None,
+        ts_fields: "list[str] | None" = None,
+    ) -> Column:
+        """Parse the JSON payload per ``schema``; fields named in
+        ``ts_fields`` (declared as integer epochs in the schema) are
+        converted to timestamps using the mapper's wire format — the
+        reference mapper's own datetime conversion, applied here as
+        a struct rewrite in the plan."""
         if schema is None:
             raise ValueError("JSONTextMessageMapper.decode requires a schema")
-        return F.from_json(value.cast("string"), schema)
+        parsed = F.from_json(value.cast("string"), schema)
+        if not ts_fields:
+            return parsed
+        from pyspark.sql.types import _parse_datatype_string
+
+        fields = [f.name for f in _parse_datatype_string(schema).fields]
+        return F.struct(
+            *[
+                (
+                    epoch_to_ts(parsed[f], self.datetime_type)
+                    if f in ts_fields
+                    else parsed[f]
+                ).alias(f)
+                for f in fields
+            ]
+        )
 
 
 class BytesMessageProtoMapper(MsgMapper):

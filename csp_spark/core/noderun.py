@@ -22,6 +22,7 @@ this exists so imperative reference nodes port line-for-line.
 
 from __future__ import annotations
 
+import copy as _copy
 import datetime as _dt
 import heapq
 from collections.abc import Mapping
@@ -38,6 +39,10 @@ from .ticks import KEY, SEQ, TS, VALUE, TickStream
 #: ``return``/``csp.output``)
 NO_OUTPUT = object()
 
+#: internal marker distinguishing "not an alarm cycle" from an alarm
+#: whose scheduled VALUE is None (a legal payload)
+_NO_ALARM = object()
+
 #: seq base for synthetic alarm cycles — orders them after any
 #: coincident input cycle at the same timestamp
 _ALARM_SEQ_BASE = 1 << 40
@@ -46,6 +51,11 @@ _ALARM_SEQ_BASE = 1 << 40
 #: forever against an unbounded loop; reference runs are bounded by
 #: endtime the same way)
 _MAX_ALARM_CYCLES = 1_000_000
+
+#: seq marker for the per-key terminal-state row emitted by
+#: run_node_with_states (mirrors streaming.hybrid.SEED_SEQ's
+#: "synthetic row" convention; filtered from user-visible output)
+STATE_SEQ = -(1 << 40)
 
 
 class NodeCycle:
@@ -61,23 +71,29 @@ class NodeCycle:
     drop_nans upstream if that matters).
     """
 
-    __slots__ = ("now", "seq", "state", "alarm", "_vals", "_ticked", "_rt")
+    __slots__ = ("now", "seq", "state", "_alarm", "_vals", "_ticked", "_rt")
 
-    def __init__(self, now, seq, state, vals, ticked, rt, alarm=None):
+    def __init__(self, now, seq, state, vals, ticked, rt, alarm=_NO_ALARM):
         self.now = now
         self.seq = seq
         self.state = state
-        self.alarm = alarm  # the firing alarm's value (alarm cycles only)
+        self._alarm = alarm
         self._vals = vals
         self._ticked = ticked
         self._rt = rt  # runtime: the per-key alarm heap closure
+
+    @property
+    def alarm(self):
+        """The firing alarm's value on alarm cycles (may be None —
+        use ``ticked('alarm')`` to detect the cycle kind)."""
+        return None if self._alarm is _NO_ALARM else self._alarm
 
     def __getitem__(self, name: str):
         return self._vals[name]
 
     def ticked(self, name: str) -> bool:
         if name == "alarm":
-            return self.alarm is not None
+            return self._alarm is not _NO_ALARM
         return bool(self._ticked.get(name, False))
 
     def valid(self, name: str) -> bool:
@@ -97,52 +113,21 @@ class NodeCycle:
         handle["alive"] = False
 
 
-def run_node(
-    fn: Callable[[NodeCycle], Any],
-    inputs: TickStream | Mapping[str, TickStream],
-    state: Mapping[str, Any] | Callable[[], dict] | None = None,
-    output_type: str = "double",
-    end: _dt.datetime | None = None,
-    outputs: Mapping[str, str] | None = None,
-) -> "TickStream | dict[str, TickStream]":
-    """Run an imperative per-cycle function over every key's engine
-    cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
-    with that key's state dict carried across calls; its return value
-    is the output tick (``NO_OUTPUT``/``None`` = no tick this cycle).
+def _state_factory(state):
+    """Per-key state seed: a zero-arg factory as-is, else a DEEP copy
+    per key (nested mutable state must not be shared across keys —
+    groups of different keys can run in the same Python worker)."""
+    if callable(state):
+        return state
+    proto = dict(state or {})
+    return lambda: _copy.deepcopy(proto)
 
-    ``inputs`` may be one stream (readable as ``cycle['x']``) or a
-    dict of named streams; passive inputs (make_passive) update
-    last-values without producing cycles, exactly as in align().
-    ``state`` seeds the per-key state: a dict (copied per key) or a
-    zero-arg factory.
 
-    Alarms: ``cycle.schedule_alarm(delta, value)`` inserts a synthetic
-    cycle at now+delta (after any coincident input cycle — synthetic
-    seq orders above input seqs). Pending alarms past the last input
-    tick fire up to ``end`` when given, else all fire (the engine-run
-    endtime analog; a self-rescheduling node without ``end`` is capped
-    at 1e6 alarm cycles per key).
-
-    Multiple outputs (csp.Outputs / csp.output(name=value)): pass
-    ``outputs={"a": "double", "b": "long"}`` and return a dict from
-    ``fn`` — only the names present tick that cycle. run_node then
-    returns ``{name: TickStream}``. One node execution feeds all
-    outputs (the frame is computed once and sliced per output).
-    """
-    streams = (
-        {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
-    )
-    names = list(streams)
-    wide = align(streams, keep_ticked=True)
-    mk_state = state if callable(state) else (lambda s=dict(state or {}): dict(s))
-    multi = dict(outputs) if outputs else None
-    if multi:
-        out_cols = ", ".join(
-            f"{n} {t}, {n}__t boolean" for n, t in multi.items()
-        )
-        schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {out_cols}"
-    else:
-        schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}"
+def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
+    """The per-key cycle engine shared by run_node and
+    run_node_with_states: input cycles in (ts, seq) order, alarm heap
+    merged in, optional terminal-state row (pickled) appended."""
+    import pickle
 
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([TS, SEQ])
@@ -163,7 +148,7 @@ def run_node(
             return handle
 
         out = []
-        last_vals = {n: None for n in names}
+        state_pad = (None,) if emit_state else ()
 
         def _emit(cyc, r):
             if r is NO_OUTPUT or r is None:
@@ -174,9 +159,12 @@ def run_node(
                     row.extend((r.get(n), n in r))
                 out.append(tuple(row))
             else:
-                out.append((key, cyc.now, cyc.seq, r))
+                out.append((key, cyc.now, cyc.seq, r) + state_pad)
 
-        def _fire_alarms(limit_ts, fired):
+        last_vals = {n: None for n in names}
+        fired = [0]
+
+        def _fire_alarms(limit_ts):
             """Fire due alarms strictly before limit_ts (None = all)."""
             while heap and fired[0] < _MAX_ALARM_CYCLES:
                 ats, _, handle = heap[0]
@@ -196,11 +184,9 @@ def run_node(
                 )
                 _emit(cyc, fn(cyc))
 
-        fired = [0]
-        i = 0
-        while i < n_rows:
+        for i in range(n_rows):
             ts_i = tss.iloc[i]
-            _fire_alarms(ts_i, fired)
+            _fire_alarms(ts_i)
             vals = {}
             for n in names:
                 v = vcols[n].iloc[i]
@@ -211,16 +197,71 @@ def run_node(
                 {n: tcols[n][i] for n in names}, _schedule,
             )
             _emit(cyc, fn(cyc))
-            i += 1
-        _fire_alarms(None, fired)  # trailing alarms (bounded by end/cap)
+        _fire_alarms(None)  # trailing alarms (bounded by end/cap)
+
         if multi:
             cols = [KEY, TS, SEQ]
             for n in multi:
                 cols.extend((n, f"{n}__t"))
             return pd.DataFrame(out, columns=cols)
+        if emit_state:
+            final_ts = tss.iloc[n_rows - 1] if n_rows else None
+            out.append((key, final_ts, STATE_SEQ, None, pickle.dumps(st)))
+            return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE, "__state"])
         return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
 
-    res = wide.groupBy(KEY).applyInPandas(_run, schema)
+    return _run
+
+
+def run_node(
+    fn: Callable[[NodeCycle], Any],
+    inputs: TickStream | Mapping[str, TickStream],
+    state: Mapping[str, Any] | Callable[[], dict] | None = None,
+    output_type: str = "double",
+    end: _dt.datetime | None = None,
+    outputs: Mapping[str, str] | None = None,
+) -> "TickStream | dict[str, TickStream]":
+    """Run an imperative per-cycle function over every key's engine
+    cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
+    with that key's state dict carried across calls; its return value
+    is the output tick (``NO_OUTPUT``/``None`` = no tick this cycle).
+
+    ``inputs`` may be one stream (readable as ``cycle['x']``) or a
+    dict of named streams; passive inputs (make_passive) update
+    last-values without producing cycles, exactly as in align().
+    ``state`` seeds the per-key state: a dict (deep-copied per key) or
+    a zero-arg factory.
+
+    Alarms: ``cycle.schedule_alarm(delta, value)`` inserts a synthetic
+    cycle at now+delta (after any coincident input cycle — synthetic
+    seq orders above input seqs). Pending alarms past the last input
+    tick fire up to ``end`` when given, else all fire (the engine-run
+    endtime analog; a self-rescheduling node without ``end`` is capped
+    at 1e6 alarm cycles per key).
+
+    Multiple outputs (csp.Outputs / csp.output(name=value)): pass
+    ``outputs={"a": "double", "b": "long"}`` and return a dict from
+    ``fn`` — only the names present tick that cycle. run_node then
+    returns ``{name: TickStream}``. One node execution feeds all
+    outputs (the frame is computed once and sliced per output).
+    """
+    streams = (
+        {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
+    )
+    names = list(streams)
+    wide = align(streams, keep_ticked=True)
+    mk_state = _state_factory(state)
+    multi = dict(outputs) if outputs else None
+    if multi:
+        out_cols = ", ".join(
+            f"{n} {t}, {n}__t boolean" for n, t in multi.items()
+        )
+        schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {out_cols}"
+    else:
+        schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}"
+
+    runner = _keyed_runner(fn, names, mk_state, multi, end, emit_state=False)
+    res = wide.groupBy(KEY).applyInPandas(runner, schema)
     if multi:
         from pyspark.sql import functions as F
 
@@ -233,12 +274,6 @@ def run_node(
             for n in multi
         }
     return TickStream(res)
-
-
-#: seq marker for the per-key terminal-state row emitted by
-#: run_node_with_states (mirrors streaming.hybrid.SEED_SEQ's "synthetic
-#: row" convention; filtered from user-visible output)
-STATE_SEQ = -(1 << 40)
 
 
 def run_node_with_states(
@@ -255,91 +290,30 @@ def run_node_with_states(
     (streaming.hybrid: batch over history, then seed the live
     stream's state store); one execution produces both (the combined
     frame is checkpointed before slicing, so the fold runs once).
+    Single-output nodes only (the hybrid splice carries one channel).
 
     Scale note: the states frame is one small row per key (pickled
     dict); the hybrid consumer collects it to the driver, which suits
     bounded key sets — for unbounded cardinality keep the streaming
     query running from its checkpoint instead of re-seeding.
     """
-    import pickle
-
     streams = (
         {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
     )
     names = list(streams)
     wide = align(streams, keep_ticked=True)
-    mk_state = state if callable(state) else (lambda s=dict(state or {}): dict(s))
+    mk_state = _state_factory(state)
     schema = (
         f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}, "
         "__state binary"
     )
-
-    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([TS, SEQ])
-        st = mk_state()
-        key = pdf[KEY].iloc[0]
-        tcols = {n: pdf[_ticked_col(n)].to_numpy() for n in names}
-        vcols = {n: pdf[n] for n in names}
-        tss, seqs = pdf[TS], pdf[SEQ]
-        out = []
-        heap: list = []
-        order = [0]
-
-        def _schedule(ats, value):
-            handle = {"alive": True, "value": value, "ts": ats}
-            order[0] += 1
-            heapq.heappush(heap, (pd.Timestamp(ats), order[0], handle))
-            return handle
-
-        last_vals = {n: None for n in names}
-        fired = [0]
-
-        def _fire(limit_ts):
-            while heap and fired[0] < _MAX_ALARM_CYCLES:
-                ats, _, handle = heap[0]
-                if not handle["alive"]:
-                    heapq.heappop(heap)
-                    continue
-                if limit_ts is not None and ats >= limit_ts:
-                    break
-                if end is not None and ats > pd.Timestamp(end):
-                    heapq.heappop(heap)
-                    continue
-                heapq.heappop(heap)
-                fired[0] += 1
-                cyc = NodeCycle(
-                    ats, _ALARM_SEQ_BASE + fired[0], st,
-                    dict(last_vals), {}, _schedule, alarm=handle["value"],
-                )
-                r = fn(cyc)
-                if r is not NO_OUTPUT and r is not None:
-                    out.append((key, cyc.now, cyc.seq, r, None))
-
-        for i in range(len(pdf)):
-            ts_i = tss.iloc[i]
-            _fire(ts_i)
-            vals = {}
-            for n in names:
-                v = vcols[n].iloc[i]
-                vals[n] = None if v is pd.NaT else v
-            last_vals = vals
-            cyc = NodeCycle(
-                ts_i, int(seqs.iloc[i]), st, vals,
-                {n: tcols[n][i] for n in names}, _schedule,
-            )
-            r = fn(cyc)
-            if r is not NO_OUTPUT and r is not None:
-                out.append((key, ts_i, int(seqs.iloc[i]), r, None))
-        _fire(None)
-        final_ts = tss.iloc[len(pdf) - 1] if len(pdf) else None
-        out.append((key, final_ts, STATE_SEQ, None, pickle.dumps(st)))
-        return pd.DataFrame(
-            out, columns=[KEY, TS, SEQ, VALUE, "__state"]
-        )
+    runner = _keyed_runner(
+        fn, names, mk_state, multi=None, end=end, emit_state=True
+    )
 
     from pyspark.sql import functions as F
 
-    combined = wide.groupBy(KEY).applyInPandas(_run, schema)
+    combined = wide.groupBy(KEY).applyInPandas(runner, schema)
     combined = combined.localCheckpoint(eager=False)
     ticks = TickStream(
         combined.filter(F.col(SEQ) != STATE_SEQ).select(KEY, TS, SEQ, VALUE)

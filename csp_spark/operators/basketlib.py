@@ -38,10 +38,12 @@ from ..core.align import align
 from ..core.ticks import KEY, SEQ, TS, VALUE, TickStream
 
 
-def _first_per_bucket(streams: Mapping[str, TickStream], bucketed, members):
+def _first_per_bucket(bucketed):
     """Shared tail of both sync plans: first value per (key, window,
     member) in engine order, then one batch row per (key, window) with
-    tick time = the latest member first (when the batch completed)."""
+    tick time = the latest member first (when the batch completed).
+    The ``__n`` member count feeds the caller's output_incomplete
+    filter."""
     firsts = bucketed.groupBy(KEY, "__bucket", "__member").agg(
         F.min_by(F.col("__v"), F.struct(TS, SEQ)).alias("__v"),
         F.min(F.struct(TS, SEQ)).alias("__at"),
@@ -137,7 +139,7 @@ def sync_dict(
             & F.col("__bucket").isNotNull()
             & (F.unix_micros(F.col(TS)) - F.col("__bucket") < us)
         )
-    batch = _first_per_bucket(streams, bucketed, members)
+    batch = _first_per_bucket(bucketed)
     if not output_incomplete:
         batch = batch.filter(F.col("__n") == len(members))
     out = batch.select(KEY, TS, F.lit(0).cast("long").alias(SEQ), VALUE)

@@ -36,12 +36,15 @@ def publish_parquet(
     mode: str = "overwrite",
     partition_by_date: bool = True,
     field_map: dict[str, str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
     """ParquetWriter.publish parity (output_adapters/parquet.py:40-120).
 
     ``field_map`` renames columns on the way out (the reference's
     column-per-field mapping). Date partitioning keeps per-partition
     file sizes bounded and enables partition pruning on replay.
+    ``options`` pass through to the parquet writer (compression,
+    parquet.enable.dictionary, parquet.page.size, ...).
     """
     df = _df(x)
     if field_map:
@@ -51,6 +54,8 @@ def publish_parquet(
     if partition_by_date and TS in df.columns:
         df = df.withColumn("__date", F.to_date(F.col(TS)))
         writer = df.write.mode(mode).partitionBy("__date")
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     writer.parquet(path)
 
 
@@ -193,10 +198,24 @@ def struct_to_record_batches(
 
     The flatten/rename happens in the Spark plan; the Arrow transfer is
     one ``toArrow()`` IPC collection (this is a driver-side egress
-    tool, same contract as write_record_batches)."""
+    tool, same contract as write_record_batches). When ``cls`` (a
+    Struct subclass) is given, the struct column is cast to
+    ``cls.spark_type()`` first — fields emerge in the class's declared
+    order and types, matching the reference's typed conversion."""
     df = _df(x)
     others = [c for c in df.columns if c != value_col]
-    df = df.select(*others, F.col(f"{value_col}.*"))
+    vcol = F.col(value_col)
+    if cls is not None:
+        from ..core.record import Struct
+
+        if not (isinstance(cls, type) and issubclass(cls, Struct)):
+            raise TypeError(
+                f"cls must be a csp_spark Struct subclass, got {cls}"
+            )
+        vcol = vcol.cast(cls.spark_type())
+    df = df.select(*others, vcol.alias(value_col)).select(
+        *others, F.col(f"{value_col}.*")
+    )
     if field_map:
         for f, col in field_map.items():
             if f in df.columns:
@@ -238,7 +257,9 @@ def to_output_adapter(
     df = _df(x)
     if key is not None:
         df = df.filter(F.col(KEY) == key)
-    rows = df.orderBy(TS, SEQ).collect()
+    # KEY last: seq restarts per key, so coincident (ts, seq) rows from
+    # different keys need the key tiebreak for reproducible delivery
+    rows = df.orderBy(TS, SEQ, KEY).collect()
     adapter.start()
     try:
         for r in rows:

@@ -266,18 +266,22 @@ def from_pull_adapter(
     )
     rows = []
     try:
-        for i in range(max_ticks):
+        pulled = 0
+        while True:
             nxt = adapter.next()
             if nxt is None:
                 break
+            pulled += 1
+            if pulled > max_ticks:  # strictly MORE than max_ticks pulls
+                raise RuntimeError(
+                    f"pull adapter exceeded max_ticks={max_ticks}"
+                )
             ts, v = nxt
             if start is not None and ts < start:
                 continue
             if end is not None and ts > end:
                 break
-            rows.append((key or GLOBAL_KEY, ts, i, v))
-        else:
-            raise RuntimeError(f"pull adapter exceeded max_ticks={max_ticks}")
+            rows.append((key or GLOBAL_KEY, ts, pulled - 1, v))
     finally:
         adapter.stop()
     df = spark.createDataFrame(

@@ -19,6 +19,7 @@ Reference semantics being mapped (SURVEY.md §2.8):
 
 from __future__ import annotations
 
+import copy as _copy
 import datetime as _dt
 from typing import Iterator
 
@@ -518,8 +519,21 @@ def run_node_stream(
     named = {"x": streams} if isinstance(streams, DataFrame) else dict(streams)
     names = list(named)
     n_src = len(names)
+    _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
     parts = []
     for i, (name, s) in enumerate(named.items()):
+        # the state-store row holds doubles — reject non-numeric inputs
+        # LOUDLY (batch run_node passes values through untyped; a cast
+        # here would silently NULL strings/decimals and the node would
+        # read NaN forever)
+        vt = dict(s.dtypes).get(VALUE, "")
+        if vt.split("(")[0] not in _NUMERIC:
+            raise TypeError(
+                f"run_node_stream input '{name}' has value type {vt!r}; "
+                "the streaming runner carries double values — cast "
+                "numerics explicitly, or run non-numeric nodes in batch "
+                "mode (run_node)"
+            )
         parts.append(
             s.select(
                 F.col(KEY), F.col(TS), F.col(SEQ),
@@ -562,10 +576,10 @@ def run_node_stream(
             ustate = pickle.loads(bytes(stored[n_src]))
         elif key[0] in seed_states:
             last = [None] * n_src
-            ustate = dict(seed_states[key[0]])
+            ustate = _copy.deepcopy(seed_states[key[0]])
         else:
             last = [None] * n_src
-            ustate = dict(init_state)
+            ustate = _copy.deepcopy(init_state)
         out = []
         chunks = list(pdfs)
         if chunks:

@@ -448,3 +448,45 @@ def test_adapter_manager_authoring(spark):
     assert [v for _, v in quotes.collect_ticks("AAPL")] == [1.0, 3.0, 5.0]
     # drained exactly once despite two subscriptions
     assert mgr.events == ["start", "stop"]
+
+
+def test_pull_adapter_exact_max_ticks_ok(spark):
+    """An adapter yielding exactly max_ticks rows then None must NOT
+    raise (review regression: for-else off-by-one)."""
+    from csp_spark.sources import PullInputAdapter, from_pull_adapter
+
+    class N(PullInputAdapter):
+        def __init__(self, n):
+            super().__init__()
+            self.n, self.i = n, 0
+
+        def next(self):
+            if self.i >= self.n:
+                return None
+            out = (START + TD(seconds=self.i), float(self.i))
+            self.i += 1
+            return out
+
+    x = from_pull_adapter(spark, N(5), max_ticks=5)
+    assert x.df.count() == 5
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="max_ticks"):
+        from_pull_adapter(spark, N(6), max_ticks=5)
+
+
+def test_epoch_to_ts_nanos_exact(spark):
+    """Nanosecond epochs above 2^53 decode exactly (review regression:
+    double division rounded near-boundary values into the previous
+    microsecond)."""
+    from csp_spark.adapters.utils import DateTimeType, epoch_to_ts
+
+    # 2020-01-01 00:00:00.000001 in ns, +999 ns — must decode to the
+    # SAME microsecond, not the previous one
+    base_us = 1577836800000001
+    for extra in (0, 1, 999):
+        ns = base_us * 1000 + extra
+        df = spark.createDataFrame([(ns,)], "t long")
+        got = df.select(
+            epoch_to_ts(F.col("t"), DateTimeType.UINT64_NANOS).alias("ts")
+        ).first()["ts"]
+        assert got == dt.datetime(2020, 1, 1, 0, 0, 0, 1), (extra, got)

@@ -752,3 +752,43 @@ def test_run_node_multiple_outputs(spark):
     assert [v for _, v in outs["new_high"].collect_ticks("k")] == highs
     assert [v for _, v in outs["new_low"].collect_ticks("k")] == lows
     assert [v for _, v in outs["n"].collect_ticks("k")] == list(range(1, 8))
+
+
+def test_run_node_state_isolated_across_keys(spark):
+    """Nested mutable state must be deep-copied per key — keys in the
+    same Python worker must not share a list (review regression)."""
+    from csp_spark import run_node
+
+    rows = []
+    for k in ("a", "b", "c", "d"):
+        for i in range(3):
+            rows.append((k, START + TD(seconds=i), 0, 1.0))
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"
+    ))
+
+    def buf_len(cycle):
+        cycle.state["buf"].append(cycle["x"])
+        return float(len(cycle.state["buf"]))
+
+    got = run_node(buf_len, x, state={"buf": []}).collect_all()
+    for k in ("a", "b", "c", "d"):
+        assert [v for _, v in got[k]] == [1.0, 2.0, 3.0], (k, got[k])
+
+
+def test_run_node_alarm_none_value_detectable(spark):
+    """An alarm scheduled with value=None still reads ticked('alarm')
+    True (review regression: None is a legal payload)."""
+    from csp_spark import run_node
+
+    x = TickStream.from_rows(spark, [(START, 1.0)], key="k")
+
+    def arm(cycle):
+        if cycle.ticked("alarm"):
+            assert cycle.alarm is None
+            return 42.0
+        cycle.schedule_alarm(TD(seconds=1), None)
+        return None
+
+    got = run_node(arm, x).collect_ticks("k")
+    assert got == [(START + TD(seconds=1), 42.0)]
