@@ -490,3 +490,18 @@ def test_epoch_to_ts_nanos_exact(spark):
             epoch_to_ts(F.col("t"), DateTimeType.UINT64_NANOS).alias("ts")
         ).first()["ts"]
         assert got == dt.datetime(2020, 1, 1, 0, 0, 0, 1), (extra, got)
+
+
+def test_json_mapper_converts_ts_fields(spark):
+    """The JSON mapper applies its wire format to declared epoch
+    fields itself (reference mapper behavior)."""
+    from csp_spark.adapters.utils import DateTimeType, JSONTextMessageMapper
+
+    df = spark.createDataFrame(
+        [(bytearray(b'{"t": 1577836800000, "px": 2.5}'),)], "value binary"
+    )
+    m = JSONTextMessageMapper(DateTimeType.UINT64_MILLIS)
+    row = df.select(
+        m.decode(F.col("value"), "t long, px double", ts_fields=["t"]).alias("v")
+    ).first()["v"]
+    assert row["t"] == dt.datetime(2020, 1, 1) and row["px"] == 2.5
