@@ -92,22 +92,30 @@ def sync_dict(
     else:
         # Accepted triggers: greedy per-key subsequence spaced >=
         # threshold (see module docstring). The pandas pass touches
-        # ONLY trigger rows — keyed-parallel, tiny per group.
-        tdf = trigger.df.select(KEY, TS, SEQ).withColumn(
-            "__tus", F.unix_micros(F.col(TS))
+        # ONLY trigger rows — and groups by a 64-way key-hash BUCKET,
+        # not by key: one Arrow roundtrip per bucket (per-key groups
+        # made the pass per-group-overhead-bound at high key
+        # cardinality — measured 2.5x scaling at 10x keys), with the
+        # per-key greedy scan looping inside pandas.
+        tdf = (
+            trigger.df.select(KEY, TS, SEQ)
+            .withColumn("__tus", F.unix_micros(F.col(TS)))
+            .withColumn("__b", F.pmod(F.xxhash64(F.col(KEY)), F.lit(64)))
         )
 
         def _accept(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values([TS, SEQ])
-            keep, last = [], None
-            for t in pdf["__tus"]:
-                ok = last is None or t - last >= us
-                keep.append(ok)
-                if ok:
-                    last = t
-            return pdf[keep][[KEY, "__tus"]]
+            pdf = pdf.sort_values([KEY, TS, SEQ])
+            out_k, out_t = [], []
+            for key, grp in pdf.groupby(KEY, sort=False):
+                last = None
+                for t in grp["__tus"]:
+                    if last is None or t - last >= us:
+                        out_k.append(key)
+                        out_t.append(t)
+                        last = t
+            return pd.DataFrame({KEY: out_k, "__tus": out_t})
 
-        accepted = tdf.groupBy(KEY).applyInPandas(
+        accepted = tdf.groupBy("__b").applyInPandas(
             _accept, schema=f"{KEY} string, __tus long"
         )
         # Attach each member tick to the latest accepted trigger at or

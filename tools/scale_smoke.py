@@ -54,6 +54,12 @@ QUERIES = [
     "doc_repeated_spans",
     "text_lm_score",
     "doc_bpe_tokens",
+    # round-4 late additions: imperative node runner (per-key pandas
+    # loop — keys are parallelism, must scale ~linearly) and
+    # trigger-opened basket sync (pandas over trigger rows + one
+    # window carry)
+    "op_node_cumsum",
+    "basket_sync_trigger",
 ]
 
 
