@@ -113,6 +113,22 @@ class NodeCycle:
         handle["alive"] = False
 
 
+#: Arrow groups per node execution — keys hash into this many buckets
+#: so a million-key stream costs 256 pandas roundtrips, not a million;
+#: with fewer keys than buckets the grouping degenerates to per-key
+#: (empty buckets are free), so small cases lose nothing
+_NODE_BUCKETS = 256
+
+
+def _bucketed(wide):
+    """Group the align frame by key-hash bucket (see _NODE_BUCKETS)."""
+    from pyspark.sql import functions as F
+
+    return wide.withColumn(
+        "__node_b", F.pmod(F.xxhash64(F.col(KEY)), F.lit(_NODE_BUCKETS))
+    ).groupBy("__node_b")
+
+
 def _state_factory(state):
     """Per-key state seed: a zero-arg factory as-is, else a DEEP copy
     per key (nested mutable state must not be shared across keys —
@@ -126,10 +142,28 @@ def _state_factory(state):
 def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
     """The per-key cycle engine shared by run_node and
     run_node_with_states: input cycles in (ts, seq) order, alarm heap
-    merged in, optional terminal-state row (pickled) appended."""
+    merged in, optional terminal-state row (pickled) appended.
+
+    The outer Arrow group is a key-hash BUCKET, not a key (one pandas
+    roundtrip per bucket — per-key groups are per-group-overhead-bound
+    at high key cardinality); each key's cycles run sequentially
+    inside the bucket loop."""
     import pickle
 
-    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _run(bpdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _key, kpdf in bpdf.groupby(KEY, sort=False):
+            _one_key(kpdf, out)
+        if multi:
+            cols = [KEY, TS, SEQ]
+            for n in multi:
+                cols.extend((n, f"{n}__t"))
+            return pd.DataFrame(out, columns=cols)
+        if emit_state:
+            return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE, "__state"])
+        return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
+
+    def _one_key(pdf: pd.DataFrame, out: list) -> None:
         pdf = pdf.sort_values([TS, SEQ])
         st = mk_state()
         key = pdf[KEY].iloc[0]
@@ -147,7 +181,6 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
             heapq.heappush(heap, (pd.Timestamp(ats), order[0], handle))
             return handle
 
-        out = []
         state_pad = (None,) if emit_state else ()
 
         def _emit(cyc, r):
@@ -198,17 +231,9 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
             )
             _emit(cyc, fn(cyc))
         _fire_alarms(None)  # trailing alarms (bounded by end/cap)
-
-        if multi:
-            cols = [KEY, TS, SEQ]
-            for n in multi:
-                cols.extend((n, f"{n}__t"))
-            return pd.DataFrame(out, columns=cols)
         if emit_state:
             final_ts = tss.iloc[n_rows - 1] if n_rows else None
             out.append((key, final_ts, STATE_SEQ, None, pickle.dumps(st)))
-            return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE, "__state"])
-        return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
 
     return _run
 
@@ -261,7 +286,7 @@ def run_node(
         schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}"
 
     runner = _keyed_runner(fn, names, mk_state, multi, end, emit_state=False)
-    res = wide.groupBy(KEY).applyInPandas(runner, schema)
+    res = _bucketed(wide).applyInPandas(runner, schema)
     if multi:
         from pyspark.sql import functions as F
 
@@ -313,7 +338,7 @@ def run_node_with_states(
 
     from pyspark.sql import functions as F
 
-    combined = wide.groupBy(KEY).applyInPandas(runner, schema)
+    combined = _bucketed(wide).applyInPandas(runner, schema)
     combined = combined.localCheckpoint(eager=False)
     ticks = TickStream(
         combined.filter(F.col(SEQ) != STATE_SEQ).select(KEY, TS, SEQ, VALUE)
