@@ -13,8 +13,12 @@ the cycle sequence.
 
 Scale shape: per-key sequential Python — the deliberate slow path,
 exactly like the reference's Python nodes vs their cppimpl twins.
-Keys are independent Arrow groups, so a 100-TB keyed stream
-parallelizes across executors; the GLOBAL_KEY case runs one group
+Keys hash into ``buckets`` Arrow groups (default 4096) with the
+per-key loop inside pandas: task parallelism follows
+spark.sql.shuffle.partitions, per-group pandas memory is bounded at
+~stream/buckets, and per-group Arrow overhead amortizes over many
+keys — raise ``buckets`` for large-data/low-key workloads, lower it
+for millions of tiny keys. The GLOBAL_KEY case still runs one group
 (same limit as the reference's single-threaded engine). Prefer the
 combinator library (apply/exprtk/stats/feedback_scan) for hot paths —
 this exists so imperative reference nodes port line-for-line.
@@ -113,19 +117,25 @@ class NodeCycle:
         handle["alive"] = False
 
 
-#: Arrow groups per node execution — keys hash into this many buckets
-#: so a million-key stream costs 256 pandas roundtrips, not a million;
-#: with fewer keys than buckets the grouping degenerates to per-key
-#: (empty buckets are free), so small cases lose nothing
-_NODE_BUCKETS = 256
+#: default Arrow groups per node execution — keys hash into this many
+#: buckets so a million-key stream costs ~4k pandas roundtrips, not a
+#: million, while each group holds only ~1/4096 of the stream (bounded
+#: pandas memory). Fewer keys than buckets degenerates to per-key
+#: grouping (empty buckets are free). Task parallelism is governed by
+#: spark.sql.shuffle.partitions, not the bucket count — buckets only
+#: set the Arrow batch granularity within those tasks.
+_NODE_BUCKETS = 4096
 
 
-def _bucketed(wide):
-    """Group the align frame by key-hash bucket (see _NODE_BUCKETS)."""
+def _bucketed(df, n_buckets: int = _NODE_BUCKETS):
+    """Group a keyed frame by key-hash bucket (shared by the node
+    runners and basketlib's trigger-selection pass). NULL keys hash to
+    a bucket of their own (xxhash64(NULL) is NULL → pmod NULL), so the
+    in-pandas loop must groupby with dropna=False to keep them."""
     from pyspark.sql import functions as F
 
-    return wide.withColumn(
-        "__node_b", F.pmod(F.xxhash64(F.col(KEY)), F.lit(_NODE_BUCKETS))
+    return df.withColumn(
+        "__node_b", F.pmod(F.xxhash64(F.col(KEY)), F.lit(n_buckets))
     ).groupBy("__node_b")
 
 
@@ -152,7 +162,9 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
 
     def _run(bpdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _key, kpdf in bpdf.groupby(KEY, sort=False):
+        # dropna=False: a NULL key is a real group (pandas drops it by
+        # default; Spark's own groupBy(KEY) kept it)
+        for _key, kpdf in bpdf.groupby(KEY, sort=False, dropna=False):
             _one_key(kpdf, out)
         if multi:
             cols = [KEY, TS, SEQ]
@@ -245,6 +257,7 @@ def run_node(
     output_type: str = "double",
     end: _dt.datetime | None = None,
     outputs: Mapping[str, str] | None = None,
+    buckets: int = _NODE_BUCKETS,
 ) -> "TickStream | dict[str, TickStream]":
     """Run an imperative per-cycle function over every key's engine
     cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
@@ -286,7 +299,7 @@ def run_node(
         schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}"
 
     runner = _keyed_runner(fn, names, mk_state, multi, end, emit_state=False)
-    res = _bucketed(wide).applyInPandas(runner, schema)
+    res = _bucketed(wide, buckets).applyInPandas(runner, schema)
     if multi:
         from pyspark.sql import functions as F
 
@@ -307,6 +320,7 @@ def run_node_with_states(
     state: Mapping[str, Any] | Callable[[], dict] | None = None,
     output_type: str = "double",
     end: _dt.datetime | None = None,
+    buckets: int = _NODE_BUCKETS,
 ) -> "tuple[TickStream, Any]":
     """run_node plus each key's TERMINAL state: returns
     ``(output, states)`` where ``states`` is a DataFrame of
@@ -338,7 +352,7 @@ def run_node_with_states(
 
     from pyspark.sql import functions as F
 
-    combined = _bucketed(wide).applyInPandas(runner, schema)
+    combined = _bucketed(wide, buckets).applyInPandas(runner, schema)
     combined = combined.localCheckpoint(eager=False)
     ticks = TickStream(
         combined.filter(F.col(SEQ) != STATE_SEQ).select(KEY, TS, SEQ, VALUE)

@@ -97,16 +97,17 @@ def sync_dict(
         # made the pass per-group-overhead-bound at high key
         # cardinality — measured 2.5x scaling at 10x keys), with the
         # per-key greedy scan looping inside pandas.
-        tdf = (
-            trigger.df.select(KEY, TS, SEQ)
-            .withColumn("__tus", F.unix_micros(F.col(TS)))
-            .withColumn("__b", F.pmod(F.xxhash64(F.col(KEY)), F.lit(64)))
+        from ..core.noderun import _bucketed
+
+        tdf = trigger.df.select(KEY, TS, SEQ).withColumn(
+            "__tus", F.unix_micros(F.col(TS))
         )
 
         def _accept(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values([KEY, TS, SEQ])
             out_k, out_t = [], []
-            for key, grp in pdf.groupby(KEY, sort=False):
+            # dropna=False: NULL-key triggers still open windows
+            for key, grp in pdf.groupby(KEY, sort=False, dropna=False):
                 last = None
                 for t in grp["__tus"]:
                     if last is None or t - last >= us:
@@ -115,7 +116,7 @@ def sync_dict(
                         last = t
             return pd.DataFrame({KEY: out_k, "__tus": out_t})
 
-        accepted = tdf.groupBy("__b").applyInPandas(
+        accepted = _bucketed(tdf).applyInPandas(
             _accept, schema=f"{KEY} string, __tus long"
         )
         # Attach each member tick to the latest accepted trigger at or

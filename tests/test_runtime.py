@@ -792,3 +792,20 @@ def test_run_node_alarm_none_value_detectable(spark):
 
     got = run_node(arm, x).collect_ticks("k")
     assert got == [(START + TD(seconds=1), 42.0)]
+
+
+def test_run_node_null_key_preserved(spark):
+    """A NULL-key row is a real group — bucketed execution must not
+    drop it (review regression: pandas groupby defaults dropna=True)."""
+    from csp_spark import run_node
+
+    rows = [(None, START, 0, 1.0), ("a", START, 0, 2.0)]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"
+    ))
+    got = sorted(
+        ((r["key"], r["value"])
+         for r in run_node(lambda c: c["x"] * 10, x).df.collect()),
+        key=lambda t: (t[0] is not None, t),
+    )
+    assert got == [(None, 10.0), ("a", 20.0)]
