@@ -210,6 +210,14 @@ class TickStream:
     def pipe(self, fn, *args, **kwargs):
         return fn(self, *args, **kwargs)
 
+    def run(self, *args, **kwargs):
+        """Edge.run (docs Functional-Methods-API.md): alias for
+        ``csp.run(self, ...)`` — execute just this edge and return its
+        ticks under output key "0"."""
+        from ..plans.runtime import run as _run
+
+        return _run(lambda: self, *args, **kwargs)
+
     def apply(self, fn, result_type: str = "double") -> "TickStream":
         from ..operators.baselib import apply_
 

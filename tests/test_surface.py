@@ -173,3 +173,19 @@ def test_make_passive_and_engine_services(spark):
                     "rt": (False, False)}
     with pytest.raises(RuntimeError, match="only valid"):
         csp.engine_start_time()
+
+
+def test_edge_run_alias(spark):
+    """Edge.run == csp.run(self) (docs Functional-Methods-API.md)."""
+    import datetime as dt
+
+    from csp_spark import TickStream
+
+    START = dt.datetime(2020, 1, 1)
+    x = TickStream.from_rows(
+        spark, [(START + dt.timedelta(seconds=i), float(i)) for i in range(4)]
+    )
+    out = x.run(starttime=START, endtime=START + dt.timedelta(minutes=1))
+    assert out["0"] == [
+        (START + dt.timedelta(seconds=i), float(i)) for i in range(4)
+    ]
