@@ -2665,13 +2665,22 @@ FROM m
 def doc_token_ids(spark, sf_dir):
     """Vocabulary build + token-id encoding (text/analysis.py
     build_vocab/encode_tokens): frequency-ranked 500-token vocab, ids
-    by (count desc, token asc), OOV → 0; per-doc ordered id arrays —
-    the tokenize→ids step ahead of sequence packing. One corpus
-    hash-aggregate + broadcast vocab join + one keyed collect."""
+    by (count desc, token asc), OOV → 0 — the tokenize→ids step ahead
+    of sequence packing. One corpus hash-aggregate + broadcast vocab
+    join + one keyed collect. encode_tokens keeps its per-doc array
+    API; the driver view explodes to (doc_id, pos, token_id) scalar
+    rows because the driver's value hasher cannot hash ARRAY columns
+    (r4 err: "unhashable type: 'list'")."""
     from csp_spark.text import build_vocab, encode_tokens
 
     docs = _t(spark, sf_dir, "documents")
-    return encode_tokens(docs, build_vocab(docs, vocab_size=500))
+    enc = encode_tokens(docs, build_vocab(docs, vocab_size=500))
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("token_id").cast("int").alias("token_id"),
+    )
 
 
 def _token_ids_oracle_sql() -> str:
@@ -2688,12 +2697,10 @@ counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
 vocab AS (
   SELECT token, row_number() OVER (ORDER BY c DESC, token) AS tid
   FROM counts QUALIFY tid <= 500
-),
-enc AS (
-  SELECT t.doc_id, t.pos, CAST(COALESCE(v.tid, 0) AS INT) AS tid
-  FROM toks t LEFT JOIN vocab v USING (token)
 )
-SELECT doc_id, list(tid ORDER BY pos) AS token_ids FROM enc GROUP BY doc_id
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+  CAST(COALESCE(v.tid, 0) AS INT) AS token_id
+FROM toks t LEFT JOIN vocab v USING (token)
 """
 
 
@@ -2792,9 +2799,12 @@ def _pack_offsets_oracle_sql() -> str:
     return f"""
 WITH t AS ({_pack_base_sql()}),
 w AS (
+  -- CAST: DuckDB window sum(BIGINT) returns HUGEINT (int128); the Spark
+  -- side is LONG, and the driver's typed hash distinguishes them (r4 red).
   SELECT doc_id, shard, n_tokens,
-    sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS BIGINT) AS start_offset
   FROM t
 )
 SELECT doc_id, shard, n_tokens, start_offset,
@@ -2826,9 +2836,13 @@ def _pack_manifest_oracle_sql() -> str:
     return f"""
 WITH t AS ({_pack_base_sql()}),
 w AS (
+  -- CAST: same HUGEINT window-sum pitfall as _pack_offsets_oracle_sql —
+  -- every derived column below (doc_from/doc_to/seq_offset) inherits the
+  -- type, so it must be BIGINT at the source.
   SELECT doc_id, shard, n_tokens,
-    sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS BIGINT) AS start_offset
   FROM t
 ),
 d AS (
@@ -3103,52 +3117,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
-    # dict, so order by evidence value (round 4):
-    # 1. queries NEW this round (op_windowed_global, op_exprtk_vec) and
-    #    the one never driver-run (ann_knn_join_blas, rows-only);
-    # 2. queries whose green predates a rewrite of their backing module
-    #    (r3 rewrites: similarity/ann.py de-amplify + ema halflife guard
-    #    + dedup memoize + text touches; plus r1/r2 greens cut from the
-    #    r3 prefix: stats_rank, stats_weighted);
-    # 3. queries whose backing modules changed THIS round (dedup cache/
-    #    spread, ann dim/IVF-sample, unkeyed NULLs, exprtk vectors,
-    #    record strict/yaml, baselib wiring checks);
-    # 4. r2-only greens rotated back in to refresh their evidence.
-    # Everything else holds a green row from r3 under unchanged code.
+    # dict, so order by evidence value (round 5):
+    # 1. the three r4 reds (pack HUGEINT casts + token_ids reshape) and
+    #    the two queries that have NEVER been driver-run (they sat past
+    #    position 50 every round: stats_unique, op_hot_key_running);
+    # 2. queries whose backing modules change THIS round (LSH bucket
+    #    caps touch dedup_minhash/simhash/components/incremental;
+    #    run_node localCheckpoint touches op_node_cumsum; ann_pq_topk
+    #    gains its first real oracle) plus any queries new this round;
+    # 3. all 35 queries whose last driver green dates from r2 — the
+    #    oldest evidence in the file, rotated back in wholesale.
+    # Rows-only-by-design queries (doc_bpe_tokens, ann_knn_join_blas,
+    # feedback_clamp, ann_ivf_topk) are deliberately AFTER the oracle-
+    # backed block: a prefix slot spent on a rows-only check proves
+    # little (r4 advice).  Everything else holds green from r3/r4 under
+    # unchanged code.
     priority = [
-        # (1) new / never driver-run
-        "doc_pack", "doc_pack_fit", "doc_weighted_sample",
-        "doc_cap_per_source", "doc_incremental_dedup",
-        "op_asof_directions", "stats_ohlc_bars", "doc_pack_manifest",
-        "doc_token_ids", "doc_repeated_spans", "text_lm_score",
-        "ann_pq_topk", "doc_bpe_tokens", "doc_mixture",
-        "sink_parquet_roundtrip", "sink_csv_roundtrip",
-        "sink_arrow_roundtrip",
-        "op_windowed_global", "op_windowed_global_time", "op_exprtk_vec",
-        "text_boilerplate", "doc_decontaminate", "text_term_stats",
-        "text_tfidf", "text_quality_model", "op_feedback_scan",
-        "ann_knn_join_blas",
-        # (2) stale green (module rewritten after the green round)
-        "dedup_embedding", "stats_ema_halflife", "stats_ema_var",
-        "dedup_exact", "dedup_ngram", "text_stats", "text_langid",
-        "text_fingerprint", "stats_rank", "stats_weighted",
-        # (3) modules changed this round
-        "op_accum_global", "op_struct_record", "op_exprtk_state",
-        "op_exprtk", "op_merge", "op_filter", "op_gate",
+        # (1) r4 reds + never-driver-run
+        "doc_pack", "doc_pack_manifest", "doc_token_ids",
+        "stats_unique", "op_hot_key_running",
+        # (2) modules changed this round / first-time oracles
+        "doc_pack_fit",            # shares the edited pack oracle base
+        "ann_pq_topk",             # oracle new this round
         "dedup_minhash", "dedup_simhash", "dedup_components",
-        # basket_sync_trigger also re-exercises the rewritten sync body
-        # (basket_sync keeps its r3 green; local gate re-verified);
-        # ann_topk's brute path is untouched this round, so the slots
-        # go to the lsh/ivf/knn paths that DID change (infer_dim,
-        # split_uniform training sample).
-        "basket_sync_trigger", "op_node_cumsum",
-        "ann_lsh_topk", "ann_ivf_exact", "ann_knn_join",
-        "q21_suppliers_kept_waiting",
-        "text_repetition", "doc_chunk", "op_struct_fromts",
-        # (4) r2-only greens, refreshed
-        "op_accum", "op_diff", "op_delay", "op_firstn", "op_dropdups",
-        "op_sample_asof", "op_unroll", "op_split_false", "op_default",
-        "op_multiplex", "op_collect", "op_flatten", "op_dropnans",
+        "doc_incremental_dedup",   # LSH degenerate-bucket caps
+        "op_node_cumsum",          # run_node localCheckpoint fix
+        "frame_pandas_ts",         # new this round (to_pandas_ts parity)
+        "op_node_ast",             # new this round (AST node translator)
+        "stats_ema_adjust",        # new this round
+        # (3) r2-vintage greens, refreshed wholesale
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q10_returned_items",
+        "op_count", "op_accum", "op_diff", "op_delay", "op_firstn",
+        "op_dropdups", "op_dropdups_eps", "op_sample_asof", "op_unroll",
+        "op_split_false", "op_default", "op_multiplex", "op_collect",
+        "op_flatten", "op_dropnans", "op_apply", "op_demultiplex",
+        "op_struct_fromts", "op_burst", "op_last_value",
+        "random_poisson", "random_brownian", "mm_features",
+        "stats_minmax_sem", "stats_xsec", "stats_cov_matrix",
+        "stats_trigger_reset", "stats_sampler",
+        "ann_topk", "src_curve",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}

@@ -17,11 +17,121 @@ signatures via higher-order array functions. No Python in the path.
 
 from __future__ import annotations
 
+import logging
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..text.analysis import spread as _spread
 from ..text.analysis import tokens
+
+logger = logging.getLogger("csp_spark")
+
+#: Per-(band,bucket) size above which the in-bucket self-join is
+#: considered degenerate and rerouted (see _capped_bucket_pairs). At
+#: 100 TB a boilerplate family can put 1e5–1e6 docs into ONE bucket,
+#: turning the |bucket|^2 join into the job's bottleneck.
+DEFAULT_BUCKET_CAP = 2000
+
+
+def _capped_bucket_pairs(
+    rows: DataFrame,
+    keys: list[str],
+    cap: int,
+    label: str,
+    payload: tuple[str, ...] = (),
+) -> DataFrame:
+    """In-bucket candidate self-join with a degenerate-bucket guard.
+
+    ``rows`` must carry ``id`` (orderable doc id), ``__sigh`` (a hash of
+    the doc's FULL signature — docs equal on it are near-certain dups),
+    the bucket ``keys``, and any ``payload`` columns to carry through
+    (emitted as ``<p>_a``/``<p>_b``).
+
+    Buckets of size ≤ ``cap`` self-join exactly (today's corpora: all of
+    them — the guard adds one tiny count-aggregate + an empty collect).
+    Over-cap buckets — boilerplate families whose members share a
+    signature slice by construction — are rerouted:
+
+    1. exact-signature grouping: members with identical ``__sigh`` are
+       star-connected to the group's min id (O(n) pairs, not O(n^2));
+    2. the group representatives self-join among themselves; if even
+       the representative set exceeds ``cap`` it is salt-split into
+       ceil(n/cap) hash groups joined within-salt only.
+
+    Downstream exact verification (Jaccard / hamming) still runs on
+    every emitted candidate, so precision is unaffected; within an
+    over-cap bucket the emitted pair set is a connectivity-preserving
+    SUBSET of all true pairs (star + rep graph), which is what the
+    dedup consumers (connected components, resolve/keep rules) need.
+    Cross-salt representative pairs are the only recall loss and are
+    logged — no silent caps.
+    """
+    def pairs_within(r: DataFrame, ks: list[str]) -> DataFrame:
+        cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in ks]
+        cond.append(F.col("a.id") < F.col("b.id"))
+        sel = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
+        for p in payload:
+            sel += [F.col(f"a.{p}").alias(f"{p}_a"),
+                    F.col(f"b.{p}").alias(f"{p}_b")]
+        return r.alias("a").join(r.alias("b"), on=cond).select(*sel)
+
+    spark = rows.sparkSession
+    cnt = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    over_rows = cnt.filter(F.col("__n") > cap).collect()
+    if not over_rows:
+        return pairs_within(rows, keys)
+
+    logger.warning(
+        "%s: %d degenerate bucket(s) over cap=%d (largest=%d) rerouted "
+        "through exact-signature star grouping",
+        label, len(over_rows), cap, max(r["__n"] for r in over_rows),
+    )
+    key_schema = rows.select(*keys).schema
+    over_df = spark.createDataFrame(
+        [tuple(r[k] for k in keys) for r in over_rows], key_schema
+    )
+    ok = rows.join(F.broadcast(over_df), keys, "left_anti")
+    bad = rows.join(F.broadcast(over_df), keys, "left_semi")
+
+    gkeys = [*keys, "__sigh"]
+    rep = bad.groupBy(*gkeys).agg(F.min("id").alias("__rep"))
+    m = bad.join(rep, gkeys)
+    # star: min-id rep ↔ every other member of its exact-signature group.
+    # Payload is signature-determined within the group, so the member's
+    # value stands in for the rep's on the _a side.
+    star = m.filter(F.col("id") != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col("id").alias("id_b"),
+        *[c for p in payload for c in
+          (F.col(p).alias(f"{p}_a"), F.col(p).alias(f"{p}_b"))],
+    )
+    reps_rows = m.filter(F.col("id") == F.col("__rep")).drop("__rep")
+    rep_over = (
+        reps_rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap).collect()
+    )
+    if not rep_over:
+        rep_pairs = pairs_within(reps_rows, keys)
+    else:
+        lost = sum(r["__n"] for r in rep_over)
+        logger.warning(
+            "%s: %d bucket(s) still over cap after signature grouping "
+            "(%d reps total) — salt-splitting; cross-salt representative "
+            "pairs in those buckets are skipped",
+            label, len(rep_over), lost,
+        )
+        salt_df = spark.createDataFrame(
+            [(*[r[k] for k in keys], math.ceil(r["__n"] / cap))
+             for r in rep_over],
+            rows.select(*keys).withColumn("__nsalt", F.lit(1)).schema,
+        )
+        reps_s = reps_rows.join(F.broadcast(salt_df), keys, "left").withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("id"), F.coalesce("__nsalt", F.lit(1))),
+        )
+        rep_pairs = pairs_within(reps_s, [*keys, "__salt"])
+    return pairs_within(ok, keys).unionByName(star).unionByName(rep_pairs)
 
 
 def normalize(text: Column) -> Column:
@@ -167,9 +277,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     use_words: bool = False,
     use_cache: bool = True,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified
     with exact Jaccard over the shingle sets.
+
+    ``bucket_cap`` guards the in-bucket self-join against degenerate
+    (band, bucket) keys — boilerplate families that put 1e5+ docs into
+    one bucket on a web corpus; see _capped_bucket_pairs.
 
     Scale shape: explode to (band_id, band_hash) → shuffle by bucket →
     pairs only within buckets (collision probability s^(r) per band);
@@ -196,7 +311,7 @@ def minhash_lsh_pairs(
     try:
         cache_key = (
             docs.semanticHash(), text_col, id_col,
-            num_hashes, bands, shingle_k, threshold, use_words,
+            num_hashes, bands, shingle_k, threshold, use_words, bucket_cap,
         )
     except Exception:  # semanticHash unavailable (e.g. connect mode)
         cache_key = None
@@ -283,20 +398,17 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", F.posexplode(band_arr).alias("band", "bucket"))
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # __sigh = hash of the FULL signature: inside a degenerate bucket,
+    # equal-__sigh docs are near-certain duplicates (all num_hashes mins
+    # agree) and get star-grouped instead of all-paired.
+    sigh = F.xxhash64(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    banded = sig.select(
+        "id", sigh.alias("__sigh"),
+        F.posexplode(band_arr).alias("band", "bucket"),
     )
+    cand = _capped_bucket_pairs(
+        banded, ["band", "bucket"], bucket_cap, "minhash_lsh_pairs"
+    ).dropDuplicates(["id_a", "id_b"])
     # The pair list feeds two different broadcasts below; without a
     # persist each broadcast would recompute the whole signature +
     # band-join pipeline. It is at most a few MB by construction.
@@ -455,6 +567,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
     n_blocks: int | None = None,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs with simhash distance ≤ max_hamming, bucketed by
     bit chunks. Chunk count is max_hamming+1, so the pigeonhole
@@ -510,6 +623,7 @@ def simhash_pairs(
     return hamming_pairs(
         base, id_col="id", sig_col="sh",
         bits=bits, max_hamming=max_hamming, n_blocks=n_blocks,
+        bucket_cap=bucket_cap,
     )
 
 
@@ -520,6 +634,7 @@ def hamming_pairs(
     bits: int = 64,
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """All pairs whose PRECOMPUTED ``bits``-wide signatures differ in ≤
     ``max_hamming`` bits — the generic bucketed hamming join behind
@@ -558,26 +673,17 @@ def hamming_pairs(
             for tid, comb in enumerate(combos)
         ]
     )
+    # __sigh = the exact full signature: equal-signature docs inside a
+    # degenerate bucket are hamming-0 pairs, the star grouping of
+    # _capped_bucket_pairs is lossless for them.
     chunks = base.select(
-        "id", "sh",
+        "id", "sh", F.col("sh").alias("__sigh"),
         F.posexplode(table_keys).alias("chunk_id", "chunk"),
     )
-    cand = (
-        chunks.alias("a")
-        .join(
-            chunks.alias("b"),
-            on=[
-                F.col("a.chunk_id") == F.col("b.chunk_id"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _capped_bucket_pairs(
+        chunks, ["chunk_id", "chunk"], bucket_cap, "hamming_pairs",
+        payload=("sh",),
+    ).dropDuplicates(["id_a", "id_b"])
     return (
         cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)

@@ -839,6 +839,71 @@ def test_simhash_block_combination_tables(spark):
 
 
 # ---------------------------------------------------------------------------
+# degenerate LSH buckets (dedup/dedup.py _capped_bucket_pairs)
+
+
+def _boilerplate_corpus(spark, n, extra_rows=()):
+    """n byte-identical docs (one boilerplate family — every LSH band
+    bucket holds all n of them) plus optional distinct rows."""
+    base = "terms of service apply to all users of this web site " * 3
+    rows = [(i, base) for i in range(n)] + list(extra_rows)
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_degenerate_bucket_capped(spark):
+    """An adversarial corpus putting thousands of docs into ONE
+    (band, bucket) must not go |bucket|^2: with the cap, the emitted
+    pair set is the O(n) star over the exact-signature group — n-1
+    pairs, all anchored at the min id, still one connected component."""
+    n = 2000
+    df = _boilerplate_corpus(spark, n)
+    pairs = DD.minhash_lsh_pairs(
+        df, threshold=0.5, bucket_cap=50, use_cache=False
+    ).collect()
+    assert len(pairs) == n - 1  # O(n), not n*(n-1)/2 = 1_999_000
+    assert all(r["id_a"] == 0 and abs(r["jaccard"] - 1.0) < 1e-9
+               for r in pairs)
+    assert sorted(r["id_b"] for r in pairs) == list(range(1, n))
+
+
+def test_minhash_cap_keeps_outside_pairs(spark):
+    """Docs OUTSIDE the degenerate bucket keep exact pair enumeration
+    — the reroute applies per-bucket, not globally."""
+    extra = [
+        (100_001, "the quick brown fox jumps over the lazy dog " * 4),
+        (100_002, "the quick brown fox jumps over the lazy dog " * 4 + "tail"),
+        (100_003, "unrelated noise filler text about nothing important " * 4),
+    ]
+    df = _boilerplate_corpus(spark, 500, extra)
+    got = {(r["id_a"], r["id_b"])
+           for r in DD.minhash_lsh_pairs(
+               df, threshold=0.5, bucket_cap=50, use_cache=False).collect()}
+    assert (100_001, 100_002) in got
+    assert all(b != 100_003 for _, b in got)
+    # family stays one component: star pairs to min id
+    fam = {(a, b) for a, b in got if b < 100_000}
+    assert fam == {(0, i) for i in range(1, 500)}
+
+
+def test_hamming_pairs_degenerate_bucket_capped(spark):
+    """Same guard on the generic hamming join: n identical signatures
+    collapse to an O(n) hamming-0 star instead of n^2 chunk-join rows;
+    distinct signatures nearby still pair exactly."""
+    n = 1500
+    rows = [(i, 0x0F0F0F0F) for i in range(n)]
+    rows += [(n + 1, 0x0F0F0F0E), (n + 2, 0xF0F0F0F0F)]
+    sigs = spark.createDataFrame(rows, "id long, sig long")
+    pairs = DD.hamming_pairs(sigs, max_hamming=3, bucket_cap=40).collect()
+    fam = [r for r in pairs if r["id_a"] < n and r["id_b"] <= n]
+    assert all(r["hamming"] == 0 for r in fam if r["id_b"] < n)
+    star = [r for r in fam if r["id_b"] < n]
+    assert len(star) == n - 1 and all(r["id_a"] == 0 for r in star)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(0, n + 1)] == 1  # 1-bit neighbor found via rep join
+    assert (0, n + 2) not in got  # hamming 4 > 3 verified out
+
+
+# ---------------------------------------------------------------------------
 # sequence packing + weighted sampling (pipeline/packing.py, sampling.py)
 
 

@@ -108,6 +108,36 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{tmp}/documents.parquet").count()
     print(f"scaled inputs: events={n_ev} documents={n_docs} (x{MULT})")
 
+    # Adversarial LSH corpus: one boilerplate family that puts EVERY
+    # doc into the same (band, bucket). Without the degenerate-bucket
+    # cap the in-bucket join is |family|^2, so doubling the family
+    # quadruples the work (time ratio ~4); with the cap the star
+    # reroute keeps it ~linear (normalized ratio < 2 = pass).
+    from csp_spark import dedup as DD
+
+    boiler = "terms of service apply to all users of this web site " * 3
+
+    def _family(n):
+        return (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+            .repartition(32)
+        )
+
+    sizes = (4000, 8000)
+    times = []
+    for n in sizes:
+        t0 = time.time()
+        c = DD.minhash_lsh_pairs(
+            _family(n), threshold=0.5, bucket_cap=500, use_cache=False
+        ).count()
+        times.append(time.time() - t0)
+        assert c == n - 1, f"expected O(n) star pairs, got {c}"
+    norm = (times[1] / times[0]) / (sizes[1] / sizes[0])
+    flag = "" if norm < 2 else "  <-- SUPERLINEAR (degenerate bucket)"
+    print(f"adversarial_lsh          n={sizes[0]}: {times[0]:6.2f}s   "
+          f"n={sizes[1]}: {times[1]:6.2f}s  normalized ratio {norm:4.2f}{flag}")
+
     qs = E.queries()
     for name in QUERIES:
         t0 = time.time()
