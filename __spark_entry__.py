@@ -2159,18 +2159,89 @@ def doc_bpe_tokens(spark, sf_dir):
     )
 
 
-def ann_pq_topk(spark, sf_dir):
-    """PQ/ADC top-k (similarity/ann.py pq_index/pq_topk — Jégou
-    TPAMI'11): 8 subspaces x 32 codes over the 64-dim embeddings;
-    rows-only by design (lossy quantization has no SQL oracle; the
-    ADC plumbing is reconstruction-equality-tested and recall-tested
-    in test_pipeline_ops)."""
-    from csp_spark.similarity import pq_index, pq_topk
+_PQ_M, _PQ_CODES, _PQ_DSUB, _PQ_SEED = 4, 16, 16, 7
 
+
+def _pq_fixture():
+    """Shared deterministic PQ fixture: seeded codebooks + query vector
+    (similarity/ann.py hash_codebooks) — both sides of the oracle
+    regenerate the identical float64s from the same RNG stream."""
+    import numpy as _np
+
+    from csp_spark.similarity import hash_codebooks
+
+    books = hash_codebooks(_PQ_M, _PQ_CODES, _PQ_DSUB, seed=_PQ_SEED)
+    q = _np.random.RandomState(_PQ_SEED + 1000).standard_normal(
+        _PQ_M * _PQ_DSUB
+    )
+    return books, q
+
+
+def ann_pq_topk(spark, sf_dir):
+    """PQ/ADC top-k (similarity/ann.py pq_encode_expr/pq_topk — Jégou
+    TPAMI'11): 4 subspaces x 16 codes over the 64-dim embeddings with
+    DETERMINISTIC seeded codebooks (hash_codebooks) and a seeded query
+    vector, so the DuckDB oracle replays encode + ADC bit-for-bit: the
+    encode is left-associative expression arithmetic on both engines
+    and the ADC lookup tables are the same numpy-computed literals.
+    The trained-KMeans path (pq_index) keeps its reconstruction/recall
+    unit tests; this driver query pins the encode + ADC arithmetic."""
+    from csp_spark.similarity import pq_encode_expr, pq_topk
+
+    books, q = _pq_fixture()
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    enc, books = pq_index(emb, m=8, n_codes=32)
+    enc = pq_encode_expr(emb, books)
     return pq_topk(enc, books, list(q), k=10)
+
+
+def _pq_oracle_sql() -> str:
+    """Replays pq_encode_expr + pq_topk: identical left-associative
+    multiply-add chains (same IEEE rounding), identical LUT literals
+    (same numpy calls as pq_topk's driver-side tables)."""
+    import numpy as np
+
+    books, q = _pq_fixture()
+    m, n_codes, dsub = books.shape
+    # encode: per subspace a literal-list of cn2 - 2*dot expressions
+    lists = []
+    for j in range(m):
+        d2s = []
+        for c in range(n_codes):
+            center = books[j, c]
+            cn2 = float((center ** 2).sum())
+            dotp = " + ".join(
+                f"(CAST(v[{j * dsub + i + 1}] AS DOUBLE)) * {float(center[i])!r}"
+                for i in range(dsub)
+            )
+            d2s.append(f"{cn2!r} - 2.0 * ({dotp})")
+        lists.append("[" + ", ".join(d2s) + "]")
+    lcols = ", ".join(f"{l} AS l{j}" for j, l in enumerate(lists))
+    kcols = ", ".join(
+        f"(list_position(l{j}, list_min(l{j})) - 1) AS k{j}" for j in range(m)
+    )
+    # ADC tables: the same numpy expressions pq_topk embeds as literals
+    ip_lut = np.stack([
+        books[j] @ q[j * dsub:(j + 1) * dsub] for j in range(m)
+    ])
+    sq_lut = (books ** 2).sum(axis=2)
+    qn = float(np.linalg.norm(q))
+
+    def lut(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    ip = " + ".join(f"({lut(ip_lut[j])})[k{j} + 1]" for j in range(m))
+    sq = " + ".join(f"({lut(sq_lut[j])})[k{j} + 1]" for j in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, {lcols} FROM e),
+c AS (SELECT vec_id, {kcols} FROM d),
+s AS (
+  SELECT vec_id, round(({ip}) / ({qn!r} * sqrt({sq})), 6) AS pq_sim
+  FROM c
+)
+SELECT vec_id, pq_sim FROM s
+QUALIFY row_number() OVER (ORDER BY pq_sim DESC, vec_id) <= 10
+"""
 
 
 def text_fingerprint(spark, sf_dir):
@@ -3723,6 +3794,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "stats_ohlc_bars": _ohlc_oracle_sql(),
         "doc_pack_manifest": _pack_manifest_oracle_sql(),
         "doc_token_ids": _token_ids_oracle_sql(),
+        "ann_pq_topk": _pq_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "doc_mixture": _mixture_oracle_sql(),

@@ -303,6 +303,11 @@ def run_node(
     if multi:
         from pyspark.sql import functions as F
 
+        # Checkpoint the combined frame before slicing per output —
+        # without it each returned TickStream would re-execute the
+        # whole applyInPandas node run on action (N full executions of
+        # the user's fn), mirroring run_node_with_states below.
+        res = res.localCheckpoint(eager=False)
         return {
             n: TickStream(
                 res.filter(F.col(f"{n}__t")).select(

@@ -729,6 +729,65 @@ def pq_topk(
     )
 
 
+def hash_codebooks(
+    m: int, n_codes: int, dsub: int, seed: int = 42
+) -> np.ndarray:
+    """Deterministic seeded PQ codebooks — standard-normal centers from
+    a fixed RNG stream, NO training pass. Two uses: (a) a random
+    quantizer baseline (random codebooks are the classic PQ ablation
+    control), and (b) a cross-engine-replayable quantizer — every
+    center is a plain float64 the same call regenerates anywhere, so an
+    external engine (the DuckDB oracle) can replay encode + ADC
+    bit-for-bit, which a data-trained KMeans codebook cannot."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((m, n_codes, dsub))
+
+
+def pq_encode_expr(
+    embeddings: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """PQ encode with GIVEN codebooks as pure JVM expressions — zero
+    Python in the scan: per subspace j the squared-distance argmin
+    over the n_codes centers is an expression array (the ||s||²-free
+    form ``cn² - 2·s·c``, same as pq_index's Arrow encode) and the
+    code is ``array_position(arr, array_min(arr)) - 1``. All products
+    and sums are emitted LEFT-ASSOCIATIVE so an engine replaying the
+    same expression text (e.g. a SQL oracle) reproduces every IEEE
+    rounding step bit-for-bit.
+
+    Whole-stage-codegen encode is the 100 TB fast path when the
+    codebooks are already known (hash_codebooks, or a trained book
+    reused across daily increments); pq_index's Arrow pass is for
+    training+encode in one shot. Expression size is m × n_codes × dsub
+    multiply-adds — keep m·n_codes·dsub ≲ 10⁴ (codegen limit).
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    v = F.col(vec_col)
+    codes = []
+    for j in range(m):
+        d2s = []
+        for c in range(n_codes):
+            center = books[j, c]
+            cn2 = float((center ** 2).sum())
+            dotp = None
+            for i in range(dsub):
+                term = (
+                    F.element_at(v, j * dsub + i + 1).cast("double")
+                    * F.lit(float(center[i]))
+                )
+                dotp = term if dotp is None else dotp + term
+            d2s.append(F.lit(cn2) - F.lit(2.0) * dotp)
+        arr = F.array(*d2s)
+        codes.append(
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+    return embeddings.withColumn(out_col, F.array(*codes))
+
+
 def save_pq_index(encoded: DataFrame, codebooks, path: str) -> None:
     """Persist a PQ index: the (id, codes) table as parquet — m bytes
     of payload per vector, the compressed scan set — with the m

@@ -347,6 +347,36 @@ def test_pq_adc_matches_reconstruction_and_recall(spark):
     assert 3 in approx  # the query's own vector reconstructs closest
 
 
+def test_pq_encode_expr_matches_arrow_encode(spark):
+    """The pure-expression encode (pq_encode_expr) must produce the
+    SAME codes as pq_index's Arrow/numpy encode for identical
+    codebooks, and hash_codebooks must regenerate identical books."""
+    import numpy as np
+    from csp_spark.similarity import hash_codebooks, pq_encode_expr
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    books = hash_codebooks(4, 16, 16, seed=7)
+    assert np.array_equal(books, hash_codebooks(4, 16, 16, seed=7))
+
+    expr_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode_expr(emb, books).select("vec_id", "codes").collect()
+    }
+    # numpy replay of pq_index's encode kernel with the same books
+    rows = emb.select("vec_id", "embedding").collect()
+    V = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    flat = books.reshape(m * n_codes, dsub)
+    cn2 = (flat ** 2).sum(axis=1)
+    for j in range(m):
+        S = V[:, j * dsub:(j + 1) * dsub]
+        blk = slice(j * n_codes, (j + 1) * n_codes)
+        d2 = cn2[blk][None, :] - 2.0 * (S @ flat[blk].T)
+        want = d2.argmin(axis=1)
+        for i, r in enumerate(rows):
+            assert expr_codes[r["vec_id"]][j] == want[i], (r["vec_id"], j)
+
+
 # ---------------------------------------------------------------- round 3
 
 
