@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import csp_spark as csp
 from csp_spark import TickStream
 from csp_spark.core.ticks import KEY, SEQ, TS
 from csp_spark.operators import baselib as bl
@@ -1389,6 +1390,47 @@ def stats_ema(spark, sf_dir):
     return out
 
 
+def stats_ema_adjust(spark, sf_dir):
+    """Per-tick ADJUST-form EMA (stats/ema.py, pandas ewm adjust=True
+    semantics): the weighted-mean recursion m = (ow·d·m + x)/(ow·d + 1)
+    the pandas kernel runs — the oracle replays exactly that fold via
+    list_reduce (same struct-fold trick as the ema_var oracle)."""
+    from csp_spark.stats import ema
+
+    x = _events_stream(spark, sf_dir, "click")
+    e = ema(x, alpha=0.2, adjust=True, ignore_na=True)
+    return e.df.select(
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(SEQ).alias("event_id"),
+        F.round(F.col(e.value_col), 6).alias("ema"),
+    )
+
+
+def _ema_adjust_oracle_sql(alpha: float = 0.2) -> str:
+    d = f"CAST({1.0 - alpha} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    # field order load-bearing (see _ema_var_oracle_sql): m reads a.ow
+    # so ow updates last
+    return f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id,
+    list(v) {_WF_USER} AS l
+  FROM c
+)
+SELECT user_id, event_id,
+  round((list_reduce(
+    list_transform(l, x -> struct_pack(m := x, ow := {one})),
+    (a, b) -> struct_pack(
+      m := (a.ow * {d} * a.m + b.m) / (a.ow * {d} + {one}),
+      ow := a.ow * {d} + {one})
+  )).m, 6) AS ema
+FROM p
+"""
+
+
 def stats_ema_halflife(spark, sf_dir):
     # event-time halflife decay; oracle = closed-form weighted mean with
     # 2^(t/halflife) weights (the adjust=True definition)
@@ -2241,6 +2283,152 @@ s AS (
 )
 SELECT vec_id, pq_sim FROM s
 QUALIFY row_number() OVER (ORDER BY pq_sim DESC, vec_id) <= 10
+"""
+
+
+def op_node_ast(spark, sf_dir):
+    """Reference-style @csp.node translated by core/nodeparse.py (the
+    thin analog of csp/impl/wiring/node_parser.py): a ``with
+    csp.state():`` spread-EMA node written in the reference's source
+    grammar, AST-lowered onto run_node. Cycles = click/view ticks per
+    user (csp.ticked any-of), gated on csp.valid all-of; the oracle
+    replays last-value alignment with IGNORE NULLS windows and the
+    EMA recursion with list_reduce — identical IEEE op order."""
+    @csp.node
+    def spread_ema(bid: csp.ts[float], ask: csp.ts[float]) -> csp.ts[float]:
+        with csp.state():
+            s_ema = 0.0
+            s_n = 0
+
+        if csp.ticked(bid, ask) and csp.valid(bid, ask):
+            sp = ask - bid
+            s_n += 1
+            s_ema = sp if s_n == 1 else 0.9 * s_ema + 0.1 * sp
+            return s_ema
+
+    bid = _events_stream(spark, sf_dir, "click")
+    ask = _events_stream(spark, sf_dir, "view")
+    out = spread_ema(bid, ask)
+    return out.df.select(
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col(SEQ).alias("event_id"),
+        F.round(out.value_col, 6).alias("ema"),
+    )
+
+
+def _node_ast_oracle_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'click' THEN CAST(value AS DOUBLE) END AS bv,
+    CASE WHEN event_type = 'view'  THEN CAST(value AS DOUBLE) END AS av
+  FROM events WHERE event_type IN ('click', 'view')
+),
+l AS (
+  SELECT user_id, ts, event_id,
+    last_value(bv IGNORE NULLS) {_WF_USER} AS bid,
+    last_value(av IGNORE NULLS) {_WF_USER} AS ask
+  FROM u
+),
+g AS (
+  SELECT user_id, ts, event_id, ask - bid AS sp
+  FROM l WHERE bid IS NOT NULL AND ask IS NOT NULL
+),
+p AS (
+  SELECT user_id, event_id,
+    list(sp) {_WF_USER} AS lst
+  FROM g
+)
+SELECT user_id, event_id,
+  round(list_reduce(lst, (acc, x) -> 0.9 * acc + 0.1 * x), 6) AS ema
+FROM p
+"""
+
+
+def frame_pandas_ts(spark, sf_dir):
+    """TsFrame.to_spark_ts / to_pandas_ts (frame.py — reference
+    csp/dataframe.py:167-202 to_pandas_ts + csp/impl/pandas.py
+    make_pandas): a ts-of-frames over two event-derived columns that
+    tick at DIFFERENT times (event_id%3 == 0 / == 1), trigger every
+    97th event, count window 4 per column, wait_all_valid gating.
+    Output = the long frame rows (union index, NULL where a column
+    did not tick) — the reference's per-trigger DataFrame buffers,
+    exploded to scalar rows for the oracle."""
+    from csp_spark import TsFrame
+
+    ev = _events_stream(spark, sf_dir)
+    c0 = ev.with_df(ev.df.filter(F.col(SEQ) % 3 == 0))
+    c1 = ev.with_df(
+        ev.df.filter(F.col(SEQ) % 3 == 1).withColumn(
+            ev.value_col, F.col(ev.value_col) * 2
+        )
+    )
+    trig = ev.with_df(ev.df.filter(F.col(SEQ) % 97 == 0))
+    frame = TsFrame({"c0": c0, "c1": c1})
+    long = frame.to_spark_ts(trig, window=4, wait_all_valid=True)
+    return long.select(
+        F.col(KEY).cast("long").alias("user_id"),
+        F.col("trig_seq").alias("trig_event"),
+        F.col(SEQ).alias("event_id"),
+        F.col(TS).alias("ts"),
+        F.round("c0", 6).alias("c0"),
+        F.round("c1", 6).alias("c1"),
+    )
+
+
+def _frame_pandas_ts_oracle_sql() -> str:
+    return """
+WITH c0 AS (
+  SELECT user_id, ts, event_id, value AS v FROM events WHERE event_id % 3 = 0
+),
+c1 AS (
+  SELECT user_id, ts, event_id, value * 2 AS v FROM events WHERE event_id % 3 = 1
+),
+thr AS (
+  SELECT f0.user_id,
+    CASE WHEN (f0.ts, f0.eid) >= (f1.ts, f1.eid)
+         THEN f0.ts ELSE f1.ts END AS thr_ts,
+    CASE WHEN (f0.ts, f0.eid) >= (f1.ts, f1.eid)
+         THEN f0.eid ELSE f1.eid END AS thr_eid
+  FROM (SELECT user_id, ts, event_id AS eid FROM c0
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) = 1) f0
+  JOIN (SELECT user_id, ts, event_id AS eid FROM c1
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) = 1) f1
+  USING (user_id)
+),
+trig AS (
+  SELECT e.user_id, e.ts AS trig_ts, e.event_id AS trig_event
+  FROM events e JOIN thr USING (user_id)
+  WHERE e.event_id % 97 = 0 AND (e.ts, e.event_id) >= (thr_ts, thr_eid)
+),
+w0 AS (
+  SELECT t.user_id, t.trig_event, c.event_id, c.ts, c.v,
+    row_number() OVER (PARTITION BY t.user_id, t.trig_event
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rk
+  FROM trig t
+  JOIN c0 c ON c.user_id = t.user_id AND (c.ts, c.event_id) <= (t.trig_ts, t.trig_event)
+  JOIN thr h ON h.user_id = t.user_id AND (c.ts, c.event_id) >= (h.thr_ts, h.thr_eid)
+),
+w1 AS (
+  SELECT t.user_id, t.trig_event, c.event_id, c.ts, c.v,
+    row_number() OVER (PARTITION BY t.user_id, t.trig_event
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rk
+  FROM trig t
+  JOIN c1 c ON c.user_id = t.user_id AND (c.ts, c.event_id) <= (t.trig_ts, t.trig_event)
+  JOIN thr h ON h.user_id = t.user_id AND (c.ts, c.event_id) >= (h.thr_ts, h.thr_eid)
+)
+SELECT
+  COALESCE(a.user_id, b.user_id) AS user_id,
+  COALESCE(a.trig_event, b.trig_event) AS trig_event,
+  COALESCE(a.event_id, b.event_id) AS event_id,
+  COALESCE(a.ts, b.ts) AS ts,
+  round(a.v, 6) AS c0, round(b.v, 6) AS c1
+FROM (SELECT * FROM w0 WHERE rk <= 4) a
+FULL OUTER JOIN (SELECT * FROM w1 WHERE rk <= 4) b
+  ON a.user_id = b.user_id AND a.trig_event = b.trig_event
+ AND a.event_id = b.event_id AND a.ts = b.ts
 """
 
 
@@ -3106,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_skew_kurt": stats_skew_kurt,
         "stats_corr": stats_corr,
         "stats_ema": stats_ema,
+        "stats_ema_adjust": stats_ema_adjust,
         "stats_ema_halflife": stats_ema_halflife,
         "stats_argminmax": stats_argminmax,
         "stats_order": stats_order,
@@ -3133,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
+        "frame_pandas_ts": frame_pandas_ts,
+        "op_node_ast": op_node_ast,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_mixture": doc_mixture,
         "sink_parquet_roundtrip": sink_parquet_roundtrip,
@@ -3795,6 +3986,9 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "doc_pack_manifest": _pack_manifest_oracle_sql(),
         "doc_token_ids": _token_ids_oracle_sql(),
         "ann_pq_topk": _pq_oracle_sql(),
+        "frame_pandas_ts": _frame_pandas_ts_oracle_sql(),
+        "op_node_ast": _node_ast_oracle_sql(),
+        "stats_ema_adjust": _ema_adjust_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "doc_mixture": _mixture_oracle_sql(),

@@ -59,18 +59,29 @@ BENCH_QUERIES = [
     "doc_pack_fit",
     "doc_repeated_spans",
     "text_lm_score",
+    "op_node_ast",
+    "frame_pandas_ts",
+    "ann_pq_topk",
+    "stats_ema_adjust",
 ]
-# Queries added to the bench set after round 2 — totals are NOT
-# comparable across rounds without excluding these, so the comparable
-# subtotal is COMPUTED below and emitted as its own JSON field (the
-# hand-written r3 note understated the subtotal; never do arithmetic
-# in prose that the JSON can do itself).
-ADDED_R3 = {
-    "dedup_components", "doc_split", "ann_knn_join", "ann_knn_join_blas",
-    "q9_product_profit", "q21_suppliers_kept_waiting",
-}
-ADDED_R4 = {"op_windowed_global", "doc_pack", "doc_pack_fit",
-            "doc_repeated_spans", "text_lm_score"}
+# ONE fixed comparable set per baseline round (r4 verdict item 10: the
+# r3/r4 subtotals mixed exclusion sets and needed judge reconstruction).
+# COMPARABLE_R2 is the original 16-query round-2 bench set, verbatim and
+# frozen; every future round emits its subtotal over exactly this list.
+COMPARABLE_R2 = [
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q10_returned_items", "op_count", "op_sample_asof",
+    "stats_rolling_tick", "stats_rolling_time", "stats_expanding",
+    "stats_quantile", "stats_ema", "text_stats", "dedup_exact",
+    "dedup_minhash", "ann_topk",
+]
+# the frozen 27-query round-4 set, for r4→r5+ comparisons
+COMPARABLE_R4 = [
+    q for q in BENCH_QUERIES
+    if q not in ("op_node_ast", "frame_pandas_ts", "ann_pq_topk",
+                 "stats_ema_adjust")
+]
 
 
 def main() -> None:
@@ -115,10 +126,6 @@ def main() -> None:
         print(f"# {name}: {dt_:.3f}s cold / {wt:.3f}s warm ({n} rows)",
               file=sys.stderr)
 
-    added = ADDED_R3 | ADDED_R4
-    comparable_r2 = round(
-        sum(t for n, t in timings.items() if n not in added), 3
-    )
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -127,11 +134,19 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
         "sf": sf,
-        # computed, not hand-written: the 16-query subtotal comparable
-        # to the r2 bench set (r2 total was 28.8s; r3's computed value
-        # of this field was 25.6s)
-        "comparable_r2_subtotal": comparable_r2,
-        "added_since_r2": sorted(added),
+        # fixed-set subtotals, computed over the frozen lists above so
+        # cross-round ratios never need reconstruction: r2's 16-query
+        # set (r2 total was 28.8s) and r4's 27-query set (r4 cold total
+        # 27.7s), cold and warm
+        "comparable_r2_subtotal": round(
+            sum(timings[n] for n in COMPARABLE_R2), 3),
+        "comparable_r2_subtotal_warm": round(
+            sum(warm[n] for n in COMPARABLE_R2), 3),
+        "comparable_r4_subtotal": round(
+            sum(timings[n] for n in COMPARABLE_R4), 3),
+        "comparable_r4_subtotal_warm": round(
+            sum(warm[n] for n in COMPARABLE_R4), 3),
+        "comparable_r2_set": COMPARABLE_R2,
         # each query is timed on its FIRST run in a fresh session, so
         # numbers include one-time codegen/JIT per distinct plan —
         # measured dedup_exact: 4.0s first run, 0.6s warm (same plan)

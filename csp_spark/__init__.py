@@ -142,7 +142,17 @@ from .streaming.sources import PushAdapter, PushGroup, PushPullAdapter
 # module attributes, so expose both names (csp.filter / csp.print / …)
 filter = filter_  # noqa: A001
 apply = apply_  # noqa: A001
-print = print_ticks  # noqa: A001
+
+# reference-signature compatibility (core/refcompat.py): the exported
+# const/curve/print also accept the reference's engine-ambient forms
+# (csp.const(1.0), csp.curve(float, [...]), csp.print(tag, x)) so
+# reference examples run verbatim; the explicit spark-first forms
+# keep working unchanged.
+from .core.refcompat import const, curve  # noqa: E402,F811
+from .core.refcompat import print_ticks as _print_compat  # noqa: E402
+
+print = _print_compat  # noqa: A001
+print_ticks = _print_compat
 log = log_ticks
 stop_engine = stop_engine_limit
 GenericPushAdapter = PushAdapter

@@ -1,0 +1,455 @@
+"""Reference-style @csp.node translation — run csp node BODIES verbatim.
+
+The reference's @csp.node decorator AST-parses the function
+(csp/impl/wiring/node_parser.py:1-927): ``with csp.state():`` blocks
+become persistent per-instance state, ``csp.ticked/valid/output``
+become engine intrinsics, and calling the decorated function inside a
+graph wires a node. This module is the thin Spark-side analog: the
+same source patterns are parsed with ``ast`` and lowered onto
+run_node's NodeCycle surface (core/noderun.py) — the state dict is the
+per-key state, ticked/valid map to cycle queries, csp.output to the
+multi-output dict. No reference code is used; only the documented
+source grammar is recognized.
+
+Scope (enough to run the reference README bid/ask example and
+examples/01_basics/e4_trade_pnl.py unmodified):
+- ``with csp.state():`` assignments  → per-key state (any later
+  reference to a state name reads/writes the state dict)
+- ``with csp.start():``              → executed once per key before
+  the first cycle (state names assignable; csp.make_passive /
+  set_buffering_policy calls are no-ops here — buffering is the
+  plan's concern in the tick-table model)
+- ``csp.ticked(a, b, ...)``          → any-input-ticked
+- ``csp.valid(a, b, ...)``           → all-inputs-valid
+- ``csp.output(k=v, ...)`` / ``return expr`` → multi / single output
+- ``csp.now()``                      → cycle.now
+Alarms (``with csp.alarms():``) are NOT translated — use run_node's
+cycle.schedule_alarm surface directly (examples/09_imperative_nodes).
+"""
+
+from __future__ import annotations
+
+import ast
+import datetime as _dt
+import inspect
+import textwrap
+from typing import Any, Callable, Mapping
+
+__all__ = ["is_reference_node", "wire_reference_node", "NodeOutputs"]
+
+_CSP_INTRINSICS = {"ticked", "valid", "output", "now"}
+_NOOP_CALLS = {"make_passive", "make_active", "set_buffering_policy"}
+
+
+def _is_ts_ann(ann: Any) -> bool:
+    from .surface import ts
+
+    return isinstance(ann, type) and issubclass(ann, ts)
+
+
+def _elem_type(ann: Any) -> str:
+    """ts[X] → Spark DDL type for run_node's output schema."""
+    from .record import Struct
+    from .surface import ts
+
+    elem = getattr(ann, "__csp_elem__", None) if _is_ts_ann(ann) else ann
+    if elem is None:
+        return "double"
+    if isinstance(elem, type) and issubclass(elem, Struct):
+        return elem.spark_type().simpleString()
+    return {
+        float: "double", int: "long", bool: "boolean", str: "string",
+        _dt.datetime: "timestamp", _dt.timedelta: "long",
+    }.get(elem, "double")
+
+
+def _hints(fn: Callable) -> dict:
+    """Annotations with ``from __future__ import annotations`` strings
+    resolved against the function's globals (PEP 563 modules)."""
+    try:
+        raw = fn.__annotations__
+    except AttributeError:
+        return {}
+    out = {}
+    for k, v in raw.items():
+        if isinstance(v, str):
+            try:
+                v = eval(v, fn.__globals__)  # noqa: S307 (author's module)
+            except Exception:
+                pass
+        out[k] = v
+    return out
+
+
+def is_reference_node(fn: Callable) -> bool:
+    """A reference-style node takes ts[...]-annotated inputs; the
+    imperative run_node style takes a single untyped ``cycle``."""
+    return any(_is_ts_ann(a) for a in _hints(fn).values())
+
+
+class _Rewriter(ast.NodeTransformer):
+    def __init__(self, state_names, input_names, csp_aliases, multi):
+        self.state = set(state_names)
+        self.inputs = set(input_names)
+        self.csp = set(csp_aliases)
+        self.multi = multi
+
+    def _is_csp_call(self, node: ast.Call) -> str | None:
+        f = node.func
+        if (
+            isinstance(f, ast.Attribute)
+            and isinstance(f.value, ast.Name)
+            and f.value.id in self.csp
+        ):
+            return f.attr
+        return None
+
+    def visit_Name(self, node: ast.Name):
+        if node.id in self.state:
+            return ast.copy_location(
+                ast.Subscript(
+                    value=ast.Name(id="__cycle_state", ctx=ast.Load()),
+                    slice=ast.Constant(value=node.id),
+                    ctx=node.ctx,
+                ),
+                node,
+            )
+        return node
+
+    def visit_Call(self, node: ast.Call):
+        name = self._is_csp_call(node)
+        if name is None:
+            return self.generic_visit(node)
+        if name in _NOOP_CALLS:
+            return ast.copy_location(ast.Constant(value=None), node)
+        if name in ("ticked", "valid"):
+            terms = []
+            for a in node.args:
+                if not isinstance(a, ast.Name) or a.id not in self.inputs:
+                    raise SyntaxError(
+                        f"csp.{name}() argument must be an input name"
+                    )
+                terms.append(
+                    ast.Call(
+                        func=ast.Attribute(
+                            value=ast.Name(id="__c", ctx=ast.Load()),
+                            attr=name, ctx=ast.Load(),
+                        ),
+                        args=[ast.Constant(value=a.id)], keywords=[],
+                    )
+                )
+            if len(terms) == 1:
+                out = terms[0]
+            else:
+                # reference: ticked = ANY of, valid = ALL of
+                out = ast.BoolOp(
+                    op=ast.Or() if name == "ticked" else ast.And(),
+                    values=terms,
+                )
+            return ast.copy_location(out, node)
+        if name == "now":
+            return ast.copy_location(
+                ast.Attribute(
+                    value=ast.Name(id="__c", ctx=ast.Load()),
+                    attr="now", ctx=ast.Load(),
+                ),
+                node,
+            )
+        if name == "output":
+            call = ast.Call(
+                func=ast.Name(id="__emit", ctx=ast.Load()),
+                args=[self.visit(a) for a in node.args],
+                keywords=[
+                    ast.keyword(arg=k.arg, value=self.visit(k.value))
+                    for k in node.keywords
+                ],
+            )
+            return ast.copy_location(call, node)
+        return self.generic_visit(node)
+
+    def visit_Return(self, node: ast.Return):
+        node = self.generic_visit(node)
+        if self.multi:
+            # multi-output: every exit returns the emitted dict;
+            # `return csp.output(...)` already routed through __emit
+            stmts = []
+            if node.value is not None:
+                stmts.append(ast.Expr(value=node.value))
+            stmts.append(
+                ast.Return(value=ast.Name(id="__out", ctx=ast.Load()))
+            )
+            for s in stmts:
+                ast.copy_location(s, node)
+                ast.fix_missing_locations(s)
+            return stmts
+        return node
+
+
+def _parse(fn: Callable):
+    src = textwrap.dedent(inspect.getsource(fn))
+    tree = ast.parse(src)
+    fdef = next(n for n in tree.body if isinstance(n, ast.FunctionDef))
+
+    hints = _hints(fn)
+    input_names = [
+        a.arg for a in fdef.args.args if _is_ts_ann(hints.get(a.arg))
+    ]
+    scalar_names = [
+        a.arg for a in fdef.args.args if a.arg not in input_names
+    ]
+
+    ret = hints.get("return")
+    multi = isinstance(ret, dict)
+    if multi:
+        outputs = {k: _elem_type(v) for k, v in ret.items()}
+        output_type = None
+    else:
+        outputs = None
+        output_type = _elem_type(ret)
+
+    # csp module aliases visible to the body (import csp / as-alias)
+    import csp_spark as _pkg
+
+    aliases = {
+        n for n, v in fn.__globals__.items()
+        if v is _pkg or getattr(v, "__name__", "") in ("csp", "csp_spark")
+    } or {"csp"}
+
+    state_inits: list[ast.stmt] = []
+    start_stmts: list[ast.stmt] = []
+    body: list[ast.stmt] = []
+    for stmt in fdef.body:
+        if (
+            isinstance(stmt, ast.With)
+            and len(stmt.items) == 1
+            and isinstance(stmt.items[0].context_expr, ast.Call)
+            and isinstance(stmt.items[0].context_expr.func, ast.Attribute)
+            and isinstance(stmt.items[0].context_expr.func.value, ast.Name)
+            and stmt.items[0].context_expr.func.value.id in aliases
+        ):
+            kind = stmt.items[0].context_expr.func.attr
+            if kind == "state":
+                state_inits.extend(stmt.body)
+            elif kind == "start":
+                start_stmts.extend(stmt.body)
+            elif kind in ("alarms", "stop"):
+                raise NotImplementedError(
+                    f"with csp.{kind}(): blocks are not translated — "
+                    "use run_node's NodeCycle surface directly "
+                    "(core/noderun.py)"
+                )
+            else:
+                body.append(stmt)
+        else:
+            body.append(stmt)
+
+    state_names = []
+    for s in state_inits:
+        if isinstance(s, ast.Assign):
+            for t in s.targets:
+                if isinstance(t, ast.Name):
+                    state_names.append(t.id)
+        elif isinstance(s, ast.AnnAssign) and isinstance(s.target, ast.Name):
+            state_names.append(s.target.id)
+    # names assigned in csp.start() also persist across cycles
+    for s in start_stmts:
+        if isinstance(s, ast.Assign):
+            for t in s.targets:
+                if isinstance(t, ast.Name) and t.id not in state_names:
+                    state_names.append(t.id)
+
+    return (
+        fdef, input_names, scalar_names, state_names,
+        state_inits, start_stmts, body, aliases, multi, outputs, output_type,
+    )
+
+
+class _AttrView:
+    """Attribute access over a struct cycle value (dict from Arrow)."""
+
+    __slots__ = ("_d",)
+
+    def __init__(self, d):
+        self._d = d
+
+    def __getattr__(self, k):
+        try:
+            return self._d[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __repr__(self):  # pragma: no cover
+        return f"_AttrView({self._d})"
+
+
+def _wrap(v):
+    return _AttrView(v) if isinstance(v, dict) else v
+
+
+class NodeOutputs:
+    """csp.Outputs result of a wired multi-output node: attribute or
+    item access per named output (reference node.outputs surface)."""
+
+    def __init__(self, streams: Mapping[str, Any]):
+        self._streams = dict(streams)
+
+    def __getattr__(self, k):
+        try:
+            return self._streams[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __getitem__(self, k):
+        return self._streams[k]
+
+    def keys(self):
+        return self._streams.keys()
+
+
+def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
+    (
+        fdef, input_names, scalar_names, state_names,
+        state_inits, start_stmts, body, aliases, multi, outputs, output_type,
+    ) = _parse(fn)
+
+    rw = _Rewriter(state_names, input_names, aliases, multi)
+
+    def _rewrite(stmts):
+        out = []
+        for s in stmts:
+            r = rw.visit(s)
+            rs = r if isinstance(r, list) else [r]
+            for x in rs:
+                ast.fix_missing_locations(x)
+                out.append(x)
+        return out
+
+    # per-key state factory: the csp.state() inits, un-rewritten (they
+    # run before any state exists), harvested into a dict
+    init_body = list(state_inits) + [
+        ast.parse(
+            "return {"
+            + ", ".join(f"{n!r}: {n}" for n in state_names)
+            + "}"
+        ).body[0]
+    ]
+    # state names only assigned in csp.start() start life unset
+    for n in state_names:
+        assigned_in_state = any(
+            isinstance(s, (ast.Assign, ast.AnnAssign))
+            and n in [
+                t.id for t in (
+                    s.targets if isinstance(s, ast.Assign) else [s.target]
+                ) if isinstance(t, ast.Name)
+            ]
+            for s in state_inits
+        )
+        if not assigned_in_state:
+            init_body.insert(0, ast.parse(f"{n} = None").body[0])
+
+    cycle_prelude = [ast.parse("__cycle_state = __c.state").body[0]]
+    if multi:
+        cycle_prelude.append(ast.parse("__out = {}").body[0])
+        cycle_prelude.append(
+            ast.parse(
+                "def __emit(**kw):\n    __out.update(kw)\n    return None"
+            ).body[0]
+        )
+    for name in input_names:
+        cycle_prelude.append(
+            ast.parse(f"{name} = __wrap(__c[{name!r}])").body[0]
+        )
+    for name in scalar_names:
+        cycle_prelude.append(
+            ast.parse(f"{name} = __scalars[{name!r}]").body[0]
+        )
+
+    start_rw = _rewrite(start_stmts)
+    start_guard: list[ast.stmt] = []
+    if start_rw:
+        guard = ast.parse(
+            "if not __cycle_state.get('__started'):\n"
+            "    __cycle_state['__started'] = True"
+        ).body[0]
+        guard.body.extend(start_rw)
+        ast.fix_missing_locations(guard)
+        start_guard = [guard]
+
+    cycle_body = cycle_prelude + start_guard + _rewrite(body)
+    if multi:
+        cycle_body.append(ast.parse("return __out").body[0])
+
+    mod = ast.Module(
+        body=[
+            ast.FunctionDef(
+                name="__state_factory",
+                args=ast.arguments(
+                    posonlyargs=[], args=[], kwonlyargs=[],
+                    kw_defaults=[], defaults=[],
+                ),
+                body=init_body or [ast.parse("return {}").body[0]],
+                decorator_list=[],
+            ),
+            ast.FunctionDef(
+                name="__node_cycle",
+                args=ast.arguments(
+                    posonlyargs=[],
+                    args=[ast.arg(arg="__c")],
+                    kwonlyargs=[], kw_defaults=[], defaults=[],
+                ),
+                body=cycle_body,
+                decorator_list=[],
+            ),
+        ],
+        type_ignores=[],
+    )
+    ast.fix_missing_locations(mod)
+    ns = dict(fn.__globals__)
+    ns["__wrap"] = _wrap
+    ns["__scalars"] = dict(scalars)
+    exec(compile(mod, f"<csp.node {fn.__name__}>", "exec"), ns)
+    return (
+        ns["__node_cycle"], ns["__state_factory"],
+        input_names, scalar_names, multi, outputs, output_type,
+    )
+
+
+def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
+    """Wire a reference-style node call: TickStream args become
+    run_node inputs, scalars bake into the cycle closure; returns one
+    TickStream (single output) or NodeOutputs (csp.Outputs)."""
+    from .ticks import TickStream
+
+    sig = inspect.signature(fn)
+    bound = sig.bind(*args, **kwargs)
+    bound.apply_defaults()
+
+    scalars = {
+        k: v for k, v in bound.arguments.items()
+        if not isinstance(v, TickStream)
+    }
+    (
+        cycle, mk_state, input_names, scalar_names,
+        multi, outputs, output_type,
+    ) = _compile_cycle(fn, scalars)
+
+    streams = {}
+    for name in input_names:
+        v = bound.arguments.get(name)
+        if not isinstance(v, TickStream):
+            raise TypeError(
+                f"node input {name!r} expects a TickStream, got "
+                f"{type(v).__name__}"
+            )
+        streams[name] = v
+
+    from .noderun import run_node
+
+    if multi:
+        res = run_node(
+            cycle, streams, state=mk_state, outputs=outputs
+        )
+        return NodeOutputs(res)
+    return run_node(
+        cycle, streams, state=mk_state, output_type=output_type
+    )

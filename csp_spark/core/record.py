@@ -436,13 +436,16 @@ class Struct(metaclass=StructMeta):
         return cls.from_dict({k: v for k, v in d.items() if v is not None})
 
     @classmethod
-    def fromts(cls, fields: Mapping[str, Any], trigger=None):
+    def fromts(cls, fields: Mapping[str, Any] | None = None, trigger=None, **kw):
         """Typed struct_fromts (csp/baselib.py:684-701): last values of
         each input stream packed into this record, missing fields
-        defaulted. Returns a TickStream of spark_type() structs."""
+        defaulted. Returns a TickStream of spark_type() structs.
+        Accepts a mapping or the reference's keyword form
+        (``Trade.fromts(price=..., qty=...)``)."""
         from ..core.ticks import TickStream  # noqa: F401 (type only)
         from ..operators.baselib import struct_fromts
 
+        fields = {**(dict(fields) if fields else {}), **kw}
         s = struct_fromts(dict(fields), trigger=trigger)
         packed = cls.pack(
             **{k: F.col(f"{s.value_col}.{k}") for k in fields}

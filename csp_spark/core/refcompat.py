@@ -1,0 +1,115 @@
+"""Reference-signature compatibility for the top-level namespace.
+
+The reference wires sources with the ENGINE holding the ambient
+context: ``csp.const(1.0)``, ``csp.curve(float, [...])``,
+``csp.print(tag, x)`` (csp/baselib.py:73, csp/curve.py:16,
+csp/baselib.py print). csp_spark's native forms are explicit —
+``const(spark, value, start)`` — because batch wiring has no implicit
+engine. These wrappers accept BOTH: when the first argument is a
+SparkSession the native form is used unchanged; otherwise the
+reference form resolves the session from the active one
+(get_spark) and the start time from the enclosing csp.run() (the
+engine-services stack, plans/runtime.py). Reference examples then run
+verbatim; existing csp_spark code is untouched.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from ..operators import baselib as _bl
+from ..sinks.publish import print_ticks as _print_ticks
+from .record import Struct
+from .ticks import GLOBAL_KEY, TickStream
+
+__all__ = ["const", "curve", "print_ticks"]
+
+_DDL = {
+    float: "double", int: "long", bool: "boolean", str: "string",
+    _dt.datetime: "timestamp",
+}
+
+
+def _type_ddl(typ: Any) -> str:
+    if isinstance(typ, str):
+        return typ
+    if isinstance(typ, type) and issubclass(typ, Struct):
+        return typ.spark_type().simpleString()
+    try:
+        return _DDL[typ]
+    except KeyError:
+        raise TypeError(f"unsupported csp.curve/const element type {typ!r}")
+
+
+def _coerce(v: Any) -> Any:
+    return v.to_dict() if isinstance(v, Struct) else v
+
+
+def _ambient_spark() -> SparkSession:
+    from .session import get_spark
+
+    return get_spark()
+
+
+def const(*args: Any, **kwargs: Any) -> TickStream:
+    """csp.const — reference form ``const(value, delay=None)`` (start =
+    the enclosing csp.run's starttime) or the explicit csp_spark form
+    ``const(spark, value, start, ...)``."""
+    if args and isinstance(args[0], SparkSession):
+        return _bl.const(*args, **kwargs)
+    from ..plans.runtime import engine_start_time
+
+    value = args[0] if args else kwargs.pop("value")
+    delay = args[1] if len(args) > 1 else kwargs.pop("delay", None)
+    start = kwargs.pop("start", None)
+    if start is None:
+        try:
+            start = engine_start_time()
+        except RuntimeError:
+            start = None
+    if start is None:
+        raise ValueError(
+            "csp.const(value) needs an engine start time — call it "
+            "inside csp.run(..., starttime=...) or pass start="
+        )
+    vt = kwargs.pop("value_type", None) or _type_ddl(type(value))
+    return _bl.const(
+        _ambient_spark(), _coerce(value), start, delay=delay,
+        value_type=vt, **kwargs,
+    )
+
+
+def curve(*args: Any, **kwargs: Any) -> TickStream:
+    """csp.curve — reference form ``curve(typ, data)`` (csp/curve.py:16)
+    or the explicit csp_spark form ``curve(spark, data, value_type)``."""
+    if args and isinstance(args[0], SparkSession):
+        return _bl.curve(*args, **kwargs)
+    typ = args[0]
+    data = args[1] if len(args) > 1 else kwargs.pop("data")
+    vt = _type_ddl(typ)
+    if isinstance(data, list):
+        data = [(t, _coerce(v)) for t, v in data]
+    if "start" not in kwargs:
+        from ..plans.runtime import engine_start_time
+
+        try:
+            kwargs["start"] = engine_start_time()
+        except RuntimeError:
+            pass
+    return _bl.curve(
+        _ambient_spark(), data, value_type=vt,
+        key=kwargs.pop("key", GLOBAL_KEY), **kwargs,
+    )
+
+
+def print_ticks(a: Any, b: Any = None, **kwargs: Any) -> None:
+    """csp.print — reference argument order ``print(tag, x)`` or the
+    csp_spark order ``print_ticks(x, tag=...)``."""
+    if isinstance(a, str) and b is not None:
+        return _print_ticks(b, tag=a, **kwargs)
+    if b is not None:
+        return _print_ticks(a, tag=b, **kwargs)
+    return _print_ticks(a, **kwargs)

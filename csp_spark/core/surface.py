@@ -49,12 +49,19 @@ class ReplayMode(IntEnum):
 class ts:
     """Annotation marker: ``ts[int]`` in reference signatures
     (csp/impl/types/tstype.py:11-60). Wiring here passes TickStreams
-    whose element type lives in the DataFrame schema, so the marker
-    only needs to make reference-style annotations import and
-    subscript cleanly."""
+    whose element type lives in the DataFrame schema; the subscripted
+    form retains its element type (``__csp_elem__``) so the
+    reference-node translator (core/nodeparse.py) can derive output
+    schemas from ``-> ts[float]`` / ``csp.Outputs(...)`` annotations."""
+
+    __csp_elem__: Any = None
 
     def __class_getitem__(cls, item: Any) -> Any:
-        return cls
+        return type(
+            f"ts[{getattr(item, '__name__', item)}]",
+            (cls,),
+            {"__csp_elem__": item},
+        )
 
 
 class DynamicBasket:
@@ -224,14 +231,31 @@ def graph(fn: Callable | None = None, *, memoize: bool = False):
 
 def node(fn: Callable | None = None, **_kw: Any):
     """@csp.node (impl/wiring/node.py): marks a per-tick callable.
-    There is no AST rewrite here — the documented mapping (SURVEY
-    §2.9) is: stateless per-tick logic → ``apply``/column
-    expressions over ``align``; stateful per-key logic →
-    ``dynamic_apply``/``feedback_scan``. The decorator returns the
-    plain function (directly usable with those combinators) and
-    ignores reference-only options like cppimpl."""
+
+    Two accepted styles:
+    - imperative run_node style (``def f(cycle): ...``) — returned
+      as-is for run_node / dynamic_apply / feedback_scan;
+    - REFERENCE style (ts[...]-annotated params, ``with csp.state()``
+      blocks, ``csp.ticked/valid/output``) — calling the decorated
+      function with TickStream args WIRES a node: the body is AST-
+      lowered onto run_node (core/nodeparse.py, the thin analog of
+      the reference's node_parser.py), so reference node definitions
+      run unmodified. Reference-only options (cppimpl, memoize) are
+      ignored."""
 
     def deco(f: Callable) -> Callable:
+        from .nodeparse import is_reference_node, wire_reference_node
+
+        if is_reference_node(f):
+            import functools
+
+            @functools.wraps(f)
+            def wired(*args: Any, **kwargs: Any):
+                return wire_reference_node(f, *args, **kwargs)
+
+            wired.__csp_node__ = True
+            wired.__wrapped__ = f
+            return wired
         f.__csp_node__ = True
         return f
 

@@ -157,6 +157,25 @@ class TickStream:
     def with_df(self, df: DataFrame, value_col: str | None = None) -> "TickStream":
         return TickStream(df, value_col or self.value_col)
 
+    def __getattr__(self, name: str):
+        # Reference Edge surface: ``trades.price`` on a struct-valued
+        # edge projects the field as its own edge (csp Edge.__getattr__
+        # → struct field access). Only struct value columns qualify —
+        # anything else is a genuine AttributeError.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            dt = self.df.schema[self.value_col].dataType
+        except Exception:
+            raise AttributeError(name)
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.StructType) and name in dt.fieldNames():
+            from ..operators.baselib import struct_field
+
+            return struct_field(self, name)
+        raise AttributeError(name)
+
     # ------------------------------------------------------------------
     # inspection / collection (csp.run output parity)
     # ------------------------------------------------------------------

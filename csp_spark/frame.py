@@ -170,3 +170,164 @@ class TsFrame:
         if len(keys) == 1 and keys[0] == GLOBAL_KEY:
             return pdf.drop(columns=[KEY, SEQ]).set_index(TS)[self.columns]
         return pdf.drop(columns=[SEQ]).set_index([KEY, TS])[self.columns]
+
+    # ------------------------------------------------- ts-of-frames
+    def _resolve(self, x) -> TickStream:
+        if isinstance(x, str):
+            return self[x]
+        if not isinstance(x, TickStream):
+            raise ValueError(
+                f"expected a column name or TickStream, got {type(x).__name__}"
+            )
+        return x
+
+    def to_spark_ts(
+        self,
+        trigger,
+        window,
+        tindex=None,
+        wait_all_valid: bool = True,
+    ) -> SparkDataFrame:
+        """The scale form of csp.DataFrame.to_pandas_ts (reference
+        csp/dataframe.py:167-202 + csp/impl/pandas.py make_pandas): for
+        every ``trigger`` tick, the windowed buffer of every column —
+        as ONE Spark DataFrame ``(key, trig_ts, trig_seq, ts, seq,
+        <columns...>)``, one row per (trigger tick, buffer time); a
+        column is NULL on rows where it did not tick (the reference's
+        union-index NaN fill).
+
+        ``window``: int n = last n ticks PER COLUMN as of the trigger
+        (like set_buffering_policy(tick_count=n) + items_at(-(n-1),
+        None)); timedelta w = ticks in [trig_ts - w, trig_ts].
+        ``tindex``: sample every column at tindex's ticks first (the
+        aligned-index form). ``wait_all_valid``: gate trigger and
+        buffers until every column has ticked once (make_pandas wires
+        csp.filter(all_valid, ...) on trigger and every column).
+
+        Plan: per column one (ts,seq)-bounded join trigger×ticks +
+        rank for count windows, then a full-outer merge on the buffer
+        cycle — all keyed on the stream key, so frames for different
+        keys build in parallel. Output size is inherently
+        |trigger| × window rows per column: frame materialization is
+        the one operator whose OUTPUT, not its shuffle, is the cost."""
+        if not self._data:
+            raise ValueError("empty frame")
+        trigger = self._resolve(trigger)
+        if tindex is not None:
+            tindex = self._resolve(tindex)
+
+        from .core.align import sample
+
+        streams = {
+            c: (sample(tindex, x) if tindex is not None else x)
+            for c, x in self._data.items()
+        }
+
+        trig = trigger.df.select(
+            KEY, F.col(TS).alias("trig_ts"), F.col(SEQ).alias("trig_seq")
+        )
+        if wait_all_valid:
+            # threshold = the first engine cycle where every RAW column
+            # is valid (make_pandas gates on the data basket, not the
+            # sampled streams)
+            from functools import reduce as _reduce
+
+            all_valid = _reduce(
+                lambda a, c: a & F.col(c).isNotNull(),
+                self.columns,
+                F.lit(True),
+            )
+            thr = (
+                align(self._data, keep_ticked=False)
+                .filter(all_valid)
+                .groupBy(KEY)
+                .agg(F.min(F.struct(TS, SEQ)).alias("__thr"))
+            )
+            trig = trig.join(thr, KEY).filter(
+                F.struct(F.col("trig_ts"), F.col("trig_seq")) >= F.col("__thr")
+            ).drop("__thr")
+
+        from pyspark.sql import Window as W
+
+        merged = None
+        for c, s in streams.items():
+            obs = s.df.select(KEY, TS, SEQ, F.col(s.value_col).alias(c))
+            if wait_all_valid:
+                obs = obs.join(thr, KEY).filter(
+                    F.struct(F.col(TS), F.col(SEQ)) >= F.col("__thr")
+                ).drop("__thr")
+            cond = [
+                obs[KEY] == trig[KEY],
+                F.struct(obs[TS], obs[SEQ])
+                <= F.struct(trig["trig_ts"], trig["trig_seq"]),
+            ]
+            if isinstance(window, _dt.timedelta):
+                cond.append(obs[TS] >= trig["trig_ts"] - F.lit(window))
+                j = obs.join(trig, cond).select(
+                    obs[KEY], "trig_ts", "trig_seq", obs[TS], obs[SEQ], c
+                )
+            elif isinstance(window, int) and window > 0:
+                j = obs.join(trig, cond).select(
+                    obs[KEY], "trig_ts", "trig_seq", obs[TS], obs[SEQ], c
+                )
+                rk = W.partitionBy(KEY, "trig_ts", "trig_seq").orderBy(
+                    F.desc(TS), F.desc(SEQ)
+                )
+                j = (
+                    j.withColumn("__rk", F.row_number().over(rk))
+                    .filter(F.col("__rk") <= window)
+                    .drop("__rk")
+                )
+            else:
+                raise ValueError(f"invalid window {window!r}")
+            merged = j if merged is None else merged.join(
+                j, [KEY, "trig_ts", "trig_seq", TS, SEQ], "full_outer"
+            )
+        return merged
+
+    def to_pandas_ts(
+        self,
+        trigger,
+        window,
+        tindex=None,
+        wait_all_valid: bool = True,
+    ):
+        """csp.DataFrame.to_pandas_ts parity: a pandas Series OF pandas
+        DataFrames, indexed by trigger time — each element the frame of
+        the last ``window`` ticks at that trigger (empty frame when no
+        data is in the window, like make_pandas). Keyed frames get a
+        (key, trigger-time) MultiIndex. This is the driver-side
+        convenience over to_spark_ts — use the Spark form at scale."""
+        import pandas as pd
+
+        long = self.to_spark_ts(trigger, window, tindex, wait_all_valid)
+        pdf = long.orderBy(KEY, "trig_ts", "trig_seq", TS, SEQ).toPandas()
+
+        trigger_ts = self._resolve(trigger)
+        trig = trigger_ts.df.select(
+            KEY, F.col(TS).alias("trig_ts"), F.col(SEQ).alias("trig_seq")
+        )
+        if wait_all_valid:
+            have = long.select(KEY, "trig_ts", "trig_seq").distinct()
+            trig = trig.join(have, [KEY, "trig_ts", "trig_seq"], "left_semi")
+        tpdf = trig.orderBy(KEY, "trig_ts", "trig_seq").toPandas()
+
+        frames: dict = {}
+        grouped = {
+            k: g for k, g in pdf.groupby([KEY, "trig_ts", "trig_seq"])
+        } if len(pdf) else {}
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="float64") for c in self.columns},
+            index=pd.DatetimeIndex([]),
+        )
+        single = set(tpdf[KEY].unique()) <= {GLOBAL_KEY}
+        for r in tpdf.itertuples(index=False):
+            g = grouped.get((getattr(r, KEY), r.trig_ts, r.trig_seq))
+            frame = (
+                g.set_index(TS)[self.columns] if g is not None else empty
+            )
+            label = (
+                r.trig_ts if single else (getattr(r, KEY), r.trig_ts)
+            )
+            frames[label] = frame
+        return pd.Series(frames, dtype="object")

@@ -2,11 +2,14 @@
 metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing)
-is real and tested; the actual codecs are STUBBED — this container has
-no image/audio libraries — behind `_decode_image`/`_decode_audio`,
-which produce a deterministic fake so the pipeline shape is verifiable
-end-to-end. Swap the stub body for PIL/torchaudio/ffmpeg in a real
-deployment; nothing else changes.
+is real and tested. Codecs: PNG images decode FOR REAL via the
+stdlib-only decoder below (zlib inflate + RFC 2083 unfilter,
+golden-tested); other image formats and audio are STUBBED — this
+container has no image/audio libraries — behind the injectable
+`_decode_image`/`_decode_audio`, which produce a deterministic fake so
+the pipeline shape stays verifiable end-to-end. Swap those two
+functions for PIL/torchaudio/ffmpeg in a real deployment; nothing
+else changes.
 
 Design notes for 100 TB:
 - binary payloads ride in their own column so column pruning skips
@@ -37,12 +40,111 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Stdlib-only PNG decode → HxWx3 uint8 RGB: chunk walk, IDAT
+    zlib inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth —
+    RFC 2083 §6), channel normalization (gray→RGB, alpha dropped).
+    Supports the baseline profile: bit depth 8, color types 0/2/4/6,
+    non-interlaced — the overwhelming share of real corpora; anything
+    else raises and should go through the PIL swap-in."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    width = height = None
+    idat = bytearray()
+    bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG profile (depth={bit_depth}, "
+            f"interlace={interlace}) — swap in PIL for exotic profiles"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up
+            line += prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a pixel scan
+            cur = line.astype(np.int32)
+            pr = prev.astype(np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0  # left (reconstructed)
+                b = pr[i]                            # up
+                if f == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth predictor (RFC 2083 §6.6)
+                    c = pr[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    cur[i] = (cur[i] + pred) & 0xFF
+            line = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = line
+        prev = out[y]
+
+    img = out.reshape(height, width, channels)
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2)
+    if color_type == 2:
+        return img
+    if color_type == 4:
+        return np.repeat(img[..., :1], 3, axis=2)
+    return img[..., :3]  # RGBA → RGB
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real impl = PIL.Image.open(io.BytesIO(payload)).
-    Deterministic fake: 4x4 gray image derived from the payload hash,
-    so tests can assert exact feature values."""
+    """Image decode: PNG payloads decode FOR REAL via the stdlib-only
+    decoder above (zlib inflate + unfilter); other formats fall back to
+    the deterministic fake (4x4 gray from the payload hash) because
+    this container has no image libraries — swap this function for
+    ``np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))``
+    in a real deployment, nothing else changes (the injectable-codec
+    contract)."""
     if payload is None:
         raise ValueError("null image payload")
+    if payload.startswith(_PNG_MAGIC):
+        return decode_png(payload)
     h = hashlib.sha256(payload).digest()
     level = h[0]
     return np.full((4, 4, 3), level, dtype=np.uint8)

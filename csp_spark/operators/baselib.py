@@ -10,7 +10,7 @@ engine-order discipline (SURVEY.md §2.8).
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Any, Callable, Iterable, Mapping
+from typing import Any, Callable, Iterable, Mapping, NamedTuple
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -221,14 +221,22 @@ def merge(x: TickStream, y: TickStream) -> TickStream:
     return TickStream(out)
 
 
-def split(flag: TickStream, x: TickStream) -> tuple[TickStream, TickStream]:
+class _SplitOutput(NamedTuple):
+    # attribute access matches the reference's named node outputs
+    # (``csp.split(...).true`` / ``.false``, baselib.py:379); tuple
+    # unpacking keeps working for existing callers
+    true: TickStream
+    false: TickStream
+
+
+def split(flag: TickStream, x: TickStream) -> _SplitOutput:
     """csp.split (baselib.py:379-389): route to (true, false) streams.
     Both sides share one aligned plan (Spark reuses the exchange)."""
     a = align({"__flag": flag, "__x": x})
     base = a.filter(F.col("__x__ticked") & F.col("__flag").isNotNull())
     t = base.filter(F.col("__flag")).select(KEY, TS, SEQ, F.col("__x").alias(VALUE))
     f = base.filter(~F.col("__flag")).select(KEY, TS, SEQ, F.col("__x").alias(VALUE))
-    return TickStream(t), TickStream(f)
+    return _SplitOutput(TickStream(t), TickStream(f))
 
 
 def cast_int_to_float(x: TickStream) -> TickStream:

@@ -1,0 +1,37 @@
+"""csp.showgraph parity (reference csp/showgraph.py): graph
+visualization. The reference renders the wiring DAG via graphviz; here
+the wiring IS the Catalyst plan, so the faithful "show" is the plan
+itself — ``show_graph`` prints the formatted Spark plan of each
+output stream, and ``generate_graph`` returns it as a bytes buffer
+(the reference returns a PNG buffer). Image rendering (graphviz/PIL)
+is out of scope (UI, SURVEY §2.2) but the import surface matches so
+reference programs that ``import csp.showgraph`` run unmodified.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from typing import Any
+
+__all__ = ["generate_graph", "show_graph"]
+
+
+def generate_graph(graph_fn: Any, *args: Any, **kwargs: Any) -> io.BytesIO:
+    """Text rendering of the wired graph's physical plans."""
+    from .core.ticks import TickStream
+
+    out = graph_fn(*args, **kwargs) if callable(graph_fn) else graph_fn
+    if isinstance(out, TickStream):
+        out = {"0": out}
+    buf = io.StringIO()
+    for name, stream in (out or {}).items():
+        buf.write(f"== {name} ==\n")
+        with contextlib.redirect_stdout(buf):
+            stream.df.explain("formatted")
+        buf.write("\n")
+    return io.BytesIO(buf.getvalue().encode())
+
+
+def show_graph(graph_fn: Any, *args: Any, **kwargs: Any) -> None:
+    print(generate_graph(graph_fn, *args, **kwargs).getvalue().decode())

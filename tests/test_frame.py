@@ -73,3 +73,76 @@ def test_to_spark_last_value(frame):
     rows = frame.to_spark().orderBy("ts", "seq").collect()
     assert [r["bid"] for r in rows] == [99.0, 99.0, 99.1, 99.1]
     assert [r["ask"] for r in rows] == [None, 100.0, 100.0, 100.2]
+
+
+# -------------------------------------------------- to_pandas_ts parity
+# Reference semantics: csp/dataframe.py:167-202 + csp/impl/pandas.py
+# make_pandas — a time series of pandas DataFrames, one per trigger
+# tick, each holding the windowed buffers of every column.
+
+
+def test_to_pandas_ts_count_window(frame, spark):
+    trig = bl.curve(spark, [(t(1.6), 1.0), (t(3), 2.0)])
+    out = frame.to_pandas_ts(trig, window=2)
+    assert list(out.index) == [t(1.6), t(3)]
+    # at t1.6: bid buffer last 2 = [0.5, 1.5], ask last 2 = [1]
+    # (wait_all_valid gates columns from the all-valid cycle t=1, so
+    # ask has ticked once) -> union index with NaN fill
+    f1 = out[t(1.6)]
+    assert list(f1.index) == [t(1), t(1.5)]
+    assert f1["bid"].tolist()[1] == 99.1 and math.isnan(f1["bid"].tolist()[0])
+    assert f1["ask"].tolist()[0] == 100.0 and math.isnan(f1["ask"].tolist()[1])
+    # at t3: last 2 per column = bid [1,1.5]... bid kept {1.5} plus
+    # window-2 rank over gated ticks {1.5}; ask {1, 2}
+    f2 = out[t(3)]
+    assert list(f2.index) == [t(1), t(1.5), t(2)]
+    assert f2["ask"].dropna().tolist() == [100.0, 100.2]
+    assert f2["bid"].dropna().tolist() == [99.1]
+
+
+def test_to_pandas_ts_time_window_and_no_wait(frame, spark):
+    trig = bl.curve(spark, [(t(0.7), 0.0), (t(2), 1.0)])
+    out = frame.to_pandas_ts(trig, window=TD(seconds=1), wait_all_valid=False)
+    assert list(out.index) == [t(0.7), t(2)]
+    # no gating: the t0.7 trigger sees only bid's first tick
+    f1 = out[t(0.7)]
+    assert list(f1.index) == [t(0.5)]
+    assert f1["bid"].tolist() == [99.0]
+    assert math.isnan(f1["ask"].tolist()[0])
+    # [t2-1s, t2] inclusive
+    f2 = out[t(2)]
+    assert list(f2.index) == [t(1), t(1.5), t(2)]
+    assert f2["bid"].dropna().tolist() == [99.1]
+    assert f2["ask"].dropna().tolist() == [100.0, 100.2]
+
+
+def test_to_pandas_ts_empty_frame(frame, spark):
+    # a trigger before any data in the window -> EMPTY frame with the
+    # right columns (dataframe.py docstring: "If there is no data in a
+    # window, an empty frame will be returned")
+    trig = bl.curve(spark, [(t(0.1), 0.0)])
+    out = frame.to_pandas_ts(trig, window=2, wait_all_valid=False)
+    assert list(out.index) == [t(0.1)]
+    f = out[t(0.1)]
+    assert len(f) == 0 and list(f.columns) == ["bid", "ask"]
+
+
+def test_to_pandas_ts_tindex(frame, spark):
+    # tindex aligns every column on the sampling clock: frames share
+    # one index = tindex ticks (after all-valid), last-value sampled
+    tindex = bl.curve(spark, [(t(1.2), 0.0), (t(1.7), 0.0), (t(2.5), 0.0)])
+    trig = bl.curve(spark, [(t(3), 1.0)])
+    out = frame.to_pandas_ts(trig, window=3, tindex=tindex)
+    f = out[t(3)]
+    assert list(f.index) == [t(1.2), t(1.7), t(2.5)]
+    assert f["bid"].tolist() == [99.0, 99.1, 99.1]
+    assert f["ask"].tolist() == [100.0, 100.0, 100.2]
+
+
+def test_to_spark_ts_long_form(frame, spark):
+    trig = bl.curve(spark, [(t(3), 1.0)])
+    rows = frame.to_spark_ts(trig, window=2).orderBy("ts", "seq").collect()
+    assert [r["ts"] for r in rows] == [t(1), t(1.5), t(2)]
+    assert all(r["trig_ts"] == t(3) for r in rows)
+    assert [r["bid"] for r in rows] == [None, 99.1, None]
+    assert [r["ask"] for r in rows] == [100.0, None, 100.2]

@@ -166,6 +166,96 @@ def test_multimodal_stub_pipeline(spark):
     assert len([f for f in frames if f["media_id"] == 2]) == 3
 
 
+def _encode_png(img, color_type, filters):
+    """Minimal PNG encoder for golden tests: bit depth 8, one IDAT,
+    per-row filter bytes as given — filtering implemented from RFC
+    2083 §6 so the decoder must invert it exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape if img.ndim == 3 else (*img.shape, 1)
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        enc = np.empty_like(line)
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                enc[i] = line[i]
+            elif f == 1:
+                enc[i] = line[i] - a
+            elif f == 2:
+                enc[i] = line[i] - b
+            elif f == 3:
+                enc[i] = line[i] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = line[i] - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_golden(spark):
+    """The stdlib PNG decoder inverts every filter type bit-exactly on
+    constructed images, across gray/RGB/RGBA color types — and the
+    mapInPandas image pipeline consumes REAL PNG bytes end-to-end."""
+    import numpy as np
+    from csp_spark.multimodal import decode_png
+    from csp_spark.multimodal.media import _decode_image
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (11, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png(_encode_png(rgb, 2, filters))
+        assert np.array_equal(got, rgb), filters
+
+    gray = rng.randint(0, 256, (5, 9), dtype=np.uint8)
+    g3 = np.repeat(gray[..., None], 3, axis=2)
+    assert np.array_equal(decode_png(_encode_png(gray[..., None], 0, [4])), g3)
+
+    rgba = rng.randint(0, 256, (6, 4, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(_encode_png(rgba, 6, [2, 4])), rgba[..., :3]
+    )
+    # injectable contract: PNG magic -> real decode; other bytes keep
+    # the deterministic fake
+    assert _decode_image(_encode_png(rgb, 2, [4])).shape == (11, 7, 3)
+    assert _decode_image(b"not-a-png").shape == (4, 4, 3)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_encode_png(rgb, 2, [0, 1, 2, 3, 4])))],
+        "media_id long, payload binary",
+    )
+    feats = image_features(media).collect()[0]
+    assert abs(feats["mean_r"] - rgb[..., 0].mean()) < 1e-9
+    assert abs(feats["mean_g"] - rgb[..., 1].mean()) < 1e-9
+
+
 def test_winnow_fingerprints(spark):
     # explicit tiny corpus: identical docs share the full fingerprint
     # set; a local edit perturbs only a bounded neighborhood of it

@@ -25,7 +25,11 @@ def test_enum_and_marker_surface():
             csp.PushMode.BURST) == (1, 2, 3)
     assert (csp.ReplayMode.EARLIEST, csp.ReplayMode.LATEST,
             csp.ReplayMode.START_TIME) == (1, 2, 3)
-    assert csp.ts[int] is csp.ts  # annotation marker subscripts cleanly
+    # ts[X] subscripts cleanly AND retains its element type — the node
+    # translator (core/nodeparse.py) derives output schemas from it
+    assert issubclass(csp.ts[int], csp.ts)
+    assert csp.ts[int].__csp_elem__ is int
+    assert csp.ts.__csp_elem__ is None
     assert csp.DynamicBasket[str, float] is csp.DynamicBasket
     assert csp.Outputs(a=1, b=2) == {"a": 1, "b": 2}
     assert csp.OutputBasket(float) is float
