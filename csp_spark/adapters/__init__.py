@@ -14,14 +14,15 @@ implementation so `from csp.adapters.parquet import ...` ports become
 | websocket.py WebsocketAdapterManager | .websocket (streaming/sources.py socket_ticks / PushAdapter) |
 | status.py Status/Level | .status (+ StreamingQuery health bridge) |
 | utils.py MsgMapper family | .utils (declarative value-decode expressions) |
-| perspective.py / slack.py / symphony.py | out of scope (UI/chat sinks; SURVEY §2.2) |
+| slack.py / symphony.py | .slack / .symphony (same external-package shim as the reference + a minimal injectable-sender publish path) |
+| perspective.py | out of scope (UI; SURVEY §2.2) |
 
 These are thin namespaces, not re-implementations — the underlying
 functions are the same objects as in csp_spark.sources / .sinks /
 .streaming.
 """
 
-from . import arrow, csv, db, kafka, parquet, status, utils, websocket
+from . import arrow, csv, db, kafka, parquet, slack, status, symphony, utils, websocket
 
 __all__ = [
     "parquet", "csv", "db", "arrow", "kafka", "websocket", "status", "utils",

@@ -317,11 +317,13 @@ def build_vocab(
     OOV by encode_tokens).
 
     Scale shape: the corpus-sized work is ONE token hash-aggregate
-    (map-side partials); ranking then runs over the aggregated
-    distinct-token table, pre-pruned by ``min_count`` — Heaps'-law
-    small relative to the corpus, but the global row_number is still
-    a single-partition sort of the candidate vocabulary, so raise
-    ``min_count`` at web scale to keep candidates bounded."""
+    (map-side partials). The final rank is a global row_number, so the
+    candidate set is first cut to the exact global top-vocab_size
+    SUPERSET with a keyed per-bucket top-K (any global top-K token is
+    in its bucket's top-K): the single-partition sort then sees at
+    most 32·vocab_size rows no matter how large the distinct-token
+    table grows — the Heaps'-law vocabulary never funnels through one
+    task."""
     from pyspark.sql.window import Window
 
     counts = (
@@ -330,9 +332,16 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
+    wb = Window.partitionBy("__b").orderBy(F.desc("count"), F.col("token"))
+    cand = (
+        counts.withColumn("__b", F.pmod(F.xxhash64("token"), F.lit(32)))
+        .withColumn("__bk", F.row_number().over(wb))
+        .filter(F.col("__bk") <= vocab_size)
+        .drop("__b", "__bk")
+    )
     w = Window.orderBy(F.desc("count"), F.col("token"))
     return (
-        counts.withColumn("token_id", F.row_number().over(w))
+        cand.withColumn("token_id", F.row_number().over(w))
         .filter(F.col("token_id") <= vocab_size)
     )
 

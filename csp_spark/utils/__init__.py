@@ -1,4 +1,5 @@
-"""csp.utils namespace parity (reference csp/utils/)."""
-from . import datetime
+"""csp.utils namespace parity (reference csp/utils/*): dev tooling.
+Currently: csp_watch_profile (live profile watcher over the Spark UI
+REST API)."""
 
-__all__ = ["datetime"]
+from . import csp_watch_profile  # noqa: F401

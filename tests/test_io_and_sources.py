@@ -505,3 +505,89 @@ def test_json_mapper_converts_ts_fields(spark):
         m.decode(F.col("value"), "t long, px double", ts_fields=["t"]).alias("v")
     ).first()["v"]
     assert row["t"] == dt.datetime(2020, 1, 1) and row["px"] == 2.5
+
+
+# ------------------------------------------------- chat sinks + dev tools
+
+
+def test_slack_symphony_publish_with_injected_sender(spark):
+    """adapters/slack.py publish_messages: one webhook POST per tick in
+    engine order through the injectable sender (this container has no
+    network — the swap-in contract is the point)."""
+    import json
+
+    from csp_spark.adapters import slack, symphony
+    from csp_spark.operators import baselib as bl
+
+    start = dt.datetime(2020, 1, 1)
+    x = bl.curve(spark, [(start, 1.5), (start + dt.timedelta(seconds=1), 2.5)])
+    sent = []
+    n = slack.publish_messages(x, "#alerts", sender=sent.append)
+    assert n == 2 and len(sent) == 2
+    msgs = [json.loads(b) for b in sent]
+    assert all(m["channel"] == "#alerts" for m in msgs)
+    assert "1.5" in msgs[0]["text"] and "2.5" in msgs[1]["text"]
+    # symphony shares the wire shape
+    assert symphony.publish_messages is slack.publish_messages
+
+
+def test_csp_watch_profile_diffs():
+    """utils/csp_watch_profile: polls a Spark-UI-shaped REST API and
+    prints per-interval stage/memory diffs (reference
+    csp_watch_profile.py flag + diff shape)."""
+    import http.server
+    import io
+    import json as _json
+    import threading
+    from contextlib import redirect_stdout
+
+    from csp_spark.utils import csp_watch_profile as wp
+
+    snaps = [
+        {"stages": [{"stageId": 1, "name": "scan parquet", "numCompleteTasks": 4,
+                     "executorRunTime": 1000}],
+         "jobs": [{}], "execs": [{"id": "driver", "rddBlocks": 1,
+                                  "memoryUsed": 100}]},
+        {"stages": [{"stageId": 1, "name": "scan parquet", "numCompleteTasks": 9,
+                     "executorRunTime": 3500}],
+         "jobs": [{}, {}], "execs": [{"id": "driver", "rddBlocks": 1,
+                                      "memoryUsed": 350}]},
+    ]
+    state = {"i": 0}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.endswith("/applications"):
+                state["i"] += 1  # applications fetched once per poll
+                body = [{"id": "app-1"}]
+            else:
+                s = snaps[min(state["i"] - 1, 1)]
+                if self.path.endswith("/stages"):
+                    body = s["stages"]
+                elif self.path.endswith("/jobs"):
+                    body = s["jobs"]
+                else:
+                    body = s["execs"]
+            data = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            wp.watch(f"http://127.0.0.1:{srv.server_port}", interval=0.01,
+                     include_mem=True, max_polls=2)
+        out = buf.getvalue()
+        assert "scan parquet#1" in out
+        assert "5" in out and "2.5" in out  # +5 tasks, +2.5 s runtime
+        assert "Memory diffs" in out and "250" in out  # +250 bytes
+    finally:
+        srv.shutdown()
