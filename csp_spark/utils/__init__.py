@@ -1,5 +1,7 @@
-"""csp.utils namespace parity (reference csp/utils/*): dev tooling.
-Currently: csp_watch_profile (live profile watcher over the Spark UI
-REST API)."""
+"""csp.utils namespace parity (reference csp/utils/*): dev tooling
+(csp_watch_profile — live profile watcher over the Spark UI REST API)
+and the datetime helpers."""
 
-from . import csp_watch_profile  # noqa: F401
+from . import csp_watch_profile, datetime  # noqa: F401
+
+__all__ = ["csp_watch_profile", "datetime"]
