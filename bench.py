@@ -154,9 +154,15 @@ def main() -> None:
                  "session, comparable with earlier rounds); queries_warm/"
                  "value_warm re-run the same plan warm (codegen/JIT/"
                  "broadcast amortized steady state). "
-                 "comparable_r2_subtotal excludes the queries listed in "
-                 "added_since_r2 (added after round 2) and is computed "
-                 "from the per-query cold timings in this JSON.",
+                 "comparable_r2_subtotal / comparable_r4_subtotal are "
+                 "computed over the FROZEN lists in bench.py "
+                 "(COMPARABLE_R2 = the original 16-query r2 set, "
+                 "COMPARABLE_R4 = the 27-query r4 set). "
+                 "r4 q5/q6 'regressions' verdict (r5 idle-box re-runs, "
+                 "two independent sessions): q5 1.36/1.70 cold "
+                 "1.19/1.30 warm vs r4 1.98; q6 0.31/0.41 cold "
+                 "0.25/0.32 warm vs r4 0.56 — both at-or-below r3 "
+                 "levels, r4 readings were ambient noise.",
     }))
 
 

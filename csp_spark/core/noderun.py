@@ -13,12 +13,13 @@ the cycle sequence.
 
 Scale shape: per-key sequential Python — the deliberate slow path,
 exactly like the reference's Python nodes vs their cppimpl twins.
-Keys hash into ``buckets`` Arrow groups (default 4096) with the
-per-key loop inside pandas: task parallelism follows
+Keys hash into ``buckets`` Arrow groups (default: 4 × shuffle
+partitions, see _default_buckets — per-group Arrow dispatch costs
+~2 ms regardless of size, so the count tracks task parallelism)
+with the per-key loop inside pandas: task parallelism follows
 spark.sql.shuffle.partitions, per-group pandas memory is bounded at
 ~stream/buckets, and per-group Arrow overhead amortizes over many
-keys — raise ``buckets`` for large-data/low-key workloads, lower it
-for millions of tiny keys. The GLOBAL_KEY case still runs one group
+keys. The GLOBAL_KEY case still runs one group
 (same limit as the reference's single-threaded engine). Prefer the
 combinator library (apply/exprtk/stats/feedback_scan) for hot paths —
 this exists so imperative reference nodes port line-for-line.
@@ -117,23 +118,37 @@ class NodeCycle:
         handle["alive"] = False
 
 
-#: default Arrow groups per node execution — keys hash into this many
-#: buckets so a million-key stream costs ~4k pandas roundtrips, not a
-#: million, while each group holds only ~1/4096 of the stream (bounded
-#: pandas memory). Fewer keys than buckets degenerates to per-key
-#: grouping (empty buckets are free). Task parallelism is governed by
-#: spark.sql.shuffle.partitions, not the bucket count — buckets only
-#: set the Arrow batch granularity within those tasks.
-_NODE_BUCKETS = 4096
+#: sentinel: resolve the bucket count from the session at call time
+_NODE_BUCKETS = None
 
 
-def _bucketed(df, n_buckets: int = _NODE_BUCKETS):
+def _default_buckets(spark) -> int:
+    """Arrow groups per node execution: 4 × shuffle partitions,
+    clamped to [64, 8192]. Spark's applyInPandas pays ~2 ms of
+    JVM-grouping + Arrow-dispatch overhead PER GROUP regardless of
+    group size (measured: a 40k-row identity runner took 8.8 s at
+    4096 groups vs 2.0 s at 128), so the count must track the
+    cluster's task parallelism, not a fixed constant: ~4 groups per
+    task amortizes the overhead while keeping each pandas batch at
+    ~1/4 of a task's input (bounded worker memory). A million-key
+    stream still costs only this many pandas roundtrips — keys hash
+    into buckets, they don't each get one."""
+    try:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        p = 200
+    return max(64, min(8192, 4 * p))
+
+
+def _bucketed(df, n_buckets: int | None = _NODE_BUCKETS):
     """Group a keyed frame by key-hash bucket (shared by the node
     runners and basketlib's trigger-selection pass). NULL keys hash to
     a bucket of their own (xxhash64(NULL) is NULL → pmod NULL), so the
     in-pandas loop must groupby with dropna=False to keep them."""
     from pyspark.sql import functions as F
 
+    if n_buckets is None:
+        n_buckets = _default_buckets(df.sparkSession)
     return df.withColumn(
         "__node_b", F.pmod(F.xxhash64(F.col(KEY)), F.lit(n_buckets))
     ).groupBy("__node_b")
@@ -162,6 +177,11 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
 
     def _run(bpdf: pd.DataFrame) -> pd.DataFrame:
         out = []
+        # ONE (ts, seq) lexsort per bucket — groupby preserves row
+        # order within groups, so the per-key frames arrive already in
+        # engine order (a per-key sort_values was ~25% of runner time
+        # at 1.5k keys/bucket)
+        bpdf = bpdf.sort_values([TS, SEQ])
         # dropna=False: a NULL key is a real group (pandas drops it by
         # default; Spark's own groupBy(KEY) kept it)
         for _key, kpdf in bpdf.groupby(KEY, sort=False, dropna=False):
@@ -176,12 +196,15 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
         return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
 
     def _one_key(pdf: pd.DataFrame, out: list) -> None:
-        pdf = pdf.sort_values([TS, SEQ])
+        # positional .array access everywhere: Series.iloc per element
+        # walks the full indexing machinery (~20 µs/cell — it was HALF
+        # of runner time); ExtensionArray indexing is a plain fetch and
+        # keeps pandas value semantics (pd.NaT, np.float64)
         st = mk_state()
-        key = pdf[KEY].iloc[0]
+        key = pdf[KEY].array[0]
         tcols = {n: pdf[_ticked_col(n)].to_numpy() for n in names}
-        vcols = {n: pdf[n] for n in names}
-        tss, seqs = pdf[TS], pdf[SEQ]
+        vcols = {n: pdf[n].array for n in names}
+        tss, seqs = pdf[TS].array, pdf[SEQ].to_numpy()
         n_rows = len(pdf)
 
         heap: list = []  # (alarm_ts, order, handle)
@@ -230,21 +253,21 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
                 _emit(cyc, fn(cyc))
 
         for i in range(n_rows):
-            ts_i = tss.iloc[i]
+            ts_i = tss[i]
             _fire_alarms(ts_i)
             vals = {}
             for n in names:
-                v = vcols[n].iloc[i]
+                v = vcols[n][i]
                 vals[n] = None if v is pd.NaT else v
             last_vals = vals
             cyc = NodeCycle(
-                ts_i, int(seqs.iloc[i]), st, vals,
+                ts_i, int(seqs[i]), st, vals,
                 {n: tcols[n][i] for n in names}, _schedule,
             )
             _emit(cyc, fn(cyc))
         _fire_alarms(None)  # trailing alarms (bounded by end/cap)
         if emit_state:
-            final_ts = tss.iloc[n_rows - 1] if n_rows else None
+            final_ts = tss[n_rows - 1] if n_rows else None
             out.append((key, final_ts, STATE_SEQ, None, pickle.dumps(st)))
 
     return _run
@@ -257,7 +280,7 @@ def run_node(
     output_type: str = "double",
     end: _dt.datetime | None = None,
     outputs: Mapping[str, str] | None = None,
-    buckets: int = _NODE_BUCKETS,
+    buckets: int | None = _NODE_BUCKETS,
 ) -> "TickStream | dict[str, TickStream]":
     """Run an imperative per-cycle function over every key's engine
     cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
@@ -325,7 +348,7 @@ def run_node_with_states(
     state: Mapping[str, Any] | Callable[[], dict] | None = None,
     output_type: str = "double",
     end: _dt.datetime | None = None,
-    buckets: int = _NODE_BUCKETS,
+    buckets: int | None = _NODE_BUCKETS,
 ) -> "tuple[TickStream, Any]":
     """run_node plus each key's TERMINAL state: returns
     ``(output, states)`` where ``states`` is a DataFrame of

@@ -766,26 +766,34 @@ def pq_encode_expr(
     """
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = books.shape
-    v = F.col(vec_col)
-    codes = []
+
+    # ONE SQL-text expression parsed in a single JVM call: building the
+    # same tree from Column objects costs a py4j round trip per node
+    # (~10 s of pure driver time at m·n_codes·dsub = 1024), while the
+    # parsed text is milliseconds. The 'D' suffix makes every literal a
+    # DOUBLE parsed via Double.parseDouble — bit-identical to the
+    # Python float the oracle generator embeds.
+    def lit(x) -> str:
+        return f"{float(x)!r}D"
+
+    code_texts = []
     for j in range(m):
         d2s = []
         for c in range(n_codes):
             center = books[j, c]
             cn2 = float((center ** 2).sum())
-            dotp = None
-            for i in range(dsub):
-                term = (
-                    F.element_at(v, j * dsub + i + 1).cast("double")
-                    * F.lit(float(center[i]))
-                )
-                dotp = term if dotp is None else dotp + term
-            d2s.append(F.lit(cn2) - F.lit(2.0) * dotp)
-        arr = F.array(*d2s)
-        codes.append(
-            (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+            dot = " + ".join(
+                f"CAST(element_at({vec_col}, {j * dsub + i + 1}) AS DOUBLE)"
+                f" * {lit(center[i])}"
+                for i in range(dsub)
+            )
+            d2s.append(f"{lit(cn2)} - 2.0D * ({dot})")
+        arr = "array(" + ", ".join(d2s) + ")"
+        code_texts.append(
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
         )
-    return embeddings.withColumn(out_col, F.array(*codes))
+    expr = "array(" + ", ".join(code_texts) + ")"
+    return embeddings.withColumn(out_col, F.expr(expr))
 
 
 def save_pq_index(encoded: DataFrame, codebooks, path: str) -> None:

@@ -1,0 +1,70 @@
+"""Reference csp programs running UNMODIFIED.
+
+The @csp.node AST translator (csp_spark/core/nodeparse.py) lowers the
+reference's node grammar — ``with csp.state():`` blocks,
+``csp.ticked/valid/output`` — onto the imperative node runner, and the
+compat layer (core/refcompat.py) accepts the reference's
+engine-ambient signatures (csp.const(1.0), csp.curve(float, [...]),
+csp.print(tag, x)). Aliasing the module name is the ONLY bridge:
+
+    import csp_spark
+    sys.modules["csp"] = csp_spark
+
+After that, reference source runs as-is — this example executes the
+reference README's bid/ask program (inline below, verbatim) and, when
+a reference checkout is present, examples/01_basics/e4_trade_pnl.py
+straight from disk.
+
+Run: python examples/10_reference_verbatim.py
+"""
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import csp_spark
+
+sys.modules.setdefault("csp", csp_spark)
+
+import csp  # noqa: E402  (the alias — reference imports now resolve)
+from csp import ts  # noqa: E402
+
+
+# --- the reference README program, verbatim -------------------------
+@csp.node
+def spread(bid: ts[float], ask: ts[float]) -> ts[float]:
+    if csp.valid(bid, ask):
+        return ask - bid
+
+
+@csp.graph
+def my_graph():
+    bid = csp.const(1.0)
+    ask = csp.const(2.0)
+    s = spread(bid, ask)
+
+    csp.print("spread", s)
+    csp.print("bid", bid)
+    csp.print("ask", ask)
+
+
+def main() -> None:
+    spark = csp_spark.get_spark(app_name="ex_verbatim")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== README bid/ask, verbatim ==")
+    csp.run(my_graph, starttime=dt.datetime(2020, 1, 1))
+
+    ref = "/root/reference/examples/01_basics/e4_trade_pnl.py"
+    if os.path.exists(ref):
+        print("== e4_trade_pnl.py, executed from the reference checkout ==")
+        ns = {"__name__": "e4_trade_pnl"}
+        exec(compile(open(ref).read(), ref, "exec"), ns)
+        csp.run(ns["my_graph"], starttime=dt.datetime(2020, 1, 1))
+    else:
+        print("(reference checkout not present — skipping e4_trade_pnl)")
+
+
+if __name__ == "__main__":
+    main()
