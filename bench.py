@@ -136,8 +136,10 @@ def main() -> None:
         "sf": sf,
         # fixed-set subtotals, computed over the frozen lists above so
         # cross-round ratios never need reconstruction: r2's 16-query
-        # set (r2 total was 28.8s) and r4's 27-query set (r4 cold total
-        # 27.7s), cold and warm
+        # set (r2 total was 28.8s) and r4's 27-query set (this field
+        # first appears in r5 — r4 published only a 20-query shared
+        # subtotal of 27.7s, so r4→r5 on this set needs the per-query
+        # numbers; from r6 on it's a direct ratio), cold and warm
         "comparable_r2_subtotal": round(
             sum(timings[n] for n in COMPARABLE_R2), 3),
         "comparable_r2_subtotal_warm": round(
