@@ -1120,8 +1120,14 @@ def dyn_cummax(spark, sf_dir):
 
 
 def feedback_clamp(spark, sf_dir):
-    # driver-side fixed point (csp.feedback analog) — no single-pass SQL
-    # equivalent; rows-only check (converges: value' = min(2v, 1000))
+    """Driver-side fixed point (plans/runtime.py feedback_iterate, the
+    csp.feedback analog): value' = min(2v, 1000) iterated to
+    convergence (30-iteration cap). The oracle is the CLOSED FORM:
+    min(2·u, 1000) iterated k times from v is min(v·2^k, 1000) by
+    induction, the only fixed points are 0/1000/negative-divergence,
+    and power-of-two scaling is IEEE-exact — so the k=30 form equals
+    the iterated result bit-for-bit regardless of which iteration the
+    checksum loop actually stopped at."""
     x = _events_stream(spark, sf_dir)
     init = TickStream(x.df.filter(F.col(KEY).cast("long") < 10))
 
@@ -1132,6 +1138,14 @@ def feedback_clamp(spark, sf_dir):
 
     out = feedback_iterate(step, init, max_iters=30)
     return _out(out, "clamped")
+
+
+def _feedback_clamp_oracle_sql() -> str:
+    return """
+SELECT event_id, user_id,
+  least(CAST(value AS DOUBLE) * 1073741824.0, 1000.0) AS clamped
+FROM events WHERE user_id < 10
+"""
 
 
 def random_poisson(spark, sf_dir):
@@ -3407,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_pandas_ts",         # new this round (to_pandas_ts parity)
         "op_node_ast",             # new this round (AST node translator)
         "stats_ema_adjust",        # new this round
+        "feedback_clamp",          # first oracle (closed-form replay)
         # (3) r2-vintage greens, refreshed wholesale
         "q1_pricing_summary", "q3_shipping_priority",
         "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -3419,7 +3434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_poisson", "random_brownian", "mm_features",
         "stats_minmax_sem", "stats_xsec", "stats_cov_matrix",
         "stats_trigger_reset", "stats_sampler",
-        "ann_topk", "src_curve",
+        "ann_topk",
+        # src_curve (r2-green) yields its slot to feedback_clamp's
+        # first-ever oracle check; every curve-sourced query in this
+        # prefix exercises the same source path anyway
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3989,6 +4007,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "frame_pandas_ts": _frame_pandas_ts_oracle_sql(),
         "op_node_ast": _node_ast_oracle_sql(),
         "stats_ema_adjust": _ema_adjust_oracle_sql(),
+        "feedback_clamp": _feedback_clamp_oracle_sql(),
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "doc_mixture": _mixture_oracle_sql(),
