@@ -23,8 +23,13 @@ examples/01_basics/e4_trade_pnl.py unmodified):
 - ``csp.valid(a, b, ...)``           → all-inputs-valid
 - ``csp.output(k=v, ...)`` / ``return expr`` → multi / single output
 - ``csp.now()``                      → cycle.now
-Alarms (``with csp.alarms():``) are NOT translated — use run_node's
-cycle.schedule_alarm surface directly (examples/09_imperative_nodes).
+- ``with csp.alarms(): a = csp.alarm(T)`` → channel-tagged entries on
+  run_node's alarm heap: ``csp.schedule_alarm(a, delta, v)`` from the
+  node BODY, ``csp.ticked(a)``/``csp.valid(a)``, and passive reads of
+  ``a`` (last fired value) all translate. ``schedule_alarm`` inside
+  ``csp.start()`` raises — it anchors at ENGINE start time, which the
+  batch runner does not model (its start guard runs on the key's
+  first input cycle).
 """
 
 from __future__ import annotations
@@ -88,11 +93,13 @@ def is_reference_node(fn: Callable) -> bool:
 
 
 class _Rewriter(ast.NodeTransformer):
-    def __init__(self, state_names, input_names, csp_aliases, multi):
+    def __init__(self, state_names, input_names, csp_aliases, multi,
+                 alarm_names=()):
         self.state = set(state_names)
         self.inputs = set(input_names)
         self.csp = set(csp_aliases)
         self.multi = multi
+        self.alarms = set(alarm_names)
 
     def _is_csp_call(self, node: ast.Call) -> str | None:
         f = node.func
@@ -114,7 +121,29 @@ class _Rewriter(ast.NodeTransformer):
                 ),
                 node,
             )
+        if node.id in self.alarms and isinstance(node.ctx, ast.Load):
+            # passive alarm read → the channel's LAST fired value
+            return ast.copy_location(
+                ast.Call(
+                    func=ast.Attribute(
+                        value=ast.Name(id="__alarm_last", ctx=ast.Load()),
+                        attr="get", ctx=ast.Load(),
+                    ),
+                    args=[ast.Constant(value=node.id)], keywords=[],
+                ),
+                node,
+            )
         return node
+
+    def _alarm_term(self, kind: str, name: str) -> ast.expr:
+        """csp.ticked(alarm) / csp.valid(alarm) forms."""
+        if kind == "ticked":
+            # this cycle IS channel `name`'s alarm firing
+            return ast.parse(
+                f"(__c.ticked('alarm') and __c.alarm[0] == {name!r})",
+                mode="eval",
+            ).body
+        return ast.parse(f"({name!r} in __alarm_last)", mode="eval").body
 
     def visit_Call(self, node: ast.Call):
         name = self._is_csp_call(node)
@@ -125,9 +154,13 @@ class _Rewriter(ast.NodeTransformer):
         if name in ("ticked", "valid"):
             terms = []
             for a in node.args:
+                if isinstance(a, ast.Name) and a.id in self.alarms:
+                    terms.append(self._alarm_term(name, a.id))
+                    continue
                 if not isinstance(a, ast.Name) or a.id not in self.inputs:
                     raise SyntaxError(
-                        f"csp.{name}() argument must be an input name"
+                        f"csp.{name}() argument must be an input or "
+                        "alarm name"
                     )
                 terms.append(
                     ast.Call(
@@ -164,6 +197,36 @@ class _Rewriter(ast.NodeTransformer):
                     for k in node.keywords
                 ],
             )
+            return ast.copy_location(call, node)
+        if name == "schedule_alarm":
+            # csp.schedule_alarm(alarm, when, value) →
+            # __c.schedule_alarm(when, ('alarm', value)): the single
+            # run_node heap carries (channel, value) pairs
+            if not (node.args and isinstance(node.args[0], ast.Name)
+                    and node.args[0].id in self.alarms):
+                raise SyntaxError(
+                    "csp.schedule_alarm's first argument must be a "
+                    "csp.alarm() name"
+                )
+            ch = node.args[0].id
+            when = self.visit(node.args[1])
+            val = (
+                self.visit(node.args[2]) if len(node.args) > 2
+                else ast.Constant(value=True)
+            )
+            call = ast.parse("__c.schedule_alarm(None, None)",
+                             mode="eval").body
+            call.args = [
+                when,
+                ast.Tuple(
+                    elts=[ast.Constant(value=ch), val], ctx=ast.Load()
+                ),
+            ]
+            return ast.copy_location(call, node)
+        if name == "cancel_alarm":
+            # csp.cancel_alarm(alarm, handle) → __c.cancel_alarm(handle)
+            call = ast.parse("__c.cancel_alarm(None)", mode="eval").body
+            call.args = [self.visit(node.args[-1])]
             return ast.copy_location(call, node)
         return self.generic_visit(node)
 
@@ -217,6 +280,7 @@ def _parse(fn: Callable):
 
     state_inits: list[ast.stmt] = []
     start_stmts: list[ast.stmt] = []
+    alarm_names: list[str] = []
     body: list[ast.stmt] = []
     for stmt in fdef.body:
         if (
@@ -232,9 +296,18 @@ def _parse(fn: Callable):
                 state_inits.extend(stmt.body)
             elif kind == "start":
                 start_stmts.extend(stmt.body)
-            elif kind in ("alarms", "stop"):
+            elif kind == "alarms":
+                # `a = csp.alarm(T)` declares channel `a`; all channels
+                # share run_node's single alarm heap, tagged by name
+                for s in stmt.body:
+                    if (
+                        isinstance(s, ast.Assign)
+                        and isinstance(s.targets[0], ast.Name)
+                    ):
+                        alarm_names.append(s.targets[0].id)
+            elif kind == "stop":
                 raise NotImplementedError(
-                    f"with csp.{kind}(): blocks are not translated — "
+                    "with csp.stop(): blocks are not translated — "
                     "use run_node's NodeCycle surface directly "
                     "(core/noderun.py)"
                 )
@@ -242,6 +315,23 @@ def _parse(fn: Callable):
                 body.append(stmt)
         else:
             body.append(stmt)
+
+    # start-block alarm scheduling anchors at ENGINE start time, which
+    # the batch runner does not model (its start guard runs on the
+    # key's first input cycle) — refuse rather than silently shift
+    for s in start_stmts:
+        for sub in ast.walk(s):
+            if (
+                isinstance(sub, ast.Call)
+                and isinstance(sub.func, ast.Attribute)
+                and sub.func.attr == "schedule_alarm"
+            ):
+                raise NotImplementedError(
+                    "csp.schedule_alarm inside csp.start() anchors at "
+                    "engine start time, which the batch node runner "
+                    "does not model — schedule from the node body "
+                    "(cycle-relative) instead"
+                )
 
     state_names = []
     for s in state_inits:
@@ -259,7 +349,7 @@ def _parse(fn: Callable):
                     state_names.append(t.id)
 
     return (
-        fdef, input_names, scalar_names, state_names,
+        fdef, input_names, scalar_names, state_names, alarm_names,
         state_inits, start_stmts, body, aliases, multi, outputs, output_type,
     )
 
@@ -308,11 +398,11 @@ class NodeOutputs:
 
 def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
     (
-        fdef, input_names, scalar_names, state_names,
+        fdef, input_names, scalar_names, state_names, alarm_names,
         state_inits, start_stmts, body, aliases, multi, outputs, output_type,
     ) = _parse(fn)
 
-    rw = _Rewriter(state_names, input_names, aliases, multi)
+    rw = _Rewriter(state_names, input_names, aliases, multi, alarm_names)
 
     def _rewrite(stmts):
         out = []
@@ -348,6 +438,14 @@ def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
             init_body.insert(0, ast.parse(f"{n} = None").body[0])
 
     cycle_prelude = [ast.parse("__cycle_state = __c.state").body[0]]
+    if alarm_names:
+        # channel-tagged alarms over run_node's single heap: remember
+        # each channel's last fired value (the passive-read form)
+        cycle_prelude.extend(ast.parse(
+            "__alarm_last = __cycle_state.setdefault('__alarms', {})\n"
+            "if __c.ticked('alarm'):\n"
+            "    __alarm_last[__c.alarm[0]] = __c.alarm[1]"
+        ).body)
     if multi:
         cycle_prelude.append(ast.parse("__out = {}").body[0])
         cycle_prelude.append(

@@ -149,7 +149,37 @@ def test_translated_node_single_output_and_start(spark):
     ]
 
 
-def test_translator_rejects_alarm_blocks(spark):
+def test_translated_node_alarms(spark):
+    """Reference alarm grammar: body-scheduled timeout alarms fire as
+    channel-tagged cycles; ticked(alarm) / valid(alarm) / passive
+    value reads all translate (e5_retail_cart's alarm surface minus
+    the engine-start-anchored scheduling)."""
+    from csp_spark import ts
+    from csp_spark.operators import baselib as bl
+
+    @csp_spark.node
+    def monitor(x: ts[float]) -> ts[float]:
+        with csp_spark.alarms():
+            timeout = csp_spark.alarm(float)
+        if csp_spark.ticked(x):
+            csp_spark.schedule_alarm(timeout, dt.timedelta(seconds=5), x)
+            return x
+        if csp_spark.ticked(timeout):
+            # stale-quote alert: echo the negated last-armed value
+            return -timeout
+
+    t = lambda s: START + dt.timedelta(seconds=s)  # noqa: E731
+    x = bl.curve(spark, [(t(0), 1.0), (t(2), 2.0), (t(20), 3.0)])
+    got = monitor(x).collect_ticks()
+    # echoes at 0/2/20; alarms from ticks 1 and 2 fire at 5/7 (before
+    # the 20s tick), tick 3's alarm trails at 25
+    assert [(ts_, round(v, 6)) for ts_, v in got] == [
+        (t(0), 1.0), (t(2), 2.0), (t(5), -1.0), (t(7), -2.0),
+        (t(20), 3.0), (t(25), -3.0),
+    ]
+
+
+def test_translator_rejects_start_scheduled_alarms(spark):
     from csp_spark import ts
     from csp_spark.operators import baselib as bl
 
@@ -157,8 +187,10 @@ def test_translator_rejects_alarm_blocks(spark):
     def bad(x: ts[float]) -> ts[float]:
         with csp_spark.alarms():
             a = csp_spark.alarm(bool)
+        with csp_spark.start():
+            csp_spark.schedule_alarm(a, dt.timedelta(), True)
         return x
 
     s = bl.curve(spark, [(START, 1.0)])
-    with pytest.raises(NotImplementedError, match="alarms"):
+    with pytest.raises(NotImplementedError, match="engine start"):
         bad(s)
