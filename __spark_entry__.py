@@ -2323,10 +2323,15 @@ def op_node_ast(spark, sf_dir):
     bid = _events_stream(spark, sf_dir, "click")
     ask = _events_stream(spark, sf_dir, "view")
     out = spread_ema(bid, ask)
+    # NO 6dp rounding: the recursion is bit-exact across engines
+    # (identical IEEE op order), while round() itself is NOT — Spark
+    # rounds the double's exact decimal HALF_UP, DuckDB scales by 1e6
+    # first, and the two disagree by 1 ulp on boundary values (one
+    # sf0.1 row). Full precision is the STRICTER compare here.
     return out.df.select(
         F.col(KEY).cast("long").alias("user_id"),
         F.col(SEQ).alias("event_id"),
-        F.round(out.value_col, 6).alias("ema"),
+        F.col(out.value_col).alias("ema"),
     )
 
 
@@ -2354,7 +2359,7 @@ p AS (
   FROM g
 )
 SELECT user_id, event_id,
-  round(list_reduce(lst, (acc, x) -> 0.9 * acc + 0.1 * x), 6) AS ema
+  list_reduce(lst, (acc, x) -> 0.9 * acc + 0.1 * x) AS ema
 FROM p
 """
 
