@@ -15,21 +15,22 @@ Scope (enough to run the reference README bid/ask example and
 examples/01_basics/e4_trade_pnl.py unmodified):
 - ``with csp.state():`` assignments  → per-key state (any later
   reference to a state name reads/writes the state dict)
-- ``with csp.start():``              → executed once per key before
-  the first cycle (state names assignable; csp.make_passive /
-  set_buffering_policy calls are no-ops here — buffering is the
-  plan's concern in the tick-table model)
+- ``with csp.start():``              → executed once per key on a
+  synthetic PRE-INPUT cycle whose ``now`` is the enclosing csp.run's
+  starttime (inputs not yet valid, like the reference; state names
+  assignable; csp.make_passive / set_buffering_policy are no-ops —
+  buffering is the plan's concern in the tick-table model)
 - ``csp.ticked(a, b, ...)``          → any-input-ticked
 - ``csp.valid(a, b, ...)``           → all-inputs-valid
 - ``csp.output(k=v, ...)`` / ``return expr`` → multi / single output
 - ``csp.now()``                      → cycle.now
 - ``with csp.alarms(): a = csp.alarm(T)`` → channel-tagged entries on
   run_node's alarm heap: ``csp.schedule_alarm(a, delta, v)`` from the
-  node BODY, ``csp.ticked(a)``/``csp.valid(a)``, and passive reads of
-  ``a`` (last fired value) all translate. ``schedule_alarm`` inside
-  ``csp.start()`` raises — it anchors at ENGINE start time, which the
-  batch runner does not model (its start guard runs on the key's
-  first input cycle).
+  body OR from ``csp.start()`` (the start cycle's ``now`` is the
+  engine start, so start+delta anchors exactly like the reference —
+  wiring outside a csp.run raises, there is no start time to anchor
+  to), ``csp.ticked(a)``/``csp.valid(a)``, and passive reads of ``a``
+  (last fired value) all translate.
 """
 
 from __future__ import annotations
@@ -316,22 +317,17 @@ def _parse(fn: Callable):
         else:
             body.append(stmt)
 
-    # start-block alarm scheduling anchors at ENGINE start time, which
-    # the batch runner does not model (its start guard runs on the
-    # key's first input cycle) — refuse rather than silently shift
-    for s in start_stmts:
-        for sub in ast.walk(s):
-            if (
-                isinstance(sub, ast.Call)
-                and isinstance(sub.func, ast.Attribute)
-                and sub.func.attr == "schedule_alarm"
-            ):
-                raise NotImplementedError(
-                    "csp.schedule_alarm inside csp.start() anchors at "
-                    "engine start time, which the batch node runner "
-                    "does not model — schedule from the node body "
-                    "(cycle-relative) instead"
-                )
+    # start-block alarm scheduling anchors at ENGINE start time: the
+    # runner models it with a synthetic pre-input cycle whose `now` is
+    # the enclosing csp.run's starttime — wiring outside a run() (no
+    # ambient start) refuses at call time (wire_reference_node)
+    start_has_alarms = any(
+        isinstance(sub, ast.Call)
+        and isinstance(sub.func, ast.Attribute)
+        and sub.func.attr == "schedule_alarm"
+        for s in start_stmts
+        for sub in ast.walk(s)
+    )
 
     state_names = []
     for s in state_inits:
@@ -350,23 +346,36 @@ def _parse(fn: Callable):
 
     return (
         fdef, input_names, scalar_names, state_names, alarm_names,
-        state_inits, start_stmts, body, aliases, multi, outputs, output_type,
+        state_inits, start_stmts, start_has_alarms, body, aliases,
+        multi, outputs, output_type,
     )
 
 
 class _AttrView:
-    """Attribute access over a struct cycle value (dict from Arrow)."""
+    """Attribute access over a struct cycle value (dict from Arrow).
+
+    Nested struct fields wrap on access and WRITE THROUGH to the same
+    underlying dict — reference nodes mutate input struct fields
+    (``event.item.cost *= discount``, e5_retail_cart) and later read
+    the mutated value through any alias."""
 
     __slots__ = ("_d",)
 
     def __init__(self, d):
-        self._d = d
+        object.__setattr__(self, "_d", d)
 
     def __getattr__(self, k):
         try:
-            return self._d[k]
+            v = self._d[k]
         except KeyError:
             raise AttributeError(k)
+        return _AttrView(v) if isinstance(v, dict) else v
+
+    def __setattr__(self, k, v):
+        self._d[k] = v
+
+    def __eq__(self, other):
+        return self._d == (other._d if isinstance(other, _AttrView) else other)
 
     def __repr__(self):  # pragma: no cover
         return f"_AttrView({self._d})"
@@ -399,7 +408,8 @@ class NodeOutputs:
 def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
     (
         fdef, input_names, scalar_names, state_names, alarm_names,
-        state_inits, start_stmts, body, aliases, multi, outputs, output_type,
+        state_inits, start_stmts, start_has_alarms, body, aliases,
+        multi, outputs, output_type,
     ) = _parse(fn)
 
     rw = _Rewriter(state_names, input_names, aliases, multi, alarm_names)
@@ -415,8 +425,11 @@ def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
         return out
 
     # per-key state factory: the csp.state() inits, un-rewritten (they
-    # run before any state exists), harvested into a dict
-    init_body = list(state_inits) + [
+    # run before any state exists), harvested into a dict; scalar node
+    # args are in scope (s_cart = Cart(user_id=user_id), e5_retail_cart)
+    init_body = [
+        ast.parse(f"{n} = __scalars[{n!r}]").body[0] for n in scalar_names
+    ] + list(state_inits) + [
         ast.parse(
             "return {"
             + ", ".join(f"{n!r}: {n}" for n in state_names)
@@ -462,53 +475,57 @@ def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
             ast.parse(f"{name} = __scalars[{name!r}]").body[0]
         )
 
+    # csp.start() analog: a separate per-key function run by the
+    # runner's synthetic pre-input cycle (noderun on_start) — inputs
+    # are not yet valid there, matching the reference; cycle-relative
+    # schedule_alarm calls anchor at that cycle's `now` (the engine
+    # start time when wired inside csp.run)
     start_rw = _rewrite(start_stmts)
-    start_guard: list[ast.stmt] = []
+    start_fn_body: list[ast.stmt] = []
     if start_rw:
-        guard = ast.parse(
-            "if not __cycle_state.get('__started'):\n"
-            "    __cycle_state['__started'] = True"
-        ).body[0]
-        guard.body.extend(start_rw)
-        ast.fix_missing_locations(guard)
-        start_guard = [guard]
+        start_fn_body = [ast.parse("__cycle_state = __c.state").body[0]]
+        if alarm_names:
+            start_fn_body.append(ast.parse(
+                "__alarm_last = __cycle_state.setdefault('__alarms', {})"
+            ).body[0])
+        for name in scalar_names:
+            start_fn_body.append(
+                ast.parse(f"{name} = __scalars[{name!r}]").body[0]
+            )
+        start_fn_body.extend(start_rw)
 
-    cycle_body = cycle_prelude + start_guard + _rewrite(body)
+    cycle_body = cycle_prelude + _rewrite(body)
     if multi:
         cycle_body.append(ast.parse("return __out").body[0])
 
-    mod = ast.Module(
-        body=[
-            ast.FunctionDef(
-                name="__state_factory",
-                args=ast.arguments(
-                    posonlyargs=[], args=[], kwonlyargs=[],
-                    kw_defaults=[], defaults=[],
-                ),
-                body=init_body or [ast.parse("return {}").body[0]],
-                decorator_list=[],
+    def _fndef(name: str, fn_body: list[ast.stmt], argname: str | None):
+        return ast.FunctionDef(
+            name=name,
+            args=ast.arguments(
+                posonlyargs=[],
+                args=[ast.arg(arg=argname)] if argname else [],
+                kwonlyargs=[], kw_defaults=[], defaults=[],
             ),
-            ast.FunctionDef(
-                name="__node_cycle",
-                args=ast.arguments(
-                    posonlyargs=[],
-                    args=[ast.arg(arg="__c")],
-                    kwonlyargs=[], kw_defaults=[], defaults=[],
-                ),
-                body=cycle_body,
-                decorator_list=[],
-            ),
-        ],
-        type_ignores=[],
-    )
+            body=fn_body or [ast.parse("return {}").body[0]],
+            decorator_list=[],
+        )
+
+    defs = [
+        _fndef("__state_factory", init_body, None),
+        _fndef("__node_cycle", cycle_body, "__c"),
+    ]
+    if start_fn_body:
+        defs.append(_fndef("__node_start", start_fn_body, "__c"))
+    mod = ast.Module(body=defs, type_ignores=[])
     ast.fix_missing_locations(mod)
     ns = dict(fn.__globals__)
     ns["__wrap"] = _wrap
     ns["__scalars"] = dict(scalars)
     exec(compile(mod, f"<csp.node {fn.__name__}>", "exec"), ns)
     return (
-        ns["__node_cycle"], ns["__state_factory"],
-        input_names, scalar_names, multi, outputs, output_type,
+        ns["__node_cycle"], ns["__state_factory"], ns.get("__node_start"),
+        start_has_alarms, input_names, scalar_names,
+        multi, outputs, output_type,
     )
 
 
@@ -527,9 +544,25 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
         if not isinstance(v, TickStream)
     }
     (
-        cycle, mk_state, input_names, scalar_names,
-        multi, outputs, output_type,
+        cycle, mk_state, on_start, start_has_alarms,
+        input_names, scalar_names, multi, outputs, output_type,
     ) = _compile_cycle(fn, scalars)
+
+    # engine start: the enclosing csp.run's starttime, when wiring
+    # happens inside one — anchors csp.start() alarm scheduling
+    engine_start = None
+    try:
+        from ..plans.runtime import engine_start_time
+
+        engine_start = engine_start_time()
+    except Exception:
+        pass
+    if start_has_alarms and engine_start is None:
+        raise NotImplementedError(
+            "csp.schedule_alarm inside csp.start() anchors at engine "
+            "start time — wire this node inside csp.run(..., "
+            "starttime=...) so the runner knows it"
+        )
 
     streams = {}
     for name in input_names:
@@ -545,9 +578,11 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
 
     if multi:
         res = run_node(
-            cycle, streams, state=mk_state, outputs=outputs
+            cycle, streams, state=mk_state, outputs=outputs,
+            on_start=on_start, start=engine_start,
         )
         return NodeOutputs(res)
     return run_node(
-        cycle, streams, state=mk_state, output_type=output_type
+        cycle, streams, state=mk_state, output_type=output_type,
+        on_start=on_start, start=engine_start,
     )

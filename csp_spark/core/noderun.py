@@ -164,7 +164,8 @@ def _state_factory(state):
     return lambda: _copy.deepcopy(proto)
 
 
-def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
+def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
+                  on_start=None, start_ts=None):
     """The per-key cycle engine shared by run_node and
     run_node_with_states: input cycles in (ts, seq) order, alarm heap
     merged in, optional terminal-state row (pickled) appended.
@@ -232,6 +233,17 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state):
         last_vals = {n: None for n in names}
         fired = [0]
 
+        if on_start is not None and n_rows:
+            # csp.start() analog: one synthetic cycle BEFORE any input,
+            # at the engine start time when given (else the key's first
+            # tick) — alarms it schedules enter the heap ahead of
+            # cycle 1, so a start+0 alarm fires before the first input
+            cyc0 = NodeCycle(
+                pd.Timestamp(start_ts) if start_ts is not None else tss[0],
+                -1, st, dict(last_vals), {}, _schedule,
+            )
+            on_start(cyc0)
+
         def _fire_alarms(limit_ts):
             """Fire due alarms strictly before limit_ts (None = all)."""
             while heap and fired[0] < _MAX_ALARM_CYCLES:
@@ -281,6 +293,8 @@ def run_node(
     end: _dt.datetime | None = None,
     outputs: Mapping[str, str] | None = None,
     buckets: int | None = _NODE_BUCKETS,
+    on_start: Callable | None = None,
+    start: _dt.datetime | None = None,
 ) -> "TickStream | dict[str, TickStream]":
     """Run an imperative per-cycle function over every key's engine
     cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
@@ -321,7 +335,10 @@ def run_node(
     else:
         schema = f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}"
 
-    runner = _keyed_runner(fn, names, mk_state, multi, end, emit_state=False)
+    runner = _keyed_runner(
+        fn, names, mk_state, multi, end, emit_state=False,
+        on_start=on_start, start_ts=start,
+    )
     res = _bucketed(wide, buckets).applyInPandas(runner, schema)
     if multi:
         from pyspark.sql import functions as F

@@ -203,6 +203,14 @@ class Struct(metaclass=StructMeta):
                 )
             self._values.pop(name, None)
         else:
+            # reference type normalization: int assigned to a float
+            # field coerces (Item(cost=10) is legal csp; the tick
+            # table's DoubleType would reject the raw int)
+            if (
+                type(self).__metadata__.get(name) is float
+                and type(value) is int
+            ):
+                value = float(value)
             self._values[name] = value
 
     def __getattr__(self, name: str):

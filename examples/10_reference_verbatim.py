@@ -56,14 +56,18 @@ def main() -> None:
     print("== README bid/ask, verbatim ==")
     csp.run(my_graph, starttime=dt.datetime(2020, 1, 1))
 
-    ref = "/root/reference/examples/01_basics/e4_trade_pnl.py"
-    if os.path.exists(ref):
-        print("== e4_trade_pnl.py, executed from the reference checkout ==")
-        ns = {"__name__": "e4_trade_pnl"}
-        exec(compile(open(ref).read(), ref, "exec"), ns)
-        csp.run(ns["my_graph"], starttime=dt.datetime(2020, 1, 1))
-    else:
-        print("(reference checkout not present — skipping e4_trade_pnl)")
+    for ref in (
+        "/root/reference/examples/01_basics/e4_trade_pnl.py",
+        "/root/reference/examples/01_basics/e5_retail_cart.py",
+    ):
+        if os.path.exists(ref):
+            print(f"== {os.path.basename(ref)}, executed from the "
+                  "reference checkout ==")
+            ns = {"__name__": os.path.basename(ref)[:-3]}
+            exec(compile(open(ref).read(), ref, "exec"), ns)
+            csp.run(ns["my_graph"], starttime=dt.datetime(2020, 1, 1))
+        else:
+            print(f"(reference checkout not present — skipping {ref})")
 
 
 if __name__ == "__main__":

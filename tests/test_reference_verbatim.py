@@ -96,6 +96,30 @@ def test_reference_e4_trade_pnl_verbatim(spark, capture_print):
     assert rows == [50, 150, 650]
 
 
+REF_E5 = "/root/reference/examples/01_basics/e5_retail_cart.py"
+
+
+def test_reference_e5_retail_cart_verbatim(spark, capture_print):
+    """examples/01_basics/e5_retail_cart.py: engine-start-anchored
+    csp.start() alarm scheduling (the discount window), passive alarm
+    value reads, nested-struct input mutation
+    (event.item.cost *= discount), scalar args inside csp.state()."""
+    if not os.path.exists(REF_E5):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_E5, spark)
+    csp_spark.run(ns["my_graph"], starttime=START)
+    t = lambda s: START + dt.timedelta(seconds=s)  # noqa: E731
+    # hand-derived: 10% discount alarm fires AT engine start, full
+    # price at +60s; X(10,1)@15 Y(15,2)@30 -Y(1)@45 Z(20,1)@75
+    totals = capture_print["Cart total"].collect_ticks()
+    assert [(ts_, round(v, 6)) for ts_, v in totals] == [
+        (t(0), 0.0), (t(15), 9.0), (t(30), 36.0), (t(45), 22.5),
+        (t(60), 22.5), (t(75), 42.5),
+    ]
+    items = capture_print["Cart number of items"].collect_ticks()
+    assert [v for _, v in items] == [0, 1, 3, 2, 2, 3]
+
+
 def test_translated_node_rewrite_semantics(spark):
     """The translator directly: state across cycles, any-of ticked,
     all-of valid, multi-output csp.output, scalar args."""
