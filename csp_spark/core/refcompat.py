@@ -105,6 +105,34 @@ def curve(*args: Any, **kwargs: Any) -> TickStream:
     )
 
 
+def timer(*args: Any, **kwargs: Any) -> TickStream:
+    """csp.timer — reference form ``timer(interval, value=True)``
+    (start/end from the enclosing csp.run; csp/baselib.py:74) or the
+    explicit csp_spark form ``timer(spark, start, end, interval, ...)``."""
+    if args and isinstance(args[0], SparkSession):
+        return _bl.timer(*args, **kwargs)
+    from ..plans.runtime import engine_end_time, engine_start_time
+
+    interval = args[0] if args else kwargs.pop("interval")
+    value = args[1] if len(args) > 1 else kwargs.pop("value", True)
+    try:
+        start, end = engine_start_time(), engine_end_time()
+    except RuntimeError:
+        start = end = None
+    if start is None or end is None:
+        raise ValueError(
+            "csp.timer(interval) needs a bounded engine run — call it "
+            "inside csp.run(starttime=..., endtime=...)"
+        )
+    vt = kwargs.pop("value_type", None) or (
+        "boolean" if isinstance(value, bool) else _type_ddl(type(value))
+    )
+    return _bl.timer(
+        _ambient_spark(), start, end, interval,
+        value=_coerce(value), value_type=vt, **kwargs,
+    )
+
+
 def print_ticks(a: Any, b: Any = None, **kwargs: Any) -> None:
     """csp.print — reference argument order ``print(tag, x)`` or the
     csp_spark order ``print_ticks(x, tag=...)``."""

@@ -47,6 +47,13 @@ def run(
     """
     from ..core import surface as _surface
 
+    # reference signature: endtime may be a timedelta relative to
+    # starttime (csp/impl/wiring/runtime.py run(..., endtime=delta))
+    if isinstance(endtime, _dt.timedelta):
+        if starttime is None:
+            raise ValueError("endtime as a timedelta needs starttime")
+        endtime = starttime + endtime
+
     mark = len(_on_stop_callbacks)
     _run_info_stack.append(
         {"start": starttime, "end": endtime, "realtime": False}

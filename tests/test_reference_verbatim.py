@@ -218,3 +218,57 @@ def test_translator_rejects_start_scheduled_alarms(spark):
     s = bl.curve(spark, [(START, 1.0)])
     with pytest.raises(NotImplementedError, match="engine start"):
         bad(s)
+
+
+REF_E1 = "/root/reference/examples/01_basics/e1_basic.py"
+REF_E2 = "/root/reference/examples/01_basics/e2_ticking.py"
+REF_E3 = "/root/reference/examples/01_basics/e3_show_graph.py"
+
+
+def test_reference_e1_basic_verbatim(spark, capture_print):
+    """e1_basic.py: unguarded typed node over two const edges."""
+    if not os.path.exists(REF_E1):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_E1, spark)
+    csp_spark.run(ns["my_graph"], starttime=START)
+    assert capture_print["sum"].collect_ticks() == [(START, 3)]
+    assert capture_print["x"].collect_ticks() == [(START, 1)]
+
+
+def test_reference_e2_ticking_verbatim(spark, capture_print):
+    """e2_ticking.py: misaligned int curves through an unguarded add
+    node (executes from the first all-valid cycle) into a csp.state
+    accumulator."""
+    if not os.path.exists(REF_E2):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_E2, spark)
+    csp_spark.run(ns["my_graph"], starttime=START)
+    d = lambda n: START + dt.timedelta(days=n)  # noqa: E731
+    # x: 1@d1 2@d2 3@d3; y: -1@d1 -1@d3 -1@d4 -> sum 0,1,2,2
+    assert capture_print["sum"].collect_ticks() == [
+        (d(1), 0), (d(2), 1), (d(3), 2), (d(4), 2)
+    ]
+    assert capture_print["accum"].collect_ticks() == [
+        (d(1), 0), (d(2), 1), (d(3), 3), (d(4), 5)
+    ]
+
+
+def test_reference_e3_show_graph_verbatim(spark, capture_print):
+    """e3_show_graph.py: ambient csp.timer + csp.count sources, edge
+    arithmetic, endtime given as a timedelta. The translated-node
+    spread (s1) must equal the pure edge-math spread (s2) tick for
+    tick."""
+    if not os.path.exists(REF_E3):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_E3, spark)
+    csp_spark.run(
+        ns["my_graph"], starttime=dt.datetime(2020, 3, 1),
+        endtime=dt.timedelta(seconds=10),
+    )
+    s1 = capture_print["spread"].collect_ticks()
+    s2 = capture_print["spread2"].collect_ticks()
+    assert s1 == s2 and len(s1) > 0
+    # final cycle at +10s: ask = count(10 ticks)*2 = 20, bid = 4*2 = 8
+    assert capture_print["ask"].collect_ticks()[-1][1] == 20.0
+    assert capture_print["bid"].collect_ticks()[-1][1] == 8.0
+    assert s1[-1][1] == 12.0
