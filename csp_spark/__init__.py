@@ -148,7 +148,7 @@ apply = apply_  # noqa: A001
 # (csp.const(1.0), csp.curve(float, [...]), csp.print(tag, x)) so
 # reference examples run verbatim; the explicit spark-first forms
 # keep working unchanged.
-from .core.refcompat import const, curve, timer  # noqa: E402,F811
+from .core.refcompat import const, curve, exprtk, timer  # noqa: E402,F811
 from .core.refcompat import print_ticks as _print_compat  # noqa: E402
 
 print = _print_compat  # noqa: A001

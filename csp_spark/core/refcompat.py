@@ -91,7 +91,10 @@ def curve(*args: Any, **kwargs: Any) -> TickStream:
     data = args[1] if len(args) > 1 else kwargs.pop("data")
     vt = _type_ddl(typ)
     if isinstance(data, list):
-        data = [(t, _coerce(v)) for t, v in data]
+        # reference type normalization: curve(float, [... 3 ...]) is
+        # legal csp — coerce scalars onto the declared element type
+        conv = typ if typ in (float, int, bool, str) else _coerce
+        data = [(t, conv(v)) for t, v in data]
     if "start" not in kwargs:
         from ..plans.runtime import engine_start_time
 
@@ -133,10 +136,33 @@ def timer(*args: Any, **kwargs: Any) -> TickStream:
     )
 
 
+def exprtk(*args: Any, **kwargs: Any) -> TickStream:
+    """csp.exprtk — reference argument order ``exprtk(expression,
+    inputs, state_vars?, trigger=, functions=, constants=,
+    output_ndarray=)`` (csp/baselib.py:625-673), or the DataFrame
+    helper form ``exprtk(aligned_df, expr_str)``."""
+    from pyspark.sql import DataFrame as _SDF
+
+    from ..operators.baselib import exprtk as _df_exprtk
+    from ..operators.exprtk import exprtk_ts
+
+    if args and isinstance(args[0], _SDF):
+        return _df_exprtk(*args, **kwargs)
+    expression = args[0] if args else kwargs.pop("expression_str")
+    inputs = args[1] if len(args) > 1 else kwargs.pop("inputs")
+    state_vars = args[2] if len(args) > 2 else kwargs.pop("state_vars", None)
+    return exprtk_ts(inputs, expression, state_vars=state_vars, **kwargs)
+
+
 def print_ticks(a: Any, b: Any = None, **kwargs: Any) -> None:
     """csp.print — reference argument order ``print(tag, x)`` or the
-    csp_spark order ``print_ticks(x, tag=...)``."""
+    csp_spark order ``print_ticks(x, tag=...)``. A dict of streams
+    (list/dict basket) prints each member under ``tag[key]``."""
     if isinstance(a, str) and b is not None:
+        if isinstance(b, dict):
+            for k, v in b.items():
+                _print_ticks(v, tag=f"{a}[{k}]", **kwargs)
+            return None
         return _print_ticks(b, tag=a, **kwargs)
     if b is not None:
         return _print_ticks(a, tag=b, **kwargs)

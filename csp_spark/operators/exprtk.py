@@ -134,6 +134,65 @@ def _vector_return(stmt: str) -> list[str] | None:
     return _split_top_commas(m.group(1))
 
 
+_CTRL = re.compile(
+    r"^\s*(?:(?P<if>if)\s*\((?P<cond>.*?)\)|(?P<elif>else\s+if)\s*"
+    r"\((?P<cond2>.*?)\)|(?P<else>else))\s*(?P<rest>.*)$",
+    re.S,
+)
+_ASSIGN = re.compile(r"^([A-Za-z_]\w*)\s*(?::=|=(?!=))\s*(.+)$", re.S)
+
+
+def _compile_program(stmts: "list[str]"):
+    """Lower the exprtk statement list to ONE compiled Python program.
+
+    Supported grammar (the reference exprtk subset its examples use):
+    ';'-separated statements, ``X := expr`` state assignment (plain
+    ``=`` accepted), ``if (c) stmt; else if (c) stmt; else stmt;``
+    chains, ``csp.now()`` (engine time as epoch seconds). The
+    program's result ``__r`` is the value of the LAST EXECUTED
+    statement — exprtk's expression-value semantics; assigned names
+    are harvested for state persistence. Returns (code, assigned)."""
+    import ast as _ast
+
+    lines: list[str] = []
+
+    def emit(stmt: str, indent: str) -> None:
+        stmt = stmt.strip()
+        if not stmt:
+            return
+        m = _ASSIGN.match(stmt)
+        if m:
+            lines.append(f"{indent}{m.group(1)} = {m.group(2)}")
+            lines.append(f"{indent}__r = {m.group(1)}")
+        else:
+            lines.append(f"{indent}__r = ({stmt})")
+
+    for raw in stmts:
+        s = raw.replace("csp.now()", "__now").strip()
+        m = _CTRL.match(s)
+        if m and m.group("if"):
+            lines.append(f"if ({m.group('cond')}):")
+            emit(m.group("rest"), "    ")
+        elif m and m.group("elif"):
+            lines.append(f"elif ({m.group('cond2')}):")
+            emit(m.group("rest"), "    ")
+        elif m and m.group("else"):
+            lines.append("else:")
+            emit(m.group("rest"), "    ")
+        else:
+            emit(s, "")
+    src = "\n".join(lines) or "__r = None"
+    tree = _ast.parse(src)
+    assigned = sorted({
+        t.id
+        for n in _ast.walk(tree)
+        if isinstance(n, _ast.Assign)
+        for t in n.targets
+        if isinstance(t, _ast.Name) and t.id != "__r"
+    })
+    return compile(tree, "<exprtk>", "exec"), assigned
+
+
 def exprtk_ts(
     inputs: Mapping[str, TickStream],
     expression_str: str,
@@ -199,13 +258,7 @@ def exprtk_ts(
                 "with 'return [e1, e2, ...]'"
             )
         stmts[-1] = "[" + ", ".join(vec_comps) + "]"
-    compiled = []
-    for s in stmts:
-        m = re.match(r"^([A-Za-z_]\w*)\s*(?::=|=(?!=))\s*(.+)$", s)
-        if m:
-            compiled.append((m.group(1), compile(m.group(2), "<exprtk>", "eval")))
-        else:
-            compiled.append((None, compile(s, "<exprtk>", "eval")))
+    code, assigned = _compile_program(stmts)
     in_names = list(inputs)
     sv0 = dict(state_vars)
 
@@ -231,13 +284,12 @@ def exprtk_ts(
                 env.update(sv)
                 for n in in_names:
                     env[n] = getattr(row, n)
-                result = None
-                for target, code in compiled:
-                    val = eval(code, {"__builtins__": {}}, env)  # noqa: S307
-                    if target is not None:
-                        sv[target] = val
-                        env[target] = val
-                    result = val
+                env["__now"] = getattr(row, TS).timestamp()
+                exec(code, {"__builtins__": {}}, env)  # noqa: S102
+                result = env.get("__r")
+                for t in assigned:
+                    if t in env:
+                        sv[t] = env[t]
                 out_vals.append(
                     [float(v) for v in result]
                     if output_ndarray

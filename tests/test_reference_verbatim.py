@@ -272,3 +272,37 @@ def test_reference_e3_show_graph_verbatim(spark, capture_print):
     assert capture_print["ask"].collect_ticks()[-1][1] == 20.0
     assert capture_print["bid"].collect_ticks()[-1][1] == 8.0
     assert s1[-1][1] == 12.0
+
+
+REF_E4X = "/root/reference/examples/02_intermediate/e4_exprtk.py"
+
+
+def test_reference_e4_exprtk_verbatim(spark, capture_print):
+    """02_intermediate/e4_exprtk.py: the exprtk DSL with if/else-if
+    chains, := state vars, csp.now(), triggers, inline functions and
+    ndarray returns — all four graphs, hand-derived values."""
+    if not os.path.exists(REF_E4X):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_E4X, spark)
+    st = dt.datetime(2022, 1, 1)
+
+    csp_spark.run(ns["g"], starttime=st, endtime=dt.timedelta(seconds=10))
+    got = capture_print["expr_ts_val"].collect_ticks()
+    # FOO:=1000; ADD adds x+y, MULT adds x*y, TIME yields csp.now()
+    vals = [round(v, 6) for _, v in got]
+    assert vals[1:6] == [1001.0, 1004.0, 1007.0, 1013.0, 1020.0]
+    assert vals[7:] == [1030.0, 1042.0, 1078.0]
+    epoch = st.timestamp()
+    assert vals[0] == epoch and abs(vals[6] - (epoch + 6e-6)) < 1e-9
+
+    csp_spark.run(ns["g2"], starttime=st, endtime=dt.timedelta(seconds=10))
+    assert [v for _, v in capture_print["expr_ts_val"].collect_ticks()] == \
+        [4.0, 10.0]
+
+    csp_spark.run(ns["g3"], starttime=st, endtime=dt.timedelta(seconds=10))
+    got3 = [round(v, 6) for _, v in capture_print["expr_w_fn"].collect_ticks()]
+    assert got3 == [round(i / 5, 6) for i in range(10)]
+
+    csp_spark.run(ns["g4"], starttime=st, endtime=dt.timedelta(seconds=10))
+    got4 = [list(v) for _, v in capture_print["expr_array_out"].collect_ticks()]
+    assert got4 == [[float(i), 2.0 * i, 3.0 * i] for i in range(10)]
