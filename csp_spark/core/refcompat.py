@@ -34,10 +34,18 @@ _DDL = {
 
 
 def _type_ddl(typ: Any) -> str:
+    import numpy as _np
+
+    from ..typing import NumpyNDArray
+
     if isinstance(typ, str):
         return typ
     if isinstance(typ, type) and issubclass(typ, Struct):
         return typ.spark_type().simpleString()
+    if isinstance(typ, type) and issubclass(typ, (_np.ndarray, NumpyNDArray)):
+        # ndarray edges ride as array<double> (SURVEY §1.3: Spark
+        # parallelizes over keys what csp vectorizes over arrays)
+        return "array<double>"
     try:
         return _DDL[typ]
     except KeyError:
@@ -45,7 +53,13 @@ def _type_ddl(typ: Any) -> str:
 
 
 def _coerce(v: Any) -> Any:
-    return v.to_dict() if isinstance(v, Struct) else v
+    import numpy as _np
+
+    if isinstance(v, Struct):
+        return v.to_dict()
+    if isinstance(v, _np.ndarray):
+        return [float(e) for e in v]
+    return v
 
 
 def _ambient_spark() -> SparkSession:
@@ -87,7 +101,7 @@ def curve(*args: Any, **kwargs: Any) -> TickStream:
     or the explicit csp_spark form ``curve(spark, data, value_type)``."""
     if args and isinstance(args[0], SparkSession):
         return _bl.curve(*args, **kwargs)
-    typ = args[0]
+    typ = args[0] if args else kwargs.pop("typ")
     data = args[1] if len(args) > 1 else kwargs.pop("data")
     vt = _type_ddl(typ)
     if isinstance(data, list):

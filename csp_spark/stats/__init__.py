@@ -1,12 +1,16 @@
 from .rolling import Rolling, RollingPair
-from .ema import ema, ema_var, ema_std, ema_cov
-from .matrix import cov_matrix, corr_matrix, rolling_cov_matrix
+from .ema import ema_var, ema_std, ema_cov
+from .matrix import rolling_cov_matrix
 from .resample import ohlc_bars
 
 # functional csp.stats surface (reference csp/stats.py names) — thin
-# adapters over Rolling/RollingPair so reference code is source-portable
+# adapters over Rolling/RollingPair so reference code is source-portable;
+# ema and the matrix forms come from HERE (the gated wrappers with
+# trigger/reset/min_data_points/interval + np-array-edge support over
+# the ema.py / matrix.py kernels)
 from .functions import (  # noqa: F401
-    argmax, argmin, corr, count, cov, cross_sectional, first, gmean,
+    argmax, argmin, corr, corr_matrix, count, cov, cov_matrix,
+    cross_sectional, ema, first, gmean,
     kurt, last, list_to_numpy, max, mean, median, min, min_max,
     numpy_to_list, prod, quantile, rank, sem, skew, stddev, sum, unique,
     var,

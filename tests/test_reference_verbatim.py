@@ -306,3 +306,76 @@ def test_reference_e4_exprtk_verbatim(spark, capture_print):
     csp_spark.run(ns["g4"], starttime=st, endtime=dt.timedelta(seconds=10))
     got4 = [list(v) for _, v in capture_print["expr_array_out"].collect_ticks()]
     assert got4 == [[float(i), 2.0 * i, 3.0 * i] for i in range(10)]
+
+
+REF_E2S = "/root/reference/examples/02_intermediate/e2_stats.py"
+REF_E3N = "/root/reference/examples/02_intermediate/e3_numpy_stats.py"
+
+
+def test_reference_e2_stats_verbatim(spark):
+    """02_intermediate/e2_stats.py: the functional csp.stats surface
+    with reference gating — weighted rolling VWAP with trigger/reset/
+    min_window, halflife EMA with trigger/reset/min_data_points,
+    expanding sum. All three tick on EVERY trigger (NaN / empty-sum-0
+    before warm-up), reset opens a fresh epoch at 5 minutes."""
+    if not os.path.exists(REF_E2S):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_E2S, spark)
+    st = dt.datetime(2020, 1, 1)
+    res = csp_spark.run(
+        ns["stats_graph"], starttime=st, endtime=st + dt.timedelta(minutes=10)
+    )
+    import math
+
+    def vals(k):
+        return [
+            None if (isinstance(v, float) and math.isnan(v)) else round(v, 4)
+            for _, v in res[k]
+        ]
+
+    assert len(res["vwap"]) == 10  # one row per minute trigger
+    # hand-derived: NaN@1:00 (no data), 12.653@2:00, Σpw/Σw@3:00,
+    # post-reset epoch at 6:00 = (18.543*185+17.564*205)/390
+    assert vals("vwap")[:3] == [None, 12.653, 13.4858]
+    assert vals("vwap")[5] == 18.0284
+    # EMA: min_data_points=2 → NaN through 2:00; halflife weights at
+    # 3:00: (12.653*2^(-1/2)+14.21)/(2^(-1/2)+1); fresh epoch at 6:00
+    assert vals("ewm_price")[:3] == [None, None, 13.5651]
+    assert vals("ewm_price")[5] == 18.0365
+    # expanding sum never resets; empty window after min_window = 0.0
+    assert vals("total_vol") == [
+        0.0, 100.0, 215.0, 300.0, 485.0, 875.0, 945.0, 945.0, 1010.0, 1010.0
+    ]
+
+
+def test_reference_e3_numpy_stats_verbatim(spark):
+    """02_intermediate/e3_numpy_stats.py: np-array edges through the
+    elementwise stats adapter (mean/gmean/adjusted ema) and the
+    array-edge rolling correlation matrix with trigger/min_window."""
+    if not os.path.exists(REF_E3N):
+        pytest.skip("reference checkout not present")
+    import math
+
+    ns = _exec_file(REF_E3N, spark)
+    st = dt.datetime(2020, 1, 1)
+    res = csp_spark.run(
+        ns["numpy_stats_graph"], starttime=st,
+        endtime=st + dt.timedelta(minutes=10),
+    )
+    assert all(len(res[k]) == 10 for k in res)
+    # hand-derived anchors at the 3:00 trigger (3 obs per symbol)
+    m3 = res["avg_price"][2][1]
+    assert [round(v, 4) for v in m3] == [8.68, 315.57, 23.51]
+    g3 = res["geom_avg_price"][2][1]
+    assert round(g3[0], 6) == round((8.65 * 8.67 * 8.72) ** (1 / 3), 6)
+    e3 = res["ewm_price"][2][1]
+    want = (8.65 * 0.81 + 8.67 * 0.9 + 8.72) / 2.71  # adjust=True, a=0.1
+    assert abs(e3[0] - want) < 1e-9
+    # correlation matrix: NaN-gated until min_window (3 min), then
+    # symmetric with a unit diagonal
+    c1 = res["corr_matrix"][0][1]
+    assert all(math.isnan(v) for row in c1 for v in row)
+    c3 = res["corr_matrix"][2][1]
+    assert all(abs(c3[i][i] - 1.0) < 1e-12 for i in range(3))
+    assert c3[0][1] == c3[1][0] and 0.9 < c3[0][1] < 1.0
+    assert c3[0][2] == c3[2][0] and c3[0][2] < -0.9
