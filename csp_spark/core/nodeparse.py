@@ -548,13 +548,16 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
         input_names, scalar_names, multi, outputs, output_type,
     ) = _compile_cycle(fn, scalars)
 
-    # engine start: the enclosing csp.run's starttime, when wiring
-    # happens inside one — anchors csp.start() alarm scheduling
-    engine_start = None
+    # engine start/end: the enclosing csp.run's bounds, when wiring
+    # happens inside one — start anchors csp.start() alarm scheduling,
+    # end bounds trailing alarms (a self-rescheduling node otherwise
+    # runs to the safety cap, like an unbounded reference run)
+    engine_start = engine_end = None
     try:
-        from ..plans.runtime import engine_start_time
+        from ..plans.runtime import engine_end_time, engine_start_time
 
         engine_start = engine_start_time()
+        engine_end = engine_end_time()
     except Exception:
         pass
     if start_has_alarms and engine_start is None:
@@ -579,10 +582,10 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
     if multi:
         res = run_node(
             cycle, streams, state=mk_state, outputs=outputs,
-            on_start=on_start, start=engine_start,
+            on_start=on_start, start=engine_start, end=engine_end,
         )
         return NodeOutputs(res)
     return run_node(
         cycle, streams, state=mk_state, output_type=output_type,
-        on_start=on_start, start=engine_start,
+        on_start=on_start, start=engine_start, end=engine_end,
     )
