@@ -213,6 +213,7 @@ from . import random  # noqa: E402,F401,A004  (csp.random)
 from . import adapters  # noqa: E402,F401  (csp.adapters)
 from . import dedup, text, similarity, multimodal, pipeline  # noqa: E402,F401
 from . import utils  # noqa: E402,F401  (csp.utils dev tooling)
+from .alias import enable_reference_alias  # noqa: E402,F401  (import csp → here)
 from .pandas_ext import TsArray, TsDtype  # noqa: E402  (registers .csp/.to_csp accessors)
 
 __version__ = "0.2.0"

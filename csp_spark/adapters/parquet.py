@@ -58,13 +58,25 @@ class ParquetReader:
     def __init__(
         self,
         spark,
-        filename_or_list: str | Sequence[str],
-        time_column: str,
+        filename_or_list: str | Sequence[str] | None = None,
+        time_column: str | None = None,
         symbol_column: str | None = None,
         start_time: _dt.datetime | None = None,
         end_time: _dt.datetime | None = None,
         time_shift: _dt.timedelta | None = None,
     ):
+        from pyspark.sql import SparkSession
+
+        if not isinstance(spark, SparkSession):
+            # reference calling convention: ParquetReader(files,
+            # time_column=...) with no session argument — resolve the
+            # ambient one (csp/adapters/parquet.py:109)
+            if filename_or_list is not None and time_column is None:
+                time_column = filename_or_list
+            filename_or_list = spark
+            from ..core.session import get_spark
+
+            spark = get_spark()
         self.spark = spark
         self.paths = (
             [filename_or_list]
@@ -112,12 +124,16 @@ class ParquetReader:
             key_col=self.symbol_column,
         )
 
-    def subscribe_all(self, columns: Sequence[str], symbol: str | None = None):
+    def subscribe_all(self, columns, symbol: str | None = None):
         """Struct subscription (reference subscribe_all:294): the named
-        columns as one struct-valued stream."""
+        columns — or a csp.Struct TYPE, whose fields name them — as one
+        struct-valued stream."""
+        from ..core.record import Struct
         from ..core.ticks import TickStream
         from pyspark.sql import functions as F
 
+        if isinstance(columns, type) and issubclass(columns, Struct):
+            columns = list(columns.__metadata__)
         df = self._table()
         if symbol is not None and self.symbol_column is not None:
             df = df.filter(F.col(self.symbol_column) == symbol)
@@ -162,6 +178,8 @@ class ParquetWriter:
         self.path = file_name
         self.ts_col = timestamp_column_name
         self.config = (config or ParquetOutputConfig()).resolve_compression()
+        self._pending: list = []
+        self._armed = False
 
     def _options(self) -> dict:
         """config → parquet writer options (the reference's
@@ -175,6 +193,15 @@ class ParquetWriter:
         return opts
 
     def publish(self, x, field_map: dict[str, str] | None = None) -> Any:
+        # reference named-column form (output_adapters/parquet.py
+        # publish(column_name, ts)): successive publishes accumulate
+        # COLUMNS of one file — buffered and written as a single
+        # outer-joined frame when the enclosing csp.run finishes (its
+        # stop hook), or on flush() outside a run
+        if isinstance(x, str) and field_map is not None:
+            self._pending.append((x, field_map))
+            self._arm_flush()
+            return None
         mode = "overwrite" if self.config.allow_overwrite else "error"
         if self.config.write_arrow_binary:
             from ..sinks.publish import _df
@@ -189,10 +216,66 @@ class ParquetWriter:
         )
         return None
 
-    def publish_struct(self, x, field_map: dict[str, str] | None = None) -> None:
+    def _arm_flush(self) -> None:
+        if getattr(self, "_armed", False):
+            return
+        self._armed = True
+        try:
+            from ..plans.runtime import _run_info_stack, schedule_on_engine_stop
+
+            if _run_info_stack:
+                schedule_on_engine_stop(self.flush)
+                return
+        except Exception:
+            pass
+        # outside a run there is no engine stop — write immediately
+        self.flush()
+
+    def flush(self) -> None:
+        """Write the accumulated named columns: one row per engine
+        cycle where ANY published stream ticked, each column holding
+        its stream's tick value on that cycle (null elsewhere) — the
+        reference writer's row shape."""
+        self._armed = False
+        pending, self._pending = list(getattr(self, "_pending", [])), []
+        if not pending:
+            return
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from ..core.ticks import SEQ, TS
+
+        frames = []
+        for name, stream in pending:
+            frames.append(
+                stream.df.select(
+                    TS, SEQ, F.col(stream.value_col).alias(name)
+                )
+            )
+        out = reduce(
+            lambda a, b: a.join(b, [TS, SEQ], "full_outer"), frames
+        )
         mode = "overwrite" if self.config.allow_overwrite else "error"
+        (
+            out.orderBy(TS, SEQ)
+            .withColumnRenamed(TS, self.ts_col)
+            .drop(SEQ)
+            .coalesce(1)
+            .write.mode(mode)
+            .options(**self._options())
+            .parquet(self.path)
+        )
+
+    def publish_struct(self, x, field_map: dict[str, str] | None = None) -> None:
+        from ..core.ticks import TS
+
+        mode = "overwrite" if self.config.allow_overwrite else "error"
+        fm = dict(field_map or {})
+        if self.ts_col != TS:
+            fm.setdefault(TS, self.ts_col)  # timestamp_column_name
         publish_struct(
-            x, self.path, mode=mode, partition_by_date=False, field_map=field_map
+            x, self.path, mode=mode, partition_by_date=False, field_map=fm
         )
 
 

@@ -5,10 +5,13 @@ reference's node grammar — ``with csp.state():`` blocks,
 ``csp.ticked/valid/output`` — onto the imperative node runner, and the
 compat layer (core/refcompat.py) accepts the reference's
 engine-ambient signatures (csp.const(1.0), csp.curve(float, [...]),
-csp.print(tag, x)). Aliasing the module name is the ONLY bridge:
+csp.print(tag, x)). One call is the ONLY bridge:
 
     import csp_spark
-    sys.modules["csp"] = csp_spark
+    csp_spark.enable_reference_alias()   # import csp -> csp_spark
+
+(an import hook, so csp.* SUBMODULE imports — csp.adapters.parquet,
+csp.utils.datetime — resolve to the same class objects too)
 
 After that, reference source runs as-is — this example executes the
 reference README's bid/ask program (inline below, verbatim) and, when
@@ -25,7 +28,7 @@ sys.path.insert(0, ".")
 
 import csp_spark
 
-sys.modules.setdefault("csp", csp_spark)
+csp_spark.enable_reference_alias()
 
 import csp  # noqa: E402  (the alias — reference imports now resolve)
 from csp import ts  # noqa: E402

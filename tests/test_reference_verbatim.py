@@ -2,12 +2,12 @@
 
 The @csp.node AST translator (core/nodeparse.py) + reference-signature
 compat (core/refcompat.py) let reference-style source run as-is:
-``sys.modules['csp'] = csp_spark`` is the only bridge. The two
-programs exercised here are the reference's own README bid/ask example
-and examples/01_basics/e4_trade_pnl.py, executed from the reference
-checkout when present (never copied into this repo); a verbatim
-REWRITE of the same source patterns keeps the coverage when the
-checkout is absent.
+``sys.modules['csp'] = csp_spark`` is the only bridge. Ten reference
+programs are exercised: the README bid/ask example, all of
+examples/01_basics, 02_intermediate's stats / numpy-stats / exprtk,
+and the parquet adapter example — executed from the reference checkout
+when present (never copied into this repo), asserted against
+hand-derived expected values.
 
 Expected values are hand-derived from the reference semantics (see
 asserts), not from running the reference.
@@ -24,7 +24,10 @@ sys.path.insert(0, ".")
 
 import csp_spark
 
-sys.modules.setdefault("csp", csp_spark)
+# full alias (incl. submodule imports like csp.adapters.parquet —
+# a bare sys.modules assignment would re-execute those under the
+# alias and duplicate classes)
+csp_spark.enable_reference_alias()
 
 REF_E4 = "/root/reference/examples/01_basics/e4_trade_pnl.py"
 REF_README = "/root/reference/README.md"
@@ -379,3 +382,32 @@ def test_reference_e3_numpy_stats_verbatim(spark):
     assert all(abs(c3[i][i] - 1.0) < 1e-12 for i in range(3))
     assert c3[0][1] == c3[1][0] and 0.9 < c3[0][1] < 1.0
     assert c3[0][2] == c3[2][0] and c3[0][2] < -0.9
+
+
+REF_PQ = ("/root/reference/examples/03_using_adapters/parquet/"
+          "e1_parquet_write_read.py")
+
+
+def test_reference_parquet_example_verbatim(spark, capture_print, tmp_path):
+    """03_using_adapters/parquet/e1_parquet_write_read.py: struct
+    publish + named-column publish (columns accumulate into ONE file,
+    flushed at run end), reference reader signatures
+    (ParquetReader(file, time_column=...), subscribe_all(StructType)),
+    timestamp_column_name round-trip."""
+    if not os.path.exists(REF_PQ):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_PQ, spark)
+    st = dt.datetime(2020, 1, 1)
+    sf, se = str(tmp_path / "struct.pq"), str(tmp_path / "series.pq")
+    csp_spark.run(ns["my_graph"], sf, se, starttime=st,
+                  endtime=st + dt.timedelta(seconds=10))
+    csp_spark.run(ns["read_graph"], sf, se, starttime=st,
+                  endtime=st + dt.timedelta(seconds=10))
+    s_all = capture_print["struct_all"].collect_ticks()
+    assert [(t.second, v["int_val"], v["float_val"]) for t, v in s_all] == [
+        (1, 1, 1.0), (2, 2, 2.0), (3, 3, 3.0)
+    ]
+    ser = capture_print["series_all"].collect_ticks()
+    assert [(t.second, v["int_val"], v["float_val"]) for t, v in ser] == [
+        (0, 0, 0.0), (1, 5, 0.1), (2, 10, 0.2)
+    ]
