@@ -60,6 +60,13 @@ QUERIES = [
     # window carry)
     "op_node_cumsum",
     "basket_sync_trigger",
+    # r5 additions: translated reference node (same bucketed runner,
+    # must stay ~linear in cycles), ts-of-frames materialization
+    # (output is |trigger| x window by semantics — ratio tracks that
+    # product, not a cliff), adjust-EMA window recursion
+    "op_node_ast",
+    "frame_pandas_ts",
+    "stats_ema_adjust",
 ]
 
 
