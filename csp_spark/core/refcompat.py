@@ -103,6 +103,10 @@ def curve(*args: Any, **kwargs: Any) -> TickStream:
         return _bl.curve(*args, **kwargs)
     typ = args[0] if args else kwargs.pop("typ")
     data = args[1] if len(args) > 1 else kwargs.pop("data")
+    if typ is object:
+        # object edges (reference ts[object]): let Spark infer the
+        # value type from the data (dicts → map, lists → array, ...)
+        return _curve_infer(data, kwargs)
     vt = _type_ddl(typ)
     if isinstance(data, list):
         # reference type normalization: curve(float, [... 3 ...]) is
@@ -166,6 +170,37 @@ def exprtk(*args: Any, **kwargs: Any) -> TickStream:
     inputs = args[1] if len(args) > 1 else kwargs.pop("inputs")
     state_vars = args[2] if len(args) > 2 else kwargs.pop("state_vars", None)
     return exprtk_ts(inputs, expression, state_vars=state_vars, **kwargs)
+
+
+def _curve_infer(data, kwargs) -> TickStream:
+    """curve(typ=object): schema inferred by Spark from the values."""
+    import datetime as _dtm
+
+    from ..core.ticks import GLOBAL_KEY, TickStream
+
+    start = kwargs.pop("start", None)
+    if start is None:
+        from ..plans.runtime import engine_start_time
+
+        try:
+            start = engine_start_time()
+        except RuntimeError:
+            start = None
+    rows = []
+    for i, (t, v) in enumerate(list(data)):
+        if isinstance(t, _dt.timedelta):
+            if start is None:
+                raise ValueError(
+                    "timedelta-based curve data needs an engine start"
+                )
+            t = start + t
+        rows.append((kwargs.get("key", GLOBAL_KEY), t, i, _coerce(v)))
+    spark = _ambient_spark()
+    df = spark.createDataFrame(rows, ["key", "ts", "seq", "value"])
+    df = df.withColumn("ts", df["ts"].cast("timestamp")).withColumn(
+        "seq", df["seq"].cast("long")
+    )
+    return TickStream(df)
 
 
 def print_ticks(a: Any, b: Any = None, **kwargs: Any) -> None:

@@ -1,0 +1,7 @@
+"""csp.impl.wiring parity (csp/impl/wiring/__init__.py): the adapter
+factory builders under their reference import path."""
+
+from ..sinks.publish import py_output_adapter_def  # noqa: F401
+from ..sources.other import py_pull_adapter_def  # noqa: F401
+
+__all__ = ["py_pull_adapter_def", "py_output_adapter_def"]

@@ -35,6 +35,7 @@ def run(
     starttime: _dt.datetime | None = None,
     endtime: _dt.datetime | None = None,
     output_numpy: bool = False,
+    realtime: bool = False,
     **kwargs: Any,
 ) -> dict[str, list[tuple]]:
     """Execute a graph function over [starttime, endtime].
@@ -54,9 +55,15 @@ def run(
             raise ValueError("endtime as a timedelta needs starttime")
         endtime = starttime + endtime
 
+    # realtime=True (reference runtime.py): wall-clock pacing with live
+    # adapters. For BOUNDED batch-source graphs the tick output is
+    # identical modulo pacing, so run() evaluates them in simulated
+    # time and only reports in_realtime()=True; live ingestion is the
+    # streaming surface's job (csp_spark.streaming run_node_stream /
+    # PushAdapter), not this batch evaluator's.
     mark = len(_on_stop_callbacks)
     _run_info_stack.append(
-        {"start": starttime, "end": endtime, "realtime": False}
+        {"start": starttime, "end": endtime, "realtime": bool(realtime)}
     )
     try:
         # build under an output context so csp.add_graph_output side

@@ -270,12 +270,21 @@ def to_output_adapter(
 
 
 def py_output_adapter_def(name: str, adapterimpl: type, **defaults):
-    """Factory convention mirroring the reference: returns a callable
-    ``Out(x, **impl_kwargs)`` that constructs the impl and delivers the
-    stream through it."""
+    """Factory convention mirroring the reference
+    (csp/impl/wiring/adapters.py:351): returns a callable
+    ``Out(x, **impl_kwargs)``. Kwargs whose values are TYPES (incl.
+    ts[...] markers) are the reference's PARAMETER DECLARATIONS —
+    dropped from the impl kwargs; ts-annotated names take the stream
+    argument. Non-type kwargs are default values."""
+    from ..core.surface import ts as _ts_marker
+
+    value_defaults = {
+        k: v for k, v in defaults.items()
+        if not isinstance(v, type) and v is not _ts_marker
+    }
 
     def factory(x, key: str | None = None, **kwargs) -> int:
-        merged = dict(defaults)
+        merged = dict(value_defaults)
         merged.update(kwargs)
         return to_output_adapter(x, adapterimpl(**merged), key=key)
 

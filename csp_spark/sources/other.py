@@ -291,20 +291,55 @@ def from_pull_adapter(
 
 
 def py_pull_adapter_def(name: str, adapterimpl: type, out_type=None, **defaults):
-    """Reference py_pull_adapter_def calling convention: returns a
-    factory — ``MyAdapter = py_pull_adapter_def('MyAdapter', Impl)``,
-    then ``MyAdapter(spark, start=..., **impl_kwargs)`` builds the
-    stream. ``out_type`` maps to the tick value schema (e.g. "double",
-    "string"); constructor kwargs pass through to the impl."""
+    """Reference py_pull_adapter_def calling convention
+    (csp/impl/wiring/adapters.py): returns a factory. Two accepted
+    declaration styles:
 
-    def factory(
-        spark,
-        start=None,
-        end=None,
-        key: str = "",
-        **kwargs,
-    ) -> TickStream:
-        merged = dict(defaults)
+    - explicit: ``py_pull_adapter_def('A', Impl, "double",
+      interval=timedelta(1))`` — kwargs are default VALUES, the
+      factory is called ``A(spark, start=..., **impl_kwargs)``;
+    - REFERENCE: ``py_pull_adapter_def('A', Impl, ts[int],
+      interval=timedelta, num_ticks=int)`` — kwargs whose values are
+      TYPES declare the impl's parameters (and their order for
+      positional calls), out_type is a ts[...] marker, and the factory
+      is called like the reference — ``A(timedelta(seconds=1.5),
+      num_ticks=10)`` — with spark/start/end resolved from the ambient
+      session and csp.run bounds.
+    """
+    declared = [k for k, v in defaults.items() if isinstance(v, type)]
+    value_defaults = {
+        k: v for k, v in defaults.items() if not isinstance(v, type)
+    }
+    if out_type is not None and not isinstance(out_type, str):
+        from ..core.nodeparse import _elem_type
+
+        out_type = _elem_type(out_type)
+
+    def factory(*args, **kwargs) -> TickStream:
+        from pyspark.sql import SparkSession
+
+        args = list(args)
+        if args and isinstance(args[0], SparkSession):
+            spark = args.pop(0)
+        else:
+            from ..core.session import get_spark
+
+            spark = get_spark()
+        start = kwargs.pop("start", None)
+        end = kwargs.pop("end", None)
+        if start is None or end is None:
+            try:
+                from ..plans.runtime import engine_end_time, engine_start_time
+
+                start = start or engine_start_time()
+                end = end or engine_end_time()
+            except Exception:
+                pass
+        key = kwargs.pop("key", "")
+        merged = dict(value_defaults)
+        # positional impl args map onto the declared parameter order
+        for pname, val in zip(declared, args):
+            merged[pname] = val
         merged.update(kwargs)
         return from_pull_adapter(
             spark,

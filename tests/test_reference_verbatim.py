@@ -411,3 +411,41 @@ def test_reference_parquet_example_verbatim(spark, capture_print, tmp_path):
     assert [(t.second, v["int_val"], v["float_val"]) for t, v in ser] == [
         (0, 0, 0.0), (1, 5, 0.1), (2, 10, 0.2)
     ]
+
+
+REF_PULL = "/root/reference/examples/04_writing_adapters/e2_pullinput.py"
+REF_OUT = "/root/reference/examples/04_writing_adapters/e6_outputadapter.py"
+
+
+def test_reference_pull_adapter_verbatim(spark, capture_print):
+    """04_writing_adapters/e2_pullinput.py: PullInputAdapter authored
+    under the reference's csp.impl module paths, wired through the
+    type-declaration py_pull_adapter_def form with ambient session and
+    run bounds."""
+    if not os.path.exists(REF_PULL):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_PULL, spark)
+    csp_spark.run(ns["my_graph"], starttime=dt.datetime(2020, 12, 28))
+    got = capture_print["data"].collect_ticks()
+    st = dt.datetime(2020, 12, 28)
+    assert got == [
+        (st + i * dt.timedelta(seconds=1.5), i + 1) for i in range(10)
+    ]
+
+
+def test_reference_output_adapter_verbatim(spark, capture_print):
+    """04_writing_adapters/e6_outputadapter.py: OutputAdapter with
+    start/stop lifecycle, a ts['T'] declaration kwarg, an object-typed
+    dict curve, and a realtime=True bounded run."""
+    if not os.path.exists(REF_OUT):
+        pytest.skip("reference checkout not present")
+    import json
+
+    ns = _exec_file(REF_OUT, spark)
+    csp_spark.run(
+        ns["my_graph"], starttime=START,
+        endtime=dt.timedelta(seconds=2), realtime=True,
+    )
+    buf = ns["output_buffer"]
+    assert len(buf) == 1
+    assert json.loads(buf[0]) == [{"a": 1, "b": 2, "c": 3}] * 3
