@@ -1,0 +1,202 @@
+"""csp.impl.adaptermanager parity (reference csp/impl/adaptermanager.py
++ wiring/adapters.py py_managed_adapter_def): ONE manager owns a shared
+input resource and feeds many subscribed time series.
+
+The reference engine builds the manager impl at engine-build time and
+drives ``process_next_sim_timeslice(now)`` from starttime until it
+returns None (or the run ends), with each adapter's ``push_tick``
+landing on the current timeslice. The batch analog here runs that
+exact loop ON THE DRIVER the first time any subscribed stream is
+materialized: one pass over the simulated source fills every
+subscription's buffer, then each becomes a TickStream shaped by its
+PushMode (LAST_VALUE conflates per timestamp, NON_COLLAPSING unrolls
+into successive engine cycles, BURST ticks the per-timestamp list).
+Reference manager/adapter impl classes run unmodified
+(tests/test_reference_verbatim.py e3_adaptermanager_pullinput).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+__all__ = [
+    "AdapterManagerImpl", "ManagedSimInputAdapter", "py_managed_adapter_def",
+]
+
+
+class _SimEngine:
+    """What the manager impl sees as 'the engine': run bounds + the
+    current timeslice (set by the driver loop) + a global tick order."""
+
+    def __init__(self, starttime, endtime):
+        self.starttime = starttime
+        self.endtime = endtime
+        self.now = starttime
+        self.order = 0
+
+
+class AdapterManagerImpl:
+    """Runtime manager base (reference adaptermanager.py:7-25)."""
+
+    def __init__(self, engine):
+        self._engine = engine
+
+    def start(self, starttime, endtime):
+        pass
+
+    def stop(self):
+        pass
+
+    def process_next_sim_timeslice(self, now):
+        """Push all of timeslice ``now``'s ticks; return the next
+        event's datetime, or None when the source is exhausted."""
+        raise NotImplementedError
+
+
+class ManagedSimInputAdapter:
+    """Runtime per-series adapter base (adaptermanager.py:28-44):
+    ``push_tick(value)`` ticks this series at the engine's current
+    timeslice."""
+
+    def __init__(self, typ: Any = None, field_map: Any = None):
+        self._typ = typ
+        self._field_map = field_map
+        self._engine: _SimEngine | None = None
+        self._buffer: list = []  # (ts, order, value)
+
+    def push_tick(self, value) -> bool:
+        eng = self._engine
+        if eng is None:
+            return False
+        eng.order += 1
+        self._buffer.append((eng.now, eng.order, value))
+        return True
+
+
+def _value_rows(buffer, push_mode):
+    """Shape a subscription's raw (ts, order, value) buffer by its
+    PushMode — the reference's duplicate-timestamp semantics."""
+    from ..core.surface import PushMode
+
+    by_ts: dict = {}
+    for ts, order, v in buffer:
+        by_ts.setdefault(ts, []).append((order, v))
+    rows = []
+    for ts in sorted(by_ts):
+        vals = [v for _, v in sorted(by_ts[ts])]
+        if push_mode == PushMode.LAST_VALUE:
+            rows.append((ts, 0, vals[-1]))
+        elif push_mode == PushMode.BURST:
+            rows.append((ts, 0, vals))
+        else:  # NON_COLLAPSING: one engine cycle per tick
+            rows.extend((ts, i, v) for i, v in enumerate(vals))
+    return rows
+
+
+def py_managed_adapter_def(
+    name: str, adapterimpl: type, out_type=None, manager_type=None, **decl
+):
+    """Reference py_managed_adapter_def: returns the graph-time
+    subscription constructor — ``Sub(manager, <declared args...>,
+    push_mode=...)`` (push_mode implicitly appended, like the
+    reference). All subscriptions of one manager share ONE driver run
+    of its timeslice loop, triggered lazily on first materialization."""
+    from ..core.nodeparse import _elem_type
+    from ..core.record import Struct
+    from ..core.surface import PushMode, ts as _ts
+    from ..core.ticks import GLOBAL_KEY, TickStream
+
+    elem = getattr(out_type, "__csp_elem__", None) if (
+        isinstance(out_type, type) and issubclass(out_type, _ts)
+    ) else None
+    value_ddl = _elem_type(out_type) if out_type is not None else "double"
+
+    def _run_manager(mgr, pending):
+        from ..plans.runtime import engine_end_time, engine_start_time
+
+        start = getattr(mgr, "_csp_spark_start", None)
+        end = getattr(mgr, "_csp_spark_end", None)
+        try:
+            start = start or engine_start_time()
+            end = end or engine_end_time()
+        except Exception:
+            pass
+        if start is None:
+            raise ValueError(
+                f"{name}: the adapter manager needs engine bounds — "
+                "wire inside csp.run(starttime=..., endtime=...)"
+            )
+        engine = _SimEngine(start, end)
+        impl = mgr._create(engine, {})
+        for entry in pending:
+            adapter = adapterimpl(impl, *entry["args"], **entry["kwargs"])
+            adapter._engine = engine
+            entry["adapter"] = adapter
+        impl.start(start, end)
+        now = start
+        while now is not None and (end is None or now <= end):
+            engine.now = now
+            now = impl.process_next_sim_timeslice(now)
+        impl.stop()
+
+    class _ManagedStream(TickStream):
+        __slots__ = ("_mgr", "_entry", "_df_cache")
+
+        def __init__(self, mgr, entry):
+            self._mgr = mgr
+            self._entry = entry
+            self._df_cache = None
+            self.value_col = "value"
+
+        @property
+        def df(self):
+            if self._df_cache is None:
+                pending = self._mgr.__dict__.get("_csp_spark_pending", [])
+                if any("adapter" not in e for e in pending):
+                    _run_manager(self._mgr, pending)
+                push_mode = self._entry["push_mode"]
+                rows = _value_rows(
+                    self._entry["adapter"]._buffer, push_mode
+                )
+                vddl = value_ddl
+                conv = (
+                    (lambda v: v.to_dict())
+                    if isinstance(elem, type) and issubclass(elem, Struct)
+                    else (lambda v: v)
+                )
+                if push_mode == PushMode.BURST:
+                    vddl = f"array<{value_ddl}>"
+                    data = [
+                        (GLOBAL_KEY, ts, seq, [conv(x) for x in v])
+                        for ts, seq, v in rows
+                    ]
+                else:
+                    data = [
+                        (GLOBAL_KEY, ts, seq, conv(v)) for ts, seq, v in rows
+                    ]
+                from ..core.session import get_spark
+
+                self._df_cache = get_spark().createDataFrame(
+                    data,
+                    f"key string, ts timestamp, seq long, value {vddl}",
+                )
+            return self._df_cache
+
+    def factory(mgr, *args, push_mode=None, **kwargs):
+        if push_mode is None:
+            push_mode = PushMode.NON_COLLAPSING
+        try:
+            from ..plans.runtime import engine_end_time, engine_start_time
+
+            mgr._csp_spark_start = engine_start_time()
+            mgr._csp_spark_end = engine_end_time()
+        except Exception:
+            pass
+        pending = mgr.__dict__.setdefault("_csp_spark_pending", [])
+        entry = {"args": args, "kwargs": kwargs, "push_mode": push_mode}
+        pending.append(entry)
+        return _ManagedStream(mgr, entry)
+
+    factory.__name__ = name
+    return factory

@@ -449,3 +449,40 @@ def test_reference_output_adapter_verbatim(spark, capture_print):
     buf = ns["output_buffer"]
     assert len(buf) == 1
     assert json.loads(buf[0]) == [{"a": 1, "b": 2, "c": 3}] * 3
+
+
+REF_AM = ("/root/reference/examples/04_writing_adapters/"
+          "e3_adaptermanager_pullinput.py")
+
+
+def test_reference_adapter_manager_verbatim(spark, capture_print):
+    """04_writing_adapters/e3_adaptermanager_pullinput.py: the
+    AdapterManagerImpl/ManagedSimInputAdapter protocol — one timeslice
+    loop feeds every subscription, with LAST_VALUE / BURST /
+    NON_COLLAPSING PushMode shaping. The source draws unseeded random
+    rows, so assertions are the push-mode INVARIANTS plus the global
+    tick-counter ordering."""
+    if not os.path.exists(REF_AM):
+        pytest.skip("reference checkout not present")
+    import random
+
+    random.seed(7)
+    ns = _exec_file(REF_AM, spark)
+    csp_spark.run(ns["my_graph"], starttime=dt.datetime(2020, 12, 28),
+                  endtime=dt.timedelta(seconds=10))
+    all_nc = []
+    for sym in ("AAPL", "IBM", "TSLA", "GS", "JPM"):
+        nc = capture_print[f"{sym} non_collapsing"].collect_ticks()
+        lv = capture_print[f"{sym} last_value"].collect_ticks()
+        bu = capture_print[f"{sym} burst"].collect_ticks()
+        # NON_COLLAPSING unrolls every tick; BURST groups per timestamp;
+        # LAST_VALUE conflates to one per timestamp
+        assert len(nc) == sum(len(v) for _, v in bu)
+        assert len(lv) == len(bu)
+        assert [t for t, _ in lv] == [t for t, _ in bu]
+        # conflation keeps the LAST same-timestamp value
+        assert [v["value"] for _, v in lv] == [v[-1]["value"] for _, v in bu]
+        assert all(v["symbol"] == sym for _, v in nc)
+        all_nc.extend(v["value"] for _, v in nc)
+    # the manager's counter values are globally unique across symbols
+    assert len(all_nc) == len(set(all_nc)) > 0
