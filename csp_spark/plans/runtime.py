@@ -442,15 +442,49 @@ _memo_caches: list = []
 csp_memoized = memoize
 
 
-def show_graph(out, mode: str = "formatted") -> None:
+def show_graph(out, mode: str = "formatted",
+               graph_filename: str | None = None) -> None:
     """csp.show_graph parity: the reference renders the wired node
     graph (csp/showgraph.py); our wired graph IS the Catalyst logical
     plan, so show the optimizer's own rendering — `.explain(mode)` of
     the output stream/DataFrame ('formatted' | 'extended' |
-    'codegen' | 'cost')."""
+    'codegen' | 'cost'). Accepts the reference's two calling forms:
+    an edge/DataFrame, or a GRAPH FUNCTION (wired under a synthetic
+    run frame so ambient sources resolve). ``graph_filename`` writes
+    the text rendering there (the reference writes a PNG)."""
+    import contextlib
+    import io
+
     from ..core.ticks import TickStream
 
+    if callable(out) and not isinstance(out, TickStream):
+        from ..showgraph import generate_graph
+
+        # synthetic bounded frame: only the PLAN is rendered, but
+        # ambient sources (csp.timer) materialize their tick grid from
+        # these bounds — keep the window small
+        _run_info_stack.append(
+            {"start": _dt.datetime(2000, 1, 1),
+             "end": _dt.datetime(2000, 1, 1, 1), "realtime": False}
+        )
+        try:
+            text = generate_graph(out).getvalue().decode()
+        finally:
+            _run_info_stack.pop()
+        if graph_filename:
+            with open(graph_filename, "w") as f:
+                f.write(text)
+        else:
+            print(text)
+        return
     df = out.df if isinstance(out, TickStream) else out
+    if graph_filename:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        with open(graph_filename, "w") as f:
+            f.write(buf.getvalue())
+        return
     df.explain(mode)
 
 

@@ -30,6 +30,12 @@ def generate_graph(graph_fn: Any, *args: Any, **kwargs: Any) -> io.BytesIO:
         with contextlib.redirect_stdout(buf):
             stream.df.explain("formatted")
         buf.write("\n")
+    if not buf.getvalue():
+        buf.write(
+            "(graph returned no outputs — sink-only graphs evaluate "
+            "their plans at run time; pass an edge or a graph that "
+            "returns its outputs to render them)\n"
+        )
     return io.BytesIO(buf.getvalue().encode())
 
 
