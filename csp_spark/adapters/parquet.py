@@ -244,21 +244,28 @@ class ParquetWriter:
 
         from pyspark.sql import functions as F
 
-        from ..core.ticks import SEQ, TS
+        from ..core.ticks import KEY, SEQ, TS
 
         frames = []
         for name, stream in pending:
+            # KEY participates in the join: publishing a keyed stream
+            # by column must align per (key, ts, seq), not collapse
+            # distinct keys' coincident ticks into one row
             frames.append(
                 stream.df.select(
-                    TS, SEQ, F.col(stream.value_col).alias(name)
+                    KEY, TS, SEQ, F.col(stream.value_col).alias(name)
                 )
             )
         out = reduce(
-            lambda a, b: a.join(b, [TS, SEQ], "full_outer"), frames
+            lambda a, b: a.join(b, [KEY, TS, SEQ], "full_outer"), frames
         )
+        keyed = out.where(F.col(KEY) != F.lit("")).limit(1).count() > 0
+        if not keyed:
+            out = out.drop(KEY)
         mode = "overwrite" if self.config.allow_overwrite else "error"
+        order = ([KEY] if keyed else []) + [TS, SEQ]
         (
-            out.orderBy(TS, SEQ)
+            out.orderBy(*order)
             .withColumnRenamed(TS, self.ts_col)
             .drop(SEQ)
             .coalesce(1)

@@ -190,6 +190,19 @@ class _Rewriter(ast.NodeTransformer):
                 node,
             )
         if name == "output":
+            # parse-time shape errors, mirroring the reference's
+            # node_parser: multi-output nodes only accept named
+            # outputs; a single unnamed output only the positional form
+            if self.multi and node.args:
+                raise SyntaxError(
+                    "csp.output() on a node with named outputs takes "
+                    "only keyword form: csp.output(name=value)"
+                )
+            if not self.multi and (node.keywords or len(node.args) != 1):
+                raise SyntaxError(
+                    "csp.output() on a single unnamed output node "
+                    "takes exactly one positional value"
+                )
             call = ast.Call(
                 func=ast.Name(id="__emit", ctx=ast.Load()),
                 args=[self.visit(a) for a in node.args],
@@ -233,6 +246,16 @@ class _Rewriter(ast.NodeTransformer):
 
     def visit_Return(self, node: ast.Return):
         node = self.generic_visit(node)
+        if not self.multi:
+            # bare `return` ends the cycle but keeps any value already
+            # emitted via csp.output(v) (reference: output is immediate,
+            # return only stops execution)
+            if node.value is None:
+                out = ast.parse("return __out[0]").body[0]
+                ast.copy_location(out, node)
+                ast.fix_missing_locations(out)
+                return out
+            return node
         if self.multi:
             # multi-output: every exit returns the emitted dict;
             # `return csp.output(...)` already routed through __emit
@@ -466,6 +489,16 @@ def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
                 "def __emit(**kw):\n    __out.update(kw)\n    return None"
             ).body[0]
         )
+    else:
+        # single unnamed output: csp.output(v) records v immediately;
+        # execution continues and the cycle emits the recorded value
+        # even without an explicit `return` (reference semantics)
+        cycle_prelude.append(ast.parse("__out = [None]").body[0])
+        cycle_prelude.append(
+            ast.parse(
+                "def __emit(__v):\n    __out[0] = __v\n    return __v"
+            ).body[0]
+        )
     for name in input_names:
         cycle_prelude.append(
             ast.parse(f"{name} = __wrap(__c[{name!r}])").body[0]
@@ -497,6 +530,9 @@ def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
     cycle_body = cycle_prelude + _rewrite(body)
     if multi:
         cycle_body.append(ast.parse("return __out").body[0])
+    else:
+        # fall-through after a csp.output(v) statement still ticks v
+        cycle_body.append(ast.parse("return __out[0]").body[0])
 
     def _fndef(name: str, fn_body: list[ast.stmt], argname: str | None):
         return ast.FunctionDef(

@@ -204,12 +204,16 @@ class TsFrame:
         buffers until every column has ticked once (make_pandas wires
         csp.filter(all_valid, ...) on trigger and every column).
 
-        Plan: per column one (ts,seq)-bounded join trigger×ticks +
-        rank for count windows, then a full-outer merge on the buffer
-        cycle — all keyed on the stream key, so frames for different
-        keys build in parallel. Output size is inherently
-        |trigger| × window rows per column: frame materialization is
-        the one operator whose OUTPUT, not its shuffle, is the cost."""
+        Plan: timedelta windows use one (ts,seq)-band-bounded join
+        trigger×ticks; count windows rank each column's ticks once,
+        as-of attach the trigger's rank via a running count, and
+        EQUI-join on (key, rank) over the trigger's exploded rank band
+        — the intermediate is |trigger|×window, never trigger × full
+        history. Then a full-outer merge on the buffer cycle — all
+        keyed on the stream key, so frames for different keys build in
+        parallel. Output size is inherently |trigger| × window rows
+        per column: frame materialization is the one operator whose
+        OUTPUT, not its shuffle, is the cost."""
         if not self._data:
             raise ValueError("empty frame")
         trigger = self._resolve(trigger)
@@ -256,27 +260,85 @@ class TsFrame:
                 obs = obs.join(thr, KEY).filter(
                     F.struct(F.col(TS), F.col(SEQ)) >= F.col("__thr")
                 ).drop("__thr")
-            cond = [
-                obs[KEY] == trig[KEY],
-                F.struct(obs[TS], obs[SEQ])
-                <= F.struct(trig["trig_ts"], trig["trig_seq"]),
-            ]
             if isinstance(window, _dt.timedelta):
-                cond.append(obs[TS] >= trig["trig_ts"] - F.lit(window))
+                cond = [
+                    obs[KEY] == trig[KEY],
+                    F.struct(obs[TS], obs[SEQ])
+                    <= F.struct(trig["trig_ts"], trig["trig_seq"]),
+                    obs[TS] >= trig["trig_ts"] - F.lit(window),
+                ]
                 j = obs.join(trig, cond).select(
                     obs[KEY], "trig_ts", "trig_seq", obs[TS], obs[SEQ], c
                 )
             elif isinstance(window, int) and window > 0:
-                j = obs.join(trig, cond).select(
-                    obs[KEY], "trig_ts", "trig_seq", obs[TS], obs[SEQ], c
+                # BOUNDED count-window plan: rank each column's ticks
+                # once per key, compute the trigger's as-of rank with a
+                # running count over a tagged union (one keyed window,
+                # linear), then explode each trigger into its ≤window
+                # target ranks and EQUI-join on (key, rank). The
+                # intermediate is exactly |trigger|×window — never
+                # trigger × full history (reference make_pandas buffers
+                # are O(window) per trigger by construction; this
+                # matches that bound).
+                wobs = W.partitionBy(KEY).orderBy(TS, SEQ)
+                obs_r = obs.withColumn(
+                    "__r", F.row_number().over(wobs).cast("long")
                 )
-                rk = W.partitionBy(KEY, "trig_ts", "trig_seq").orderBy(
-                    F.desc(TS), F.desc(SEQ)
+                u = obs.select(
+                    KEY,
+                    F.col(TS).alias("__uts"),
+                    F.col(SEQ).alias("__useq"),
+                    F.lit(0).alias("__tag"),
+                ).unionByName(
+                    trig.select(
+                        KEY,
+                        F.col("trig_ts").alias("__uts"),
+                        F.col("trig_seq").alias("__useq"),
+                        F.lit(1).alias("__tag"),
+                    )
                 )
-                j = (
-                    j.withColumn("__rk", F.row_number().over(rk))
-                    .filter(F.col("__rk") <= window)
-                    .drop("__rk")
+                # obs sorts before a coincident trigger (same ts,seq):
+                # a tick on the trigger's own cycle is inside the window
+                wu = (
+                    W.partitionBy(KEY)
+                    .orderBy("__uts", "__useq", "__tag")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                tr = (
+                    u.withColumn(
+                        "__tr",
+                        F.sum(F.lit(1) - F.col("__tag")).over(wu),
+                    )
+                    .filter(F.col("__tag") == 1)
+                    .select(
+                        KEY,
+                        F.col("__uts").alias("trig_ts"),
+                        F.col("__useq").alias("trig_seq"),
+                        F.col("__tr"),
+                    )
+                )
+                # triggers with no prior ticks emit no buffer rows
+                # (sequence() is only built when __tr >= 1; explode of
+                # NULL drops the row, same as the old join producing
+                # nothing for that trigger)
+                tr = tr.withColumn(
+                    "__rs",
+                    F.when(
+                        F.col("__tr") >= 1,
+                        F.sequence(
+                            F.greatest(
+                                F.col("__tr") - F.lit(window) + 1,
+                                F.lit(1).cast("long"),
+                            ),
+                            F.col("__tr"),
+                        ),
+                    ),
+                ).select(
+                    KEY, "trig_ts", "trig_seq",
+                    F.explode("__rs").alias("__r"),
+                )
+                j = obs_r.join(tr, [KEY, "__r"]).select(
+                    KEY, "trig_ts", "trig_seq", TS, SEQ, c
                 )
             else:
                 raise ValueError(f"invalid window {window!r}")
@@ -312,7 +374,6 @@ class TsFrame:
             trig = trig.join(have, [KEY, "trig_ts", "trig_seq"], "left_semi")
         tpdf = trig.orderBy(KEY, "trig_ts", "trig_seq").toPandas()
 
-        frames: dict = {}
         grouped = {
             k: g for k, g in pdf.groupby([KEY, "trig_ts", "trig_seq"])
         } if len(pdf) else {}
@@ -321,13 +382,25 @@ class TsFrame:
             index=pd.DatetimeIndex([]),
         )
         single = set(tpdf[KEY].unique()) <= {GLOBAL_KEY}
+        # parallel label/value lists, NOT a dict: two trigger ticks at
+        # the same timestamp (distinct seq) must stay distinct entries,
+        # matching the reference's pandas Series duplicate index
+        labels: list = []
+        values: list = []
         for r in tpdf.itertuples(index=False):
             g = grouped.get((getattr(r, KEY), r.trig_ts, r.trig_seq))
             frame = (
                 g.set_index(TS)[self.columns] if g is not None else empty
             )
-            label = (
+            labels.append(
                 r.trig_ts if single else (getattr(r, KEY), r.trig_ts)
             )
-            frames[label] = frame
-        return pd.Series(frames, dtype="object")
+            values.append(frame)
+        if not labels:
+            return pd.Series(dtype="object")
+        index = (
+            pd.Index(labels)
+            if single
+            else pd.MultiIndex.from_tuples(labels)
+        )
+        return pd.Series(values, index=index, dtype="object")

@@ -19,9 +19,30 @@ __all__ = ["generate_graph", "show_graph"]
 
 def generate_graph(graph_fn: Any, *args: Any, **kwargs: Any) -> io.BytesIO:
     """Text rendering of the wired graph's physical plans."""
-    from .core.ticks import TickStream
+    import datetime as _dt
 
-    out = graph_fn(*args, **kwargs) if callable(graph_fn) else graph_fn
+    from .core.ticks import TickStream
+    from .plans.runtime import _run_info_stack
+
+    if callable(graph_fn) and not isinstance(graph_fn, TickStream):
+        # same synthetic bounded frame plans/runtime.show_graph pushes:
+        # ambient sources (csp.timer/csp.const) need engine bounds to
+        # wire, and only the PLAN is rendered — keep the window small.
+        # Skip when a frame is already active (csp.show_graph routes
+        # here with its own frame pushed).
+        pushed = not _run_info_stack
+        if pushed:
+            _run_info_stack.append(
+                {"start": _dt.datetime(2000, 1, 1),
+                 "end": _dt.datetime(2000, 1, 1, 1), "realtime": False}
+            )
+        try:
+            out = graph_fn(*args, **kwargs)
+        finally:
+            if pushed:
+                _run_info_stack.pop()
+    else:
+        out = graph_fn
     if isinstance(out, TickStream):
         out = {"0": out}
     buf = io.StringIO()

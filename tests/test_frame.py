@@ -127,6 +127,18 @@ def test_to_pandas_ts_empty_frame(frame, spark):
     assert len(f) == 0 and list(f.columns) == ["bid", "ask"]
 
 
+def test_to_pandas_ts_duplicate_trigger_timestamps(frame, spark):
+    # two trigger ticks at the SAME timestamp (distinct engine cycles)
+    # must stay two Series entries — the reference pandas Series keeps
+    # duplicate index labels; a dict-keyed build would collapse them
+    trig = bl.curve(spark, [(t(1.6), 1.0), (t(1.6), 2.0)])
+    out = frame.to_pandas_ts(trig, window=2)
+    assert len(out) == 2
+    assert list(out.index) == [t(1.6), t(1.6)]
+    assert out.iloc[0].equals(out.iloc[1])
+    assert list(out.iloc[0].index) == [t(1), t(1.5)]
+
+
 def test_to_pandas_ts_tindex(frame, spark):
     # tindex aligns every column on the sampling clock: frames share
     # one index = tindex ticks (after all-valid), last-value sampled

@@ -307,6 +307,62 @@ def test_parquet_reader_writer_classes(spark, tmp_path):
     assert tbl.num_rows == 5
 
 
+def test_parquet_writer_named_columns_keyed(spark, tmp_path):
+    """Named-column publish of KEYED streams: coincident (ts, seq)
+    cycles on different keys must stay separate rows — the flush join
+    aligns per (key, ts, seq), not (ts, seq) alone."""
+    from csp_spark.adapters.parquet import ParquetOutputConfig, ParquetWriter
+
+    rows = [(START + TD(seconds=i), float(i)) for i in range(3)]
+    a = TickStream(
+        _ticks(spark, rows, key="k1").df.unionByName(
+            _ticks(spark, rows, key="k2").df
+        )
+    )
+    b = TickStream(
+        _ticks(spark, [(ts, v * 10) for ts, v in rows], key="k1").df.unionByName(
+            _ticks(spark, [(ts, v * 10) for ts, v in rows], key="k2").df
+        )
+    )
+    w = ParquetWriter(
+        str(tmp_path / "pwk"), TS, ParquetOutputConfig(allow_overwrite=True)
+    )
+    # arm manually so both columns accumulate into ONE flush (inside a
+    # csp.run the engine-stop hook does this)
+    w._armed = True
+    w.publish("a_col", a)
+    w.publish("b_col", b)
+    w.flush()
+    back = spark.read.parquet(str(tmp_path / "pwk"))
+    got = back.orderBy(KEY, TS).collect()
+    # 3 cycles x 2 keys, no cross-key duplication
+    assert len(got) == 6
+    assert {r[KEY] for r in got} == {"k1", "k2"}
+    for r in got:
+        assert r["b_col"] == r["a_col"] * 10
+
+
+def test_parquet_writer_named_columns_global(spark, tmp_path):
+    """Global-key named-column publish keeps the reference row shape:
+    no key column in the written file."""
+    from csp_spark.adapters.parquet import ParquetOutputConfig, ParquetWriter
+    from csp_spark.core.ticks import GLOBAL_KEY
+
+    x = _ticks(
+        spark,
+        [(START + TD(seconds=i), float(i)) for i in range(3)],
+        key=GLOBAL_KEY,
+    )
+    w = ParquetWriter(
+        str(tmp_path / "pwg"), TS, ParquetOutputConfig(allow_overwrite=True)
+    )
+    w.publish("v", x)
+    w.flush()
+    back = spark.read.parquet(str(tmp_path / "pwg"))
+    assert KEY not in back.columns
+    assert [r["v"] for r in back.orderBy(TS).collect()] == [0.0, 1.0, 2.0]
+
+
 def test_status_and_msgmapper(spark):
     from csp_spark.adapters.status import Level, Status
     from csp_spark.adapters.utils import (
