@@ -121,6 +121,8 @@ from .operators.baselib import (
 from .operators.baselib import demultiplex as dynamic_demultiplex  # long-format identity, see baselib docstring
 from .operators.baselib import count as num_ticks  # csp.num_ticks = tick counter
 from .operators.history import (
+    DuplicatePolicy,
+    TimeIndexPolicy,
     item_at,
     items_at,
     set_buffering_policy,
@@ -216,6 +218,65 @@ from . import utils  # noqa: E402,F401  (csp.utils dev tooling)
 from .alias import enable_reference_alias  # noqa: E402,F401  (import csp → here)
 from .pandas_ext import TsArray, TsDtype  # noqa: E402  (registers .csp/.to_csp accessors)
 
+# --- node-grammar intrinsics as module attributes ---------------------
+# The reference exposes every builtin (csp/impl/builtin_functions.py)
+# at module level; the node-only ones raise outside a node body. Our
+# AST translator (core/nodeparse.py) rewrites these calls inside
+# @csp.node bodies before execution, so these shims only fire on
+# misuse — with the reference's message shape.
+
+
+def _node_only(name):
+    def _shim(*args, **kwargs):
+        raise RuntimeError(
+            f"Unexpected use of csp.{name}, csp.{name} can only be "
+            "used inside a node"
+        )
+
+    _shim.__name__ = name
+    _shim.__qualname__ = name
+    _shim.__doc__ = f"csp.{name} — valid only inside a @csp.node body."
+    return _shim
+
+
+alarm = _node_only("alarm")
+output = _node_only("output")
+state = _node_only("state")
+alarms = _node_only("alarms")
+start = _node_only("start")
+stop = _node_only("stop")
+engine_stats = _node_only("engine_stats")
+remove_dynamic_key = _node_only("remove_dynamic_key")
+
+
+def set_capture_cpp_backtrace(enable: bool = True) -> None:
+    """Reference debugging toggle for its C++ engine backtraces — a
+    validated no-op here (there is no C++ engine; Spark surfaces JVM
+    stack traces in its own logs)."""
+    if not isinstance(enable, bool):
+        raise TypeError("enable must be a bool")
+
+
+#: reference csp/impl/builtin_functions.py:9 — the builtin registry,
+#: same keys, mapped onto this package's equivalents
+ALL_CSP_BUILTIN_FUNCS = {
+    "num_ticks": num_ticks, "ticked": ticked, "valid": valid,
+    "make_passive": make_passive, "make_active": make_active,
+    "value_at": value_at, "time_at": time_at, "item_at": item_at,
+    "values_at": values_at, "times_at": times_at, "items_at": items_at,
+    "set_buffering_policy": set_buffering_policy,
+    "alarm": alarm, "schedule_alarm": schedule_alarm,
+    "cancel_alarm": cancel_alarm, "now": now,
+    "remove_dynamic_key": remove_dynamic_key,
+    "in_realtime": in_realtime,
+    "engine_start_time": engine_start_time,
+    "engine_end_time": engine_end_time,
+    "is_configured_realtime": is_configured_realtime,
+    "set_capture_cpp_backtrace": set_capture_cpp_backtrace,
+    "output": output, "state": state, "alarms": alarms,
+    "start": start, "stop": stop, "engine_stats": engine_stats,
+}
+
 __version__ = "0.2.0"
 __all__ = [
     # core
@@ -243,9 +304,12 @@ __all__ = [
     "struct_collectts", "struct_field", "struct_fromts", "timer", "times",
     "times_ns", "unroll", "wrap_feedback",
     "value_at", "time_at", "item_at", "values_at", "times_at", "items_at",
+    "DuplicatePolicy", "TimeIndexPolicy", "ALL_CSP_BUILTIN_FUNCS",
     "set_buffering_policy", "schedule_alarm", "alarm_stream", "cancel_alarm",
     "make_passive", "make_active", "engine_start_time", "engine_end_time",
     "in_realtime", "is_configured_realtime",
+    "alarm", "output", "state", "alarms", "start", "stop",
+    "engine_stats", "remove_dynamic_key", "set_capture_cpp_backtrace",
     "LogSettings", "log", "log_ticks", "print", "print_ticks",
     "stop_engine", "stop_engine_limit",
     "PushAdapter", "GenericPushAdapter", "PushGroup", "PushPullAdapter",

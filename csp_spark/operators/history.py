@@ -14,8 +14,21 @@ Semantics deltas (documented, by design):
   raising — a per-row exception is not expressible in a vectorized
   plan, and the reference's ``default=`` form is the recommended one.
 - only ``DuplicatePolicy.LAST_VALUE`` is supported (the reference
-  supports nothing else either — builtin_functions.py:116).
-- ``TimeIndexPolicy.EXTRAPOLATE`` (FORCE) is not supported.
+  supports nothing else either — builtin_functions.py:116; FIRST_VALUE
+  raises, exactly like the reference engine).
+
+``TimeIndexPolicy``: INCLUSIVE / EXCLUSIVE / EXTRAPOLATE on the
+time-offset range forms, matching the reference engine
+(cpp/csp/python/PyInputProxy.cpp computeStartIndex/computeEndIndex +
+NumpyConversions.h adjustStartAndEndTime):
+- EXTRAPOLATE start = the as-of tick at the start boundary (last tick
+  at or before start) is PREPENDED to the in-range ticks; its
+  timestamp is clamped forward to the boundary in times_at/items_at.
+- EXTRAPOLATE end = when the last in-range tick is strictly before the
+  end boundary, it is DUPLICATED as a tail pad; the pad's timestamp is
+  clamped to the end boundary in times_at/items_at.
+- integer tick-index bounds support INCLUSIVE only (the reference
+  raises for the others on integer indexing — PyInputProxy.cpp:272).
 
 Scale shape: every lookup is one window function over the existing
 per-key partitioning — tick-index forms are ``lag``/``rowsBetween``
@@ -28,14 +41,18 @@ joined back (AQE broadcasts it).
 from __future__ import annotations
 
 import datetime as _dt
+from enum import IntEnum
 from typing import Any
 
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from ..core.enum import Enum as _CspEnum
 from ..core.ticks import KEY, SEQ, TS, TickStream
 
 __all__ = [
+    "DuplicatePolicy",
+    "TimeIndexPolicy",
     "value_at",
     "time_at",
     "item_at",
@@ -45,6 +62,45 @@ __all__ = [
     "with_lookups",
     "set_buffering_policy",
 ]
+
+
+class TimeIndexPolicy(_CspEnum):
+    """Reference csp/impl/types/autogen_types.py:26 — boundary policy
+    for values_at/times_at/items_at."""
+
+    INCLUSIVE = 1
+    EXCLUSIVE = 2
+    EXTRAPOLATE = 3
+
+
+class DuplicatePolicy(IntEnum):
+    """Reference csp/impl/types/common_definitions.py:304 — same-time
+    tick selection for value_at/time_at/item_at. Only LAST_VALUE is
+    supported (like the reference engine)."""
+
+    LAST_VALUE = 1
+    FIRST_VALUE = 2
+
+
+def _policy(p) -> str:
+    """Normalize a TimeIndexPolicy member / name string."""
+    if isinstance(p, TimeIndexPolicy):
+        return p.name.lower()
+    if isinstance(p, str) and p.lower() in (
+        "inclusive", "exclusive", "extrapolate",
+    ):
+        return p.lower()
+    raise ValueError(f"unknown TimeIndexPolicy {p!r}")
+
+
+def _check_duplicate_policy(duplicate_policy) -> None:
+    if duplicate_policy not in (
+        DuplicatePolicy.LAST_VALUE, int(DuplicatePolicy.LAST_VALUE),
+    ):
+        raise NotImplementedError(
+            "only DuplicatePolicy.LAST_VALUE is supported (the "
+            "reference engine supports nothing else either)"
+        )
 
 #: window-order within a key — engine order (ts, seq)
 def _w(x: TickStream) -> Window:
@@ -87,11 +143,13 @@ def _lookup_cols(
 def value_at(
     x: TickStream,
     index_or_time: int | _dt.timedelta | _dt.datetime | None = 0,
+    duplicate_policy: int = DuplicatePolicy.LAST_VALUE,
     default: Any = None,
 ) -> TickStream:
     """csp.value_at parity (builtin_functions.py:105-137): at every tick
     of ``x``, the value at tick-index ``-k`` / time offset ``-d`` /
     absolute time ``t``. Out-of-range → ``default``."""
+    _check_duplicate_policy(duplicate_policy)
     if isinstance(index_or_time, _dt.timedelta):
         return _at_time_offset(x, index_or_time, default, want="value")
     if isinstance(index_or_time, _dt.datetime):
@@ -103,10 +161,12 @@ def value_at(
 def time_at(
     x: TickStream,
     index_or_time: int | _dt.timedelta | _dt.datetime | None = 0,
+    duplicate_policy: int = DuplicatePolicy.LAST_VALUE,
     default: Any = None,
 ) -> TickStream:
     """csp.time_at parity (builtin_functions.py:140-174): the TIMESTAMP
     of the tick the lookup resolves to."""
+    _check_duplicate_policy(duplicate_policy)
     if isinstance(index_or_time, _dt.timedelta):
         return _at_time_offset(x, index_or_time, default, want="ts")
     if isinstance(index_or_time, _dt.datetime):
@@ -118,12 +178,14 @@ def time_at(
 def item_at(
     x: TickStream,
     index_or_time: int | _dt.timedelta | _dt.datetime | None = 0,
+    duplicate_policy: int = DuplicatePolicy.LAST_VALUE,
     default: Any = None,
 ) -> TickStream:
     """csp.item_at parity: struct(ts, value) of the resolved tick."""
+    _check_duplicate_policy(duplicate_policy)
     if isinstance(index_or_time, (_dt.timedelta, _dt.datetime)):
-        t = time_at(x, index_or_time, None)
-        v = value_at(x, index_or_time, default)
+        t = time_at(x, index_or_time, default=None)
+        v = value_at(x, index_or_time, default=default)
         joined = t.df.select(
             KEY, TS, SEQ, F.col("value").alias("__t")
         ).join(
@@ -230,6 +292,10 @@ def _at_absolute(
     return TickStream(joined.select(KEY, TS, SEQ, out_val.alias("value")))
 
 
+def _is_td_range(start, end) -> bool:
+    return _dt.timedelta in {type(b) for b in (start, end) if b is not None}
+
+
 def _range_frame(
     x: TickStream, start, end, start_policy: str, end_policy: str
 ) -> tuple[Window, bool]:
@@ -237,15 +303,11 @@ def _range_frame(
     tick-index bounds ride rowsBetween on the engine order; timedelta
     bounds ride rangeBetween on micros (use_struct=True → caller
     collects sortable structs because range frames allow only one
-    ordering expression)."""
-    for p in (start_policy, end_policy):
-        if p not in ("inclusive", "exclusive"):
-            raise ValueError(
-                f"policy {p!r} not supported (EXTRAPOLATE/FORCE is a "
-                "ring-buffer-only affordance)"
-            )
-    kinds = {type(b) for b in (start, end) if b is not None}
-    if _dt.timedelta in kinds:
+    ordering expression). EXTRAPOLATE has its own plan — _td_structs."""
+    if _is_td_range(start, end):
+        for p in (start_policy, end_policy):
+            if p not in ("inclusive", "exclusive"):
+                raise ValueError(f"policy {p!r} must route via _td_structs")
         lo = Window.unboundedPreceding if start is None else _td_micros(start)
         hi = 0 if end is None else _td_micros(end)
         if start is not None:
@@ -261,6 +323,13 @@ def _range_frame(
             .rangeBetween(lo, hi)
         )
         return w, True
+    # integer tick-index bounds: the reference supports INCLUSIVE only
+    # here (PyInputProxy.cpp:272 raises for any other policy)
+    for p in (start_policy, end_policy):
+        if p != "inclusive":
+            raise ValueError(
+                f"Unsupported time index policy for integer indexing: {p}"
+            )
     if start is not None and (start > 0 or (end is not None and start > end)):
         raise ValueError("bad tick-index range")
     if end is not None and end > 0:
@@ -271,28 +340,119 @@ def _range_frame(
     return w, False
 
 
+def _td_structs(
+    x: TickStream, start, end, start_policy: str, end_policy: str
+) -> tuple[Column, Column | None, Column | None]:
+    """Sorted (m, s, v) struct array for a timedelta range under any
+    TimeIndexPolicy pair. Returns (array, clamp_lo, clamp_hi) where the
+    clamps are the per-row boundary micros to clamp the first/last
+    element's TIMESTAMP to (None unless that side is EXTRAPOLATE) —
+    times_at/items_at apply them, values_at ignores them.
+
+    EXTRAPOLATE plan shape (reference PyInputProxy computeStart/EndIndex
+    + NumpyConversions tailPadding): the main frame collects ticks
+    STRICTLY after the start boundary; one extra windowed max_by fetches
+    the as-of tick AT the boundary and prepends it; the end pad
+    duplicates the final element when it falls short of the end
+    boundary. Still one keyed shuffle — the extra aggregate shares the
+    same window partition."""
+    v = F.col(x.value_col)
+    e_struct = F.struct(
+        _micros(F.col(TS)).alias("m"), F.col(SEQ).alias("s"), v.alias("v")
+    )
+    lo = Window.unboundedPreceding if start is None else _td_micros(start)
+    hi = 0 if end is None else _td_micros(end)
+    if start is not None and lo > 0:
+        raise ValueError("start offset must be non-positive")
+    if start_policy in ("exclusive", "extrapolate") and start is not None:
+        main_lo = lo + 1
+    else:
+        main_lo = lo
+    main_hi = hi - 1 if (end is not None and end_policy == "exclusive") else hi
+    w_main = (
+        Window.partitionBy(KEY)
+        .orderBy(_micros(F.col(TS)))
+        .rangeBetween(main_lo, main_hi)
+    )
+    arr = F.array_sort(F.collect_list(e_struct).over(w_main))
+
+    clamp_lo = clamp_hi = None
+    if start_policy == "extrapolate" and start is not None:
+        # as-of carry: LAST tick at-or-before the start boundary
+        # (LAST_VALUE among same-time duplicates via (m, s) max_by)
+        w_carry = (
+            Window.partitionBy(KEY)
+            .orderBy(_micros(F.col(TS)))
+            .rangeBetween(Window.unboundedPreceding, lo)
+        )
+        carry = F.max_by(
+            e_struct, F.struct(F.col(TS), F.col(SEQ))
+        ).over(w_carry)
+        arr = F.when(
+            carry.isNotNull(), F.concat(F.array(carry), arr)
+        ).otherwise(arr)
+        clamp_lo = _micros(F.col(TS)) + F.lit(lo)
+    if end_policy == "extrapolate":
+        end_abs = _micros(F.col(TS)) + F.lit(hi)
+        last = F.element_at(arr, -1)
+        arr = F.when(
+            (F.size(arr) > 0) & (last["m"] < end_abs),
+            F.concat(arr, F.array(last)),
+        ).otherwise(arr)
+        clamp_hi = end_abs
+    return arr, clamp_lo, clamp_hi
+
+
+def _clamped_ts(
+    arr: Column, clamp_lo: Column | None, clamp_hi: Column | None
+):
+    """Element-timestamp expression applying the EXTRAPOLATE boundary
+    clamps (reference NumpyConversions.h adjustStartAndEndTime: first
+    element forward to the start boundary, last element forward to the
+    end boundary, in that order)."""
+    n = F.size(arr)
+
+    def ts_of(e, i):
+        m = e["m"]
+        if clamp_lo is not None:
+            m = F.when((i == F.lit(0)) & (m < clamp_lo), clamp_lo).otherwise(m)
+        if clamp_hi is not None:
+            m = F.when(
+                (i == n - F.lit(1)) & (m < clamp_hi), clamp_hi
+            ).otherwise(m)
+        return F.timestamp_micros(m)
+
+    return ts_of
+
+
 def values_at(
     x: TickStream,
     start: int | _dt.timedelta | None = None,
     end: int | _dt.timedelta | None = None,
-    start_policy: str = "inclusive",
-    end_policy: str = "inclusive",
+    start_policy: str | TimeIndexPolicy = "inclusive",
+    end_policy: str | TimeIndexPolicy = "inclusive",
 ) -> TickStream:
     """csp.values_at parity (builtin_functions.py:200-232): at every
     tick, the ARRAY of buffered values between the two bounds (both
-    ≤ 0; None = unbounded start / current end), ascending time order."""
-    w, use_struct = _range_frame(x, start, end, start_policy, end_policy)
+    ≤ 0; None = unbounded start / current end), ascending time order.
+    EXTRAPOLATE prepends the as-of carry / duplicates the tail pad."""
+    sp, ep = _policy(start_policy), _policy(end_policy)
     v = F.col(x.value_col)
-    if use_struct:
-        arr = F.array_sort(
-            F.collect_list(
-                F.struct(_micros(F.col(TS)).alias("m"), F.col(SEQ).alias("s"),
-                         v.alias("v"))
-            ).over(w)
-        )
+    if _is_td_range(start, end) and "extrapolate" in (sp, ep):
+        arr, _, _ = _td_structs(x, start, end, sp, ep)
         out = F.transform(arr, lambda e: e["v"])
     else:
-        out = F.collect_list(v).over(w)
+        w, use_struct = _range_frame(x, start, end, sp, ep)
+        if use_struct:
+            arr = F.array_sort(
+                F.collect_list(
+                    F.struct(_micros(F.col(TS)).alias("m"),
+                             F.col(SEQ).alias("s"), v.alias("v"))
+                ).over(w)
+            )
+            out = F.transform(arr, lambda e: e["v"])
+        else:
+            out = F.collect_list(v).over(w)
     return TickStream(x.df.select(KEY, TS, SEQ, out.alias("value")))
 
 
@@ -300,20 +460,29 @@ def times_at(
     x: TickStream,
     start: int | _dt.timedelta | None = None,
     end: int | _dt.timedelta | None = None,
-    start_policy: str = "inclusive",
-    end_policy: str = "inclusive",
+    start_policy: str | TimeIndexPolicy = "inclusive",
+    end_policy: str | TimeIndexPolicy = "inclusive",
 ) -> TickStream:
-    """csp.times_at parity: the ARRAY of tick TIMESTAMPS in range."""
-    w, use_struct = _range_frame(x, start, end, start_policy, end_policy)
-    if use_struct:
-        arr = F.array_sort(
-            F.collect_list(
-                F.struct(_micros(F.col(TS)).alias("m"), F.col(SEQ).alias("s"))
-            ).over(w)
-        )
-        out = F.transform(arr, lambda e: F.timestamp_micros(e["m"]))
+    """csp.times_at parity: the ARRAY of tick TIMESTAMPS in range.
+    EXTRAPOLATE clamps the boundary elements' timestamps to the window
+    edges (reference adjustStartAndEndTime)."""
+    sp, ep = _policy(start_policy), _policy(end_policy)
+    if _is_td_range(start, end) and "extrapolate" in (sp, ep):
+        arr, clamp_lo, clamp_hi = _td_structs(x, start, end, sp, ep)
+        ts_of = _clamped_ts(arr, clamp_lo, clamp_hi)
+        out = F.transform(arr, ts_of)
     else:
-        out = F.collect_list(F.col(TS)).over(w)
+        w, use_struct = _range_frame(x, start, end, sp, ep)
+        if use_struct:
+            arr = F.array_sort(
+                F.collect_list(
+                    F.struct(_micros(F.col(TS)).alias("m"),
+                             F.col(SEQ).alias("s"))
+                ).over(w)
+            )
+            out = F.transform(arr, lambda e: F.timestamp_micros(e["m"]))
+        else:
+            out = F.collect_list(F.col(TS)).over(w)
     return TickStream(x.df.select(KEY, TS, SEQ, out.alias("value")))
 
 
@@ -321,31 +490,44 @@ def items_at(
     x: TickStream,
     start: int | _dt.timedelta | None = None,
     end: int | _dt.timedelta | None = None,
-    start_policy: str = "inclusive",
-    end_policy: str = "inclusive",
+    start_policy: str | TimeIndexPolicy = "inclusive",
+    end_policy: str | TimeIndexPolicy = "inclusive",
 ) -> TickStream:
     """csp.items_at parity (builtin_functions.py:250-270): at every
     tick, the ARRAY of (ts, value) STRUCTS in range — the zipped form
-    of (times_at, values_at), ascending time order."""
-    w, use_struct = _range_frame(x, start, end, start_policy, end_policy)
+    of (times_at, values_at), ascending time order. EXTRAPOLATE clamps
+    the boundary timestamps, values carry/pad unclamped."""
+    sp, ep = _policy(start_policy), _policy(end_policy)
     v = F.col(x.value_col)
-    if use_struct:
-        arr = F.array_sort(
-            F.collect_list(
-                F.struct(_micros(F.col(TS)).alias("m"), F.col(SEQ).alias("s"),
-                         v.alias("v"))
-            ).over(w)
-        )
+    if _is_td_range(start, end) and "extrapolate" in (sp, ep):
+        arr, clamp_lo, clamp_hi = _td_structs(x, start, end, sp, ep)
+        ts_of = _clamped_ts(arr, clamp_lo, clamp_hi)
         out = F.transform(
             arr,
-            lambda e: F.struct(
-                F.timestamp_micros(e["m"]).alias("ts"), e["v"].alias("value")
+            lambda e, i: F.struct(
+                ts_of(e, i).alias("ts"), e["v"].alias("value")
             ),
         )
     else:
-        out = F.collect_list(
-            F.struct(F.col(TS).alias("ts"), v.alias("value"))
-        ).over(w)
+        w, use_struct = _range_frame(x, start, end, sp, ep)
+        if use_struct:
+            arr = F.array_sort(
+                F.collect_list(
+                    F.struct(_micros(F.col(TS)).alias("m"),
+                             F.col(SEQ).alias("s"), v.alias("v"))
+                ).over(w)
+            )
+            out = F.transform(
+                arr,
+                lambda e: F.struct(
+                    F.timestamp_micros(e["m"]).alias("ts"),
+                    e["v"].alias("value"),
+                ),
+            )
+        else:
+            out = F.collect_list(
+                F.struct(F.col(TS).alias("ts"), v.alias("value"))
+            ).over(w)
     return TickStream(x.df.select(KEY, TS, SEQ, out.alias("value")))
 
 

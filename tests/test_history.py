@@ -145,3 +145,102 @@ def test_with_lookups_matches_single_streams(buf):
     import pytest as _pt
     with _pt.raises(TypeError):
         H.with_lookups(buf, {"bad": ("value_at", TD(seconds=-30))})
+
+
+# ------------------------------------------------ TimeIndexPolicy
+# Hand-derived from the reference engine's computeStartIndex /
+# computeEndIndex (cpp/csp/python/PyInputProxy.cpp:175-233) and
+# adjustStartAndEndTime tail padding (NumpyConversions.h:172-193):
+# EXTRAPOLATE start prepends the as-of carry tick; EXTRAPOLATE end
+# duplicates the last tick as a pad when it falls short of the end
+# boundary; times_at/items_at clamp boundary timestamps to the window.
+
+
+@pytest.fixture()
+def xbuf(spark):
+    # (1s,1) (3s,2) (3s,3 same-ts later cycle) (10s,4)
+    return bl.curve(
+        spark, [(t(1), 1.0), (t(3), 2.0), (t(3), 1, 3.0), (t(10), 4.0)]
+    )
+
+
+def test_values_at_extrapolate_carry(xbuf):
+    # at the last tick (t=10): window [6s, 10s] — carry = last tick <= 6s
+    # (the t=3 LAST duplicate, 3.0), then the in-window tick 4.0
+    got = last(H.values_at(
+        xbuf, TD(seconds=-4), TD(seconds=0),
+        H.TimeIndexPolicy.EXTRAPOLATE, H.TimeIndexPolicy.EXTRAPOLATE,
+    ))
+    assert got == [3.0, 4.0]
+    # timestamps: carry clamped forward to the window start; the end
+    # tick is AT the boundary so no pad and no end clamp
+    ts = last(H.times_at(
+        xbuf, TD(seconds=-4), TD(seconds=0),
+        H.TimeIndexPolicy.EXTRAPOLATE, H.TimeIndexPolicy.EXTRAPOLATE,
+    ))
+    assert ts == [t(6), t(10)]
+
+
+def test_values_at_extrapolate_pad(xbuf):
+    # window [7s, 8s] at t=10: nothing in range; carry = 3.0 (t=3),
+    # end pad duplicates it; timestamps clamp to both boundaries
+    got = last(H.values_at(
+        xbuf, TD(seconds=-3), TD(seconds=-2),
+        H.TimeIndexPolicy.EXTRAPOLATE, H.TimeIndexPolicy.EXTRAPOLATE,
+    ))
+    assert got == [3.0, 3.0]
+    ts = last(H.times_at(
+        xbuf, TD(seconds=-3), TD(seconds=-2),
+        H.TimeIndexPolicy.EXTRAPOLATE, H.TimeIndexPolicy.EXTRAPOLATE,
+    ))
+    assert ts == [t(7), t(8)]
+    items = last(H.items_at(
+        xbuf, TD(seconds=-3), TD(seconds=-2),
+        H.TimeIndexPolicy.EXTRAPOLATE, H.TimeIndexPolicy.EXTRAPOLATE,
+    ))
+    assert [(i["ts"], i["value"]) for i in items] == [
+        (t(7), 3.0), (t(8), 3.0),
+    ]
+
+
+def test_values_at_extrapolate_no_carry(xbuf):
+    # at the FIRST tick (t=1): window [-3s, 1s] — no tick before the
+    # window, so no carry; just the tick itself, no pad (it's at end)
+    got = H.values_at(
+        xbuf, TD(seconds=-4), TD(seconds=0),
+        H.TimeIndexPolicy.EXTRAPOLATE, H.TimeIndexPolicy.EXTRAPOLATE,
+    ).collect_ticks()[0][1]
+    assert got == [1.0]
+
+
+def test_extrapolate_mixed_with_inclusive(xbuf):
+    # start INCLUSIVE keeps everything >= boundary, end EXTRAPOLATE
+    # pads: window [0s, 8s] at t=10 -> [1,2,3] + pad 3
+    got = last(H.values_at(
+        xbuf, TD(seconds=-10), TD(seconds=-2),
+        "inclusive", H.TimeIndexPolicy.EXTRAPOLATE,
+    ))
+    assert got == [1.0, 2.0, 3.0, 3.0]
+    ts = last(H.times_at(
+        xbuf, TD(seconds=-10), TD(seconds=-2),
+        "inclusive", H.TimeIndexPolicy.EXTRAPOLATE,
+    ))
+    assert ts == [t(1), t(3), t(3), t(8)]
+
+
+def test_integer_indexing_rejects_noninclusive(xbuf):
+    with pytest.raises(ValueError, match="integer indexing"):
+        H.values_at(xbuf, -3, -1, H.TimeIndexPolicy.EXTRAPOLATE)
+    with pytest.raises(ValueError, match="integer indexing"):
+        H.times_at(xbuf, -3, -1, end_policy=H.TimeIndexPolicy.EXCLUSIVE)
+
+
+def test_duplicate_policy_kwarg(xbuf):
+    # signature-compatible with the reference: LAST_VALUE accepted
+    # (positionally too), FIRST_VALUE raises like the reference engine
+    assert last(H.value_at(xbuf, -1, H.DuplicatePolicy.LAST_VALUE)) == 3.0
+    assert last(H.time_at(xbuf, 0, H.DuplicatePolicy.LAST_VALUE)) == t(10)
+    with pytest.raises(NotImplementedError):
+        H.value_at(xbuf, -1, H.DuplicatePolicy.FIRST_VALUE)
+    with pytest.raises(NotImplementedError):
+        H.item_at(xbuf, -1, duplicate_policy=H.DuplicatePolicy.FIRST_VALUE)
