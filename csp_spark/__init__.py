@@ -74,7 +74,7 @@ from .plans.runtime import (
     snapkey,
     ThreadRunner,
 )
-from .plans.runtime import dynamic_apply as dynamic  # csp.dynamic name
+from .plans.runtime import dynamic  # csp.dynamic (reference + spark forms)
 from .plans.runtime import attached as attach  # csp.attach reference name
 
 # --- baselib surface (reference csp/baselib.py __all__) ---------------
@@ -118,7 +118,7 @@ from .operators.baselib import (
     unroll,
     wrap_feedback,
 )
-from .operators.baselib import demultiplex as dynamic_demultiplex  # long-format identity, see baselib docstring
+from .operators.baselib import dynamic_demultiplex  # key-stream dynamic basket, see baselib docstring
 from .operators.baselib import count as num_ticks  # csp.num_ticks = tick counter
 from .operators.history import (
     DuplicatePolicy,
@@ -157,7 +157,10 @@ print = _print_compat  # noqa: A001
 print_ticks = _print_compat
 log = log_ticks
 stop_engine = stop_engine_limit
-GenericPushAdapter = PushAdapter
+# GenericPushAdapter dispatches on its first argument: a TYPE gets the
+# reference capture-mode adapter (impl/pushadapter.py), a SparkSession
+# the Structured Streaming live-ingest PushAdapter
+from .impl.pushadapter import GenericPushAdapter  # noqa: E402
 
 # --- math surface (reference csp/math.py __all__) ---------------------
 from .operators.math_ops import (  # noqa: E402

@@ -87,20 +87,36 @@ def _hints(fn: Callable) -> dict:
     return out
 
 
+def _is_basket_ann(ann: Any) -> bool:
+    """``{ts[K]: ts[V]}`` — the reference's dict-basket input
+    annotation (impl/types/tstype.py TsBasket grammar)."""
+    return (
+        isinstance(ann, dict)
+        and len(ann) == 1
+        and all(
+            _is_ts_ann(k) and _is_ts_ann(v) for k, v in ann.items()
+        )
+    )
+
+
 def is_reference_node(fn: Callable) -> bool:
-    """A reference-style node takes ts[...]-annotated inputs; the
-    imperative run_node style takes a single untyped ``cycle``."""
-    return any(_is_ts_ann(a) for a in _hints(fn).values())
+    """A reference-style node takes ts[...]-annotated (or dict-basket)
+    inputs; the imperative run_node style takes a single untyped
+    ``cycle``."""
+    return any(
+        _is_ts_ann(a) or _is_basket_ann(a) for a in _hints(fn).values()
+    )
 
 
 class _Rewriter(ast.NodeTransformer):
     def __init__(self, state_names, input_names, csp_aliases, multi,
-                 alarm_names=()):
+                 alarm_names=(), basket_names=()):
         self.state = set(state_names)
         self.inputs = set(input_names)
         self.csp = set(csp_aliases)
         self.multi = multi
         self.alarms = set(alarm_names)
+        self.baskets = set(basket_names)
 
     def _is_csp_call(self, node: ast.Call) -> str | None:
         f = node.func
@@ -157,6 +173,15 @@ class _Rewriter(ast.NodeTransformer):
             for a in node.args:
                 if isinstance(a, ast.Name) and a.id in self.alarms:
                     terms.append(self._alarm_term(name, a.id))
+                    continue
+                if isinstance(a, ast.Name) and a.id in self.baskets:
+                    # basket query: ANY member ticked / ALL valid
+                    meth = (
+                        "_any_ticked" if name == "ticked" else "_all_valid"
+                    )
+                    terms.append(
+                        ast.parse(f"{a.id}.{meth}()", mode="eval").body
+                    )
                     continue
                 if not isinstance(a, ast.Name) or a.id not in self.inputs:
                     raise SyntaxError(
@@ -281,8 +306,12 @@ def _parse(fn: Callable):
     input_names = [
         a.arg for a in fdef.args.args if _is_ts_ann(hints.get(a.arg))
     ]
+    basket_names = [
+        a.arg for a in fdef.args.args if _is_basket_ann(hints.get(a.arg))
+    ]
     scalar_names = [
-        a.arg for a in fdef.args.args if a.arg not in input_names
+        a.arg for a in fdef.args.args
+        if a.arg not in input_names and a.arg not in basket_names
     ]
 
     ret = hints.get("return")
@@ -368,9 +397,9 @@ def _parse(fn: Callable):
                     state_names.append(t.id)
 
     return (
-        fdef, input_names, scalar_names, state_names, alarm_names,
-        state_inits, start_stmts, start_has_alarms, body, aliases,
-        multi, outputs, output_type,
+        fdef, input_names, basket_names, scalar_names, state_names,
+        alarm_names, state_inits, start_stmts, start_has_alarms, body,
+        aliases, multi, outputs, output_type,
     )
 
 
@@ -408,6 +437,66 @@ def _wrap(v):
     return _AttrView(v) if isinstance(v, dict) else v
 
 
+class _BasketView:
+    """A dict-basket input as seen inside a node cycle — the
+    reference's TsBasket query surface (tickeditems/tickedkeys/
+    tickedvalues/validitems/validkeys/validvalues/keys/[]), backed by
+    run_node channels, one per basket member."""
+
+    __slots__ = ("_c", "_channels")
+
+    def __init__(self, c, channels: Mapping[str, str]):
+        self._c = c
+        self._channels = dict(channels)
+
+    def _any_ticked(self) -> bool:
+        return any(self._c.ticked(ch) for ch in self._channels.values())
+
+    def _all_valid(self) -> bool:
+        return all(self._c.valid(ch) for ch in self._channels.values())
+
+    def tickeditems(self):
+        return [
+            (k, _wrap(self._c[ch]))
+            for k, ch in self._channels.items()
+            if self._c.ticked(ch)
+        ]
+
+    def tickedkeys(self):
+        return [k for k, ch in self._channels.items() if self._c.ticked(ch)]
+
+    def tickedvalues(self):
+        return [v for _, v in self.tickeditems()]
+
+    def validitems(self):
+        return [
+            (k, _wrap(self._c[ch]))
+            for k, ch in self._channels.items()
+            if self._c.valid(ch)
+        ]
+
+    def validkeys(self):
+        return [k for k, ch in self._channels.items() if self._c.valid(ch)]
+
+    def validvalues(self):
+        return [v for _, v in self.validitems()]
+
+    def keys(self):
+        return list(self._channels)
+
+    def __getitem__(self, k):
+        return _wrap(self._c[self._channels[k]])
+
+    def __contains__(self, k):
+        return k in self._channels
+
+    def __iter__(self):
+        return iter(self._channels)
+
+    def __len__(self):
+        return len(self._channels)
+
+
 class NodeOutputs:
     """csp.Outputs result of a wired multi-output node: attribute or
     item access per named output (reference node.outputs surface)."""
@@ -428,14 +517,19 @@ class NodeOutputs:
         return self._streams.keys()
 
 
-def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
+def _compile_cycle(
+    fn: Callable,
+    scalars: Mapping[str, Any],
+    basket_channels: Mapping[str, Mapping[str, str]] | None = None,
+):
     (
-        fdef, input_names, scalar_names, state_names, alarm_names,
-        state_inits, start_stmts, start_has_alarms, body, aliases,
-        multi, outputs, output_type,
+        fdef, input_names, basket_names, scalar_names, state_names,
+        alarm_names, state_inits, start_stmts, start_has_alarms, body,
+        aliases, multi, outputs, output_type,
     ) = _parse(fn)
 
-    rw = _Rewriter(state_names, input_names, aliases, multi, alarm_names)
+    rw = _Rewriter(state_names, input_names, aliases, multi, alarm_names,
+                   basket_names)
 
     def _rewrite(stmts):
         out = []
@@ -503,6 +597,12 @@ def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
         cycle_prelude.append(
             ast.parse(f"{name} = __wrap(__c[{name!r}])").body[0]
         )
+    for name in basket_names:
+        cycle_prelude.append(
+            ast.parse(
+                f"{name} = __mk_basket(__c, __basket_channels[{name!r}])"
+            ).body[0]
+        )
     for name in scalar_names:
         cycle_prelude.append(
             ast.parse(f"{name} = __scalars[{name!r}]").body[0]
@@ -557,10 +657,14 @@ def _compile_cycle(fn: Callable, scalars: Mapping[str, Any]):
     ns = dict(fn.__globals__)
     ns["__wrap"] = _wrap
     ns["__scalars"] = dict(scalars)
+    ns["__mk_basket"] = _BasketView
+    ns["__basket_channels"] = {
+        k: dict(v) for k, v in (basket_channels or {}).items()
+    }
     exec(compile(mod, f"<csp.node {fn.__name__}>", "exec"), ns)
     return (
         ns["__node_cycle"], ns["__state_factory"], ns.get("__node_start"),
-        start_has_alarms, input_names, scalar_names,
+        start_has_alarms, input_names, basket_names, scalar_names,
         multi, outputs, output_type,
     )
 
@@ -575,14 +679,52 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
     bound = sig.bind(*args, **kwargs)
     bound.apply_defaults()
 
+    def _is_basket_value(v) -> bool:
+        return (
+            isinstance(v, dict)
+            and len(v) > 0
+            and all(isinstance(s, TickStream) for s in v.values())
+        )
+
+    # dict baskets ({key: stream}, e.g. a csp.dynamic result): each
+    # member becomes its own run_node channel, re-keyed to the global
+    # key — a reference node is ONE instance observing every member,
+    # so coincident member ticks share an engine cycle
+    basket_channels: dict[str, dict[str, str]] = {}
+    basket_streams: dict[str, TickStream] = {}
+    for name, v in bound.arguments.items():
+        if _is_basket_value(v):
+            chans = {}
+            for i, (k, s) in enumerate(v.items()):
+                ch = f"{name}__b{i}"
+                from pyspark.sql import functions as _F
+
+                from .ticks import GLOBAL_KEY, KEY, SEQ, TS
+
+                basket_streams[ch] = TickStream(
+                    s.df.select(
+                        _F.lit(GLOBAL_KEY).alias(KEY), TS, SEQ,
+                        _F.col(s.value_col).alias("value"),
+                    )
+                )
+                chans[str(k)] = ch
+            basket_channels[name] = chans
+
     scalars = {
         k: v for k, v in bound.arguments.items()
-        if not isinstance(v, TickStream)
+        if not isinstance(v, TickStream) and k not in basket_channels
     }
     (
         cycle, mk_state, on_start, start_has_alarms,
-        input_names, scalar_names, multi, outputs, output_type,
-    ) = _compile_cycle(fn, scalars)
+        input_names, basket_names, scalar_names, multi, outputs,
+        output_type,
+    ) = _compile_cycle(fn, scalars, basket_channels)
+    for name in basket_names:
+        if name not in basket_channels:
+            raise TypeError(
+                f"node basket input {name!r} expects a dict of "
+                "TickStreams (e.g. a csp.dynamic basket)"
+            )
 
     # engine start/end: the enclosing csp.run's bounds, when wiring
     # happens inside one — start anchors csp.start() alarm scheduling,
@@ -612,6 +754,7 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
                 f"{type(v).__name__}"
             )
         streams[name] = v
+    streams.update(basket_streams)
 
     from .noderun import run_node
 
@@ -619,9 +762,25 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
         res = run_node(
             cycle, streams, state=mk_state, outputs=outputs,
             on_start=on_start, start=engine_start, end=engine_end,
+            seed_empty_start=start_has_alarms,
         )
         return NodeOutputs(res)
-    return run_node(
+    out = run_node(
         cycle, streams, state=mk_state, output_type=output_type,
         on_start=on_start, start=engine_start, end=engine_end,
+        seed_empty_start=start_has_alarms,
     )
+    # a node with NO return annotation is a pure side-effect sink
+    # (prints, external writes): the reference engine runs it because
+    # it is wired — register it on the run frame so csp.run forces one
+    # evaluation even though nothing consumes its (empty) output
+    hints = _hints(fn)
+    if hints.get("return") is None:
+        try:
+            from ..plans.runtime import _run_info_stack
+
+            if _run_info_stack:
+                _run_info_stack[-1].setdefault("sink_nodes", []).append(out)
+        except Exception:
+            pass
+    return out

@@ -62,6 +62,13 @@ _MAX_ALARM_CYCLES = 1_000_000
 #: "synthetic row" convention; filtered from user-visible output)
 STATE_SEQ = -(1 << 40)
 
+#: seq marker for the synthetic group-seed row injected when a node
+#: with csp.start() alarms has NO input ticks at all (e.g. a feedback
+#: graph's first fixed-point pass): applyInPandas produces zero groups
+#: over an empty frame, so the alarm chain would never run — the seed
+#: row materializes one GLOBAL_KEY group and is skipped as a cycle
+_START_SEED_SEQ = -(1 << 41)
+
 
 class NodeCycle:
     """One engine cycle as seen from inside a node: ``now``/``seq``,
@@ -165,7 +172,7 @@ def _state_factory(state):
 
 
 def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
-                  on_start=None, start_ts=None):
+                  on_start=None, start_ts=None, has_seed=False):
     """The per-key cycle engine shared by run_node and
     run_node_with_states: input cycles in (ts, seq) order, alarm heap
     merged in, optional terminal-state row (pickled) appended.
@@ -203,6 +210,10 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
         # keeps pandas value semantics (pd.NaT, np.float64)
         st = mk_state()
         key = pdf[KEY].array[0]
+        if has_seed:
+            # drop group-seed rows (they only exist to materialize an
+            # otherwise-empty group for a start-alarm-driven node)
+            pdf = pdf[pdf[SEQ].to_numpy() != _START_SEED_SEQ]
         tcols = {n: pdf[_ticked_col(n)].to_numpy() for n in names}
         vcols = {n: pdf[n].array for n in names}
         tss, seqs = pdf[TS].array, pdf[SEQ].to_numpy()
@@ -219,21 +230,27 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
 
         state_pad = (None,) if emit_state else ()
 
+        def _conv(v):
+            # Struct outputs cross the Arrow boundary as dicts
+            from .record import Struct
+
+            return v.to_dict() if isinstance(v, Struct) else v
+
         def _emit(cyc, r):
             if r is NO_OUTPUT or r is None:
                 return
             if multi:
                 row = [key, cyc.now, cyc.seq]
                 for n in multi:
-                    row.extend((r.get(n), n in r))
+                    row.extend((_conv(r.get(n)), n in r))
                 out.append(tuple(row))
             else:
-                out.append((key, cyc.now, cyc.seq, r) + state_pad)
+                out.append((key, cyc.now, cyc.seq, _conv(r)) + state_pad)
 
         last_vals = {n: None for n in names}
         fired = [0]
 
-        if on_start is not None and n_rows:
+        if on_start is not None and (n_rows or start_ts is not None):
             # csp.start() analog: one synthetic cycle BEFORE any input,
             # at the engine start time when given (else the key's first
             # tick) — alarms it schedules enter the heap ahead of
@@ -295,6 +312,7 @@ def run_node(
     buckets: int | None = _NODE_BUCKETS,
     on_start: Callable | None = None,
     start: _dt.datetime | None = None,
+    seed_empty_start: bool = False,
 ) -> "TickStream | dict[str, TickStream]":
     """Run an imperative per-cycle function over every key's engine
     cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
@@ -325,6 +343,31 @@ def run_node(
     )
     names = list(streams)
     wide = align(streams, keep_ticked=True)
+    has_seed = False
+    if seed_empty_start and on_start is not None and start is not None:
+        # a start-alarm node over a completely empty input (feedback
+        # pass 0, pure-alarm clocks): inject one skipped seed row so
+        # applyInPandas materializes the GLOBAL_KEY group and the
+        # alarm chain runs (cost: one isEmpty job, paid only by nodes
+        # that declared csp.start() alarms)
+        if wide.isEmpty():
+            from pyspark.sql import functions as F
+
+            from .ticks import GLOBAL_KEY
+
+            wide = wide.sparkSession.range(1).select(
+                F.lit(GLOBAL_KEY).alias(KEY),
+                F.lit(start).cast("timestamp").alias(TS),
+                F.lit(_START_SEED_SEQ).cast("long").alias(SEQ),
+                *[
+                    F.lit(False).alias(f.name)
+                    if f.name.endswith("__ticked")
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in wide.schema.fields
+                    if f.name not in (KEY, TS, SEQ)
+                ],
+            )
+            has_seed = True
     mk_state = _state_factory(state)
     multi = dict(outputs) if outputs else None
     if multi:
@@ -337,7 +380,7 @@ def run_node(
 
     runner = _keyed_runner(
         fn, names, mk_state, multi, end, emit_state=False,
-        on_start=on_start, start_ts=start,
+        on_start=on_start, start_ts=start, has_seed=has_seed,
     )
     res = _bucketed(wide, buckets).applyInPandas(runner, schema)
     if multi:

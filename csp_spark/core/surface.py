@@ -158,7 +158,14 @@ class DelayedEdge(TickStream):
 
 class _FeedbackOut(TickStream):
     """The edge returned by ``feedback.out()`` — resolves to the bound
-    stream shifted one engine cycle (wrap_feedback's seq+1 contract)."""
+    stream shifted one engine cycle (wrap_feedback's seq+1 contract).
+
+    When a consumer materializes it BEFORE bind() (a true cycle: the
+    graph wires a node on the feedback, and that node's output later
+    binds it), resolution falls back to the PREVIOUS fixed-point
+    pass's materialized ticks (empty on pass 0) and flags the handle
+    stale — csp.run re-executes the graph until the bound ticks
+    stabilize (plans/runtime.run's feedback loop)."""
 
     __slots__ = ("_fb",)
 
@@ -166,17 +173,26 @@ class _FeedbackOut(TickStream):
         self._fb = fb
 
     def _resolved(self) -> TickStream:
-        if self._fb._bound is None:
-            raise RuntimeError(
-                "csp.feedback.out() used before bind(). Bind the "
-                "producing stream first; for graphs where the output "
-                "truly feeds its own input, use feedback_scan (one-"
-                "cycle-latency recurrences) or feedback_iterate "
-                "(multi-round fixed points)."
-            )
         from ..operators.baselib import wrap_feedback
 
-        return wrap_feedback(self._fb._bound)
+        fb = self._fb
+        if fb._bound is not None:
+            return wrap_feedback(fb._bound)
+        if fb._frame is not None:
+            # inside csp.run: one-cycle-delayed replay of the previous
+            # pass (empty on the first) — the run loop re-wires until
+            # this converges
+            fb._used_stale = True
+            if fb._prev is not None:
+                return wrap_feedback(fb._prev)
+            return fb._empty_stream()
+        raise RuntimeError(
+            "csp.feedback.out() used before bind(). Bind the "
+            "producing stream first; for graphs where the output "
+            "truly feeds its own input, wire inside csp.run (the "
+            "runner iterates feedback cycles to a fixed point) or use "
+            "feedback_scan / feedback_iterate directly."
+        )
 
     @property
     def df(self):
@@ -191,11 +207,44 @@ class feedback:
     """csp.feedback (impl/wiring/feedback.py:39-80): a typed handle
     whose ``out()`` is the bound stream delivered one engine cycle
     later at the same timestamp — exactly wrap_feedback's (ts, seq+1)
-    contract. ``bind`` may be called once."""
+    contract. ``bind`` may be called once.
+
+    True graph cycles (out() consumed before bind()) are resolved by
+    csp.run's fixed-point loop: handles register on the run frame in
+    creation order, each pass re-wires the graph with the previous
+    pass's materialized feedback ticks, and the loop stops when the
+    bound streams' ticks stop changing — the batch analog of the
+    reference engine's one-cycle-delayed feedback delivery."""
 
     def __init__(self, typ: Any = None):
         self._type = typ
         self._bound: TickStream | None = None
+        self._prev: TickStream | None = None
+        self._used_stale = False
+        self._frame: dict | None = None
+        try:
+            from ..plans.runtime import _run_info_stack
+
+            self._frame = _run_info_stack[-1] if _run_info_stack else None
+        except Exception:
+            self._frame = None
+        if self._frame is not None:
+            fbs = self._frame.setdefault("feedbacks", [])
+            idx = len(fbs)
+            prevs = self._frame.get("fb_prev") or []
+            if idx < len(prevs):
+                self._prev = prevs[idx]
+            fbs.append(self)
+
+    def _empty_stream(self) -> TickStream:
+        from .nodeparse import _elem_type
+        from .session import get_spark
+
+        ddl = _elem_type(self._type) if self._type is not None else "double"
+        df = get_spark().createDataFrame(
+            [], f"key string, ts timestamp, seq long, value {ddl}"
+        )
+        return TickStream(df)
 
     def bind(self, x: TickStream) -> None:
         if self._bound is not None:

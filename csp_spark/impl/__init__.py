@@ -4,4 +4,11 @@ so `from csp.impl.pulladapter import PullInputAdapter` style imports
 resolve (through enable_reference_alias) to the same classes exported
 at the top level."""
 
-from . import adaptermanager, outputadapter, pandas, pulladapter, wiring  # noqa: F401
+from . import (  # noqa: F401
+    adaptermanager,
+    outputadapter,
+    pandas,
+    pulladapter,
+    pushadapter,
+    wiring,
+)

@@ -1,0 +1,5 @@
+"""csp.impl.pandas_accessor parity (reference csp/impl/pandas_accessor.py):
+importing this module registers the ``.csp`` accessors on pd.Series /
+pd.DataFrame — the registration lives in csp_spark.pandas_ext."""
+
+from ..pandas_ext import CspDataFrameAccessor, CspSeriesAccessor  # noqa: F401

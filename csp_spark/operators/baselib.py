@@ -597,6 +597,34 @@ def demultiplex(
     }
 
 
+def dynamic_demultiplex(x: TickStream, key=None, raise_on_bad_key: bool = False):
+    """csp.dynamic_demultiplex (baselib.py:600-604): route a stream into
+    a DYNAMIC basket keyed by a key stream's coincident value — keys
+    are discovered from the data, not declared. In the long format the
+    result is one re-keyed stream (key column = the key stream's value
+    at each tick); csp.dynamic() instantiates per-key subgraphs over
+    it, and a dict-basket node input iterates its keys.
+
+    Key-less/list forms keep the static demultiplex behavior."""
+    if key is None:
+        return TickStream(x.df, x.value_col)
+    if isinstance(key, (list, tuple, set)):
+        return demultiplex(x, list(key), raise_on_bad_key)
+    from ..core.align import align
+
+    a = align({"__v": x, "__k": key})
+    from ..core.align import _ticked as _tick_col
+
+    df = a.filter(
+        F.col(_tick_col("__v")) & F.col("__k").isNotNull()
+    ).select(
+        F.col("__k").cast("string").alias(KEY),
+        TS, SEQ,
+        F.col("__v").alias(VALUE),
+    )
+    return TickStream(df, VALUE)
+
+
 # ----------------------------------------------------------------------
 # structs (csp.Struct → StructType — SURVEY.md §1.2)
 # ----------------------------------------------------------------------

@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 from ..core.ticks import KEY, SEQ, TS, VALUE, TickStream
 
+#: cap on csp.run's feedback fixed-point passes — each pass replays
+#: the graph with the previous pass's one-cycle-delayed feedback
+#: ticks; graphs whose feedback only OBSERVES the loop converge in 2
+_MAX_FEEDBACK_PASSES = 10
+
 
 def _clip(x: TickStream, start, end) -> TickStream:
     df = x.df
@@ -67,13 +72,59 @@ def run(
     )
     try:
         # build under an output context so csp.add_graph_output side
-        # outputs registered during wiring are collected too
-        _surface._output_ctx.append({})
-        try:
-            outs = graph_fn(*args, **kwargs)
-        finally:
-            _side = _surface._output_ctx.pop()
-            _hist = _surface._output_history.pop(id(_side), {})
+        # outputs registered during wiring are collected too — looped
+        # to a FIXED POINT when the graph wires true feedback cycles
+        # (csp.feedback consumed before bind): each pass re-wires with
+        # the previous pass's materialized feedback ticks, one engine
+        # cycle delayed, until the bound streams stop changing
+        frame = _run_info_stack[-1]
+        for _fb_pass in range(_MAX_FEEDBACK_PASSES):
+            frame["feedbacks"] = []
+            frame["push_captures"] = []
+            frame["sink_nodes"] = []
+            del _on_stop_callbacks[mark:]  # re-registered each pass
+            _surface._output_ctx.append({})
+            try:
+                outs = graph_fn(*args, **kwargs)
+            finally:
+                _side = _surface._output_ctx.pop()
+                _hist = _surface._output_history.pop(id(_side), {})
+            stale = [fb for fb in frame["feedbacks"] if fb._used_stale]
+            if not stale:
+                break
+            prevs, rows_now, converged = [], [], True
+            prev_rows = frame.get("fb_rows")
+            for i, fb in enumerate(frame["feedbacks"]):
+                if fb._bound is None:
+                    raise RuntimeError(
+                        "csp.feedback.out() was consumed but bind() "
+                        "was never called in the graph"
+                    )
+                b = fb._bound
+                bdf = b.df.select(
+                    "key", "ts", "seq",
+                    F.col(b.value_col).alias("value"),
+                )
+                rows = bdf.orderBy("ts", "seq", "key").collect()
+                rows_now.append(rows)
+                if prev_rows is None or i >= len(prev_rows) \
+                        or rows != prev_rows[i]:
+                    converged = False
+                prevs.append(
+                    TickStream(
+                        bdf.sparkSession.createDataFrame(rows, bdf.schema)
+                    )
+                )
+            frame["fb_prev"], frame["fb_rows"] = prevs, rows_now
+            if converged:
+                break
+        else:
+            raise RuntimeError(
+                f"feedback cycle did not converge within "
+                f"{_MAX_FEEDBACK_PASSES} passes — a feedback whose "
+                "value changes its own producer every cycle needs "
+                "feedback_scan (per-cycle recurrence) instead"
+            )
         if outs is None:
             outs = {}
         if isinstance(outs, TickStream):
@@ -83,6 +134,17 @@ def run(
             if _k in outs:  # same rule as build_graph — never silently
                 raise ValueError(f"duplicate graph output key {_k!r}")
         outs = {**_side, **outs}
+        # realtime push adapters registered during wiring: run their
+        # capture phase (threads push for the run's wall window) BEFORE
+        # collecting, so their buffers replay as batch streams
+        if _run_info_stack[-1].get("push_captures"):
+            from ..impl.pushadapter import drive_captures
+
+            drive_captures(_run_info_stack[-1])
+        # pure side-effect nodes (no return annotation): the reference
+        # engine runs every wired node — force one evaluation each
+        for _s in frame.get("sink_nodes", []):
+            _s.df.count()
         result: dict[str, list[tuple]] = {}
         for name, stream in outs.items():
             clipped = _clip(stream, starttime, endtime)
@@ -252,30 +314,142 @@ def feedback_scan(
     return TickStream(base.mapInPandas(gen, schema))
 
 
-def snapkey(pdf) -> str:
-    """csp.snapkey analog (csp/impl/types/tstype.py:163-177): the basket
-    key that spawned this per-key subgraph — read inside a
-    dynamic_apply ``fn``."""
+class _SnapKeyMarker:
+    """csp.snapkey() graph-build marker — csp.dynamic substitutes the
+    spawning basket key."""
+
+
+class _AttachMarker:
+    """csp.attach() graph-build marker — csp.dynamic substitutes the
+    spawning key's slice of the trigger basket."""
+
+
+class _SnapMarker:
+    """csp.snap(x) graph-build marker — csp.dynamic substitutes x's
+    value as of the key's first trigger tick, as a scalar."""
+
+    def __init__(self, stream: TickStream):
+        self.stream = stream
+
+
+def snapkey(pdf=None):
+    """csp.snapkey (csp/impl/types/tstype.py:163-177). Two forms:
+    reference graph-build marker ``csp.snapkey()`` (inside a
+    csp.dynamic argument list — substituted with the spawning key),
+    or the dynamic_apply in-``fn`` helper ``snapkey(pdf)`` returning
+    the key of the per-key frame."""
+    if pdf is None:
+        return _SnapKeyMarker()
     return pdf[KEY].iloc[0]
 
 
-def snap(pdf, name: str):
-    """csp.snap analog (tstype.py:142-160): the scalar value the named
-    snapped stream had when this key's subgraph started (= at the key's
-    first trigger tick) — read inside a dynamic_apply ``fn``. None if
-    the snapped stream had not yet ticked."""
+def snap(pdf=None, name: str | None = None):
+    """csp.snap (tstype.py:142-160). Reference marker form
+    ``csp.snap(stream)`` for csp.dynamic argument lists; or the
+    dynamic_apply in-``fn`` helper ``snap(pdf, name)`` — the scalar
+    value the named snapped stream had when this key's subgraph
+    started (= at the key's first trigger tick). None if the snapped
+    stream had not yet ticked."""
+    if isinstance(pdf, TickStream):
+        return _SnapMarker(pdf)
     v = pdf[f"__snap_{name}"].iloc[0]
     import pandas as _pd
 
     return None if _pd.isna(v) else v
 
 
-def attached(pdf, name: str):
-    """csp.attach analog (tstype.py:181-199): this key's slice of the
-    named attached stream, in engine order, as a pandas frame with
-    columns (ts, seq, value) — read inside a dynamic_apply ``fn``."""
+def attached(pdf=None, name: str | None = None):
+    """csp.attach (tstype.py:181-199). Reference marker form
+    ``csp.attach()`` for csp.dynamic argument lists; or the
+    dynamic_apply in-``fn`` helper ``attached(pdf, name)`` — this
+    key's slice of the named attached stream, in engine order, as a
+    pandas frame with columns (ts, seq, value)."""
+    if pdf is None:
+        return _AttachMarker()
     rows = pdf[pdf[DYN_SRC] == name]
     return rows[[TS, SEQ, name]].rename(columns={name: "value"}).reset_index(drop=True)
+
+
+def dynamic(trigger: TickStream, fn: Callable, *args, **kwargs):
+    """csp.dynamic — both calling forms:
+
+    - REFERENCE form (csp/impl/wiring/dynamic.py): ``csp.dynamic(
+      trigger_basket, graph_fn, csp.snapkey(), csp.attach(),
+      csp.snap(x), <shared edges/scalars...>)`` — instantiates
+      ``graph_fn`` once per basket key (keys discovered from the
+      trigger data, spawn order = first-trigger order) and returns the
+      dict basket {key: output edge}. Feed it to a node with a
+      ``{ts[str]: ts[T]}`` input.
+    - Spark form: ``dynamic(x, fn, output_schema, attach=...,
+      snap_streams=...)`` = :func:`dynamic_apply` (groupBy + Arrow,
+      the scale path).
+    """
+    spark_form = (
+        "output_schema" in kwargs
+        or "attach" in kwargs
+        or "snap_streams" in kwargs
+        or (args and isinstance(args[0], str) and " " in args[0])
+    )
+    if spark_form:
+        return dynamic_apply(trigger, fn, *args, **kwargs)
+    return _dynamic_reference(trigger, fn, *args)
+
+
+def _dynamic_reference(trigger: TickStream, graph_fn: Callable, *args):
+    """Per-key subgraph instantiation over a dynamic basket. Keys are
+    read from the trigger data (one small driver job — the dynamic
+    surface is an authoring affordance, keyed-parallel execution of
+    each subgraph's operators is still Spark-side)."""
+    key_rows = (
+        trigger.df.groupBy(KEY)
+        .agg(F.min(F.struct(F.col(TS), F.col(SEQ))).alias("__first"))
+        .orderBy("__first")
+        .collect()
+    )
+    spawn = [(r[KEY], r["__first"][TS], r["__first"][SEQ]) for r in key_rows]
+
+    # snap markers: ONE ordered collect per snapped stream, then a
+    # driver-side as-of at each key's spawn cycle (inclusive — the
+    # spawning tick itself is current, like the reference)
+    snap_vals: dict[int, dict[str, Any]] = {}
+    for i, a in enumerate(args):
+        if isinstance(a, _SnapMarker):
+            s = a.stream
+            srows = (
+                s.df.select(TS, SEQ, F.col(s.value_col).alias("__v"))
+                .orderBy(TS, SEQ)
+                .collect()
+            )
+            vals = {}
+            for k, t0, q0 in spawn:
+                cur = None
+                for r in srows:
+                    if (r[TS], r[SEQ]) <= (t0, q0):
+                        cur = r["__v"]
+                    else:
+                        break
+                vals[k] = cur
+            snap_vals[i] = vals
+
+    out: dict[str, TickStream] = {}
+    for k, _t0, _q0 in spawn:
+        sub_args = []
+        for i, a in enumerate(args):
+            if isinstance(a, _SnapKeyMarker):
+                sub_args.append(k)
+            elif isinstance(a, _AttachMarker):
+                sub_args.append(
+                    TickStream(
+                        trigger.df.filter(F.col(KEY) == F.lit(k)),
+                        trigger.value_col,
+                    )
+                )
+            elif isinstance(a, _SnapMarker):
+                sub_args.append(snap_vals[i][k])
+            else:
+                sub_args.append(a)
+        out[k] = graph_fn(*sub_args)
+    return out
 
 
 def dynamic_apply(

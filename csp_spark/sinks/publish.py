@@ -269,19 +269,55 @@ def to_output_adapter(
     return len(rows)
 
 
-def py_output_adapter_def(name: str, adapterimpl: type, **defaults):
+def py_output_adapter_def(
+    name: str, adapterimpl: type, manager_type: type | None = None,
+    **defaults,
+):
     """Factory convention mirroring the reference
     (csp/impl/wiring/adapters.py:351): returns a callable
     ``Out(x, **impl_kwargs)``. Kwargs whose values are TYPES (incl.
     ts[...] markers) are the reference's PARAMETER DECLARATIONS —
     dropped from the impl kwargs; ts-annotated names take the stream
-    argument. Non-type kwargs are default values."""
+    argument. Non-type kwargs are default values.
+
+    With ``manager_type`` the factory is ``Out(manager, x,
+    <declared scalars...>)`` and the impl is constructed as
+    ``adapterimpl(manager_impl, *scalars)`` sharing the manager's ONE
+    runtime impl with its input adapters; tick delivery is deferred to
+    the end of the manager's realtime capture window
+    (impl/pushadapter.drive_captures), since the inputs only
+    materialize then."""
     from ..core.surface import ts as _ts_marker
 
     value_defaults = {
         k: v for k, v in defaults.items()
         if not isinstance(v, type) and v is not _ts_marker
     }
+
+    if manager_type is not None:
+        def factory(mgr, x, *args, **kwargs):  # noqa: ANN001
+            from ..impl.pushadapter import _current_frame
+
+            frame = _current_frame()
+            groups = frame.setdefault("push_captures", [])
+            group = next(
+                (g for g in groups
+                 if g.get("mgr") is mgr and not g.get("done")),
+                None,
+            )
+            if group is None:
+                group = {"mgr": mgr, "entries": []}
+                groups.append(group)
+            group.setdefault("outputs", []).append({
+                "adapterimpl": adapterimpl,
+                "stream": x,
+                "args": args,
+                "kwargs": {**value_defaults, **kwargs},
+            })
+            return None
+
+        factory.__name__ = name
+        return factory
 
     def factory(x, key: str | None = None, **kwargs) -> int:
         merged = dict(value_defaults)

@@ -486,3 +486,219 @@ def test_reference_adapter_manager_verbatim(spark, capture_print):
         all_nc.extend(v["value"] for _, v in nc)
     # the manager's counter values are globally unique across symbols
     assert len(all_nc) == len(set(all_nc)) > 0
+
+
+REF_GPUSH = ("/root/reference/examples/04_writing_adapters/"
+             "e1_generic_push_adapter.py")
+
+
+def test_reference_generic_push_adapter_verbatim(spark, capture_print):
+    """04_writing_adapters/e1_generic_push_adapter.py: a non-engine
+    thread pushes into csp.GenericPushAdapter during a bounded realtime
+    run — wait_for_start gates the driver thread, stopped() ends it,
+    schedule_on_engine_stop joins it."""
+    if not os.path.exists(REF_GPUSH):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_GPUSH, spark)
+    ns["main"]()
+    got = capture_print["data"].collect_ticks()
+    # the driver pushes 0,1,... once per second over a ~2s window
+    vals = [v for _, v in got]
+    assert vals == list(range(len(vals))) and len(vals) >= 1
+    ts_seq = [t for t, _ in got]
+    assert ts_seq == sorted(ts_seq)
+
+
+REF_PUSH4 = "/root/reference/examples/04_writing_adapters/e4_pushinput.py"
+
+
+def test_reference_pushinput_verbatim(spark, capture_print):
+    """04_writing_adapters/e4_pushinput.py: PushInputAdapter authored
+    under csp.impl.pushadapter + py_push_adapter_def with a typed
+    scalar declaration; the impl's own thread pushes during the
+    realtime window."""
+    if not os.path.exists(REF_PUSH4):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_PUSH4, spark)
+    ns["main"]()
+    got = capture_print["data"].collect_ticks()
+    vals = [v for _, v in got]
+    assert vals == list(range(len(vals))) and len(vals) >= 1
+
+
+REF_PUSH5 = ("/root/reference/examples/04_writing_adapters/"
+             "e5_adaptermanager_pushinput.py")
+
+
+def test_reference_adaptermanager_pushinput_verbatim(spark, capture_print):
+    """04_writing_adapters/e5_adaptermanager_pushinput.py: ONE
+    AdapterManager drives 15 push subscriptions (5 symbols × 3
+    PushModes) from a single thread; the same PushMode invariants as
+    the managed-sim example hold on the captured buffers."""
+    if not os.path.exists(REF_PUSH5):
+        pytest.skip("reference checkout not present")
+    import random
+
+    random.seed(11)
+    ns = _exec_file(REF_PUSH5, spark)
+    ns["main"]()
+    all_vals = []
+    for sym in ("AAPL", "IBM", "TSLA", "GS", "JPM"):
+        nc = capture_print[f"{sym} non_collapsing"].collect_ticks()
+        lv = capture_print[f"{sym} last_value"].collect_ticks()
+        bu = capture_print[f"{sym} burst"].collect_ticks()
+        assert len(nc) == sum(len(v) for _, v in bu)
+        assert len(lv) == len(bu)
+        assert [v["value"] for _, v in lv] == [v[-1]["value"] for _, v in bu]
+        assert all(v["symbol"] == sym for _, v in nc)
+        all_vals.extend(v["value"] for _, v in nc)
+    # the manager's counter is globally unique and something ticked
+    assert len(all_vals) == len(set(all_vals)) > 0
+
+
+REF_PUSH7 = ("/root/reference/examples/04_writing_adapters/"
+             "e7_adaptermanager_inputoutput.py")
+
+
+def test_reference_adaptermanager_inputoutput_verbatim(
+    spark, capture_print, capsys
+):
+    """04_writing_adapters/e7_adaptermanager_inputoutput.py: one
+    manager owns BOTH push inputs and output adapters
+    (py_output_adapter_def with manager_type); published streams
+    replay through the shared impl's _on_tick, publications close on
+    stop."""
+    if not os.path.exists(REF_PUSH7):
+        pytest.skip("reference checkout not present")
+    import random
+
+    random.seed(13)
+    ns = _exec_file(REF_PUSH7, spark)
+    ns["main"]()
+    n_ticks = 0
+    for name in ("data_1", "data_2", "data_3"):
+        ticks = capture_print[name].collect_ticks()
+        assert all(v["symbol"] == name for _, v in ticks)
+        n_ticks += len(ticks)
+    assert n_ticks > 0
+    out = capsys.readouterr().out
+    # both publications closed; every published tick was delivered to
+    # the shared manager's _on_tick channel printer
+    assert "closing asset publication_data_1" in out
+    assert "closing asset publication_data_3" in out
+    assert out.count("publication_data_1:") >= out.count("closing asset") - 2
+
+
+REF_FB = "/root/reference/examples/02_intermediate/e1_feedback.py"
+
+
+def test_reference_feedback_verbatim(spark):
+    """02_intermediate/e1_feedback.py: a true graph cycle — my_algo's
+    orders feed my_exchange, whose ACKs feed back into my_algo via
+    csp.feedback; csp.run iterates the cycle to a fixed point (2
+    passes here: the fed-back value is only printed). main() runs the
+    example end-to-end; the same verbatim nodes are then re-wired with
+    collected outputs and checked against hand-derived values: orders
+    every 1s from engine start (ids 1..6 inside the 5s run), each
+    ACKed 0.7s later (ids 1..5; id 6's ACK lands past endtime)."""
+    if not os.path.exists(REF_FB):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_FB, spark)
+    ns["main"]()  # the example's own realtime-anchored run
+
+    st = dt.datetime(2021, 3, 1)
+
+    def g():
+        fb = csp_spark.feedback(ns["ExecReport"])
+        orders = ns["my_algo"](fb.out())
+        acks = ns["my_exchange"](orders)
+        fb.bind(acks)
+        return {"orders": orders, "acks": acks}
+
+    res = csp_spark.run(g, starttime=st, endtime=dt.timedelta(seconds=5))
+    sec = lambda x: st + dt.timedelta(seconds=x)  # noqa: E731
+    orders = res["orders"]
+    assert [(t, v["order_id"], v["qty"], v["side"]) for t, v in orders] == [
+        (sec(i), i + 1, 200, "BUY") for i in range(6)
+    ]
+    assert [round(v["price"], 6) for _, v in orders] == [
+        round(100.0 + 0.01 * i, 6) for i in range(6)
+    ]
+    acks = res["acks"]
+    assert [(t, v["order_id"], v["status"]) for t, v in acks] == [
+        (sec(i + 0.7), i + 1, "ACK") for i in range(5)
+    ]
+
+
+REF_DYN = "/root/reference/examples/06_advanced/e1_dynamic.py"
+
+
+@csp_spark.node
+def _basket_summary(x: {csp_spark.ts[str]: csp_spark.ts[int]}) -> csp_spark.ts[str]:
+    if csp_spark.ticked(x):
+        return repr(sorted(x.tickeditems()))
+
+
+def test_reference_dynamic_verbatim(spark, capture_print, capfd):
+    """06_advanced/e1_dynamic.py: csp.dynamic spawns a sub-graph per
+    discovered symbol (csp.snapkey / csp.attach / csp.snap markers,
+    shared edges and scalars), and a {ts[str]: ts[int]} dict-basket
+    node consumes the dynamic result basket. main() runs end-to-end;
+    the verbatim process_symbol is then re-wired under a summarizing
+    basket node and checked against hand-derived cumulative sizes:
+    AAPL 100->0, FB -200->-100, GME 1000->1800, AMC 400."""
+    if not os.path.exists(REF_DYN):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_DYN, spark)
+    ns["main"]()
+    out = capfd.readouterr().out
+    # sub-graph spawns print at graph build (driver side): one per
+    # discovered symbol, each receiving the snapped initial order and
+    # the shared scalar
+    assert out.count("Starting sub-graph to process symbol") == 4
+    assert out.count("scalar:  howdy") == 4
+
+    from datetime import timedelta
+
+    Order = ns["Order"]
+    st = dt.datetime(2021, 3, 1)
+    rows = [
+        (timedelta(seconds=0), Order(symbol="AAPL", price=135, size=100)),
+        (timedelta(seconds=1), Order(symbol="FB", price=350, size=-200)),
+        (timedelta(seconds=2), Order(symbol="GME", price=210, size=1000)),
+        (timedelta(seconds=3), Order(symbol="AAPL", price=138, size=-100)),
+        (timedelta(seconds=4), Order(symbol="FB", price=330, size=100)),
+        (timedelta(seconds=5), Order(symbol="AMC", price=57, size=400)),
+        (timedelta(seconds=6), Order(symbol="GME", price=200, size=800)),
+    ]
+
+    def g():
+        orders = csp_spark.curve(Order, rows)
+        trigger = csp_spark.dynamic_demultiplex(orders, orders.symbol)
+        some_ts = csp_spark.count(
+            csp_spark.timer(dt.timedelta(seconds=1))
+        )
+        cum = csp_spark.dynamic(
+            trigger, ns["process_symbol"],
+            csp_spark.snapkey(), csp_spark.attach(),
+            csp_spark.snap(orders), some_ts, "howdy",
+        )
+        return _basket_summary(cum)
+
+    res = csp_spark.run(g, starttime=st, endtime=st + dt.timedelta(seconds=10))
+    got = list(res.values())[0]
+    sec = lambda x: st + dt.timedelta(seconds=x)  # noqa: E731
+    expect = [
+        (sec(0), [("AAPL", 100)]), (sec(1), [("FB", -200)]),
+        (sec(2), [("GME", 1000)]), (sec(3), [("AAPL", 0)]),
+        (sec(4), [("FB", -100)]), (sec(5), [("AMC", 400)]),
+        (sec(6), [("GME", 1800)]),
+    ]
+    assert len(got) == 7
+    for (t, v), (et, items) in zip(got, expect):
+        assert t == et
+        assert v == repr([(k, float(x)) for k, x in items])
+    # the per-symbol attached order streams flowed into the sub-graphs
+    aapl = capture_print["AAPL orders"].collect_ticks()
+    assert [v["size"] for _, v in aapl] == [100, -100]
+    assert all(v["symbol"] == "AAPL" for _, v in aapl)

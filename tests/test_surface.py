@@ -34,7 +34,9 @@ def test_enum_and_marker_surface():
     assert csp.Outputs(a=1, b=2) == {"a": 1, "b": 2}
     assert csp.OutputBasket(float) is float
     assert csp.DataFrame is csp.TsFrame
-    assert csp.dynamic is csp.dynamic_apply
+    # csp.dynamic now dispatches between the reference per-key-subgraph
+    # form and the Spark groupBy form (dynamic_apply)
+    assert callable(csp.dynamic) and callable(csp.dynamic_apply)
     assert issubclass(csp.CspParseError, SyntaxError)
     assert issubclass(csp.OutputTypeError, csp.TypeMismatchError)
 
