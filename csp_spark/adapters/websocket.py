@@ -7,8 +7,12 @@ from ..streaming.sources import PushAdapter, PushGroup, socket_ticks
 from ..streaming.websocket import (
     WebSocketClient, WebsocketAdapter, publish_websocket_stream,
 )
+from .websocket_table import (
+    TableAdapter, TableManager, WebsocketTableAdapter, diff_dict,
+)
 
 __all__ = [
     "WebsocketAdapter", "WebSocketClient", "publish_websocket_stream",
     "socket_ticks", "PushAdapter", "PushGroup",
+    "WebsocketTableAdapter", "TableAdapter", "TableManager", "diff_dict",
 ]
