@@ -2215,6 +2215,98 @@ def doc_bpe_tokens(spark, sf_dir):
     )
 
 
+# frozen BPE merge table for ★doc_bpe_apply: trained ONCE (train_bpe,
+# n_merges=48, sample_cap=400 on sf0.01) and committed as a literal so
+# the Spark query and the DuckDB oracle replay the SAME deterministic
+# greedy inference (Sennrich ACL'16 lowest-rank-first rule)
+_BPE_FROZEN_MERGES = [
+    ('e', 'r'), ('e', '</w>'), ('n', '</w>'), ('er', '</w>'), ('o', 'w'),
+    ('ow', '</w>'), ('s', 't'), ('o', 'r'), ('h', '</w>'), ('a', 't'),
+    ('l', 'u'), ('i', 'n'), ('a', '</w>'), ('t', '</w>'), ('y', '</w>'),
+    ('a', 'r'), ('p', 'ar'), ('g', '</w>'), ('a', 's'), ('as', 'h</w>'),
+    ('h', 'ash</w>'), ('c', 'u'), ('cu', 'st'), ('cust', 'o'),
+    ('custo', 'm'), ('custom', 'er</w>'), ('i', 'n</w>'), ('j', 'o'),
+    ('jo', 'in</w>'), ('f', 'i'), ('fi', 'l'), ('fil', 't'),
+    ('filt', 'er</w>'), ('r', 'ow</w>'), ('c', 'o'), ('co', 'lu'),
+    ('colu', 'm'), ('colum', 'n</w>'), ('at', 'c'), ('atc', 'h</w>'),
+    ('b', 'atch</w>'), ('a', 'n</w>'), ('c', 'an</w>'), ('s', 'can</w>'),
+    ('er', 'g'), ('erg', 'e</w>'), ('m', 'erge</w>'), ('a', 'b'),
+]
+
+
+def doc_bpe_apply(spark, sf_dir):
+    """★BPE inference over a FROZEN merge table (text/bpe.py
+    apply_bpe): per-doc piece count, hash-checkable — the oracle
+    replays the exact greedy lowest-rank-first merge recursion in a
+    DuckDB recursive CTE over the same literal merge table. The text
+    is JVM-normalized (trim/lower/`\\s+`-split re-joined on single
+    spaces) so the UDF's Python ``str.split`` and the oracle's regex
+    split tokenize identically."""
+    from csp_spark.text import apply_bpe
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    docs = docs.withColumn(
+        "text",
+        F.concat_ws(" ", F.split(F.trim(F.lower(F.col("text"))), r"\s+")),
+    )
+    out = apply_bpe(docs, _BPE_FROZEN_MERGES)
+    return out.select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_pieces")
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    vals = ",\n    ".join(
+        f"({a!r}, {b!r}, {i})"
+        for i, (a, b) in enumerate(_BPE_FROZEN_MERGES)
+    )
+    return f"""
+WITH RECURSIVE merges(a, b, r) AS (
+  VALUES {vals}
+),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0
+    )) AS w
+    FROM documents WHERE doc_id < 2000
+  )
+),
+enc(w, syms, step) AS (
+  SELECT w,
+    list_append(list_transform(range(1, len(w) + 1), i -> w[i:i]), '</w>'),
+    0
+  FROM words
+  UNION ALL
+  SELECT w,
+    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:],
+    step + 1
+  FROM (
+    SELECT w, syms, step,
+      (SELECT arg_min(i, m.r)
+       FROM unnest(range(1, len(syms))) AS u(i)
+       JOIN merges m ON m.a = syms[i] AND m.b = syms[i+1]) AS bi
+    FROM enc
+  ) WHERE bi IS NOT NULL
+),
+pieces AS (
+  SELECT w, min(len(syms)) AS np FROM enc GROUP BY w
+),
+docw AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0
+  )) AS w
+  FROM documents WHERE doc_id < 2000
+)
+SELECT d.doc_id,
+  CAST(coalesce(sum(p.np), 0) AS BIGINT) AS n_pieces
+FROM (SELECT doc_id FROM documents WHERE doc_id < 2000) d
+LEFT JOIN docw USING (doc_id)
+LEFT JOIN pieces p USING (w)
+GROUP BY d.doc_id
+"""
+
+
 _PQ_M, _PQ_CODES, _PQ_DSUB, _PQ_SEED = 4, 16, 16, 7
 
 
@@ -3344,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_pandas_ts": frame_pandas_ts,
         "op_node_ast": op_node_ast,
         "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_bpe_apply": doc_bpe_apply,
         "doc_mixture": doc_mixture,
         "sink_parquet_roundtrip": sink_parquet_roundtrip,
         "sink_csv_roundtrip": sink_csv_roundtrip,
@@ -3398,51 +3491,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
-    # dict, so order by evidence value (round 5):
-    # 1. the three r4 reds (pack HUGEINT casts + token_ids reshape) and
-    #    the two queries that have NEVER been driver-run (they sat past
-    #    position 50 every round: stats_unique, op_hot_key_running);
-    # 2. queries whose backing modules change THIS round (LSH bucket
-    #    caps touch dedup_minhash/simhash/components/incremental;
-    #    run_node localCheckpoint touches op_node_cumsum; ann_pq_topk
-    #    gains its first real oracle) plus any queries new this round;
-    # 3. all 35 queries whose last driver green dates from r2 — the
-    #    oldest evidence in the file, rotated back in wholesale.
-    # Rows-only-by-design queries (doc_bpe_tokens, ann_knn_join_blas,
-    # feedback_clamp, ann_ivf_topk) are deliberately AFTER the oracle-
-    # backed block: a prefix slot spent on a rows-only check proves
-    # little (r4 advice).  Everything else holds green from r3/r4 under
-    # unchanged code.
+    # dict, so order by evidence value (round 6 — the r5 verdict's #1
+    # item: rotate the 85 stale-evidence queries in, OLDEST first):
+    # 1. src_curve — the single remaining r2-vintage green;
+    # 2. all 45 queries whose latest driver evidence is r3 (the whole
+    #    TPC-H q2/q4/q7-q9/q11-q22 block, the r3 stats block, baskets,
+    #    dynamics, history, ann/doc stragglers — incl. ann_ivf_topk's
+    #    rows-only recall check, refreshed so nothing stays pre-r4);
+    # 3. the four queries whose backing modules changed THIS round:
+    #    frame_pandas_ts (to_spark_ts count windows now rank-band
+    #    equi-joins), op_node_ast + op_node_cumsum (noderun: struct
+    #    emit conversion, empty-input start-alarm seed, single-output
+    #    csp.output), and doc_bpe_apply (NEW — frozen-merge BPE
+    #    inference with a recursive-CTE oracle).
+    # That fills exactly 50; after this round no query's latest driver
+    # evidence predates r4. Everything else held green in r4/r5 under
+    # code untouched since.
     priority = [
-        # (1) r4 reds + never-driver-run
-        "doc_pack", "doc_pack_manifest", "doc_token_ids",
-        "stats_unique", "op_hot_key_running",
-        # (2) modules changed this round / first-time oracles
-        "doc_pack_fit",            # shares the edited pack oracle base
-        "ann_pq_topk",             # oracle new this round
-        "dedup_minhash", "dedup_simhash", "dedup_components",
-        "doc_incremental_dedup",   # LSH degenerate-bucket caps
-        "op_node_cumsum",          # run_node localCheckpoint fix
-        "frame_pandas_ts",         # new this round (to_pandas_ts parity)
-        "op_node_ast",             # new this round (AST node translator)
-        "stats_ema_adjust",        # new this round
-        "feedback_clamp",          # first oracle (closed-form replay)
-        # (3) r2-vintage greens, refreshed wholesale
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q10_returned_items",
-        "op_count", "op_accum", "op_diff", "op_delay", "op_firstn",
-        "op_dropdups", "op_dropdups_eps", "op_sample_asof", "op_unroll",
-        "op_split_false", "op_default", "op_multiplex", "op_collect",
-        "op_flatten", "op_dropnans", "op_apply", "op_demultiplex",
-        "op_struct_fromts", "op_burst", "op_last_value",
-        "random_poisson", "random_brownian", "mm_features",
-        "stats_minmax_sem", "stats_xsec", "stats_cov_matrix",
-        "stats_trigger_reset", "stats_sampler",
-        "ann_topk",
-        # src_curve (r2-green) yields its slot to feedback_clamp's
-        # first-ever oracle check; every curve-sourced query in this
-        # prefix exercises the same source path anyway
+        # (1) r2-vintage
+        "src_curve",
+        # (2) the r3-evidence block, wholesale
+        "src_timer",
+        "op_value_at", "op_times", "op_struct_field",
+        "op_struct_collectts", "op_dynamic_collect", "op_edge_math",
+        "dyn_cummax", "dyn_snap_attach",
+        "basket_sync", "basket_sample",
+        "stats_rolling_tick", "stats_rolling_time", "stats_expanding",
+        "stats_quantile", "stats_ema", "stats_ema_cov", "stats_order",
+        "stats_skew_kurt", "stats_corr", "stats_argminmax",
+        "q2_min_cost_supplier", "q4_order_priority",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "q11_important_stock", "q12_shipmode_priority",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_part_count",
+        "q17_small_quantity_revenue", "q18_large_volume_customer",
+        "q19_discounted_revenue", "q20_part_promotion",
+        "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
+        "doc_chunk", "doc_split", "text_repetition",
+        "ann_ivf_exact", "ann_knn_join", "ann_ivf_topk",
+        # (3) modules changed this round / new
+        "frame_pandas_ts", "op_node_ast", "op_node_cumsum",
+        "doc_bpe_apply",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -4702,4 +4791,5 @@ FROM (
   FROM (SELECT *, min(epoch_us(ts)) OVER (PARTITION BY user_id) AS ref FROM events)
 )
 """,
+        "doc_bpe_apply": _bpe_apply_oracle(),
     }

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "frame_pandas_ts",
     "ann_pq_topk",
     "stats_ema_adjust",
+    "doc_bpe_apply",
 ]
 # ONE fixed comparable set per baseline round (r4 verdict item 10: the
 # r3/r4 subtotals mixed exclusion sets and needed judge reconstruction).
@@ -80,7 +81,7 @@ COMPARABLE_R2 = [
 COMPARABLE_R4 = [
     q for q in BENCH_QUERIES
     if q not in ("op_node_ast", "frame_pandas_ts", "ann_pq_topk",
-                 "stats_ema_adjust")
+                 "stats_ema_adjust", "doc_bpe_apply")
 ]
 
 
@@ -164,7 +165,16 @@ def main() -> None:
                  "two independent sessions): q5 1.36/1.70 cold "
                  "1.19/1.30 warm vs r4 1.98; q6 0.31/0.41 cold "
                  "0.25/0.32 warm vs r4 0.56 — both at-or-below r3 "
-                 "levels, r4 readings were ambient noise.",
+                 "levels, r4 readings were ambient noise. "
+                 "text_lm_score r5 'regression' verdict (r6 idle-box "
+                 "re-runs, two independent sessions, 4 warm counts "
+                 "each): 0.91/0.69/0.65/0.62 and 0.89/0.81/0.75/0.68 "
+                 "— overlapping bands, the r4->r5 delta (0.069s "
+                 "absolute) is inside the ambient spread; the plan "
+                 "already broadcast-joins all three count-table joins "
+                 "(3x BroadcastHashJoin, 0 SortMergeJoin — AQE sizes "
+                 "the gram tables at runtime, which IS the size "
+                 "guard at scale). Ambient noise; no code change.",
     }))
 
 

@@ -67,6 +67,9 @@ QUERIES = [
     "op_node_ast",
     "frame_pandas_ts",
     "stats_ema_adjust",
+    # r6 addition: frozen-merge BPE inference (Arrow UDF + word cache,
+    # linear in tokens)
+    "doc_bpe_apply",
 ]
 
 
