@@ -20,6 +20,9 @@ examples/01_basics/e4_trade_pnl.py unmodified):
   starttime (inputs not yet valid, like the reference; state names
   assignable; csp.make_passive / set_buffering_policy are no-ops —
   buffering is the plan's concern in the tick-table model)
+- ``with csp.stop():``               → per-key finalizer after the
+  last cycle and trailing alarms (side effects + state reads;
+  csp.output inside stop is a parse-time error)
 - ``csp.ticked(a, b, ...)``          → any-input-ticked
 - ``csp.valid(a, b, ...)``           → all-inputs-valid
 - ``csp.output(k=v, ...)`` / ``return expr`` → multi / single output
@@ -333,6 +336,7 @@ def _parse(fn: Callable):
 
     state_inits: list[ast.stmt] = []
     start_stmts: list[ast.stmt] = []
+    stop_stmts: list[ast.stmt] = []
     alarm_names: list[str] = []
     body: list[ast.stmt] = []
     for stmt in fdef.body:
@@ -359,11 +363,24 @@ def _parse(fn: Callable):
                     ):
                         alarm_names.append(s.targets[0].id)
             elif kind == "stop":
-                raise NotImplementedError(
-                    "with csp.stop(): blocks are not translated — "
-                    "use run_node's NodeCycle surface directly "
-                    "(core/noderun.py)"
-                )
+                # engine-shutdown finalizer: runs once per key AFTER
+                # the last cycle and trailing alarms (side effects +
+                # state reads; emitting from stop is not a tick — the
+                # reference engine is shutting down too)
+                for sub in ast.walk(ast.Module(body=stmt.body,
+                                               type_ignores=[])):
+                    if (
+                        isinstance(sub, ast.Call)
+                        and isinstance(sub.func, ast.Attribute)
+                        and sub.func.attr == "output"
+                        and isinstance(sub.func.value, ast.Name)
+                        and sub.func.value.id in aliases
+                    ):
+                        raise SyntaxError(
+                            "csp.output() inside with csp.stop(): is "
+                            "not supported — the engine is stopping"
+                        )
+                stop_stmts.extend(stmt.body)
             else:
                 body.append(stmt)
         else:
@@ -398,8 +415,8 @@ def _parse(fn: Callable):
 
     return (
         fdef, input_names, basket_names, scalar_names, state_names,
-        alarm_names, state_inits, start_stmts, start_has_alarms, body,
-        aliases, multi, outputs, output_type,
+        alarm_names, state_inits, start_stmts, stop_stmts,
+        start_has_alarms, body, aliases, multi, outputs, output_type,
     )
 
 
@@ -524,8 +541,8 @@ def _compile_cycle(
 ):
     (
         fdef, input_names, basket_names, scalar_names, state_names,
-        alarm_names, state_inits, start_stmts, start_has_alarms, body,
-        aliases, multi, outputs, output_type,
+        alarm_names, state_inits, start_stmts, stop_stmts,
+        start_has_alarms, body, aliases, multi, outputs, output_type,
     ) = _parse(fn)
 
     rw = _Rewriter(state_names, input_names, aliases, multi, alarm_names,
@@ -613,19 +630,25 @@ def _compile_cycle(
     # are not yet valid there, matching the reference; cycle-relative
     # schedule_alarm calls anchor at that cycle's `now` (the engine
     # start time when wired inside csp.run)
-    start_rw = _rewrite(start_stmts)
-    start_fn_body: list[ast.stmt] = []
-    if start_rw:
-        start_fn_body = [ast.parse("__cycle_state = __c.state").body[0]]
+    def _hook_body(rw_stmts) -> list[ast.stmt]:
+        if not rw_stmts:
+            return []
+        out = [ast.parse("__cycle_state = __c.state").body[0]]
         if alarm_names:
-            start_fn_body.append(ast.parse(
+            out.append(ast.parse(
                 "__alarm_last = __cycle_state.setdefault('__alarms', {})"
             ).body[0])
         for name in scalar_names:
-            start_fn_body.append(
+            out.append(
                 ast.parse(f"{name} = __scalars[{name!r}]").body[0]
             )
-        start_fn_body.extend(start_rw)
+        out.extend(rw_stmts)
+        return out
+
+    start_fn_body = _hook_body(_rewrite(start_stmts))
+    # csp.stop() analog: a per-key finalizer run by the runner AFTER
+    # trailing alarms (side effects + state reads, no output)
+    stop_fn_body = _hook_body(_rewrite(stop_stmts))
 
     cycle_body = cycle_prelude + _rewrite(body)
     if multi:
@@ -652,6 +675,8 @@ def _compile_cycle(
     ]
     if start_fn_body:
         defs.append(_fndef("__node_start", start_fn_body, "__c"))
+    if stop_fn_body:
+        defs.append(_fndef("__node_stop", stop_fn_body, "__c"))
     mod = ast.Module(body=defs, type_ignores=[])
     ast.fix_missing_locations(mod)
     ns = dict(fn.__globals__)
@@ -664,8 +689,8 @@ def _compile_cycle(
     exec(compile(mod, f"<csp.node {fn.__name__}>", "exec"), ns)
     return (
         ns["__node_cycle"], ns["__state_factory"], ns.get("__node_start"),
-        start_has_alarms, input_names, basket_names, scalar_names,
-        multi, outputs, output_type,
+        ns.get("__node_stop"), start_has_alarms, input_names,
+        basket_names, scalar_names, multi, outputs, output_type,
     )
 
 
@@ -715,7 +740,7 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
         if not isinstance(v, TickStream) and k not in basket_channels
     }
     (
-        cycle, mk_state, on_start, start_has_alarms,
+        cycle, mk_state, on_start, on_stop, start_has_alarms,
         input_names, basket_names, scalar_names, multi, outputs,
         output_type,
     ) = _compile_cycle(fn, scalars, basket_channels)
@@ -761,13 +786,15 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
     if multi:
         res = run_node(
             cycle, streams, state=mk_state, outputs=outputs,
-            on_start=on_start, start=engine_start, end=engine_end,
+            on_start=on_start, on_stop=on_stop,
+            start=engine_start, end=engine_end,
             seed_empty_start=start_has_alarms,
         )
         return NodeOutputs(res)
     out = run_node(
         cycle, streams, state=mk_state, output_type=output_type,
-        on_start=on_start, start=engine_start, end=engine_end,
+        on_start=on_start, on_stop=on_stop,
+        start=engine_start, end=engine_end,
         seed_empty_start=start_has_alarms,
     )
     # a node with NO return annotation is a pure side-effect sink

@@ -172,7 +172,8 @@ def _state_factory(state):
 
 
 def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
-                  on_start=None, start_ts=None, has_seed=False):
+                  on_start=None, start_ts=None, has_seed=False,
+                  on_stop=None):
     """The per-key cycle engine shared by run_node and
     run_node_with_states: input cycles in (ts, seq) order, alarm heap
     merged in, optional terminal-state row (pickled) appended.
@@ -295,6 +296,19 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
             )
             _emit(cyc, fn(cyc))
         _fire_alarms(None)  # trailing alarms (bounded by end/cap)
+        if on_stop is not None:
+            # csp.stop() analog: one finalizer cycle per key after
+            # everything fired — side effects + state reads only
+            stop_ts = (
+                pd.Timestamp(end) if end is not None
+                else (tss[n_rows - 1] if n_rows else
+                      pd.Timestamp(start_ts) if start_ts is not None
+                      else None)
+            )
+            on_stop(NodeCycle(
+                stop_ts, _ALARM_SEQ_BASE + fired[0] + 1, st,
+                dict(last_vals), {}, _schedule,
+            ))
         if emit_state:
             final_ts = tss[n_rows - 1] if n_rows else None
             out.append((key, final_ts, STATE_SEQ, None, pickle.dumps(st)))
@@ -313,6 +327,7 @@ def run_node(
     on_start: Callable | None = None,
     start: _dt.datetime | None = None,
     seed_empty_start: bool = False,
+    on_stop: Callable | None = None,
 ) -> "TickStream | dict[str, TickStream]":
     """Run an imperative per-cycle function over every key's engine
     cycles: ``fn(cycle)`` is called once per cycle in (ts, seq) order
@@ -381,6 +396,7 @@ def run_node(
     runner = _keyed_runner(
         fn, names, mk_state, multi, end, emit_state=False,
         on_start=on_start, start_ts=start, has_seed=has_seed,
+        on_stop=on_stop,
     )
     res = _bucketed(wide, buckets).applyInPandas(runner, schema)
     if multi:

@@ -702,3 +702,74 @@ def test_reference_dynamic_verbatim(spark, capture_print, capfd):
     aapl = capture_print["AAPL orders"].collect_ticks()
     assert [v["size"] for _, v in aapl] == [100, -100]
     assert all(v["symbol"] == "AAPL" for _, v in aapl)
+
+
+def test_translated_node_stop_block(spark, tmp_path):
+    """``with csp.stop():`` — the reference's engine-shutdown hook
+    (csp/baselib.py:261, log's queue flush): runs once per key AFTER
+    the last cycle and trailing alarms, sees final state; csp.output
+    inside stop is a parse-time error."""
+    import json
+    import pathlib
+
+    marker = tmp_path / "stop_marker.json"
+    src = f'''
+import csp_spark as csp
+from csp_spark import ts
+
+MARKER = {str(marker)!r}
+
+@csp.node
+def totaler(x: ts[float]) -> ts[float]:
+    with csp.state():
+        s_total = 0.0
+        s_n = 0
+    with csp.stop():
+        import json
+        with open(MARKER, "w") as f:
+            json.dump({{"total": s_total, "n": s_n}}, f)
+    if csp.ticked(x):
+        s_total += x
+        s_n += 1
+        return s_total
+'''
+    import linecache
+
+    fname = "<stop-block-node>"
+    linecache.cache[fname] = (len(src), None, src.splitlines(True), fname)
+    ns = {"__name__": "stop_example"}
+    exec(compile(src, fname, "exec"), ns)
+
+    st = dt.datetime(2022, 5, 1)
+    rows = [(st + dt.timedelta(seconds=i), float(i + 1)) for i in range(4)]
+    res = csp_spark.run(
+        lambda: ns["totaler"](csp_spark.curve(float, rows)),
+        starttime=st, endtime=st + dt.timedelta(minutes=1),
+    )
+    assert [v for _, v in list(res.values())[0]] == [1.0, 3.0, 6.0, 10.0]
+    got = json.loads(pathlib.Path(marker).read_text())
+    assert got == {"total": 10.0, "n": 4}
+
+    # csp.output inside stop raises at parse time
+    bad_src = '''
+import csp_spark as csp
+from csp_spark import ts
+
+@csp.node
+def bad(x: ts[float]) -> ts[float]:
+    with csp.stop():
+        csp.output(0.0)
+    if csp.ticked(x):
+        return x
+'''
+    fname2 = "<stop-block-bad>"
+    linecache.cache[fname2] = (
+        len(bad_src), None, bad_src.splitlines(True), fname2
+    )
+    ns2 = {"__name__": "stop_bad"}
+    exec(compile(bad_src, fname2, "exec"), ns2)
+    with pytest.raises(SyntaxError, match="csp.stop"):
+        csp_spark.run(
+            lambda: ns2["bad"](csp_spark.curve(float, rows)),
+            starttime=st, endtime=st + dt.timedelta(minutes=1),
+        )
