@@ -22,7 +22,7 @@ functions are the same objects as in csp_spark.sources / .sinks /
 .streaming.
 """
 
-from . import arrow, csv, db, kafka, parquet, slack, status, symphony, utils, websocket, websocket_table
+from . import arrow, csv, db, kafka, parquet, perspective, slack, status, symphony, utils, websocket, websocket_table, websocket_types
 
 __all__ = [
     "parquet", "csv", "db", "arrow", "kafka", "websocket", "status", "utils",

@@ -1,0 +1,66 @@
+"""PerspectiveAdapter — the reference's perspective-widget feed
+(csp/adapters/perspective.py:166-253) with the DATA PATH on this
+repo's websocket table stack.
+
+The reference pushes ticks into ``perspective-python`` Tables served
+by tornado; the browser widget renders them. Neither perspective nor
+tornado ships in this environment, and the WIDGET itself is UI (out
+of scope — SURVEY §2.2); what this module keeps is the adapter
+AUTHORING SURFACE and the live feed: ``PerspectiveAdapter(port)``,
+``create_table(name, limit=None, index=None)``, ``table.publish(...)``
+— served as /tables + /snap + WS /subscribe row-delta updates
+(adapters/websocket_table.py), which a perspective (or any) client
+can consume. ``limit`` caps an unindexed table's snapshot to the last
+N rows, matching perspective's Table(limit=) ring semantics;
+``throttle``/``threadpool_size`` are accepted for signature parity
+(delivery here is engine-ordered batch flush, not a live ioloop)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from .websocket_table import TableAdapter, WebsocketTableAdapter
+
+__all__ = ["PerspectiveAdapter", "PerspectiveTableAdapter"]
+
+
+class PerspectiveTableAdapter(TableAdapter):
+    """Reference perspective.py:166-199 — a TableAdapter with the
+    perspective ``limit`` option."""
+
+    def __init__(self, name: str, limit: int | None, index: str | None):
+        super().__init__(name, index)
+        self.limit = limit
+
+
+class PerspectiveAdapter(WebsocketTableAdapter):
+    """Reference perspective.py:202-253 calling surface over the
+    websocket table server."""
+
+    def __init__(
+        self,
+        port: int,
+        threadpool_size: int = 2,
+        throttle: _dt.timedelta = _dt.timedelta(seconds=1),
+    ):
+        super().__init__(port)
+        self._threadpool_size = threadpool_size
+        self._throttle = throttle
+
+    def copy(self) -> "PerspectiveAdapter":
+        res = PerspectiveAdapter(
+            self._port, self._threadpool_size, self._throttle
+        )
+        res._tables.update(self._tables)
+        return res
+
+    def create_table(
+        self, name: str, limit: int | None = None, index: str | None = None
+    ) -> PerspectiveTableAdapter:
+        if name in self._tables:
+            raise ValueError(f"Table {name} already exists")
+        table = self._tables[name] = PerspectiveTableAdapter(
+            name, limit, index
+        )
+        self._arm()
+        return table

@@ -162,6 +162,11 @@ class TableManager:
                 old.update(data)
             else:
                 snapshot.append(data)
+                limit = getattr(table, "limit", None)
+                if limit is not None and len(snapshot) > limit:
+                    # perspective Table(limit=) ring semantics: the
+                    # snapshot keeps only the newest `limit` rows
+                    del snapshot[:-limit]
             subs = list(self._subscriptions.get(tablename, ()))
         msg = {"messageType": "upd", "data": [data]}
         for conn in subs:

@@ -1224,3 +1224,50 @@ def test_websocket_table_adapter(spark):
         late.close()
     finally:
         adapter.stop()
+
+
+def test_perspective_adapter_shim(spark):
+    """PerspectiveAdapter (reference csp/adapters/perspective.py:
+    166-253): the create_table(limit/index)/publish authoring surface
+    over the websocket table server — Table(limit=) keeps only the
+    newest rows in the snapshot."""
+    import json
+
+    from csp_spark.adapters.perspective import (
+        PerspectiveAdapter, PerspectiveTableAdapter,
+    )
+    from csp_spark.adapters.websocket_types import (
+        WebsocketHeaderUpdate, WebsocketStatus,
+    )
+    from csp_spark.core.ticks import TickStream
+
+    assert int(WebsocketStatus.CLOSED.value) == 3
+    assert WebsocketHeaderUpdate(key="a", value="b").key == "a"
+
+    rows = [
+        ("", START + dt.timedelta(seconds=i), 0,
+         {"sym": f"S{i}", "px": float(i)})
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, "
+        "value struct<sym: string, px: double>",
+    )
+    a = PerspectiveAdapter(0).start()
+    t = a.create_table("px", limit=2)
+    assert isinstance(t, PerspectiveTableAdapter) and t.limit == 2
+    t.publish(TickStream(df))
+    try:
+        a.flush()
+        # unindexed + limit=2: snapshot keeps only the 2 newest rows
+        snap = a.manager.get_snapshot("px")
+        assert [r["px"] for r in snap] == [3.0, 4.0]
+        import http.client
+
+        h = http.client.HTTPConnection("127.0.0.1", a.port, timeout=10)
+        h.request("GET", "/tables")
+        tables = json.loads(h.getresponse().read())
+        assert tables["tables"][0]["name"] == "px"
+        h.close()
+    finally:
+        a.stop()
