@@ -230,12 +230,11 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
             return handle
 
         state_pad = (None,) if emit_state else ()
+        from .record import Struct as _Struct
 
         def _conv(v):
             # Struct outputs cross the Arrow boundary as dicts
-            from .record import Struct
-
-            return v.to_dict() if isinstance(v, Struct) else v
+            return v.to_dict() if isinstance(v, _Struct) else v
 
         def _emit(cyc, r):
             if r is NO_OUTPUT or r is None:
