@@ -10,5 +10,6 @@ from . import (  # noqa: F401
     pandas,
     pulladapter,
     pushadapter,
+    pushpulladapter,
     wiring,
 )

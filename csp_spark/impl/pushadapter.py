@@ -303,8 +303,13 @@ def drive_captures(frame: dict) -> None:
             "push adapters need bounded engine time — csp.run("
             "starttime=..., endtime=...)"
         )
+    # the engine replays the PAST portion of [start, end] instantly
+    # (reference realtime runs starting in the past fast-forward
+    # history); only the future portion is waited for in wall-clock
     duration = min(
-        max((end - start).total_seconds(), 0.0), _MAX_CAPTURE_SECONDS
+        max((end - _utc_now()).total_seconds(), 0.0),
+        max((end - start).total_seconds(), 0.0),
+        _MAX_CAPTURE_SECONDS,
     )
     clock = _CaptureClock(start, end)
 

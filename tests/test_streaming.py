@@ -1271,3 +1271,67 @@ def test_perspective_adapter_shim(spark):
         h.close()
     finally:
         a.stop()
+
+
+def test_pushpull_adapter_def(spark):
+    """py_pushpull_adapter_def (reference impl/wiring/adapters.py:297 +
+    tests/impl/test_pushpulladapter.py shape): the adapter thread
+    replays HISTORICAL ticks at their own timestamps then goes live;
+    both phases land at their provided times in engine order."""
+    import threading
+
+    import csp_spark as csp
+    from csp_spark.impl.pushpulladapter import (
+        PushPullInputAdapter, py_pushpull_adapter_def,
+    )
+    from csp_spark.utils.datetime import utc_now
+
+    class MyPushPull(PushPullInputAdapter):
+        def __init__(self, data):
+            super().__init__()
+            self._data = data
+            self._thread = None
+            self._running = False
+
+        def start(self, starttime, endtime):
+            self._running = True
+            self._thread = threading.Thread(target=self._run)
+            self._thread.start()
+
+        def stop(self):
+            self._running = False
+            self._thread.join()
+
+        def _run(self):
+            sent_live = False
+            for live, t, v in self._data:
+                if not self._running:
+                    break
+                self.push_tick(live, t, v)
+                sent_live = sent_live or live
+            if not sent_live:
+                self.flag_replay_complete()
+
+    Adapter = py_pushpull_adapter_def("hist_live", MyPushPull, csp.ts[float])
+
+    now = utc_now()
+    hist = [(False, now - dt.timedelta(minutes=m), float(10 - m))
+            for m in (10, 5, 2)]
+    live = [(True, now + dt.timedelta(seconds=0.2), 100.0)]
+
+    def g():
+        return Adapter(hist + live)
+
+    res = csp.run(
+        g, starttime=now - dt.timedelta(minutes=15),
+        endtime=now + dt.timedelta(seconds=1), realtime=True,
+    )
+    ticks = list(res.values())[0]
+    # replay rows at their historical times, live row after them
+    assert [v for _, v in ticks] == [0.0, 5.0, 8.0, 100.0]
+    assert [t for t, _ in ticks[:3]] == [
+        now - dt.timedelta(minutes=10),
+        now - dt.timedelta(minutes=5),
+        now - dt.timedelta(minutes=2),
+    ]
+    assert ticks[3][0] >= now
