@@ -390,3 +390,67 @@ def test_run_node_alarm_fires_iff_gap_exceeds_timeout(spark, gaps, timeout):
         if nxt is None or nxt - s > timeout:
             want.append(start + dt.timedelta(seconds=s + timeout))
     assert got == want
+
+
+@given(
+    rows=rows_strategy,
+    start_s=st.integers(min_value=1, max_value=12),
+    end_s=st.integers(min_value=0, max_value=6),
+    sp=st.sampled_from(["inclusive", "exclusive", "extrapolate"]),
+    ep=st.sampled_from(["inclusive", "exclusive", "extrapolate"]),
+)
+@settings(**_SETTINGS)
+def test_values_times_at_policies_match_python_replay(
+    spark, rows, start_s, end_s, sp, ep
+):
+    """values_at/times_at under every TimeIndexPolicy pair equal a
+    direct python replay of the reference ring-buffer rules
+    (PyInputProxy computeStart/EndIndex + tail padding + boundary
+    timestamp clamps), at every tick of the stream."""
+    if end_s > start_s:
+        start_s, end_s = end_s, start_s
+    from csp_spark.operators import history as H
+
+    x, data = _mk(spark, rows)
+    S, E = dt.timedelta(seconds=-start_s), dt.timedelta(seconds=-end_s)
+    got_v = {
+        (r[KEY], r[TS], r[SEQ]): list(r[VALUE])
+        for r in H.values_at(x, S, E, sp, ep).df.collect()
+    }
+    got_t = {
+        (r[KEY], r[TS], r[SEQ]): list(r[VALUE])
+        for r in H.times_at(x, S, E, sp, ep).df.collect()
+    }
+
+    by_key: dict = {}
+    for k, ts_, seq, v in sorted(data, key=lambda r: (r[1], r[2])):
+        by_key.setdefault(k, []).append((ts_, seq, v))
+    for k, ticks in by_key.items():
+        for now_ts, now_seq, _ in ticks:
+            lo, hi = now_ts + S, now_ts + E
+            past = [t for t in ticks if (t[0], t[1]) <= (now_ts, now_seq)]
+            if sp == "inclusive":
+                sel = [t for t in past if t[0] >= lo]
+            elif sp == "exclusive":
+                sel = [t for t in past if t[0] > lo]
+            else:
+                carry = [t for t in past if t[0] <= lo]
+                sel = ([carry[-1]] if carry else []) + [
+                    t for t in past if t[0] > lo
+                ]
+            if ep == "exclusive":
+                sel = [t for t in sel if t[0] < hi]
+            else:
+                sel = [t for t in sel if t[0] <= hi]
+            vals = [t[2] for t in sel]
+            tss = [t[0] for t in sel]
+            if ep == "extrapolate" and vals and tss[-1] < hi:
+                vals.append(vals[-1])
+                tss.append(tss[-1])
+            if sp == "extrapolate" and tss and tss[0] < lo:
+                tss[0] = lo
+            if ep == "extrapolate" and tss and tss[-1] < hi:
+                tss[-1] = hi
+            keyk = (k, now_ts, now_seq)
+            assert got_v[keyk] == vals, (keyk, sp, ep)
+            assert got_t[keyk] == tss, (keyk, sp, ep)
