@@ -773,3 +773,39 @@ def bad(x: ts[float]) -> ts[float]:
             lambda: ns2["bad"](csp_spark.curve(float, rows)),
             starttime=st, endtime=st + dt.timedelta(minutes=1),
         )
+
+
+def test_reference_impl_import_paths():
+    """Every csp.impl / csp.adapters module path reference programs
+    import resolves through enable_reference_alias to this package."""
+    import importlib
+
+    for mod, names in {
+        "csp.impl.pulladapter": ["PullInputAdapter"],
+        "csp.impl.pushadapter": ["PushInputAdapter"],
+        "csp.impl.pushpulladapter": ["PushPullInputAdapter", "PushGroup"],
+        "csp.impl.outputadapter": ["OutputAdapter"],
+        "csp.impl.adaptermanager": [
+            "AdapterManagerImpl", "ManagedSimInputAdapter",
+        ],
+        "csp.impl.wiring": [
+            "py_pull_adapter_def", "py_push_adapter_def",
+            "py_pushpull_adapter_def", "py_output_adapter_def",
+            "py_managed_adapter_def",
+        ],
+        "csp.impl.pandas_ext_type": ["TsDtype"],
+        "csp.impl.pandas_accessor": [],
+        "csp.adapters.websocket_types": ["WebsocketStatus"],
+        "csp.adapters.perspective": ["PerspectiveAdapter"],
+        "csp.utils.datetime": ["utc_now"],
+        "csp.showgraph": ["show_graph"],
+    }.items():
+        m = importlib.import_module(mod)
+        for n in names:
+            assert hasattr(m, n), f"{mod}.{n} missing"
+    import csp
+
+    assert csp.TimeIndexPolicy.EXTRAPOLATE is not None
+    assert int(csp.DuplicatePolicy.FIRST_VALUE) == 2
+    assert "values_at" in csp.ALL_CSP_BUILTIN_FUNCS
+    assert len(csp.ALL_CSP_BUILTIN_FUNCS) >= 28
