@@ -1469,7 +1469,10 @@ def stats_argminmax(spark, sf_dir):
 
 
 def stats_order(spark, sf_dir):
+    # positive values only: prod/gmean are log-domain operators (both
+    # engines error/NaN on ln(0) — sf0.1 has a handful of 0.0 events)
     x = _events_stream(spark, sf_dir)
+    x = type(x)(x.df.where(F.col(x.value_col) > 0), x.value_col)
     r = Rolling(x, interval=10, min_window=10)
     out = r.agg(
         w_first=r.first_col(),
@@ -3881,7 +3884,7 @@ SELECT event_id, user_id, w_first, w_last, w_lnprod, w_gmean, w_unique FROM (
     round(exp(avg(ln(value)) OVER w20), 6) AS w_gmean,
     len(list_distinct(list(round(value, 0)) OVER w20)) AS w_unique,
     row_number() OVER ({_W_USER}) AS rn
-  FROM events
+  FROM events WHERE value > 0
   WINDOW w20 AS ({_W_USER} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 ) WHERE rn >= 10
 """,

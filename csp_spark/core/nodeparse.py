@@ -113,13 +113,14 @@ def is_reference_node(fn: Callable) -> bool:
 
 class _Rewriter(ast.NodeTransformer):
     def __init__(self, state_names, input_names, csp_aliases, multi,
-                 alarm_names=(), basket_names=()):
+                 alarm_names=(), basket_names=(), basket_output=False):
         self.state = set(state_names)
         self.inputs = set(input_names)
         self.csp = set(csp_aliases)
         self.multi = multi
         self.alarms = set(alarm_names)
         self.baskets = set(basket_names)
+        self.basket_output = basket_output
 
     def _is_csp_call(self, node: ast.Call) -> str | None:
         f = node.func
@@ -220,8 +221,16 @@ class _Rewriter(ast.NodeTransformer):
         if name == "output":
             # parse-time shape errors, mirroring the reference's
             # node_parser: multi-output nodes only accept named
-            # outputs; a single unnamed output only the positional form
-            if self.multi and node.args:
+            # outputs; a single unnamed output only the positional
+            # form; a BASKET output exactly one positional dict
+            # (csp.output({key: value}))
+            if self.basket_output:
+                if node.keywords or len(node.args) != 1:
+                    raise SyntaxError(
+                        "csp.output() on a basket-output node takes "
+                        "exactly one positional {key: value} dict"
+                    )
+            elif self.multi and node.args:
                 raise SyntaxError(
                     "csp.output() on a node with named outputs takes "
                     "only keyword form: csp.output(name=value)"
@@ -318,13 +327,23 @@ def _parse(fn: Callable):
     ]
 
     ret = hints.get("return")
+    from .surface import OutputBasketMarker
+
+    basket_out = ret if isinstance(ret, OutputBasketMarker) else None
+    if isinstance(ret, dict) and any(_is_ts_ann(k) for k in ret):
+        raise NotImplementedError(
+            "dynamic (unbounded-key) basket OUTPUTS are not translated "
+            "— route by key with csp_spark.dynamic_demultiplex, or "
+            "declare the shape: OutputBasket(Dict[K, ts[T]], "
+            "shape='<keys arg>')"
+        )
     multi = isinstance(ret, dict)
     if multi:
         outputs = {k: _elem_type(v) for k, v in ret.items()}
         output_type = None
     else:
         outputs = None
-        output_type = _elem_type(ret)
+        output_type = _elem_type(ret) if basket_out is None else None
 
     # csp module aliases visible to the body (import csp / as-alias)
     import csp_spark as _pkg
@@ -417,6 +436,7 @@ def _parse(fn: Callable):
         fdef, input_names, basket_names, scalar_names, state_names,
         alarm_names, state_inits, start_stmts, stop_stmts,
         start_has_alarms, body, aliases, multi, outputs, output_type,
+        basket_out,
     )
 
 
@@ -543,10 +563,13 @@ def _compile_cycle(
         fdef, input_names, basket_names, scalar_names, state_names,
         alarm_names, state_inits, start_stmts, stop_stmts,
         start_has_alarms, body, aliases, multi, outputs, output_type,
+        basket_out,
     ) = _parse(fn)
 
-    rw = _Rewriter(state_names, input_names, aliases, multi, alarm_names,
-                   basket_names)
+    is_basket_out = basket_out is not None
+    rw = _Rewriter(state_names, input_names, aliases,
+                   multi or is_basket_out, alarm_names, basket_names,
+                   basket_output=is_basket_out)
 
     def _rewrite(stmts):
         out = []
@@ -593,7 +616,16 @@ def _compile_cycle(
             "if __c.ticked('alarm'):\n"
             "    __alarm_last[__c.alarm[0]] = __c.alarm[1]"
         ).body)
-    if multi:
+    if is_basket_out:
+        # basket output: csp.output({runtime_key: value}) accumulates
+        # into the cycle's routed dict (channel mapping at wiring)
+        cycle_prelude.append(ast.parse("__out = {}").body[0])
+        cycle_prelude.append(
+            ast.parse(
+                "def __emit(__d):\n    __out.update(__d)\n    return None"
+            ).body[0]
+        )
+    elif multi:
         cycle_prelude.append(ast.parse("__out = {}").body[0])
         cycle_prelude.append(
             ast.parse(
@@ -651,7 +683,7 @@ def _compile_cycle(
     stop_fn_body = _hook_body(_rewrite(stop_stmts))
 
     cycle_body = cycle_prelude + _rewrite(body)
-    if multi:
+    if multi or is_basket_out:
         cycle_body.append(ast.parse("return __out").body[0])
     else:
         # fall-through after a csp.output(v) statement still ticks v
@@ -691,6 +723,7 @@ def _compile_cycle(
         ns["__node_cycle"], ns["__state_factory"], ns.get("__node_start"),
         ns.get("__node_stop"), start_has_alarms, input_names,
         basket_names, scalar_names, multi, outputs, output_type,
+        basket_out,
     )
 
 
@@ -742,7 +775,7 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
     (
         cycle, mk_state, on_start, on_stop, start_has_alarms,
         input_names, basket_names, scalar_names, multi, outputs,
-        output_type,
+        output_type, basket_out,
     ) = _compile_cycle(fn, scalars, basket_channels)
     for name in basket_names:
         if name not in basket_channels:
@@ -782,6 +815,64 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
     streams.update(basket_streams)
 
     from .noderun import run_node
+
+    if basket_out is not None:
+        # shape-declared basket output: one run_node channel per key
+        # from the named scalar (OutputBasket(..., shape="keys")); the
+        # cycle's runtime-keyed dict routes onto the channels, and the
+        # wired result is a {key: stream} dict basket
+        shape_name = basket_out.shape
+        if shape_name not in bound.arguments:
+            raise TypeError(
+                f"OutputBasket shape argument {shape_name!r} is not a "
+                "parameter of the node"
+            )
+        shape_keys = list(bound.arguments[shape_name])
+        channels = {k: f"__bk{i}" for i, k in enumerate(shape_keys)}
+
+        # element DDL: concrete ts[...] in the annotation, else infer
+        # from the first ts input (the reference's "T" generic resolves
+        # the same way — from the bound input's type)
+        elem_ann = None
+        targs = getattr(basket_out.typ, "__args__", None)
+        if targs and len(targs) == 2:
+            elem_ann = targs[1]
+        elif isinstance(basket_out.typ, dict) and len(basket_out.typ) == 1:
+            elem_ann = next(iter(basket_out.typ.values()))
+        elem = getattr(elem_ann, "__csp_elem__", None)
+        if isinstance(elem, type):
+            elem_ddl = _elem_type(elem_ann)
+        elif input_names:
+            first = streams[input_names[0]]
+            elem_ddl = dict(first.df.dtypes)[first.value_col]
+        else:
+            elem_ddl = "double"
+        outs_schema = {ch: elem_ddl for ch in channels.values()}
+
+        inner = cycle
+
+        def cycle(c, __inner=inner, __ch=channels):  # noqa: F811
+            r = __inner(c)
+            if not r:
+                return r
+            out = {}
+            for k, v in r.items():
+                ch = __ch.get(k)
+                if ch is None:
+                    raise KeyError(
+                        f"basket output key {k!r} is not in the "
+                        f"declared shape {list(__ch)}"
+                    )
+                out[ch] = v
+            return out
+
+        res = run_node(
+            cycle, streams, state=mk_state, outputs=outs_schema,
+            on_start=on_start, on_stop=on_stop,
+            start=engine_start, end=engine_end,
+            seed_empty_start=start_has_alarms,
+        )
+        return {k: res[ch] for k, ch in channels.items()}
 
     if multi:
         res = run_node(

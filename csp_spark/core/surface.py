@@ -81,10 +81,26 @@ def Outputs(**kwargs: Any) -> dict:
     return dict(kwargs)
 
 
-def OutputBasket(typ: Any, shape: Any = None) -> Any:
+class OutputBasketMarker:
+    """A declared basket-shaped node output: element annotation +
+    the name of the scalar argument carrying the key shape."""
+
+    def __init__(self, typ: Any, shape: Any):
+        self.typ = typ
+        self.shape = shape
+
+
+def OutputBasket(typ: Any, shape: Any = None, shape_of: Any = None) -> Any:
     """Reference OutputBasket annotation (impl/types/tstype.py):
-    declares a basket-shaped output. Type info is carried by the
-    DataFrame schema here; return the marker unchanged."""
+    declares a basket-shaped output. With a ``shape``/``shape_of``
+    argument (the reference's shape-from-scalar form, e.g.
+    ``OutputBasket(Dict["K", ts["T"]], shape="keys")``) this returns a
+    marker the node translator lowers onto per-key output channels —
+    ``csp.output({key: value})`` in the body routes by runtime key.
+    Without a shape the type passes through unchanged (the schema
+    carries type info here)."""
+    if shape is not None or shape_of is not None:
+        return OutputBasketMarker(typ, shape or shape_of)
     return typ
 
 
