@@ -49,6 +49,15 @@ __all__ = ["is_reference_node", "wire_reference_node", "NodeOutputs"]
 _CSP_INTRINSICS = {"ticked", "valid", "output", "now"}
 _NOOP_CALLS = {"make_passive", "make_active", "set_buffering_policy"}
 
+#: tick-table reserved column names — a node INPUT with one of these
+#: names (the reference's demultiplex takes `key: ts[K]`) rides an
+#: internal channel so align() columns never collide
+_RESERVED_COLS = {"key", "ts", "seq", "value"}
+
+
+def _chan(name: str) -> str:
+    return f"__in_{name}" if name in _RESERVED_COLS else name
+
 
 def _is_ts_ann(ann: Any) -> bool:
     from .surface import ts
@@ -198,7 +207,8 @@ class _Rewriter(ast.NodeTransformer):
                             value=ast.Name(id="__c", ctx=ast.Load()),
                             attr=name, ctx=ast.Load(),
                         ),
-                        args=[ast.Constant(value=a.id)], keywords=[],
+                        args=[ast.Constant(value=_chan(a.id))],
+                        keywords=[],
                     )
                 )
             if len(terms) == 1:
@@ -644,7 +654,7 @@ def _compile_cycle(
         )
     for name in input_names:
         cycle_prelude.append(
-            ast.parse(f"{name} = __wrap(__c[{name!r}])").body[0]
+            ast.parse(f"{name} = __wrap(__c[{_chan(name)!r}])").body[0]
         )
     for name in basket_names:
         cycle_prelude.append(
@@ -811,7 +821,7 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
                 f"node input {name!r} expects a TickStream, got "
                 f"{type(v).__name__}"
             )
-        streams[name] = v
+        streams[_chan(name)] = v
     streams.update(basket_streams)
 
     from .noderun import run_node
@@ -843,7 +853,7 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
         if isinstance(elem, type):
             elem_ddl = _elem_type(elem_ann)
         elif input_names:
-            first = streams[input_names[0]]
+            first = streams[_chan(input_names[0])]
             elem_ddl = dict(first.df.dtypes)[first.value_col]
         else:
             elem_ddl = "double"

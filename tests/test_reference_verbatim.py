@@ -809,3 +809,66 @@ def test_reference_impl_import_paths():
     assert int(csp.DuplicatePolicy.FIRST_VALUE) == 2
     assert "values_at" in csp.ALL_CSP_BUILTIN_FUNCS
     assert len(csp.ALL_CSP_BUILTIN_FUNCS) >= 28
+
+
+def test_translated_node_basket_output(spark):
+    """OutputBasket(Dict[K, ts[T]], shape='keys') + csp.output({key:
+    x}) — the reference's own baselib demultiplex node shape
+    (csp/baselib.py:584-595): runtime-keyed emission routes onto
+    shape-declared per-key channels; the wired result is a dict basket
+    a {ts[str]: ts[T]} input can consume."""
+    from typing import Dict
+
+    src = '''
+from typing import Dict
+
+import csp_spark as csp
+from csp_spark import ts
+
+
+@csp.node
+def demux(x: ts[float], key: ts[str], keys: list) -> csp.OutputBasket(
+    Dict[str, ts[float]], shape="keys"
+):
+    with csp.state():
+        s_keys = set(keys)
+    if csp.ticked(x) and csp.valid(key):
+        if key in s_keys:
+            csp.output({key: x})
+
+
+@csp.node
+def total_per_cycle(b: {ts[str]: ts[float]}) -> ts[str]:
+    if csp.ticked(b):
+        return repr(sorted(b.tickeditems()))
+'''
+    import linecache
+
+    fname = "<basket-output-node>"
+    linecache.cache[fname] = (len(src), None, src.splitlines(True), fname)
+    ns = {"__name__": "basket_out_example"}
+    exec(compile(src, fname, "exec"), ns)
+
+    st = dt.datetime(2022, 7, 1)
+    vals = [(st + dt.timedelta(seconds=i), float(i + 1)) for i in range(6)]
+    keys = [(t, ["a", "b", "a", "c", "b", "a"][i])
+            for i, (t, _) in enumerate(vals)]
+
+    def g():
+        x = csp_spark.curve(float, vals)
+        key = csp_spark.curve(str, keys)
+        basket = ns["demux"](x, key, ["a", "b"])
+        assert set(basket) == {"a", "b"}
+        return {
+            "a": basket["a"], "b": basket["b"],
+            "obs": ns["total_per_cycle"](basket),
+        }
+
+    res = csp_spark.run(g, starttime=st, endtime=st + dt.timedelta(minutes=1))
+    # key 'c' (t+3) is outside the declared shape -> dropped
+    assert [v for _, v in res["a"]] == [1.0, 3.0, 6.0]
+    assert [v for _, v in res["b"]] == [2.0, 5.0]
+    assert [v for _, v in res["obs"]] == [
+        "[('a', 1.0)]", "[('b', 2.0)]", "[('a', 3.0)]",
+        "[('b', 5.0)]", "[('a', 6.0)]",
+    ]
