@@ -718,12 +718,18 @@ def dynamic_cast(x: TickStream, to_type: str) -> TickStream:
     return x.with_df(out)
 
 
-def get_basket_field(basket: TickStream, field: str) -> TickStream:
-    """csp.get_basket_field (baselib.py:586-598): from a keyed basket of
-    structs, the per-key time series of one field (ticks where the
-    field is set). Our baskets are long-format keyed streams, so this
-    is struct_field with the key column preserved — which it already
-    is (KEY rides through every op)."""
+def get_basket_field(basket, field: str):
+    """csp.get_basket_field (baselib.py:586-598): from a basket of
+    structs, the per-member time series of one field (ticks where the
+    field is set). Two basket encodings:
+
+    - a DICT basket ({key: stream} — csp.dynamic results, basket node
+      outputs): per-member struct_field, returning the same dict shape
+      (the reference's OutputBasket(..., shape_of='dict_basket') form);
+    - a long-format KEYED stream: struct_field with the key column
+      preserved — which it already is (KEY rides through every op)."""
+    if isinstance(basket, dict):
+        return {k: struct_field(s, field) for k, s in basket.items()}
     return struct_field(basket, field)
 
 
