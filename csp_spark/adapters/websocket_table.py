@@ -465,6 +465,10 @@ class WebsocketTableAdapter:
             cols = [c for c in batch_df.columns if c in tbl.schema] or [
                 c for c in batch_df.columns if c not in (KEY, TS, SEQ)
             ]
+            # an indexed table's updates must carry the index field
+            if tbl.index and tbl.index in batch_df.columns \
+                    and tbl.index not in cols:
+                cols.append(tbl.index)
             order = [c for c in (TS, SEQ, KEY) if c in batch_df.columns]
             for r in (batch_df.orderBy(*order).collect() if order
                       else batch_df.collect()):

@@ -1335,3 +1335,40 @@ def test_pushpull_adapter_def(spark):
         now - dt.timedelta(minutes=2),
     ]
     assert ticks[3][0] >= now
+
+
+def test_websocket_table_publish_stream(spark, landing, tmp_path):
+    """WebsocketTableAdapter.publish_stream: Structured Streaming
+    microbatches land on the table (foreachBatch, engine-ordered per
+    batch) — the snapshot converges to the batch flush's state."""
+    from csp_spark.adapters.websocket_table import WebsocketTableAdapter
+    from csp_spark.streaming import file_ticks
+
+    path, rows = landing
+    stream = file_ticks(
+        spark, path, SCHEMA, ts_col="ts", value_col="value", key_col="key"
+    )
+    a = WebsocketTableAdapter(0).start()
+    t = a.create_table("live", index="key")
+    # declare the columns (scalar publish form) so the schema exists
+    from csp_spark.core.ticks import TickStream
+
+    t.publish(
+        TickStream(spark.createDataFrame([], SCHEMA)), field_map="value"
+    )
+    assert t.schema == {"value": "float"}
+    try:
+        q = a.publish_stream(
+            stream.select("key", "ts", "seq", "value"), "live",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        snap = {r["key"]: r["value"] for r in a.manager.get_snapshot("live")}
+        # indexed by key: snapshot holds each key's LAST value
+        last = {}
+        for k, ts_, _seq, v in sorted(rows, key=lambda r: (r[1], r[2])):
+            last[k] = v
+        assert snap == last
+    finally:
+        a.stop()
