@@ -317,6 +317,12 @@ def _range_frame(
                 lo += 1
         if end is not None and end_policy == "exclusive":
             hi -= 1
+        if start is not None and lo > hi:
+            # exclusive adjustments crossed the bounds (e.g. start ==
+            # end with an exclusive side): the window is EMPTY by
+            # construction — signal the caller (a frame with lower >
+            # upper is invalid SQL)
+            return None, True
         w = (
             Window.partitionBy(KEY)
             .orderBy(_micros(F.col(TS)))
@@ -338,6 +344,19 @@ def _range_frame(
     hi = 0 if end is None else end
     w = Window.partitionBy(KEY).orderBy(TS, SEQ).rowsBetween(lo, hi)
     return w, False
+
+
+def _past_only(arr: Column) -> Column:
+    """Drop elements from engine cycles AFTER the current row: a range
+    frame on micros cannot see ``seq``, so a tick sharing this row's
+    timestamp but ticking on a LATER cycle would leak into the buffer.
+    Element-level filter on (m, s) ≤ (current m, current s) restores
+    the (ts, seq) cycle order the ring buffer observes."""
+    cm, cs = _micros(F.col(TS)), F.col(SEQ)
+    return F.filter(
+        arr,
+        lambda e: (e["m"] < cm) | ((e["m"] == cm) & (e["s"] <= cs)),
+    )
 
 
 def _td_structs(
@@ -369,12 +388,23 @@ def _td_structs(
     else:
         main_lo = lo
     main_hi = hi - 1 if (end is not None and end_policy == "exclusive") else hi
-    w_main = (
-        Window.partitionBy(KEY)
-        .orderBy(_micros(F.col(TS)))
-        .rangeBetween(main_lo, main_hi)
-    )
-    arr = F.array_sort(F.collect_list(e_struct).over(w_main))
+    # Window.unboundedPreceding is a huge negative long, so a plain
+    # comparison classifies it as non-degenerate correctly
+    degenerate = isinstance(main_lo, int) and main_lo > main_hi
+    if degenerate:
+        # empty-by-construction main window (boundary adjustments
+        # crossed): a one-element array sliced to length 0 keeps the
+        # struct type; carry/pad still apply on top
+        arr = F.slice(F.array(e_struct), 1, 0)
+    else:
+        w_main = (
+            Window.partitionBy(KEY)
+            .orderBy(_micros(F.col(TS)))
+            .rangeBetween(main_lo, main_hi)
+        )
+        arr = _past_only(
+            F.array_sort(F.collect_list(e_struct).over(w_main))
+        )
 
     clamp_lo = clamp_hi = None
     if start_policy == "extrapolate" and start is not None:
@@ -443,12 +473,12 @@ def values_at(
         out = F.transform(arr, lambda e: e["v"])
     else:
         w, use_struct = _range_frame(x, start, end, sp, ep)
+        es = F.struct(_micros(F.col(TS)).alias("m"),
+                      F.col(SEQ).alias("s"), v.alias("v"))
         if use_struct:
-            arr = F.array_sort(
-                F.collect_list(
-                    F.struct(_micros(F.col(TS)).alias("m"),
-                             F.col(SEQ).alias("s"), v.alias("v"))
-                ).over(w)
+            arr = (
+                F.slice(F.array(es), 1, 0) if w is None
+                else _past_only(F.array_sort(F.collect_list(es).over(w)))
             )
             out = F.transform(arr, lambda e: e["v"])
         else:
@@ -473,12 +503,12 @@ def times_at(
         out = F.transform(arr, ts_of)
     else:
         w, use_struct = _range_frame(x, start, end, sp, ep)
+        es = F.struct(_micros(F.col(TS)).alias("m"),
+                      F.col(SEQ).alias("s"))
         if use_struct:
-            arr = F.array_sort(
-                F.collect_list(
-                    F.struct(_micros(F.col(TS)).alias("m"),
-                             F.col(SEQ).alias("s"))
-                ).over(w)
+            arr = (
+                F.slice(F.array(es), 1, 0) if w is None
+                else _past_only(F.array_sort(F.collect_list(es).over(w)))
             )
             out = F.transform(arr, lambda e: F.timestamp_micros(e["m"]))
         else:
@@ -510,12 +540,12 @@ def items_at(
         )
     else:
         w, use_struct = _range_frame(x, start, end, sp, ep)
+        es = F.struct(_micros(F.col(TS)).alias("m"),
+                      F.col(SEQ).alias("s"), v.alias("v"))
         if use_struct:
-            arr = F.array_sort(
-                F.collect_list(
-                    F.struct(_micros(F.col(TS)).alias("m"),
-                             F.col(SEQ).alias("s"), v.alias("v"))
-                ).over(w)
+            arr = (
+                F.slice(F.array(es), 1, 0) if w is None
+                else _past_only(F.array_sort(F.collect_list(es).over(w)))
             )
             out = F.transform(
                 arr,

@@ -392,6 +392,9 @@ def test_run_node_alarm_fires_iff_gap_exceeds_timeout(spark, gaps, timeout):
     assert got == want
 
 
+from hypothesis import example
+
+
 @given(
     rows=rows_strategy,
     start_s=st.integers(min_value=1, max_value=12),
@@ -399,6 +402,13 @@ def test_run_node_alarm_fires_iff_gap_exceeds_timeout(spark, gaps, timeout):
     sp=st.sampled_from(["inclusive", "exclusive", "extrapolate"]),
     ep=st.sampled_from(["inclusive", "exclusive", "extrapolate"]),
 )
+# pinned: two ticks on the SAME timestamp — a range frame on micros
+# cannot see seq, so without the _past_only element filter the first
+# cycle would see its same-timestamp successor
+@example(rows=[("a", 0, 0.0), ("a", 0, 1.0)], start_s=1, end_s=0,
+         sp="inclusive", ep="inclusive")
+@example(rows=[("a", 0, 0.0), ("a", 0, 1.0), ("a", 2, 2.0)], start_s=2,
+         end_s=0, sp="extrapolate", ep="extrapolate")
 @settings(**_SETTINGS)
 def test_values_times_at_policies_match_python_replay(
     spark, rows, start_s, end_s, sp, ep
