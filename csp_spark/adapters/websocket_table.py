@@ -435,6 +435,22 @@ class WebsocketTableAdapter:
         wide = reduce(
             lambda a, b: a.join(b, [KEY, TS, SEQ], "full_outer"), frames
         )
+        limit = getattr(table, "limit", None)
+        if limit is not None and table.index is None:
+            # perspective Table(limit=) ring semantics: only the
+            # trailing `limit` updates can survive in the snapshot, so
+            # push the tail-N into the plan — desc orderBy + limit is
+            # TakeOrderedAndProject (distributed top-k, no full-history
+            # sort or collect at any history size)
+            nonnull = reduce(
+                lambda a, b: a | b,
+                [F.col(c).isNotNull() for c in table.columns],
+            )
+            wide = (
+                wide.filter(nonnull)
+                .orderBy(F.desc(TS), F.desc(SEQ), F.desc(KEY))
+                .limit(int(limit))
+            )
         rows = wide.orderBy(TS, SEQ, KEY).collect()
         out = []
         for r in rows:

@@ -13,6 +13,7 @@ shared lineage is analyzed once.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 from typing import Any, Callable, Mapping
 
 from pyspark.sql import functions as F
@@ -23,6 +24,13 @@ from ..core.ticks import KEY, SEQ, TS, VALUE, TickStream
 #: the graph with the previous pass's one-cycle-delayed feedback
 #: ticks; graphs whose feedback only OBSERVES the loop converge in 2
 _MAX_FEEDBACK_PASSES = 10
+
+#: per-pass bound-tick cap for the verbatim csp.feedback fixed point —
+#: each pass replays the wiring over the feedback's materialized ticks,
+#: so huge streams belong on feedback_scan / feedback_iterate instead
+_FEEDBACK_MAX_ROWS = int(
+    os.environ.get("CSP_SPARK_FEEDBACK_MAX_ROWS", "1000000")
+)
 
 
 def _clip(x: TickStream, start, end) -> TickStream:
@@ -92,8 +100,8 @@ def run(
             stale = [fb for fb in frame["feedbacks"] if fb._used_stale]
             if not stale:
                 break
-            prevs, rows_now, converged = [], [], True
-            prev_rows = frame.get("fb_rows")
+            prevs, sigs_now, converged = [], [], True
+            prev_sigs = frame.get("fb_sigs")
             for i, fb in enumerate(frame["feedbacks"]):
                 if fb._bound is None:
                     raise RuntimeError(
@@ -101,21 +109,40 @@ def run(
                         "was never called in the graph"
                     )
                 b = fb._bound
+                # stay distributed across passes (engine Feedback.h is
+                # per-cycle, never whole-stream): each pass pins the
+                # bound ticks with an eager localCheckpoint and
+                # convergence compares a 1-row (count, xxhash64-sum)
+                # signature — the same detector feedback_iterate uses
+                # — instead of collecting the stream to the driver
                 bdf = b.df.select(
                     "key", "ts", "seq",
                     F.col(b.value_col).alias("value"),
-                )
-                rows = bdf.orderBy("ts", "seq", "key").collect()
-                rows_now.append(rows)
-                if prev_rows is None or i >= len(prev_rows) \
-                        or rows != prev_rows[i]:
-                    converged = False
-                prevs.append(
-                    TickStream(
-                        bdf.sparkSession.createDataFrame(rows, bdf.schema)
+                ).localCheckpoint(eager=True)
+                agg = bdf.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.xxhash64("key", "ts", "seq", "value")
+                        .cast("decimal(28,0)")
+                    ).alias("h"),
+                ).collect()[0]
+                if agg["n"] > _FEEDBACK_MAX_ROWS:
+                    raise RuntimeError(
+                        f"csp.feedback fixed-point re-wires the graph "
+                        f"over {agg['n']} bound ticks per pass (cap "
+                        f"{_FEEDBACK_MAX_ROWS}, env "
+                        "CSP_SPARK_FEEDBACK_MAX_ROWS) — for large "
+                        "streams express the recurrence directly with "
+                        "csp_spark.feedback_scan (per-cycle fold) or "
+                        "feedback_iterate (multi-round fixed point)"
                     )
-                )
-            frame["fb_prev"], frame["fb_rows"] = prevs, rows_now
+                sig = (agg["n"], agg["h"])
+                sigs_now.append(sig)
+                if prev_sigs is None or i >= len(prev_sigs) \
+                        or sig != prev_sigs[i]:
+                    converged = False
+                prevs.append(TickStream(bdf))
+            frame["fb_prev"], frame["fb_sigs"] = prevs, sigs_now
             if converged:
                 break
         else:
@@ -408,28 +435,47 @@ def _dynamic_reference(trigger: TickStream, graph_fn: Callable, *args):
     )
     spawn = [(r[KEY], r["__first"][TS], r["__first"][SEQ]) for r in key_rows]
 
-    # snap markers: ONE ordered collect per snapped stream, then a
-    # driver-side as-of at each key's spawn cycle (inclusive — the
-    # spawning tick itself is current, like the reference)
+    # snap markers: each key needs the snapped stream's as-of value at
+    # its spawn cycle (inclusive — the spawning tick itself is current,
+    # like the reference). Computed DISTRIBUTED: broadcast the tiny
+    # spawn table (one row per key) against the stream, keep ticks at
+    # or before the spawn cycle, max_by per key — only |keys| rows ever
+    # reach the driver, never the stream itself.
     snap_vals: dict[int, dict[str, Any]] = {}
     for i, a in enumerate(args):
         if isinstance(a, _SnapMarker):
             s = a.stream
-            srows = (
-                s.df.select(TS, SEQ, F.col(s.value_col).alias("__v"))
-                .orderBy(TS, SEQ)
+            sdf = s.df.select(TS, SEQ, F.col(s.value_col).alias("__v"))
+            spawn_df = sdf.sparkSession.createDataFrame(
+                list(spawn), "__k string, __t0 timestamp, __q0 long"
+            )
+            asof = (
+                F.broadcast(spawn_df)
+                .join(
+                    sdf,
+                    (F.col(TS) < F.col("__t0"))
+                    | (
+                        (F.col(TS) == F.col("__t0"))
+                        & (F.col(SEQ) <= F.col("__q0"))
+                    ),
+                    "left",
+                )
+                .groupBy("__k")
+                .agg(
+                    F.max_by(
+                        F.struct(F.col("__v")),
+                        F.when(
+                            F.col(TS).isNotNull(),
+                            F.struct(F.col(TS), F.col(SEQ)),
+                        ),
+                    ).alias("__asof")
+                )
                 .collect()
             )
-            vals = {}
-            for k, t0, q0 in spawn:
-                cur = None
-                for r in srows:
-                    if (r[TS], r[SEQ]) <= (t0, q0):
-                        cur = r["__v"]
-                    else:
-                        break
-                vals[k] = cur
-            snap_vals[i] = vals
+            snap_vals[i] = {
+                r["__k"]: (None if r["__asof"] is None else r["__asof"]["__v"])
+                for r in asof
+            }
 
     out: dict[str, TickStream] = {}
     for k, _t0, _q0 in spawn:

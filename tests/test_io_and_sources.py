@@ -647,3 +647,83 @@ def test_csp_watch_profile_diffs():
         assert "Memory diffs" in out and "250" in out  # +250 bytes
     finally:
         srv.shutdown()
+
+
+def test_parquet_utility_nodes_roundtrip(spark, tmp_path):
+    """flatten_numpy_array / reshape_numpy_array (reference
+    csp/adapters/output_adapters/parquet_utility_nodes.py:11-33):
+    an ND-array edge flattens to (value, shape) 1-D streams, survives
+    a ParquetWriter publish + read_table round trip, and reshapes back
+    bit-identically."""
+    from csp_spark.adapters.output_adapters import (
+        flatten_numpy_array, reshape_numpy_array,
+    )
+
+    mats = [
+        [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+        [[7.0, 8.0], [9.0, 10.0], [11.0, 12.0]],
+    ]
+    rows = [("k", START + TD(seconds=i), i, m) for i, m in enumerate(mats)]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value array<array<double>>"
+    ))
+    flat = flatten_numpy_array(x)
+    got = {r[SEQ]: (r_v, r_s) for r, r_v, r_s in [
+        (r, r["v"], r["s"]) for r in flat.value.df.alias("a").join(
+            flat.shape.df.alias("b"), [KEY, TS, SEQ]
+        ).select(
+            SEQ, F.col(f"a.{VALUE}").alias("v"), F.col(f"b.{VALUE}").alias("s")
+        ).collect()
+    ]}
+    assert got[0] == ([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], [2, 3])
+    assert got[1] == ([7.0, 8.0, 9.0, 10.0, 11.0, 12.0], [3, 2])
+
+    # ParquetWriter path: publish both streams, read back, reshape
+    publish_parquet(flat.value, str(tmp_path / "val"))
+    publish_parquet(flat.shape, str(tmp_path / "shp"))
+    v_back = TickStream(read_table(spark, str(tmp_path / "val"))
+                        .select(KEY, TS, SEQ, VALUE))
+    s_back = TickStream(read_table(spark, str(tmp_path / "shp"))
+                        .select(KEY, TS, SEQ, VALUE))
+    restored = reshape_numpy_array(v_back, s_back)
+    out = {r[SEQ]: r[VALUE] for r in restored.df.collect()}
+    assert out[0] == mats[0] and out[1] == mats[1]
+
+
+def test_parquet_utility_nodes_3d_and_1d(spark):
+    """Rank-3 flatten/reshape (static ndim=3) and the rank-1 identity."""
+    from csp_spark.adapters.output_adapters import (
+        flatten_numpy_array, reshape_numpy_array,
+    )
+
+    cube = [[[float(100 * i + 10 * j + k) for k in range(4)]
+             for j in range(3)] for i in range(2)]
+    x = TickStream(spark.createDataFrame(
+        [("k", START, 0, cube)],
+        "key string, ts timestamp, seq long, "
+        "value array<array<array<double>>>",
+    ))
+    flat = flatten_numpy_array(x)
+    r = flat.shape.df.collect()[0]
+    assert r[VALUE] == [2, 3, 4]
+    import numpy as np
+
+    assert flat.value.df.collect()[0][VALUE] == \
+        list(np.asarray(cube).reshape(-1))
+    back = reshape_numpy_array(flat.value, flat.shape, ndim=3)
+    assert back.df.collect()[0][VALUE] == cube
+
+    one = TickStream(spark.createDataFrame(
+        [("k", START, 0, [1.0, 2.0])],
+        "key string, ts timestamp, seq long, value array<double>",
+    ))
+    f1 = flatten_numpy_array(one)
+    assert f1.shape.df.collect()[0][VALUE] == [2]
+    b1 = reshape_numpy_array(f1.value, f1.shape, ndim=1)
+    assert b1.df.collect()[0][VALUE] == [1.0, 2.0]
+
+    with pytest.raises(TypeError):
+        flatten_numpy_array(TickStream(spark.createDataFrame(
+            [("k", START, 0, 1.0)],
+            "key string, ts timestamp, seq long, value double",
+        )))
