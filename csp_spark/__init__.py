@@ -218,6 +218,7 @@ from . import random  # noqa: E402,F401,A004  (csp.random)
 from . import adapters  # noqa: E402,F401  (csp.adapters)
 from . import dedup, text, similarity, multimodal, pipeline  # noqa: E402,F401
 from . import utils  # noqa: E402,F401  (csp.utils dev tooling)
+from . import profiler  # noqa: E402,F401  (from csp import profiler)
 from .alias import enable_reference_alias  # noqa: E402,F401  (import csp → here)
 from .pandas_ext import TsArray, TsDtype  # noqa: E402  (registers .csp/.to_csp accessors)
 
@@ -243,7 +244,26 @@ def _node_only(name):
 
 
 alarm = _node_only("alarm")
-output = _node_only("output")
+
+
+def output(*args, **kwargs):
+    """csp.output — inside a @csp.node body the AST translator
+    rewrites this call before execution, so reaching this function
+    means GRAPH-level use (reference impl/wiring/graph.py Outputs
+    support: ``return csp.output(sum=..., carry=...)``): named edges
+    pack into the node-outputs container so ``.sum`` attribute access
+    works on the graph's return value; a single positional edge passes
+    through."""
+    if kwargs and not args:
+        from .core.nodeparse import NodeOutputs
+
+        return NodeOutputs(kwargs)
+    if len(args) == 1 and not kwargs:
+        return args[0]
+    raise RuntimeError(
+        "csp.output at graph level takes named outputs "
+        "(csp.output(a=..., b=...)) or a single positional value"
+    )
 state = _node_only("state")
 alarms = _node_only("alarms")
 start = _node_only("start")

@@ -100,14 +100,19 @@ def _hints(fn: Callable) -> dict:
 
 
 def _is_basket_ann(ann: Any) -> bool:
-    """``{ts[K]: ts[V]}`` — the reference's dict-basket input
-    annotation (impl/types/tstype.py TsBasket grammar)."""
-    return (
+    """``{ts[K]: ts[V]}`` / ``[ts[T]]`` — the reference's dict- and
+    list-basket input annotations (impl/types/tstype.py TsBasket
+    grammar)."""
+    if (
         isinstance(ann, dict)
         and len(ann) == 1
         and all(
             _is_ts_ann(k) and _is_ts_ann(v) for k, v in ann.items()
         )
+    ):
+        return True
+    return (
+        isinstance(ann, list) and len(ann) == 1 and _is_ts_ann(ann[0])
     )
 
 
@@ -748,14 +753,22 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
     bound.apply_defaults()
 
     def _is_basket_value(v) -> bool:
-        return (
+        if (
             isinstance(v, dict)
             and len(v) > 0
             and all(isinstance(s, TickStream) for s in v.values())
+        ):
+            return True
+        # list basket ([ts[T]] annotation, e.g. the reference's
+        # [csp.const(bit) for ...] wiring): position is the key
+        return (
+            isinstance(v, (list, tuple))
+            and len(v) > 0
+            and all(isinstance(s, TickStream) for s in v)
         )
 
-    # dict baskets ({key: stream}, e.g. a csp.dynamic result): each
-    # member becomes its own run_node channel, re-keyed to the global
+    # dict/list baskets ({key: stream} or [stream, ...]): each member
+    # becomes its own run_node channel, re-keyed to the global
     # key — a reference node is ONE instance observing every member,
     # so coincident member ticks share an engine cycle
     basket_channels: dict[str, dict[str, str]] = {}
@@ -763,7 +776,8 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
     for name, v in bound.arguments.items():
         if _is_basket_value(v):
             chans = {}
-            for i, (k, s) in enumerate(v.items()):
+            items = v.items() if isinstance(v, dict) else enumerate(v)
+            for i, (k, s) in enumerate(items):
                 ch = f"{name}__b{i}"
                 from pyspark.sql import functions as _F
 
@@ -775,7 +789,10 @@ def wire_reference_node(fn: Callable, *args: Any, **kwargs: Any):
                         _F.col(s.value_col).alias("value"),
                     )
                 )
-                chans[str(k)] = ch
+                # dict keys arrive as the dynamic surface's string
+                # keys; list baskets keep their integer positions so
+                # x[0] / keys() match the reference
+                chans[k if isinstance(v, (list, tuple)) else str(k)] = ch
             basket_channels[name] = chans
 
     scalars = {

@@ -414,7 +414,13 @@ def run_node(
             )
             for n in multi
         }
-    return TickStream(res)
+    # Lazy checkpoint the single output too: a node wired over its own
+    # output twice (nand(x, x)-style graphs) would otherwise DOUBLE the
+    # upstream logical plan at every level — exponential Catalyst
+    # analysis at depth. The LogicalRDD leaf keeps deep node chains
+    # linear (one cached job per node at first action, nothing runs if
+    # the output is never used).
+    return TickStream(res.localCheckpoint(eager=False))
 
 
 def run_node_with_states(

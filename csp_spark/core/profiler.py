@@ -27,6 +27,38 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 
+class ProfilerResults(dict):
+    """The results mapping plus the reference's ``print_stats()``
+    surface (csp/profiler.py ProfilerInfo.print_stats; used verbatim
+    by examples/99_developer_tools/e1_profiling.py:35-36)."""
+
+    def print_stats(self, sort_by: str = "total_time", max_nodes: int = 100):
+        print("Profiling stats")
+        for k in ("cycle_count", "average_cycle_time", "wall_time",
+                  "utilization", "total_tasks", "completed_tasks"):
+            print(f"  {k}: {self[k]}")
+        print("  node_stats:")
+        for sid, st in list(self["node_stats"].items())[:max_nodes]:
+            print(f"    [{sid}] {st['name']}: executions={st['executions']}"
+                  f" completed={st['completed']} failed={st['failed']}")
+
+
+class GraphInfo(dict):
+    """graph_info result plus the reference's ``print_info()``
+    (csp/profiler.py GraphInfo.print_info)."""
+
+    def print_info(self, sort_by: str = "count", max_nodes: int = 100):
+        print("Graph info")
+        print(f"  node_count: {self['node_count']}")
+        print(f"  edge_count: {self['edge_count']}")
+        print(f"  longest_path: {' -> '.join(self['longest_path'])}")
+        print("  nodetype_counts:")
+        for name, n in sorted(
+            self["nodetype_counts"].items(), key=lambda kv: -kv[1]
+        )[:max_nodes]:
+            print(f"    {name}: {n}")
+
+
 class Profiler:
     """``with Profiler(spark) as p: ...actions...`` then ``p.results()``.
 
@@ -40,7 +72,15 @@ class Profiler:
       completed, failed}
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession | None = None):
+        # the reference form takes no session (e1_profiling.py:31
+        # ``with profiler.Profiler() as p``) — default to the active one
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                from .session import get_spark
+
+                spark = get_spark()
         self._spark = spark
         self._group = f"csp_profiler_{uuid.uuid4().hex[:12]}"
         self._t0 = 0.0
@@ -78,7 +118,7 @@ class Profiler:
             completed_tasks += si.numCompletedTasks
         cores = sc.defaultParallelism
         n_jobs = len(job_ids)
-        self.results_dict = {
+        self.results_dict = ProfilerResults({
             "wall_time": wall,
             "cycle_count": n_jobs,
             "average_cycle_time": (wall / n_jobs) if n_jobs else 0.0,
@@ -88,7 +128,7 @@ class Profiler:
             "total_tasks": total_tasks,
             "completed_tasks": completed_tasks,
             "node_stats": node_stats,
-        }
+        })
         sc.setJobGroup("", "")
 
     def results(self) -> dict[str, Any]:
@@ -108,7 +148,41 @@ def graph_info(df) -> dict[str, Any]:
                          Join, Aggregate, Window, ...)
     - longest_path     → operator names along the deepest lineage chain
                          (the reference's critical path through the DAG)
-    """
+
+    Accepts a DataFrame, a TickStream, or — reference form
+    (e1_profiling.py:25 ``profiler.graph_info(graph1)``) — a GRAPH
+    FUNCTION, which is wired (not executed) and whose outputs'
+    optimized plans are aggregated (shared subplans count once per
+    output they feed, like the reference's per-edge accounting)."""
+    if callable(df) and not hasattr(df, "df") and not hasattr(df, "_jdf"):
+        from . import surface as _surface
+
+        _surface._output_ctx.append({})
+        try:
+            outs = df()
+        finally:
+            side = _surface._output_ctx.pop()
+            _surface._output_history.pop(id(side), {})
+        if outs is None:
+            outs = {}
+        elif hasattr(outs, "df"):
+            outs = {"0": outs}
+        streams = {**dict(outs), **side}
+        infos = [graph_info(s) for s in streams.values()]
+        agg = GraphInfo({
+            "node_count": sum(i["node_count"] for i in infos),
+            "edge_count": sum(i["edge_count"] for i in infos),
+            "nodetype_counts": {},
+            "longest_path": max(
+                (i["longest_path"] for i in infos), key=len, default=[]
+            ),
+        })
+        for i in infos:
+            for k, v in i["nodetype_counts"].items():
+                agg["nodetype_counts"][k] = (
+                    agg["nodetype_counts"].get(k, 0) + v
+                )
+        return agg
     plan = (
         df.df if hasattr(df, "df") else df
     )._jdf.queryExecution().optimizedPlan()
@@ -131,9 +205,9 @@ def graph_info(df) -> dict[str, Any]:
         return nodes, edges, counts, [name, *deepest]
 
     node_count, edge_count, nodetype_counts, longest = walk(plan)
-    return {
+    return GraphInfo({
         "node_count": node_count,
         "edge_count": edge_count,
         "nodetype_counts": nodetype_counts,
         "longest_path": longest,
-    }
+    })

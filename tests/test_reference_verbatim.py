@@ -872,3 +872,57 @@ def total_per_cycle(b: {ts[str]: ts[float]}) -> ts[str]:
         "[('a', 1.0)]", "[('b', 2.0)]", "[('a', 3.0)]",
         "[('b', 5.0)]", "[('a', 6.0)]",
     ]
+
+
+REF_NAND = "/root/reference/examples/98_just_for_fun/e1_csp_nand_computer.py"
+
+
+def test_reference_nand_computer_verbatim(spark, capture_print):
+    """98_just_for_fun/e1_csp_nand_computer.py: the whole computer is
+    one @csp.node NAND gate wired through csp.graph combinators — NOT/
+    AND/OR/XOR/half+full adders — into a ripple-carry addInt over LIST
+    baskets ([ts[bool]] inputs, OutputBasket(List) output, graph-level
+    csp.output(sum=, carry=)). Run verbatim at 2 bits (the example's
+    my_graph takes `bits`; its own show_graph demo uses 4 to limit
+    size): 2-bit addInt wires ~50 chained nand node instances — the
+    deep-plan stress the lazy run_node checkpoint exists for.
+
+    Hand-derived at bits=2 (number_to_basket keeps the LSBs):
+    x = 42001 & 0b11 = 1, y = 136 & 0b11 = 0, x+y = 1 -> bits '01'."""
+    if not os.path.exists(REF_NAND):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_NAND, spark)
+    st = dt.datetime(2022, 6, 24)
+    csp_spark.run(ns["my_graph"], 2, starttime=st)
+    get = lambda tag: capture_print[tag].collect_ticks()  # noqa: E731
+    assert get("x") == [(st, 1)]
+    assert get("y") == [(st, 0)]
+    assert get("x_bits") == [(st, "01")]
+    assert get("y_bits") == [(st, "00")]
+    assert get("x+y") == [(st, 1)]
+    assert get("x+y_bits") == [(st, "01")]
+    # the example's show_graph path (its main uses 4 bits; 2 here keeps
+    # the wiring small) — static render only, nothing executes
+    csp_spark.showgraph.show_graph(ns["my_graph"], 2)
+
+
+REF_PROF = "/root/reference/examples/99_developer_tools/e1_profiling.py"
+
+
+def test_reference_profiling_verbatim(spark, capsys):
+    """99_developer_tools/e1_profiling.py: graph_info over a graph
+    FUNCTION (static wiring inspection) + the no-argument
+    profiler.Profiler() context over csp.run, with
+    results().print_stats() — all verbatim through `from csp import
+    profiler`."""
+    if not os.path.exists(REF_PROF):
+        pytest.skip("reference checkout not present")
+    ns = _exec_file(REF_PROF, spark)
+    ns["main"]()
+    out = capsys.readouterr().out
+    assert "Profiling stats" in out
+    assert "cycle_count" in out
+    info = csp_spark.profiler.graph_info(ns["graph1"])
+    assert info["node_count"] > 0 and len(info["longest_path"]) > 0
+    info.print_info()
+    assert "nodetype_counts" in capsys.readouterr().out
