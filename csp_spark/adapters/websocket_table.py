@@ -175,6 +175,11 @@ class TableManager:
             except OSError:
                 self.unsubscribe(conn)
 
+    def clear(self, tablename: str) -> None:
+        """Drop a table's snapshot (perspective Table.clear)."""
+        with self._lock:
+            self._snapshots.pop(tablename, None)
+
     def get_snapshot(self, tablename: str):
         with self._lock:
             snap = self._snapshot_of(tablename)

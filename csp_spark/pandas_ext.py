@@ -317,6 +317,17 @@ class CspDataFrameAccessor(_EdgeItems):
         return [c for c in self._obj.columns
                 if isinstance(self._obj.dtypes[c], TsDtype)]
 
+    def ts_frame(self) -> pd.DataFrame:
+        """Only the ts[] columns (reference pandas_accessor
+        CspFrameAccessor.ts_frame — feeds _frame_to_basket)."""
+        return self._obj[self._ts_columns()]
+
+    def static_frame(self) -> pd.DataFrame:
+        """Only the non-ts columns (reference static_frame)."""
+        static = [c for c in self._obj.columns
+                  if not isinstance(self._obj.dtypes[c], TsDtype)]
+        return self._obj[static]
+
     def run(self, starttime: _dt.datetime | None = None,
             endtime: _dt.datetime | None = None) -> pd.DataFrame:
         """Long-format frame: one engine pass over every edge of every

@@ -94,3 +94,79 @@ def test_dataframe_accessor_run_snap(spark, edges):
     assert list(snap["bid"]) == [1.0, 10.0]
     assert list(snap["ask"]) == [2.0, 11.0]
     assert list(snap["static"]) == [1, 2]  # non-ts columns untouched
+
+
+def test_csp_perspective_table(spark, edges):
+    """CspPerspectiveTable (reference impl/pandas_perspective.py:
+    114-261) over TsFrame + the websocket table stack: run_historical
+    snapshot, live run() feed with static-record merge, Table(limit=)
+    ring, keep_history=False indexed semantics, thread lifecycle."""
+    import json
+    from csp_spark.impl.pandas_perspective import CspPerspectiveTable
+
+    a, b = edges
+    df = pd.DataFrame(
+        {
+            "px": TsArray([a, b]),
+            "name": ["Apple", "Banana"],
+        },
+        index=["a", "b"],
+    )
+
+    # run_historical: one engine pass, (index, time) rows in time order
+    tbl = CspPerspectiveTable(df, index_col="sym", time_col="when")
+    hist = tbl.run_historical(t(0), t(4))
+    hdf = hist.to_df()
+    assert list(hdf.columns) == ["sym", "when", "px"]
+    # reference row order: per-index blocks (the accessor's run
+    # frame), time-sorted only when limit is set
+    assert [
+        (r.sym, r.when.to_pydatetime(), r.px) for r in hdf.itertuples()
+    ] == [("a", t(0), 1.0), ("a", t(2), 2.0),
+          ("b", t(1), 10.0), ("b", t(3), 20.0)]
+    assert hist.size() == 4 and hist.view() is hist
+    assert json.dumps(hist.to_columns()["sym"]) == '["a", "a", "b", "b"]'
+
+    # live run(): engine-ordered updates, static columns merged per row
+    tbl.run(starttime=t(0), endtime=t(4), realtime=False)
+    snap = tbl.to_json()
+    assert [(r["sym"], r["px"], r["name"]) for r in snap] == [
+        ("a", 1.0, "Apple"), ("b", 10.0, "Banana"),
+        ("a", 2.0, "Apple"), ("b", 20.0, "Banana"),
+    ]
+    assert all(r["when"] is not None for r in snap)
+    tbl.adapter.stop()
+
+    # limit ring: trailing N updates only
+    ltbl = CspPerspectiveTable(df, index_col="sym", time_col="when",
+                               limit=2)
+    ltbl.run(starttime=t(0), endtime=t(4), realtime=False)
+    assert [r["px"] for r in ltbl.to_json()] == [2.0, 20.0]
+    ltbl.adapter.stop()
+
+    # keep_history=False: indexed table, static preloaded, last wins
+    itbl = CspPerspectiveTable(df, index_col="sym", time_col=None,
+                               keep_history=False)
+    pre = {r["sym"]: r for r in itbl.to_json()}
+    assert pre["a"]["name"] == "Apple" and "px" not in pre["a"]
+    itbl.run(starttime=t(0), endtime=t(4), realtime=False)
+    post = {r["sym"]: r for r in itbl.to_json()}
+    assert post["a"]["px"] == 2.0 and post["b"]["px"] == 20.0
+    assert len(post) == 2
+    itbl.adapter.stop()
+
+    # validation + lifecycle + widget stub
+    with pytest.raises(ValueError):
+        CspPerspectiveTable(df, time_col=None)  # history needs time
+    with pytest.raises(ValueError):
+        CspPerspectiveTable(df, keep_history=False, limit=3)
+    with pytest.raises(ValueError):
+        itbl.stop()  # runner already joined? no runner started via start()
+    with pytest.raises(NotImplementedError):
+        itbl.get_widget()
+    stbl = CspPerspectiveTable(df, index_col="sym", time_col="when")
+    stbl.start(starttime=t(0), endtime=t(4))
+    stbl.join()
+    assert not stbl.is_running()
+    assert len(stbl.to_json()) == 4
+    stbl.adapter.stop()
