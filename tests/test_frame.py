@@ -158,3 +158,31 @@ def test_to_spark_ts_long_form(frame, spark):
     assert all(r["trig_ts"] == t(3) for r in rows)
     assert [r["bid"] for r in rows] == [None, 99.1, None]
     assert [r["ask"] for r in rows] == [100.0, None, 100.2]
+
+
+def test_to_spark_ts_count_window_plan_is_rank_band(frame, spark):
+    """Regression guard for the bounded count-window plan shape: the
+    r5 scale-killer joined every trigger against the FULL observation
+    history with a (ts,seq) <= trigger range condition; the fix ranks
+    ticks once and EQUI-joins on (key, rank) so the intermediate is
+    |trigger|×window. sf-small correctness can't tell the two apart —
+    this pins the plan."""
+    trig = bl.curve(spark, [(t(1.6), 1.0), (t(3), 2.0)])
+    out = frame.to_spark_ts(trig, window=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_lines = [l for l in plan.split("\n") if "Join" in l]
+    # the window band must never be a join range-condition against the
+    # trigger cycle (the unbounded shape); <= only ever appears in the
+    # old form's band predicate
+    assert not any("<=" in l for l in join_lines), join_lines
+    assert plan.count("NestedLoop") == 0 and plan.count("Cartesian") == 0
+    # buffer attachment is the rank-band equi join
+    assert any("__r" in l for l in join_lines), join_lines
+    # pinned ceilings for this 2-column fixture (observed 18/28; the
+    # unbounded form re-plans the band as extra sort+filter stages)
+    lines = plan.split("\n")
+    exch = sum(1 for l in lines if "Exchange hashpartitioning" in l
+               or "Exchange rangepartitioning" in l)
+    sorts = sum(1 for l in lines if "Sort [" in l)
+    assert exch <= 20, exch
+    assert sorts <= 32, sorts
