@@ -3494,47 +3494,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
-    # dict, so order by evidence value (round 6 — the r5 verdict's #1
-    # item: rotate the 85 stale-evidence queries in, OLDEST first):
-    # 1. src_curve — the single remaining r2-vintage green;
-    # 2. all 45 queries whose latest driver evidence is r3 (the whole
-    #    TPC-H q2/q4/q7-q9/q11-q22 block, the r3 stats block, baskets,
-    #    dynamics, history, ann/doc stragglers — incl. ann_ivf_topk's
-    #    rows-only recall check, refreshed so nothing stays pre-r4);
-    # 3. the four queries whose backing modules changed THIS round:
-    #    frame_pandas_ts (to_spark_ts count windows now rank-band
-    #    equi-joins), op_node_ast + op_node_cumsum (noderun: struct
-    #    emit conversion, empty-input start-alarm seed, single-output
-    #    csp.output), and doc_bpe_apply (NEW — frozen-merge BPE
-    #    inference with a recursive-CTE oracle).
+    # dict, so order by evidence value (round 7 — the r6 verdict's #1
+    # item: rotate the 40 queries whose latest driver evidence is r4,
+    # then queries whose backing modules changed this round):
+    # 1. all 40 r4-evidence queries (the sink round-trips, the exprtk
+    #    family, the text block, dedup/doc/stats stragglers, op_merge/
+    #    filter/gate, op_asof_directions, op_feedback_scan, the global
+    #    unkeyed ops — incl. the two rows-only-by-design checks
+    #    ann_knn_join_blas and doc_bpe_tokens, refreshed too);
+    # 2. queries whose backing modules changed THIS round:
+    #    dyn_snap_attach (csp.dynamic snap is now a distributed
+    #    broadcast as-of join), op_node_ast + op_node_cumsum (run_node
+    #    single outputs now lazily checkpoint), feedback_clamp
+    #    (runtime.py feedback fixed point now signature-converged);
+    # 3. six of the r5-evidence block, oldest-first rotation opener.
     # That fills exactly 50; after this round no query's latest driver
-    # evidence predates r4. Everything else held green in r4/r5 under
+    # evidence predates r5. Everything else held green in r5/r6 under
     # code untouched since.
     priority = [
-        # (1) r2-vintage
-        "src_curve",
-        # (2) the r3-evidence block, wholesale
-        "src_timer",
-        "op_value_at", "op_times", "op_struct_field",
-        "op_struct_collectts", "op_dynamic_collect", "op_edge_math",
-        "dyn_cummax", "dyn_snap_attach",
-        "basket_sync", "basket_sample",
-        "stats_rolling_tick", "stats_rolling_time", "stats_expanding",
-        "stats_quantile", "stats_ema", "stats_ema_cov", "stats_order",
-        "stats_skew_kurt", "stats_corr", "stats_argminmax",
-        "q2_min_cost_supplier", "q4_order_priority",
-        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "q11_important_stock", "q12_shipmode_priority",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_part_count",
-        "q17_small_quantity_revenue", "q18_large_volume_customer",
-        "q19_discounted_revenue", "q20_part_promotion",
-        "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
-        "doc_chunk", "doc_split", "text_repetition",
-        "ann_ivf_exact", "ann_knn_join", "ann_ivf_topk",
-        # (3) modules changed this round / new
-        "frame_pandas_ts", "op_node_ast", "op_node_cumsum",
-        "doc_bpe_apply",
+        # (1) the r4-evidence block, wholesale
+        "op_merge", "op_filter", "op_gate",
+        "sink_parquet_roundtrip", "sink_csv_roundtrip",
+        "sink_arrow_roundtrip",
+        "op_exprtk", "op_exprtk_state", "op_exprtk_vec",
+        "text_stats", "text_langid", "text_fingerprint",
+        "text_boilerplate", "text_term_stats", "text_tfidf",
+        "text_lm_score", "text_quality_model",
+        "dedup_exact", "dedup_ngram", "dedup_embedding",
+        "doc_weighted_sample", "doc_cap_per_source", "doc_mixture",
+        "doc_decontaminate", "doc_repeated_spans",
+        "stats_ema_halflife", "stats_ema_var", "stats_rank",
+        "stats_weighted", "stats_ohlc_bars",
+        "op_accum_global", "op_windowed_global",
+        "op_windowed_global_time",
+        "op_asof_directions", "op_struct_record", "op_feedback_scan",
+        "ann_lsh_topk", "basket_sync_trigger",
+        "ann_knn_join_blas", "doc_bpe_tokens",
+        # (2) modules changed this round
+        "dyn_snap_attach", "op_node_ast", "op_node_cumsum",
+        "feedback_clamp", "op_struct_fromts", "op_struct_collectts",
+        # (3) r5-evidence rotation opener
+        "op_count", "op_delay", "op_diff", "op_dropdups",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}

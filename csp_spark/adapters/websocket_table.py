@@ -420,6 +420,11 @@ class WebsocketTableAdapter:
 
             if _run_info_stack:
                 self._armed = True
+                # the engine stops at endtime: ticks a delayed stream
+                # carries past the run window must never be delivered
+                # (reference engine semantics) — clip at flush
+                frame = _run_info_stack[-1]
+                self._clip = (frame.get("start"), frame.get("end"))
                 schedule_on_engine_stop(self.flush)
         except Exception:
             pass
@@ -431,8 +436,13 @@ class WebsocketTableAdapter:
         fields that ticked per engine cycle."""
         from functools import reduce
 
+        # data columns ride internal aliases: a published field named
+        # key/ts/seq (e.g. e2_websocket_output's MyData.key index
+        # column) must not shadow the engine columns in the join
+        names = list(table.columns)
+        chan = {c: f"__c{i}" for i, c in enumerate(names)}
         frames = [
-            s.df.select(KEY, TS, SEQ, F.col(s.value_col).alias(c))
+            s.df.select(KEY, TS, SEQ, F.col(s.value_col).alias(chan[c]))
             for c, s in table.columns.items()
         ]
         if not frames:
@@ -440,6 +450,11 @@ class WebsocketTableAdapter:
         wide = reduce(
             lambda a, b: a.join(b, [KEY, TS, SEQ], "full_outer"), frames
         )
+        start, end = getattr(self, "_clip", (None, None))
+        if start is not None:
+            wide = wide.filter(F.col(TS) >= F.lit(start))
+        if end is not None:
+            wide = wide.filter(F.col(TS) <= F.lit(end))
         limit = getattr(table, "limit", None)
         if limit is not None and table.index is None:
             # perspective Table(limit=) ring semantics: only the
@@ -449,7 +464,7 @@ class WebsocketTableAdapter:
             # sort or collect at any history size)
             nonnull = reduce(
                 lambda a, b: a | b,
-                [F.col(c).isNotNull() for c in table.columns],
+                [F.col(chan[c]).isNotNull() for c in names],
             )
             wide = (
                 wide.filter(nonnull)
@@ -460,7 +475,7 @@ class WebsocketTableAdapter:
         out = []
         for r in rows:
             data = {
-                c: r[c] for c in table.columns if r[c] is not None
+                c: r[chan[c]] for c in names if r[chan[c]] is not None
             }
             if data:
                 out.append(data)

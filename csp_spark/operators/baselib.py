@@ -641,15 +641,23 @@ def struct_field(x: TickStream, field: str) -> TickStream:
 
 def struct_fromts(fields: Mapping[str, TickStream], trigger: TickStream | None = None) -> TickStream:
     """csp.struct_fromts (baselib.py:684-701): struct of the last values
-    of each input, emitted on any tick (or on trigger)."""
-    streams = dict(fields)
+    of each input, emitted on any tick (or on trigger).
+
+    Field names ride internal channels so reference structs whose
+    fields shadow the engine columns (a ``key``/``ts``/``seq`` field,
+    e.g. e2_websocket_output's MyData.key) align cleanly."""
+    names = list(fields)
+    streams = {f"__f{i}": s for i, s in enumerate(fields.values())}
     if trigger is not None:
         streams["__trigger"] = trigger
     a = align(streams)
     if trigger is not None:
         a = a.filter(F.col("__trigger__ticked"))
     out = a.select(
-        KEY, TS, SEQ, F.struct(*[F.col(n).alias(n) for n in fields]).alias(VALUE)
+        KEY, TS, SEQ,
+        F.struct(
+            *[F.col(f"__f{i}").alias(n) for i, n in enumerate(names)]
+        ).alias(VALUE),
     )
     return TickStream(out)
 
@@ -660,13 +668,16 @@ def struct_collectts(fields: Mapping[str, TickStream]) -> TickStream:
     absent fields are NULL/unset."""
     parts = []
     names = list(fields)
-    for i, (name, s) in enumerate(fields.items()):
+    # internal channel names: a field named key/ts/seq must not shadow
+    # the engine columns (same treatment as struct_fromts)
+    chan = [f"__f{i}" for i in range(len(names))]
+    srcs = list(fields.values())
+    for i, s in enumerate(srcs):
         cols = [F.col(KEY), F.col(TS), F.col(SEQ)]
-        for j, other in enumerate(names):
-            src = fields[other]
-            typ = dict(src.df.dtypes)[src.value_col]
+        for j, other in enumerate(srcs):
+            typ = dict(other.df.dtypes)[other.value_col]
             cols.append(
-                (F.col(s.value_col) if j == i else F.lit(None).cast(typ)).alias(other)
+                (F.col(s.value_col) if j == i else F.lit(None).cast(typ)).alias(chan[j])
             )
         parts.append(s.df.select(*cols))
     df = parts[0]
@@ -674,8 +685,13 @@ def struct_collectts(fields: Mapping[str, TickStream]) -> TickStream:
         df = df.unionByName(p)
     out = (
         df.groupBy(KEY, TS, SEQ)
-        .agg(*[F.first(n, ignorenulls=True).alias(n) for n in names])
-        .select(KEY, TS, SEQ, F.struct(*[F.col(n) for n in names]).alias(VALUE))
+        .agg(*[F.first(c, ignorenulls=True).alias(c) for c in chan])
+        .select(
+            KEY, TS, SEQ,
+            F.struct(
+                *[F.col(c).alias(n) for c, n in zip(chan, names)]
+            ).alias(VALUE),
+        )
     )
     return TickStream(out)
 

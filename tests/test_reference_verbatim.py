@@ -926,3 +926,54 @@ def test_reference_profiling_verbatim(spark, capsys):
     assert info["node_count"] > 0 and len(info["longest_path"]) > 0
     info.print_info()
     assert "nodetype_counts" in capsys.readouterr().out
+
+
+REF_WSOUT = ("/root/reference/examples/03_using_adapters/websocket/"
+             "e2_websocket_output.py")
+
+
+def test_reference_websocket_output_verbatim(spark, capture_print):
+    """03_using_adapters/websocket/e2_websocket_output.py: a realtime
+    timer graph fans N keyed MyData structs (count/delay/sin/fromts/
+    flatten) onto a WebsocketTableAdapter table indexed by key, served
+    over the real HTTP+WS stack. Run verbatim with num_keys=2 over a
+    12s simulated window (the example's main uses 10 keys x 360s).
+
+    Hand-derived at endtime=12s, timer=0.25s: angle=count=48; key 1
+    (delay 5s) last delayed angle = count@7s = 28, key 2 (delay 10s)
+    = count@2s = 8; radians = angle/pi, sin accordingly."""
+    if not os.path.exists(REF_WSOUT):
+        pytest.skip("reference checkout not present")
+    import http.client
+    import json
+    import math
+    import socket
+
+    ns = _exec_file(REF_WSOUT, spark)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    st = dt.datetime(2022, 7, 1)
+    csp_spark.run(
+        ns["my_graph"], port, 2,
+        starttime=st, endtime=st + dt.timedelta(seconds=12),
+        realtime=True,
+    )
+    h = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    h.request("GET", "/tables")
+    tables = json.loads(h.getresponse().read())
+    assert tables["tables"][0]["name"] == "table"
+    h.request("GET", "/snap/table")
+    snap = {r["key"]: r for r in
+            json.loads(h.getresponse().read())["snap"]}
+    h.close()
+    assert set(snap) == {1, 2}
+    assert snap[1]["angle"] == 48.0 and snap[2]["angle"] == 48.0
+    assert abs(snap[1]["radians"] - 28 / math.pi) < 1e-9
+    assert abs(snap[2]["radians"] - 8 / math.pi) < 1e-9
+    assert abs(snap[1]["sin"] - math.sin(28 / math.pi)) < 1e-9
+    assert abs(snap[2]["sin"] - math.sin(8 / math.pi)) < 1e-9
+    # the example also prints the flattened struct stream
+    ticks = capture_print["data"].collect_ticks()
+    assert len(ticks) > 0
