@@ -1557,6 +1557,20 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+def doc_semdedup(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540) in its n_clusters=1 degenerate form:
+    # every pair is compared, so the keep="min_id" result is
+    # centroid-free and must equal the plain SQL EXISTS formulation —
+    # the hash oracle for the removal logic itself (pairing, eps cut,
+    # keep-order pick). The clustered paper policy (keep="edge",
+    # n_clusters>1) is agreement-tested vs numpy in
+    # tests/test_pipeline_ops.py.
+    from csp_spark.dedup import semdedup
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, eps=0.40, n_clusters=1, keep="min_id")
+    return out.select("vec_id", "kept")
+
+
 # ----------------------------------------------------------------------
 # text / dedup / similarity queries (training-pipeline ops)
 # ----------------------------------------------------------------------
@@ -3419,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ema_var": stats_ema_var,
         "stats_cov_matrix": stats_cov_matrix,
         "dedup_embedding": dedup_embedding,
+        "doc_semdedup": doc_semdedup,
         "text_stats": text_stats,
         "text_langid": text_langid,
         "dedup_exact": dedup_exact,
@@ -3507,7 +3522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    broadcast as-of join), op_node_ast + op_node_cumsum (run_node
     #    single outputs now lazily checkpoint), feedback_clamp
     #    (runtime.py feedback fixed point now signature-converged);
-    # 3. six of the r5-evidence block, oldest-first rotation opener.
+    # 3. doc_semdedup — NEW this round (needs first driver evidence);
+    # 4. the r5-evidence block, oldest-first rotation opener.
     # That fills exactly 50; after this round no query's latest driver
     # evidence predates r5. Everything else held green in r5/r6 under
     # code untouched since.
@@ -3520,7 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats", "text_langid", "text_fingerprint",
         "text_boilerplate", "text_term_stats", "text_tfidf",
         "text_lm_score", "text_quality_model",
-        "dedup_exact", "dedup_ngram", "dedup_embedding",
+        "dedup_exact", "dedup_ngram", "dedup_embedding", "doc_semdedup",
         "doc_weighted_sample", "doc_cap_per_source", "doc_mixture",
         "doc_decontaminate", "doc_repeated_spans",
         "stats_ema_halflife", "stats_ema_var", "stats_rank",
@@ -3533,8 +3549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2) modules changed this round
         "dyn_snap_attach", "op_node_ast", "op_node_cumsum",
         "feedback_clamp", "op_struct_fromts", "op_struct_collectts",
-        # (3) r5-evidence rotation opener
-        "op_count", "op_delay", "op_diff", "op_dropdups",
+        # (3) r5-evidence rotation opener (doc_semdedup is in the
+        # dedup slot above; op_dropdups rolls to the r8 rotation)
+        "op_count", "op_delay", "op_diff",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3954,6 +3971,24 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+""",
+        # SemDeDup n_clusters=1 / keep="min_id": a row is removed iff
+        # some LOWER id is eps-similar to it (the paper's triangular
+        # max-sim test, centroid-free in the degenerate single-cluster
+        # case). Cosine agrees bit-for-bit between engines (both fold
+        # the dot product left-to-right in doubles), so the eps cut is
+        # exact.
+        "doc_semdedup": """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rm AS (
+  SELECT DISTINCT a.vec_id
+  FROM n a JOIN n b ON b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40
+)
+SELECT e.vec_id,
+  CAST(CASE WHEN e.vec_id IN (SELECT vec_id FROM rm) THEN 0 ELSE 1 END AS INT) AS kept
+FROM embeddings e
 """,
         "stats_unique": f"""
 SELECT event_id, user_id, uniq FROM (

@@ -8,3 +8,4 @@ from .components import (
     incremental_dedup,
     resolve_duplicates,
 )
+from .semdedup import semdedup

@@ -1412,3 +1412,91 @@ def test_write_training_shards(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.agg(F.sum("payload")).first()[0] == sum(2 * i for i in range(1000))
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def _semdedup_np(pdf, eps, keep, cells=None, centroid=None):
+    """Reference pairwise SemDeDup: id removed iff ANY same-cell id
+    with a lower keep-order is eps-similar (arXiv:2303.09540 §2)."""
+    ids = pdf.vec_id.to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cs = Vn @ Vn.T
+    cell = np.zeros(len(ids)) if cells is None else np.asarray(cells)
+    if keep == "edge":
+        c = centroid / np.linalg.norm(centroid)
+        csim = Vn @ c
+        order = list(zip(csim, ids))
+    else:
+        order = list(zip(ids))
+    removed = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if i == j or cell[i] != cell[j]:
+                continue
+            if cs[i, j] >= eps and order[j] < order[i]:
+                removed.add(ids[i])
+                break
+    return removed
+
+
+def test_semdedup_minid_vs_brute(spark, emb):
+    out = DD.semdedup(emb, eps=0.35, n_clusters=1, keep="min_id").toPandas()
+    exp_removed = _semdedup_np(emb.toPandas(), 0.35, "min_id")
+    got_removed = set(out[out.kept == 0].vec_id)
+    assert got_removed == exp_removed
+    assert len(exp_removed) > 0          # eps chosen so the test bites
+    assert set(out.vec_id) == set(emb.toPandas().vec_id)  # one row per id
+
+
+def test_semdedup_edge_policy(spark, emb):
+    # n_clusters=1 centroid is the exact mean — reproducible in numpy;
+    # the paper's policy keeps the LOWEST-centroid-sim member of a pair
+    pdf = emb.toPandas()
+    centroid = np.array(
+        [np.asarray(v, dtype=np.float64) for v in pdf.embedding]
+    ).mean(axis=0)
+    out = DD.semdedup(emb, eps=0.35, n_clusters=1, keep="edge").toPandas()
+    exp_removed = _semdedup_np(pdf, 0.35, "edge", centroid=centroid)
+    assert set(out[out.kept == 0].vec_id) == exp_removed
+    # the two policies disagree on at least one pair orientation in
+    # random data — otherwise this test wouldn't distinguish them
+    minid = DD.semdedup(emb, eps=0.35, n_clusters=1, keep="min_id").toPandas()
+    assert (out.sort_values("vec_id").kept.to_numpy()
+            != minid.sort_values("vec_id").kept.to_numpy()).any()
+
+
+def test_semdedup_clustered(spark, emb):
+    # clustered run: verify the removal decisions against numpy GIVEN
+    # the returned cell assignment (kmeans itself is seeded/deterministic)
+    out = DD.semdedup(emb, eps=0.35, n_clusters=4, keep="min_id").toPandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    exp_removed = _semdedup_np(pdf, 0.35, "min_id", cells=out.cell.to_numpy())
+    assert set(out[out.kept == 0].vec_id) == exp_removed
+    # clustering only shrinks the compared pair set vs all-pairs
+    brute = DD.semdedup(emb, eps=0.35, n_clusters=1, keep="min_id").toPandas()
+    assert set(out[out.kept == 0].vec_id) <= set(brute[brute.kept == 0].vec_id)
+    rerun = DD.semdedup(emb, eps=0.35, n_clusters=4, keep="min_id").toPandas()
+    assert rerun.sort_values("vec_id").kept.tolist() == out.kept.tolist()
+
+
+def test_semdedup_degenerate_cell_cap(spark, emb):
+    # a family of identical vectors larger than cap must be star-routed
+    # (exact-signature grouping), not exploded quadratically — and every
+    # copy but the lowest id still gets removed
+    fam = emb.filter("vec_id = 1")
+    copies = fam
+    for i in range(6):
+        copies = copies.unionByName(
+            fam.withColumn("vec_id", F.lit(10_000 + i).cast("long"))
+        )
+    both = emb.unionByName(copies.filter("vec_id >= 10000"))
+    out = DD.semdedup(both, eps=0.99, n_clusters=1, keep="min_id", cap=5).toPandas()
+    removed = set(out[out.kept == 0].vec_id)
+    assert {10_000 + i for i in range(6)} <= removed
+    assert 1 not in removed
+    with pytest.raises(ValueError, match="keep"):
+        DD.semdedup(emb, keep="bogus")

@@ -148,6 +148,44 @@ def main() -> None:
     print(f"adversarial_lsh          n={sizes[0]}: {times[0]:6.2f}s   "
           f"n={sizes[1]}: {times[1]:6.2f}s  normalized ratio {norm:4.2f}{flag}")
 
+    # SemDeDup scale: clustering must bound pair generation — growing
+    # the corpus WITH n_clusters scaled alongside (the paper's regime:
+    # clusters ∝ corpus, cell size ~constant) should stay ~linear.
+    # Each copy rolls the vector, so cross-copy cosines stay below eps
+    # and the measured cost is candidate generation, not result size.
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    def _emb_scaled(m):
+        ps = []
+        for i in range(m):
+            v = F.col("embedding").cast("array<double>")
+            rolled = F.concat(
+                F.slice(v, i % dim + 1, dim - i % dim), F.slice(v, 1, i % dim)
+            )
+            ps.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                    rolled.alias("embedding"),
+                )
+            )
+        out = ps[0]
+        for p in ps[1:]:
+            out = out.unionByName(p)
+        return out.repartition(32)
+
+    sem_sizes = (3, 6)
+    sem_times = []
+    for m in sem_sizes:
+        t0 = time.time()
+        DD.semdedup(_emb_scaled(m), eps=0.9, n_clusters=8 * m,
+                    keep="min_id").filter("kept = 0").count()
+        sem_times.append(time.time() - t0)
+    norm = (sem_times[1] / sem_times[0]) / (sem_sizes[1] / sem_sizes[0])
+    flag = "" if norm < 2 else "  <-- SUPERLINEAR (cell pair blowup)"
+    print(f"semdedup_clustered       m={sem_sizes[0]}: {sem_times[0]:6.2f}s   "
+          f"m={sem_sizes[1]}: {sem_times[1]:6.2f}s  normalized ratio {norm:4.2f}{flag}")
+
     qs = E.queries()
     for name in QUERIES:
         t0 = time.time()
