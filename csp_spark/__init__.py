@@ -150,7 +150,7 @@ apply = apply_  # noqa: A001
 # (csp.const(1.0), csp.curve(float, [...]), csp.print(tag, x)) so
 # reference examples run verbatim; the explicit spark-first forms
 # keep working unchanged.
-from .core.refcompat import const, curve, exprtk, timer  # noqa: E402,F811
+from .core.refcompat import const, curve, exprtk, null_ts, timer  # noqa: E402,F811
 from .core.refcompat import print_ticks as _print_compat  # noqa: E402
 
 print = _print_compat  # noqa: A001
@@ -219,6 +219,21 @@ from . import adapters  # noqa: E402,F401  (csp.adapters)
 from . import dedup, text, similarity, multimodal, pipeline  # noqa: E402,F401
 from . import utils  # noqa: E402,F401  (csp.utils dev tooling)
 from . import profiler  # noqa: E402,F401  (from csp import profiler)
+# Reference-path submodules (csp.baselib / csp.basketlib / csp.curve /
+# csp.dataframe / csp.math): import them here so the later attribute
+# rebinds below keep the package-level FUNCTION names (curve, math ops)
+# authoritative — the same module-vs-name shadowing order the reference
+# relies on in csp/__init__.py. `import csp.curve` after this point is
+# a sys.modules hit and never clobbers the function attribute.
+import importlib as _importlib  # noqa: E402
+
+for _sub in ("baselib", "basketlib", "curve", "dataframe", "math"):
+    # `from . import curve` would short-circuit on the same-named
+    # function attribute and never load the module file
+    _importlib.import_module(f".{_sub}", __name__)
+del _sub
+from .core.refcompat import curve  # noqa: E402,F811  (rebind: function wins)
+
 from .alias import enable_reference_alias  # noqa: E402,F401  (import csp → here)
 from .pandas_ext import TsArray, TsDtype  # noqa: E402  (registers .csp/.to_csp accessors)
 

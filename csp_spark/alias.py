@@ -57,4 +57,13 @@ def enable_reference_alias() -> None:
         return
     sys.meta_path.insert(0, _CspAliasFinder())
     sys.modules.setdefault("csp", sys.modules["csp_spark"])
+    # Pre-seed every already-imported csp_spark.* submodule under its
+    # csp.* name: `import csp.curve` then resolves straight from
+    # sys.modules, so the import machinery never re-setattrs the parent
+    # package — which would clobber function attributes that share a
+    # submodule's name (csp.curve the factory vs csp/curve.py), the
+    # same name-shadowing order the reference fixes in csp/__init__.py.
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("csp_spark.") and mod is not None:
+            sys.modules.setdefault("csp" + name[len("csp_spark"):], mod)
     _installed = True

@@ -126,6 +126,17 @@ def curve(*args: Any, **kwargs: Any) -> TickStream:
     )
 
 
+def null_ts(*args: Any, **kwargs: Any) -> TickStream:
+    """csp.null_ts — reference form ``null_ts(typ)`` (baselib.py:544:
+    a never-ticking edge of the given type) or the explicit csp_spark
+    form ``null_ts(spark, value_type)``."""
+    if args and isinstance(args[0], SparkSession):
+        return _bl.null_ts(*args, **kwargs)
+    typ = args[0] if args else kwargs.pop("typ", float)
+    vt = typ if isinstance(typ, str) else _type_ddl(typ)
+    return _bl.null_ts(_ambient_spark(), vt)
+
+
 def timer(*args: Any, **kwargs: Any) -> TickStream:
     """csp.timer — reference form ``timer(interval, value=True)``
     (start/end from the enclosing csp.run; csp/baselib.py:74) or the

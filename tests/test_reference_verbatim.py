@@ -811,6 +811,129 @@ def test_reference_impl_import_paths():
     assert len(csp.ALL_CSP_BUILTIN_FUNCS) >= 28
 
 
+def test_reference_toplevel_module_paths():
+    """Every reference csp/*.py top-level module resolves under the
+    alias (csp/dataframe.py:26 imports csp.baselib directly; users
+    import csp.math / csp.curve / csp.basketlib the same way) — and
+    importing the csp.curve MODULE must not clobber the same-named
+    package-level factory (the reference's name-shadowing order)."""
+    import importlib
+
+    import csp
+
+    for mod, names in {
+        "csp.baselib": ["merge", "filter", "apply", "stop_engine",
+                        "LogSettings", "wrap_feedback"],
+        "csp.basketlib": ["sync", "sync_list", "sync_list_internal",
+                          "sample_basket"],
+        "csp.curve": ["Curve", "curve"],
+        "csp.dataframe": ["DataFrame"],
+        "csp.math": ["add", "min", "max", "abs", "pow", "andnode",
+                     "ornode", "define_binary_op", "define_unary_op"],
+        "csp.stats": ["mean", "ema"],
+        "csp.random": ["poisson_timer"],
+    }.items():
+        m = importlib.import_module(mod)
+        for n in names:
+            assert hasattr(m, n), f"{mod}.{n} missing"
+    # one set of objects, not re-implementations
+    assert csp.baselib.merge is csp.merge
+    assert csp.dataframe.DataFrame is csp.DataFrame
+    # the factory survives the module import (shadowing order)
+    assert callable(csp.curve)
+    from csp.curve import curve as curve_fn
+
+    import csp_spark
+
+    assert curve_fn is csp_spark.curve
+
+
+def test_reference_math_module_surface(spark):
+    """csp.math variadic and_/or_, andnode/ornode, and the
+    define_binary_op/define_unary_op factories (reference
+    csp/math.py:75-357) against hand-computed values."""
+    import datetime as dt
+
+    import csp
+
+    t0 = dt.datetime(2020, 1, 1)
+
+    def mk(vals, typ):
+        return csp.curve(
+            typ, [(t0 + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)]
+        )
+
+    a = mk([True, True, False, True], bool)
+    b = mk([True, False, True, True], bool)
+    c = mk([True, True, True, False], bool)
+    got_and = [r["value"] for r in csp.math.and_(a, b, c).df.orderBy("ts").collect()]
+    got_or = [r["value"] for r in csp.math.or_(a, b, c).df.orderBy("ts").collect()]
+    assert got_and == [True, False, False, False]
+    assert got_or == [True, True, True, True]
+    x = mk([1.0, 2.0, 3.0], float)
+    y = mk([10.0, 20.0, 30.0], float)
+    wsum = csp.math.define_binary_op("wsum", lambda p, q: p * 2 + q)
+    assert [r["value"] for r in wsum(x, y).df.orderBy("ts").collect()] == [12.0, 24.0, 36.0]
+    half = csp.math.define_unary_op("half", lambda p: p / 2)
+    assert [r["value"] for r in half(x).df.orderBy("ts").collect()] == [0.5, 1.0, 1.5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        csp.math.and_(a)
+
+
+def test_reference_curve_class_and_null_ts(spark):
+    """csp.curve.Curve (reference csp/curve.py:16-47): timedelta data
+    anchors at the run start; datetime data skips pre-start rows; both
+    clip at end. csp.null_ts(typ) is the ambient reference form."""
+    import datetime as dt
+
+    import csp
+    from csp.curve import Curve
+    from csp_spark.sources.other import from_pull_adapter
+
+    t0 = dt.datetime(2020, 1, 1)
+    s = t0 + dt.timedelta(seconds=2)
+    cv = Curve(float, [(dt.timedelta(seconds=i), float(i)) for i in range(5)])
+    out = from_pull_adapter(spark, cv, start=s, end=s + dt.timedelta(seconds=1))
+    rows = [(r["ts"], r["value"]) for r in out.df.orderBy("ts").collect()]
+    assert rows == [(s, 0.0), (s + dt.timedelta(seconds=1), 1.0)]
+    cv2 = Curve(float, [(t0 + dt.timedelta(seconds=i), float(i)) for i in range(5)])
+    out2 = from_pull_adapter(spark, cv2, start=s, end=s + dt.timedelta(seconds=1))
+    rows2 = [(r["ts"], r["value"]) for r in out2.df.orderBy("ts").collect()]
+    assert rows2 == [(s, 2.0), (s + dt.timedelta(seconds=1), 3.0)]
+    nt = csp.null_ts(bool)
+    assert nt.df.count() == 0
+    assert csp.null_ts(float).df.schema["value"].dataType.simpleString() == "double"
+    # explicit spark-first form unchanged
+    assert csp.null_ts(spark, "long").df.count() == 0
+
+
+def test_reference_sync_list_internal(spark):
+    """csp.basketlib.sync_list_internal (reference basketlib.py:15-39)
+    matches the public sync_list wrapper for both trigger modes."""
+    import datetime as dt
+
+    import csp
+
+    t0 = dt.datetime(2020, 1, 1)
+
+    def mk(vals):
+        return csp.curve(
+            float, [(t0 + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)]
+        )
+
+    x, y = mk([1.0, 2.0, 3.0]), mk([10.0, 20.0, 30.0])
+    thr = dt.timedelta(seconds=0.4)
+    s1 = csp.basketlib.sync_list_internal(
+        [x, y], csp.null_ts(bool), thr, True, False
+    )
+    s2 = csp.basketlib.sync_list([x, y], thr)
+    v1 = [[r["value"] for r in s.df.orderBy("ts", "seq").collect()] for s in s1]
+    v2 = [[r["value"] for r in s.df.orderBy("ts", "seq").collect()] for s in s2]
+    assert v1 == v2 == [[1.0, 2.0, 3.0], [10.0, 20.0, 30.0]]
+
+
 def test_translated_node_basket_output(spark):
     """OutputBasket(Dict[K, ts[T]], shape='keys') + csp.output({key:
     x}) — the reference's own baselib demultiplex node shape
