@@ -1,0 +1,31 @@
+"""csp.impl.builtin_functions parity (reference
+csp/impl/builtin_functions.py): the node-body intrinsics and their
+registry under the defining-module path. Each name resolves to the
+SAME object as the package-level export — lazily (PEP 562), because
+the registry is assembled at the end of the package __init__ and this
+module is imported during it."""
+
+_NAMES = frozenset({
+    "ALL_CSP_BUILTIN_FUNCS",
+    "alarm", "cancel_alarm", "schedule_alarm",
+    "engine_end_time", "engine_start_time",
+    "in_realtime", "now",
+    "item_at", "items_at", "time_at", "times_at",
+    "value_at", "values_at",
+    "make_active", "make_passive",
+    "num_ticks", "ticked", "valid",
+    "set_buffering_policy", "remove_dynamic_key",
+    "set_capture_cpp_backtrace",
+})
+
+
+def __getattr__(name: str):
+    if name in _NAMES:
+        import csp_spark
+
+        return getattr(csp_spark, name)
+    raise AttributeError(f"module 'csp.impl.builtin_functions' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(_NAMES)

@@ -1,0 +1,4 @@
+"""csp.impl.wiring.threaded_runtime parity (csp/impl/wiring/
+threaded_runtime.py)."""
+
+from ...plans.runtime import run_on_thread  # noqa: F401

@@ -799,10 +799,59 @@ def test_reference_impl_import_paths():
         "csp.adapters.perspective": ["PerspectiveAdapter"],
         "csp.utils.datetime": ["utc_now"],
         "csp.showgraph": ["show_graph"],
+        # r7 additions — every csp.impl path real reference code
+        # imports (grep over reference examples + adapters):
+        "csp.impl.struct": ["Struct"],
+        "csp.impl.constants": ["UNSET"],
+        "csp.impl.genericpushadapter": ["GenericPushAdapter"],
+        "csp.impl.mem_cache": [
+            "csp_memoized_graph_object", "new_global_context",
+        ],
+        "csp.impl.enum": ["Enum", "DynamicEnum"],
+        "csp.impl.error_handling": ["set_print_full_exception_stack"],
+        "csp.impl.builtin_functions": ["ALL_CSP_BUILTIN_FUNCS", "value_at"],
+        "csp.impl.perspective_common": [
+            "perspective_type_map", "datetime_to_perspective",
+        ],
+        "csp.impl.warnings": ["set_deprecation_warning"],
+        "csp.impl.wiring.node": ["node", "_node_internal_use"],
+        "csp.impl.wiring.edge": ["Edge"],
+        "csp.impl.wiring.runtime": ["build_graph"],
+        "csp.impl.wiring.context": [
+            "Context", "new_global_context", "clear_global_context",
+        ],
+        "csp.impl.wiring.adapters": [
+            "input_adapter_def", "output_adapter_def", "status_adapter_def",
+        ],
+        "csp.impl.wiring.delayed_node": ["DelayedNodeWrapperDef"],
+        "csp.impl.wiring.delayed_edge": ["DelayedEdge"],
+        "csp.impl.wiring.dynamic": ["dynamic"],
+        "csp.impl.wiring.feedback": ["feedback"],
+        "csp.impl.wiring.graph": ["graph"],
+        "csp.impl.wiring.outputs": ["Outputs", "OutputBasket"],
+        "csp.impl.wiring.threaded_runtime": ["run_on_thread"],
+        "csp.impl.wiring.numba_node": ["numba_node"],
+        "csp.impl.wiring.special_output_names": ["UNNAMED_OUTPUT_NAME"],
+        "csp.impl.types.tstype": ["ts", "isTsType"],
+        "csp.impl.types.common_definitions": ["PushMode", "ReplayMode"],
+        "csp.impl.types.typing_utils": ["CspTypingUtils", "CspTypingUtils310"],
+        "csp.impl.types.container_type_normalizer": ["ContainerTypeNormalizer"],
+        "csp.impl.types.autogen_types": ["TimeIndexPolicy", "DuplicatePolicy"],
+        "csp.impl.types.numpy_type_util": ["map_numpy_dtype_to_python_type"],
+        "csp.adapters.output_adapters.parquet": [
+            "ParquetWriter", "resolve_array_shape_column_name",
+        ],
     }.items():
         m = importlib.import_module(mod)
         for n in names:
             assert hasattr(m, n), f"{mod}.{n} missing"
+    # deliberately NOT aliased: the reference's own engine internals —
+    # csp.impl.__cspimpl/__csptypesimpl (C++ binding shims), the
+    # wiring parsers (ast_utils/base_parser/node_parser/graph_parser/
+    # numba_node_parser/signature), and the pydantic type resolvers —
+    # nothing outside the reference engine imports them, and this
+    # engine's equivalents (core/nodeparse.py, core/wiring.py) are not
+    # drop-in parser internals
     import csp
 
     assert csp.TimeIndexPolicy.EXTRAPOLATE is not None
