@@ -1571,6 +1571,20 @@ def doc_semdedup(spark, sf_dir):
     return out.select("vec_id", "kept")
 
 
+def doc_dsir(spark, sf_dir):
+    # DSIR importance weights + top-k selection (arXiv:2302.03169,
+    # pipeline/dsir.py) in the exact-gram form (n_buckets=None) — the
+    # hash-oracle case: unigram+bigram models over raw grams replay in
+    # SQL verbatim. Target = the src0-2 slice standing in for a
+    # curated corpus. The hashed-feature scale path (n_buckets=m,
+    # broadcastable model) is mechanism-tested in
+    # tests/test_pipeline_ops.py.
+    from csp_spark.pipeline.dsir import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    return dsir_select(docs, tgt, k=100)
+
+
 # ----------------------------------------------------------------------
 # text / dedup / similarity queries (training-pipeline ops)
 # ----------------------------------------------------------------------
@@ -3434,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cov_matrix": stats_cov_matrix,
         "dedup_embedding": dedup_embedding,
         "doc_semdedup": doc_semdedup,
+        "doc_dsir": doc_dsir,
         "text_stats": text_stats,
         "text_langid": text_langid,
         "dedup_exact": dedup_exact,
@@ -3537,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate", "text_term_stats", "text_tfidf",
         "text_lm_score", "text_quality_model",
         "dedup_exact", "dedup_ngram", "dedup_embedding", "doc_semdedup",
+        "doc_dsir",
         "doc_weighted_sample", "doc_cap_per_source", "doc_mixture",
         "doc_decontaminate", "doc_repeated_spans",
         "stats_ema_halflife", "stats_ema_var", "stats_rank",
@@ -3549,9 +3565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2) modules changed this round
         "dyn_snap_attach", "op_node_ast", "op_node_cumsum",
         "feedback_clamp", "op_struct_fromts", "op_struct_collectts",
-        # (3) r5-evidence rotation opener (doc_semdedup is in the
-        # dedup slot above; op_dropdups rolls to the r8 rotation)
-        "op_count", "op_delay", "op_diff",
+        # (3) r5-evidence rotation opener (doc_semdedup and doc_dsir
+        # are NEW this round and take the dedup slots above;
+        # op_diff/op_dropdups roll to the r8 rotation)
+        "op_count", "op_delay",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3971,6 +3988,58 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+""",
+        # DSIR exact-gram form: unigram+bigram add-1-smoothed models
+        # over the union vocabulary; weight = sum of per-gram count x
+        # log-likelihood-ratio; selection ranks the 6dp-rounded weight
+        # with doc_id tiebreak IN BOTH ENGINES, so 1-ulp aggregation
+        # drift cannot flip the boundary.
+        "doc_dsir": r"""
+WITH norm AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), uni AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(t) AS g FROM norm) WHERE length(g) > 0
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM norm WHERE len(t) >= 2
+), bi AS (
+  SELECT doc_id, g FROM (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM pos)
+  WHERE length(g) > 1
+), grams AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+), dc AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), tgt_ids AS (
+  SELECT doc_id FROM documents WHERE source IN ('src0', 'src1', 'src2')
+), raw_model AS (
+  SELECT g, sum(c) AS c_raw FROM dc GROUP BY 1
+), tgt_model AS (
+  SELECT g, sum(c) AS c_tgt FROM dc JOIN tgt_ids USING (doc_id) GROUP BY 1
+), model AS (
+  SELECT r.g, r.c_raw, coalesce(tm.c_tgt, 0) AS c_tgt
+  FROM raw_model r LEFT JOIN tgt_model tm USING (g)
+), tot AS (
+  SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+         CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM model
+), lr AS (
+  SELECT g, ln((c_tgt + 1.0) / (n_tgt + v)) - ln((c_raw + 1.0) / (n_raw + v)) AS lr
+  FROM model, tot
+), wts AS (
+  SELECT dc.doc_id, round(sum(dc.c * lr.lr), 6) AS log_w
+  FROM dc JOIN lr USING (g) GROUP BY 1
+), allw AS (
+  SELECT d.doc_id, coalesce(w.log_w, 0.0) AS log_w
+  FROM documents d LEFT JOIN wts w USING (doc_id)
+), rk AS (
+  SELECT doc_id, log_w,
+         row_number() OVER (ORDER BY log_w DESC, doc_id) AS rn
+  FROM allw
+)
+SELECT doc_id, log_w,
+  CAST(CASE WHEN rn <= 100 THEN 1 ELSE 0 END AS INT) AS selected
+FROM rk
 """,
         # SemDeDup n_clusters=1 / keep="min_id": a row is removed iff
         # some LOWER id is eps-similar to it (the paper's triangular

@@ -3,6 +3,7 @@ deterministic splits and samples (sampling.py). Part of the
 LLM-pipeline mandate — no csp reference counterpart (csp is a stream
 engine; corpus curation is out of its scope)."""
 
+from .dsir import dsir_select, dsir_weights  # noqa: F401
 from .packing import (  # noqa: F401
     pack_next_fit,
     pack_offsets,

@@ -1500,3 +1500,95 @@ def test_semdedup_degenerate_cell_cap(spark, emb):
     assert 1 not in removed
     with pytest.raises(ValueError, match="keep"):
         DD.semdedup(emb, keep="bogus")
+
+
+# ------------------------------------------------------------------- dsir
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dsir_weights_match_numpy(spark):
+    # two dialects; target = dialect A. Weights must equal an
+    # independent pure-python replication of the paper's formula.
+    import math
+    from collections import Counter
+
+    from csp_spark.pipeline.dsir import dsir_weights
+
+    rows = []
+    for i in range(20):
+        rows.append((i, f"alpha beta gamma token{i % 3}", "A"))
+    for i in range(20, 40):
+        rows.append((i, f"delta epsilon zeta token{i % 5}", "B"))
+    raw = _mk_docs(spark, rows)
+    tgt = raw.filter("source = 'A'")
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_weights(raw, tgt).collect()
+    }
+
+    def grams(text):
+        t = text.lower().strip().split()
+        gs = [g for g in t if g]
+        gs += [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return Counter(gs)
+
+    raw_m, tgt_m = Counter(), Counter()
+    per_doc = {}
+    for i, text, src in rows:
+        c = grams(text)
+        per_doc[i] = c
+        raw_m.update(c)
+        if src == "A":
+            tgt_m.update(c)
+    v = len(raw_m)
+    n_raw, n_tgt = sum(raw_m.values()), sum(tgt_m.values())
+    for i, c in per_doc.items():
+        exp = sum(
+            n * (math.log((tgt_m[g] + 1.0) / (n_tgt + v))
+                 - math.log((raw_m[g] + 1.0) / (n_raw + v)))
+            for g, n in c.items()
+        )
+        assert abs(got[i] - exp) < 1e-9, (i, got[i], exp)
+    # every dialect-A doc outranks every dialect-B doc
+    assert min(got[i] for i in range(20)) > max(got[i] for i in range(20, 40))
+
+
+def test_dsir_hashed_buckets_agree_and_select(spark):
+    import numpy as np
+
+    from csp_spark.pipeline.dsir import dsir_select, dsir_weights
+
+    rows = [(i, f"alpha beta tok{i % 7} gamma", "A" if i % 2 else "B")
+            for i in range(30)]
+    raw = _mk_docs(spark, rows)
+    tgt = raw.filter("source = 'A'")
+    exact = dsir_weights(raw, tgt).toPandas().sort_values("doc_id")
+    # a wide bucket space has no collisions on this vocabulary, so the
+    # hashed model must reproduce the exact weights bit-for-bit-ish
+    hashed = dsir_weights(raw, tgt, n_buckets=1 << 20).toPandas().sort_values("doc_id")
+    assert np.allclose(exact.log_w.values, hashed.log_w.values, atol=1e-9)
+    # selection: exactly k rows, deterministic, id tiebreak on equal text
+    sel = dsir_select(raw, tgt, k=5).toPandas()
+    assert int(sel.selected.sum()) == 5
+    chosen = set(sel[sel.selected == 1].doc_id)
+    rerun = dsir_select(raw, tgt, k=5).toPandas()
+    assert set(rerun[rerun.selected == 1].doc_id) == chosen
+    # k >= corpus selects everything
+    all_sel = dsir_select(raw, tgt, k=1000).toPandas()
+    assert int(all_sel.selected.sum()) == len(rows)
+
+
+def test_dsir_tiebreak_on_duplicate_text(spark):
+    from csp_spark.pipeline.dsir import dsir_select
+
+    rows = [(i, "same exact text here", "B") for i in range(10)]
+    rows += [(100 + i, "target style words", "A") for i in range(3)]
+    raw = _mk_docs(spark, rows)
+    tgt = raw.filter("source = 'A'")
+    sel = dsir_select(raw, tgt, k=5).toPandas()
+    picked = sorted(sel[sel.selected == 1].doc_id)
+    # 3 target-style docs win, then the 2 LOWEST duplicate ids by tiebreak
+    assert picked == [0, 1, 100, 101, 102]
