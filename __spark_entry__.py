@@ -1589,6 +1589,15 @@ def doc_dsir(spark, sf_dir):
 # text / dedup / similarity queries (training-pipeline ops)
 # ----------------------------------------------------------------------
 
+def doc_gopher(spark, sf_dir):
+    # the Gopher quality-rule bundle (Rae et al. 2021 Appendix A,
+    # text/analysis.py gopher_rules): 7 per-doc flags + the keep
+    # conjunction, all codegen column arithmetic, replayed rule by
+    # rule in the oracle.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.gopher_rules(docs)
+
+
 def text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -3449,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "doc_semdedup": doc_semdedup,
         "doc_dsir": doc_dsir,
+        "doc_gopher": doc_gopher,
         "text_stats": text_stats,
         "text_langid": text_langid,
         "dedup_exact": dedup_exact,
@@ -3552,7 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate", "text_term_stats", "text_tfidf",
         "text_lm_score", "text_quality_model",
         "dedup_exact", "dedup_ngram", "dedup_embedding", "doc_semdedup",
-        "doc_dsir",
+        "doc_dsir", "doc_gopher",
         "doc_weighted_sample", "doc_cap_per_source", "doc_mixture",
         "doc_decontaminate", "doc_repeated_spans",
         "stats_ema_halflife", "stats_ema_var", "stats_rank",
@@ -3565,10 +3575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2) modules changed this round
         "dyn_snap_attach", "op_node_ast", "op_node_cumsum",
         "feedback_clamp", "op_struct_fromts", "op_struct_collectts",
-        # (3) r5-evidence rotation opener (doc_semdedup and doc_dsir
-        # are NEW this round and take the dedup slots above;
-        # op_diff/op_dropdups roll to the r8 rotation)
-        "op_count", "op_delay",
+        # (3) r5-evidence rotation opener (doc_semdedup, doc_dsir and
+        # doc_gopher are NEW this round and take the dedup/text slots
+        # above; op_delay/op_diff/op_dropdups roll to the r8 rotation)
+        "op_count",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3988,6 +3998,49 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+""",
+        # Gopher rule bundle: every rule replayed on DuckDB's list
+        # lambdas over the same tokenization (lowercased \s+ split;
+        # lines split on raw text). list_intersect is wrapped in
+        # list_distinct to match Spark array_intersect's set semantics.
+        "doc_gopher": r"""
+WITH base AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(lower(text)), '\s+') AS t,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(t) AS n_words,
+    len(lines) AS n_lines,
+    len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS alpha,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\-\*‣▶]'))) AS bullet,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ell_lines,
+    length(text) - length(replace(text, '#', '')) AS hashes,
+    len(string_split_regex(text, '(\.\.\.|…)')) - 1 AS ellipses,
+    len(list_distinct(list_intersect(t,
+        ['the','be','to','of','and','that','have','with']))) AS sw,
+    CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)
+      / len(t) AS mwl
+  FROM base
+), r AS (
+  SELECT doc_id,
+    CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r1_word_count,
+    CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS r2_mean_word_len,
+    CAST(hashes <= n_words * 0.1 AND ellipses <= n_words * 0.1 AS INT)
+      AS r3_symbol_ratio,
+    CAST(bullet <= n_lines * 0.9 AS INT) AS r4_bullet_lines,
+    CAST(ell_lines <= n_lines * 0.3 AS INT) AS r5_ellipsis_lines,
+    CAST(alpha >= n_words * 0.8 AS INT) AS r6_alpha_words,
+    CAST(sw >= 2 AS INT) AS r7_stop_words
+  FROM m
+)
+SELECT doc_id, r1_word_count, r2_mean_word_len, r3_symbol_ratio,
+  r4_bullet_lines, r5_ellipsis_lines, r6_alpha_words, r7_stop_words,
+  CAST(r1_word_count + r2_mean_word_len + r3_symbol_ratio
+       + r4_bullet_lines + r5_ellipsis_lines + r6_alpha_words
+       + r7_stop_words = 7 AS INT) AS keep
+FROM r
 """,
         # DSIR exact-gram form: unigram+bigram add-1-smoothed models
         # over the union vocabulary; weight = sum of per-gram count x

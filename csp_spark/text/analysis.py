@@ -975,6 +975,76 @@ def lm_scores(
     )
 
 
+#: Gopher rule 7's required stop words (Rae et al. 2021, arXiv:
+#: 2112.11446 Appendix A): a document must contain at least 2.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-filter rule bundle (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A — the canonical heuristic pre-filter
+    for LLM training corpora), one flag column per rule plus the
+    conjunction:
+
+    r1_word_count      word count in [min_words, max_words]
+    r2_mean_word_len   mean word length in [3, 10]
+    r3_symbol_ratio    hash-to-word AND ellipsis-to-word ratio <= 0.1
+                       (the paper removes docs where EITHER exceeds)
+    r4_bullet_lines    at most 90% of lines start with a bullet point
+    r5_ellipsis_lines  at most 30% of lines end with an ellipsis
+    r6_alpha_words     >= 80% of words contain an alphabetic character
+    r7_stop_words      contains >= 2 of GOPHER_STOP_WORDS
+    keep               all of the above
+
+    Everything is whole-stage-codegen column arithmetic — linear scan,
+    no shuffle, and the flags push into the parquet read when composed
+    as filters. Tokens are the module's lowercased whitespace split,
+    so rule 6/7 word checks are case-insensitive."""
+    t = tokens(F.col(text_col))
+    n_words = F.size(t)
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[•\-\*‣▶]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    hashes = F.length(F.regexp_replace(F.col(text_col), r"[^#]", ""))
+    ellipses = F.size(F.split(F.col(text_col), r"(\.\.\.|…)")) - 1
+    sw_hits = F.size(
+        F.array_intersect(t, F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]))
+    )
+    mwl = F.aggregate(t, F.lit(0.0), lambda a, w: a + F.length(w)) / n_words
+    r = {
+        "r1_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r2_mean_word_len": (mwl >= 3.0) & (mwl <= 10.0),
+        "r3_symbol_ratio": (hashes <= n_words * 0.1)
+        & (ellipses <= n_words * 0.1),
+        "r4_bullet_lines": bullet <= n_lines * 0.9,
+        "r5_ellipsis_lines": ellipsis_lines <= n_lines * 0.3,
+        "r6_alpha_words": alpha >= n_words * 0.8,
+        "r7_stop_words": sw_hits >= 2,
+    }
+    flags = [F.coalesce(c, F.lit(False)).alias(k) for k, c in r.items()]
+    out = docs.select(F.col(id_col), *flags)
+    all_pass = F.lit(True)
+    for k in r:
+        all_pass = all_pass & F.col(k)
+    return out.select(
+        id_col,
+        *[F.col(k).cast("int").alias(k) for k in r],
+        all_pass.cast("int").alias("keep"),
+    )
+
+
 def annotate(
     docs: DataFrame, text_col: str = "text", lang: str = "en"
 ) -> DataFrame:

@@ -1592,3 +1592,48 @@ def test_dsir_tiebreak_on_duplicate_text(spark):
     picked = sorted(sel[sel.selected == 1].doc_id)
     # 3 target-style docs win, then the 2 LOWEST duplicate ids by tiebreak
     assert picked == [0, 1, 100, 101, 102]
+
+
+# ------------------------------------------------------------ gopher rules
+
+
+def test_gopher_rules_each_rule(spark):
+    """One adversarial document per rule: exactly that rule fails."""
+    good = ("the report said that we have results to share and "
+            "everyone agreed with the plan because it was good ") * 3
+    docs = [
+        (0, good),                                        # passes all
+        (1, "the of and"),                                # r1: too short
+        (2, ("a " * 60) + "the of and that have with"),   # r2: mwl < 3
+        (3, good + " " + "#" * 40),                       # r3: hash ratio
+        (4, "\n".join(f"- {good}" for _ in range(10))),   # r4: all bullets
+        (5, "\n".join(f"{good}..." for _ in range(10))),  # r5: ellipsis ends
+        (6, good + " " + "123 456 789 " * 30),            # r6: alpha < 80%
+        (7, good.replace("the", "xx").replace("that", "xx")
+               .replace("have", "xx").replace("with", "xx")
+               .replace("and", "xx").replace("to ", "xx ")
+               .replace("of ", "xx ")),                   # r7: no stop words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in TX.gopher_rules(df).collect()}
+    assert out[0]["keep"] == 1, out[0]
+    rules = ["r1_word_count", "r2_mean_word_len", "r3_symbol_ratio",
+             "r4_bullet_lines", "r5_ellipsis_lines", "r6_alpha_words",
+             "r7_stop_words"]
+    for i, rule in enumerate(rules, start=1):
+        assert out[i][rule] == 0, (rule, out[i])
+        assert out[i]["keep"] == 0
+    # doc 4 fails ONLY the bullet rule; doc 0 fails none
+    assert sum(out[4][k] for k in rules) == 6
+    assert sum(out[0][k] for k in rules) == 7
+
+
+def test_gopher_rules_empty_and_unicode(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "lines end…\n" * 10 + "the and that have " * 20)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in TX.gopher_rules(df).collect()}
+    assert out[1]["keep"] == 0 and out[1]["r1_word_count"] == 0
+    # unicode ellipsis lines trip r5 even though word rules pass
+    assert out[2]["r5_ellipsis_lines"] == 0 and out[2]["r7_stop_words"] == 1
