@@ -70,6 +70,10 @@ QUERIES = [
     # r6 addition: frozen-merge BPE inference (Arrow UDF + word cache,
     # linear in tokens)
     "doc_bpe_apply",
+    # r7 additions: Gopher rule bundle (zero-shuffle scan) and DSIR
+    # (gram hash-aggregates + one gram-keyed join — linear in tokens)
+    "doc_gopher",
+    "doc_dsir",
 ]
 
 
