@@ -40,6 +40,21 @@ def main() -> None:
     clean = remove_boilerplate(lined, min_docs=2)
     assert clean.filter(F.col("n_removed") >= 1).count() == n0  # footer gone
 
+    # 1b. Gopher rule bundle (Rae et al. 2021): seven keep rules as one
+    #     zero-shuffle scan. The synthetic corpus has <2 of the required
+    #     English stop words per doc, so r7 fails corpus-wide by design —
+    #     report the per-rule census and gate on the structural rules.
+    from csp_spark.text import gopher_rules
+
+    g = gopher_rules(clean.select("doc_id", "text"))
+    census = g.agg(*[F.sum(c).alias(c) for c in g.columns if c != "doc_id"])
+    print("gopher rule pass counts:", census.first().asDict())
+    structural = g.filter(
+        (F.col("r3_symbol_ratio") == 1) & (F.col("r4_bullet_lines") == 1)
+        & (F.col("r5_ellipsis_lines") == 1) & (F.col("r6_alpha_words") == 1)
+    ).select("doc_id")
+    clean = clean.join(structural, "doc_id", "left_semi")
+
     # 2. exact dedup on normalized text
     deduped = dedup_exact(clean.select("doc_id", "text"))
     n2 = deduped.count()
@@ -76,6 +91,34 @@ def main() -> None:
             & (F.col("avg_nll").isNull() | (F.col("avg_nll") <= nll_cap))
         )
     )
+
+    # 4b. DSIR (Xie et al. 2023): weight every surviving doc by its
+    #     n-gram likelihood ratio against a target slice (here: three
+    #     sources standing in for a curated corpus) and keep the top
+    #     half — hashed features keep the model broadcastable at scale
+    from csp_spark.pipeline import dsir_select
+
+    # materialize the curated snapshot first: dsir builds gram models
+    # over the corpus, and re-deriving the full upstream lineage
+    # (boilerplate -> dedup -> spans -> decontaminate -> scores) for
+    # every model pass would multiply the whole pipeline
+    scored = scored.persist()
+    n_scored = scored.count()
+    tgt = docs.join(
+        read_table(spark, f"{SF}/documents.parquet")
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+        .select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    k = max(1, n_scored // 2)
+    picked = dsir_select(
+        scored.select("doc_id", "text"), tgt, k=k, n_buckets=1 << 18
+    )
+    scored = scored.join(
+        picked.filter(F.col("selected") == 1).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    print(f"dsir: kept top {k} of {n_scored} by target likelihood ratio")
 
     # 5. reproducible train/val/test assignment (pure column expr —
     #    the same doc lands in the same split on any cluster/engine)
