@@ -897,6 +897,48 @@ def test_reference_toplevel_module_paths():
     assert curve_fn is csp_spark.curve
 
 
+def test_reference_impl_functional_shims(spark):
+    """The csp.impl shims that carry behavior (not just re-exports):
+    status_adapter_def's default + manager override, the mem_cache
+    decorator form, and the delayed-node registry."""
+    from csp.impl.mem_cache import csp_memoized_graph_object
+    from csp.impl.wiring.adapters import status_adapter_def
+    from csp.impl.wiring.delayed_node import (
+        DelayedNodeWrapperDef, instantiate_pending,
+    )
+
+    # default: a typed never-ticking status edge
+    st = status_adapter_def(object())
+    assert st.df.count() == 0
+    # manager override wins
+    class Mgr:
+        def status_stream(self):
+            return "custom"
+    assert status_adapter_def(Mgr()) == "custom"
+
+    calls = []
+
+    @csp_memoized_graph_object
+    def build(x):
+        calls.append(x)
+        return x * 2
+
+    assert build(3) == 6 and build(3) == 6
+    assert calls == [3]  # memoized
+
+    ran = []
+
+    class D(DelayedNodeWrapperDef):
+        def copy(self):
+            return self
+        def _instantiate(self):
+            ran.append(1)
+
+    D(); D()
+    assert instantiate_pending() >= 2 and len(ran) >= 2
+    assert instantiate_pending() == 0  # drained
+
+
 def test_reference_math_module_surface(spark):
     """csp.math variadic and_/or_, andnode/ornode, and the
     define_binary_op/define_unary_op factories (reference
