@@ -183,7 +183,19 @@ def main() -> None:
                  "linearly in history (scale_smoke ratio 1.4 at 10x). "
                  "r6 op_node_ast delta adjudicated by an A/B on the "
                  "r5 noderun/nodeparse files in the same session: "
-                 "identical warm bands (2.5-3.4s both) — ambient.",
+                 "identical warm bands (2.5-3.4s both) — ambient. "
+                 "r7: no bench-set code changed; local idle-box run "
+                 "r2 subtotal cold 19.04/warm 9.23 vs r6 18.32/9.05 — "
+                 "inside the ambient band. New-op scale facts "
+                 "(tools/scale_smoke.py, same session): doc_gopher "
+                 "ratio 1.1 at 10x docs (zero-shuffle scan), doc_dsir "
+                 "2.5 at 10x (gram aggregates; exact-gram oracle "
+                 "form — the n_buckets production path broadcasts "
+                 "the model), semdedup clusters-scale-with-corpus "
+                 "normalized 0.56. ann_pq_topk warm ~2.2s is "
+                 "Catalyst ANALYSIS of the plan-literal LUT tree — "
+                 "constant in data size, amortizes over any real "
+                 "scan; the executed plan is 0-exchange codegen.",
     }))
 
 
