@@ -1598,6 +1598,44 @@ def doc_gopher(spark, sf_dir):
     return TX.gopher_rules(docs)
 
 
+def doc_c4(spark, sf_dir):
+    # the C4 cleaning recipe (Raffel et al. 2020 §2.2, text/analysis.py
+    # c4_filters): line filters + doc gates over one scan. The
+    # testdata is single-line prose with no terminal punctuation (raw
+    # C4 would remove everything), so the query first assembles a
+    # deterministic 4-line document per row — a punctuated prefix, a
+    # doc_id-length-varying fragment (trips the word-count rule
+    # per-doc), the raw text (trips the punctuation rule), and a
+    # javascript line (trips the blocklist despite punctuation) — with
+    # a brace appended on every 7th doc to trip the document gate. The
+    # hash covers the CLEANED TEXT via md5 (the one string hash both
+    # engines share), so line reassembly is byte-checked.
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 40), F.lit(".")),
+        # punctuated so the WORD-COUNT rule (not the punct rule) decides
+        # this line, with a per-doc-varying length
+        F.concat(
+            F.expr("substring(text, 1, CAST(doc_id % 30 AS INT))"), F.lit("?")
+        ),
+        F.col("text"),
+        F.lit("see javascript docs."),
+    )
+    lined = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(lined, F.lit(" {"))
+    ).otherwise(lined)
+    out = TX.c4_filters(
+        docs.select("doc_id", lined.alias("text")),
+        min_words_per_line=3, min_lines=1,
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines_kept", "n_lines_removed", "keep",
+    )
+
+
 def text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -3459,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_semdedup": doc_semdedup,
         "doc_dsir": doc_dsir,
         "doc_gopher": doc_gopher,
+        "doc_c4": doc_c4,
         "text_stats": text_stats,
         "text_langid": text_langid,
         "dedup_exact": dedup_exact,
@@ -3562,7 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate", "text_term_stats", "text_tfidf",
         "text_lm_score", "text_quality_model",
         "dedup_exact", "dedup_ngram", "dedup_embedding", "doc_semdedup",
-        "doc_dsir", "doc_gopher",
+        "doc_dsir", "doc_gopher", "doc_c4",
         "doc_weighted_sample", "doc_cap_per_source", "doc_mixture",
         "doc_decontaminate", "doc_repeated_spans",
         "stats_ema_halflife", "stats_ema_var", "stats_rank",
@@ -3575,10 +3614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2) modules changed this round
         "dyn_snap_attach", "op_node_ast", "op_node_cumsum",
         "feedback_clamp", "op_struct_fromts", "op_struct_collectts",
-        # (3) r5-evidence rotation opener (doc_semdedup, doc_dsir and
-        # doc_gopher are NEW this round and take the dedup/text slots
-        # above; op_delay/op_diff/op_dropdups roll to the r8 rotation)
-        "op_count",
+        # doc_semdedup, doc_dsir, doc_gopher and doc_c4 are NEW this
+        # round and take the four remaining slots (new queries need
+        # their first driver evidence more than the r5 openers need a
+        # refresh); op_count/op_delay/op_diff/op_dropdups roll to the
+        # r8 rotation with the rest of the r5-evidence block.
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -3998,6 +4038,42 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+""",
+        # C4 recipe over the synthesized 4-line documents: the same
+        # line assembly, line rules, and doc gates; md5 byte-checks
+        # the reassembled clean text.
+        "doc_c4": r"""
+WITH lined0 AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || '.' || chr(10)
+    || substr(text, 1, CAST(doc_id % 30 AS INT)) || '?' || chr(10)
+    || text || chr(10)
+    || 'see javascript docs.' AS lined
+  FROM documents
+), lined AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN lined || ' {' ELSE lined END AS t
+  FROM lined0
+), split AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM lined
+), kept AS (
+  SELECT doc_id, t,
+    list_filter(lines, l ->
+      regexp_matches(rtrim(l), '[.!?"]$')
+      AND len(string_split_regex(trim(l), '\s+')) >= 3
+      AND NOT regexp_matches(lower(l), 'javascript')
+    ) AS k,
+    len(lines) AS n_lines
+  FROM split
+)
+SELECT doc_id,
+  md5(array_to_string(k, chr(10))) AS clean_md5,
+  CAST(len(k) AS INT) AS n_lines_kept,
+  CAST(n_lines - len(k) AS INT) AS n_lines_removed,
+  CAST(len(k) >= 1
+       AND NOT regexp_matches(lower(t), 'lorem ipsum')
+       AND NOT contains(t, '{') AS INT) AS keep
+FROM kept
 """,
         # Gopher rule bundle: every rule replayed on DuckDB's list
         # lambdas over the same tokenization (lowercased \s+ split;

@@ -1,5 +1,5 @@
 from .analysis import (
-    GOPHER_STOP_WORDS, gopher_rules,
+    GOPHER_STOP_WORDS, gopher_rules, c4_filters,
     annotate, tokens, token_count, char_count, avg_word_len, punct_ratio,
     digit_ratio, upper_ratio, stopword_ratio, quality_score, lang_guess,
     fingerprint, winnow_fingerprints, STOPWORDS,

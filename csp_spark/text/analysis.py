@@ -1045,6 +1045,53 @@ def gopher_rules(
     )
 
 
+def c4_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 — the most-reused public corpus-cleaning rule set), as one
+    zero-shuffle scan producing the cleaned text plus audit columns:
+
+    line level (removed from the text):
+      - lines not ending in terminal punctuation (. ! ? ")
+      - lines with fewer than ``min_words_per_line`` words
+      - lines containing the word "javascript" (case-insensitive)
+    document level (``keep`` = 0, text still reported):
+      - fewer than ``min_lines`` surviving lines
+      - contains "lorem ipsum" (case-insensitive)
+      - contains a curly brace (code, not prose)
+
+    Output: (id, clean_text, n_lines_kept, n_lines_removed, keep).
+    The paper also deduplicates three-sentence spans across documents
+    and applies a bad-words list — span dedup is
+    :func:`remove_repeated_spans`; a wordlist gate composes as a
+    plain rlike filter. All expressions are whole-stage codegen."""
+    lines = F.split(F.col(text_col), "\n")
+    keep_line = (
+        lambda ln: F.rtrim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).rlike("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    clean = F.array_join(kept, "\n")
+    doc_ok = (
+        (F.size(kept) >= min_lines)
+        & ~F.lower(F.col(text_col)).rlike("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_lines_removed"),
+        doc_ok.cast("int").alias("keep"),
+    )
+
+
 def annotate(
     docs: DataFrame, text_col: str = "text", lang: str = "en"
 ) -> DataFrame:

@@ -1637,3 +1637,34 @@ def test_gopher_rules_empty_and_unicode(spark):
     assert out[1]["keep"] == 0 and out[1]["r1_word_count"] == 0
     # unicode ellipsis lines trip r5 even though word rules pass
     assert out[2]["r5_ellipsis_lines"] == 0 and out[2]["r7_stop_words"] == 1
+
+
+# --------------------------------------------------------------- c4 filters
+
+
+def test_c4_filters_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "This line stays in the corpus.\nshort one.\nno punctuation here\nthe javascript line is gone.\nAnother good sentence ends here!"),
+            (1, "Only one good line survives this doc.\nbad\nbad"),
+            (2, "A fine sentence.\nAnother fine sentence.\nlorem ipsum dolor sit amet."),
+            (3, "A fine sentence with code.\nif (x) { return; }"),
+            (4, "nothing ends with punctuation\nat all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in TX.c4_filters(docs, min_lines=2).collect()}
+    # doc 0: 2 lines survive (short + unpunctuated + javascript removed)
+    assert out[0]["n_lines_kept"] == 2 and out[0]["keep"] == 1
+    assert out[0]["clean_text"] == (
+        "This line stays in the corpus.\nAnother good sentence ends here!"
+    )
+    # doc 1: 1 line < min_lines=2 -> dropped
+    assert out[1]["n_lines_kept"] == 1 and out[1]["keep"] == 0
+    # doc 2: lorem ipsum gate
+    assert out[2]["keep"] == 0 and out[2]["n_lines_kept"] == 3
+    # doc 3: curly brace gate
+    assert out[3]["keep"] == 0
+    # doc 4: nothing survives
+    assert out[4]["n_lines_kept"] == 0 and out[4]["clean_text"] == ""

@@ -70,9 +70,11 @@ QUERIES = [
     # r6 addition: frozen-merge BPE inference (Arrow UDF + word cache,
     # linear in tokens)
     "doc_bpe_apply",
-    # r7 additions: Gopher rule bundle (zero-shuffle scan) and DSIR
-    # (gram hash-aggregates + one gram-keyed join — linear in tokens)
+    # r7 additions: Gopher + C4 rule bundles (zero-shuffle scans) and
+    # DSIR (gram hash-aggregates + one gram-keyed join — linear in
+    # tokens)
     "doc_gopher",
+    "doc_c4",
     "doc_dsir",
 ]
 
