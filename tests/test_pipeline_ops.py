@@ -1668,3 +1668,86 @@ def test_c4_filters_rules(spark):
     assert out[3]["keep"] == 0
     # doc 4: nothing survives
     assert out[4]["n_lines_kept"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_rule_bundles_fuzz_vs_python(spark):
+    """Seeded random multi-line docs: gopher_rules and c4_filters must
+    agree with independent pure-python implementations of the same
+    rules (same tokenization, same thresholds)."""
+    import random
+    import re
+
+    rng = random.Random(42)
+    words = ["the", "report", "said", "that", "we", "have", "results",
+             "to", "share", "and", "x1", "#", "data...", "of", "with",
+             "be", "99", "...", "analysis", "…"]
+    bullets = ["- ", "• ", "", "", ""]
+    tails = [".", "!", "?", '"', "", "", "...", "…", " javascript."]
+
+    def mk_doc():
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            n = rng.randint(0, 12)
+            body = " ".join(rng.choice(words) for _ in range(n))
+            lines.append(rng.choice(bullets) + body + rng.choice(tails))
+        doc = "\n".join(lines)
+        if rng.random() < 0.15:
+            doc += " {"
+        if rng.random() < 0.1:
+            doc += "\nlorem ipsum is here."
+        return doc
+
+    docs = [(i, mk_doc()) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def toks(text):
+        return [w for w in re.split(r"\s+", text.strip().lower())]
+
+    # ---- python gopher (thresholds as in gopher_rules defaults) ----
+    def py_gopher(text):
+        t = toks(text)
+        nw = len(t)
+        lines = text.split("\n")
+        nl = len(lines)
+        bullet = sum(bool(re.match(r"^[•\-\*‣▶]", ln.strip())) for ln in lines)
+        ell = sum(bool(re.search(r"(\.\.\.|…)$", ln.rstrip())) for ln in lines)
+        alpha = sum(bool(re.search(r"[a-z]", w)) for w in t)
+        hashes = text.count("#")
+        ellipses = len(re.split(r"(?:\.\.\.|…)", text)) - 1
+        sw = len(set(t) & set(TX.GOPHER_STOP_WORDS))
+        mwl = (sum(len(w) for w in t) / nw) if nw else None
+        r = [
+            50 <= nw <= 100_000,
+            mwl is not None and 3.0 <= mwl <= 10.0,
+            hashes <= nw * 0.1 and ellipses <= nw * 0.1,
+            bullet <= nl * 0.9,
+            ell <= nl * 0.3,
+            alpha >= nw * 0.8,
+            sw >= 2,
+        ]
+        return [int(x) for x in r] + [int(all(r))]
+
+    got = {r["doc_id"]: [r[c] for c in r.asDict() if c != "doc_id"]
+           for r in TX.gopher_rules(df).collect()}
+    for i, text in docs:
+        assert got[i] == py_gopher(text), (i, text, got[i], py_gopher(text))
+
+    # ---- python c4 (min_words_per_line=3, min_lines=3 defaults) ----
+    def py_c4(text):
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if re.search(r'[.!?"]$', ln.rstrip())
+            and len(re.split(r"\s+", ln.strip())) >= 3
+            and not re.search("javascript", ln.lower())
+        ]
+        keep = (len(kept) >= 3
+                and "lorem ipsum" not in text.lower()
+                and "{" not in text)
+        return ["\n".join(kept), len(kept), len(lines) - len(kept), int(keep)]
+
+    got4 = {r["doc_id"]: [r["clean_text"], r["n_lines_kept"],
+                          r["n_lines_removed"], r["keep"]]
+            for r in TX.c4_filters(df).collect()}
+    for i, text in docs:
+        assert got4[i] == py_c4(text), (i, repr(text), got4[i], py_c4(text))
