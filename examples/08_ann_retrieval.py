@@ -73,6 +73,23 @@ def main() -> None:
     nn = knn_join(queries, corpus, k=3, method="blas")
     n = nn.count()
     print(f"knn_join: {n} (query, neighbor) rows ({time.time()-t0:.2f}s)")
+
+    # SemDeDup (arXiv:2303.09540): plant one duplicate vector, cluster,
+    # and prune — exactly one member of the planted pair survives
+    from csp_spark.dedup import semdedup
+
+    dup = emb.filter("vec_id = 5").withColumn(
+        "vec_id", F.lit(990_000).cast("long")
+    )
+    t0 = time.time()
+    sd = semdedup(emb.unionByName(dup), eps=0.99, n_clusters=8, keep="edge")
+    pair = {r["vec_id"]: r["kept"] for r in
+            sd.filter(F.col("vec_id").isin(5, 990_000)).collect()}
+    n_kept = sd.filter("kept = 1").count()
+    print(f"semdedup: {n_kept} of {sd.count()} kept, planted pair -> "
+          f"{pair} ({time.time()-t0:.2f}s)")
+    assert sum(pair.values()) == 1  # one survivor per duplicate pair
+
     assert recall(ivf) >= 0.7 and recall(pq) >= 0.6 and n > 0
     print("OK")
 
