@@ -1751,3 +1751,25 @@ def test_rule_bundles_fuzz_vs_python(spark):
             for r in TX.c4_filters(df).collect()}
     for i, text in docs:
         assert got4[i] == py_c4(text), (i, repr(text), got4[i], py_c4(text))
+
+
+def test_new_op_plan_shapes(spark, docs, emb):
+    """Pin the r7 ops' physical-plan contracts so regressions fail
+    loudly: the rule bundles stay zero-shuffle scans; hashed-model
+    DSIR broadcasts its gram model (no shuffle join on the gram key);
+    semdedup never degrades to a cartesian product."""
+    from csp_spark.pipeline import dsir_weights
+    from csp_spark.pipeline.storage import exchanges_in_plan
+
+    assert exchanges_in_plan(TX.gopher_rules(docs)) == 0
+    assert exchanges_in_plan(TX.c4_filters(docs)) == 0
+
+    tgt = docs.filter("doc_id % 5 = 0")
+    hashed = dsir_weights(docs, tgt, n_buckets=1 << 16)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the m-row model broadcasts
+    exact = dsir_weights(docs, tgt)
+    assert "CartesianProduct" not in exact._jdf.queryExecution().executedPlan().toString()
+
+    sd = DD.semdedup(emb, eps=0.9, n_clusters=4, keep="min_id")
+    assert "CartesianProduct" not in sd._jdf.queryExecution().executedPlan().toString()
