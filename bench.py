@@ -2,10 +2,13 @@
 
 Runs the headline queries from ``__spark_entry__.queries()`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints two JSON lines — a detail
+record (warm timings + adjudication notes) followed by a FINAL
+compact numeric line the driver's tail capture can always parse:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+    {"metric": "headline_queries_total", "value": <total sec>,
+     "unit": "sec", "sf": 0.1, "value_warm": ...,
+     "comparable_r2_subtotal": ..., "queries": {"q1": sec, ...}}
 
 Each query is timed end-to-end (plan build + execution to a driver-side
 count-style action). Before timing, one small untimed warm-up runs: a
@@ -127,28 +130,18 @@ def main() -> None:
         print(f"# {name}: {dt_:.3f}s cold / {wt:.3f}s warm ({n} rows)",
               file=sys.stderr)
 
+    # Two JSON lines (r7 verdict item 2: the driver's 2000-byte tail
+    # capture had contained only the notes prose since r4, so
+    # BENCH_r04-r07 all recorded "parsed": null). The FULL record —
+    # warm timings + the adjudication notes — goes out first; the
+    # FINAL stdout line is a compact numeric JSON (metric, value,
+    # queries, subtotals, sf) small enough that the tail capture
+    # always contains it whole.
     print(json.dumps({
-        "metric": "headline_queries_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
+        "metric": "headline_queries_detail",
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
         "sf": sf,
-        # fixed-set subtotals, computed over the frozen lists above so
-        # cross-round ratios never need reconstruction: r2's 16-query
-        # set (r2 total was 28.8s) and r4's 27-query set (this field
-        # first appears in r5 — r4 published only a 20-query shared
-        # subtotal of 27.7s, so r4→r5 on this set needs the per-query
-        # numbers; from r6 on it's a direct ratio), cold and warm
-        "comparable_r2_subtotal": round(
-            sum(timings[n] for n in COMPARABLE_R2), 3),
-        "comparable_r2_subtotal_warm": round(
-            sum(warm[n] for n in COMPARABLE_R2), 3),
-        "comparable_r4_subtotal": round(
-            sum(timings[n] for n in COMPARABLE_R4), 3),
-        "comparable_r4_subtotal_warm": round(
-            sum(warm[n] for n in COMPARABLE_R4), 3),
         "comparable_r2_set": COMPARABLE_R2,
         # each query is timed on its FIRST run in a fresh session, so
         # numbers include one-time codegen/JIT per distinct plan —
@@ -195,8 +188,33 @@ def main() -> None:
                  "normalized 0.56. ann_pq_topk warm ~2.2s is "
                  "Catalyst ANALYSIS of the plan-literal LUT tree — "
                  "constant in data size, amortizes over any real "
-                 "scan; the executed plan is 0-exchange codegen.",
+                 "scan; the executed plan is 0-exchange codegen. "
+                 "r8: bench.py output restructured (this detail line "
+                 "+ a final compact numeric line) so the driver tail "
+                 "capture parses again; no bench-set query code "
+                 "changed.",
     }))
+
+    # FINAL line: compact, numeric, parseable from a 2000-byte tail.
+    # Fixed-set subtotals over the frozen lists above so cross-round
+    # ratios never need reconstruction: r2's 16-query set (r2 total
+    # was 28.8s) and r4's 27-query set, cold and warm.
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "value_warm": round(warm_total, 3),
+        "comparable_r2_subtotal": round(
+            sum(timings[n] for n in COMPARABLE_R2), 3),
+        "comparable_r2_subtotal_warm": round(
+            sum(warm[n] for n in COMPARABLE_R2), 3),
+        "comparable_r4_subtotal": round(
+            sum(timings[n] for n in COMPARABLE_R4), 3),
+        "comparable_r4_subtotal_warm": round(
+            sum(warm[n] for n in COMPARABLE_R4), 3),
+        "queries": timings,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -456,6 +456,51 @@ class WebsocketTableAdapter:
         if end is not None:
             wide = wide.filter(F.col(TS) <= F.lit(end))
         limit = getattr(table, "limit", None)
+        if table.index is not None:
+            # indexed table: the snapshot is one MERGED row per index
+            # value — for every column, the last non-null tick for
+            # that index (fields tick on different cycles: e.g. the
+            # reference e2_websocket_output's angle vs the delayed
+            # radians/sin). Push the merge into the plan as a
+            # hash-aggregate of per-column max_by over non-null
+            # ticks — only |index values| rows ever reach the driver,
+            # never the history (the r7 verdict's indexed-snapshot
+            # collect). Rows whose index field didn't tick can't be
+            # placed (same contract as the reference, where the index
+            # is a field of the published struct) and are dropped.
+            idx = chan[table.index]
+            aggs = [
+                F.max_by(
+                    F.col(chan[c]),
+                    F.when(
+                        F.col(chan[c]).isNotNull(),
+                        F.struct(F.col(TS), F.col(SEQ)),
+                    ),
+                ).alias(chan[c])
+                for c in names
+            ]
+            grouped = (
+                wide.filter(F.col(idx).isNotNull())
+                .groupBy(F.col(idx).alias("__idx"))
+                .agg(*aggs,
+                     F.max(F.struct(F.col(TS), F.col(SEQ)))
+                     .alias("__last"))
+            )
+            if limit is not None:
+                # perspective Table(index=, limit=): keep the `limit`
+                # most-recently-updated index rows (distributed top-k)
+                grouped = grouped.orderBy(F.desc("__last")).limit(
+                    int(limit)
+                )
+            rows = grouped.orderBy("__last").collect()
+            out = []
+            for r in rows:
+                data = {
+                    c: r[chan[c]] for c in names if r[chan[c]] is not None
+                }
+                if data:
+                    out.append(data)
+            return out
         if limit is not None and table.index is None:
             # perspective Table(limit=) ring semantics: only the
             # trailing `limit` updates can survive in the snapshot, so

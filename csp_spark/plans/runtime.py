@@ -32,6 +32,17 @@ _FEEDBACK_MAX_ROWS = int(
     os.environ.get("CSP_SPARK_FEEDBACK_MAX_ROWS", "1000000")
 )
 
+#: spawn-count cap for the reference-form csp.dynamic — the reference
+#: engine spawns one in-process sub-engine per key
+#: (cpp/csp/engine/DynamicEngine.cpp); the Spark analog builds one
+#: filtered Catalyst sub-plan per key ON THE DRIVER, so a
+#: data-discovered basket with 10^5+ keys would mean 10^5+ driver-side
+#: plan builds. Past the cap we raise toward dynamic_apply, the
+#: groupBy+Arrow form that executes all keys in one distributed plan.
+_DYNAMIC_MAX_KEYS = int(
+    os.environ.get("CSP_SPARK_DYNAMIC_MAX_KEYS", "1000")
+)
+
 
 def _clip(x: TickStream, start, end) -> TickStream:
     df = x.df
@@ -431,8 +442,19 @@ def _dynamic_reference(trigger: TickStream, graph_fn: Callable, *args):
         trigger.df.groupBy(KEY)
         .agg(F.min(F.struct(F.col(TS), F.col(SEQ))).alias("__first"))
         .orderBy("__first")
+        .limit(_DYNAMIC_MAX_KEYS + 1)
         .collect()
     )
+    if len(key_rows) > _DYNAMIC_MAX_KEYS:
+        raise RuntimeError(
+            f"csp.dynamic: trigger basket has more than "
+            f"{_DYNAMIC_MAX_KEYS} distinct keys (cap "
+            "CSP_SPARK_DYNAMIC_MAX_KEYS). The reference form builds "
+            "one sub-plan per key on the driver; for large key "
+            "cardinality use dynamic_apply(trigger, fn, "
+            "output_schema=...) — the groupBy + Arrow form that "
+            "executes every key inside one distributed plan."
+        )
     spawn = [(r[KEY], r["__first"][TS], r["__first"][SEQ]) for r in key_rows]
 
     # snap markers: each key needs the snapped stream's as-of value at

@@ -62,6 +62,37 @@ def test_dynamic_apply(spark):
     assert [v for _, v in got["b"]] == [0.0, 10.0, 20.0, 30.0, 40.0]
 
 
+def test_dynamic_reference_key_cap(spark, monkeypatch):
+    """The reference-form csp.dynamic builds one driver-side sub-plan
+    per discovered key (the Spark analog of DynamicEngine's per-key
+    sub-engine spawn); past CSP_SPARK_DYNAMIC_MAX_KEYS it must raise
+    toward dynamic_apply instead of building 10^5 Catalyst plans."""
+    import pytest
+
+    from csp_spark.plans import runtime as rt
+
+    rows = [
+        (f"k{i:03d}", START + TD(seconds=i), 0, float(i)) for i in range(12)
+    ]
+    trig = TickStream(
+        spark.createDataFrame(
+            rows, "key string, ts timestamp, seq long, value double"
+        )
+    )
+
+    def sub(att):
+        return att
+
+    monkeypatch.setattr(rt, "_DYNAMIC_MAX_KEYS", 8)
+    with pytest.raises(RuntimeError, match="dynamic_apply"):
+        rt.dynamic(trig, sub, rt.attached())
+    # under the cap the same wiring spawns normally
+    monkeypatch.setattr(rt, "_DYNAMIC_MAX_KEYS", 50)
+    out = rt.dynamic(trig, sub, rt.attached())
+    assert len(out) == 12
+    assert [v for _, v in out["k003"].collect_ticks()] == [3.0]
+
+
 def test_profiler_block(spark):
     from csp_spark import Profiler
 

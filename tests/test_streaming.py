@@ -1183,22 +1183,36 @@ def test_websocket_table_adapter(spark):
     }
     try:
         # a subscriber connected BEFORE delivery: empty snapshot sends
-        # no snap frame (reference open() chunks only non-empty), the
-        # flush then streams one upd per engine cycle
+        # no snap frame (reference open() chunks only non-empty). The
+        # flush delivers the plan-side merged snapshot — ONE upd per
+        # index value (per-column last non-null tick, aggregated in
+        # Spark; the r8 pushdown: history never reaches the driver),
+        # ordered by each index's last-update cycle: B (t=1), then A
+        # (t=2, price from the second tick merged over size from the
+        # first).
         client = WebSocketClient(f"ws://127.0.0.1:{adapter.port}/subscribe/quotes")
         client.connect()
         import time as _time
 
         _time.sleep(0.3)  # let the server register the subscription
         adapter.flush()
-        msgs = [json.loads(client.recv_message()) for _ in range(3)]
-        assert [m["messageType"] for m in msgs] == ["upd"] * 3
-        assert [m["messageID"] for m in msgs] == [0, 1, 2]
+        msgs = [json.loads(client.recv_message()) for _ in range(2)]
+        assert [m["messageType"] for m in msgs] == ["upd"] * 2
+        assert [m["messageID"] for m in msgs] == [0, 1]
         assert msgs[0]["data"] == [
-            {"symbol": "A", "price": 1.0, "size": 10}
+            {"symbol": "B", "price": 2.0, "size": 20}
         ]
-        # delta update: A's second tick only changed price
-        assert msgs[2]["data"] == [{"symbol": "A", "price": 1.5}]
+        assert msgs[1]["data"] == [
+            {"symbol": "A", "price": 1.5, "size": 10}
+        ]
+        # a live tick AFTER the snapshot: delta_updates diffs against
+        # the indexed snapshot row — only the changed field (plus the
+        # index) goes out (reference diff_dict semantics)
+        adapter.manager.send_updates(
+            "quotes", {"symbol": "A", "price": 1.75, "size": 10}
+        )
+        upd = json.loads(client.recv_message())
+        assert upd["data"] == [{"symbol": "A", "price": 1.75}]
         client.close()
 
         # HTTP snapshot reflects the merged indexed rows
@@ -1206,7 +1220,7 @@ def test_websocket_table_adapter(spark):
         h.request("GET", "/snap/quotes")
         snap = json.loads(h.getresponse().read())
         assert sorted(snap["snap"], key=lambda r: r["symbol"]) == [
-            {"symbol": "A", "price": 1.5, "size": 10},
+            {"symbol": "A", "price": 1.75, "size": 10},
             {"symbol": "B", "price": 2.0, "size": 20},
         ]
         h.request("GET", "/tables")
