@@ -2127,14 +2127,50 @@ def stats_sampler(spark, sf_dir):
     )
 
 
+#: the persisted IVF cell assignment ann_ivf_topk's oracle replays
+#: from (the driver always runs the Spark query before its oracle, so
+#: the artifact is fresh for the same sf)
+_IVF_CELLS_PATH = "/tmp/csp_spark_ivf_cells.parquet"
+
+
 def ann_ivf_topk(spark, sf_dir):
-    # IVF-flat ANN (KMeans coarse quantizer, n_probe cells scanned) —
-    # centroids are data/partitioning dependent, so rows-only check;
-    # recall vs brute force asserted in tests/test_pipeline_ops.py
-    from csp_spark.similarity import ivf_topk
+    # IVF-flat ANN (KMeans coarse quantizer, n_probe cells scanned).
+    # KMeans centroids aren't SQL-replayable, but the check doesn't
+    # need them to be (r7 verdict item 5): persist the cell assignment
+    # plus the deterministically-chosen probe set as a parquet
+    # artifact, recompute the top-k FROM the persisted artifact (so
+    # both engines see the identical assignment, immune to KMeans
+    # recomputation), and let DuckDB replay the probe filter + cosine
+    # + 6dp-rounded rank with id tiebreak from the same files. The
+    # recall-vs-brute-force metric stays a separate unit test
+    # (tests/test_pipeline_ops.py).
+    import numpy as np
+
+    from csp_spark.similarity import ivf_index
+    from csp_spark.similarity.ann import cosine
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(emb, list(q), k=10, n_cells=16, n_probe=4)
+    indexed, centers = ivf_index(emb, n_cells=16)
+    qv = np.asarray(list(q), dtype=np.float64)
+    order = np.argsort(((centers - qv) ** 2).sum(axis=1), kind="stable")
+    probes = [int(c) for c in order[:4]]
+    indexed.select(
+        "vec_id", "cell", F.col("cell").isin(probes).alias("probed")
+    ).write.mode("overwrite").parquet(_IVF_CELLS_PATH)
+    cells = spark.read.parquet(_IVF_CELLS_PATH)
+    qlit = F.array(*[F.lit(float(v)) for v in qv])
+    return (
+        cells.filter(F.col("probed"))
+        .select("vec_id")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col("vec_id"))
+        .limit(10)
+    )
 
 
 def ann_ivf_exact(spark, sf_dir):
@@ -3573,52 +3609,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
-    # dict, so order by evidence value (round 7 — the r6 verdict's #1
-    # item: rotate the 40 queries whose latest driver evidence is r4,
-    # then queries whose backing modules changed this round):
-    # 1. all 40 r4-evidence queries (the sink round-trips, the exprtk
-    #    family, the text block, dedup/doc/stats stragglers, op_merge/
-    #    filter/gate, op_asof_directions, op_feedback_scan, the global
-    #    unkeyed ops — incl. the two rows-only-by-design checks
-    #    ann_knn_join_blas and doc_bpe_tokens, refreshed too);
-    # 2. queries whose backing modules changed THIS round:
-    #    dyn_snap_attach (csp.dynamic snap is now a distributed
-    #    broadcast as-of join), op_node_ast + op_node_cumsum (run_node
-    #    single outputs now lazily checkpoint), feedback_clamp
-    #    (runtime.py feedback fixed point now signature-converged);
-    # 3. doc_semdedup — NEW this round (needs first driver evidence);
-    # 4. the r5-evidence block, oldest-first rotation opener.
+    # dict, so order by evidence value (round 8 — the r7 verdict's #1
+    # item: rotate the 44 queries whose latest driver evidence is r5,
+    # oldest-first, plus queries whose backing modules changed this
+    # round):
+    # 1. all 44 r5-evidence queries (the baselib op_* block, q3/q5/q6/
+    #    q10, random sources, mm_features, the stats stragglers,
+    #    dedup_minhash/simhash/components, the pack/token family,
+    #    ann_topk/ann_pq_topk, op_hot_key_running);
+    # 2. queries whose backing code changed THIS round: ann_ivf_topk
+    #    (now persists its cell assignment and carries a DuckDB replay
+    #    oracle — leaves the rows-only set), dyn_snap_attach +
+    #    dyn_cummax (plans/runtime.py grew the _DYNAMIC_MAX_KEYS spawn
+    #    guard on their path);
+    # 3. three r6-evidence openers for the r9 rotation.
     # That fills exactly 50; after this round no query's latest driver
-    # evidence predates r5. Everything else held green in r5/r6 under
+    # evidence predates r6. Everything else held green in r6/r7 under
     # code untouched since.
     priority = [
-        # (1) the r4-evidence block, wholesale
-        "op_merge", "op_filter", "op_gate",
-        "sink_parquet_roundtrip", "sink_csv_roundtrip",
-        "sink_arrow_roundtrip",
-        "op_exprtk", "op_exprtk_state", "op_exprtk_vec",
-        "text_stats", "text_langid", "text_fingerprint",
-        "text_boilerplate", "text_term_stats", "text_tfidf",
-        "text_lm_score", "text_quality_model",
-        "dedup_exact", "dedup_ngram", "dedup_embedding", "doc_semdedup",
-        "doc_dsir", "doc_gopher", "doc_c4",
-        "doc_weighted_sample", "doc_cap_per_source", "doc_mixture",
-        "doc_decontaminate", "doc_repeated_spans",
-        "stats_ema_halflife", "stats_ema_var", "stats_rank",
-        "stats_weighted", "stats_ohlc_bars",
-        "op_accum_global", "op_windowed_global",
-        "op_windowed_global_time",
-        "op_asof_directions", "op_struct_record", "op_feedback_scan",
-        "ann_lsh_topk", "basket_sync_trigger",
-        "ann_knn_join_blas", "doc_bpe_tokens",
+        # (1) the r5-evidence block, wholesale
+        "op_count", "op_accum", "op_diff", "op_delay", "op_firstn",
+        "op_dropdups", "op_dropdups_eps", "op_sample_asof",
+        "op_unroll", "op_split_false", "op_default", "op_multiplex",
+        "op_collect", "op_flatten", "op_dropnans", "op_apply",
+        "op_demultiplex", "op_burst", "op_last_value",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q10_returned_items",
+        "random_poisson", "random_brownian", "mm_features",
+        "stats_minmax_sem", "stats_xsec", "stats_cov_matrix",
+        "stats_unique", "stats_trigger_reset", "stats_sampler",
+        "stats_ema_adjust",
+        "dedup_minhash", "dedup_simhash", "dedup_components",
+        "doc_pack", "doc_pack_fit", "doc_pack_manifest",
+        "doc_incremental_dedup", "doc_token_ids",
+        "ann_topk", "ann_pq_topk", "op_hot_key_running",
         # (2) modules changed this round
-        "dyn_snap_attach", "op_node_ast", "op_node_cumsum",
-        "feedback_clamp", "op_struct_fromts", "op_struct_collectts",
-        # doc_semdedup, doc_dsir, doc_gopher and doc_c4 are NEW this
-        # round and take the four remaining slots (new queries need
-        # their first driver evidence more than the r5 openers need a
-        # refresh); op_count/op_delay/op_diff/op_dropdups roll to the
-        # r8 rotation with the rest of the r5-evidence block.
+        "ann_ivf_topk", "dyn_snap_attach", "dyn_cummax",
+        # (3) r6-evidence openers for the r9 rotation
+        "op_value_at", "op_times", "op_struct_field",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -4839,6 +4867,20 @@ SELECT e.vec_id,
         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
            * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos_sim
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+""",
+        # replays the probe filter + cosine + rounded rank from the
+        # cell-assignment artifact the Spark query persisted (the
+        # driver runs the query before the oracle, same sf)
+        "ann_ivf_topk": f"""
+SELECT e.vec_id,
+  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS cos_sim
+FROM embeddings e
+JOIN (SELECT vec_id FROM read_parquet('{_IVF_CELLS_PATH}/*.parquet')
+      WHERE probed) c USING (vec_id),
+  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """,
         # n_probe = n_cells ⇒ IVF degenerates to exact brute force
