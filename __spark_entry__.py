@@ -2309,6 +2309,48 @@ WHERE ({u}) < fr.keep_frac
 """
 
 
+def doc_repeat_epochs(spark, sf_dir):
+    """Multi-epoch mixture (pipeline/sampling.py repeat_to_budget —
+    the Pile/Llama oversampling step mix_to_budget deliberately
+    refuses): weights src0:5, src1:1 over a 30k-char budget put src0's
+    target fraction ≈3.1 at sf0.01, so every src0 doc emits 3 full
+    epochs plus an md5-sampled partial fourth while src1 stays a
+    single partial epoch. The oracle replays the normalized
+    fractions, floor(), the epoch series, and the identity draw."""
+    from csp_spark.pipeline import repeat_to_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repeat_to_budget(
+        docs, {"src0": 5.0, "src1": 1.0}, 30_000, token_col="n_chars"
+    )
+    return out.select("doc_id", "source", "epoch", "target_frac")
+
+
+def _repeat_epochs_oracle_sql() -> str:
+    u = f"(({_hex13_sql(_SPLIT_MD5_42)}) + 0.5) / 4503599627370496.0"
+    return f"""
+WITH totals AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tok
+  FROM documents GROUP BY 1
+), fr AS (
+  SELECT source,
+    (30000.0 * (CASE source WHEN 'src0' THEN {5.0 / 6.0!r}
+      WHEN 'src1' THEN {1.0 / 6.0!r} END)) / tok AS f,
+    CAST(floor((30000.0 * (CASE source WHEN 'src0' THEN {5.0 / 6.0!r}
+      WHEN 'src1' THEN {1.0 / 6.0!r} END)) / tok) AS INT) AS n_full
+  FROM totals WHERE source IN ('src0', 'src1')
+)
+SELECT d.doc_id, d.source, CAST(t.epoch AS INT) AS epoch,
+  round(fr.f, 6) AS target_frac
+FROM documents d
+JOIN fr USING (source)
+CROSS JOIN (SELECT unnest(range(0, 1024)) AS epoch) t
+WHERE t.epoch <= fr.n_full
+  AND (t.epoch < fr.n_full
+       OR ({u}) < (fr.f - CAST(fr.n_full AS DOUBLE)))
+"""
+
+
 def doc_bpe_tokens(spark, sf_dir):
     """BPE tokenize (text/bpe.py): train 64 merges on the corpus
     sample, apply distributed; per-doc piece count + compression vs
@@ -3556,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_bpe_apply": doc_bpe_apply,
         "doc_mixture": doc_mixture,
+        "doc_repeat_epochs": doc_repeat_epochs,
         "sink_parquet_roundtrip": sink_parquet_roundtrip,
         "sink_csv_roundtrip": sink_csv_roundtrip,
         "sink_arrow_roundtrip": sink_arrow_roundtrip,
@@ -3643,10 +3686,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack", "doc_pack_fit", "doc_pack_manifest",
         "doc_incremental_dedup", "doc_token_ids",
         "ann_topk", "ann_pq_topk", "op_hot_key_running",
-        # (2) modules changed this round
+        # (2) modules changed this round + NEW query (first evidence)
         "ann_ivf_topk", "dyn_snap_attach", "dyn_cummax",
+        "doc_repeat_epochs",
         # (3) r6-evidence openers for the r9 rotation
-        "op_value_at", "op_times", "op_struct_field",
+        "op_value_at", "op_times",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -4369,6 +4413,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "doc_pack_fit": _pack_fit_oracle_sql(),
         "doc_weighted_sample": _weighted_sample_oracle_sql(),
         "doc_mixture": _mixture_oracle_sql(),
+        "doc_repeat_epochs": _repeat_epochs_oracle_sql(),
         "sink_parquet_roundtrip": """
 SELECT CAST(user_id AS VARCHAR) AS key,
   CAST(count(*) AS BIGINT) AS n,

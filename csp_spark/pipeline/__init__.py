@@ -15,6 +15,7 @@ from .sampling import (  # noqa: F401
     deterministic_sample,
     hash_split,
     mix_to_budget,
+    repeat_to_budget,
     split_uniform,
     stratified_sample,
     weighted_sample,

@@ -217,3 +217,69 @@ def mix_to_budget(
         df.join(F.broadcast(fr), group_col)
         .filter(split_uniform(F.col(id_col), seed) < F.col("keep_frac"))
     )
+
+
+def repeat_to_budget(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    token_budget: int | float,
+    token_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Mixture sampling WITH oversampling — the multi-epoch form of
+    :func:`mix_to_budget` (Pile table 1 / Llama data recipes repeat
+    small high-quality sources several times per training run): each
+    group's target fraction ``f_g = budget·w_g / tokens_g`` is NOT
+    clamped at 1 — a group emits ``floor(f_g)`` full epochs plus one
+    md5-sampled partial epoch of fraction ``f_g - floor(f_g)``, so
+    the emitted token mass approaches ``budget·w_g`` exactly. Groups
+    absent from ``weights`` are dropped. Output rows gain ``epoch``
+    (0-based; every full epoch repeats the whole group, the last
+    epoch is the deterministic md5 subset — the same identity draw as
+    every sampler here, so it is partition-independent and replayable
+    in SQL) and ``target_frac`` (f_g, 6dp).
+
+    Spark shape: ONE tiny per-group totals aggregate broadcast back,
+    then the corpus scan exploding ``sequence(0, floor(f_g))`` — the
+    row multiplier is exactly the epoch count, the corpus itself
+    never shuffles, and the filter fuses into the generate. floor()
+    agrees across engines because f_g is the same IEEE double in
+    both: literal·literal / exact-integer-total, one multiply and
+    one divide."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum positive")
+    norm = {k: v / wsum for k, v in weights.items()}
+    totals = df.groupBy(group_col).agg(
+        F.sum(token_col).cast("double").alias("__tok")
+    )
+    wmap = F.create_map(*[F.lit(x) for kv in norm.items() for x in kv])
+    f_g = (
+        F.lit(float(token_budget))
+        * F.try_element_at(wmap, F.col(group_col))
+        / F.col("__tok")
+    )
+    fr = totals.select(
+        group_col,
+        F.col("__tok"),
+        f_g.alias("__f"),
+    ).filter(F.col("__f").isNotNull())
+    n_full = F.floor(F.col("__f")).cast("int")
+    return (
+        df.join(F.broadcast(fr), group_col)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), n_full)).alias("epoch"),
+        )
+        .filter(
+            (F.col("epoch") < n_full)
+            | (
+                split_uniform(F.col(id_col), seed)
+                < (F.col("__f") - n_full.cast("double"))
+            )
+        )
+        .withColumn("target_frac", F.round(F.col("__f"), 6))
+        .drop("__tok", "__f")
+    )

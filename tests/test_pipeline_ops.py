@@ -1157,6 +1157,66 @@ def test_mix_to_budget(docs):
         mix_to_budget(docs, {"src0": 0.0}, 10, token_col="n_chars")
 
 
+def test_repeat_to_budget(docs):
+    """Multi-epoch mixture: a group whose target fraction exceeds 1
+    emits floor(f) full epochs plus one md5-sampled partial epoch;
+    fractions under 1 degenerate to mix_to_budget's single partial
+    epoch; every per-row decision replays from the md5 draw."""
+    import math
+
+    from csp_spark.pipeline import repeat_to_budget
+
+    totals = {r["source"]: r["tok"] for r in
+              docs.groupBy("source").agg(F.sum("n_chars").alias("tok")).collect()}
+    weights = {"src0": 5.0, "src1": 1.0}
+    wsum = sum(weights.values())
+    # budget sized so src0's target fraction lands well above 2 (multi
+    # epoch) while src1 stays fractional
+    budget = 3.0 * totals["src0"] * wsum / weights["src0"]
+    out = repeat_to_budget(docs, weights, budget, token_col="n_chars")
+    rows = out.collect()
+    assert set(r["source"] for r in rows) <= set(weights)
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    docs_all = docs.select("doc_id", "source").collect()
+    for r in docs_all:
+        if r["source"] not in weights:
+            assert r["doc_id"] not in by_doc
+            continue
+        f = budget * (weights[r["source"]] / wsum) / totals[r["source"]]
+        n_full = math.floor(f)
+        want = list(range(n_full))
+        if _md5_uniform(r["doc_id"], 42) < f - n_full:
+            want.append(n_full)
+        assert sorted(by_doc.get(r["doc_id"], [])) == want, r["doc_id"]
+    # src0 target ~3.0 ⇒ every src0 doc appears at least 3 times
+    f0 = budget * (weights["src0"] / wsum) / totals["src0"]
+    assert f0 >= 3.0
+    src0_ids = [r["doc_id"] for r in docs_all if r["source"] == "src0"]
+    assert all(len(by_doc[i]) >= 3 for i in src0_ids)
+    # emitted token mass per group ≈ budget share (within one partial
+    # epoch's sampling noise)
+    tok = {r["doc_id"]: r["n_chars"]
+           for r in docs.select("doc_id", "n_chars").collect()}
+    got0 = sum(tok[i] * len(by_doc[i]) for i in src0_ids)
+    want0 = budget * weights["src0"] / wsum
+    assert abs(got0 - want0) / want0 < 0.2
+    # target_frac column carries f (6dp)
+    fr = {r["source"]: r["target_frac"] for r in rows}
+    assert abs(fr["src0"] - round(f0, 6)) < 1e-9
+    # the corpus never shuffles: the only exchange is the tiny
+    # per-group totals aggregate, which broadcasts back (no
+    # sort-merge join of the corpus); audit the FINAL adaptive plan,
+    # not the "== Initial Plan ==" echo
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    with pytest.raises(ValueError, match="positive"):
+        repeat_to_budget(docs, {"src0": -1.0}, 10, token_col="n_chars")
+
+
 def test_cap_per_group(docs):
     from csp_spark.pipeline import cap_per_group
 
