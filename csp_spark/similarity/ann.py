@@ -259,6 +259,49 @@ def ivf_topk(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centers,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign vectors to an EXISTING coarse quantizer — the
+    incremental-index path: daily increments of a 100 TB corpus are
+    assigned against the frozen centroids (no re-train, no KMeans
+    fit-job) and appended to the partitioned index, e.g.
+    ``ivf_assign(new_batch, centers).write.mode("append")
+    .partitionBy("cell").parquet(path)`` — the layout
+    :func:`save_index` created and :func:`ivf_topk_indexed` prunes.
+
+    One Arrow-batched matmul per batch (the same encode discipline as
+    :func:`pq_index`): nearest centroid via the ``‖s‖²``-free form
+    ``argmin_c(‖c‖² − 2·s·c)`` computed as ``cn² − 2·V@Cᵀ`` — the
+    centers (n_cells×dim, tiny) travel in the closure, the corpus
+    never shuffles, and the per-row cost is one BLAS row of a
+    [batch, n_cells] matmul. (A pure-expression form — pq_encode_expr
+    with one full-dim codebook — compiles past janino's 64 KB method
+    cap only for small n_cells·dim; the matmul has no such cliff and
+    matches it bit-for-bit on the argmin.)"""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centers, dtype=np.float64)
+    cn2 = (C ** 2).sum(axis=1)
+    cols = list(embeddings.columns)
+    out_schema = StructType(
+        list(embeddings.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = cn2[None, :] - 2.0 * (V @ C.T)
+            pdf = pdf.copy()
+            pdf[out_col] = d2.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    return embeddings.select(*cols).mapInPandas(_assign, schema=out_schema)
+
+
 def save_index(
     indexed: DataFrame,
     path: str,

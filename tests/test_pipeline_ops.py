@@ -892,6 +892,47 @@ def test_saved_ivf_index_prunes_partitions(spark, emb, tmp_path):
     assert m.apply("numFiles").value() <= 3 * 4
 
 
+def test_ivf_assign_incremental_append(spark, emb, tmp_path):
+    """ivf_assign: new vectors land in the numpy-nearest cell of the
+    FROZEN quantizer via one Arrow-batched matmul per batch (no
+    KMeans job, no per-row Python), and appending the assigned
+    increment to a saved index keeps queries and partition pruning
+    working over the grown corpus."""
+    import numpy as np
+
+    from csp_spark.similarity import (
+        ivf_assign, ivf_index, ivf_topk_indexed, load_index, save_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    inc = emb.filter(F.col("vec_id") % 2 == 1)
+    indexed, centers = ivf_index(base, n_cells=8)
+    assigned = ivf_assign(inc, centers)
+    # exact agreement with the numpy nearest-centroid rule (margins on
+    # real data are far above ulp noise)
+    rows = assigned.select("vec_id", "embedding", "cell").collect()
+    for r in rows:
+        v = np.asarray(list(r["embedding"]), dtype=np.float64)
+        d2 = ((centers - v) ** 2).sum(axis=1)
+        assert int(d2.argmin()) == r["cell"], r["vec_id"]
+    # one Arrow exchange (MapInPandas), never a row-at-a-time UDF
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    # append the assigned increment to the saved layout; the grown
+    # index still answers and still prunes
+    path = str(tmp_path / "ivf_inc")
+    save_index(indexed, path, partition_col="cell", centers=centers)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    df, centers2 = load_index(spark, path)
+    assert df.count() == emb.count()
+    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
+    got = ivf_topk_indexed(df, centers2, q, k=10, n_probe=3)
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters")[1][:200]
+
+
 def test_bucketed_tables_eliminate_join_shuffle(spark, tmp_path):
     """Two tables bucketed the same way on the join key plan their
     join with ZERO exchanges (the write-once co-location contract);
@@ -1833,3 +1874,39 @@ def test_new_op_plan_shapes(spark, docs, emb):
 
     sd = DD.semdedup(emb, eps=0.9, n_clusters=4, keep="min_id")
     assert "CartesianProduct" not in sd._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_artifact_topk_plan_shape(spark, emb):
+    """The r8 artifact-replay IVF query (driver ann_ivf_topk): the
+    probed-ids ⋈ embeddings join must broadcast the small probed side
+    (never sort-merge or cartesian the corpus) and the top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from csp_spark.similarity import ivf_index
+    from csp_spark.similarity.ann import cosine
+
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    indexed, centers = ivf_index(emb, n_cells=8)
+    qv = np.asarray(list(q), dtype=np.float64)
+    probes = [int(c) for c in
+              np.argsort(((centers - qv) ** 2).sum(axis=1))[:2]]
+    cells = indexed.select(
+        "vec_id", F.col("cell").isin(probes).alias("probed")
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in qv])
+    out = (
+        cells.filter("probed").select("vec_id")
+        .join(emb, "vec_id")
+        .select("vec_id",
+                F.round(cosine(F.col("embedding"), qlit), 6)
+                .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    )
+    out.collect()
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
