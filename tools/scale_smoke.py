@@ -76,6 +76,10 @@ QUERIES = [
     "doc_gopher",
     "doc_c4",
     "doc_dsir",
+    # r8 addition: multi-epoch mixture (tiny totals aggregate + an
+    # explode whose row multiplier is the epoch count — linear in
+    # docs x epochs)
+    "doc_repeat_epochs",
 ]
 
 
