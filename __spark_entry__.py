@@ -16,6 +16,7 @@ converts), so ts values and window membership agree exactly.
 from __future__ import annotations
 
 import datetime as dt
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2128,9 +2129,12 @@ def stats_sampler(spark, sf_dir):
 
 
 #: the persisted IVF cell assignment ann_ivf_topk's oracle replays
-#: from (the driver always runs the Spark query before its oracle, so
-#: the artifact is fresh for the same sf)
-_IVF_CELLS_PATH = "/tmp/csp_spark_ivf_cells.parquet"
+#: from. pid-scoped: the harness (driver or check tool) imports this
+#: module once and runs query-then-oracle in the same process, so the
+#: oracle string embeds the same per-process path — a concurrent
+#: harness at another sf writes its OWN artifact and cannot race this
+#: one's plan re-execution or oracle read
+_IVF_CELLS_PATH = f"/tmp/csp_spark_ivf_cells_{os.getpid()}.parquet"
 
 
 def ann_ivf_topk(spark, sf_dir):
@@ -2344,7 +2348,8 @@ SELECT d.doc_id, d.source, CAST(t.epoch AS INT) AS epoch,
   round(fr.f, 6) AS target_frac
 FROM documents d
 JOIN fr USING (source)
-CROSS JOIN (SELECT unnest(range(0, 1024)) AS epoch) t
+CROSS JOIN (SELECT unnest(range(0,
+    (SELECT CAST(max(n_full) + 1 AS BIGINT) FROM fr))) AS epoch) t
 WHERE t.epoch <= fr.n_full
   AND (t.epoch < fr.n_full
        OR ({u}) < (fr.f - CAST(fr.n_full AS DOUBLE)))

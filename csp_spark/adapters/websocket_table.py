@@ -456,6 +456,17 @@ class WebsocketTableAdapter:
         if end is not None:
             wide = wide.filter(F.col(TS) <= F.lit(end))
         limit = getattr(table, "limit", None)
+
+        def to_updates(rows) -> list[dict]:
+            out = []
+            for r in rows:
+                data = {
+                    c: r[chan[c]] for c in names if r[chan[c]] is not None
+                }
+                if data:
+                    out.append(data)
+            return out
+
         if table.index is not None:
             # indexed table: the snapshot is one MERGED row per index
             # value — for every column, the last non-null tick for
@@ -492,16 +503,8 @@ class WebsocketTableAdapter:
                 grouped = grouped.orderBy(F.desc("__last")).limit(
                     int(limit)
                 )
-            rows = grouped.orderBy("__last").collect()
-            out = []
-            for r in rows:
-                data = {
-                    c: r[chan[c]] for c in names if r[chan[c]] is not None
-                }
-                if data:
-                    out.append(data)
-            return out
-        if limit is not None and table.index is None:
+            return to_updates(grouped.orderBy("__last").collect())
+        if limit is not None:
             # perspective Table(limit=) ring semantics: only the
             # trailing `limit` updates can survive in the snapshot, so
             # push the tail-N into the plan — desc orderBy + limit is
@@ -516,15 +519,7 @@ class WebsocketTableAdapter:
                 .orderBy(F.desc(TS), F.desc(SEQ), F.desc(KEY))
                 .limit(int(limit))
             )
-        rows = wide.orderBy(TS, SEQ, KEY).collect()
-        out = []
-        for r in rows:
-            data = {
-                c: r[chan[c]] for c in names if r[chan[c]] is not None
-            }
-            if data:
-                out.append(data)
-        return out
+        return to_updates(wide.orderBy(TS, SEQ, KEY).collect())
 
     def flush(self) -> None:
         """Deliver every published tick (engine order) to the manager

@@ -248,6 +248,11 @@ def repeat_to_budget(
     agrees across engines because f_g is the same IEEE double in
     both: literal·literal / exact-integer-total, one multiply and
     one divide."""
+    if any(v < 0 for v in weights.values()):
+        # a negative weight would make f negative: floor(f) < 0 turns
+        # sequence(0, n_full) DESCENDING and emits negative epochs
+        # (mix_to_budget's clamp path just drops such groups)
+        raise ValueError("weights must be non-negative")
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum positive")

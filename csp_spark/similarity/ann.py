@@ -284,6 +284,12 @@ def ivf_assign(
     matches it bit-for-bit on the argmin.)"""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if out_col in embeddings.columns:
+        raise ValueError(
+            f"ivf_assign: input already has a column {out_col!r} — "
+            "drop it (e.g. load_index(...)[0].drop('cell')) before "
+            "re-assigning, or pass a different out_col"
+        )
     C = np.asarray(centers, dtype=np.float64)
     cn2 = (C ** 2).sum(axis=1)
     cols = list(embeddings.columns)

@@ -129,11 +129,13 @@ def main() -> None:
     q = list(emb.filter(F.col("vec_id") == 0)
              .select("embedding").first()[0])
     top = ivf_topk_indexed(df1, centers1, q, k=5, n_probe=2)
+    rows = top.collect()
     print(f"index now {df1.count()} vectors; top-5 for vec 0:")
-    for r in top.collect():
+    for r in rows:
         print(f"  vec {r['vec_id']}: cos {r['cos_sim']}")
-    qv = np.asarray(q)
-    assert abs(float(qv @ qv) / (np.linalg.norm(qv) ** 2) - 1.0) < 1e-9
+    # vec 0 was indexed on day 0 — the grown index must still return
+    # it as its own exact nearest neighbour
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
 
 
 if __name__ == "__main__":

@@ -1254,8 +1254,11 @@ def test_repeat_to_budget(docs):
             .split("== Initial Plan ==")[0])
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    with pytest.raises(ValueError, match="non-negative"):
+        repeat_to_budget(docs, {"src0": -1.0, "src1": 3.0}, 10,
+                         token_col="n_chars")
     with pytest.raises(ValueError, match="positive"):
-        repeat_to_budget(docs, {"src0": -1.0}, 10, token_col="n_chars")
+        repeat_to_budget(docs, {"src0": 0.0}, 10, token_col="n_chars")
 
 
 def test_cap_per_group(docs):
