@@ -3107,6 +3107,65 @@ def stats_ohlc_bars(spark, sf_dir):
     )
 
 
+def op_sessionize(spark, sf_dir):
+    """Gap-based sessionization (stats/resample.py sessionize — the
+    stateful last-seen-time @csp.node pattern as one key shuffle +
+    two window passes): 4-hour inactivity gap over the events stream
+    (a tick at exactly last+gap joins — native session_window's
+    closed-boundary rule, so the streaming twin session_bars_stream
+    agrees at boundaries), rolled up per session. The oracle replays
+    lag + running boundary sum + the session aggregate in SQL."""
+    import datetime as dt_
+
+    from csp_spark.stats import sessionize
+
+    x = _events_stream(spark, sf_dir)
+    s = sessionize(x, dt_.timedelta(hours=4))
+    vd = F.col(s.value_col).cast(_DEC)
+    return (
+        s.df.groupBy(
+            F.col(KEY).cast("long").alias("user_id"),
+            F.col("session_idx"),
+        )
+        .agg(
+            F.min(TS).alias("session_start"),
+            F.max(TS).alias("session_end"),
+            (F.unix_micros(F.max(TS)) - F.unix_micros(F.min(TS)))
+            .alias("duration_us"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(F.sum(vd).cast("double"), 6).alias("sum_v"),
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v FROM events
+), lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS prev_ts
+  FROM e
+), b AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+      OR epoch_us(ts) - epoch_us(prev_ts) > 14400000000
+    THEN 1 ELSE 0 END AS brk
+  FROM lagged
+), s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+    AS session_idx
+  FROM b
+)
+SELECT user_id, session_idx,
+  min(ts) AS session_start, max(ts) AS session_end,
+  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+  count(*) AS n_ticks,
+  round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_v
+FROM s GROUP BY 1, 2
+"""
+
+
 def _ohlc_oracle_sql() -> str:
     return """
 WITH t AS (
@@ -3651,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": doc_incremental_dedup,
         "op_asof_directions": op_asof_directions,
         "stats_ohlc_bars": stats_ohlc_bars,
+        "op_sessionize": op_sessionize,
         "doc_pack_manifest": doc_pack_manifest,
         "doc_token_ids": doc_token_ids,
         "doc_repeated_spans": doc_repeated_spans,
@@ -3693,9 +3753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk", "ann_pq_topk", "op_hot_key_running",
         # (2) modules changed this round + NEW query (first evidence)
         "ann_ivf_topk", "dyn_snap_attach", "dyn_cummax",
-        "doc_repeat_epochs",
-        # (3) r6-evidence openers for the r9 rotation
-        "op_value_at", "op_times",
+        "doc_repeat_epochs", "op_sessionize",
+        # (3) r6-evidence opener for the r9 rotation
+        "op_value_at",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -4408,6 +4468,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "doc_incremental_dedup": _incremental_oracle_sql(),
         "op_asof_directions": _asof_directions_oracle_sql(),
         "stats_ohlc_bars": _ohlc_oracle_sql(),
+        "op_sessionize": _SESSIONIZE_ORACLE,
         "doc_pack_manifest": _pack_manifest_oracle_sql(),
         "doc_token_ids": _token_ids_oracle_sql(),
         "ann_pq_topk": _pq_oracle_sql(),

@@ -62,3 +62,72 @@ def ohlc_bars(
             F.avg(v).alias("mean"),
         )
     )
+
+
+def sessionize(
+    x: TickStream,
+    gap: _dt.timedelta,
+    out_col: str = "session_idx",
+) -> TickStream:
+    """Gap-based sessionization: per key, a tick starts a NEW session
+    when MORE than ``gap`` elapsed since the key's previous tick — a
+    tick at exactly ``last + gap`` still joins, the closed-boundary
+    rule of Spark's native session_window (probed: an event at
+    last+gap merges, last+gap+1µs splits), so the streaming twin
+    matches at exact-boundary ticks too (same-timestamp cycles always
+    share a session). Adds ``out_col``
+    (0-based session index per key, in engine order) to every tick —
+    the classic event-analytics primitive the reference expresses as
+    a stateful @csp.node holding last-seen time.
+
+    Plan: ONE shuffle on the key, then two in-partition window passes
+    (lag + running sum of boundary flags) — no per-session state on
+    the driver, sessions never cross keys so a 10^9-key stream is
+    pure parallelism. The streaming twin is Spark's native
+    ``F.session_window`` aggregate (streaming/ops.py
+    session_ticks_stream)."""
+    from pyspark.sql import Window
+
+    if gap <= _dt.timedelta(0):
+        raise ValueError("gap must be positive")
+    w = Window.partitionBy(KEY).orderBy(TS, SEQ)
+    gap_us = int(gap.total_seconds() * 1_000_000)
+    prev = F.lag(F.col(TS)).over(w)
+    boundary = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(TS)) - F.unix_micros(prev) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    df = x.df.withColumn("__b", boundary).withColumn(
+        out_col,
+        F.sum("__b").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.lit(1),
+    ).drop("__b")
+    return x.with_df(df)
+
+
+def session_bars(
+    x: TickStream,
+    gap: _dt.timedelta,
+) -> DataFrame:
+    """Per-session aggregate over :func:`sessionize`: one row per
+    (key, session) with start/end, duration, tick count, first/last
+    value, and sum — the session-level rollup (a hash-aggregate over
+    the sessionized ticks; same single key shuffle, reused)."""
+    s = sessionize(x, gap)
+    v = F.col(s.value_col)
+    order = F.struct(F.col(TS), F.col(SEQ))
+    return (
+        s.df.groupBy(F.col(KEY), F.col("session_idx"))
+        .agg(
+            F.min(F.col(TS)).alias("session_start"),
+            F.max(F.col(TS)).alias("session_end"),
+            (F.unix_micros(F.max(F.col(TS)))
+             - F.unix_micros(F.min(F.col(TS)))).alias("duration_us"),
+            F.count(v).alias("n_ticks"),
+            F.min_by(v, order).alias("first_v"),
+            F.max_by(v, order).alias("last_v"),
+            F.sum(v).alias("sum_v"),
+        )
+    )

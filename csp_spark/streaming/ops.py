@@ -393,6 +393,46 @@ def ohlc_bars_stream(
     )
 
 
+def session_bars_stream(
+    x: DataFrame,
+    gap: _dt.timedelta,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based session aggregates over a stream — the realtime twin
+    of stats/resample.session_bars, built on Spark's NATIVE
+    ``session_window`` aggregate: per key, a session extends while
+    ticks arrive within ``gap`` of each other and finalizes when the
+    watermark passes ``last tick + gap``. State = one open session
+    per key, dropped at finalization — the exact stateful-node
+    semantics the reference writes by hand, with the state store
+    managed by the engine.
+
+    Column parity with the batch form except the 0-based
+    ``session_idx`` (a streaming aggregate has no per-key running
+    index; sessions are identified by their start time instead).
+    Equality-tested against session_bars over the same rows."""
+    if gap <= _dt.timedelta(0):
+        raise ValueError("gap must be positive")
+    v = F.col(VALUE)
+    order = F.struct(F.col(TS), F.col(SEQ))
+    secs = gap.total_seconds()
+    return (
+        x.withWatermark(TS, watermark)
+        .groupBy(F.col(KEY), F.session_window(F.col(TS), f"{secs} seconds"))
+        .agg(
+            F.min(F.col(TS)).alias("session_start"),
+            F.max(F.col(TS)).alias("session_end"),
+            (F.unix_micros(F.max(F.col(TS)))
+             - F.unix_micros(F.min(F.col(TS)))).alias("duration_us"),
+            F.count(v).alias("n_ticks"),
+            F.min_by(v, order).alias("first_v"),
+            F.max_by(v, order).alias("last_v"),
+            F.sum(v).alias("sum_v"),
+        )
+        .drop("session_window")
+    )
+
+
 def incremental_dedup_stream(
     docs: DataFrame,
     corpus_path: str,

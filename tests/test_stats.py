@@ -384,6 +384,59 @@ def test_ohlc_bars(spark):
         ohlc_bars(x, dt.timedelta(0))
 
 
+def test_sessionize_and_session_bars(spark):
+    """Gap sessionization: per-key 0-based session indexes break
+    exactly where the inter-tick gap exceeds the threshold
+    (same-timestamp cycles share a session; keys never interact), and
+    the session rollup carries (ts, seq)-ordered first/last. Every
+    index is replayed by a pure-python scan."""
+    import datetime as dt
+
+    from csp_spark.stats import session_bars, sessionize
+
+    S = dt.datetime(2020, 1, 1)
+    rows = [
+        ("a", S + dt.timedelta(seconds=0), 0, 1.0),
+        ("a", S + dt.timedelta(seconds=5), 0, 2.0),
+        ("a", S + dt.timedelta(seconds=5), 1, 8.0),   # same ts cycle
+        ("a", S + dt.timedelta(seconds=16), 0, 3.0),  # gap 11 > 10
+        ("a", S + dt.timedelta(seconds=26), 0, 4.0),  # gap 10 == 10
+        ("b", S + dt.timedelta(seconds=40), 0, 9.0),  # own key
+    ]
+    x = TickStream(spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"))
+    gap = dt.timedelta(seconds=10)
+    got = {(r["key"], r["ts"], r["seq"]): r["session_idx"]
+           for r in sessionize(x, gap).df.collect()}
+    # pure-python replay
+    want, last = {}, {}
+    for k, t, q, _v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        idx, lt = last.get(k, (-1, None))
+        if lt is None or (t - lt) > gap:  # native session_window rule
+            idx += 1
+        last[k] = (idx, t)
+        want[(k, t, q)] = idx
+    assert got == want
+    assert got[("a", S + dt.timedelta(seconds=16), 0)] == 1
+    assert got[("a", S + dt.timedelta(seconds=26), 0)] == 1  # == gap JOINS
+    # (native session_window's closed boundary: last+gap merges)
+    assert got[("b", S + dt.timedelta(seconds=40), 0)] == 0
+
+    bars = {(r["key"], r["session_idx"]): r
+            for r in session_bars(x, gap).collect()}
+    b = bars[("a", 0)]
+    assert (b["n_ticks"], b["first_v"], b["last_v"], b["sum_v"]) == \
+        (3, 1.0, 8.0, 11.0)
+    assert b["session_start"] == S and \
+        b["session_end"] == S + dt.timedelta(seconds=5)
+    assert b["duration_us"] == 5_000_000
+    b1 = bars[("a", 1)]
+    assert (b1["n_ticks"], b1["first_v"], b1["last_v"]) == (2, 3.0, 4.0)
+    assert bars[("b", 0)]["n_ticks"] == 1
+    with pytest.raises(ValueError, match="positive"):
+        sessionize(x, dt.timedelta(0))
+
+
 def test_functional_stats_surface(spark, ticks):
     """The reference-shaped functional API (csp.stats.mean(x, interval,
     ...)) adapts onto the Rolling engine: values equal the fluent

@@ -916,6 +916,51 @@ def test_ohlc_bars_stream_matches_batch(spark, landing):
         assert math.isclose(g[5], v[5], rel_tol=1e-12)
 
 
+def test_session_bars_stream_matches_batch(spark, landing):
+    """Streaming gap sessions (native session_window) equal the batch
+    session_bars rollup over the same rows — including at exact-gap
+    boundaries, where both follow native session_window's closed
+    boundary (a tick at last+gap joins). session_idx is batch-only (no running per-key index in a
+    streaming aggregate), so sessions compare by (key, start)."""
+    from csp_spark.stats import session_bars
+    from csp_spark.streaming import session_bars_stream
+
+    # bursty ticks: per key three bursts (intra-burst deltas < gap)
+    # separated by idle stretches, plus one exact-gap boundary pair
+    rows = []
+    for ki, k in enumerate(("a", "b")):
+        sec = [0, 2, 3, 20, 21, 40, 47]  # 40->47 exactly gap: JOINS
+        rows += [(k, START + dt.timedelta(seconds=s + ki), i, float(i))
+                 for i, s in enumerate(sec)]
+    rows.sort(key=lambda r: (r[1], r[0]))
+    d = landing[0].rstrip("*/").rstrip("/") + "_sess"
+    for i in range(3):
+        chunk = rows[i * 5: (i + 1) * 5] or rows[-1:]
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/chunk{i}.parquet")
+    path = d + "/*/"
+    stream = file_ticks(
+        spark, path, SCHEMA, ts_col="ts", value_col="value", key_col="key",
+        max_files_per_trigger=1,
+    )
+    gap = dt.timedelta(seconds=7)
+    cols = ("session_end", "duration_us", "n_ticks",
+            "first_v", "last_v", "sum_v")
+    got = {(r[KEY], r["session_start"]): tuple(r[c] for c in cols)
+           for r in collect_stream(
+               session_bars_stream(stream, gap), output_mode="complete"
+           ).collect()}
+    ref = {(r["key"], r["session_start"]): tuple(r[c] for c in cols)
+           for r in session_bars(
+               TickStream(spark.createDataFrame(rows, SCHEMA)), gap
+           ).collect()}
+    assert len(got) == len(ref) > 2
+    for k, v in ref.items():
+        g = got[k]
+        assert g[:5] == v[:5], k
+        assert math.isclose(g[5], v[5], rel_tol=1e-12)
+
+
 def test_incremental_dedup_stream_matches_batch_loop(spark, tmp_path):
     """Streaming rolling-corpus dedup over two microbatch waves lands
     exactly the corpus the sequential batch loop builds: duplicates of
