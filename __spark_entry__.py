@@ -2177,6 +2177,38 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def ann_hard_negatives(spark, sf_dir):
+    """Per-anchor hard-negative mining (similarity/ann.py
+    hard_negatives — Robinson et al. 2021): top-3 most-similar other
+    vectors per anchor, near-dups above 0.99 excluded as false
+    negatives. n_clusters=1 = the exact all-pairs form, so the oracle
+    replays every pair's cosine, the eps exclusion, and the
+    rounded-rank window with id tiebreak in SQL; the clustered
+    production path (cell-bounded candidates) is agreement- and
+    containment-tested in tests/test_pipeline_ops.py."""
+    from csp_spark.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, k=3, n_clusters=1, exclude_eps=0.99)
+
+
+_HARD_NEG_ORACLE = """
+WITH p AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS negative,
+    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+      AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT anchor, negative, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY anchor
+      ORDER BY cos_sim DESC, negative) AS INT) AS rank
+  FROM p WHERE cos_sim < 0.99
+) WHERE rank <= 3
+"""
+
+
 def ann_ivf_exact(spark, sf_dir):
     # IVF with n_probe = n_cells scans every cell, so the result must
     # equal exact brute-force cosine top-k regardless of where KMeans
@@ -3711,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_asof_directions": op_asof_directions,
         "stats_ohlc_bars": stats_ohlc_bars,
         "op_sessionize": op_sessionize,
+        "ann_hard_negatives": ann_hard_negatives,
         "doc_pack_manifest": doc_pack_manifest,
         "doc_token_ids": doc_token_ids,
         "doc_repeated_spans": doc_repeated_spans,
@@ -3753,9 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk", "ann_pq_topk", "op_hot_key_running",
         # (2) modules changed this round + NEW query (first evidence)
         "ann_ivf_topk", "dyn_snap_attach", "dyn_cummax",
-        "doc_repeat_epochs", "op_sessionize",
-        # (3) r6-evidence opener for the r9 rotation
-        "op_value_at",
+        "doc_repeat_epochs", "op_sessionize", "ann_hard_negatives",
     ]
     o = oracle_sql()
     front = {k: q[k] for k in priority if k in q}
@@ -4469,6 +4500,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "op_asof_directions": _asof_directions_oracle_sql(),
         "stats_ohlc_bars": _ohlc_oracle_sql(),
         "op_sessionize": _SESSIONIZE_ORACLE,
+        "ann_hard_negatives": _HARD_NEG_ORACLE,
         "doc_pack_manifest": _pack_manifest_oracle_sql(),
         "doc_token_ids": _token_ids_oracle_sql(),
         "ann_pq_topk": _pq_oracle_sql(),

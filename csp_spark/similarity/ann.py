@@ -308,6 +308,72 @@ def ivf_assign(
     return embeddings.select(*cols).mapInPandas(_assign, schema=out_schema)
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    exclude_eps: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    cap: int = 20_000,
+) -> DataFrame:
+    """Per-anchor hard-negative mining for contrastive/embedding
+    training: for every vector, the ``k`` most-cosine-similar OTHER
+    vectors in its cell — the informative negatives (Robinson et al.
+    2021, arXiv:2010.04592) — optionally excluding pairs at or above
+    ``exclude_eps`` (semantic near-duplicates are false negatives;
+    feed those to :func:`csp_spark.dedup.semdedup` instead).
+
+    Scale shape: candidates are CELL-BOUNDED (the SemDeDup
+    discipline — sum |cell|² not N², KMeans on the md5 identity
+    sample, degenerate cells star-capped), then one rank window
+    partitioned by anchor. Ranking is on the 6dp-ROUNDED similarity
+    with neg-id tiebreak, so an external engine replays the exact
+    boundary (the doc_dsir discipline). ``n_clusters=1`` degenerates
+    to the exact all-pairs top-k — the SQL-checkable oracle case.
+
+    Returns (anchor, negative, cos_sim, rank), rank 1-based."""
+    from pyspark.sql import Window
+
+    from ..dedup.dedup import _capped_bucket_pairs
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if n_clusters <= 1:
+        cells = base.withColumn("cell", F.lit(0))
+    else:
+        cells, _ = ivf_index(
+            base, n_cells=n_clusters, id_col="id", vec_col="v", seed=seed
+        )
+    rows = cells.select(
+        "id", "cell", "v",
+        F.xxhash64(F.col("v").cast("string")).alias("__sigh"),
+    )
+    pairs = _capped_bucket_pairs(
+        rows, ["cell"], cap, "hard_negatives", payload=("v",)
+    ).withColumn("__cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+    if exclude_eps is not None:
+        pairs = pairs.filter(F.col("__cos") < F.lit(float(exclude_eps)))
+    # symmetrize: every undirected candidate serves both anchors
+    directed = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("negative"),
+        F.col("__cos").alias("cos_sim"),
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("anchor"), F.col("id_a").alias("negative"),
+        F.col("__cos").alias("cos_sim"),
+    ))
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("cos_sim"), F.col("negative")
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
 def save_index(
     indexed: DataFrame,
     path: str,

@@ -892,6 +892,46 @@ def test_saved_ivf_index_prunes_partitions(spark, emb, tmp_path):
     assert m.apply("numFiles").value() <= 3 * 4
 
 
+def test_hard_negatives(spark, emb):
+    """Hard-negative mining: n_clusters=1 equals the exact numpy
+    all-pairs top-k on the 6dp-rounded cosine with id tiebreak;
+    exclude_eps removes near-dup 'false negatives'; the clustered
+    form only ever pairs within a cell."""
+    import numpy as np
+
+    from csp_spark.similarity import hard_negatives, ivf_index
+
+    K = 3
+    got = {}
+    for r in hard_negatives(emb, k=K, n_clusters=1).collect():
+        got.setdefault(r["anchor"], []).append(
+            (r["rank"], r["negative"], r["cos_sim"]))
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    for i, a in enumerate(ids):
+        cand = sorted(
+            ((-S[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        )[:K]
+        want = [(rk + 1, int(nid), float(-negc))
+                for rk, (negc, nid) in enumerate(cand)]
+        assert sorted(got[int(a)]) == want, a
+    # exclude_eps drops the planted-style exact dup pairs (cos >= eps)
+    ex = hard_negatives(emb, k=K, n_clusters=1, exclude_eps=0.99)
+    assert all(r["cos_sim"] < 0.99 for r in ex.collect())
+    # clustered form: every (anchor, negative) pair shares a cell
+    hn = hard_negatives(emb, k=K, n_clusters=4)
+    indexed, _ = ivf_index(
+        emb.selectExpr("vec_id as id", "cast(embedding as array<double>) as v"),
+        n_cells=4, id_col="id", vec_col="v")
+    cell = {r["id"]: r["cell"] for r in indexed.select("id", "cell").collect()}
+    prs = hn.select("anchor", "negative").collect()
+    assert len(prs) > 0
+    assert all(cell[r["anchor"]] == cell[r["negative"]] for r in prs)
+
+
 def test_ivf_assign_incremental_append(spark, emb, tmp_path):
     """ivf_assign: new vectors land in the numpy-nearest cell of the
     FROZEN quantizer via one Arrow-batched matmul per batch (no
