@@ -3763,10 +3763,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    oracle — leaves the rows-only set), dyn_snap_attach +
     #    dyn_cummax (plans/runtime.py grew the _DYNAMIC_MAX_KEYS spawn
     #    guard on their path);
-    # 3. three r6-evidence openers for the r9 rotation.
+    # 3. the three NEW r8 queries needing first driver evidence:
+    #    doc_repeat_epochs (multi-epoch mixture), op_sessionize (gap
+    #    sessions), ann_hard_negatives (hard-negative mining).
     # That fills exactly 50; after this round no query's latest driver
-    # evidence predates r6. Everything else held green in r6/r7 under
-    # code untouched since.
+    # evidence predates r6 (the r6 block — op_value_at/op_times/
+    # src_curve/the stats r6 set — opens the r9 rotation). Everything
+    # else held green in r6/r7 under code untouched since.
     priority = [
         # (1) the r5-evidence block, wholesale
         "op_count", "op_accum", "op_diff", "op_delay", "op_firstn",
