@@ -80,6 +80,9 @@ QUERIES = [
     # explode whose row multiplier is the epoch count — linear in
     # docs x epochs)
     "doc_repeat_epochs",
+    # r8 addition: gap sessionization (one key shuffle + two window
+    # passes — keys scale with the data, sessions are parallelism)
+    "op_sessionize",
 ]
 
 
@@ -195,6 +198,22 @@ def main() -> None:
     flag = "" if norm < 2 else "  <-- SUPERLINEAR (cell pair blowup)"
     print(f"semdedup_clustered       m={sem_sizes[0]}: {sem_times[0]:6.2f}s   "
           f"m={sem_sizes[1]}: {sem_times[1]:6.2f}s  normalized ratio {norm:4.2f}{flag}")
+
+    # hard-negative mining rides the same cell-bounded pair generator:
+    # clusters ∝ corpus (cell size ~constant) must stay ~linear
+    from csp_spark.similarity import hard_negatives
+
+    hn_times = []
+    for m in sem_sizes:
+        t0 = time.time()
+        hard_negatives(
+            _emb_scaled(m), k=5, n_clusters=8 * m, id_col="vec_id"
+        ).count()
+        hn_times.append(time.time() - t0)
+    norm = (hn_times[1] / hn_times[0]) / (sem_sizes[1] / sem_sizes[0])
+    flag = "" if norm < 2 else "  <-- SUPERLINEAR (cell pair blowup)"
+    print(f"hard_negatives_clustered m={sem_sizes[0]}: {hn_times[0]:6.2f}s   "
+          f"m={sem_sizes[1]}: {hn_times[1]:6.2f}s  normalized ratio {norm:4.2f}{flag}")
 
     qs = E.queries()
     for name in QUERIES:
