@@ -464,3 +464,39 @@ def test_values_times_at_policies_match_python_replay(
             keyk = (k, now_ts, now_seq)
             assert got_v[keyk] == vals, (keyk, sp, ep)
             assert got_t[keyk] == tss, (keyk, sp, ep)
+
+
+@given(
+    rows=rows_strategy,
+    gap_s=st.sampled_from([1, 2, 5]),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_pure_python(spark, rows, gap_s):
+    """sessionize == the pure-python last-seen-time scan on arbitrary
+    tick patterns, including exact-gap boundaries (integer-second
+    offsets with gap in seconds make boundary hits common): a tick at
+    exactly last+gap JOINS (native session_window's closed boundary),
+    strictly later splits; same-timestamp cycles share a session;
+    keys never interact. Session indexes per key are 0-based and
+    contiguous."""
+    from csp_spark.stats import sessionize
+
+    x, data = _mk(spark, rows)
+    gap = dt.timedelta(seconds=gap_s)
+    got = {(r[KEY], r[TS], r[SEQ]): r["session_idx"]
+           for r in sessionize(x, gap).df.collect()}
+    last: dict = {}
+    want = {}
+    for k, t, q, _v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        idx, lt = last.get(k, (-1, None))
+        if lt is None or (t - lt) > gap:
+            idx += 1
+        last[k] = (idx, t)
+        want[(k, t, q)] = idx
+    assert got == want
+    # contiguity: indexes per key form 0..max with no holes
+    per_key: dict = {}
+    for (k, _t, _q), i in got.items():
+        per_key.setdefault(k, set()).add(i)
+    for k, s in per_key.items():
+        assert s == set(range(max(s) + 1)), k
