@@ -522,8 +522,12 @@ class WebsocketTableAdapter:
         return to_updates(wide.orderBy(TS, SEQ, KEY).collect())
 
     def flush(self) -> None:
-        """Deliver every published tick (engine order) to the manager
-        — snapshots update and live subscribers receive upd frames."""
+        """Deliver the published tables to the manager — snapshots
+        update and live subscribers receive upd frames. Unindexed
+        tables replay every tick in engine order (tail-N when a ring
+        limit is set); INDEXED tables deliver the plan-side merged
+        snapshot — one upd per index value (per-column last non-null
+        tick), not the per-cycle history."""
         self._armed = False
         self.start()
         for name, table in self._tables.items():

@@ -202,10 +202,12 @@ def mix_to_budget(
     # try_element_at: NULL (not an ANSI error) for unweighted groups;
     # the when() gate matters because least(1.0, NULL) skips NULLs
     # and would keep unweighted groups WHOLE instead of dropping them
-    raw = (
+    # try_divide: a weighted zero-token group is NULL → dropped (no
+    # ANSI DIVIDE_BY_ZERO), same contract as repeat_to_budget
+    raw = F.try_divide(
         F.lit(float(token_budget))
-        * F.try_element_at(wmap, F.col(group_col))
-        / F.col("__tok")
+        * F.try_element_at(wmap, F.col(group_col)),
+        F.col("__tok"),
     )
     fr = totals.select(
         group_col,
@@ -261,10 +263,13 @@ def repeat_to_budget(
         F.sum(token_col).cast("double").alias("__tok")
     )
     wmap = F.create_map(*[F.lit(x) for kv in norm.items() for x in kv])
-    f_g = (
+    # try_divide: a weighted group whose token sum is 0 yields NULL
+    # (not an ANSI DIVIDE_BY_ZERO, not an Infinity epoch count) and is
+    # dropped by the isNotNull filter — it has no token mass to emit
+    f_g = F.try_divide(
         F.lit(float(token_budget))
-        * F.try_element_at(wmap, F.col(group_col))
-        / F.col("__tok")
+        * F.try_element_at(wmap, F.col(group_col)),
+        F.col("__tok"),
     )
     fr = totals.select(
         group_col,

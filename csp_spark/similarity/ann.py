@@ -343,6 +343,12 @@ def hard_negatives(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if n_clusters <= 1:
+        # the exact-all-pairs contract of this mode must not be
+        # silently star-capped past `cap`: raise the cap to the corpus
+        # size (one cheap count — this is the oracle/small-corpus
+        # form; the clustered path below keeps the degenerate-cell
+        # guard)
+        cap = max(cap, base.count())
         cells = base.withColumn("cell", F.lit(0))
     else:
         cells, _ = ivf_index(

