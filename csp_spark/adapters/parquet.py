@@ -97,7 +97,7 @@ class ParquetReader:
         if self.time_shift is not None:
             from pyspark.sql import functions as F
 
-            us = int(self.time_shift.total_seconds() * 1e6)
+            us = self.time_shift // _dt.timedelta(microseconds=1)
             df = df.withColumn(
                 self.time_column,
                 F.timestamp_micros(

@@ -25,6 +25,7 @@ by semantics — as they are in the reference's single-threaded engine.
 
 from __future__ import annotations
 
+import datetime as _dt
 from functools import reduce
 from typing import Mapping, Sequence
 
@@ -262,7 +263,7 @@ def asof_join(
         # tolerances in scientific notation, which the INTERVAL literal
         # parser rejects (delay/timer use the same µs form)
         F.expr(
-            f"INTERVAL {int(tolerance.total_seconds() * 1_000_000)} "
+            f"INTERVAL {tolerance // _dt.timedelta(microseconds=1)} "
             "MICROSECONDS"
         )
         if tolerance is not None

@@ -197,7 +197,7 @@ def _windowed_unkeyed_time(
     driver-side #partitions rows). Validity is checked exactly: no row
     two partitions back may fall inside a successor's window — else
     the exact single-window fallback runs (tiny inputs only)."""
-    us = int(window.total_seconds() * 1_000_000)
+    us = (window // _dt.timedelta(microseconds=1))
     if us < 1:
         raise ValueError("time window must be positive")
     spark = x.df.sparkSession
@@ -491,7 +491,7 @@ def windowed_hot_keys(
     )
     # ordinary keys: plain keyed window — one partition per key
     if isinstance(window, _dt.timedelta):
-        us = int(window.total_seconds() * 1_000_000)
+        us = (window // _dt.timedelta(microseconds=1))
         worder = (
             Window.partitionBy(KEY)
             .orderBy(F.unix_micros(F.col(TS)))

@@ -58,7 +58,7 @@ def timer(
 ) -> TickStream:
     """csp.timer (baselib.py:74-83): periodic ticks. Batch: a generated
     time grid via sequence()+explode — pure JVM, no driver loop."""
-    step_us = int(interval.total_seconds() * 1_000_000)
+    step_us = (interval // _dt.timedelta(microseconds=1))
     df = spark.range(1).select(
         F.lit(key).alias(KEY),
         F.explode(
@@ -165,7 +165,7 @@ def delay(x: TickStream, by: _dt.timedelta | int) -> TickStream:
     """csp.delay (baselib.py:324-352): shift events later by a duration
     (timestamps move) or by tick count (values shift down the stream)."""
     if isinstance(by, _dt.timedelta):
-        us = int(by.total_seconds() * 1_000_000)
+        us = (by // _dt.timedelta(microseconds=1))
         out = x.df.withColumn(
             TS, F.col(TS) + F.expr(f"INTERVAL {us} MICROSECONDS")
         )

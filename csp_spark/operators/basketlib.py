@@ -83,7 +83,7 @@ def sync_dict(
     ``output_incomplete=True`` (reference default) also emits windows
     where some member never ticked — the value is a MAP that simply
     omits unset members, exactly csp's unset-basket-member shape."""
-    us = int(threshold.total_seconds() * 1e6)
+    us = (threshold // _dt.timedelta(microseconds=1))
     members = list(streams)
     tagged = _tag_union(streams)
     if trigger is None:

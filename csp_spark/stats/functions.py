@@ -446,7 +446,7 @@ def _corr_matrix_array(
             -(interval - 1), 0
         )
     else:
-        us = int(interval.total_seconds() * 1_000_000)
+        us = (interval // _dt.timedelta(microseconds=1))
         w = W.partitionBy(KEY, "__i", "__j").orderBy("__tsu").rangeBetween(
             -(us - 1), 0
         )
@@ -504,8 +504,8 @@ def _corr_matrix_array(
             if start is not None
             else F.min(F.unix_micros(F.col(TS))).over(W.partitionBy(KEY))
         )
-        warm = F.unix_micros(F.col(TS)) >= anchor + int(
-            min_window.total_seconds() * 1_000_000
+        warm = F.unix_micros(F.col(TS)) >= anchor + (
+            min_window // _dt.timedelta(microseconds=1)
         )
         # below min_window (or no data yet): all-NaN matrix of dim n
         dim = F.max(F.size("__x")).over(W.partitionBy(KEY))
@@ -553,7 +553,7 @@ def corr_matrix(x: TickStream, interval=None, **kw):
             .rowsBetween(-(interval - 1), 0)
         )
     else:
-        us = int(interval.total_seconds() * 1_000_000)
+        us = (interval // _dt.timedelta(microseconds=1))
         p = p.withColumn("__tsu", F.unix_micros(F.col(TS)))
         w = (
             Window.partitionBy("key_a", "key_b")

@@ -76,7 +76,7 @@ def rolling_cov_matrix(
         )
         p2 = p
     else:
-        us = int(interval.total_seconds() * 1_000_000)
+        us = (interval // _dt.timedelta(microseconds=1))
         p2 = p.withColumn("__tsu", F.unix_micros(F.col(TS)))
         w = (
             Window.partitionBy("key_a", "key_b")

@@ -190,7 +190,7 @@ class Rolling:
                 .rangeBetween(-(self.interval - 1), 0)
             )
         else:
-            us = int(self.interval.total_seconds() * 1_000_000)
+            us = (self.interval // _dt.timedelta(microseconds=1))
             # (t - d, t] — exclusive left edge at µs resolution, matching
             # the reference's WindowBuffer time windows / pandas closed='right'
             self._w = (
@@ -206,7 +206,7 @@ class Rolling:
         elif isinstance(mw, int):
             self._warm = F.col("__didx") >= mw
         else:
-            mw_us = int(mw.total_seconds() * 1_000_000)
+            mw_us = (mw // _dt.timedelta(microseconds=1))
             if self.start_time is not None:
                 # interpret the naive start_time exactly as the TS
                 # column is interpreted (session timezone), not as a
@@ -523,7 +523,7 @@ class RollingPair:
                 -(interval - 1), 0
             )
         else:
-            us = int(interval.total_seconds() * 1_000_000)
+            us = (interval // _dt.timedelta(microseconds=1))
             self._w = Window.partitionBy(KEY).orderBy("__tsu").rangeBetween(-(us - 1), 0)
         if min_window is None:
             min_window = interval
@@ -531,7 +531,7 @@ class RollingPair:
             self._warm = F.col("__didx") >= min_window
         elif isinstance(min_window, _dt.timedelta):
             start_u = F.min("__tsu").over(Window.partitionBy(KEY))
-            self._warm = F.col("__tsu") >= start_u + int(min_window.total_seconds() * 1e6)
+            self._warm = F.col("__tsu") >= start_u + (min_window // _dt.timedelta(microseconds=1))
         else:
             self._warm = F.lit(True)
         self._frame = df
