@@ -2159,12 +2159,26 @@ def ann_ivf_topk(spark, sf_dir):
     qv = np.asarray(list(q), dtype=np.float64)
     order = np.argsort(((centers - qv) ** 2).sum(axis=1), kind="stable")
     probes = [int(c) for c in order[:4]]
+    # hygiene: drop stale sibling artifacts left by dead harness
+    # processes (each pid writes its own; nothing ever reaps them)
+    import glob
+    import shutil
+    import time as _time
+
+    for p in glob.glob("/tmp/csp_spark_ivf_cells_*.parquet"):
+        try:
+            if p != _IVF_CELLS_PATH and (
+                _time.time() - os.path.getmtime(p) > 6 * 3600
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     indexed.select(
         "vec_id", "cell", F.col("cell").isin(probes).alias("probed")
     ).write.mode("overwrite").parquet(_IVF_CELLS_PATH)
     cells = spark.read.parquet(_IVF_CELLS_PATH)
     qlit = F.array(*[F.lit(float(v)) for v in qv])
-    return (
+    top = (
         cells.filter(F.col("probed"))
         .select("vec_id")
         .join(emb, "vec_id")
@@ -2175,6 +2189,13 @@ def ann_ivf_topk(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), F.col("vec_id"))
         .limit(10)
     )
+    # materialize the 10-row result NOW so the returned plan no longer
+    # reads the artifact: a second ann_ivf_topk build in this process
+    # (e.g. at another sf) overwrites the pid file, and a lazy plan
+    # evaluated after that would read the wrong assignment. The oracle
+    # contract stays query-then-oracle per sf (both the driver and the
+    # check tool run them adjacently).
+    return spark.createDataFrame(top.collect(), top.schema)
 
 
 def ann_hard_negatives(spark, sf_dir):

@@ -480,12 +480,16 @@ class WebsocketTableAdapter:
             # placed (same contract as the reference, where the index
             # is a field of the published struct) and are dropped.
             idx = chan[table.index]
+            # (TS, SEQ, KEY) ordering: two engine keys publishing the
+            # same index value in the same cycle must merge
+            # deterministically — the same KEY tiebreak the flat
+            # replay's orderBy uses
             aggs = [
                 F.max_by(
                     F.col(chan[c]),
                     F.when(
                         F.col(chan[c]).isNotNull(),
-                        F.struct(F.col(TS), F.col(SEQ)),
+                        F.struct(F.col(TS), F.col(SEQ), F.col(KEY)),
                     ),
                 ).alias(chan[c])
                 for c in names
@@ -494,7 +498,7 @@ class WebsocketTableAdapter:
                 wide.filter(F.col(idx).isNotNull())
                 .groupBy(F.col(idx).alias("__idx"))
                 .agg(*aggs,
-                     F.max(F.struct(F.col(TS), F.col(SEQ)))
+                     F.max(F.struct(F.col(TS), F.col(SEQ), F.col(KEY)))
                      .alias("__last"))
             )
             if limit is not None:

@@ -255,6 +255,13 @@ def repeat_to_budget(
         # sequence(0, n_full) DESCENDING and emits negative epochs
         # (mix_to_budget's clamp path just drops such groups)
         raise ValueError("weights must be non-negative")
+    for c in ("epoch", "target_frac", "__tok", "__f"):
+        if c in df.columns:
+            raise ValueError(
+                f"repeat_to_budget: input already has a column {c!r} "
+                "(would be overwritten or made ambiguous) — rename it "
+                "first"
+            )
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum positive")

@@ -32,7 +32,11 @@ from ..core.ticks import KEY, SEQ, TS, VALUE
 
 
 def _iv(td: _dt.timedelta) -> str:
-    return f"{td.total_seconds()} seconds"
+    # exact integer microseconds: float seconds render sub-100µs
+    # intervals in scientific notation, which Spark's interval parser
+    # accepts but resolves to a DEGENERATE window/session gap that
+    # silently drops every row (probed on session_window)
+    return f"{td // _dt.timedelta(microseconds=1)} microseconds"
 
 
 def with_watermark(x: DataFrame, delay: _dt.timedelta) -> DataFrame:
@@ -371,12 +375,11 @@ def ohlc_bars_stream(
     Equality-tested against the batch form over the same rows."""
     if interval <= _dt.timedelta(0):
         raise ValueError("interval must be positive")
-    secs = interval.total_seconds()
     order = F.struct(F.col(TS), F.col(SEQ))
     v = F.col(VALUE)
     return (
         x.withWatermark(TS, watermark)
-        .groupBy(F.col(KEY), F.window(F.col(TS), f"{secs} seconds"))
+        .groupBy(F.col(KEY), F.window(F.col(TS), _iv(interval)))
         .agg(
             F.min_by(v, order).alias("open"),
             F.max(v).alias("high"),
@@ -415,10 +418,9 @@ def session_bars_stream(
         raise ValueError("gap must be positive")
     v = F.col(VALUE)
     order = F.struct(F.col(TS), F.col(SEQ))
-    secs = gap.total_seconds()
     return (
         x.withWatermark(TS, watermark)
-        .groupBy(F.col(KEY), F.session_window(F.col(TS), f"{secs} seconds"))
+        .groupBy(F.col(KEY), F.session_window(F.col(TS), _iv(gap)))
         .agg(
             F.min(F.col(TS)).alias("session_start"),
             F.max(F.col(TS)).alias("session_end"),
