@@ -2159,20 +2159,26 @@ def ann_ivf_topk(spark, sf_dir):
     qv = np.asarray(list(q), dtype=np.float64)
     order = np.argsort(((centers - qv) ** 2).sum(axis=1), kind="stable")
     probes = [int(c) for c in order[:4]]
-    # hygiene: drop stale sibling artifacts left by dead harness
-    # processes (each pid writes its own; nothing ever reaps them)
+    # hygiene: drop sibling artifacts whose owning pid is DEAD (each
+    # pid writes its own; nothing else reaps them). Liveness, not
+    # mtime: an mtime heuristic could delete a concurrent long-running
+    # harness's artifact between its query and oracle steps.
     import glob
+    import re as _re
     import shutil
-    import time as _time
 
     for p in glob.glob("/tmp/csp_spark_ivf_cells_*.parquet"):
+        if p == _IVF_CELLS_PATH:
+            continue
+        m = _re.search(r"_cells_(\d+)\.parquet$", p)
+        if not m:
+            continue
         try:
-            if p != _IVF_CELLS_PATH and (
-                _time.time() - os.path.getmtime(p) > 6 * 3600
-            ):
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
+            os.kill(int(m.group(1)), 0)  # signal 0 = liveness probe
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except (OSError, ValueError):
+            pass  # alive-but-not-ours (EPERM) or unparsable: leave it
     indexed.select(
         "vec_id", "cell", F.col("cell").isin(probes).alias("probed")
     ).write.mode("overwrite").parquet(_IVF_CELLS_PATH)

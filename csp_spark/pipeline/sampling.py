@@ -17,12 +17,21 @@ DuckDB oracles replay it bit-exactly.
 
 from __future__ import annotations
 
+import math
+import os
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.random_gen import hash_uniform
+
+#: repeat_to_budget epoch-count guard (the dynamic-spawn cap's sibling
+#: hazard): f_g = budget·w_g / tokens_g is a row MULTIPLIER, so a
+#: mis-scaled budget or a weighted group with tiny token mass would
+#: silently explode that group's rows by millions. Past the cap we
+#: raise with the misconfigured groups named.
+_MAX_EPOCHS = int(os.environ.get("CSP_SPARK_MAX_EPOCHS", "100"))
 
 
 def split_uniform(id_col: Column, seed: int = 42) -> Column:
@@ -249,7 +258,11 @@ def repeat_to_budget(
     never shuffles, and the filter fuses into the generate. floor()
     agrees across engines because f_g is the same IEEE double in
     both: literal·literal / exact-integer-total, one multiply and
-    one divide."""
+    one divide.
+
+    Guard: any group with ``floor(f_g)`` past ``CSP_SPARK_MAX_EPOCHS``
+    (default 100) raises — the row multiplier IS the epoch count, so a
+    mis-scaled budget would otherwise silently explode the output."""
     if any(v < 0 for v in weights.values()):
         # a negative weight would make f negative: floor(f) < 0 turns
         # sequence(0, n_full) DESCENDING and emits negative epochs
@@ -283,6 +296,34 @@ def repeat_to_budget(
         F.col("__tok"),
         f_g.alias("__f"),
     ).filter(F.col("__f").isNotNull())
+    # Epoch-count guard: fr is ≤ len(weights) rows by construction, so
+    # validating it driver-side is one tiny job — and the rebuilt
+    # literal frame carries the SAME IEEE doubles back into the plan,
+    # so downstream arithmetic (and the cross-engine oracle) is
+    # unaffected. floor(f_g) is the group's row multiplier; fail
+    # loudly instead of silently emitting millions of epochs (or,
+    # past int64, a wrong epoch count from a saturating cast).
+    fr_rows = fr.collect()
+    bad = [
+        (r[group_col], float(r["__f"]))
+        for r in fr_rows
+        if not math.isfinite(r["__f"]) or int(r["__f"]) > _MAX_EPOCHS
+    ]
+    if bad:
+        worst = ", ".join(f"{g!r}: f={f:.6g}" for g, f in bad[:5])
+        raise ValueError(
+            f"repeat_to_budget: {len(bad)} group(s) would repeat for "
+            f"more than {_MAX_EPOCHS} epochs ({worst}) — almost "
+            "certainly a mis-scaled token_budget or a weighted group "
+            "with near-zero token mass. Fix the budget/weights, or "
+            "raise CSP_SPARK_MAX_EPOCHS if the oversampling is "
+            "intentional."
+        )
+    fr = df.sparkSession.createDataFrame(fr_rows, fr.schema)
+    # int cast is safe: the guard above already rejected any floor(f)
+    # past _MAX_EPOCHS, so the value fits int32 (a user raising the
+    # env cap past 2^31 epochs has bigger problems); keeping the
+    # epoch column int keeps the output schema stable
     n_full = F.floor(F.col("__f")).cast("int")
     return (
         df.join(F.broadcast(fr), group_col)

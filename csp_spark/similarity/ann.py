@@ -15,11 +15,38 @@ because it needs no training pass.
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def _vec_matrix(series, dim: int, label: str, col: str) -> np.ndarray:
+    """Dense [n, dim] float64 matrix from an Arrow-batch embedding
+    column, failing LOUDLY on the inputs that would otherwise surface
+    as an opaque executor shape/dtype error three stages later: a NULL
+    vector or ragged lengths make np.array return an object-dtype
+    (or mis-shaped) array that any downstream matmul chokes on."""
+    try:
+        # fast path: clean fixed-dim input converts in one C pass
+        V = np.array(series.tolist(), dtype=np.float64)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{label}: column {col!r} contains a NULL, non-numeric, "
+            "or ragged-length vector — drop or impute those rows "
+            "before indexing"
+        ) from None
+    if V.ndim != 2 or V.shape[1] != dim:
+        raise ValueError(
+            f"{label}: column {col!r} must be non-NULL fixed-dimension "
+            f"{dim} vectors; got an array of shape {V.shape} (NULL or "
+            "ragged-length embeddings in this batch)"
+        )
+    return V
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -297,9 +324,18 @@ def ivf_assign(
         list(embeddings.schema.fields) + [StructField(out_col, IntegerType())]
     )
 
+    dim = C.shape[1]
+
     def _assign(batches):
         for pdf in batches:
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if pdf.empty:
+                # a 0-row batch would make np.array a 1-D (0,) array
+                # and the matmul raise on shape mismatch
+                yield pdf.assign(
+                    **{out_col: np.empty(0, dtype=np.int32)}
+                )
+                continue
+            V = _vec_matrix(pdf[vec_col], dim, "ivf_assign", vec_col)
             d2 = cn2[None, :] - 2.0 * (V @ C.T)
             pdf = pdf.copy()
             pdf[out_col] = d2.argmin(axis=1).astype(np.int32)
@@ -317,6 +353,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     seed: int = 42,
     cap: int = 20_000,
+    on_over_cap: str = "raise",
 ) -> DataFrame:
     """Per-anchor hard-negative mining for contrastive/embedding
     training: for every vector, the ``k`` most-cosine-similar OTHER
@@ -327,50 +364,125 @@ def hard_negatives(
 
     Scale shape: candidates are CELL-BOUNDED (the SemDeDup
     discipline — sum |cell|² not N², KMeans on the md5 identity
-    sample, degenerate cells star-capped), then one rank window
-    partitioned by anchor. Ranking is on the 6dp-ROUNDED similarity
-    with neg-id tiebreak, so an external engine replays the exact
-    boundary (the doc_dsir discipline). ``n_clusters=1`` degenerates
-    to the exact all-pairs top-k — the SQL-checkable oracle case.
+    sample), then one rank window partitioned by anchor. Ranking is
+    on the 6dp-ROUNDED similarity with neg-id tiebreak, so an
+    external engine replays the exact boundary (the doc_dsir
+    discipline). ``n_clusters=1`` degenerates to the exact all-pairs
+    top-k — the SQL-checkable oracle case.
+
+    A cell past ``cap`` rows makes the in-cell self-join that cell's
+    |cell|² bottleneck. Dedup's star-reroute is WRONG here — it
+    preserves connectivity, not per-anchor top-k — so over-cap cells
+    follow ``on_over_cap``: ``"raise"`` (default) fails with guidance
+    (raise ``n_clusters`` so cells shrink, or raise ``cap``);
+    ``"sample"`` scores every anchor against a deterministic
+    md5-sampled ~``cap``-row candidate subset of its cell — per-anchor
+    top-k OF THE SAMPLE, an unbiased approximation that keeps every
+    anchor served (under-cap cells stay exact).
 
     Returns (anchor, negative, cos_sim, rank), rank 1-based."""
     from pyspark.sql import Window
 
-    from ..dedup.dedup import _capped_bucket_pairs
+    from ..pipeline.sampling import split_uniform
 
+    if on_over_cap not in ("raise", "sample"):
+        raise ValueError("on_over_cap must be 'raise' or 'sample'")
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if n_clusters <= 1:
-        # the exact-all-pairs contract of this mode must not be
-        # silently star-capped past `cap`: raise the cap to the corpus
-        # size (one cheap count — this is the oracle/small-corpus
-        # form; the clustered path below keeps the degenerate-cell
-        # guard)
+        # the exact-all-pairs contract of this mode must never be
+        # capped: raise the cap to the corpus size (one cheap count —
+        # this is the oracle/small-corpus form)
         cap = max(cap, base.count())
         cells = base.withColumn("cell", F.lit(0))
     else:
         cells, _ = ivf_index(
             base, n_cells=n_clusters, id_col="id", vec_col="v", seed=seed
         )
-    rows = cells.select(
-        "id", "cell", "v",
-        F.xxhash64(F.col("v").cast("string")).alias("__sigh"),
-    )
-    pairs = _capped_bucket_pairs(
-        rows, ["cell"], cap, "hard_negatives", payload=("v",)
-    ).withColumn("__cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    over = sizes.filter(F.col("__n") > cap).collect()
+    if over and on_over_cap == "raise":
+        worst = max(r["__n"] for r in over)
+        raise RuntimeError(
+            f"hard_negatives: {len(over)} cell(s) exceed cap={cap} "
+            f"(largest={worst}) — the in-cell candidate join would be "
+            "that cell's |cell|^2. Raise n_clusters (smaller cells), "
+            "raise cap, or pass on_over_cap='sample' to rank each "
+            "anchor against a deterministic md5 sample of its cell."
+        )
+    if over:
+        logger.warning(
+            "hard_negatives: %d cell(s) over cap=%d (largest=%d) — "
+            "anchors there rank against an md5-sampled ~cap-row "
+            "candidate subset (top-k of the sample)",
+            len(over), cap, max(r["__n"] for r in over),
+        )
+        # candidate draw: keep ~cap/|cell| of each over-cap cell
+        # (seed+1: independent of any caller's row-sampling draws);
+        # under-cap cells keep every candidate → exact. Directed join
+        # anchors x candidates within cell — every anchor, including
+        # sampled-out ones, is still served.
+        frac = F.try_divide(
+            F.lit(float(cap)), F.col("__n").cast("double")
+        )
+        cand = (
+            cells.join(F.broadcast(sizes), "cell")
+            .filter(
+                (F.col("__n") <= cap)
+                | (split_uniform(F.col("id"), seed + 1) < frac)
+            )
+            .drop("__n")
+        )
+        directed = (
+            cells.alias("a")
+            .join(
+                cand.alias("b"),
+                on=[
+                    F.col("a.cell") == F.col("b.cell"),
+                    F.col("a.id") != F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("anchor"),
+                F.col("b.id").alias("negative"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+        )
+    else:
+        # exact path: undirected in-cell self-join (half the pairs),
+        # then symmetrize — every candidate serves both anchors
+        pairs = (
+            cells.alias("a")
+            .join(
+                cells.alias("b"),
+                on=[
+                    F.col("a.cell") == F.col("b.cell"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias(
+                    "__cos"
+                ),
+            )
+        )
+        directed = pairs.select(
+            F.col("id_a").alias("anchor"), F.col("id_b").alias("negative"),
+            F.col("__cos").alias("cos_sim"),
+        ).unionByName(pairs.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("negative"),
+            F.col("__cos").alias("cos_sim"),
+        ))
     if exclude_eps is not None:
-        pairs = pairs.filter(F.col("__cos") < F.lit(float(exclude_eps)))
-    # symmetrize: every undirected candidate serves both anchors
-    directed = pairs.select(
-        F.col("id_a").alias("anchor"), F.col("id_b").alias("negative"),
-        F.col("__cos").alias("cos_sim"),
-    ).unionByName(pairs.select(
-        F.col("id_b").alias("anchor"), F.col("id_a").alias("negative"),
-        F.col("__cos").alias("cos_sim"),
-    ))
+        directed = directed.filter(
+            F.col("cos_sim") < F.lit(float(exclude_eps))
+        )
     w = Window.partitionBy("anchor").orderBy(
         F.desc("cos_sim"), F.col("negative")
     )
@@ -586,7 +698,10 @@ def knn_join(
             bqids, bqmat, bqnorm = bq.value
             pools: "list[pd.DataFrame]" = []
             for pdf in batches:
-                C = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+                if pdf.empty:  # (0,) array would break the matmul
+                    continue
+                C = _vec_matrix(pdf["__cv"], bqmat.shape[1],
+                                "knn_join", corpus_vec)
                 cids = pdf["__cid"].to_numpy()
                 cn = np.linalg.norm(C, axis=1)
                 s = np.round(
@@ -785,7 +900,10 @@ def pq_index(
         flat = books.reshape(m * n_codes, dsub)
         cn2 = (flat ** 2).sum(axis=1)
         for pdf in batches:
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if pdf.empty:  # (0,) array would break the matmul
+                yield pdf.assign(codes=np.empty(0, dtype=object))
+                continue
+            V = _vec_matrix(pdf[vec_col], m * dsub, "pq_index", vec_col)
             codes = np.empty((len(V), m), dtype=np.int32)
             for j in range(m):
                 S = V[:, j * dsub:(j + 1) * dsub]

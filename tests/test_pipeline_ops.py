@@ -932,6 +932,79 @@ def test_hard_negatives(spark, emb):
     assert all(cell[r["anchor"]] == cell[r["negative"]] for r in prs)
 
 
+def test_hard_negatives_over_cap(spark, emb):
+    """Over-cap cells must NOT inherit dedup's star-reroute (that
+    preserves connectivity, not per-anchor top-k): the default raises
+    with guidance; on_over_cap='sample' ranks each anchor against a
+    deterministic md5 candidate sample so every anchor stays served
+    with true top-k-of-sample semantics."""
+    from csp_spark.similarity import hard_negatives
+
+    small = emb.filter(F.col("vec_id") < 40)
+    # 2 clusters over 40 vectors with cap=5 → guaranteed over-cap
+    with pytest.raises(RuntimeError, match="n_clusters"):
+        hard_negatives(small, k=2, n_clusters=2, cap=5).collect()
+    with pytest.raises(ValueError, match="on_over_cap"):
+        hard_negatives(small, k=2, n_clusters=2, cap=5,
+                       on_over_cap="star")
+    got = hard_negatives(
+        small, k=2, n_clusters=2, cap=5, on_over_cap="sample"
+    ).collect()
+    # every anchor is served (cells have > cap members, so every
+    # anchor sees a non-empty candidate sample with high probability;
+    # assert at least 90% coverage and correct per-anchor rank shape)
+    anchors = {}
+    for r in got:
+        anchors.setdefault(r["anchor"], []).append(r["rank"])
+    assert len(anchors) >= 36
+    for a, rks in anchors.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 2
+        assert a not in [r["negative"] for r in got if r["anchor"] == a]
+    # sampled mode ranks true cosines: spot-check values against numpy
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64)
+            for r in small.collect()}
+    for r in got[:20]:
+        va, vb = vecs[r["anchor"]], vecs[r["negative"]]
+        want = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+        assert abs(r["cos_sim"] - want) < 2e-6
+
+
+def test_ivf_assign_guards(spark, emb):
+    """Empty Arrow batches pass through (a 0-row batch would
+    otherwise make a 1-D (0,) array and break the matmul); NULL or
+    ragged vectors fail with an actionable message instead of an
+    opaque executor shape error."""
+    import numpy as np
+
+    from csp_spark.similarity import ivf_assign, ivf_index
+
+    _, centers = ivf_index(emb.filter(F.col("vec_id") < 100), n_cells=4)
+    # 3 rows over 8 partitions → most partitions are empty batches
+    tiny = emb.filter(F.col("vec_id") < 3).repartition(8)
+    got = ivf_assign(tiny, centers).collect()
+    assert len(got) == 3
+    for r in got:
+        v = np.asarray(list(r["embedding"]), dtype=np.float64)
+        assert int(((centers - v) ** 2).sum(axis=1).argmin()) == r["cell"]
+    # NULL vector → loud, labeled error
+    bad = spark.createDataFrame(
+        [(0, [0.1] * centers.shape[1]), (1, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL|ragged"):
+        ivf_assign(bad, centers).collect()
+    # ragged vector → loud, labeled error
+    ragged = spark.createDataFrame(
+        [(0, [0.1] * centers.shape[1]), (1, [0.1, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="fixed-dimension|ragged"):
+        ivf_assign(ragged, centers).collect()
+
+
 def test_ivf_assign_incremental_append(spark, emb, tmp_path):
     """ivf_assign: new vectors land in the numpy-nearest cell of the
     FROZEN quantizer via one Arrow-batched matmul per batch (no
@@ -1286,19 +1359,48 @@ def test_repeat_to_budget(docs):
     # target_frac column carries f (6dp)
     fr = {r["source"]: r["target_frac"] for r in rows}
     assert abs(fr["src0"] - round(f0, 6)) < 1e-9
-    # the corpus never shuffles: the only exchange is the tiny
-    # per-group totals aggregate, which broadcasts back (no
-    # sort-merge join of the corpus); audit the FINAL adaptive plan,
+    # the corpus never shuffles: the per-group totals aggregate runs
+    # eagerly at call time (the epoch-cap guard validates its ≤
+    # len(weights) rows driver-side) and broadcasts back as a literal
+    # frame, so the RETURNED plan is exchange-free — one broadcast
+    # join fused into the corpus scan; audit the FINAL adaptive plan,
     # not the "== Initial Plan ==" echo
     plan = (out._jdf.queryExecution().executedPlan().toString()
             .split("== Initial Plan ==")[0])
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     with pytest.raises(ValueError, match="non-negative"):
         repeat_to_budget(docs, {"src0": -1.0, "src1": 3.0}, 10,
                          token_col="n_chars")
     with pytest.raises(ValueError, match="positive"):
         repeat_to_budget(docs, {"src0": 0.0}, 10, token_col="n_chars")
+
+
+def test_repeat_to_budget_epoch_cap(docs):
+    """The epoch-count guard (CSP_SPARK_MAX_EPOCHS, default 100): a
+    mis-scaled budget that would multiply a group's rows by thousands
+    fails loudly with the offending groups named, instead of silently
+    exploding the output (the dynamic-spawn guard's sibling)."""
+    from csp_spark.pipeline import repeat_to_budget
+
+    tot = docs.filter(F.col("source") == "src0").agg(
+        F.sum("n_chars")).first()[0]
+    # f_src0 = budget / tokens_src0 = 5000 epochs >> the default cap
+    with pytest.raises(ValueError, match="CSP_SPARK_MAX_EPOCHS"):
+        repeat_to_budget(
+            docs, {"src0": 1.0}, 5000.0 * tot, token_col="n_chars"
+        ).collect()
+    # at the boundary (f = 100) the guard stays quiet
+    out = repeat_to_budget(
+        docs.filter(F.col("source") == "src0").limit(5),
+        {"src0": 1.0},
+        100.0 * docs.filter(F.col("source") == "src0").limit(5)
+        .agg(F.sum("n_chars")).first()[0],
+        token_col="n_chars",
+    )
+    # f = 100.0 exactly: 100 full epochs (0..99) + an empty partial
+    # (u < f - floor(f) = 0 never holds)
+    assert out.agg(F.max("epoch")).first()[0] == 99
 
 
 def test_cap_per_group(docs):
