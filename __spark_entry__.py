@@ -2416,11 +2416,16 @@ WHERE t.epoch <= fr.n_full
 
 
 def doc_bpe_tokens(spark, sf_dir):
-    """BPE tokenize (text/bpe.py): train 64 merges on the corpus
-    sample, apply distributed; per-doc piece count + compression vs
-    whitespace tokens. Rows-only by design (the greedy merge recursion
-    has no SQL form; training and inference are deterministic and
-    golden-tested on the Sennrich ACL'16 example)."""
+    """★BPE train + tokenize (text/bpe.py): train 64 merges on the
+    md5-sampled corpus, apply distributed; per-doc piece count +
+    compression vs whitespace tokens. The oracle replays BOTH loops in
+    DuckDB recursive CTEs: training iterates the working vocab table
+    (per-step best pair = an aggregate over the recursive working
+    table, merged into every word by a list_reduce fold — the same
+    left-to-right non-overlapping rule as train_bpe), then inference
+    re-runs the lowest-rank-first merge recursion per distinct word
+    against the TRAINED merge table derived inside the same query —
+    no frozen literals, sf-generic."""
     from csp_spark.text import train_bpe, apply_bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -2524,6 +2529,123 @@ FROM (SELECT doc_id FROM documents WHERE doc_id < 2000) d
 LEFT JOIN docw USING (doc_id)
 LEFT JOIN pieces p USING (w)
 GROUP BY d.doc_id
+"""
+
+
+def _bpe_tokens_oracle(n_merges: int = 64, sample_cap: int = 400,
+                       seed: int = 42) -> str:
+    """Replays train_bpe + apply_bpe end-to-end in DuckDB — the full
+    merge recursion, not a frozen table:
+
+    - `train` is a recursive CTE whose working table IS the evolving
+      vocab (one row per sampled word): each iteration picks the
+      globally best pair (count DESC, pair lexicographic — python's
+      min((-c, pair))) by aggregating over the recursive working
+      table, and folds it into every word with list_reduce using the
+      same left-to-right non-overlapping merge rule as train_bpe's
+      rescan (the merged product a||b can never equal a, so the fold
+      needs no overlap flag). Stops when the best count < 2 or at
+      n_merges — exactly train_bpe's breaks.
+    - `merges` re-derives the per-step winner from the accumulated
+      vocab snapshots (same aggregate → same argmin).
+    - `enc` replays _encode_word's lowest-rank-first (leftmost on
+      rank tie) inference per distinct corpus word against that
+      trained table — doc_bpe_apply's CTE with derived merges.
+
+    The sample filter replicates train_bpe's md5 identity draw
+    (split_uniform(doc_id, seed) < cap/n when n > cap)."""
+    sep = "chr(30)"  # RS control char — never appears in tokens
+    u = _hex13_sql(f"md5(concat('{seed}|', CAST(doc_id AS VARCHAR)))")
+    udraw = f"(({u}) + 0.5) / 4503599627370496.0"
+    return f"""
+WITH RECURSIVE
+doc_n AS (SELECT count(*) AS n FROM documents),
+sdocs AS (
+  SELECT text FROM documents
+  WHERE (SELECT n FROM doc_n) <= {sample_cap}
+     OR {udraw} < {float(sample_cap)} / (SELECT n FROM doc_n)
+),
+wc AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+    FROM sdocs
+  ) GROUP BY w
+),
+train(step, syms, cnt) AS (
+  SELECT 0,
+    list_append(list_transform(range(1, len(w) + 1), i -> w[i:i]), '</w>'),
+    c
+  FROM wc
+  UNION ALL
+  SELECT step + 1,
+    string_split(list_reduce(syms, (acc, x) ->
+      CASE WHEN x = bp.b AND (acc = bp.a OR ends_with(acc, {sep} || bp.a))
+           THEN left(acc, len(acc) - len(bp.a)) || bp.a || bp.b
+           ELSE acc || {sep} || x END), {sep}),
+    cnt
+  FROM train, (
+    SELECT a, b FROM (
+      SELECT t.syms[u.i] AS a, t.syms[u.i + 1] AS b, sum(t.cnt) AS c
+      FROM train t, unnest(range(1, len(t.syms))) AS u(i)
+      GROUP BY 1, 2
+    ) WHERE c >= 2
+    ORDER BY c DESC, a, b LIMIT 1
+  ) bp
+  WHERE step < {n_merges}
+),
+merges AS (
+  SELECT step AS r, a, b FROM (
+    SELECT step, a, b, c,
+      row_number() OVER (PARTITION BY step ORDER BY c DESC, a, b) AS rn
+    FROM (
+      SELECT t.step, t.syms[u.i] AS a, t.syms[u.i + 1] AS b, sum(t.cnt) AS c
+      FROM train t, unnest(range(1, len(t.syms))) AS u(i)
+      GROUP BY 1, 2, 3
+    )
+  ) WHERE rn = 1 AND c >= 2 AND step < {n_merges}
+),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+    FROM documents
+  )
+),
+enc(w, syms, step) AS (
+  SELECT w,
+    list_append(list_transform(range(1, len(w) + 1), i -> w[i:i]), '</w>'),
+    0
+  FROM words
+  UNION ALL
+  SELECT w,
+    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:],
+    step + 1
+  FROM (
+    SELECT w, syms, step,
+      (SELECT arg_min(i, m.r * 100000 + i)
+       FROM unnest(range(1, len(syms))) AS u(i)
+       JOIN merges m ON m.a = syms[i] AND m.b = syms[i+1]) AS bi
+    FROM enc
+  ) WHERE bi IS NOT NULL
+),
+pieces AS (SELECT w, min(len(syms)) AS np FROM enc GROUP BY w),
+docw AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+  FROM documents
+),
+agg AS (
+  SELECT d.doc_id, CAST(coalesce(sum(p.np), 0) AS BIGINT) AS n_pieces
+  FROM documents d
+  LEFT JOIN docw ON d.doc_id = docw.doc_id
+  LEFT JOIN pieces p USING (w)
+  GROUP BY d.doc_id
+)
+SELECT a.doc_id, a.n_pieces,
+  CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT)
+    AS n_words
+FROM agg a JOIN documents d USING (doc_id)
 """
 
 
@@ -5243,4 +5365,5 @@ FROM (
 )
 """,
         "doc_bpe_apply": _bpe_apply_oracle(),
+        "doc_bpe_tokens": _bpe_tokens_oracle(),
     }
