@@ -191,7 +191,12 @@ def _windowed_unkeyed_time(
     num_partitions: int | None,
 ) -> "DataFrame":
     """Time-interval twin of the tick path (see windowed_unkeyed):
-    frames are ``rangeBetween(-(us-1), 0)`` over unix-microseconds;
+    frames are ``rangeBetween(-(us-1), 0)`` over unix-microseconds —
+    value-range semantics, so ALL ticks sharing the emit row's exact
+    microsecond are in the frame (the SQL RANGE contract this
+    beyond-reference op documents and its oracle replays; the keyed
+    reference-parity path, stats.Rolling, uses the sub-timestamp
+    CAUSAL encoding instead — rolling.causal_time_window);
     tails replicate each partition's rows that fall within ``window``
     of its successor's first timestamp (exact per-partition bounds,
     driver-side #partitions rows). Validity is checked exactly: no row

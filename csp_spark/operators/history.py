@@ -303,7 +303,12 @@ def _range_frame(
     tick-index bounds ride rowsBetween on the engine order; timedelta
     bounds ride rangeBetween on micros (use_struct=True → caller
     collects sortable structs because range frames allow only one
-    ordering expression). EXTRAPOLATE has its own plan — _td_structs."""
+    ordering expression). EXTRAPOLATE has its own plan — _td_structs.
+    Tie note: timedelta frames are value-range, so a lookup from an
+    early cycle of a shared (key, microsecond) sees the whole
+    microsecond (end-of-µs state), not buffer-so-far; the per-cycle
+    causal encoding (stats.rolling.causal_time_window) is the fix if a
+    caller needs sub-microsecond cycle fidelity here too."""
     if _is_td_range(start, end):
         for p in (start_policy, end_policy):
             if p not in ("inclusive", "exclusive"):

@@ -446,9 +446,13 @@ def _corr_matrix_array(
             -(interval - 1), 0
         )
     else:
+        from .rolling import causal_time_window
+
         us = (interval // _dt.timedelta(microseconds=1))
-        w = W.partitionBy(KEY, "__i", "__j").orderBy("__tsu").rangeBetween(
-            -(us - 1), 0
+        tw, (lo, hi) = causal_time_window([KEY, "__i", "__j"], [SEQ], us)
+        p = p.withColumn("__tw", tw)
+        w = W.partitionBy(KEY, "__i", "__j").orderBy("__tw").rangeBetween(
+            lo, hi
         )
     p = p.select(
         KEY, TS, SEQ, "__i", "__j",
@@ -553,12 +557,16 @@ def corr_matrix(x: TickStream, interval=None, **kw):
             .rowsBetween(-(interval - 1), 0)
         )
     else:
+        from .rolling import causal_time_window
+
         us = (interval // _dt.timedelta(microseconds=1))
         p = p.withColumn("__tsu", F.unix_micros(F.col(TS)))
+        tw, (lo, hi) = causal_time_window(["key_a", "key_b"], [SEQ], us)
+        p = p.withColumn("__tw", tw)
         w = (
             Window.partitionBy("key_a", "key_b")
-            .orderBy("__tsu")
-            .rangeBetween(-(us - 1), 0)
+            .orderBy("__tw")
+            .rangeBetween(lo, hi)
         )
     return p.select(
         "key_a", "key_b", TS, SEQ,

@@ -76,12 +76,16 @@ def rolling_cov_matrix(
         )
         p2 = p
     else:
+        from .rolling import causal_time_window
+
         us = (interval // _dt.timedelta(microseconds=1))
         p2 = p.withColumn("__tsu", F.unix_micros(F.col(TS)))
+        tw, (lo, hi) = causal_time_window(["key_a", "key_b"], [SEQ], us)
+        p2 = p2.withColumn("__tw", tw)
         w = (
             Window.partitionBy("key_a", "key_b")
-            .orderBy("__tsu")
-            .rangeBetween(-(us - 1), 0)
+            .orderBy("__tw")
+            .rangeBetween(lo, hi)
         )
     n = F.count("va").over(w)
     cov = F.covar_pop("va", "vb").over(w) * n / (n - F.lit(ddof))

@@ -51,6 +51,61 @@ def _nan() -> Column:
 # enters the (new) window, trigger reads after same-cycle data.
 _PRI_RESET, _PRI_WEIGHT, _PRI_DATA, _PRI_TRIGGER = 0, 1, 2, 3
 
+#: sub-timestamp causal window encoding (see causal_time_window):
+#: S must exceed 2x the max number of engine cycles sharing one
+#: (partition, microsecond); 4096 allows 2048 coincident cycles.
+_TIE_S = 4096
+_TIE_MAX = _TIE_S // 2 - 1  # 2047
+_REL_MAX = (2 ** 63 - 1) // _TIE_S - _TIE_S  # ~71-year per-key span
+
+
+def causal_time_window(
+    partition_cols: list, order_cols: list, us: int
+) -> tuple[Column, tuple[int, int]]:
+    """Exact per-cycle ``(t-d, t]`` time window over possibly-
+    coincident engine cycles: returns ``(order_value, (lo, hi))`` for
+    ``Window.orderBy(order_value_column).rangeBetween(lo, hi)``.
+
+    A value-RANGE frame ordered by raw microseconds is peer-INCLUSIVE:
+    every row at the current row's exact (partition, µs) — including
+    FUTURE engine cycles at the same timestamp — lands in the frame,
+    so an early cycle would see values the engine hasn't delivered yet
+    (the reference computes each cycle from its buffer-so-far:
+    WindowBuffer appends per cycle, csp/stats.py). Encoding the order
+    value as ``rel_µs·S + tie`` (``tie`` = the cycle's 0-based rank
+    within its (partition, µs) group, ``rel_µs`` = µs since the
+    partition's first row) with constant bounds
+    ``[-(us-1)·S - (S/2-1), 0]`` is EXACT for tie ranks < S/2:
+
+    - upper 0: include iff (µs', tie') ≤ (µs, tie) lexicographically —
+      causality;
+    - lower: at the oldest included µs (µs-us+1) the slack S/2-1 ≥ tie
+      admits every tie rank; at the excluded boundary µs-us admission
+      would need tie' ≥ tie + S/2 + 1 > TIE_MAX — impossible.
+
+    Ranks past S/2-1 or spans past ~71 years raise loudly instead of
+    silently corrupting frames."""
+    tie = F.row_number().over(
+        Window.partitionBy(*partition_cols, "__tsu").orderBy(*order_cols)
+    ) - 1
+    rel = F.col("__tsu") - F.min("__tsu").over(
+        Window.partitionBy(*partition_cols)
+    )
+    v = (
+        F.when(tie > F.lit(_TIE_MAX), F.raise_error(F.lit(
+            f"time-window: more than {_TIE_MAX + 1} engine cycles share "
+            "one (key, microsecond); the sub-cycle causal window "
+            f"encoding supports at most {_TIE_MAX + 1} coincident "
+            "cycles — thin the burst or coarsen the clock"
+        )))
+        .when(rel > F.lit(_REL_MAX), F.raise_error(F.lit(
+            "time-window: per-key time span exceeds the ~71-year "
+            "causal-window encoding range"
+        )))
+        .otherwise(rel * F.lit(_TIE_S) + tie)
+    )
+    return v, (-((us - 1) * _TIE_S + _TIE_MAX), 0)
+
 
 def _is_float(dtype: str) -> bool:
     return dtype in ("double", "float")
@@ -192,11 +247,15 @@ class Rolling:
         else:
             us = (self.interval // _dt.timedelta(microseconds=1))
             # (t - d, t] — exclusive left edge at µs resolution, matching
-            # the reference's WindowBuffer time windows / pandas closed='right'
+            # the reference's WindowBuffer time windows / pandas
+            # closed='right'; sub-timestamp CAUSAL (an early cycle at a
+            # shared timestamp must not see later same-timestamp ticks)
+            tw, (lo, hi) = causal_time_window([KEY], [SEQ, "__pri"], us)
+            self._frame = self._frame.withColumn("__tw", tw)
             self._w = (
                 Window.partitionBy(KEY, "__epoch")
-                .orderBy("__tsu")
-                .rangeBetween(-(us - 1), 0)
+                .orderBy("__tw")
+                .rangeBetween(lo, hi)
             )
 
         # warm-up gate
@@ -524,7 +583,11 @@ class RollingPair:
             )
         else:
             us = (interval // _dt.timedelta(microseconds=1))
-            self._w = Window.partitionBy(KEY).orderBy("__tsu").rangeBetween(-(us - 1), 0)
+            tw, (lo, hi) = causal_time_window([KEY], [SEQ], us)
+            df = df.withColumn("__tw", tw)
+            self._w = (
+                Window.partitionBy(KEY).orderBy("__tw").rangeBetween(lo, hi)
+            )
         if min_window is None:
             min_window = interval
         if isinstance(min_window, int) and min_window > 1:

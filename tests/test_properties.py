@@ -500,3 +500,308 @@ def test_sessionize_matches_pure_python(spark, rows, gap_s):
         per_key.setdefault(k, set()).add(i)
     for k, s in per_key.items():
         assert s == set(range(max(s) + 1)), k
+
+
+# ---------------------------------------------------------------------------
+# align-kernel + stats-control fuzz (r8 verdict item 2): random engine-cycle
+# tables with coincident (ts, seq) bursts driven through align/sample/
+# binary_op and through trigger/sampler/reset/min_window/min_data_points
+# combinations, each compared against a pure-python engine-cycle replay —
+# the reference's own oracle style (csp/tests/test_stats.py).
+# ---------------------------------------------------------------------------
+
+#: one engine cycle: (key, Δsec [0 ⇒ same ts as previous cycle, distinct
+#: seq ⇒ distinct cycle], x-kind [0 none / 1 value / 2 NaN tick], x value,
+#: trigger?, reset?, sampler?)
+cycles_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from([0, 1, 1, 2]),
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        st.booleans(),
+        st.booleans(),
+        st.booleans(),
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+def _mk_cycle_streams(spark, cycles):
+    """TickStreams (x, trigger, reset, sampler) from one cycle list —
+    same (key, ts, seq) across streams = the same engine cycle."""
+    sec = 0
+    xs, trs, rss, sms = [], [], [], []
+    for seq, (k, dsec, xk, xv, trig, rst, smp) in enumerate(cycles):
+        sec += dsec
+        t = START + dt.timedelta(seconds=sec)
+        if xk:
+            xs.append((k, t, seq, float(xv) if xk == 1 else float("nan")))
+        if trig:
+            trs.append((k, t, seq, 1.0))
+        if rst:
+            rss.append((k, t, seq, 1.0))
+        if smp:
+            sms.append((k, t, seq, 1.0))
+
+    def mk(rows):
+        return TickStream(spark.createDataFrame(rows, SCHEMA))
+
+    return mk(xs), mk(trs), mk(rss), mk(sms)
+
+
+def _replay_rolling(cycles, *, interval, min_window, mdp=0, ignore_na=True,
+                    use_trigger=False, use_sampler=False, use_reset=True):
+    """Pure-python engine-cycle replay of Rolling(sum/mean/count) under
+    every control: (ts, seq, pri) event order with pri
+    reset(0) < data(2) < trigger(3), per-key epochs, tick/time window
+    frames, warm-up and min_data_points gates, NaN poisoning."""
+    events = []  # (key, sec, seq, pri, kind, value)
+    sec = 0
+    for seq, (k, dsec, xk, xv, trig, rst, smp) in enumerate(cycles):
+        sec += dsec
+        if use_reset and rst:
+            events.append((k, sec, seq, 0, "reset", None))
+        if use_sampler:
+            if smp:  # sampler = data clock; x only counts when coincident
+                v = float(xv) if xk == 1 else float("nan")
+                events.append((k, sec, seq, 2, "data", v))
+        elif xk:
+            events.append(
+                (k, sec, seq, 2, "data",
+                 float(xv) if xk == 1 else float("nan"))
+            )
+        if use_trigger and trig:
+            events.append((k, sec, seq, 3, "trig", None))
+    out = {}
+    for key in {e[0] for e in events}:
+        evs = sorted(
+            (e for e in events if e[0] == key),
+            key=lambda e: (e[1], e[2], e[3]),
+        )
+        first_sec = min(e[1] for e in evs)  # per-key min over the UNION
+        epoch = didx = 0
+        data = []  # (epoch, didx, sec, value)
+        for _k, s, q, _pri, kind, v in evs:
+            if kind == "reset":
+                epoch += 1
+                continue
+            if kind == "data":
+                didx += 1
+                data.append((epoch, didx, s, v))
+            emit = (kind == "trig") if use_trigger else (kind == "data")
+            if not emit:
+                continue
+            if interval is None:
+                wrows = [d for d in data if d[0] == epoch]
+            elif isinstance(interval, int):
+                wrows = [d for d in data
+                         if d[0] == epoch and d[1] > didx - interval]
+            else:
+                g = interval.total_seconds()
+                wrows = [d for d in data
+                         if d[0] == epoch and s - g < d[2] <= s]
+            valid = [d[3] for d in wrows if not math.isnan(d[3])]
+            has_nan = any(math.isnan(d[3]) for d in wrows)
+            mw = interval if min_window is None else min_window
+            if mw is None or (isinstance(mw, int) and mw <= 1):
+                warm = True
+            elif isinstance(mw, int):
+                warm = didx >= mw
+            else:
+                warm = s >= first_sec + mw.total_seconds()
+            if not warm:
+                continue
+
+            def gate(needs, val):
+                req = max(mdp, needs)
+                ok = len(valid) >= req if req > 0 else True
+                if not ignore_na:
+                    ok = ok and not has_nan
+                return val if ok else float("nan")
+
+            out[(key, s, q)] = (
+                gate(0, float(sum(valid))),
+                gate(1, sum(valid) / len(valid) if valid else float("nan")),
+                float(len(valid)),
+            )
+    return out
+
+
+def _collect_rolling(r, cycles):
+    got = {}
+    out = r.agg(s=r.sum_col(), m=r.mean_col(), c=r.count_col())
+    for row in out.collect():
+        sec = round((row[TS] - START).total_seconds())
+        got[(row[KEY], sec, row[SEQ])] = (row["s"], row["m"], row["c"])
+    return got
+
+
+def _assert_maps_equal(got, want):
+    assert set(got) == set(want), (
+        sorted(set(got) ^ set(want)), len(got), len(want))
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            same = (math.isnan(g) and math.isnan(w)) or math.isclose(
+                g, w, rel_tol=1e-9, abs_tol=1e-9
+            )
+            assert same, (k, got[k], want[k])
+
+
+@given(cycles=cycles_strategy)
+@settings(**_SETTINGS)
+def test_binary_op_validity_gating_matches_cycle_replay(spark, cycles):
+    """binary_op fires on either input's tick but only once BOTH are
+    valid (csp/math.py:253-255), same-(ts,seq) ticks of both inputs are
+    ONE engine cycle (one output row seeing both updates), and distinct
+    cycles at one timestamp stay distinct rows."""
+    from csp_spark.core.align import binary_op
+
+    # x from the x-slots, y from the trigger-slots (reused as a second
+    # value stream with value = the cycle's float)
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    ys = [
+        (k, START + dt.timedelta(seconds=sec), seq, float(xv) * 0.5 - 1.0)
+        for seq, (k, dsec, _xk, xv, trig, _rst, _smp) in enumerate(cycles)
+        for sec in [sum(c[1] for c in cycles[: seq + 1])]
+        if trig
+    ]
+    y = TickStream(spark.createDataFrame(ys, SCHEMA))
+    # keep this one NaN-free: align treats NaN as a VALUE; NaN semantics
+    # are the stats tests' job
+    x = TickStream(
+        x.df.filter(~F.isnan("value")), x.value_col
+    )
+    got = {
+        (r[KEY], round((r[TS] - START).total_seconds()), r[SEQ]): r["value"]
+        for r in binary_op(x, y, lambda a, b: a + b).df.collect()
+    }
+    last: dict = {}
+    want: dict = {}
+    sec = 0
+    for seq, (k, dsec, xk, xv, trig, _rst, _smp) in enumerate(cycles):
+        sec += dsec
+        lx, ly = last.get(k, (None, None))
+        if xk == 1:
+            lx = float(xv)
+        if trig:
+            ly = float(xv) * 0.5 - 1.0
+        last[k] = (lx, ly)
+        if (xk == 1 or trig) and lx is not None and ly is not None:
+            want[(k, sec, seq)] = lx + ly
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12, abs_tol=1e-12)
+
+
+@given(cycles=cycles_strategy)
+@settings(**_SETTINGS)
+def test_sample_asof_matches_cycle_replay(spark, cycles):
+    """sample(trigger, x): x's last value at each trigger tick, nothing
+    while x is invalid; a trigger coincident with an x tick sees THAT
+    cycle's value (same-cycle updates are delivered before the node
+    fires)."""
+    from csp_spark.core.align import sample
+
+    x, trig, _r, _s = _mk_cycle_streams(spark, cycles)
+    x = TickStream(x.df.filter(~F.isnan("value")), x.value_col)
+    got = {
+        (r[KEY], round((r[TS] - START).total_seconds()), r[SEQ]): r["value"]
+        for r in sample(trig, x).df.collect()
+    }
+    want: dict = {}
+    last: dict = {}
+    sec = 0
+    for seq, (k, dsec, xk, xv, tr, _rst, _smp) in enumerate(cycles):
+        sec += dsec
+        if xk == 1:
+            last[k] = float(xv)
+        if tr and k in last:
+            want[(k, sec, seq)] = last[k]
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
+
+
+@given(
+    cycles=cycles_strategy,
+    interval=st.integers(min_value=1, max_value=4),
+    mw=st.integers(min_value=1, max_value=3),
+    mdp=st.integers(min_value=0, max_value=2),
+)
+@settings(**_SETTINGS)
+def test_rolling_trigger_reset_matches_cycle_replay(
+    spark, cycles, interval, mw, mdp
+):
+    """Tick-window Rolling under trigger + reset + min_window +
+    min_data_points together: reset splits the window BEFORE a
+    same-cycle data tick (pri order reset < data < trigger), the
+    trigger sees same-cycle data, warm-up counts data ticks, and every
+    statistic NaN-gates on its own needs."""
+    from csp_spark.stats.rolling import Rolling
+
+    x, trig, rst, _s = _mk_cycle_streams(spark, cycles)
+    r = Rolling(
+        x, interval=interval, min_window=mw, min_data_points=mdp,
+        trigger=trig, reset=rst,
+    )
+    got = _collect_rolling(r, cycles)
+    want = _replay_rolling(
+        cycles, interval=interval, min_window=mw, mdp=mdp,
+        use_trigger=True,
+    )
+    _assert_maps_equal(got, want)
+
+
+@given(
+    cycles=cycles_strategy,
+    interval=st.integers(min_value=1, max_value=4),
+    mw=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_rolling_sampler_matches_cycle_replay(spark, cycles, interval, mw):
+    """Sampler control: the sampler IS the data clock — x contributes
+    only where it ticks the same engine cycle as a sampler tick, every
+    other sampler tick is a NaN observation (counted by the window,
+    skipped by ignore_na=True statistics)."""
+    from csp_spark.stats.rolling import Rolling
+
+    x, _t, _r, samp = _mk_cycle_streams(spark, cycles)
+    r = Rolling(x, interval=interval, min_window=mw, sampler=samp,
+                ignore_na=True)
+    got = _collect_rolling(r, cycles)
+    want = _replay_rolling(
+        cycles, interval=interval, min_window=mw, use_sampler=True,
+        use_reset=False,
+    )
+    _assert_maps_equal(got, want)
+
+
+@given(
+    cycles=cycles_strategy,
+    gap_s=st.integers(min_value=1, max_value=5),
+    mw_s=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_rolling_time_window_nan_poisoning_matches_cycle_replay(
+    spark, cycles, gap_s, mw_s
+):
+    """Time-window Rolling with ignore_na=False + reset: the (t-d, t]
+    window poisons sum/mean when ANY NaN tick is inside (count stays a
+    raw valid-count), the timedelta warm-up measures from the per-key
+    FIRST union row (data or reset), and reset still splits epochs."""
+    from csp_spark.stats.rolling import Rolling
+
+    x, _t, rst, _s = _mk_cycle_streams(spark, cycles)
+    r = Rolling(
+        x, interval=dt.timedelta(seconds=gap_s),
+        min_window=dt.timedelta(seconds=mw_s),
+        reset=rst, ignore_na=False,
+    )
+    got = _collect_rolling(r, cycles)
+    want = _replay_rolling(
+        cycles, interval=dt.timedelta(seconds=gap_s),
+        min_window=dt.timedelta(seconds=mw_s), ignore_na=False,
+    )
+    _assert_maps_equal(got, want)
