@@ -2136,6 +2136,32 @@ def stats_sampler(spark, sf_dir):
 #: one's plan re-execution or oracle read
 _IVF_CELLS_PATH = f"/tmp/csp_spark_ivf_cells_{os.getpid()}.parquet"
 
+#: same contract for the hard-negatives cell-assignment artifact
+_HN_CELLS_PATH = f"/tmp/csp_spark_hn_cells_{os.getpid()}.parquet"
+
+
+def _reap_dead_artifacts(pattern: str, keep: str) -> None:
+    """Remove sibling per-pid artifacts whose owning pid is DEAD.
+    Liveness, not mtime: an mtime heuristic could delete a concurrent
+    long-running harness's artifact between its query and oracle
+    steps."""
+    import glob
+    import re as _re
+    import shutil
+
+    for p in glob.glob(pattern):
+        if p == keep:
+            continue
+        m = _re.search(r"_(\d+)\.parquet$", p)
+        if not m:
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # signal 0 = liveness probe
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except (OSError, ValueError):
+            pass  # alive-but-not-ours (EPERM) or unparsable: leave it
+
 
 def ann_ivf_topk(spark, sf_dir):
     # IVF-flat ANN (KMeans coarse quantizer, n_probe cells scanned).
@@ -2159,26 +2185,9 @@ def ann_ivf_topk(spark, sf_dir):
     qv = np.asarray(list(q), dtype=np.float64)
     order = np.argsort(((centers - qv) ** 2).sum(axis=1), kind="stable")
     probes = [int(c) for c in order[:4]]
-    # hygiene: drop sibling artifacts whose owning pid is DEAD (each
-    # pid writes its own; nothing else reaps them). Liveness, not
-    # mtime: an mtime heuristic could delete a concurrent long-running
-    # harness's artifact between its query and oracle steps.
-    import glob
-    import re as _re
-    import shutil
-
-    for p in glob.glob("/tmp/csp_spark_ivf_cells_*.parquet"):
-        if p == _IVF_CELLS_PATH:
-            continue
-        m = _re.search(r"_cells_(\d+)\.parquet$", p)
-        if not m:
-            continue
-        try:
-            os.kill(int(m.group(1)), 0)  # signal 0 = liveness probe
-        except ProcessLookupError:
-            shutil.rmtree(p, ignore_errors=True)
-        except (OSError, ValueError):
-            pass  # alive-but-not-ours (EPERM) or unparsable: leave it
+    _reap_dead_artifacts(
+        "/tmp/csp_spark_ivf_cells_*.parquet", _IVF_CELLS_PATH
+    )
     indexed.select(
         "vec_id", "cell", F.col("cell").isin(probes).alias("probed")
     ).write.mode("overwrite").parquet(_IVF_CELLS_PATH)
@@ -2205,28 +2214,47 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def ann_hard_negatives(spark, sf_dir):
-    """Per-anchor hard-negative mining (similarity/ann.py
-    hard_negatives — Robinson et al. 2021): top-3 most-similar other
-    vectors per anchor, near-dups above 0.99 excluded as false
-    negatives. n_clusters=1 = the exact all-pairs form, so the oracle
-    replays every pair's cosine, the eps exclusion, and the
-    rounded-rank window with id tiebreak in SQL; the clustered
-    production path (cell-bounded candidates) is agreement- and
-    containment-tested in tests/test_pipeline_ops.py."""
-    from csp_spark.similarity import hard_negatives
+    """Per-anchor hard-negative mining, PRODUCTION form (similarity/
+    ann.py hard_negatives — Robinson et al. 2021): candidates bounded
+    by a frozen 16-cell IVF assignment (the cell_assignment path —
+    mine against a saved index, no KMeans in the mining plan), top-3
+    most-similar per anchor, near-dups above 0.99 excluded as false
+    negatives. The assignment is persisted as a parquet artifact (the
+    ann_ivf_topk pattern), so the oracle replays everything downstream
+    of clustering from the same files: in-cell pairs, the cosine, the
+    eps exclusion, and the rounded-rank window with id tiebreak. The
+    n_clusters=1 exact all-pairs form and clustered containment stay
+    unit-tested in tests/test_pipeline_ops.py."""
+    from csp_spark.similarity import hard_negatives, ivf_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, k=3, n_clusters=1, exclude_eps=0.99)
+    indexed, _ = ivf_index(emb, n_cells=16)
+    _reap_dead_artifacts(
+        "/tmp/csp_spark_hn_cells_*.parquet", _HN_CELLS_PATH
+    )
+    indexed.select("vec_id", "cell").write.mode("overwrite").parquet(
+        _HN_CELLS_PATH
+    )
+    assign = spark.read.parquet(_HN_CELLS_PATH)
+    out = hard_negatives(emb, k=3, exclude_eps=0.99, cell_assignment=assign)
+    # materialize now: a later build at another sf overwrites the pid
+    # artifact, and a lazy plan would read the wrong assignment (the
+    # ann_ivf_topk eager-collect contract)
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
-_HARD_NEG_ORACLE = """
-WITH p AS (
+_HARD_NEG_ORACLE = f"""
+WITH cells AS (SELECT vec_id, cell FROM read_parquet('{_HN_CELLS_PATH}/*.parquet')),
+e AS (
+  SELECT c.cell, a.vec_id, CAST(a.embedding AS DOUBLE[]) AS v
+  FROM embeddings a JOIN cells c USING (vec_id)
+),
+p AS (
   SELECT a.vec_id AS anchor, b.vec_id AS negative,
-    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
-      AS cos_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id
 )
 SELECT anchor, negative, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY anchor

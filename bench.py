@@ -86,6 +86,21 @@ COMPARABLE_R4 = [
     if q not in ("op_node_ast", "frame_pandas_ts", "ann_pq_topk",
                  "stats_ema_adjust", "doc_bpe_apply")
 ]
+# FROZEN r8 set (r8 verdict item 3): the r7/r8 LLM-pipeline ops whose
+# only perf signal had been scale_smoke growth ratios — wall-time
+# regressions on them now show round-over-round the same way
+# COMPARABLE_R2/R4 cover the engine ops. Frozen verbatim; future
+# rounds emit comparable_r8_subtotal(_warm) over exactly this list.
+COMPARABLE_R8 = [
+    "doc_gopher",
+    "doc_c4",
+    "doc_dsir",
+    "doc_semdedup",
+    "op_sessionize",
+    "ann_hard_negatives",
+    "doc_repeat_epochs",
+    "ann_ivf_topk",
+]
 
 
 def main() -> None:
@@ -110,7 +125,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     total = 0.0
     warm_total = 0.0
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + COMPARABLE_R8:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -217,6 +232,10 @@ def main() -> None:
             sum(timings[n] for n in COMPARABLE_R4), 3),
         "comparable_r4_subtotal_warm": round(
             sum(warm[n] for n in COMPARABLE_R4), 3),
+        "comparable_r8_subtotal": round(
+            sum(timings[n] for n in COMPARABLE_R8), 3),
+        "comparable_r8_subtotal_warm": round(
+            sum(warm[n] for n in COMPARABLE_R8), 3),
         "queries": timings,
     }, separators=(",", ":")))
 

@@ -354,6 +354,7 @@ def hard_negatives(
     seed: int = 42,
     cap: int = 20_000,
     on_over_cap: str = "raise",
+    cell_assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Per-anchor hard-negative mining for contrastive/embedding
     training: for every vector, the ``k`` most-cosine-similar OTHER
@@ -380,6 +381,13 @@ def hard_negatives(
     top-k OF THE SAMPLE, an unbiased approximation that keeps every
     anchor served (under-cap cells stay exact).
 
+    ``cell_assignment`` — an (id_col, cell) frame, e.g. the table
+    :func:`save_index` persisted or :func:`ivf_assign` extended —
+    skips the internal KMeans entirely: mine negatives against a
+    FROZEN index (the incremental pipeline's shape, and the
+    replayable-oracle shape: the assignment is data another engine
+    can read). ``n_clusters`` is ignored when given.
+
     Returns (anchor, negative, cos_sim, rank), rank 1-based."""
     from pyspark.sql import Window
 
@@ -391,7 +399,14 @@ def hard_negatives(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    if n_clusters <= 1:
+    if cell_assignment is not None:
+        cells = base.join(
+            cell_assignment.select(
+                F.col(id_col).alias("id"), F.col("cell").cast("int")
+            ),
+            "id",
+        )
+    elif n_clusters <= 1:
         # the exact-all-pairs contract of this mode must never be
         # capped: raise the cap to the corpus size (one cheap count —
         # this is the oracle/small-corpus form)
@@ -401,6 +416,17 @@ def hard_negatives(
         cells, _ = ivf_index(
             base, n_cells=n_clusters, id_col="id", vec_col="v", seed=seed
         )
+    # per-row norm ONCE below the join (the knn_join discipline):
+    # cosine() inline would recompute each side's norm per pair —
+    # |cell|x redundant interpreted aggregates. Same factor
+    # expressions in the same (n_a * n_b) order, so every double is
+    # bit-identical to the inline form and oracles are unaffected.
+    celln = cells.withColumn("__vn", norm(F.col("v")))
+    _pair_cos = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.__vn") * F.col("b.__vn")),
+        6,
+    )
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
     over = sizes.filter(F.col("__n") > cap).collect()
     if over and on_over_cap == "raise":
@@ -428,7 +454,7 @@ def hard_negatives(
             F.lit(float(cap)), F.col("__n").cast("double")
         )
         cand = (
-            cells.join(F.broadcast(sizes), "cell")
+            celln.join(F.broadcast(sizes), "cell")
             .filter(
                 (F.col("__n") <= cap)
                 | (split_uniform(F.col("id"), seed + 1) < frac)
@@ -436,7 +462,7 @@ def hard_negatives(
             .drop("__n")
         )
         directed = (
-            cells.alias("a")
+            celln.alias("a")
             .join(
                 cand.alias("b"),
                 on=[
@@ -447,18 +473,16 @@ def hard_negatives(
             .select(
                 F.col("a.id").alias("anchor"),
                 F.col("b.id").alias("negative"),
-                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias(
-                    "cos_sim"
-                ),
+                _pair_cos.alias("cos_sim"),
             )
         )
     else:
         # exact path: undirected in-cell self-join (half the pairs),
         # then symmetrize — every candidate serves both anchors
         pairs = (
-            cells.alias("a")
+            celln.alias("a")
             .join(
-                cells.alias("b"),
+                celln.alias("b"),
                 on=[
                     F.col("a.cell") == F.col("b.cell"),
                     F.col("a.id") < F.col("b.id"),
@@ -467,9 +491,7 @@ def hard_negatives(
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias(
-                    "__cos"
-                ),
+                _pair_cos.alias("__cos"),
             )
         )
         directed = pairs.select(

@@ -930,6 +930,14 @@ def test_hard_negatives(spark, emb):
     prs = hn.select("anchor", "negative").collect()
     assert len(prs) > 0
     assert all(cell[r["anchor"]] == cell[r["negative"]] for r in prs)
+    # frozen-index path: passing the SAME assignment as cell_assignment
+    # (the saved-index / ivf_assign shape) reproduces the internal
+    # clustering's result exactly, with no KMeans in the mining plan
+    assign = indexed.selectExpr("id as vec_id", "cell")
+    hn2 = hard_negatives(emb, k=K, cell_assignment=assign)
+    a = sorted(tuple(r) for r in hn.collect())
+    b = sorted(tuple(r) for r in hn2.collect())
+    assert a == b
 
 
 def test_hard_negatives_over_cap(spark, emb):
