@@ -26,6 +26,65 @@ from csp_spark.text import (
 SF = "/root/testdata/sf0.001"
 
 
+def composed_curation(spark, sf_dir: str = SF, shards_path: str | None = None):
+    """C4 line cleaning → SemDeDup → next-fit sequence packing →
+    (optionally) order-preserving training shards, composed as ONE
+    lazy DataFrame chain — the composed-plan pin:
+    tests/test_pipeline_ops.py asserts the chain's exchange count via
+    tools/plan_audit.py, proving the zero-shuffle bundles stay FUSED
+    when composed. The C4 recipe adds no exchange (pure codegen scan),
+    SemDeDup contributes only its own cluster-bounded machinery, the
+    survivor semi-join shuffles once on doc_id, and packing's only
+    shuffle is its groupBy(shard) — composition adds nothing.
+
+    Returns the packed-sequence table (doc_id, shard, n_tokens, seq,
+    offset); with ``shards_path`` also writes size-balanced
+    order-preserving shards (the dataloader handoff)."""
+    from csp_spark.dedup import semdedup
+    from csp_spark.pipeline import pack_next_fit
+    from csp_spark.pipeline.storage import write_training_shards
+    from csp_spark.text import c4_filters, token_count
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    # the synthetic corpus is single-line prose; shape it into C4's
+    # multi-line world: three sentence-terminated content lines plus
+    # one line each of the recipe's removal classes (too short /
+    # "javascript") so every rule fires
+    lined = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("too short."),
+            F.lit("this line mentions javascript and is removed."),
+            F.concat(F.lit("again: "), F.col("text"), F.lit(".")),
+            F.concat(F.lit("finally: "), F.col("text"), F.lit(".")),
+        ),
+    )
+    c4 = c4_filters(lined)
+    cleaned = c4.filter(F.col("keep") == 1).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    keep_ids = (
+        semdedup(emb, eps=0.995, n_clusters=8, keep="min_id")
+        .filter(F.col("kept") == 1)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    survivors = cleaned.join(keep_ids, "doc_id", "left_semi")
+    toks = survivors.select(
+        "doc_id", token_count(F.col("text")).alias("tok")
+    )
+    packed = pack_next_fit(toks, "doc_id", "tok", budget=256, num_shards=8)
+    if shards_path is not None:
+        write_training_shards(
+            packed, shards_path, order_col="seq", rows_per_shard=200
+        )
+    return packed
+
+
 def main() -> None:
     spark = csp.get_spark(app_name="ex_curation")
     spark.sparkContext.setLogLevel("ERROR")

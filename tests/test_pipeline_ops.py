@@ -940,6 +940,50 @@ def test_hard_negatives(spark, emb):
     assert a == b
 
 
+def _load_module(path, name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_composed_curation_plan_pin(spark, tmp_path):
+    """The composed-plan pin (r8 verdict item 6): C4 line cleaning →
+    SemDeDup → next-fit packing → training shards composed as one
+    chain keeps a CONSTANT exchange budget — exactly the sum of its
+    parts (semdedup's cluster machinery, one survivor semi-join, one
+    pack groupBy(shard)), nothing added by composition — with zero
+    cartesian products and zero row-at-a-time Python UDFs."""
+    ex = _load_module("examples/04_curation_pipeline.py", "ex04_mod")
+    pa = _load_module("tools/plan_audit.py", "plan_audit_mod")
+
+    df = ex.composed_curation(spark)
+    a = pa.audit(df)
+    assert a["cartesian"] == 0
+    assert a["row_udf"] == 0
+    # pinned: 1 semdedup shuffle + 1 survivor semi-join + 1 pack
+    # groupBy(shard); a regression that un-fuses the zero-shuffle
+    # bundles (C4 scan, token_count, offsets) shows up here
+    assert a["exchanges"] == 3, a
+    assert a["arrow_udf"] == 1  # the pack fold is the ONLY Python pass
+    n = df.count()
+    assert n > 0
+    # every C4 survivor packs exactly once, offsets stay inside budget
+    assert df.select("doc_id").distinct().count() == n
+    assert df.filter(F.col("offset") + F.col("n_tokens")
+                     > 256).filter(F.col("offset") > 0).count() == 0
+    # the shard write runs end-to-end and preserves seq order per file
+    out = str(tmp_path / "shards")
+    ex.composed_curation(spark, shards_path=out)
+    files = [f for f in __import__("os").listdir(out)
+             if f.endswith(".parquet")]
+    assert files
+    back = spark.read.parquet(out)
+    assert back.count() == n
+
+
 def test_hard_negatives_over_cap(spark, emb):
     """Over-cap cells must NOT inherit dedup's star-reroute (that
     preserves connectivity, not per-anchor top-k): the default raises
