@@ -3176,6 +3176,43 @@ def doc_split(spark, sf_dir):
     )
 
 
+def doc_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test (pipeline/sampling.py
+    leakage_safe_split): the split draw keys on the exact-dup
+    FINGERPRINT (the dedup normalize+md5 discipline), so duplicate
+    documents always land in the SAME split — no train/test leakage
+    through surviving dups (Lee et al. ACL'22). Pure column
+    expressions, no shuffle; the oracle replays fingerprint, draw, and
+    thresholds bit-exactly."""
+    from csp_spark.dedup import normalize
+    from csp_spark.pipeline import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.md5(normalize(F.col("text"))).alias("grp"))
+    out = leakage_safe_split(
+        g, "grp",
+        weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed=13,
+    )
+    return out.select("doc_id", "grp", "split")
+
+
+def _group_split_oracle_sql() -> str:
+    md5e = "md5(concat('13|', grp))"
+    u = f"(({_hex13_sql(md5e)}) + 0.5) / 4503599627370496.0"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+    md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))
+      AS grp
+  FROM documents
+)
+SELECT doc_id, grp,
+  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, grp, {u} AS u FROM g)
+"""
+
+
 def ann_knn_join(spark, sf_dir):
     """Batch kNN join (similarity/ann.py knn_join): every 25th vector
     queries the full corpus for its 5 nearest by cosine. Broadcast
@@ -3780,6 +3817,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+#: r9 evidence rotation (r8 verdict item 1): the driver checks the
+#: FIRST 50 queries() entries each round, so the prefix carries the 44
+#: queries whose latest driver evidence is r6 (oldest-first rotation)
+#: plus the 6 queries whose code or oracle changed this round
+#: (doc_bpe_tokens new train-replay oracle; ann_hard_negatives new
+#: production form + artifact oracle; ann_ivf_topk reaper change;
+#: doc_repeat_epochs epoch-cap plan change; stats_cov_matrix rides
+#: the causal time-window change) plus the NEW doc_group_split.
+#: After r9 no query's latest evidence is older than r7.
+_R9_PREFIX = [
+    # 44 r6-stale, oldest-first
+    "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q11_important_stock", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_discounted_revenue",
+    "q20_part_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "stats_rolling_tick", "stats_rolling_time", "stats_expanding",
+    "stats_quantile", "stats_argminmax", "stats_corr", "stats_ema",
+    "stats_ema_cov", "stats_skew_kurt", "stats_order",
+    "basket_sample", "basket_sync",
+    "op_value_at", "op_times", "op_dynamic_collect", "op_edge_math",
+    "op_struct_field",
+    "src_curve", "src_timer",
+    "frame_pandas_ts",
+    "doc_split", "doc_chunk", "doc_bpe_apply", "text_repetition",
+    "ann_ivf_exact", "ann_knn_join",
+    # 5 changed in r9 + the 1 NEW r9 query (first evidence)
+    "doc_bpe_tokens", "ann_hard_negatives", "ann_ivf_topk",
+    "doc_repeat_epochs", "stats_cov_matrix", "doc_group_split",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "q1_pricing_summary": q1_pricing_summary,
@@ -3880,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_sampler": stats_sampler,
         "dedup_components": dedup_components,
         "doc_split": doc_split,
+        "doc_group_split": doc_group_split,
         "ann_knn_join": ann_knn_join,
         "ann_knn_join_blas": ann_knn_join_blas,
         "q4_order_priority": q4_order_priority,
@@ -3927,49 +4000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
-    # dict, so order by evidence value (round 8 — the r7 verdict's #1
-    # item: rotate the 44 queries whose latest driver evidence is r5,
-    # oldest-first, plus queries whose backing modules changed this
-    # round):
-    # 1. all 44 r5-evidence queries (the baselib op_* block, q3/q5/q6/
-    #    q10, random sources, mm_features, the stats stragglers,
-    #    dedup_minhash/simhash/components, the pack/token family,
-    #    ann_topk/ann_pq_topk, op_hot_key_running);
-    # 2. queries whose backing code changed THIS round: ann_ivf_topk
-    #    (now persists its cell assignment and carries a DuckDB replay
-    #    oracle — leaves the rows-only set), dyn_snap_attach +
-    #    dyn_cummax (plans/runtime.py grew the _DYNAMIC_MAX_KEYS spawn
-    #    guard on their path);
-    # 3. the three NEW r8 queries needing first driver evidence:
-    #    doc_repeat_epochs (multi-epoch mixture), op_sessionize (gap
-    #    sessions), ann_hard_negatives (hard-negative mining).
-    # That fills exactly 50; after this round no query's latest driver
-    # evidence predates r6 (the r6 block — op_value_at/op_times/
-    # src_curve/the stats r6 set — opens the r9 rotation). Everything
-    # else held green in r6/r7 under code untouched since.
-    priority = [
-        # (1) the r5-evidence block, wholesale
-        "op_count", "op_accum", "op_diff", "op_delay", "op_firstn",
-        "op_dropdups", "op_dropdups_eps", "op_sample_asof",
-        "op_unroll", "op_split_false", "op_default", "op_multiplex",
-        "op_collect", "op_flatten", "op_dropnans", "op_apply",
-        "op_demultiplex", "op_burst", "op_last_value",
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_forecast_revenue", "q10_returned_items",
-        "random_poisson", "random_brownian", "mm_features",
-        "stats_minmax_sem", "stats_xsec", "stats_cov_matrix",
-        "stats_unique", "stats_trigger_reset", "stats_sampler",
-        "stats_ema_adjust",
-        "dedup_minhash", "dedup_simhash", "dedup_components",
-        "doc_pack", "doc_pack_fit", "doc_pack_manifest",
-        "doc_incremental_dedup", "doc_token_ids",
-        "ann_topk", "ann_pq_topk", "op_hot_key_running",
-        # (2) modules changed this round + NEW query (first evidence)
-        "ann_ivf_topk", "dyn_snap_attach", "dyn_cummax",
-        "doc_repeat_epochs", "op_sessionize", "ann_hard_negatives",
-    ]
+    # dict — _R9_PREFIX (above) carries this round's evidence rotation;
+    # behind it, oracle-checked queries come before the rows-only pair.
     o = oracle_sql()
-    front = {k: q[k] for k in priority if k in q}
+    front = {k: q[k] for k in _R9_PREFIX if k in q}
     return {
         **front,
         **{k: v for k, v in q.items() if k in o and k not in front},
@@ -4674,6 +4708,7 @@ WHERE i / (sa.c + sb.c - i) >= 0.5
         "stats_ema_cov": _ema_cov_oracle_sql(),
         "dedup_components": _components_oracle_sql(),
         "doc_split": _split_oracle_sql(),
+        "doc_group_split": _group_split_oracle_sql(),
         "doc_pack": _pack_offsets_oracle_sql(),
         "doc_cap_per_source": _cap_oracle_sql(),
         "doc_incremental_dedup": _incremental_oracle_sql(),

@@ -14,6 +14,7 @@ from .sampling import (  # noqa: F401
     cap_per_group,
     deterministic_sample,
     hash_split,
+    leakage_safe_split,
     mix_to_budget,
     repeat_to_budget,
     split_uniform,

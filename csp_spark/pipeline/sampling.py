@@ -57,6 +57,11 @@ def hash_split(
     oracle. Weights must sum to 1 (the last split absorbs the
     remainder to be safe against float dust)."""
     u = split_uniform(F.col(id_col), seed)
+    return df.withColumn(out_col, _split_expr(u, weights))
+
+
+def _split_expr(u: Column, weights: Sequence[tuple[str, float]]) -> Column:
+    """Cumulative-threshold split name from a (0,1) draw."""
     cond = None
     acc = 0.0
     for name, w in weights[:-1]:
@@ -66,12 +71,43 @@ def hash_split(
             if cond is None
             else cond.when(u < F.lit(acc), F.lit(name))
         )
-    cond = (
+    return (
         cond.otherwise(F.lit(weights[-1][0]))
         if cond is not None
         else F.lit(weights[-1][0])
     )
-    return df.withColumn(out_col, cond)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """:func:`hash_split` keyed on a GROUP id instead of the row id:
+    every member of a duplicate/near-duplicate group — an exact-dup
+    fingerprint, a :mod:`csp_spark.dedup.components` component id, a
+    URL host — draws ONE split, so evaluation rows can never leak into
+    train through surviving near-dups (Lee et al. ACL'22 measure the
+    train-test contamination arising from exactly this). Rows with a
+    NULL group fall back to their own ``id_col`` (ungrouped = their
+    own group; the "__row:" prefix keeps a row id from colliding with
+    a group id of the same string). Same md5 identity draw as every
+    sampler here: partition-independent, engine-replayable, and a pure
+    column expression — no shuffle; join the component/fingerprint
+    column on beforehand."""
+    key = F.coalesce(
+        F.col(group_col).cast("string"),
+        F.concat(F.lit("__row:"), F.col(id_col).cast("string")),
+    )
+    u = hash_uniform(key, seed)
+    return df.withColumn(out_col, _split_expr(u, weights))
 
 
 def deterministic_sample(

@@ -1455,6 +1455,46 @@ def test_repeat_to_budget_epoch_cap(docs):
     assert out.agg(F.max("epoch")).first()[0] == 99
 
 
+def test_leakage_safe_split(spark, docs):
+    """Group-keyed splitting: every member of a duplicate group draws
+    ONE split (no train/test leakage through dups); NULL groups fall
+    back to the row's own id; proportions track the weights."""
+    from csp_spark.dedup import normalize
+    from csp_spark.pipeline import hash_split, leakage_safe_split
+
+    # plant exact dups: 20 re-id'd copies must land in their original's
+    # split (the sf0.001 corpus has no exact normalized dups itself)
+    base = docs.select("doc_id", "text")
+    dup = base.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    g = base.unionByName(dup).select(
+        "doc_id", F.md5(normalize(F.col("text"))).alias("grp")
+    )
+    out = leakage_safe_split(g, "grp", seed=13).collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_grp.values())
+    sizes = {}
+    for r in out:
+        sizes[r["grp"]] = sizes.get(r["grp"], 0) + 1
+    assert max(sizes.values()) > 1
+    # proportions in the right ballpark (group-level draw, 500 docs)
+    dist = {}
+    for r in out:
+        dist[r["split"]] = dist.get(r["split"], 0) + 1
+    assert dist.get("train", 0) > 0.75 * len(out)
+    # NULL group falls back to the row id — and matches hash_split on a
+    # "__row:"-prefixed id, never colliding with a real group string
+    nulls = g.withColumn("grp", F.lit(None).cast("string"))
+    a = {r["doc_id"]: r["split"]
+         for r in leakage_safe_split(nulls, "grp", seed=13).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(
+        g.select("doc_id", F.concat(F.lit("__row:"),
+                                    F.col("doc_id").cast("string"))
+         .alias("rid")), "rid", seed=13).collect()}
+    assert a == b
+
+
 def test_cap_per_group(docs):
     from csp_spark.pipeline import cap_per_group
 
