@@ -3233,12 +3233,15 @@ def ann_knn_join(spark, sf_dir):
 
 
 def ann_knn_join_blas(spark, sf_dir):
-    """Scale variant of ann_knn_join: numpy-BLAS partition scoring
+    """Scale variant of ann_knn_join: numpy-BLAS partition SELECTION
     (method='blas', ~12x the exact path's scoring throughput at
-    sf0.1). Rows-only by design: BLAS sums differ from a sequential
-    replay in the last ulp, so value-hash equality vs the DuckDB
-    oracle would be theoretically flaky; exact-path agreement is
-    asserted in tests/test_pipeline_ops.py instead."""
+    sf0.1) with a 2e-6 tie margin, then exact JVM re-scoring of the
+    <= partitions x |Q| x k survivors with the exact path's own
+    expressions. BLAS-vs-sequential ulp effects cannot cross the
+    margin, so the output is bit-identical to ann_knn_join and the
+    SAME DuckDB oracle replays it (r8's rows-only caveat removed;
+    bit-exactness vs the exact path is also asserted in
+    tests/test_pipeline_ops.py)."""
     from csp_spark.similarity import knn_join
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4001,7 +4004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # The correctness harness evaluates a bounded prefix (50) of this
     # dict — _R9_PREFIX (above) carries this round's evidence rotation;
-    # behind it, oracle-checked queries come before the rows-only pair.
+    # behind it, oracle-checked queries come before any rows-only rest
+    # (none since r9: ann_knn_join_blas gained the shared knn oracle).
     o = oracle_sql()
     front = {k: q[k] for k in _R9_PREFIX if k in q}
     return {
@@ -4750,6 +4754,9 @@ SELECT source,
 FROM documents GROUP BY 1
 """,
         "ann_knn_join": _knn_oracle_sql(),
+        # blas = same result bit-for-bit (margin-guarded BLAS selection
+        # + exact JVM re-score), so the same oracle replays it.
+        "ann_knn_join_blas": _knn_oracle_sql(),
         "q4_order_priority": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o

@@ -684,14 +684,18 @@ def knn_join(
     method="exact" (default): similarities are JVM-side sequential
     zip_with/aggregate sums — bit-reproducible by any engine replaying
     a sequential sum (the DuckDB oracle), at interpreted-expression
-    throughput. method="blas": one Arrow pass scores each corpus
-    partition against the whole query matrix with a numpy matmul
-    (C-BLAS; ~10-50x the exact path's scoring throughput at large
-    |C|x|Q|) — same top-k modulo last-ulp summation-order effects on
-    the 6-dp rounding, so use it for scale and the exact path for
-    conformance. (An unrolled codegen sum was measured and rejected:
-    64-dim element_at chains exceed Janino's 64KB method limit and
-    the compile latency exceeds the interpreted win.)
+    throughput. method="blas": one Arrow pass SELECTS each partition's
+    top-k candidates against the whole query matrix with a numpy
+    matmul (C-BLAS; ~10-50x the exact path's scoring throughput at
+    large |C|x|Q|), keeping a 2e-6 safety margin around the k-th
+    score; the surviving <= partitions x |Q| x k rows are then
+    RE-SCORED with the exact path's own JVM expressions. BLAS-vs-
+    sequential summation differs by last-ulp (<< the margin), so the
+    exact top-k set provably survives selection and the returned
+    values are bit-identical to method="exact" — blas is the scale
+    path AND conformance-exact. (An unrolled codegen sum was measured
+    and rejected: 64-dim element_at chains exceed Janino's 64KB method
+    limit and the compile latency exceeds the interpreted win.)
     """
     from pyspark.sql import Window
 
@@ -699,12 +703,12 @@ def knn_join(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
     )
     if method == "blas":
-        from pyspark.sql.types import DoubleType, StructField, StructType
+        from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-        out_schema = StructType([
+        sel_schema = StructType([
             StructField("__qid", q.schema["__qid"].dataType),
             StructField("__cid", corpus.schema[corpus_id].dataType),
-            StructField("cos_sim", DoubleType()),
+            StructField("__cv", ArrayType(DoubleType())),
         ])
         # Collect + broadcast the query side (small by the same
         # contract that lets the exact path broadcast-join it).
@@ -713,8 +717,14 @@ def knn_join(
         qmat = np.array([list(r["__qv"]) for r in qrows], dtype=np.float64)
         qnorm = np.linalg.norm(qmat, axis=1)
         bq = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qnorm))
+        # |blas_score - exact_score| is a few ulp (~1e-15); after both
+        # round to 6dp they differ by at most one 1e-6 step at a
+        # rounding boundary. Keeping everything within 2e-6 of the
+        # k-th BLAS score therefore guarantees every member of the
+        # exact top-k (including k-th-value ties) survives selection.
+        margin = 2e-6
 
-        def _score_topk(batches):
+        def _select_topk(batches):
             import pandas as pd
 
             bqids, bqmat, bqnorm = bq.value
@@ -730,32 +740,59 @@ def knn_join(
                     (C @ bqmat.T) / np.outer(cn, bqnorm), 6
                 )  # |batch| x |Q|
                 for j in range(len(bqids)):
-                    col = s[:, j]
-                    mask = cids != bqids[j] if exclude_self else slice(None)
-                    cc, ss = cids[mask], col[mask]
-                    if len(cc) > k:
-                        # keep EVERY candidate tied at the k-th value so
-                        # the final deterministic (cos_sim desc, cid asc)
-                        # sort breaks boundary ties identically to the
-                        # exact path
+                    idx = np.arange(len(cids))
+                    if exclude_self:
+                        idx = idx[cids != bqids[j]]
+                    ss = s[idx, j]
+                    if len(idx) > k:
                         kth = np.partition(ss, len(ss) - k)[len(ss) - k]
-                        keep = ss >= kth
-                        cc, ss = cc[keep], ss[keep]
-                    pools.append(pd.DataFrame(
-                        {"__qid": bqids[j], "__cid": cc, "cos_sim": ss}
-                    ))
+                        keep = ss >= kth - margin
+                        idx, ss = idx[keep], ss[keep]
+                    pools.append(pd.DataFrame({
+                        "__qid": bqids[j],
+                        "__cid": cids[idx],
+                        "__cv": pdf["__cv"].iloc[idx].to_numpy(),
+                        "__blas": ss,
+                    }))
             if pools:
                 pool = pd.concat(pools).sort_values(
-                    ["__qid", "cos_sim", "__cid"], ascending=[True, False, True]
+                    ["__qid", "__blas"], ascending=[True, False]
                 )
-                yield pool.groupby("__qid", sort=False).head(k)
+                kthv = pool.groupby("__qid", sort=False)["__blas"].transform(
+                    lambda g: g.iloc[min(k, len(g)) - 1]
+                )
+                yield pool.loc[
+                    pool["__blas"] >= kthv - margin,
+                    ["__qid", "__cid", "__cv"],
+                ]
 
-        pruned = (
+        cand = (
             corpus.select(
                 F.col(corpus_id).alias("__cid"),
                 F.col(corpus_vec).cast("array<double>").alias("__cv"),
             )
-            .mapInPandas(_score_topk, schema=out_schema)
+            .mapInPandas(_select_topk, schema=sel_schema)
+        )
+        # Exact re-score of the tiny survivor set with the SAME factor
+        # expressions (and evaluation order) as the exact path below,
+        # so every returned double is bit-identical to method="exact"
+        # and the same DuckDB oracle replays it.
+        qn = q.select(
+            "__qid",
+            F.col("__qv").cast("array<double>").alias("__qv"),
+        ).withColumn("__qn", norm(F.col("__qv")))
+        pruned = (
+            cand.withColumn("__cn", norm(F.col("__cv")))
+            .join(F.broadcast(qn), "__qid")
+            .select(
+                "__qid",
+                "__cid",
+                F.round(
+                    dot(F.col("__cv"), F.col("__qv"))
+                    / (F.col("__cn") * F.col("__qn")),
+                    6,
+                ).alias("cos_sim"),
+            )
         )
     else:
         # Precompute each side's norm ONCE per row below the join
