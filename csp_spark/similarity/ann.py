@@ -776,11 +776,17 @@ def knn_join(
         # Exact re-score of the tiny survivor set with the SAME factor
         # expressions (and evaluation order) as the exact path below,
         # so every returned double is bit-identical to method="exact"
-        # and the same DuckDB oracle replays it.
-        qn = q.select(
-            "__qid",
-            F.col("__qv").cast("array<double>").alias("__qv"),
-        ).withColumn("__qn", norm(F.col("__qv")))
+        # and the same DuckDB oracle replays it. The query table is
+        # rebuilt from the rows already collected for the broadcast —
+        # no second scan of the query side's source.
+        qn = (
+            corpus.sparkSession.createDataFrame(qrows, schema=q.schema)
+            .select(
+                "__qid",
+                F.col("__qv").cast("array<double>").alias("__qv"),
+            )
+            .withColumn("__qn", norm(F.col("__qv")))
+        )
         pruned = (
             cand.withColumn("__cn", norm(F.col("__cv")))
             .join(F.broadcast(qn), "__qid")

@@ -805,3 +805,43 @@ def test_rolling_time_window_nan_poisoning_matches_cycle_replay(
         min_window=dt.timedelta(seconds=mw_s), ignore_na=False,
     )
     _assert_maps_equal(got, want)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-8, max_value=8, allow_nan=False, width=16),
+        min_size=12, max_size=48,
+    ),
+    ndup=st.integers(min_value=0, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_knn_join_blas_bit_identical_to_exact(spark, vals, ndup):
+    """knn_join(method="blas") must return the exact path's result
+    BIT-FOR-BIT on arbitrary corpora — including duplicated vectors
+    (forced cos=1.0 ties at the top-k boundary, the adversarial case
+    for the margin-guarded BLAS selection + exact JVM re-score)."""
+    import numpy as np
+    from csp_spark.similarity import knn_join
+
+    dim = 4
+    base = [
+        [float(vals[(i * dim + j) % len(vals)]) + (0.1 if j == i % dim else 0.0)
+         for j in range(dim)]
+        for i in range(8)
+    ]
+    # duplicate the first ndup vectors under new ids: exact-tie groups
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, list(base[i])) for i in range(ndup)]
+    # drop zero-norm vectors (cosine undefined; out of contract)
+    rows = [r for r in rows if any(abs(x) > 1e-12 for x in r[1])]
+    if len(rows) < 2:
+        return
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    cs = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    e = sorted((r.qid, r.rank, r.cid, r.cos_sim) for r in
+               knn_join(qs, cs, k=3, query_id="qid", corpus_id="cid").collect())
+    b = sorted((r.qid, r.rank, r.cid, r.cos_sim) for r in
+               knn_join(qs, cs.repartition(3), k=3, query_id="qid",
+                        corpus_id="cid", method="blas").collect())
+    assert e == b

@@ -215,6 +215,29 @@ def main() -> None:
     print(f"hard_negatives_clustered m={sem_sizes[0]}: {hn_times[0]:6.2f}s   "
           f"m={sem_sizes[1]}: {hn_times[1]:6.2f}s  normalized ratio {norm:4.2f}{flag}")
 
+    # r9: BLAS kNN join — FIXED query side, corpus grows. Scoring is
+    # one matmul per corpus partition and the exact re-score stage is
+    # survivor-set-sized (constant in corpus), so time must stay
+    # ~linear in corpus rows.
+    from csp_spark.similarity import knn_join
+
+    kj_queries = emb.filter(F.col("vec_id") % 300 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    kj_times = []
+    for m in sem_sizes:
+        corpus_m = _emb_scaled(m).select(
+            F.col("vec_id").alias("cid"), "embedding"
+        )
+        t0 = time.time()
+        knn_join(kj_queries, corpus_m, k=5, query_id="qid",
+                 corpus_id="cid", method="blas").count()
+        kj_times.append(time.time() - t0)
+    norm = (kj_times[1] / kj_times[0]) / (sem_sizes[1] / sem_sizes[0])
+    flag = "" if norm < 2 else "  <-- SUPERLINEAR (scoring blowup)"
+    print(f"knn_join_blas            m={sem_sizes[0]}: {kj_times[0]:6.2f}s   "
+          f"m={sem_sizes[1]}: {kj_times[1]:6.2f}s  normalized ratio {norm:4.2f}{flag}")
+
     qs = E.queries()
     for name in QUERIES:
         t0 = time.time()
