@@ -845,3 +845,190 @@ def test_knn_join_blas_bit_identical_to_exact(spark, vals, ndup):
                knn_join(qs, cs.repartition(3), k=3, query_id="qid",
                         corpus_id="cid", method="blas").collect())
     assert e == b
+
+
+# ---------------------------------------------------------------------------
+# baselib element-wise family vs pure-python cycle replays (r9): the same
+# oracle style the reference uses in csp/tests/test_baselib.py — random
+# keyed tick tables with coincident (ts, seq) cycles driven through the
+# Spark operators and through a literal python replay of the reference
+# semantics.
+# ---------------------------------------------------------------------------
+
+def _xrows(cycles):
+    """(key, sec, seq, value) for the x slots of a cycle list."""
+    out, sec = [], 0
+    for seq, (k, dsec, xk, xv, *_rest) in enumerate(cycles):
+        sec += dsec
+        if xk:
+            out.append((k, sec, seq, float(xv) if xk == 1 else float("nan")))
+    return out
+
+
+def _scalar_maps_equal(got, want):
+    assert set(got) == set(want), (sorted(set(got) ^ set(want)),
+                                   len(got), len(want))
+    for kk in want:
+        g, w = got[kk], want[kk]
+        same = (math.isnan(g) and math.isnan(w)) or math.isclose(
+            g, w, rel_tol=1e-12, abs_tol=1e-12
+        )
+        assert same, (kk, g, w)
+
+
+def _collect_scalar(ts_stream):
+    return {
+        (r[KEY], round((r[TS] - START).total_seconds()), r[SEQ]): r["value"]
+        for r in ts_stream.df.collect()
+    }
+
+
+@given(cycles=cycles_strategy, n=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_delay_ticks_and_timedelta_match_replay(spark, cycles, n):
+    """csp.delay by timedelta moves timestamps (same value, same seq);
+    delay by tick count re-times value i to tick i+n's cycle per key."""
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    rows = _xrows(cycles)
+
+    got_td = {
+        (r[KEY], round((r[TS] - START).total_seconds()), r[SEQ]): r["value"]
+        for r in bl.delay(x, dt.timedelta(seconds=3)).df.collect()
+    }
+    want_td = {(k, sec + 3, seq): v for (k, sec, seq, v) in rows}
+    _scalar_maps_equal(got_td, want_td)
+
+    got_tk = _collect_scalar(bl.delay(x, n))
+    want_tk = {}
+    for key in {r[0] for r in rows}:
+        ks = [r for r in rows if r[0] == key]  # already (ts, seq) ordered
+        for i in range(n, len(ks)):
+            _k, sec, seq, _v = ks[i]
+            want_tk[(key, sec, seq)] = ks[i - n][3]
+    _scalar_maps_equal(got_tk, want_tk)
+
+
+@given(cycles=cycles_strategy, lag=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_diff_tick_and_time_lag_match_replay(spark, cycles, lag):
+    """csp.diff: tick lag is v_i - v_{i-lag} per key; time lag is
+    v(t) - v_asof(t - lag) emitted ONLY on x's own cycles (the
+    reference x - sample(x, delay(x, lag)) composition)."""
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    rows = _xrows(cycles)
+
+    got_tk = _collect_scalar(bl.diff(x, lag))
+    want_tk = {}
+    for key in {r[0] for r in rows}:
+        ks = [r for r in rows if r[0] == key]
+        for i in range(lag, len(ks)):
+            _k, sec, seq, v = ks[i]
+            want_tk[(key, sec, seq)] = v - ks[i - lag][3]
+    _scalar_maps_equal(got_tk, want_tk)
+
+    # 3.5s: tick times are integer seconds, so t - lag never lands ON a
+    # tick and the as-of boundary is unambiguous
+    got_td = _collect_scalar(bl.diff(x, dt.timedelta(seconds=3, milliseconds=500)))
+    want_td = {}
+    for key in {r[0] for r in rows}:
+        ks = [r for r in rows if r[0] == key]
+        for i, (_k, sec, seq, v) in enumerate(ks):
+            prev = [r for r in ks if r[1] <= sec - 3.5]
+            if prev:
+                want_td[(key, sec, seq)] = v - prev[-1][3]
+    _scalar_maps_equal(got_td, want_td)
+
+
+@given(cycles=cycles_strategy)
+@settings(**_SETTINGS)
+def test_merge_left_wins_matches_replay(spark, cycles):
+    """csp.merge unions two streams; when both tick on the SAME engine
+    cycle (same key, ts, seq) the left value wins."""
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    rows = _xrows(cycles)
+    ys, sec = [], 0
+    for seq, (k, dsec, _xk, xv, trig, _rst, _smp) in enumerate(cycles):
+        sec += dsec
+        if trig:
+            ys.append((k, START + dt.timedelta(seconds=sec), seq,
+                       float(xv) * 2.0 + 1.0))
+    y = TickStream(spark.createDataFrame(ys, SCHEMA))
+    got = _collect_scalar(bl.merge(x, y))
+    want = {}
+    for (k, t, seq, v) in ys:
+        want[(k, round((t - START).total_seconds()), seq)] = v
+    for (k, sec_, seq, v) in rows:  # x overwrites: left wins
+        want[(k, sec_, seq)] = v
+    _scalar_maps_equal(got, want)
+
+
+@given(cycles=cycles_strategy,
+       eps=st.sampled_from([None, 0.75, 5.0]))
+@settings(**_SETTINGS)
+def test_drop_dups_eps_nan_matches_replay(spark, cycles, eps):
+    """csp.drop_dups drops CONSECUTIVE per-key duplicates; float mode
+    treats |a-b| < eps as equal and NaN == NaN."""
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    rows = _xrows(cycles)
+    got = _collect_scalar(bl.drop_dups(x, eps=eps))
+    want, last = {}, {}
+    for (k, sec, seq, v) in rows:
+        p = last.get(k)
+        if p is None:
+            same = False
+        elif math.isnan(v) or math.isnan(p):
+            same = math.isnan(v) and math.isnan(p)
+        elif eps is not None:
+            same = abs(v - p) < eps
+        else:
+            same = v == p
+        if not same:
+            want[(k, sec, seq)] = v
+        last[k] = v
+    _scalar_maps_equal(got, want)
+
+
+@given(cycles=cycles_strategy, on_tick=st.booleans())
+@settings(**_SETTINGS)
+def test_gate_matches_replay(spark, cycles, on_tick):
+    """csp.gate buffers x while the gate is closed and flushes the
+    buffer as ONE list tick at the next opening release cycle; while
+    open each tick passes as a single-element list (release_on_tick
+    flushes only on actual true release ticks)."""
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    rows = _xrows(cycles)
+    rels, sec = [], 0
+    for seq, (k, dsec, _xk, _xv, trig, rst, _smp) in enumerate(cycles):
+        sec += dsec
+        if trig:
+            rels.append((k, sec, seq, bool(rst)))
+    rel = TickStream(spark.createDataFrame(
+        [(k, START + dt.timedelta(seconds=s), q, v) for (k, s, q, v) in rels],
+        "key string, ts timestamp, seq long, value boolean",
+    ))
+    got = {
+        (r[KEY], round((r[TS] - START).total_seconds()), r[SEQ]):
+            list(r["value"])
+        for r in bl.gate(x, rel, release_on_tick=on_tick).df.collect()
+    }
+    want: dict = {}
+    for key in {r[0] for r in rows} | {r[0] for r in rels}:
+        krel = [r for r in rels if r[0] == key]
+        opens = [(s, q) for (_k, s, q, v) in krel if v]
+        for (_k, s, q, v) in [r for r in rows if r[0] == key]:
+            opened = [rv for (_rk, rs, rq, rv) in krel if (rs, rq) <= (s, q)]
+            open_now = bool(opened) and opened[-1]
+            if open_now and not on_tick:
+                flush = (s, q)
+            else:
+                nxt = [o for o in opens if o >= (s, q)]
+                if not nxt:
+                    continue
+                flush = nxt[0]
+            want.setdefault((key, flush[0], flush[1]), []).append((s, q, v))
+    want = {kk: [v for (_s, _q, v) in sorted(vals)] for kk, vals in want.items()}
+    assert set(got) == set(want), sorted(set(got) ^ set(want))
+    for kk in want:
+        assert len(got[kk]) == len(want[kk]), (kk, got[kk], want[kk])
+        for g, w in zip(got[kk], want[kk]):
+            assert (math.isnan(g) and math.isnan(w)) or g == w, (kk, g, w)
