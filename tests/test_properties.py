@@ -1032,3 +1032,115 @@ def test_gate_matches_replay(spark, cycles, on_tick):
         assert len(got[kk]) == len(want[kk]), (kk, got[kk], want[kk])
         for g, w in zip(got[kk], want[kk]):
             assert (math.isnan(g) and math.isnan(w)) or g == w, (kk, g, w)
+
+
+@given(cycles=cycles_strategy)
+@settings(**_SETTINGS)
+def test_unroll_matches_replay(spark, cycles):
+    """csp.unroll explodes a list tick into per-element ticks at the
+    SAME timestamp on successive engine cycles — seq is re-derived
+    densely per (key, ts) ordered by (original seq, list position)."""
+    rows = _xrows(cycles)
+    lrows = [
+        (k, START + dt.timedelta(seconds=sec), seq,
+         [v + float(j) for j in range(1 + seq % 3)])
+        for (k, sec, seq, v) in rows
+    ]
+    xs = TickStream(spark.createDataFrame(
+        lrows, "key string, ts timestamp, seq long, value array<double>"))
+    got = _collect_scalar(bl.unroll(xs))
+    want = {}
+    by_kt: dict = {}
+    for (k, t, seq, vs) in lrows:
+        sec = round((t - START).total_seconds())
+        for pos, v in enumerate(vs):
+            by_kt.setdefault((k, sec), []).append((seq, pos, v))
+    for (k, sec), items in by_kt.items():
+        for new_seq, (_s, _p, v) in enumerate(sorted(items)):
+            want[(k, sec, new_seq)] = v
+    _scalar_maps_equal(got, want)
+
+
+@given(cycles=cycles_strategy)
+@settings(**_SETTINGS)
+def test_filter_and_split_match_replay(spark, cycles):
+    """csp.filter passes x ticks while the LAST flag value is true (an
+    as-of gate including a same-cycle flag tick); csp.split routes each
+    x tick by that same as-of flag, dropping ticks before any flag."""
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    rows = _xrows(cycles)
+    flags, sec = [], 0
+    for seq, (k, dsec, _xk, _xv, trig, rst, _smp) in enumerate(cycles):
+        sec += dsec
+        if trig:
+            flags.append((k, sec, seq, bool(rst)))
+    flag = TickStream(spark.createDataFrame(
+        [(k, START + dt.timedelta(seconds=s), q, v) for (k, s, q, v) in flags],
+        "key string, ts timestamp, seq long, value boolean",
+    ))
+    got_f = _collect_scalar(bl.filter_(flag, x))
+    tside, fside = bl.split(flag, x)
+    got_t, got_fa = _collect_scalar(tside), _collect_scalar(fside)
+    want_t, want_f = {}, {}
+    for (k, s, q, v) in rows:
+        fl = [fv for (fk, fs, fq, fv) in flags
+              if fk == k and (fs, fq) <= (s, q)]
+        if not fl:
+            continue
+        (want_t if fl[-1] else want_f)[(k, s, q)] = v
+    _scalar_maps_equal(got_f, want_t)  # filter == split.true
+    _scalar_maps_equal(got_t, want_t)
+    _scalar_maps_equal(got_fa, want_f)
+
+
+@given(cycles=cycles_strategy)
+@settings(**_SETTINGS)
+def test_burst_last_value_flatten_match_replay(spark, cycles):
+    """PushMode shaping and set union: burst conflates same-timestamp
+    ticks into one seq-ordered list, last_value keeps only the max-seq
+    tick per (key, ts), flatten interleaves streams re-deriving dense
+    seq by (original seq, stream position)."""
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    rows = _xrows(cycles)
+    by_kt: dict = {}
+    for (k, s, q, v) in rows:
+        by_kt.setdefault((k, s), []).append((q, v))
+
+    got_b = {
+        (r[KEY], round((r[TS] - START).total_seconds()), r[SEQ]):
+            list(r["value"])
+        for r in bl.burst(x).df.collect()
+    }
+    want_b = {(k, s, 0): [v for (_q, v) in sorted(items)]
+              for (k, s), items in by_kt.items()}
+    assert set(got_b) == set(want_b)
+    for kk in want_b:
+        assert len(got_b[kk]) == len(want_b[kk])
+        for g, w in zip(got_b[kk], want_b[kk]):
+            assert (math.isnan(g) and math.isnan(w)) or g == w, (kk, g, w)
+
+    got_l = _collect_scalar(bl.last_value(x))
+    want_l = {}
+    for (k, s), items in by_kt.items():
+        q, v = max(items)
+        want_l[(k, s, q)] = v
+    _scalar_maps_equal(got_l, want_l)
+
+    ys, sec = [], 0
+    for seq, (k, dsec, _xk, xv, trig, _rst, _smp) in enumerate(cycles):
+        sec += dsec
+        if trig:
+            ys.append((k, sec, seq, float(xv) - 7.0))
+    y = TickStream(spark.createDataFrame(
+        [(k, START + dt.timedelta(seconds=s), q, v) for (k, s, q, v) in ys],
+        SCHEMA))
+    got_fl = _collect_scalar(bl.flatten([x, y]))
+    merged: dict = {}
+    for pri, src in ((0, rows), (1, ys)):
+        for (k, s, q, v) in src:
+            merged.setdefault((k, s), []).append((q, pri, v))
+    want_fl = {}
+    for (k, s), items in merged.items():
+        for new_seq, (_q, _p, v) in enumerate(sorted(items)):
+            want_fl[(k, s, new_seq)] = v
+    _scalar_maps_equal(got_fl, want_fl)
