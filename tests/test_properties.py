@@ -1144,3 +1144,62 @@ def test_burst_last_value_flatten_match_replay(spark, cycles):
         for new_seq, (_q, _p, v) in enumerate(sorted(items)):
             want_fl[(k, s, new_seq)] = v
     _scalar_maps_equal(got_fl, want_fl)
+
+
+@given(cycles=cycles_strategy)
+@settings(**_SETTINGS)
+def test_multiplex_demultiplex_collect_match_replay(spark, cycles):
+    """csp.multiplex emits x ticks whose basket key equals the LAST
+    selector value (a same-cycle selector tick applies to the
+    coincident x tick); csp.demultiplex routes per key; csp.collect
+    gathers coincident ticks into one stream-position-ordered list."""
+    from csp_spark import GLOBAL_KEY
+
+    x, _t, _r, _s = _mk_cycle_streams(spark, cycles)
+    rows = _xrows(cycles)
+
+    sels, sec = [], 0
+    for seq, (k, dsec, _xk, _xv, trig, rst, _smp) in enumerate(cycles):
+        sec += dsec
+        if trig:
+            sels.append((sec, seq, "a" if rst else "b"))
+    ks = TickStream(spark.createDataFrame(
+        [(GLOBAL_KEY, START + dt.timedelta(seconds=s), q, v)
+         for (s, q, v) in sels],
+        "key string, ts timestamp, seq long, value string",
+    ))
+    got_m = _collect_scalar(bl.multiplex(x, ks))
+    want_m = {}
+    for (k, s, q, v) in rows:
+        cur = [sv for (ss, sq, sv) in sels if (ss, sq) <= (s, q)]
+        if cur and cur[-1] == k:
+            want_m[(k, s, q)] = v
+    _scalar_maps_equal(got_m, want_m)
+
+    demux = bl.demultiplex(x, ["a", "b"])
+    for key in ("a", "b"):
+        got_d = _collect_scalar(demux[key])
+        want_d = {(k, s, q): v for (k, s, q, v) in rows if k == key}
+        _scalar_maps_equal(got_d, want_d)
+
+    ys = [(k, START + dt.timedelta(seconds=s), q, v * 3.0)
+          for (k, s, q, v) in
+          [(k, s, q, v) for (k, s, q, v) in rows if q % 2 == 0]]
+    y = TickStream(spark.createDataFrame(ys, SCHEMA))
+    got_c = {
+        (r[KEY], round((r[TS] - START).total_seconds()), r[SEQ]):
+            list(r["value"])
+        for r in bl.collect({"x": x, "y": y}).df.collect()
+    }
+    want_c: dict = {}
+    for pos, src in ((0, rows), (1, [(k, round((t - START).total_seconds()),
+                                      q, v) for (k, t, q, v) in ys])):
+        for (k, s, q, v) in src:
+            want_c.setdefault((k, s, q), []).append((pos, v))
+    want_c = {kk: [v for (_p, v) in sorted(vals)]
+              for kk, vals in want_c.items()}
+    assert set(got_c) == set(want_c)
+    for kk in want_c:
+        assert len(got_c[kk]) == len(want_c[kk]), (kk, got_c[kk], want_c[kk])
+        for g, w in zip(got_c[kk], want_c[kk]):
+            assert (math.isnan(g) and math.isnan(w)) or g == w, (kk, g, w)
