@@ -132,7 +132,11 @@ def main() -> None:
         n = df.count()
         dt_ = time.perf_counter() - t0
         timings[name] = round(dt_, 3)
-        total += dt_
+        # headline value/value_warm stay sums over BENCH_QUERIES ONLY
+        # (cross-round comparable since r2); the R8 set reports through
+        # its own frozen subtotal below
+        if name in BENCH_QUERIES:
+            total += dt_
         # second, warm run of the SAME plan: steady-state throughput
         # with codegen/JIT/broadcasts amortized (what a long-lived
         # engine sees). The cold number stays the headline for
@@ -141,7 +145,8 @@ def main() -> None:
         fn(spark, sf_dir).count()
         wt = time.perf_counter() - t0
         warm[name] = round(wt, 3)
-        warm_total += wt
+        if name in BENCH_QUERIES:
+            warm_total += wt
         print(f"# {name}: {dt_:.3f}s cold / {wt:.3f}s warm ({n} rows)",
               file=sys.stderr)
 

@@ -30,8 +30,11 @@ from ..sources.random_gen import hash_uniform
 #: hazard): f_g = budget·w_g / tokens_g is a row MULTIPLIER, so a
 #: mis-scaled budget or a weighted group with tiny token mass would
 #: silently explode that group's rows by millions. Past the cap we
-#: raise with the misconfigured groups named.
-_MAX_EPOCHS = int(os.environ.get("CSP_SPARK_MAX_EPOCHS", "100"))
+#: raise with the misconfigured groups named. Read at CALL time so a
+#: user following the error's advice can set the env var in a live
+#: session and retry.
+def _max_epochs() -> int:
+    return int(os.environ.get("CSP_SPARK_MAX_EPOCHS", "100"))
 
 
 def split_uniform(id_col: Column, seed: int = 42) -> Column:
@@ -339,17 +342,18 @@ def repeat_to_budget(
     # unaffected. floor(f_g) is the group's row multiplier; fail
     # loudly instead of silently emitting millions of epochs (or,
     # past int64, a wrong epoch count from a saturating cast).
+    max_epochs = _max_epochs()
     fr_rows = fr.collect()
     bad = [
         (r[group_col], float(r["__f"]))
         for r in fr_rows
-        if not math.isfinite(r["__f"]) or int(r["__f"]) > _MAX_EPOCHS
+        if not math.isfinite(r["__f"]) or int(r["__f"]) > max_epochs
     ]
     if bad:
         worst = ", ".join(f"{g!r}: f={f:.6g}" for g, f in bad[:5])
         raise ValueError(
             f"repeat_to_budget: {len(bad)} group(s) would repeat for "
-            f"more than {_MAX_EPOCHS} epochs ({worst}) — almost "
+            f"more than {max_epochs} epochs ({worst}) — almost "
             "certainly a mis-scaled token_budget or a weighted group "
             "with near-zero token mass. Fix the budget/weights, or "
             "raise CSP_SPARK_MAX_EPOCHS if the oversampling is "
@@ -357,7 +361,7 @@ def repeat_to_budget(
         )
     fr = df.sparkSession.createDataFrame(fr_rows, fr.schema)
     # int cast is safe: the guard above already rejected any floor(f)
-    # past _MAX_EPOCHS, so the value fits int32 (a user raising the
+    # past the epoch cap, so the value fits int32 (a user raising the
     # env cap past 2^31 epochs has bigger problems); keeping the
     # epoch column int keeps the output schema stable
     n_full = F.floor(F.col("__f")).cast("int")

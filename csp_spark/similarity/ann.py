@@ -400,11 +400,27 @@ def hard_negatives(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if cell_assignment is not None:
+        # LEFT join + in-expression raise (the demultiplex pattern):
+        # an anchor missing from the frozen assignment must fail
+        # loudly, not silently mine zero negatives — new vectors go
+        # through ivf_assign first.
         cells = base.join(
             cell_assignment.select(
                 F.col(id_col).alias("id"), F.col("cell").cast("int")
             ),
-            "id",
+            "id", "left",
+        ).withColumn(
+            "cell",
+            F.when(
+                F.col("cell").isNull(),
+                F.raise_error(F.concat(
+                    F.lit("hard_negatives: id "),
+                    F.col("id").cast("string"),
+                    F.lit(" has no row in cell_assignment — assign new "
+                          "vectors with ivf_assign first, or filter "
+                          "them out of the anchor set"),
+                )).cast("int"),
+            ).otherwise(F.col("cell")),
         )
     elif n_clusters <= 1:
         # the exact-all-pairs contract of this mode must never be
@@ -438,6 +454,32 @@ def hard_negatives(
             "raise cap, or pass on_over_cap='sample' to rank each "
             "anchor against a deterministic md5 sample of its cell."
         )
+    def _sym_pairs(src):
+        # exact path: undirected in-cell self-join (half the pairs),
+        # then symmetrize — every candidate serves both anchors
+        pairs = (
+            src.alias("a")
+            .join(
+                src.alias("b"),
+                on=[
+                    F.col("a.cell") == F.col("b.cell"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                _pair_cos.alias("__cos"),
+            )
+        )
+        return pairs.select(
+            F.col("id_a").alias("anchor"), F.col("id_b").alias("negative"),
+            F.col("__cos").alias("cos_sim"),
+        ).unionByName(pairs.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("negative"),
+            F.col("__cos").alias("cos_sim"),
+        ))
+
     if over:
         logger.warning(
             "hard_negatives: %d cell(s) over cap=%d (largest=%d) — "
@@ -445,24 +487,25 @@ def hard_negatives(
             "candidate subset (top-k of the sample)",
             len(over), cap, max(r["__n"] for r in over),
         )
-        # candidate draw: keep ~cap/|cell| of each over-cap cell
-        # (seed+1: independent of any caller's row-sampling draws);
-        # under-cap cells keep every candidate → exact. Directed join
-        # anchors x candidates within cell — every anchor, including
-        # sampled-out ones, is still served.
-        frac = F.try_divide(
-            F.lit(float(cap)), F.col("__n").cast("double")
+        # ONLY the over-cap cells take the sampled directed join;
+        # under-cap cells keep the exact symmetric half-pairs path
+        # (scoring each unordered pair once, not twice). The per-cell
+        # keep fraction rides a literal map built from the already-
+        # collected over-cap sizes — no second sizes aggregate in the
+        # plan. seed+1: independent of any caller's row-sampling draws.
+        over_ids = [r["cell"] for r in over]
+        frac_map = F.create_map(*[
+            F.lit(x)
+            for r in over
+            for x in (r["cell"], float(cap) / float(r["__n"]))
+        ])
+        hot = celln.filter(F.col("cell").isin(over_ids))
+        cand = hot.filter(
+            split_uniform(F.col("id"), seed + 1)
+            < F.element_at(frac_map, F.col("cell"))
         )
-        cand = (
-            celln.join(F.broadcast(sizes), "cell")
-            .filter(
-                (F.col("__n") <= cap)
-                | (split_uniform(F.col("id"), seed + 1) < frac)
-            )
-            .drop("__n")
-        )
-        directed = (
-            celln.alias("a")
+        directed_hot = (
+            hot.alias("a")
             .join(
                 cand.alias("b"),
                 on=[
@@ -476,31 +519,11 @@ def hard_negatives(
                 _pair_cos.alias("cos_sim"),
             )
         )
+        directed = _sym_pairs(
+            celln.filter(~F.col("cell").isin(over_ids))
+        ).unionByName(directed_hot)
     else:
-        # exact path: undirected in-cell self-join (half the pairs),
-        # then symmetrize — every candidate serves both anchors
-        pairs = (
-            celln.alias("a")
-            .join(
-                celln.alias("b"),
-                on=[
-                    F.col("a.cell") == F.col("b.cell"),
-                    F.col("a.id") < F.col("b.id"),
-                ],
-            )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                _pair_cos.alias("__cos"),
-            )
-        )
-        directed = pairs.select(
-            F.col("id_a").alias("anchor"), F.col("id_b").alias("negative"),
-            F.col("__cos").alias("cos_sim"),
-        ).unionByName(pairs.select(
-            F.col("id_b").alias("anchor"), F.col("id_a").alias("negative"),
-            F.col("__cos").alias("cos_sim"),
-        ))
+        directed = _sym_pairs(celln)
     if exclude_eps is not None:
         directed = directed.filter(
             F.col("cos_sim") < F.lit(float(exclude_eps))
@@ -713,6 +736,16 @@ def knn_join(
         # Collect + broadcast the query side (small by the same
         # contract that lets the exact path broadcast-join it).
         qrows = q.collect()
+        if not qrows:  # (0,) qmat would break axis-1 norms / matmul
+            from pyspark.sql.types import IntegerType
+
+            empty = StructType([
+                StructField(query_id, q.schema["__qid"].dataType),
+                StructField(corpus_id, corpus.schema[corpus_id].dataType),
+                StructField("rank", IntegerType(), False),
+                StructField("cos_sim", DoubleType()),
+            ])
+            return corpus.sparkSession.createDataFrame([], empty)
         qids = np.array([r["__qid"] for r in qrows])
         qmat = np.array([list(r["__qv"]) for r in qrows], dtype=np.float64)
         qnorm = np.linalg.norm(qmat, axis=1)

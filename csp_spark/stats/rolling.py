@@ -85,6 +85,13 @@ def causal_time_window(
 
     Ranks past S/2-1 or spans past ~71 years raise loudly instead of
     silently corrupting frames."""
+    if us - 1 > _REL_MAX:
+        # same ceiling as the runtime span check: past it the frame
+        # bound (us-1)*S + S/2-1 itself overflows int64 at plan build
+        raise ValueError(
+            "time-window: interval exceeds the ~71-year causal-window "
+            f"encoding range ({us} µs > {_REL_MAX + 1} µs)"
+        )
     tie = F.row_number().over(
         Window.partitionBy(*partition_cols, "__tsu").orderBy(*order_cols)
     ) - 1

@@ -2150,3 +2150,65 @@ def test_ivf_artifact_topk_plan_shape(spark, emb):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_repeat_to_budget_epoch_cap_env_read_at_call(docs, monkeypatch):
+    """The cap env var is read at CALL time, so following the error's
+    own advice (raise CSP_SPARK_MAX_EPOCHS in the live session) works
+    without re-importing the module."""
+    from csp_spark.pipeline import repeat_to_budget
+
+    five = docs.filter(F.col("source") == "src0").limit(5)
+    tot = five.agg(F.sum("n_chars")).first()[0]
+    monkeypatch.setenv("CSP_SPARK_MAX_EPOCHS", "10")
+    with pytest.raises(ValueError, match="more than 10 epochs"):
+        repeat_to_budget(five, {"src0": 1.0}, 50.0 * tot,
+                         token_col="n_chars").collect()
+    monkeypatch.setenv("CSP_SPARK_MAX_EPOCHS", "60")
+    out = repeat_to_budget(five, {"src0": 1.0}, 50.0 * tot,
+                           token_col="n_chars")
+    assert out.agg(F.max("epoch")).first()[0] == 49
+
+
+def test_knn_join_blas_empty_query_side(spark, emb):
+    """An empty query side returns an empty, correctly-typed result
+    from the blas path (the exact path's behavior), not a numpy
+    AxisError at plan-build time."""
+    from csp_spark.similarity import knn_join
+
+    qs = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    cs = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    out = knn_join(qs, cs, k=3, query_id="qid", corpus_id="cid",
+                   method="blas")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "qid", "cid", "rank", "cos_sim"]
+
+
+def test_hard_negatives_missing_assignment_raises(spark, emb):
+    """An anchor absent from a frozen cell_assignment fails loudly
+    (run ivf_assign first), instead of silently mining zero negatives
+    for exactly the new vectors an incremental run cares about."""
+    from csp_spark.similarity import hard_negatives, ivf_index
+
+    indexed, _ = ivf_index(
+        emb.selectExpr("vec_id as id", "cast(embedding as array<double>) as v"),
+        n_cells=4, id_col="id", vec_col="v")
+    # drop a few ids from the assignment → those anchors must raise
+    assign = indexed.selectExpr("id as vec_id", "cell").filter(
+        F.col("vec_id") % 7 != 0)
+    with pytest.raises(Exception, match="ivf_assign"):
+        hard_negatives(emb, k=2, cell_assignment=assign).collect()
+
+
+def test_causal_time_window_interval_overflow_raises():
+    """An interval past the ~71-year encoding range fails at plan
+    build with the loud error, not an int64 overflow inside Py4J."""
+    from csp_spark.stats.rolling import _REL_MAX, causal_time_window
+
+    with pytest.raises(ValueError, match="71-year"):
+        causal_time_window(["key"], ["ts", "seq"], _REL_MAX + 2)
+    # at the boundary the frame builds
+    _v, (lo, hi) = causal_time_window(["key"], ["ts", "seq"], _REL_MAX + 1)
+    assert lo > -(2 ** 63) and hi == 0
