@@ -225,7 +225,18 @@ def main() -> None:
                  "rows-only query removed); the re-score stage costs "
                  "~+0.5s at sf0.1 (r8 0.54 warm -> r9 ~1.0 warm), "
                  "CONSTANT in corpus size (survivor-set-sized, "
-                 "scoring still one BLAS matmul per partition).",
+                 "scoring still one BLAS matmul per partition). "
+                 "r9 headline value/value_warm are BENCH_QUERIES-only "
+                 "sums again (an r9-early change had leaked the R8 "
+                 "set into the total; the R8 set reports via "
+                 "comparable_r8_subtotal). r9 scale facts "
+                 "(tools/scale_smoke.py): knn_join_blas fixed-query/"
+                 "2x-corpus normalized 0.08 (second run warm), "
+                 "op_sessionize 1.3 at 10x rows, doc_repeat_epochs "
+                 "0.6, doc_dsir 2.5 (unchanged r7 adjudication), "
+                 "adversarial_lsh 0.29, semdedup_clustered 0.31, "
+                 "hard_negatives_clustered 0.37 — no superlinear "
+                 "entries.",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
