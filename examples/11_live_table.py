@@ -91,9 +91,14 @@ def main() -> None:
     time.sleep(0.2)
     adapter.flush()
 
-    print("first websocket frames:")
-    for _ in range(3):
-        print("  ", client.recv_message().decode())
+    # indexed tables deliver the merged snapshot: exactly ONE upd
+    # frame per index value (2 symbols), not the per-cycle history
+    print("websocket frames (one per indexed symbol):")
+    frames = [json.loads(client.recv_message()) for _ in range(2)]
+    for fr in frames:
+        print("  ", fr)
+    assert {fr["data"][0]["symbol"] for fr in frames} == {"SPY", "QQQ"}
+    assert all(fr["messageType"] == "upd" for fr in frames)
     client.close()
 
     import http.client
