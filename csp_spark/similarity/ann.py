@@ -200,7 +200,8 @@ def ivf_index(
     sample_fraction: float | None = None,
     train_cap: int | None = 100_000,
 ):
-    """IVF coarse quantizer: MLlib KMeans assigns every vector a cell id.
+    """IVF coarse quantizer: KMeans (kmeans++ init + Lloyd's, driver-side
+    numpy over the bounded sample) assigns every vector a cell id.
     At scale, train on a sample and write the indexed table partitioned
     by `cell` so queries prune partitions — the classic IVF-flat layout.
 
@@ -214,17 +215,22 @@ def ivf_index(
     aggregate. `sample_fraction` skips the count and samples directly;
     pass both None to train on everything. Quantizer quality saturates
     long before 100k vectors; assignment still covers every row.
+
+    The fit itself is the pq_index discipline (r9, replacing an MLlib
+    KMeans fit measured at 5.3 s cold / 2.5 s warm at sf0.1): the
+    sample is bounded by contract, so it collects once — sorted by id
+    to decouple the init from the on-disk layout — and Lloyd's runs on
+    the driver in numpy in well under a second. Assignment rides
+    :func:`ivf_assign` (one Arrow matmul per batch against the frozen
+    centers, zero shuffle), so index build and incremental append are
+    the SAME code path and agree bit-for-bit by construction.
     Returns (indexed DataFrame with `cell`, centers ndarray
     [n_cells, dim])."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     from ..pipeline.sampling import split_uniform
 
-    feat = embeddings.withColumn(
-        "__feat", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
+    feat = embeddings
     if sample_fraction is not None:
         train = feat.filter(
             split_uniform(F.col(id_col), seed) < F.lit(sample_fraction)
@@ -243,12 +249,50 @@ def ivf_index(
             train = feat
     else:
         train = feat
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter,
-        featuresCol="__feat", predictionCol="cell",
-    ).fit(train.select("__feat"))
-    indexed = model.transform(feat).drop("__feat")
-    return indexed, np.array(model.clusterCenters())
+    X = np.array(
+        [
+            list(r[1])
+            for r in sorted(
+                train.select(id_col, vec_col).collect(), key=lambda r: r[0]
+            )
+        ],
+        dtype=np.float64,
+    )
+    if len(X) < n_cells:
+        raise ValueError(
+            f"ivf_index: training sample ({len(X)}) smaller than "
+            f"n_cells ({n_cells})"
+        )
+    rng = np.random.RandomState(seed)
+    x2 = (X ** 2).sum(axis=1)
+    # kmeans++ init (Arthur & Vassilvitskii, SODA'07 — the init MLlib's
+    # kmeans|| approximates): D²-weighted seeding keeps quantizer
+    # quality at MLlib levels on small training samples, where a plain
+    # uniform draw measurably degrades probe recall
+    C = np.empty((n_cells, X.shape[1]), dtype=np.float64)
+    C[0] = X[rng.randint(len(X))]
+    d2min = x2 - 2.0 * (X @ C[0]) + (C[0] ** 2).sum()
+    for c in range(1, n_cells):
+        p = np.maximum(d2min, 0.0)
+        tot = p.sum()
+        i = rng.randint(len(X)) if tot <= 0 else rng.choice(
+            len(X), p=p / tot
+        )
+        C[c] = X[i]
+        d2min = np.minimum(
+            d2min, x2 - 2.0 * (X @ C[c]) + (C[c] ** 2).sum()
+        )
+    for _ in range(max_iter):
+        # ||x-c||^2 via the matmul form — O(n*k) memory, BLAS speed
+        d2 = x2[:, None] - 2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
+        a = d2.argmin(axis=1)
+        for c in range(n_cells):
+            pts = X[a == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+            # empty cluster: keep the old center (deterministic)
+    indexed = ivf_assign(feat, C, vec_col=vec_col, out_col="cell")
+    return indexed, C
 
 
 def ivf_topk(
