@@ -236,7 +236,15 @@ def main() -> None:
                  "0.6, doc_dsir 2.5 (unchanged r7 adjudication), "
                  "adversarial_lsh 0.29, semdedup_clustered 0.31, "
                  "hard_negatives_clustered 0.37 — no superlinear "
-                 "entries.",
+                 "entries. r9 ivf_index win (same-session A/B, fresh "
+                 "sessions each side): the MLlib KMeans fit (5.3s "
+                 "cold / 2.5s warm at sf0.1, framework overhead at "
+                 "bounded training sizes) became a driver-side "
+                 "numpy kmeans++/Lloyd over the md5 sample with "
+                 "ivf_assign matmul assignment — ann_ivf_topk "
+                 "2.78/2.50 -> 1.73/1.27, ann_ivf_exact 1.48/1.32 -> "
+                 "0.83/0.97, ann_hard_negatives warm 5.98 -> 4.71; "
+                 "comparable_r8 subtotal 14.8/9.9 -> 13.1/8.4.",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.

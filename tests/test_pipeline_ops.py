@@ -2212,3 +2212,23 @@ def test_causal_time_window_interval_overflow_raises():
     # at the boundary the frame builds
     _v, (lo, hi) = causal_time_window(["key"], ["ts", "seq"], _REL_MAX + 1)
     assert lo > -(2 ** 63) and hi == 0
+
+
+def test_ivf_index_fit_deterministic_across_layout(spark, emb):
+    """The driver-side kmeans++/Lloyd fit is a pure function of the
+    (id-sorted) sample and the seed: repeated fits and fits over a
+    different partition layout produce IDENTICAL centers — the
+    sorted-collect discipline that decouples the quantizer from how
+    the corpus happens to be laid out on disk."""
+    import numpy as np
+
+    from csp_spark.similarity import ivf_index
+
+    _, c1 = ivf_index(emb, n_cells=8)
+    _, c2 = ivf_index(emb, n_cells=8)
+    _, c3 = ivf_index(emb.repartition(7), n_cells=8)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(c1, c3)
+    # a different seed moves the centers (the rng is actually used)
+    _, c4 = ivf_index(emb, n_cells=8, seed=7)
+    assert not np.array_equal(c1, c4)
