@@ -970,7 +970,11 @@ def test_composed_curation_plan_pin(spark, tmp_path):
     # groupBy(shard); a regression that un-fuses the zero-shuffle
     # bundles (C4 scan, token_count, offsets) shows up here
     assert a["exchanges"] == 3, a
-    assert a["arrow_udf"] == 1  # the pack fold is the ONLY Python pass
+    # two Arrow passes, both documented kernels: the pack fold and
+    # (since the r9 numpy ivf_index) semdedup's ivf_assign cell matmul,
+    # which replaced MLlib's JVM transform — still batched, never
+    # row-at-a-time, and zero additional exchanges
+    assert a["arrow_udf"] == 2, a
     n = df.count()
     assert n > 0
     # every C4 survivor packs exactly once, offsets stay inside budget
