@@ -16,6 +16,7 @@ because it needs no training pass.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Sequence
 
 import numpy as np
@@ -190,6 +191,60 @@ def lsh_topk(
     )
 
 
+def _collect_train_matrix(
+    train: DataFrame, id_col: str, vec_col: str, op: str
+) -> np.ndarray:
+    """Collect a BOUNDED KMeans training sample to the driver as a
+    float64 matrix, sorted by id so the init is independent of the
+    on-disk layout (collect() order follows partition/file layout).
+
+    The collect is driver-side by design — quantizer quality saturates
+    at small sample sizes, so the sample is bounded by contract. An
+    unbounded call (huge sample_fraction, train_cap=None on a huge
+    corpus) must fail LOUDLY before the collect, not OOM the driver:
+    the guard counts the sample (one cheap aggregate) against
+    ``CSP_SPARK_TRAIN_COLLECT_MAX_ELEMENTS`` (rows x dim doubles; read
+    at call time; default 64M ≈ 0.5 GB matrix)."""
+    n = train.count()
+    if n:
+        dim = infer_dim(train, vec_col)
+        max_el = int(os.environ.get(
+            "CSP_SPARK_TRAIN_COLLECT_MAX_ELEMENTS", str(64 * 1024 * 1024)
+        ))
+        if n * dim > max_el:
+            raise ValueError(
+                f"{op}: training sample is {n} rows x {dim} dims = "
+                f"{n * dim} doubles, past the driver-collect guard "
+                f"({max_el}). Lower train_cap/sample_fraction — "
+                "quantizer quality saturates long before this — or "
+                "raise CSP_SPARK_TRAIN_COLLECT_MAX_ELEMENTS."
+            )
+    return np.array(
+        [
+            list(r[1])
+            for r in sorted(
+                train.select(id_col, vec_col).collect(), key=lambda r: r[0]
+            )
+        ],
+        dtype=np.float64,
+    )
+
+
+def _lloyd_iterate(X: np.ndarray, C: np.ndarray, max_iter: int) -> np.ndarray:
+    """Lloyd's iterations from a given init, in-place on ``C``:
+    ||x-c||^2 via the matmul form — O(n*k) memory, BLAS speed; an
+    empty cluster keeps its old center (deterministic)."""
+    x2 = (X ** 2).sum(axis=1)[:, None]
+    for _ in range(max_iter):
+        d2 = x2 - 2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
+        a = d2.argmin(axis=1)
+        for c in range(len(C)):
+            pts = X[a == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+    return C
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -226,10 +281,10 @@ def ivf_index(
     the SAME code path and agree bit-for-bit by construction.
     Returns (indexed DataFrame with `cell`, centers ndarray
     [n_cells, dim])."""
-    import numpy as np
-
     from ..pipeline.sampling import split_uniform
 
+    if n_cells < 1:
+        raise ValueError(f"ivf_index: n_cells must be >= 1, got {n_cells}")
     feat = embeddings
     if sample_fraction is not None:
         train = feat.filter(
@@ -249,15 +304,7 @@ def ivf_index(
             train = feat
     else:
         train = feat
-    X = np.array(
-        [
-            list(r[1])
-            for r in sorted(
-                train.select(id_col, vec_col).collect(), key=lambda r: r[0]
-            )
-        ],
-        dtype=np.float64,
-    )
+    X = _collect_train_matrix(train, id_col, vec_col, "ivf_index")
     if len(X) < n_cells:
         raise ValueError(
             f"ivf_index: training sample ({len(X)}) smaller than "
@@ -269,28 +316,27 @@ def ivf_index(
     # kmeans|| approximates): D²-weighted seeding keeps quantizer
     # quality at MLlib levels on small training samples, where a plain
     # uniform draw measurably degrades probe recall
-    C = np.empty((n_cells, X.shape[1]), dtype=np.float64)
-    C[0] = X[rng.randint(len(X))]
-    d2min = x2 - 2.0 * (X @ C[0]) + (C[0] ** 2).sum()
-    for c in range(1, n_cells):
+    centers = [X[rng.randint(len(X))]]
+    d2min = x2 - 2.0 * (X @ centers[0]) + (centers[0] ** 2).sum()
+    while len(centers) < n_cells:
         p = np.maximum(d2min, 0.0)
         tot = p.sum()
-        i = rng.randint(len(X)) if tot <= 0 else rng.choice(
-            len(X), p=p / tot
-        )
-        C[c] = X[i]
+        if tot <= 0:
+            # fewer DISTINCT vectors than n_cells (a dedup-heavy
+            # sample): stop instead of seeding duplicate centers that
+            # would stay empty forever and waste probe budget
+            logger.warning(
+                "ivf_index: sample has only %d distinct vector(s); "
+                "quantizer truncated from n_cells=%d",
+                len(centers), n_cells,
+            )
+            break
+        i = rng.choice(len(X), p=p / tot)
+        centers.append(X[i])
         d2min = np.minimum(
-            d2min, x2 - 2.0 * (X @ C[c]) + (C[c] ** 2).sum()
+            d2min, x2 - 2.0 * (X @ centers[-1]) + (centers[-1] ** 2).sum()
         )
-    for _ in range(max_iter):
-        # ||x-c||^2 via the matmul form — O(n*k) memory, BLAS speed
-        d2 = x2[:, None] - 2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
-        a = d2.argmin(axis=1)
-        for c in range(n_cells):
-            pts = X[a == c]
-            if len(pts):
-                C[c] = pts.mean(axis=0)
-            # empty cluster: keep the old center (deterministic)
+    C = _lloyd_iterate(X, np.array(centers, dtype=np.float64), max_iter)
     indexed = ivf_assign(feat, C, vec_col=vec_col, out_col="cell")
     return indexed, C
 
@@ -990,37 +1036,19 @@ def pq_index(
             train = feat.filter(
                 split_uniform(F.col(id_col), seed) < F.lit(frac)
             )
-    # sort the collected sample by id: collect() order follows the
-    # partition/file layout, and Lloyd's init picks row indices — an
-    # unsorted matrix would make the codebooks depend on how the
-    # corpus happens to be laid out on disk
-    X = np.array(
-        [
-            list(r[1])
-            for r in sorted(
-                train.select(id_col, vec_col).collect(), key=lambda r: r[0]
-            )
-        ],
-        dtype=np.float64,
-    )
+    X = _collect_train_matrix(train, id_col, vec_col, "pq_index")
     if len(X) < n_codes:
         raise ValueError(
             f"training sample ({len(X)}) smaller than n_codes ({n_codes})"
         )
 
     def lloyd(S: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
-        C = S[rng.choice(len(S), n_codes, replace=False)].copy()
-        s2 = (S ** 2).sum(axis=1)[:, None]
-        for _ in range(max_iter):
-            # ||s-c||^2 via the matmul form — O(n*k) memory, BLAS speed
-            d2 = s2 - 2.0 * (S @ C.T) + (C ** 2).sum(axis=1)[None, :]
-            a = d2.argmin(axis=1)
-            for c in range(n_codes):
-                pts = S[a == c]
-                if len(pts):
-                    C[c] = pts.mean(axis=0)
-                # empty cluster: keep the old center (deterministic)
-        return C
+        # uniform-choice init (ivf_index uses kmeans++; subspace
+        # codebooks are small and restart-cheap), shared iterations
+        return _lloyd_iterate(
+            S, S[rng.choice(len(S), n_codes, replace=False)].copy(),
+            max_iter,
+        )
 
     books = np.stack([
         lloyd(

@@ -30,3 +30,14 @@ def gen_random_ticks(n=100, mu=0.0, sigma=1.0, pnan=0.1, seed=42, keys=("s0",)):
                 v = float("nan")
             rows.append((k, t, 0, v))
     return rows
+
+
+def load_module(path, name):
+    """Import a repo file (example, tool) as a module by path —
+    shared by the example smoke tests and the plan-pin tests."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod

@@ -3,10 +3,9 @@ pattern: every runnable example executes end-to-end (each example
 carries its own value asserts, so a pass is a behavioral check, not
 just an import). Examples share the session-singleton get_spark()."""
 
-import importlib.util
-import runpy
-
 import pytest
+
+from tests.conftest import load_module
 
 EXAMPLES = [
     "01_spread",
@@ -26,9 +25,4 @@ EXAMPLES = [
 
 @pytest.mark.parametrize("name", EXAMPLES)
 def test_example_runs(name):
-    spec = importlib.util.spec_from_file_location(
-        f"ex_{name}", f"examples/{name}.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.main()
+    load_module(f"examples/{name}.py", f"ex_{name}").main()

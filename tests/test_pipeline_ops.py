@@ -943,13 +943,7 @@ def test_hard_negatives(spark, emb):
     assert a == b
 
 
-def _load_module(path, name):
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(name, path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+from tests.conftest import load_module as _load_module  # noqa: E402
 
 
 def test_composed_curation_plan_pin(spark, tmp_path):
@@ -1048,20 +1042,43 @@ def test_ivf_assign_guards(spark, emb):
     for r in got:
         v = np.asarray(list(r["embedding"]), dtype=np.float64)
         assert int(((centers - v) ** 2).sum(axis=1).argmin()) == r["cell"]
+    def _expect_labeled_raise(df, pattern):
+        # under heavy ambient load a dying Python worker can surface
+        # as an EOFError/socket crash BEFORE the labeled ValueError
+        # propagates; retry once on that channel-level noise — a real
+        # labeling regression still fails (the retry demands the
+        # pattern too)
+        import re as _re
+
+        for attempt in range(2):
+            try:
+                df.collect()
+                raise AssertionError("expected a labeled error")
+            except AssertionError:
+                raise
+            except Exception as e:
+                if _re.search(pattern, str(e)):
+                    return
+                if attempt == 0 and _re.search(
+                    "EOFError|SocketException|Connection reset|"
+                    "Python worker exited", str(e)
+                ):
+                    continue
+                raise
+
     # NULL vector → loud, labeled error
     bad = spark.createDataFrame(
         [(0, [0.1] * centers.shape[1]), (1, None)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(Exception, match="NULL|ragged"):
-        ivf_assign(bad, centers).collect()
+    _expect_labeled_raise(ivf_assign(bad, centers), "NULL|ragged")
     # ragged vector → loud, labeled error
     ragged = spark.createDataFrame(
         [(0, [0.1] * centers.shape[1]), (1, [0.1, 0.2])],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(Exception, match="fixed-dimension|ragged"):
-        ivf_assign(ragged, centers).collect()
+    _expect_labeled_raise(
+        ivf_assign(ragged, centers), "fixed-dimension|ragged")
 
 
 def test_ivf_assign_incremental_append(spark, emb, tmp_path):
@@ -2236,3 +2253,29 @@ def test_ivf_index_fit_deterministic_across_layout(spark, emb):
     # a different seed moves the centers (the rng is actually used)
     _, c4 = ivf_index(emb, n_cells=8, seed=7)
     assert not np.array_equal(c1, c4)
+
+
+def test_ivf_index_guards(spark, emb, monkeypatch):
+    """r9 guards: n_cells must be positive; the driver-collect cap
+    (read at call time) fails loudly BEFORE collecting an unbounded
+    training sample; a dedup-heavy sample with fewer distinct vectors
+    than n_cells truncates the quantizer instead of seeding duplicate
+    centers that would stay empty and waste probe budget."""
+    import numpy as np
+
+    from csp_spark.similarity import ivf_index
+
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf_index(emb, n_cells=0)
+    monkeypatch.setenv("CSP_SPARK_TRAIN_COLLECT_MAX_ELEMENTS", "100")
+    with pytest.raises(ValueError, match="driver-collect guard"):
+        ivf_index(emb, n_cells=4)
+    monkeypatch.delenv("CSP_SPARK_TRAIN_COLLECT_MAX_ELEMENTS")
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)]
+        + [(100 + i, [5.0, 6.0, 7.0, 8.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    idx, C = ivf_index(dup, n_cells=8)
+    assert C.shape[0] == 2 and len(np.unique(C, axis=0)) == 2
+    assert idx.select("cell").distinct().count() == 2
