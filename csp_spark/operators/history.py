@@ -423,9 +423,14 @@ def _td_structs(
         carry = F.max_by(
             e_struct, F.struct(F.col(TS), F.col(SEQ))
         ).over(w_carry)
-        arr = F.when(
-            carry.isNotNull(), F.concat(F.array(carry), arr)
-        ).otherwise(arr)
+        keep = carry.isNotNull()
+        if end is not None and end_policy == "exclusive":
+            # zero-width window edge (start == end): the carried tick
+            # can sit exactly AT the end boundary, and end-EXCLUSIVE
+            # must still drop it — the end policy applies to the raw
+            # tick time, carry included (hypothesis-found r9)
+            keep = keep & (carry["m"] < _micros(F.col(TS)) + F.lit(hi))
+        arr = F.when(keep, F.concat(F.array(carry), arr)).otherwise(arr)
         clamp_lo = _micros(F.col(TS)) + F.lit(lo)
     if end_policy == "extrapolate":
         end_abs = _micros(F.col(TS)) + F.lit(hi)
