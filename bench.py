@@ -244,7 +244,14 @@ def main() -> None:
                  "ivf_assign matmul assignment — ann_ivf_topk "
                  "2.78/2.50 -> 1.73/1.27, ann_ivf_exact 1.48/1.32 -> "
                  "0.83/0.97, ann_hard_negatives warm 5.98 -> 4.71; "
-                 "comparable_r8 subtotal 14.8/9.9 -> 13.1/8.4.",
+                 "comparable_r8 subtotal 14.8/9.9 -> 13.1/8.4. "
+                 "Post-rewrite scale_smoke re-run (all 38 entries, 0 "
+                 "superlinear): the clustered growth entries halve in "
+                 "absolute time because the numpy fit compounds with "
+                 "cluster count — semdedup_clustered m=3 26.7s -> "
+                 "15.5s (ratio 0.41), hard_negatives_clustered 10.1s "
+                 "-> 5.0s (0.60), knn_join_blas 0.48, "
+                 "adversarial_lsh 0.27.",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
