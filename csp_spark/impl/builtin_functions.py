@@ -8,7 +8,7 @@ module is imported during it."""
 _NAMES = frozenset({
     "ALL_CSP_BUILTIN_FUNCS",
     "alarm", "cancel_alarm", "schedule_alarm",
-    "engine_end_time", "engine_start_time",
+    "engine_end_time", "engine_start_time", "engine_stats",
     "in_realtime", "now",
     "item_at", "items_at", "time_at", "times_at",
     "value_at", "values_at",

@@ -192,7 +192,8 @@ def lsh_topk(
 
 
 def _collect_train_matrix(
-    train: DataFrame, id_col: str, vec_col: str, op: str
+    train: DataFrame, id_col: str, vec_col: str, op: str,
+    known_count: int | None = None,
 ) -> np.ndarray:
     """Collect a BOUNDED KMeans training sample to the driver as a
     float64 matrix, sorted by id so the init is independent of the
@@ -202,10 +203,14 @@ def _collect_train_matrix(
     at small sample sizes, so the sample is bounded by contract. An
     unbounded call (huge sample_fraction, train_cap=None on a huge
     corpus) must fail LOUDLY before the collect, not OOM the driver:
-    the guard counts the sample (one cheap aggregate) against
+    the guard checks the sample size against
     ``CSP_SPARK_TRAIN_COLLECT_MAX_ELEMENTS`` (rows x dim doubles; read
-    at call time; default 64M ≈ 0.5 GB matrix)."""
-    n = train.count()
+    at call time; default 64M ≈ 0.5 GB matrix). ``known_count`` is any
+    UPPER BOUND on the sample's row count the caller already holds
+    (e.g. the corpus count from the train_cap branch) — passing it
+    skips the guard's own count() aggregate, so a fit that already
+    counted never counts twice."""
+    n = train.count() if known_count is None else known_count
     if n:
         dim = infer_dim(train, vec_col)
         max_el = int(os.environ.get(
@@ -267,8 +272,11 @@ def ivf_index(
     the first partitions, i.e. whatever files sort first — a time- or
     source-skewed training set at 100 TB that degrades cell balance and
     recall.) The one count() it needs is a parquet-footer-cheap
-    aggregate. `sample_fraction` skips the count and samples directly;
-    pass both None to train on everything. Quantizer quality saturates
+    aggregate, and it is REUSED as the driver-collect guard's bound —
+    the train_cap path never counts twice. `sample_fraction` samples
+    directly (its guard count is the sample's, inside
+    :func:`_collect_train_matrix`); pass both None to train on
+    everything. Quantizer quality saturates
     long before 100k vectors; assignment still covers every row.
 
     The fit itself is the pq_index discipline (r9, replacing an MLlib
@@ -280,12 +288,17 @@ def ivf_index(
     centers, zero shuffle), so index build and incremental append are
     the SAME code path and agree bit-for-bit by construction.
     Returns (indexed DataFrame with `cell`, centers ndarray
-    [n_cells, dim])."""
+    [n_cells, dim]). When the training sample holds fewer DISTINCT
+    vectors than n_cells (a dedup-heavy corpus), centers is TRUNCATED
+    to that distinct count (with a warning) rather than padded with
+    duplicate dead cells — consumers sizing sidecars or n_probe clamps
+    must read centers.shape[0], not assume n_cells."""
     from ..pipeline.sampling import split_uniform
 
     if n_cells < 1:
         raise ValueError(f"ivf_index: n_cells must be >= 1, got {n_cells}")
     feat = embeddings
+    n_total = None
     if sample_fraction is not None:
         train = feat.filter(
             split_uniform(F.col(id_col), seed) < F.lit(sample_fraction)
@@ -304,7 +317,9 @@ def ivf_index(
             train = feat
     else:
         train = feat
-    X = _collect_train_matrix(train, id_col, vec_col, "ivf_index")
+    X = _collect_train_matrix(
+        train, id_col, vec_col, "ivf_index", known_count=n_total
+    )
     if len(X) < n_cells:
         raise ValueError(
             f"ivf_index: training sample ({len(X)}) smaller than "
@@ -316,8 +331,14 @@ def ivf_index(
     # kmeans|| approximates): D²-weighted seeding keeps quantizer
     # quality at MLlib levels on small training samples, where a plain
     # uniform draw measurably degrades probe recall
-    centers = [X[rng.randint(len(X))]]
+    i0 = rng.randint(len(X))
+    centers = [X[i0]]
     d2min = x2 - 2.0 * (X @ centers[0]) + (centers[0] ** 2).sum()
+    # The matmul form leaves a ~1e-16 residual at the picked point
+    # itself; pin it to exactly 0 so rng.choice can never re-select an
+    # already-chosen center (a duplicate that Lloyd's empty-cluster
+    # rule would then preserve forever — a dead cell).
+    d2min[i0] = 0.0
     while len(centers) < n_cells:
         p = np.maximum(d2min, 0.0)
         tot = p.sum()
@@ -336,6 +357,7 @@ def ivf_index(
         d2min = np.minimum(
             d2min, x2 - 2.0 * (X @ centers[-1]) + (centers[-1] ** 2).sum()
         )
+        d2min[i] = 0.0
     C = _lloyd_iterate(X, np.array(centers, dtype=np.float64), max_iter)
     indexed = ivf_assign(feat, C, vec_col=vec_col, out_col="cell")
     return indexed, C
@@ -800,8 +822,9 @@ def knn_join(
     throughput. method="blas": one Arrow pass SELECTS each partition's
     top-k candidates against the whole query matrix with a numpy
     matmul (C-BLAS; ~10-50x the exact path's scoring throughput at
-    large |C|x|Q|), keeping a 2e-6 safety margin around the k-th
-    score; the surviving <= partitions x |Q| x k rows are then
+    large |C|x|Q|), keeping a 2.5e-6 safety margin around the k-th
+    score (strictly above the worst-case 2e-6 rounding gap, below the
+    next 1e-6 grid step); the surviving <= partitions x |Q| x k rows are then
     RE-SCORED with the exact path's own JVM expressions. BLAS-vs-
     sequential summation differs by last-ulp (<< the margin), so the
     exact top-k set provably survives selection and the returned
@@ -842,10 +865,14 @@ def knn_join(
         bq = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qnorm))
         # |blas_score - exact_score| is a few ulp (~1e-15); after both
         # round to 6dp they differ by at most one 1e-6 step at a
-        # rounding boundary. Keeping everything within 2e-6 of the
-        # k-th BLAS score therefore guarantees every member of the
-        # exact top-k (including k-th-value ties) survives selection.
-        margin = 2e-6
+        # rounding boundary. The worst admissible gap is exactly 2e-6
+        # (kth-tie rounded one step down, kth blas score one step up),
+        # and `kth - margin` itself carries ~1 ulp of float error — so
+        # the margin must sit STRICTLY above 2e-6. Rounded scores live
+        # on a 1e-6 grid, so any margin in (2e-6, 3e-6) admits no extra
+        # survivors; 2.5e-6 keeps every member of the exact top-k
+        # (including kth-value ties) with zero recall or cost change.
+        margin = 2.5e-6
 
         def _select_topk(batches):
             import pandas as pd
@@ -1029,6 +1056,7 @@ def pq_index(
 
     feat = embeddings
     train = feat
+    n_total = None
     if train_cap is not None:
         n_total = feat.count()
         if n_total > train_cap:
@@ -1036,7 +1064,9 @@ def pq_index(
             train = feat.filter(
                 split_uniform(F.col(id_col), seed) < F.lit(frac)
             )
-    X = _collect_train_matrix(train, id_col, vec_col, "pq_index")
+    X = _collect_train_matrix(
+        train, id_col, vec_col, "pq_index", known_count=n_total
+    )
     if len(X) < n_codes:
         raise ValueError(
             f"training sample ({len(X)}) smaller than n_codes ({n_codes})"
