@@ -113,7 +113,12 @@ def _spark_type(py: Any) -> T.DataType:
     if py in _SCALAR_TYPES:
         return _SCALAR_TYPES[py]
     origin = typing.get_origin(py)
-    if origin in (list, typing.List):
+    if origin in (list, typing.List) or (
+        isinstance(origin, type) and issubclass(origin, list)
+    ):
+        # the subclass arm admits FastList[T] (impl/types/typing_utils
+        # parity — reference structs annotate list fields with it for
+        # the native fast-list storage; Spark's ArrayType IS that)
         return T.ArrayType(_spark_type(typing.get_args(py)[0]))
     if origin in (dict, typing.Dict):
         k, v = typing.get_args(py)

@@ -294,3 +294,105 @@ def test_strict_struct_unset_assignment_forbidden():
     p = P(a=1)
     p.a = UNSET
     assert not p.is_set("a")
+
+
+def test_define_struct_family(spark):
+    """csp.impl.struct.define_struct / define_nested_struct (reference
+    struct.py:350-374, the dynamic form the reference's own DB adapter
+    uses at db.py:271): runtime-built structs behave exactly like
+    class-statement structs, including through the Spark pack path."""
+    import pytest
+
+    from csp.impl.struct import (
+        StructMeta, define_nested_struct, define_struct,
+        defineNestedStruct, defineStruct,
+    )
+    from csp_spark import Struct
+
+    Trade = define_struct(
+        "Trade", {"price": float, "qty": int}, {"qty": 1}
+    )
+    assert isinstance(Trade, StructMeta) and issubclass(Trade, Struct)
+    t = Trade(price=2.5)
+    assert (t.price, t.qty) == (2.5, 1)
+    # int->float coercion and strict mode ride the shared metaclass
+    assert define_struct("F", {"x": float})(x=3).x == 3.0
+    with pytest.raises(ValueError, match="required fields"):
+        define_struct("R", {"x": float}, strict=True)()
+
+    # nested: dict metadata -> child classes named {name}_{field};
+    # a dict default for the nested field becomes a set child INSTANCE
+    Order = define_nested_struct(
+        "Order",
+        {"id": int, "leg": {"px": float, "sz": int}},
+        {"id": 7, "leg": {"sz": 100}},
+    )
+    o = Order()
+    assert o.id == 7
+    assert type(o.leg).__name__ == "Order_leg"
+    assert o.leg.sz == 100 and not o.leg.is_set("px")
+    # no default dict -> nested field stays unset
+    o2 = define_nested_struct("O2", {"leg": {"px": float}})()
+    assert not o2.is_set("leg")
+    # deprecated camelCase spellings stay source-compatible
+    assert defineStruct("D", {"a": int})(a=1).a == 1
+    assert defineNestedStruct("DN", {"a": {"b": int}})
+
+    # through the ★ Spark query path: pack() -> struct column -> select
+    from pyspark.sql import functions as F
+
+    from csp_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001/events.parquet")
+    Tick = define_struct("Tick", {"uid": int, "value": float})
+    got = (
+        ev.select(
+            Tick.pack(uid=F.col("user_id"), value=F.col("value")).alias("s")
+        )
+        .select(F.sum("s.uid").alias("su"), F.count("s.value").alias("cv"))
+        .first()
+    )
+    want = ev.select(
+        F.sum("user_id").alias("su"), F.count("value").alias("cv")
+    ).first()
+    assert (got.su, got.cv) == (want.su, want.cv)
+
+
+def test_fastlist_and_ts_type_validator():
+    """csp.impl.types.typing_utils.FastList + TsTypeValidator
+    (reference typing_utils.py:14,125): FastList[T] is a struct list
+    annotation (ArrayType column); TsTypeValidator enforces the
+    documented ts[...] arg compatibility rules."""
+    import typing
+
+    import pytest
+
+    from csp.impl.struct import define_struct
+    from csp.impl.types.typing_utils import FastList, TsTypeValidator
+
+    with pytest.raises(NotImplementedError):
+        FastList()
+    S = define_struct("S", {"xs": FastList[int]})
+    assert "ArrayType(LongType" in str(S.spark_type()["xs"].dataType)
+    s = S(xs=[1, 2])
+    assert s.xs == [1, 2]
+
+    # ts[List] validates ts[List[float]]; parameterized dict rejects
+    # a mismatched leaf (the reference docstring's own two examples)
+    TsTypeValidator.make_cached(typing.List).validate(typing.List[float])
+    with pytest.raises(TypeError):
+        TsTypeValidator.make_cached(
+            typing.Dict[str, typing.List[str]]
+        ).validate(typing.Dict[str, typing.List[float]])
+    # numeric promotion, wildcards, unions, nested-ts rejection
+    assert TsTypeValidator.make_cached(float).validate(int) is float
+    assert TsTypeValidator.make_cached(typing.Any).validate(dict) is dict
+    TsTypeValidator.make_cached(typing.Union[float, str]).validate(str)
+    from csp_spark.core.surface import ts
+
+    with pytest.raises(TypeError, match="nested ts"):
+        TsTypeValidator(ts[int])
+    # instances are cached per source type (basket-wiring hot path)
+    assert TsTypeValidator.make_cached(typing.List) is (
+        TsTypeValidator.make_cached(typing.List)
+    )
