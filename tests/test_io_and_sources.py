@@ -727,3 +727,157 @@ def test_parquet_utility_nodes_3d_and_1d(spark):
             [("k", START, 0, 1.0)],
             "key string, ts timestamp, seq long, value double",
         )))
+
+
+def test_dbreader_class_surface(spark):
+    """Class-shaped DBReader + TimeAccessor family (reference
+    csp/adapters/db.py:36-440): a reference-style program — construct
+    via create_from_connection, subscribe(symbol, typ) inside a graph,
+    run with a window — against a real sqlite table, cross-checked
+    row-for-row against a direct cursor query (the independent
+    oracle)."""
+    import sqlite3
+
+    import pytest
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.db import (
+        DateTimeAccessor, DBReader, EngineStartTimeAccessor,
+        TimestampAccessor,
+    )
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE prices (ts TEXT, symbol TEXT, price REAL, size INTEGER)"
+    )
+    rows = [
+        ("2020-01-01 09:30:00", "AAPL", 100.0, 10),
+        ("2020-01-01 09:31:00", "AAPL", 101.0, 20),
+        ("2020-01-01 09:32:00", "IBM", 50.0, 5),
+        ("2020-01-02 09:30:00", "AAPL", 102.0, 30),
+    ]
+    conn.executemany("INSERT INTO prices VALUES (?,?,?,?)", rows)
+    conn.commit()
+
+    class Price(csp.Struct):
+        price: float
+        size: int
+
+    # --- the reference program shape: reader in a graph, run windowed
+    def graph():
+        reader = DBReader.create_from_connection(
+            conn,
+            TimestampAccessor("ts", tz="UTC"),
+            table_name="prices",
+            symbol_column="symbol",
+        )
+        return {"aapl": reader.subscribe("AAPL", Price)}
+
+    res = csp.run(
+        graph,
+        starttime=dt.datetime(2020, 1, 1),
+        endtime=dt.datetime(2020, 1, 1, 23, 59),
+    )
+    # independent oracle: the same constraint through a raw cursor
+    want = conn.execute(
+        "SELECT ts, price, size FROM prices WHERE symbol='AAPL' "
+        "AND ts BETWEEN '2020-01-01 00:00:00' AND '2020-01-01 23:59:00' "
+        "ORDER BY ts"
+    ).fetchall()
+    got = [(t.strftime("%Y-%m-%d %H:%M:%S"), v.price, v.size)
+           for t, v in res["aapl"]]
+    assert got == want and len(got) == 2
+
+    # --- typ=None: schema_struct dynamically defined via define_struct
+    reader = DBReader.create_from_connection(
+        conn, TimestampAccessor("ts", tz="UTC"),
+        table_name="prices", symbol_column="symbol",
+    )
+    S = reader.schema_struct()
+    assert S.__name__.startswith("DBDynStruct_prices")
+    assert S.__metadata__["price"] is float
+    assert S.__metadata__["size"] is int
+    dyn = reader.subscribe("IBM", None).collect_ticks("IBM")
+    assert len(dyn) == 1 and dyn[0][1].price == 50.0
+
+    # subscribe_all + scalar (str field_map) subscription
+    allv = reader.subscribe_all(Price).df.collect()
+    assert len(allv) == len(rows)
+    scal = reader.subscribe("AAPL", Price, field_map="price")
+    assert [v for _, v in scal.collect_ticks("AAPL")] == [100.0, 101.0, 102.0]
+
+    # --- DateTimeAccessor: separate date/time columns, span window
+    conn.execute("CREATE TABLE bars (d TEXT, t TEXT, symbol TEXT, px REAL)")
+    conn.executemany("INSERT INTO bars VALUES (?,?,?,?)", [
+        ("2020-01-01", "09:30:00", "A", 1.0),
+        ("2020-01-01", "10:30:00", "A", 2.0),
+        ("2020-01-02", "09:00:00", "A", 3.0),
+        ("2020-01-03", "09:00:00", "A", 4.0),
+    ])
+    conn.commit()
+
+    def bars_graph():
+        r = DBReader(
+            conn, DateTimeAccessor("d", "t", tz="UTC"),
+            table_name="bars", symbol_column="symbol",
+        )
+        return {"a": r.subscribe("A", None)}
+
+    # boundary-day times excluded per the reference's three-conjunct
+    # constraint: start 01-01 10:00 drops 09:30, end 01-03 08:00
+    # drops day-3 09:00
+    res = csp.run(
+        bars_graph,
+        starttime=dt.datetime(2020, 1, 1, 10),
+        endtime=dt.datetime(2020, 1, 3, 8),
+    )
+    assert [t for t, _ in res["a"]] == [
+        dt.datetime(2020, 1, 1, 10, 30), dt.datetime(2020, 1, 2, 9, 0),
+    ]
+
+    # --- EngineStartTimeAccessor: all rows stamped at engine start
+    def const_graph():
+        r = DBReader(
+            conn, EngineStartTimeAccessor(),
+            table_name="prices", symbol_column="symbol",
+        )
+        return {"x": r.subscribe("AAPL", Price)}
+
+    res = csp.run(
+        const_graph,
+        starttime=dt.datetime(2020, 1, 5),
+        endtime=dt.datetime(2020, 1, 6),
+    )
+    assert len(res["x"]) == 3
+    assert all(t == dt.datetime(2020, 1, 5) for t, _ in res["x"])
+
+    # --- reference construction rules
+    with pytest.raises(RuntimeError, match="Must specify table name or query"):
+        DBReader(conn, TimestampAccessor("ts"))
+    with pytest.raises(RuntimeError, match="Must specify table name or query"):
+        DBReader(conn, TimestampAccessor("ts"), table_name="x", query="q")
+    with pytest.raises(RuntimeError, match="Cannot specify schema name"):
+        DBReader(conn, TimestampAccessor("ts"), query="q", schema_name="s")
+    with pytest.raises(RuntimeError, match="use_raw_user_queries"):
+        DBReader(conn, TimestampAccessor("ts"), table_name="x",
+                 use_raw_user_query=True)
+    with pytest.raises(RuntimeError, match="no symbol column"):
+        DBReader(conn, TimestampAccessor("ts"), table_name="prices")\
+            .subscribe("AAPL", Price)
+
+    # --- query form + extra constraint + create_from_url(sqlite://)
+    r = DBReader(
+        conn, TimestampAccessor("ts", tz="UTC"),
+        query="SELECT * FROM prices", symbol_column="symbol",
+        constraint=("price > ?", [100.5]),
+    )
+    vals = [v for _, v in r.subscribe("AAPL", Price).collect_ticks("AAPL")]
+    assert [v.price for v in vals] == [101.0, 102.0]
+
+    mem = DBReader.create_from_url(
+        "sqlite://", TimestampAccessor("ts", tz="UTC"), query="SELECT 1 AS x"
+    )
+    assert mem._connection is not None
