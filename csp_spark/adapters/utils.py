@@ -151,3 +151,15 @@ __all__ = [
     "RawTextMessageMapper",
     "epoch_to_ts",
 ]
+
+
+def hash_mutable(obj):
+    """Stable hash over mutable containers (reference utils.py:42-48):
+    lists/tuples/sets hash as ordered element hashes, dicts as
+    (key-hash, value-hash) pairs — adapter-manager identity for
+    memoization."""
+    if isinstance(obj, (list, tuple, set)):
+        return hash(tuple(hash_mutable(x) for x in obj))
+    if isinstance(obj, dict):
+        return hash(tuple((hash(k), hash_mutable(v)) for k, v in obj.items()))
+    return hash(obj)

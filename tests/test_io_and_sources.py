@@ -881,3 +881,161 @@ def test_dbreader_class_surface(spark):
         "sqlite://", TimestampAccessor("ts", tz="UTC"), query="SELECT 1 AS x"
     )
     assert mem._connection is not None
+
+
+def test_csvreader_class_surface(spark, tmp_path):
+    """Class-shaped CSVReader + time_converter/YYYYMMDD_TIME_formatter
+    (reference csp/adapters/csv.py:10-48): a reference-style program
+    against a real csv file, cross-checked against a direct pandas
+    read (the independent oracle)."""
+    import pandas as pd
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.csv import (
+        CSVReader, YYYYMMDD_TIME_formatter, time_converter,
+    )
+
+    path = str(tmp_path / "ticks.csv")
+    lines = [
+        "time,symbol,price,size",
+        "20200101 09:30:00,AAPL,100.0,10",
+        "20200101 09:31:00,AAPL,101.0,20",
+        "20200101 09:32:00,IBM,50.0,5",
+        "20200102 09:30:00,AAPL,102.0,30",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    class Price(csp.Struct):
+        price: float
+        size: int
+
+    # the converter is still the reference's row callable
+    tc = YYYYMMDD_TIME_formatter("time")
+    assert tc({"time": "20200101 09:30:00"}) == dt.datetime(2020, 1, 1, 9, 30)
+    assert time_converter("time", "%Y-%m-%d %H:%M:%S")(
+        {"time": "2020-01-01 09:30:00"}
+    ) == dt.datetime(2020, 1, 1, 9, 30)
+
+    def graph():
+        r = CSVReader(path, YYYYMMDD_TIME_formatter("time"),
+                      symbol_column="symbol")
+        return {"a": r.subscribe("AAPL", Price)}
+
+    res = csp.run(
+        graph,
+        starttime=dt.datetime(2020, 1, 1),
+        endtime=dt.datetime(2020, 1, 1, 23, 59),
+    )
+    # independent oracle: pandas replays the same filter/window
+    pdf = pd.read_csv(path)
+    pdf["t"] = pd.to_datetime(pdf["time"], format="%Y%m%d %H:%M:%S")
+    want = pdf[(pdf.symbol == "AAPL") & (pdf.t <= "2020-01-01 23:59")]
+    assert [(t, v.price, v.size) for t, v in res["a"]] == [
+        (r.t.to_pydatetime(), r.price, r.size) for r in want.itertuples()
+    ]
+
+    reader = CSVReader(path, tc, symbol_column="symbol")
+    assert len(reader.subscribe_all(Price).df.collect()) == 4
+    # scalar subscription casts to the requested type
+    assert [v for _, v in reader.subscribe(
+        "AAPL", float, field_map="price").collect_ticks("AAPL")
+    ] == [100.0, 101.0, 102.0]
+    # field_map renames csv column -> struct field
+    class P2(csp.Struct):
+        px: float
+    got = reader.subscribe("IBM", P2, field_map={"price": "px"})
+    assert [v.px for _, v in got.collect_ticks("IBM")] == [50.0]
+
+
+def test_kafka_adapter_manager_class_surface(spark):
+    """Class-shaped KafkaAdapterManager (reference csp/adapters/
+    kafka.py:39-240): construction rules, identity, and the
+    subscribe/publish mapping plan over an injected wire frame (the
+    decode expressions are identical for the real readStream — no
+    broker in this container)."""
+    import json
+
+    import pytest
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.kafka import (
+        KafkaAdapterManager, KafkaStartOffset, KafkaStatusMessageType,
+    )
+    from csp.adapters.utils import JSONTextMessageMapper, hash_mutable
+
+    # reference construction rules + identity semantics
+    with pytest.raises(ValueError, match="start_offset is not supported"):
+        KafkaAdapterManager(
+            "b", start_offset=KafkaStartOffset.EARLIEST, group_id="g")
+    with pytest.raises(ValueError, match="not settable"):
+        KafkaAdapterManager(
+            "b", rd_kafka_consumer_conf_options={"group.id": "x"})
+    with pytest.raises(TypeError, match="must be a dict"):
+        KafkaAdapterManager("b", rd_kafka_conf_options="nope")
+    a, b = KafkaAdapterManager("k:9092"), KafkaAdapterManager("k:9092")
+    assert a == b and hash(a) == hash(b)
+    assert a != KafkaAdapterManager("other:9092")
+    assert KafkaStatusMessageType.MSG_DELIVERY_FAILED == 1
+    assert hash_mutable({"a": [1, 2]}) == hash_mutable({"a": [1, 2]})
+
+    # wire frame standing in for the Kafka source (same schema)
+    rows = [
+        ("k1", {"price": 1.5, "size": 3}, "trades", 0, 0,
+         dt.datetime(2020, 1, 1, 9, 30)),
+        ("k1", {"price": 2.5, "size": 4}, "trades", 0, 1,
+         dt.datetime(2020, 1, 1, 9, 31)),
+        ("k2", {"price": 9.0, "size": 1}, "trades", 1, 0,
+         dt.datetime(2020, 1, 1, 9, 32)),
+        ("k1", {}, "other", 0, 2, dt.datetime(2020, 1, 1, 9, 33)),
+    ]
+    wire = spark.createDataFrame(
+        [(k.encode(), json.dumps(v).encode(), t, p, o, ts)
+         for k, v, t, p, o, ts in rows],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+
+    class Trade(csp.Struct):
+        price: float
+        size: int
+
+    mgr = KafkaAdapterManager("broker:9092", source_df=wire)
+    # keyed subscribe: only k1 ticks, kafka timestamp is engine time
+    st = mgr.subscribe(Trade, JSONTextMessageMapper(), "trades", key="k1")
+    ticks = st.collect_ticks("k1")
+    assert [(t, v.price, v.size) for t, v in ticks] == [
+        (dt.datetime(2020, 1, 1, 9, 30), 1.5, 3),
+        (dt.datetime(2020, 1, 1, 9, 31), 2.5, 4),
+    ]
+    # wildcard subscribe sees every key on the topic, topic filter holds
+    assert len(mgr.subscribe(
+        Trade, JSONTextMessageMapper(), "trades").df.collect()) == 3
+    # meta_field_map: kafka metadata lands in struct fields
+    meta = mgr.subscribe(
+        Trade, JSONTextMessageMapper(), "trades", key="k1",
+        meta_field_map={"offset": "size"},
+    ).collect_ticks("k1")
+    assert [v.size for _, v in meta] == [0, 1]
+    with pytest.raises(ValueError, match="unsupported meta field"):
+        mgr.subscribe(Trade, JSONTextMessageMapper(), "trades",
+                      meta_field_map={"nope": "size"})
+    with pytest.raises(ValueError, match="cannot be used for both"):
+        mgr.subscribe(Trade, JSONTextMessageMapper(), "trades",
+                      meta_field_map={"timestamp": "ts"},
+                      tick_timestamp_from_field="ts")
+    # publish (batch form): key from struct field, payload is the JSON
+    out = mgr.publish(
+        JSONTextMessageMapper(), "out", "price",
+        mgr.subscribe(Trade, JSONTextMessageMapper(), "trades", key="k1"),
+    ).collect()
+    assert [r.key for r in out] == ["1.5", "2.5"]
+    assert json.loads(out[0].value) == {"price": 1.5, "size": 3}
+    # status edge exists and is typed
+    assert mgr.status() is not None
