@@ -1203,3 +1203,252 @@ def test_multiplex_demultiplex_collect_match_replay(spark, cycles):
         assert len(got_c[kk]) == len(want_c[kk]), (kk, got_c[kk], want_c[kk])
         for g, w in zip(got_c[kk], want_c[kk]):
             assert (math.isnan(g) and math.isnan(w)) or g == w, (kk, g, w)
+
+
+# ----------------------------------------------------------------------
+# r10 frontier: struct_fromts/struct_collectts, sync threshold windows,
+# alarm schedule/cancel — each vs a pure-python cycle replay
+# ----------------------------------------------------------------------
+
+two_field_cycles = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),               # stream key
+        st.integers(min_value=0, max_value=3),      # seconds since prev cycle
+        st.booleans(),                              # field f ticks
+        st.floats(-50, 50, allow_nan=False, width=32),
+        st.booleans(),                              # field g ticks
+        st.floats(-50, 50, allow_nan=False, width=32),
+        st.booleans(),                              # trigger ticks
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _mk_two_fields(spark, cycles):
+    sec = 0
+    fs, gs, trs = [], [], []
+    for seq, (k, dsec, ft, fv, gt, gv, trig) in enumerate(cycles):
+        sec += dsec
+        t = START + dt.timedelta(seconds=sec)
+        if ft:
+            fs.append((k, t, seq, float(fv)))
+        if gt:
+            gs.append((k, t, seq, float(gv)))
+        if trig:
+            trs.append((k, t, seq, 1.0))
+
+    def mk(rows):
+        return TickStream(spark.createDataFrame(rows, SCHEMA))
+
+    return mk(fs), mk(gs), mk(trs)
+
+
+@given(cycles=two_field_cycles, use_trigger=st.booleans())
+@settings(**_SETTINGS)
+def test_struct_fromts_matches_cycle_replay(spark, cycles, use_trigger):
+    """struct_fromts == replay: emit on any field tick (or only on
+    trigger cycles), carrying each field's LAST value as of the cycle
+    (coincident same-cycle ticks visible, never-ticked fields unset)."""
+    f, g, tr = _mk_two_fields(spark, cycles)
+    out = bl.struct_fromts(
+        {"f": f, "g": g}, trigger=tr if use_trigger else None
+    )
+    got = {
+        k: [(t, (v["f"], v["g"])) for t, v in out.collect_ticks(k)]
+        for k in ("a", "b")
+    }
+
+    # pure-python cycle replay
+    want = {"a": [], "b": []}
+    last = {("a", "f"): None, ("a", "g"): None,
+            ("b", "f"): None, ("b", "g"): None}
+    sec = 0
+    for k, dsec, ft, fv, gt, gv, trig in cycles:
+        sec += dsec
+        t = START + dt.timedelta(seconds=sec)
+        if ft:
+            last[(k, "f")] = float(fv)
+        if gt:
+            last[(k, "g")] = float(gv)
+        emit = trig if use_trigger else (ft or gt)
+        if emit:
+            want[k].append((t, (last[(k, "f")], last[(k, "g")])))
+    assert got == want
+
+
+@given(cycles=two_field_cycles)
+@settings(**_SETTINGS)
+def test_struct_collectts_matches_cycle_replay(spark, cycles):
+    """struct_collectts == replay: one tick per engine cycle where any
+    field ticks, carrying ONLY that cycle's values (others unset)."""
+    f, g, _ = _mk_two_fields(spark, cycles)
+    out = bl.struct_collectts({"f": f, "g": g})
+    got = {
+        k: [(t, (v["f"], v["g"])) for t, v in out.collect_ticks(k)]
+        for k in ("a", "b")
+    }
+    want = {"a": [], "b": []}
+    sec = 0
+    for k, dsec, ft, fv, gt, gv, _tr in cycles:
+        sec += dsec
+        t = START + dt.timedelta(seconds=sec)
+        if ft or gt:
+            want[k].append((
+                t,
+                (float(fv) if ft else None, float(gv) if gt else None),
+            ))
+    assert got == want
+
+
+sync_cycles = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=9),      # absolute-ish gaps
+        st.sampled_from(["m1", "m2", "m3"]),        # which member ticks
+        st.floats(-50, 50, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(
+    cycles=sync_cycles,
+    threshold_s=st.integers(min_value=1, max_value=6),
+    incomplete=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_sync_dict_threshold_windows_match_replay(
+    spark, cycles, threshold_s, incomplete
+):
+    """basketlib.sync_dict (no trigger) == replay: epoch buckets of
+    ``threshold``, one batch per (key, bucket) with each member's FIRST
+    value in engine order, tick time = latest member first;
+    output_incomplete=False keeps only full batches."""
+    from csp_spark.operators.basketlib import sync_dict
+
+    members = ["m1", "m2", "m3"]
+    sec = 0
+    rows = {m: [] for m in members}
+    for seq, (k, dsec, m, v) in enumerate(cycles):
+        sec += dsec
+        rows[m].append((k, START + dt.timedelta(seconds=sec), seq, float(v)))
+    streams = {
+        m: TickStream(spark.createDataFrame(rows[m], SCHEMA))
+        for m in members
+    }
+    th = dt.timedelta(seconds=threshold_s)
+    out = sync_dict(streams, th, output_incomplete=incomplete)
+    got = {
+        k: [(t, dict(v)) for t, v in out.collect_ticks(k)]
+        for k in ("a", "b")
+    }
+
+    # replay: bucket by epoch floor; first (ts,seq) per member wins
+    us = threshold_s * 1_000_000
+    firsts = {}  # (key, bucket, member) -> (ts, seq, value)
+    for m in members:
+        for k, t, seq, v in rows[m]:
+            tus = int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            b = tus // us
+            cur = firsts.get((k, b, m))
+            if cur is None or (t, seq) < (cur[0], cur[1]):
+                firsts[(k, b, m)] = (t, seq, v)
+    batches = {}
+    for (k, b, m), (t, seq, v) in firsts.items():
+        batches.setdefault((k, b), {})[m] = (t, v)
+    want = {"a": [], "b": []}
+    for (k, b), mv in sorted(
+        batches.items(), key=lambda kv: max(t for t, _ in kv[1].values())
+    ):
+        if not incomplete and len(mv) != len(members):
+            continue
+        want[k].append((
+            max(t for t, _ in mv.values()),
+            {m: v for m, (t, v) in mv.items()},
+        ))
+    # batch tick times can tie across buckets; compare as sorted lists
+    for k in ("a", "b"):
+        assert sorted(got[k], key=lambda x: (x[0], sorted(x[1].items()))) \
+            == sorted(want[k], key=lambda x: (x[0], sorted(x[1].items())))
+
+
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # gap seconds
+            st.sampled_from(["sched", "cancel"]),
+            st.integers(min_value=1, max_value=5),   # alarm delay seconds
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_alarm_schedule_cancel_matches_replay(spark, ticks):
+    """run_node alarm scheduling == replay: every 'sched' tick arms a
+    one-shot alarm at +delay+0.5s (offset keeps alarm cycles disjoint
+    from data cycles); 'cancel' cancels the node's most recently armed
+    handle — a no-op if that alarm already fired (one-shot semantics);
+    armed alarms coexist, each fires exactly once, coincident alarms
+    fire in scheduling order."""
+    from csp_spark import run_node
+
+    start = dt.datetime(2020, 1, 1)
+    rows, t = [], 0
+    for i, (gap, action, delay) in enumerate(ticks):
+        t += gap
+        # value encodes the action: +delay = schedule, -1 = cancel
+        rows.append((start + dt.timedelta(seconds=t),
+                     float(delay) if action == "sched" else -1.0))
+    x = TickStream.from_rows(spark, rows, key="k")
+
+    def node(c):
+        if c.ticked("alarm"):
+            return c.alarm
+        v = c["x"]
+        if v >= 0:
+            h = c.schedule_alarm(
+                dt.timedelta(seconds=v, milliseconds=500), float(v)
+            )
+            c.state.setdefault("hs", []).append(h)
+        else:
+            hs = c.state.get("hs") or []
+            if hs:
+                c.cancel_alarm(hs.pop())
+        return None
+
+    got = run_node(node, x, state={}).collect_ticks("k")
+
+    # pure-python replay over the same event order
+    pending = []  # (fire_time, value, alive[bool-ref])
+    stack = []
+    t = 0
+    for gap, action, delay in ticks:
+        t += gap
+        if action == "sched":
+            rec = [
+                start + dt.timedelta(seconds=t + delay, milliseconds=500),
+                float(delay),
+                True,
+            ]
+            pending.append(rec)
+            stack.append(rec)
+        else:
+            # mirror the node exactly: it pops ITS most recent handle,
+            # spent or not — cancelling an already-fired handle is a
+            # no-op (the tick was already delivered)
+            if stack:
+                rec = stack.pop()
+                now = start + dt.timedelta(seconds=t)
+                if rec[0] > now:
+                    rec[2] = False
+    # coincident alarms fire in scheduling order: stable sort on fire
+    # time only (pending is already in scheduling order)
+    want = [
+        (ft, v)
+        for ft, v, alive in sorted(pending, key=lambda r: r[0])
+        if alive
+    ]
+    assert got == want
