@@ -125,8 +125,21 @@ def main() -> None:
     warm: dict[str, float] = {}
     total = 0.0
     warm_total = 0.0
-    for name in BENCH_QUERIES + COMPARABLE_R8:
-        fn = qs[name]
+
+    def _hard_negatives_live(spark, sf_dir):
+        # PRODUCTION mining path (r9 verdict item 6): cluster + mine in
+        # one plan, NO artifact persist/replay — the bench-set
+        # ann_hard_negatives times the oracle form (persist + replay),
+        # which overstates production cost by the artifact round-trip.
+        # Not in any frozen subtotal; tracked per-round under this key.
+        from csp_spark.similarity import hard_negatives
+
+        emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+        return hard_negatives(emb, k=3, n_clusters=16, exclude_eps=0.99)
+
+    extras = {"ann_hard_negatives_live": _hard_negatives_live}
+    for name in BENCH_QUERIES + COMPARABLE_R8 + list(extras):
+        fn = extras.get(name) or qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
@@ -251,7 +264,30 @@ def main() -> None:
                  "cluster count — semdedup_clustered m=3 26.7s -> "
                  "15.5s (ratio 0.41), hard_negatives_clustered 10.1s "
                  "-> 5.0s (0.60), knn_join_blas 0.48, "
-                 "adversarial_lsh 0.27.",
+                 "adversarial_lsh 0.27. "
+                 "r10 adjudications of the two r9 unexplained cold "
+                 "drifts (same-session protocol: 3 fresh-JVM isolated "
+                 "colds + 3 warm repeats each, idle box): "
+                 "dedup_minhash isolated colds 12.3/27.5/13.7s (the "
+                 "48-hash signature-aggregate JIT dominates and "
+                 "varies by >2x run-to-run; bench-context colds sit "
+                 "lower because earlier queries pre-warm codegen) — "
+                 "the +0.89s r8->r9 bench delta is far inside this "
+                 "ambient JIT band, plan unchanged per PLAN_AUDIT: "
+                 "AMBIENT. op_node_ast isolated colds "
+                 "4.56/4.49/4.46s, warm spread 2.29-3.23s across "
+                 "identical runs (Python-worker/bucket scheduling "
+                 "variance on the deliberate applyInPandas slow "
+                 "path) — the +0.65s delta is inside the warm spread "
+                 "alone, plan unchanged: AMBIENT (same verdict as the "
+                 "r6 A/B). r10 adds ann_hard_negatives_live (cluster "
+                 "+ mine, no artifact persist — the production form; "
+                 "the frozen-set ann_hard_negatives keeps timing the "
+                 "oracle form) reported in queries/queries_warm but "
+                 "in NO frozen subtotal. r10 ann changes (blas margin "
+                 "2e-6->2.5e-6; kmeans++ d2min pin; train-collect "
+                 "count reuse) verified bit-identical outputs at "
+                 "test scales before landing — no plan shape change.",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
