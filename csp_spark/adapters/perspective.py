@@ -64,3 +64,39 @@ class PerspectiveAdapter(WebsocketTableAdapter):
         )
         self._arm()
         return table
+
+
+def perspective_thread(manager=None):
+    """reference perspective.py: run a perspective manager's loop on a
+    daemon thread (needs perspective-python at call time)."""
+    import threading
+
+    import perspective  # gated: not shipped in this environment
+
+    def _loop():
+        psp_loop = perspective.PerspectiveManager() if manager is None else manager
+        psp_loop.loop()
+
+    t = threading.Thread(target=_loop, daemon=True)
+    t.start()
+    return t
+
+
+def __getattr__(name):
+    # View / Table are perspective-python's own classes (the reference
+    # re-exports them); resolve lazily so importing this module never
+    # requires the optional dependency
+    if name in ("View", "Table"):
+        try:
+            import perspective
+        except ImportError as e:
+            # AttributeError keeps hasattr() probes safe; a
+            # `from ... import View` still surfaces as ImportError
+            raise AttributeError(
+                f"{name} requires perspective-python: {e}"
+            ) from e
+        return getattr(perspective, name)
+    raise AttributeError(f"module 'csp.adapters.perspective' has no attribute {name!r}")
+
+
+__all__ += ["perspective_thread", "View", "Table"]

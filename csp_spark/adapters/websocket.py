@@ -16,3 +16,206 @@ __all__ = [
     "socket_ticks", "PushAdapter", "PushGroup",
     "WebsocketTableAdapter", "TableAdapter", "TableManager", "diff_dict",
 ]
+
+
+class WebsocketAdapterManager:
+    """Reference calling convention (csp/adapters/websocket.py:390-460):
+    one manager = one client connection config; ``subscribe(ts_type,
+    msg_mapper, ...)`` yields the typed inbound edge, ``send(x)``
+    publishes outbound ticks over the same connection,
+    ``update_headers(x)`` mutates the handshake headers used at the
+    next (re)connect, ``status()`` is the adapter status edge.
+
+    Spark mapping: the inbound side rides streaming/websocket.py's
+    WebsocketAdapter (the real RFC 6455 client thread landing messages
+    into the capture-push channel); the MsgMapper decode + struct
+    field_map/meta_field_map are the same Catalyst expressions the
+    Kafka manager uses. The outbound side sends engine-ordered ticks
+    as JSON text frames driver-side — the reference's own contract (a
+    low-volume UI/control channel, not a bulk sink)."""
+
+    def __init__(
+        self,
+        uri: str,
+        reconnect_interval=None,
+        headers: dict | None = None,
+        spark=None,
+    ):
+        import datetime as _dt
+        from urllib.parse import urlparse
+
+        if reconnect_interval is None:
+            reconnect_interval = _dt.timedelta(seconds=2)
+        # the reference's construction rules (websocket.py:404-408)
+        assert reconnect_interval >= _dt.timedelta(seconds=1)
+        resp = urlparse(uri)
+        if resp.hostname is None:
+            raise ValueError(f"Failed to parse host from URI: {uri}")
+        self._uri = uri
+        self._properties = dict(
+            host=resp.hostname,
+            port=str(resp.port) if resp.port
+            else ("443" if uri.startswith("wss") else "80"),
+            route=resp.path or "/",
+            use_ssl=uri.startswith("wss"),
+            reconnect_interval=reconnect_interval,
+            headers=dict(headers or {}),
+        )
+        self._reconnect_s = reconnect_interval.total_seconds()
+        self._spark = spark
+        self._adapter = None
+        self._send_client = None
+
+    # ------------------------------------------------------ lifecycle
+    def _ensure_adapter(self, value_schema: str):
+        if self._adapter is None:
+            from ..core.session import get_spark
+            from ..streaming.websocket import WebsocketAdapter
+
+            spark = self._spark or get_spark()
+            self._adapter = WebsocketAdapter(
+                spark, self._uri, value_schema=value_schema,
+                reconnect=self._reconnect_s,
+            )
+            self._adapter.client.headers.update(self._properties["headers"])
+        return self._adapter
+
+    def start(self):
+        """Open the client thread (capture window begins)."""
+        if self._adapter is not None:
+            self._adapter.start()
+        return self
+
+    def stop(self):
+        if self._adapter is not None:
+            self._adapter.stop()
+        if self._send_client is not None:
+            self._send_client.close()
+            self._send_client = None
+
+    def join(self, timeout: float | None = None) -> bool:
+        return self._adapter.join(timeout) if self._adapter else True
+
+    # ------------------------------------------------------ subscribe
+    def subscribe(
+        self,
+        ts_type: type,
+        msg_mapper,
+        field_map=None,
+        meta_field_map: dict | None = None,
+        push_mode=None,
+    ):
+        """Typed inbound edge (reference websocket.py:426-446): the
+        landed JSON messages decoded per ``ts_type``'s schema with the
+        {msg_field: struct_field} field_map; meta_field_map supports
+        "timestamp" (message arrival time)."""
+        from pyspark.sql import functions as F
+
+        from ..core.record import Struct
+        from ..core.ticks import KEY, SEQ, TS, VALUE, TickStream
+
+        meta_field_map = meta_field_map or {}
+        if isinstance(field_map, str):
+            field_map = {field_map: ""}
+        is_struct = isinstance(ts_type, type) and issubclass(ts_type, Struct)
+        if not field_map and is_struct:
+            field_map = {f: f for f in ts_type.__metadata__}
+        if is_struct:
+            # the decode schema describes the WIRE message: field_map
+            # KEYS named with the mapped struct field's type
+            st = ts_type.spark_type()
+            schema = ", ".join(
+                f"`{msg}` {st[sf or msg].dataType.simpleString()}"
+                for msg, sf in field_map.items()
+            )
+        else:
+            schema = f"value {ts_type if isinstance(ts_type, str) else 'string'}"
+        ad = self._ensure_adapter(schema)
+        raw = ad._push.out()  # (key, ts=arrival, seq, value=raw text)
+        decoded = msg_mapper.decode(F.col(VALUE), schema)
+        _META = {"timestamp": F.col(TS)}
+        if is_struct:
+            parts = {}
+            for msg_field, struct_field in (field_map or {}).items():
+                parts[struct_field or msg_field] = decoded[msg_field]
+            for meta, struct_field in meta_field_map.items():
+                if meta not in _META:
+                    raise ValueError(f"unsupported meta field: {meta}")
+                parts[struct_field] = _META[meta]
+            value = F.struct(*[c.alias(n) for n, c in parts.items()])
+        else:
+            value = decoded["value"] if "value" in schema else decoded
+        out = raw.select(
+            F.col(KEY), F.col(TS), F.col(SEQ), value.alias(VALUE)
+        )
+        return TickStream(out)
+
+    # ----------------------------------------------------------- send
+    def send(self, x):
+        """Publish a tick edge out over the connection (reference
+        websocket.py:447-449): engine-ordered values serialized as
+        JSON text frames. Batch edges send driver-side and return the
+        number of frames; streaming frames ride
+        publish_websocket_stream."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from ..core.ticks import SEQ, TS, VALUE
+        from ..streaming.websocket import WebSocketClient
+
+        df = x.df if hasattr(x, "df") else x
+        if df.isStreaming:
+            return publish_websocket_stream(df, self._uri)
+        rows = (
+            df.select(TS, SEQ, F.to_json(F.struct(VALUE)).alias("__j")
+                      if dict(df.dtypes)[VALUE].startswith("struct")
+                      else F.col(VALUE).cast("string").alias("__j"))
+            .orderBy(TS, SEQ)
+            .collect()
+        )
+        if self._send_client is None:
+            self._send_client = WebSocketClient(
+                self._uri, headers=self._properties["headers"]
+            )
+            self._send_client.connect()
+        for r in rows:
+            v = r["__j"]
+            self._send_client.send_text(
+                v if isinstance(v, str) else _json.dumps(v)
+            )
+        return len(rows)
+
+    # -------------------------------------------------------- headers
+    def update_headers(self, x):
+        """Apply WebsocketHeaderUpdate ticks (reference
+        websocket.py:450-452): header values take effect at the next
+        (re)connect handshake."""
+        from ..core.ticks import VALUE
+
+        from pyspark.sql import Row
+
+        df = x.df if hasattr(x, "df") else x
+        for r in df.select(VALUE).collect():
+            v = r[VALUE]
+            # a Row IS a tuple — test it before the list-of-updates case
+            updates = [v] if isinstance(v, (Row, dict)) else (
+                list(v) if isinstance(v, (list, tuple)) else [v]
+            )
+            for u in updates:
+                if isinstance(u, str):
+                    continue
+                self._properties["headers"][u["key"]] = u["value"]
+        if self._adapter is not None:
+            self._adapter.client.headers.update(self._properties["headers"])
+        if self._send_client is not None:
+            self._send_client.headers.update(self._properties["headers"])
+        return len(self._properties["headers"])
+
+    def status(self, push_mode=None):
+        from ..impl.wiring.adapters import status_adapter_def
+
+        return status_adapter_def(self)
+
+
+__all__.append("WebsocketAdapterManager")

@@ -11,6 +11,8 @@ classes/functions, no re-implementation).
 
 from . import (  # noqa: F401
     DelayedCollect,
+    const,
+    curve,
     DelayedDemultiplex,
     LogSettings,
     accum,
@@ -52,3 +54,11 @@ from . import (  # noqa: F401
     unroll,
     wrap_feedback,
 )
+
+
+import typing as _typing
+
+K = _typing.TypeVar("K")
+V = _typing.TypeVar("V")
+Y = _typing.TypeVar("Y")
+U = _typing.TypeVar("U")

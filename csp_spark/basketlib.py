@@ -17,3 +17,9 @@ def sync_list_internal(x, trigger, threshold, output_incomplete, use_trigger):
     return sync_list(
         x, threshold, output_incomplete, trigger if use_trigger else None
     )
+
+
+import typing as _typing
+
+K = _typing.TypeVar("K")
+Y = _typing.TypeVar("Y")

@@ -12,3 +12,16 @@ class _Unset:
 
 
 UNSET = _Unset()
+
+
+class _RemoveDynamicKey:
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "<REMOVE_DYNAMIC_KEY>"
+
+
+#: reference constants.py:2 — returning this from a dynamic-basket
+#: node output removes the key (csp.remove_dynamic_key is the node-
+#: body intrinsic form)
+REMOVE_DYNAMIC_KEY = _RemoveDynamicKey()

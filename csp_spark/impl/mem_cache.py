@@ -2,9 +2,19 @@
 wiring memoization cache controls under their defining-module path."""
 
 from ..core.surface import clear_global_context, new_global_context  # noqa: F401
-from ..plans.runtime import memoize  # noqa: F401
+from ..plans.runtime import memoize as _memoize_decorator
 
-csp_memoized = memoize
+csp_memoized = _memoize_decorator
+
+
+def memoize(value=True):
+    """Reference mem_cache.py:37-41 contract: ``with memoize(False):``
+    turns wiring memoization off inside the block (returns a
+    MemoizeControl). The package-level ``csp.memoize`` decorator form
+    is also accepted for back-compat: passing a callable decorates it."""
+    if callable(value):
+        return _memoize_decorator(value)
+    return MemoizeControl(value)
 
 
 def csp_memoized_graph_object(*args, **kwargs):
@@ -13,3 +23,54 @@ def csp_memoized_graph_object(*args, **kwargs):
     if args and callable(args[0]):
         return memoize(args[0])
     return memoize
+
+
+class MemoizeControl:
+    """reference mem_cache.py:13-33: a thread-local with-block that
+    turns wiring memoization on/off; ``memoize()``-wrapped builders
+    check :meth:`is_memoize_on` per call."""
+
+    INST = __import__("threading").local()
+
+    def __init__(self, memoize: bool = True):
+        self._memoize = memoize
+        self._prev = None
+
+    @classmethod
+    def is_memoize_on(cls) -> bool:
+        inst = getattr(cls.INST, "instance", None)
+        return not inst or inst._memoize
+
+    def __enter__(self):
+        self._prev = getattr(self.INST, "instance", None)
+        self.INST.instance = self
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        if self._prev:
+            self.INST.instance = self._prev
+        else:
+            del self.INST.instance
+        return False
+
+
+def normalize_arg(arg):
+    """reference mem_cache.py:135-149: a hashable normal form for
+    memoization keys over (possibly nested) containers."""
+    t = type(arg)
+    if t in (list, tuple):
+        return (t,) + tuple(normalize_arg(v) for v in arg)
+    if isinstance(arg, set):
+        return (t,) + tuple(normalize_arg(v) for v in sorted(arg))
+    if isinstance(arg, dict):
+        return (t,) + tuple(
+            (normalize_arg(k), normalize_arg(arg[k])) for k in sorted(arg)
+        )
+    return arg
+
+
+def function_full_name(f) -> str:
+    """reference mem_cache.py:152-161: module-qualified name for
+    csp_memoized_graph_object's function_name."""
+    module = getattr(f, "__module__", None)
+    return f.__name__ if module is None else f"{module}.{f.__name__}"

@@ -2,4 +2,9 @@
 importing this module registers the ``.csp`` accessors on pd.Series /
 pd.DataFrame — the registration lives in csp_spark.pandas_ext."""
 
-from ..pandas_ext import CspDataFrameAccessor, CspSeriesAccessor  # noqa: F401
+from ..pandas_ext import (  # noqa: F401
+    CspDataFrameAccessor,
+    CspSeriesAccessor,
+    ToCspFrameAccessor,
+    ToCspSeriesAccessor,
+)

@@ -332,3 +332,62 @@ class CspPerspectiveTable:
 
     def to_csv(self, **options) -> str:
         return self._snapshot_df().to_csv(index=False)
+
+
+class CspPerspectiveMultiTable:
+    """reference pandas_perspective.py:333-400: hold several
+    CspPerspectiveTable instances and coordinate their lifecycle; the
+    widget form composes the member widgets (ipywidgets, gated at
+    call time like the reference)."""
+
+    def __init__(self, tables: dict):
+        self._tables = dict(tables)
+
+    @property
+    def tables(self) -> dict:
+        return self._tables.copy()
+
+    def __getitem__(self, name: str):
+        return self._tables[name]
+
+    def start(self, starttime=None, endtime=_dt.timedelta(seconds=60), *,
+              realtime: bool = True, clear: bool = True,
+              auto_shutdown: bool = True):
+        if clear:
+            for table in self._tables.values():
+                table.clear()
+        for table in self._tables.values():
+            table.run(starttime, endtime, realtime=realtime)
+
+    def is_running(self) -> bool:
+        return any(t.is_running() for t in self._tables.values())
+
+    def stop(self) -> None:
+        live = [t for t in self._tables.values() if t.is_running()]
+        if not live:
+            raise ValueError("No active runner to stop")
+        for t in live:
+            t.stop()
+
+    def join(self) -> None:
+        for t in self._tables.values():
+            if t.is_running():
+                t.join()
+
+    def get_widget(self, widget: str = "Tab", config: dict | None = None):
+        import ipywidgets  # gated: notebook-only dependency
+
+        config = config or {}
+        children, titles = [], []
+        for title, table in self._tables.items():
+            if not config or title in config:
+                children.append(table.get_widget(**config.get(title, {})))
+                titles.append(title)
+        cls = getattr(ipywidgets, widget)
+        w = cls(children=children)
+        for i, t in enumerate(titles):
+            try:
+                w.set_title(i, t)
+            except AttributeError:
+                pass
+        return w

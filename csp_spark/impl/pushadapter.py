@@ -85,10 +85,15 @@ class PushInputAdapter:
         self._csp_buffer: list = []
         self._csp_capture: _CaptureClock | None = None
 
-    def push_tick(self, value) -> bool:
+    def push_tick(self, value, batch: "PushBatch | None" = None) -> bool:
         cap = getattr(self, "_csp_capture", None)
         if cap is None or not cap.active:
             return False
+        if batch is not None:
+            # defer: the batch stamps ONE (ts, order) for every member
+            # at __exit__, so they land on the same engine cycle
+            batch._append(self, value)
+            return True
         ts, order = cap.stamp()
         self.__dict__.setdefault("_csp_buffer", []).append((ts, order, value))
         return True
@@ -376,3 +381,45 @@ def drive_captures(frame: dict) -> None:
     for g in groups:
         for o in g.get("outputs", []):
             to_output_adapter(o["stream"], o["adapter"])
+
+
+from ..streaming.sources import PushGroup  # noqa: E402,F401  (reference pushadapter.py:3)
+
+
+class PushBatch:
+    """reference csp/impl/pushadapter.py:4 (_cspimpl.PushBatch): group
+    pushes — possibly across adapters — into a SINGLE engine cycle::
+
+        with PushBatch(engine) as batch:
+            a.push_tick(v1, batch)
+            b.push_tick(v2, batch)
+
+    All deferred ticks take one shared (arrival ts, order) stamp at
+    block exit, which IS this engine's cycle identity. The ``engine``
+    argument is accepted for reference source compatibility (capture
+    mode resolves the clock from the adapters themselves)."""
+
+    def __init__(self, engine=None):
+        self._entries: list = []
+
+    def _append(self, adapter, value) -> None:
+        self._entries.append((adapter, value))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        entries, self._entries = self._entries, []
+        if exc_type is not None:
+            return False
+        stamp = None
+        for adapter, value in entries:
+            cap = getattr(adapter, "_csp_capture", None)
+            if cap is None or not cap.active:
+                continue
+            if stamp is None:
+                stamp = cap.stamp()
+            adapter.__dict__.setdefault("_csp_buffer", []).append(
+                (*stamp, value)
+            )
+        return False

@@ -75,3 +75,5 @@ def py_pushpull_adapter_def(
     parity (wiring here is explicit, not memoized)."""
     return py_push_adapter_def(name, adapterimpl, out_type, manager_type,
                                **decl)
+
+from .pushadapter import PushBatch, PushGroup  # noqa: E402,F401

@@ -2,3 +2,5 @@
 threaded_runtime.py)."""
 
 from ...plans.runtime import run_on_thread  # noqa: F401
+
+from ...plans.runtime import ThreadRunner  # noqa: E402,F401

@@ -109,3 +109,24 @@ def define_unary_op(name, op_lambda):
     """Reference math.py:307-357 factory: an element-wise unary op
     from a one-argument Column expression."""
     return _un(op_lambda)
+
+
+import typing as _typing
+
+U = _typing.TypeVar("U")
+
+#: reference math.py:101-137 — the operator name registries user code
+#: introspects (define_binary_op consumers, test generators)
+MATH_OPS = [
+    "add", "sub", "multiply", "divide", "pow", "max", "min",
+    "floordiv", "mod",
+    "pos", "neg", "abs", "ln", "log2", "log10", "exp", "exp2",
+    "sqrt", "erf", "sin", "cos", "tan", "arcsin", "arccos", "arctan",
+    "sinh", "cosh", "tanh", "arcsinh", "arccosh", "arctanh",
+]
+COMP_OPS = ["eq", "ne", "lt", "gt", "le", "ge"]
+#: the reference maps (op, dtype) -> C++ kernels here; this engine has
+#: no C++ kernel table — every op IS the Catalyst column expression —
+#: so the registry is deliberately empty (parity of shape, not of
+#: backing store)
+MATH_COMP_OPS_CPP: dict = {}

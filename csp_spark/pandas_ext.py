@@ -305,6 +305,24 @@ class ToCspSeriesAccessor:
         return TickStream(df)
 
 
+@register_dataframe_accessor("to_csp")
+class ToCspFrameAccessor:
+    """Reference pandas_accessor.py:640: lift a DatetimeIndex-ed pandas
+    frame into a dict of edges — one per (selected) column, each the
+    column's (time, value) curve."""
+
+    def __init__(self, obj: pd.DataFrame):
+        self._obj = obj
+
+    def __call__(self, spark, columns=None, agg: str = "last",
+                 drop_na: bool = False, key: str = GLOBAL_KEY) -> dict:
+        cols = list(columns) if columns is not None else list(self._obj.columns)
+        return {
+            c: self._obj[c].to_csp(spark, drop_na=drop_na, key=key)
+            for c in cols
+        }
+
+
 @register_dataframe_accessor("csp")
 class CspDataFrameAccessor(_EdgeItems):
     """Reference pandas_accessor.py:430: frame-level run/snap across

@@ -668,12 +668,26 @@ def memoize(fn):
     building is plain Python producing DataFrames, so an lru_cache on
     the builder gives the same single-instance semantics — and Spark
     reuses the cached DataFrame's lineage (one subplan, Catalyst
-    common-subexpression reuse) wherever it is referenced."""
+    common-subexpression reuse) wherever it is referenced.
+
+    ``with MemoizeControl(False):`` (impl/mem_cache — the reference's
+    ``csp.impl.mem_cache.memoize(False)`` block form) bypasses the
+    cache for builds inside the block."""
     import functools
 
     cached = functools.lru_cache(maxsize=None)(fn)
     _memo_caches.append(cached)
-    return cached
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from ..impl.mem_cache import MemoizeControl
+
+        if not MemoizeControl.is_memoize_on():
+            return fn(*args, **kwargs)
+        return cached(*args, **kwargs)
+
+    wrapper.cache_clear = cached.cache_clear
+    return wrapper
 
 
 # every memoize()-wrapped builder, so core/surface.clear_global_context

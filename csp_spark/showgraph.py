@@ -62,3 +62,10 @@ def generate_graph(graph_fn: Any, *args: Any, **kwargs: Any) -> io.BytesIO:
 
 def show_graph(graph_fn: Any, *args: Any, **kwargs: Any) -> None:
     print(generate_graph(graph_fn, *args, **kwargs).getvalue().decode())
+
+
+from collections import namedtuple as _namedtuple
+
+#: reference showgraph.py:6-7 — the rendering records show_graph emits
+NODE = _namedtuple("NODE", ["name", "label", "color", "shape"])
+EDGE = _namedtuple("EDGE", ["start", "end"])

@@ -25,3 +25,14 @@ __all__ = [
     "median", "min", "min_max", "numpy_to_list", "prod", "quantile",
     "rank", "sem", "skew", "stddev", "sum", "unique", "var",
 ]
+
+
+import typing as _typing
+
+U = _typing.TypeVar("U")
+
+#: reference stats.py:51 — raised message when a NumPy window shape
+#: is unknown at trigger time
+NP_SHAPE_ERROR = (
+    "Shape of the NumPy array was unknown at the time the trigger ticked."
+)

@@ -111,7 +111,8 @@ class WebSocketClient:
     (reassembling fragments), transparently answering pings and
     completing the close handshake (returns None on close)."""
 
-    def __init__(self, uri: str, timeout: float | None = 30.0):
+    def __init__(self, uri: str, timeout: float | None = 30.0,
+                 headers: dict | None = None):
         u = _urlparse(uri)
         if u.scheme not in ("ws",):  # wss needs TLS wrapping — out of scope
             raise ValueError(f"unsupported scheme {u.scheme!r} (use ws://)")
@@ -121,6 +122,10 @@ class WebSocketClient:
         if u.query:
             self._path += "?" + u.query
         self._timeout = timeout
+        #: extra handshake request headers (reference
+        #: WebsocketAdapterManager(headers=...)); mutable — header
+        #: updates apply at the next (re)connect handshake
+        self.headers: dict = dict(headers or {})
         self._sock: _socket.socket | None = None
         self._buf = b""  # bytes received beyond the handshake response
 
@@ -129,13 +134,15 @@ class WebSocketClient:
             (self._host, self._port), timeout=self._timeout
         )
         key = _b64.b64encode(_os.urandom(16)).decode()
+        extra = "".join(f"{k}: {v}\r\n" for k, v in self.headers.items())
         req = (
             f"GET {self._path} HTTP/1.1\r\n"
             f"Host: {self._host}:{self._port}\r\n"
             "Upgrade: websocket\r\n"
             "Connection: Upgrade\r\n"
             f"Sec-WebSocket-Key: {key}\r\n"
-            "Sec-WebSocket-Version: 13\r\n\r\n"
+            "Sec-WebSocket-Version: 13\r\n"
+            f"{extra}\r\n"
         )
         sock.sendall(req.encode())
         # read the HTTP response head; anything past the blank line is

@@ -793,9 +793,34 @@ def test_reference_impl_import_paths():
             "py_pushpull_adapter_def", "py_output_adapter_def",
             "py_managed_adapter_def",
         ],
-        "csp.impl.pandas_ext_type": ["TsDtype"],
-        "csp.impl.pandas_accessor": [],
-        "csp.adapters.websocket_types": ["WebsocketStatus"],
+        "csp.impl.pandas_ext_type": ["TsDtype", "str_type", "is_csp_type"],
+        "csp.impl.pushadapter": [
+            "PushInputAdapter", "PushGroup", "PushBatch",
+        ],
+        "csp.impl.pushpulladapter": ["PushBatch", "PushGroup"],
+        "csp.impl.pandas_perspective": [
+            "CspPerspectiveTable", "CspPerspectiveMultiTable",
+        ],
+        "csp.profiler": [
+            "Profiler", "graph_info", "ProfilerInfo", "nullts",
+            "left_align", "write_image", "ProfilerUIHandler",
+        ],
+        "csp.dataframe": ["DataFrame", "RealtimePerspectiveWidget"],
+        "csp.impl.constants": ["UNSET", "REMOVE_DYNAMIC_KEY"],
+        "csp.showgraph": ["show_graph", "NODE", "EDGE"],
+        "csp.impl.types.autogen_types": [
+            "TimeIndexPolicy", "DuplicatePolicy", "CSP_AUTOGEN_HINTS",
+            "DynamicBasketEvent", "DynamicBasketEvents",
+        ],
+        "csp.impl.pandas_accessor": [
+            "ToCspSeriesAccessor", "ToCspFrameAccessor",
+        ],
+        "csp.adapters.websocket_types": [
+            "WebsocketStatus", "WebsocketHeaderUpdate",
+        ],
+        "csp.adapters.websocket": [
+            "WebsocketAdapter", "WebsocketAdapterManager",
+        ],
         "csp.adapters.perspective": ["PerspectiveAdapter"],
         # r10: class-shaped adapter surfaces (judge items 3-4)
         "csp.adapters.db": [
@@ -825,11 +850,18 @@ def test_reference_impl_import_paths():
         "csp.impl.genericpushadapter": ["GenericPushAdapter"],
         "csp.impl.mem_cache": [
             "csp_memoized_graph_object", "new_global_context",
+            "MemoizeControl", "normalize_arg", "function_full_name",
+            "memoize",
         ],
         "csp.impl.enum": ["Enum", "DynamicEnum", "EnumMeta"],
-        "csp.impl.error_handling": ["set_print_full_exception_stack"],
+        "csp.impl.error_handling": [
+            "set_print_full_exception_stack", "ExceptionContext",
+        ],
         "csp.impl.builtin_functions": [
             "ALL_CSP_BUILTIN_FUNCS", "value_at", "engine_stats",
+            "output", "state", "alarms", "start", "stop",
+            "is_configured_realtime", "csp_builtin",
+            "CSP_BUILTIN_CONTEXT_DICT",
         ],
         "csp.impl.perspective_common": [
             "perspective_type_map", "datetime_to_perspective",
@@ -837,7 +869,7 @@ def test_reference_impl_import_paths():
         "csp.impl.warnings": ["set_deprecation_warning"],
         "csp.impl.wiring.node": ["node", "_node_internal_use"],
         "csp.impl.wiring.edge": ["Edge"],
-        "csp.impl.wiring.runtime": ["build_graph"],
+        "csp.impl.wiring.runtime": ["build_graph", "MAX_END_TIME"],
         "csp.impl.wiring.context": [
             "Context", "new_global_context", "clear_global_context",
         ],
@@ -850,11 +882,26 @@ def test_reference_impl_import_paths():
         "csp.impl.wiring.feedback": ["feedback"],
         "csp.impl.wiring.graph": ["graph"],
         "csp.impl.wiring.outputs": ["Outputs", "OutputBasket"],
-        "csp.impl.wiring.threaded_runtime": ["run_on_thread"],
+        "csp.impl.wiring.threaded_runtime": ["run_on_thread", "ThreadRunner"],
         "csp.impl.wiring.numba_node": ["numba_node"],
         "csp.impl.wiring.special_output_names": ["UNNAMED_OUTPUT_NAME"],
-        "csp.impl.types.tstype": ["ts", "isTsType"],
-        "csp.impl.types.common_definitions": ["PushMode", "ReplayMode"],
+        "csp.impl.types.tstype": [
+            "ts", "isTsType",
+            # r10 sweep closures: the full reference tstype surface
+            "TsType", "DynamicBasket", "DynamicBasketMeta",
+            "isTsBasket", "isTsDynamicBasket", "isTsStaticBasket",
+            "SnapType", "SnapKeyType", "AttachType", "GenericTSTypes",
+        ],
+        "csp.impl.types.common_definitions": [
+            "PushMode", "ReplayMode",
+            # r10: the wiring-facing records/enums (reference
+            # common_definitions.py:11-270)
+            "ArgKind", "BasketKind", "InputDef", "OutputDef",
+            "OutputBasketContainer", "OutputTypeError",
+            "OutputMixedNamedAndUnnamedError", "OutputBasketNotABasket",
+            "OutputBasketMixedShapeAndShapeOf",
+            "OutputBasketWrongShapeType", "DuplicatePolicy",
+        ],
         "csp.impl.types.typing_utils": [
             # FastList: reference struct.py:11 imports it from exactly
             # this path; TsTypeValidator: the basket-wiring validator
@@ -898,14 +945,15 @@ def test_reference_toplevel_module_paths():
 
     for mod, names in {
         "csp.baselib": ["merge", "filter", "apply", "stop_engine",
-                        "LogSettings", "wrap_feedback"],
+                        "LogSettings", "wrap_feedback", "const", "curve"],
         "csp.basketlib": ["sync", "sync_list", "sync_list_internal",
                           "sample_basket"],
         "csp.curve": ["Curve", "curve"],
         "csp.dataframe": ["DataFrame"],
         "csp.math": ["add", "min", "max", "abs", "pow", "andnode",
-                     "ornode", "define_binary_op", "define_unary_op"],
-        "csp.stats": ["mean", "ema"],
+                     "ornode", "define_binary_op", "define_unary_op",
+                     "MATH_OPS", "COMP_OPS"],
+        "csp.stats": ["mean", "ema", "NP_SHAPE_ERROR"],
         "csp.random": ["poisson_timer"],
     }.items():
         m = importlib.import_module(mod)
