@@ -20,6 +20,7 @@ EXAMPLES = [
     "10_reference_verbatim",
     "11_live_table",
     "12_incremental_refresh",
+    "13_class_adapters",
 ]
 
 
