@@ -1039,3 +1039,45 @@ def test_kafka_adapter_manager_class_surface(spark):
     assert json.loads(out[0].value) == {"price": 1.5, "size": 3}
     # status edge exists and is typed
     assert mgr.status() is not None
+
+
+def test_dbreader_jdbc_sql_composition():
+    """The JDBC pushdown path composes one subquery with inlined
+    literals (spark.read.jdbc takes no bind params): time constraint,
+    symbol filter, user constraint, ORDER BY — and escapes quotes."""
+    from csp_spark.adapters.db import (
+        DBReader, TimestampAccessor, _inline_params,
+    )
+
+    r = DBReader(
+        "jdbc:postgresql://h/db", TimestampAccessor("ts"),
+        table_name="prices", symbol_column="symbol",
+        constraint=("price > ?", [10.5]),
+    )
+    sql, params = r._compose_sql("O'HARE")
+    # requested cols = time + symbol before any subscribe() adds fields
+    # (constraint columns need not be selected — WHERE sees the table)
+    assert sql.startswith("SELECT symbol, ts FROM prices WHERE")
+    assert "(symbol = ?)" in sql and "(price > ?)" in sql
+    assert sql.endswith("ORDER BY ts")
+    inlined = _inline_params(sql, params)
+    assert "?" not in inlined
+    assert "'O''HARE'" in inlined  # quote-escaped literal
+    assert "10.5" in inlined
+
+    # window binds inline as ISO timestamps inside a run frame
+    def g():
+        sql2, params2 = r._compose_sql(None)
+        return _inline_params(sql2, params2)
+
+    from csp_spark.plans.runtime import _run_info_stack
+
+    _run_info_stack.append(
+        {"start": dt.datetime(2020, 1, 1), "end": dt.datetime(2020, 1, 2),
+         "realtime": False}
+    )
+    try:
+        inlined = g()
+    finally:
+        _run_info_stack.pop()
+    assert "BETWEEN '2020-01-01 00:00:00' AND '2020-01-02 00:00:00'" in inlined
