@@ -1452,3 +1452,87 @@ def test_alarm_schedule_cancel_matches_replay(spark, ticks):
         if alive
     ]
     assert got == want
+
+
+@given(
+    cycles=sync_cycles,
+    trig_gaps=st.lists(st.integers(min_value=0, max_value=9),
+                       min_size=1, max_size=8),
+    threshold_s=st.integers(min_value=1, max_value=6),
+    incomplete=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_sync_dict_trigger_windows_match_replay(
+    spark, cycles, trig_gaps, threshold_s, incomplete
+):
+    """basketlib.sync_dict TRIGGER form == replay: the accepted
+    triggers are the greedy per-key subsequence spaced >= threshold;
+    each member tick attaches to the latest accepted trigger at or
+    before it and stays iff strictly inside the open window; first
+    value per member per window, tick time = latest member first."""
+    from csp_spark.operators.basketlib import sync_dict
+
+    members = ["m1", "m2", "m3"]
+    sec = 0
+    rows = {m: [] for m in members}
+    for seq, (k, dsec, m, v) in enumerate(cycles):
+        sec += dsec
+        rows[m].append((k, START + dt.timedelta(seconds=sec), seq, float(v)))
+    streams = {
+        m: TickStream(spark.createDataFrame(rows[m], SCHEMA))
+        for m in members
+    }
+    # triggers on key "a" and "b" alternating, at cumulative gaps
+    tsec, trig_rows = 0, []
+    for i, g in enumerate(trig_gaps):
+        tsec += g
+        trig_rows.append(
+            ("a" if i % 2 == 0 else "b",
+             START + dt.timedelta(seconds=tsec), 1000 + i, 1.0)
+        )
+    trigger = TickStream(spark.createDataFrame(trig_rows, SCHEMA))
+    th = dt.timedelta(seconds=threshold_s)
+    out = sync_dict(streams, th, output_incomplete=incomplete,
+                    trigger=trigger)
+    got = {
+        k: [(t, dict(v)) for t, v in out.collect_ticks(k)]
+        for k in ("a", "b")
+    }
+
+    # ---- pure-python replay
+    us = threshold_s * 1_000_000
+
+    def _us(t):
+        return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+    accepted = {}  # key -> [trigger us...] greedy, >= threshold apart
+    for k, t, seq, _v in sorted(trig_rows, key=lambda r: (r[0], r[1], r[2])):
+        lst = accepted.setdefault(k, [])
+        if not lst or _us(t) - lst[-1] >= us:
+            lst.append(_us(t))
+    firsts = {}  # (key, window_open_us, member) -> (ts, seq, value)
+    for m in members:
+        for k, t, seq, v in rows[m]:
+            opens = [o for o in accepted.get(k, ()) if o <= _us(t)]
+            if not opens:
+                continue
+            o = max(opens)
+            if _us(t) - o >= us:
+                continue  # outside the open window (strict <)
+            cur = firsts.get((k, o, m))
+            if cur is None or (t, seq) < (cur[0], cur[1]):
+                firsts[(k, o, m)] = (t, seq, v)
+    batches = {}
+    for (k, o, m), (t, seq, v) in firsts.items():
+        batches.setdefault((k, o), {})[m] = (t, v)
+    want = {"a": [], "b": []}
+    for (k, o), mv in batches.items():
+        if not incomplete and len(mv) != len(members):
+            continue
+        want[k].append((
+            max(t for t, _ in mv.values()),
+            {m: v for m, (t, v) in mv.items()},
+        ))
+    for k in ("a", "b"):
+        kf = lambda x: (x[0], sorted(x[1].items()))
+        assert sorted(got[k], key=kf) == sorted(want[k], key=kf)
