@@ -602,6 +602,18 @@ def _value_to_python(v) -> type:
     return str
 
 
+def __getattr__(name: str):
+    """reference db.py:259-273 caches dynamically-defined schema
+    structs in the MODULE namespace (`csp.adapters.db.DBDynStruct_
+    {table}_{schema}` resolves after a schema_struct() call) — mirror
+    that resolution from the cache."""
+    if name.startswith("DBDynStruct_") and name in _SCHEMA_STRUCT_CACHE:
+        return _SCHEMA_STRUCT_CACHE[name]
+    raise AttributeError(
+        f"module 'csp.adapters.db' has no attribute {name!r}"
+    )
+
+
 def _dtype_to_python(dtype) -> type:
     import pandas as pd
 

@@ -1081,3 +1081,82 @@ def test_dbreader_jdbc_sql_composition():
     finally:
         _run_info_stack.pop()
     assert "BETWEEN '2020-01-01 00:00:00' AND '2020-01-02 00:00:00'" in inlined
+
+
+def test_dbreader_reference_subscription_forms(spark):
+    """The reference's own test scenario shapes (csp/tests/adapters/
+    test_db.py test_sqlite_basic): struct, struct-with-field_map,
+    scalar field, dynamic struct limited by field_map, dynamic struct
+    resolved as a MODULE attribute, and subscribe_all — all in one
+    windowed run."""
+    import sqlite3
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    import csp.adapters.db as dbmod
+    from csp.adapters.db import DBReader, TimestampAccessor
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE trades "
+        "(TIME TEXT, SYMBOL TEXT, PRICE REAL, SIZE INTEGER, SIDE TEXT)"
+    )
+    conn.executemany("INSERT INTO trades VALUES (?,?,?,?,?)", [
+        ("2020-03-03 09:30:00", "AAPL", 500.0, 100, "BUY"),
+        ("2020-03-03 09:31:00", "AAPL", 400.0, 100, "BUY"),
+        ("2020-03-03 09:32:00", "IBM", 20.0, 50, "SELL"),
+        ("2020-03-03 09:33:00", "AAPL", 300.0, 200, "SELL"),
+    ])
+    conn.commit()
+
+    class PQ(csp.Struct):
+        PRICE: float
+        SIZE: int
+
+    class PQ2(csp.Struct):
+        price: float
+        quantity: int
+        side: str
+
+    def graph():
+        reader = DBReader.create_from_connection(
+            connection=conn,
+            time_accessor=TimestampAccessor("TIME", tz="UTC"),
+            table_name="trades",
+            symbol_column="SYMBOL",
+        )
+        return {
+            "aapl": reader.subscribe("AAPL", PQ),
+            "aapl2": reader.subscribe(
+                "AAPL", PQ2,
+                field_map={"PRICE": "price", "SIZE": "quantity",
+                           "SIDE": "side"},
+            ),
+            "aapl_price": reader.subscribe("AAPL", float, field_map="PRICE"),
+            "aapl_dyn": reader.subscribe(
+                "AAPL", None,
+                field_map={"PRICE": "PRICE", "SIZE": "SIZE"},
+            ),
+            "all": reader.subscribe_all(PQ),
+        }
+
+    res = csp.run(
+        graph,
+        starttime=dt.datetime(2020, 3, 3, 9, 30),
+        endtime=dt.datetime(2020, 3, 3, 10, 0),
+    )
+    assert [v.PRICE for _, v in res["aapl"]] == [500.0, 400.0, 300.0]
+    assert [(v.price, v.quantity, v.side) for _, v in res["aapl2"]] == [
+        (500.0, 100, "BUY"), (400.0, 100, "BUY"), (300.0, 200, "SELL"),
+    ]
+    assert [v for _, v in res["aapl_price"]] == [500.0, 400.0, 300.0]
+    assert [(v.PRICE, v.SIZE) for _, v in res["aapl_dyn"]] == [
+        (500.0, 100), (400.0, 100), (300.0, 200),
+    ]
+    assert len(res["all"]) == 4
+    # dynamic struct resolves as a module attribute (reference
+    # csp.adapters.db.DBDynStruct_{table}_{schema})
+    S = getattr(dbmod, "DBDynStruct_trades_")
+    assert S.__metadata__["PRICE"] is float and S.__metadata__["SIZE"] is int
