@@ -1160,3 +1160,56 @@ def test_dbreader_reference_subscription_forms(spark):
     # csp.adapters.db.DBDynStruct_{table}_{schema})
     S = getattr(dbmod, "DBDynStruct_trades_")
     assert S.__metadata__["PRICE"] is float and S.__metadata__["SIZE"] is int
+
+
+def test_csvreader_delimiter_and_dbreader_join_query(spark, tmp_path):
+    """Two more reference scenario shapes (csp/tests/adapters/
+    test_csv.py delimiter='|'; test_db.py test_join_query): a
+    pipe-delimited csv subscribe and a DBReader over a user JOIN
+    query."""
+    import sqlite3
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.csv import CSVReader, YYYYMMDD_TIME_formatter
+    from csp.adapters.db import DBReader, TimestampAccessor
+
+    path = str(tmp_path / "pipe.csv")
+    with open(path, "w") as f:
+        f.write("TIME|SYMBOL|PRICE\n")
+        f.write("20200303 09:30:00|AAPL|500.0\n")
+        f.write("20200303 09:31:00|IBM|20.0\n")
+        f.write("20200303 09:32:00|AAPL|400.0\n")
+
+    class P(csp.Struct):
+        PRICE: float
+
+    r = CSVReader(path, YYYYMMDD_TIME_formatter("TIME"),
+                  delimiter="|", symbol_column="SYMBOL")
+    assert [v.PRICE for _, v in
+            r.subscribe("AAPL", P).collect_ticks("AAPL")] == [500.0, 400.0]
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE px (ts TEXT, sid INTEGER, price REAL)")
+    conn.execute("CREATE TABLE syms (sid INTEGER, symbol TEXT)")
+    conn.executemany("INSERT INTO px VALUES (?,?,?)", [
+        ("2020-03-03 09:30:00", 1, 500.0),
+        ("2020-03-03 09:31:00", 2, 20.0),
+        ("2020-03-03 09:32:00", 1, 400.0),
+    ])
+    conn.executemany("INSERT INTO syms VALUES (?,?)", [(1, "AAPL"), (2, "IBM")])
+    conn.commit()
+    rd = DBReader(
+        conn, TimestampAccessor("ts", tz="UTC"),
+        query="SELECT px.ts AS ts, syms.symbol AS symbol, px.price AS price "
+              "FROM px JOIN syms ON px.sid = syms.sid",
+        symbol_column="symbol",
+    )
+
+    class Q(csp.Struct):
+        price: float
+
+    assert [v.price for _, v in
+            rd.subscribe("AAPL", Q).collect_ticks("AAPL")] == [500.0, 400.0]
