@@ -96,6 +96,47 @@ class WebsocketAdapterManager:
     def join(self, timeout: float | None = None) -> bool:
         return self._adapter.join(timeout) if self._adapter else True
 
+    # --------------------------------------------- realtime run path
+    def _create(self, engine, memo):
+        """reference websocket.py:458: the runtime adapter-manager
+        impl. drive_captures builds it once per manager; every
+        subscribe/status edge shares its reader thread."""
+        return _WSManagerImpl(self)
+
+    def _capture_entry(self, adapterimpl, out_type, push_mode):
+        from ..core.surface import PushMode
+        from ..impl.pushadapter import _PushStream, _value_ddl
+        from ..plans.runtime import _run_info_stack
+
+        frame = _run_info_stack[-1]
+        groups = frame.setdefault("push_captures", [])
+        entry = {
+            "adapterimpl": adapterimpl,
+            "args": (),
+            "kwargs": {},
+            "push_mode": push_mode or PushMode.NON_COLLAPSING,
+            "adapter": None,
+            "captured": False,
+        }
+        group = next(
+            (g for g in groups
+             if g.get("mgr") is self and not g.get("done")),
+            None,
+        )
+        if group is None:
+            group = {"mgr": self, "entries": []}
+            groups.append(group)
+        group["entries"].append(entry)
+        ddl, elem = _value_ddl(out_type)
+        return _PushStream(entry, ddl, elem)
+
+    def _in_realtime_frame(self) -> bool:
+        from ..plans.runtime import _run_info_stack
+
+        return bool(_run_info_stack) and bool(
+            _run_info_stack[-1].get("realtime")
+        )
+
     # ------------------------------------------------------ subscribe
     def subscribe(
         self,
@@ -120,6 +161,34 @@ class WebsocketAdapterManager:
         is_struct = isinstance(ts_type, type) and issubclass(ts_type, Struct)
         if not field_map and is_struct:
             field_map = {f: f for f in ts_type.__metadata__}
+        if self._in_realtime_frame():
+            # reference program shape: subscribe inside csp.run(
+            # realtime=True) — the capture phase runs the manager's
+            # client thread for the engine window, no manual start/stop
+            raw = self._capture_entry(
+                _ws_data_adapter, str, push_mode
+            )
+            if ts_type is str and not is_struct:
+                return raw
+            if is_struct:
+                st = ts_type.spark_type()
+                schema = ", ".join(
+                    f"`{m}` {st[sf or m].dataType.simpleString()}"
+                    for m, sf in (field_map or {}).items()
+                )
+
+                def _decode(df, schema=schema, fm=dict(field_map or {})):
+                    d = msg_mapper.decode(F.col(VALUE), schema)
+                    parts = {sf or m: d[m] for m, sf in fm.items()}
+                    return df.select(
+                        KEY, TS, SEQ,
+                        F.struct(*[
+                            c.alias(n) for n, c in parts.items()
+                        ]).alias(VALUE),
+                    )
+
+                return _MappedStream(raw, _decode)
+            raise TypeError(f"cannot subscribe with ts_type={ts_type!r}")
         if is_struct:
             # the decode schema describes the WIRE message: field_map
             # KEYS named with the mapped struct field's type
@@ -213,9 +282,135 @@ class WebsocketAdapterManager:
         return len(self._properties["headers"])
 
     def status(self, push_mode=None):
+        if self._in_realtime_frame():
+            from .status import Status
+
+            return self._capture_entry(_ws_status_adapter, Status, push_mode)
         from ..impl.wiring.adapters import status_adapter_def
 
         return status_adapter_def(self)
 
 
 __all__.append("WebsocketAdapterManager")
+
+
+class _WSMemberPushAdapter:
+    """One capture-channel member of a shared websocket manager impl:
+    the impl's reader thread calls ``push_tick`` (inherited buffer +
+    clock semantics); lifecycle belongs to the impl."""
+
+    def __init__(self, impl, channel: str):
+        from ..impl.pushadapter import PushInputAdapter
+
+        # composition, not inheritance: drive_captures only needs the
+        # push_tick/_csp_buffer/_csp_capture/start/stop shape
+        self._csp_buffer: list = []
+        self._csp_capture = None
+        getattr(impl, channel).append(self)
+
+    def push_tick(self, value) -> bool:
+        cap = self._csp_capture
+        if cap is None or not cap.active:
+            return False
+        ts, order = cap.stamp()
+        self._csp_buffer.append((ts, order, value))
+        return True
+
+    def start(self, starttime, endtime):
+        pass
+
+    def stop(self):
+        pass
+
+
+def _ws_data_adapter(impl):
+    return _WSMemberPushAdapter(impl, "_data")
+
+
+def _ws_status_adapter(impl):
+    return _WSMemberPushAdapter(impl, "_status")
+
+
+class _WSManagerImpl:
+    """Runtime half of WebsocketAdapterManager inside a realtime
+    csp.run (the reference's _websocket_adapter_manager): ONE client
+    reader thread per manager, routing raw messages to every data
+    subscription and connect/error events to the status edges."""
+
+    def __init__(self, mgr):
+        import threading
+
+        self._mgr = mgr
+        self._data: list = []
+        self._status: list = []
+        self._stop_evt = threading.Event()
+        self._thread: threading.Thread | None = None
+        from ..streaming.websocket import WebSocketClient
+
+        self.client = WebSocketClient(
+            mgr._uri, headers=mgr._properties["headers"]
+        )
+
+    def _push_status(self, code: int, msg: str):
+        from .status import Level, Status
+
+        s = Status(
+            level=int(Level.INFO if code == 0 else Level.ERROR),
+            status_code=code, msg=msg,
+        )
+        for a in self._status:
+            a.push_tick(s)
+
+    def _run(self):
+        while not self._stop_evt.is_set():
+            try:
+                self.client.connect()
+                self._push_status(0, f"Connected to {self._mgr._uri}")
+                while not self._stop_evt.is_set():
+                    msg = self.client.recv_message()
+                    if msg is None:
+                        break
+                    text = msg.decode("utf-8", errors="replace")
+                    for a in self._data:
+                        a.push_tick(text)
+            except (OSError, ConnectionError) as e:
+                if not self._stop_evt.is_set():
+                    self._push_status(1, str(e))
+            finally:
+                self.client.close()
+            self._stop_evt.wait(self._mgr._reconnect_s)
+
+    def start(self, starttime, endtime):
+        import threading
+
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop_evt.set()
+        self.client.close()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+
+
+class _MappedStream:
+    """Lazy df-transform over another lazy stream (a _PushStream whose
+    buffer only exists after the capture phase)."""
+
+    def __init__(self, base, fn):
+        self._base = base
+        self._fn = fn
+        self._df_cache = None
+        self.value_col = "value"
+
+    @property
+    def df(self):
+        if self._df_cache is None:
+            self._df_cache = self._fn(self._base.df)
+        return self._df_cache
+
+    def __getattr__(self, name):
+        # TickStream's fluent surface over the mapped df
+        from ..core.ticks import TickStream
+
+        return getattr(TickStream(self.df, self.value_col), name)

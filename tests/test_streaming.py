@@ -1565,3 +1565,56 @@ def test_websocket_adapter_manager_class_surface(spark):
     out_mgr.stop()
     assert n == 3 and received == ["0.0", "1.0", "2.0"]
     assert hdrs.get("X-Token") == "s3"
+
+
+def test_websocket_adapter_manager_in_realtime_run(spark):
+    """The reference program shape (examples/03_using_adapters/
+    websocket/e1_websocket_client.py wiring): WebsocketAdapterManager
+    subscribe + status INSIDE csp.run(realtime=True) — the capture
+    phase owns the client thread (no manual start/stop), the status
+    edge ticks a real connected event, and raw/struct subscriptions
+    decode the landed messages."""
+    import datetime as dtm
+    import json
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.utils import JSONTextMessageMapper, RawTextMessageMapper
+    from csp.adapters.websocket import WebsocketAdapterManager
+
+    msgs = [json.dumps({"sym": "ES", "price": 100.0 + i}) for i in range(3)]
+    srv = _WsTestServer(msgs)
+
+    class Quote(csp.Struct):
+        sym: str
+        px: float
+
+    def g():
+        ws = WebsocketAdapterManager(f"ws://127.0.0.1:{srv.port}/feed")
+        raw = ws.subscribe(str, RawTextMessageMapper())
+        quotes = ws.subscribe(
+            Quote, JSONTextMessageMapper(),
+            field_map={"sym": "sym", "price": "px"},
+        )
+        return {"raw": raw, "q": quotes, "status": ws.status()}
+
+    res = csp.run(
+        g,
+        starttime=dtm.datetime.utcnow(),
+        endtime=dtm.timedelta(seconds=4),
+        realtime=True,
+    )
+    # 3 whole messages + 1 fragmented replay of msg 0 (the server script)
+    assert len(res["raw"]) == 4
+    assert json.loads(res["raw"][0][1])["price"] == 100.0
+    prices = sorted(v.px for _, v in res["q"])
+    assert prices == [100.0, 100.0, 101.0, 102.0]
+    assert all(v.sym == "ES" for _, v in res["q"])
+    # the status edge carries the real connect event
+    stat = [v for _, v in res["status"]]
+    assert stat and stat[0].status_code == 0
+    assert "Connected" in stat[0].msg
+    # and the protocol details held (pong + close handshake)
+    assert srv.got_pong and srv.got_close_reply
