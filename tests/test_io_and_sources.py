@@ -1213,3 +1213,44 @@ def test_csvreader_delimiter_and_dbreader_join_query(spark, tmp_path):
 
     assert [v.price for _, v in
             rd.subscribe("AAPL", Q).collect_ticks("AAPL")] == [500.0, 400.0]
+
+
+def test_kafka_manager_offset_options():
+    """start_offset -> Spark Kafka source options: EARLIEST/LATEST map
+    directly, a datetime maps to startingTimestamp (epoch ms, naive =
+    UTC), a timedelta offsets from the active run's starttime, and
+    START_TIME resolves to the engine start."""
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import pytest
+
+    from csp.adapters.kafka import KafkaAdapterManager, KafkaStartOffset
+    from csp_spark.plans.runtime import _run_info_stack
+
+    def opts(**kw):
+        return KafkaAdapterManager("b:9092", **kw)._offset_options()
+
+    assert opts() == {"startingOffsets": "latest"}  # default LATEST
+    assert opts(start_offset=KafkaStartOffset.EARLIEST) == {
+        "startingOffsets": "earliest"}
+    t0 = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+    assert opts(start_offset=dt.datetime(2020, 1, 1)) == {
+        "startingTimestamp": str(int(t0.timestamp() * 1000))}
+    # timedelta without a run frame is an error
+    with pytest.raises(RuntimeError, match="starttime"):
+        opts(start_offset=dt.timedelta(minutes=5))
+    frame = {"start": dt.datetime(2020, 1, 1), "end": None,
+             "realtime": True}
+    _run_info_stack.append(frame)
+    try:
+        assert opts(start_offset=dt.timedelta(minutes=5)) == {
+            "startingTimestamp": str(int(
+                (t0 + dt.timedelta(minutes=5)).timestamp() * 1000))}
+        assert opts(start_offset=KafkaStartOffset.START_TIME) == {
+            "startingTimestamp": str(int(t0.timestamp() * 1000))}
+    finally:
+        _run_info_stack.pop()
+    # START_TIME outside a run falls back to earliest (full replay)
+    assert opts(start_offset=KafkaStartOffset.START_TIME) == {
+        "startingOffsets": "earliest"}

@@ -1536,3 +1536,41 @@ def test_sync_dict_trigger_windows_match_replay(
     for k in ("a", "b"):
         kf = lambda x: (x[0], sorted(x[1].items()))
         assert sorted(got[k], key=kf) == sorted(want[k], key=kf)
+
+
+@given(
+    rows=rows_strategy,
+    interval_s=st.integers(min_value=1, max_value=15),
+)
+@settings(**_SETTINGS)
+def test_ohlc_bars_match_cycle_replay(spark, rows, interval_s):
+    """ohlc_bars == replay: tumbling epoch-aligned buckets; open/close
+    follow exact (ts, seq) engine order (ties included), high/low/
+    count/mean over the bucket, empty buckets emit nothing."""
+    from csp_spark.stats.resample import ohlc_bars
+
+    x, data = _mk(spark, rows)
+    out = ohlc_bars(x, dt.timedelta(seconds=interval_s))
+    got = {
+        (r["key"], r["bar_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"],
+            round(r["mean"], 9),
+        )
+        for r in out.collect()
+    }
+
+    us = interval_s * 1_000_000
+    buckets = {}
+    for k, t, seq, v in sorted(data, key=lambda r: (r[1], r[2])):
+        tus = int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+        b = (tus // us) * us
+        bt = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=b)
+        buckets.setdefault((k, bt), []).append(v)
+    want = {
+        kb: (
+            vs[0], max(vs), min(vs), vs[-1], len(vs),
+            round(sum(vs) / len(vs), 9),
+        )
+        for kb, vs in buckets.items()
+    }
+    assert got == want
