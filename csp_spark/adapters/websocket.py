@@ -300,8 +300,6 @@ class _WSMemberPushAdapter:
     clock semantics); lifecycle belongs to the impl."""
 
     def __init__(self, impl, channel: str):
-        from ..impl.pushadapter import PushInputAdapter
-
         # composition, not inheritance: drive_captures only needs the
         # push_tick/_csp_buffer/_csp_capture/start/stop shape
         self._csp_buffer: list = []
