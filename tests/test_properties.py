@@ -1574,3 +1574,56 @@ def test_ohlc_bars_match_cycle_replay(spark, rows, interval_s):
         for kb, vs in buckets.items()
     }
     assert got == want
+
+
+@given(
+    lsecs=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=120)),
+        min_size=1, max_size=14,
+    ),
+    rsecs=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=120)),
+        min_size=1, max_size=14,
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol_s=st.sampled_from([None, 5, 30]),
+)
+@settings(**_SETTINGS)
+def test_asof_join_fuzz_matches_merge_asof(spark, lsecs, rsecs,
+                                           direction, tol_s):
+    """asof_join == pandas.merge_asof on generated keyed frames for
+    every direction x tolerance, including coincident left/right
+    stamps and exact nearest-ties (which resolve backward in both)."""
+    import pandas as pd
+
+    from csp_spark import asof_join
+
+    base = pd.Timestamp("2020-01-01")
+    lpdf = pd.DataFrame({
+        "k": [k for k, _ in lsecs],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in lsecs],
+    }).sort_values("ts").reset_index(drop=True)
+    rpdf = pd.DataFrame({
+        "k": [k for k, _ in rsecs],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in rsecs],
+    }).drop_duplicates(["k", "ts"])  # dup right stamps: pandas breaks
+    # ties by input order, unobservable to a distributed join
+    rpdf["v"] = [float(i) for i in range(len(rpdf))]
+    rpdf = rpdf.sort_values("ts").reset_index(drop=True)
+
+    tol = None if tol_s is None else pd.Timedelta(seconds=tol_s)
+    exp = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="k", direction=direction, tolerance=tol
+    )
+    got = asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+        on=["k"], left_ts="ts", right_ts="ts", right_cols=["v"],
+        direction=direction,
+        tolerance=None if tol is None else tol.to_pytimedelta(),
+    ).toPandas()
+    cols = ["k", "ts", "v"]
+    e = exp[cols].sort_values(["k", "ts", "v"]).reset_index(drop=True)
+    g = got[cols].sort_values(["k", "ts", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, g, check_dtype=False)
