@@ -57,6 +57,13 @@ except ImportError:  # pragma: no cover
     UTC = _dt.timezone.utc
 
 
+def _as_utc(t: _dt.datetime) -> _dt.datetime:
+    """Engine times are naive-UTC by convention (the whole session runs
+    UTC); label them before converting so a non-UTC host machine's
+    local zone never shifts the replay window."""
+    return t.replace(tzinfo=UTC) if t.tzinfo is None else t
+
+
 def _coerce_tz(tz):
     """Accept zoneinfo/pytz/str/None uniformly (reference accepts
     pytz.BaseTzInfo and converts; pytz isn't shipped here, so only
@@ -169,8 +176,8 @@ class TimestampAccessor(TimeAccessor):
 
     def get_time_constraint(self, starttime, endtime):
         if self._tz:
-            starttime = starttime.astimezone(self._tz)
-            endtime = endtime.astimezone(self._tz)
+            starttime = _as_utc(starttime).astimezone(self._tz)
+            endtime = _as_utc(endtime).astimezone(self._tz)
         return (
             f"{self._time_column} BETWEEN ? AND ?",
             [starttime.replace(tzinfo=None), endtime.replace(tzinfo=None)],
@@ -236,8 +243,8 @@ class DateTimeAccessor(TimeAccessor):
 
     def get_time_constraint(self, starttime, endtime):
         if self._tz:
-            starttime = starttime.astimezone(self._tz)
-            endtime = endtime.astimezone(self._tz)
+            starttime = _as_utc(starttime).astimezone(self._tz)
+            endtime = _as_utc(endtime).astimezone(self._tz)
         d, t = self._date_column, self._time_column
         if starttime.date() == endtime.date():
             return (
@@ -399,6 +406,18 @@ class DBReader:
         """A dynamically-defined struct reflecting the table schema
         (reference db.py:259-273 — same define_struct path, same
         ``DBDynStruct_{table}_{schema}`` naming + memoization)."""
+        if not self._table_name:
+            raise RuntimeError(
+                "schema_struct (typ=None subscribe) needs a table_name "
+                "reader — a query-based reader has no table to "
+                "introspect; pass an explicit struct type instead"
+            )
+        if isinstance(self._connection, str):
+            raise RuntimeError(
+                "schema_struct needs a DB-API connection to introspect "
+                "the table; the jdbc: URL backend cannot run the "
+                "driver-side sample — pass an explicit struct type"
+            )
         name = "DBDynStruct_{table}_{schema}".format(
             table=self._table_name or "", schema=self._schema_name or ""
         )

@@ -139,6 +139,9 @@ class KafkaAdapterManager:
         if debug:
             rd_kafka_conf_options = dict(rd_kafka_conf_options or {})
             rd_kafka_conf_options["debug"] = "all"
+            # deliberate reference behavior (kafka.py:126-128): debug
+            # forces start_offset to None "so we dont block on pull
+            # adapter and let status msgs through" — kept verbatim
             start_offset = None
         if rd_kafka_conf_options:
             conf_properties.update(rd_kafka_conf_options)
@@ -257,7 +260,23 @@ class KafkaAdapterManager:
         raw = self._raw_frame(topic)
         if key is not None:
             raw = raw.filter(F.col("key").cast("string") == str(key))
-        schema = ts_type.spark_type().simpleString() if is_struct else None
+        _SCALAR_DDL = {float: "double", int: "long", bool: "boolean",
+                       str: "string"}
+        if is_struct:
+            # the decode schema describes the WIRE message: field_map
+            # KEYS typed by the struct field each maps to (a renaming
+            # field_map parses the wire names, not the struct names)
+            st = ts_type.spark_type()
+            schema = ", ".join(
+                f"`{m}` {st[sf or m].dataType.simpleString()}"
+                for m, sf in (field_map or {}).items()
+            )
+        elif field_map and ts_type in _SCALAR_DDL:
+            # scalar form: one wire field, typed by ts_type
+            fld = next(iter(field_map))
+            schema = f"`{fld}` {_SCALAR_DDL[ts_type]}"
+        else:
+            schema = None
         decoded = msg_mapper.decode(F.col("value"), schema)
 
         _META = {
@@ -277,11 +296,13 @@ class KafkaAdapterManager:
                 parts[struct_field] = _META[meta]
             value = F.struct(*[c.alias(n) for n, c in parts.items()])
         else:
-            # scalar edge: raw decode (str field_map {field: ""} picks
-            # one payload field)
-            if field_map:
-                fld = next(iter(field_map))
-                value = decoded[fld] if schema else decoded
+            # scalar edge: str field_map {field: ""} picks one payload
+            # field out of the parsed wire struct; raw mappers cast the
+            # whole payload to ts_type
+            if field_map and schema is not None:
+                value = decoded[next(iter(field_map))]
+            elif ts_type in _SCALAR_DDL:
+                value = decoded.cast(_SCALAR_DDL[ts_type])
             else:
                 value = decoded
         ts_expr = (

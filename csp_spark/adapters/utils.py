@@ -155,11 +155,19 @@ __all__ = [
 
 def hash_mutable(obj):
     """Stable hash over mutable containers (reference utils.py:42-48):
-    lists/tuples/sets hash as ordered element hashes, dicts as
-    (key-hash, value-hash) pairs — adapter-manager identity for
-    memoization."""
-    if isinstance(obj, (list, tuple, set)):
+    lists/tuples hash as ordered element hashes; dicts and sets hash
+    ORDER-INSENSITIVELY (sorted by key / element hash) so that equal
+    managers hash equal — the reference hashes dict insertion order,
+    which breaks the hash/eq contract for managers whose __eq__
+    compares dicts; hash VALUES are not API, so fixing that here is
+    safe."""
+    if isinstance(obj, (list, tuple)):
         return hash(tuple(hash_mutable(x) for x in obj))
+    if isinstance(obj, set):
+        return hash(tuple(sorted(hash_mutable(x) for x in obj)))
     if isinstance(obj, dict):
-        return hash(tuple((hash(k), hash_mutable(v)) for k, v in obj.items()))
+        return hash(tuple(
+            (hash(k), hash_mutable(obj[k]))
+            for k in sorted(obj, key=lambda x: (str(type(x)), str(x)))
+        ))
     return hash(obj)

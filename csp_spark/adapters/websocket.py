@@ -198,7 +198,12 @@ class WebsocketAdapterManager:
                 for msg, sf in field_map.items()
             )
         else:
-            schema = f"value {ts_type if isinstance(ts_type, str) else 'string'}"
+            _ddl = {float: "double", int: "long", bool: "boolean",
+                    str: "string"}
+            schema = "value " + (
+                ts_type if isinstance(ts_type, str)
+                else _ddl.get(ts_type, "string")
+            )
         ad = self._ensure_adapter(schema)
         raw = ad._push.out()  # (key, ts=arrival, seq, value=raw text)
         decoded = msg_mapper.decode(F.col(VALUE), schema)

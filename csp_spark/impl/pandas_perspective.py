@@ -353,25 +353,30 @@ class CspPerspectiveMultiTable:
     def start(self, starttime=None, endtime=_dt.timedelta(seconds=60), *,
               realtime: bool = True, clear: bool = True,
               auto_shutdown: bool = True):
-        if clear:
-            for table in self._tables.values():
-                table.clear()
+        """Start every table on its engine thread (the reference runs
+        one shared engine thread via run_on_thread; per-table threads
+        give the same live-feed semantics). ``auto_shutdown`` is
+        accepted for parity — the feed threads are daemons, so they
+        never outlive the process."""
         for table in self._tables.values():
-            table.run(starttime, endtime, realtime=realtime)
+            table.start(starttime, endtime, realtime=realtime,
+                        clear=clear)
 
     def is_running(self) -> bool:
         return any(t.is_running() for t in self._tables.values())
 
     def stop(self) -> None:
-        live = [t for t in self._tables.values() if t.is_running()]
-        if not live:
+        if not any(t._runner is not None for t in self._tables.values()):
             raise ValueError("No active runner to stop")
-        for t in live:
-            t.stop()
+        for t in self._tables.values():
+            if t._runner is not None:
+                t.stop()
 
     def join(self) -> None:
+        if not any(t._runner is not None for t in self._tables.values()):
+            raise ValueError("No active runner to join")
         for t in self._tables.values():
-            if t.is_running():
+            if t._runner is not None:
                 t.join()
 
     def get_widget(self, widget: str = "Tab", config: dict | None = None):

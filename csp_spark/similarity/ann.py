@@ -235,6 +235,22 @@ def _collect_train_matrix(
     )
 
 
+def _sample_bound(n_total: int | None, train_cap: int | None) -> int | None:
+    """Upper bound on the md5-sampled training rows for the
+    driver-collect guard: the corpus count when no downsampling
+    happened, else train_cap plus six binomial standard deviations
+    (the sample is ~Binomial(n_total, cap/n_total); P(exceed) < 1e-9).
+    Passing the raw corpus count would make the guard reject exactly
+    the large corpora the sampling exists for."""
+    if n_total is None:
+        return None
+    if train_cap is None or n_total <= train_cap:
+        return n_total
+    import math
+
+    return min(n_total, int(train_cap + 6 * math.sqrt(train_cap)) + 10)
+
+
 def _lloyd_iterate(X: np.ndarray, C: np.ndarray, max_iter: int) -> np.ndarray:
     """Lloyd's iterations from a given init, in-place on ``C``:
     ||x-c||^2 via the matmul form — O(n*k) memory, BLAS speed; an
@@ -318,7 +334,8 @@ def ivf_index(
     else:
         train = feat
     X = _collect_train_matrix(
-        train, id_col, vec_col, "ivf_index", known_count=n_total
+        train, id_col, vec_col, "ivf_index",
+        known_count=_sample_bound(n_total, train_cap),
     )
     if len(X) < n_cells:
         raise ValueError(
@@ -1065,7 +1082,8 @@ def pq_index(
                 split_uniform(F.col(id_col), seed) < F.lit(frac)
             )
     X = _collect_train_matrix(
-        train, id_col, vec_col, "pq_index", known_count=n_total
+        train, id_col, vec_col, "pq_index",
+        known_count=_sample_bound(n_total, train_cap),
     )
     if len(X) < n_codes:
         raise ValueError(

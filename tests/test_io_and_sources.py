@@ -1254,3 +1254,86 @@ def test_kafka_manager_offset_options():
     # START_TIME outside a run falls back to earliest (full replay)
     assert opts(start_offset=KafkaStartOffset.START_TIME) == {
         "startingOffsets": "earliest"}
+
+
+def test_kafka_renaming_field_map_and_scalar(spark):
+    """r10 review regressions: a RENAMING field_map must parse the
+    WIRE field names (not the struct names), and the scalar
+    subscription form must work with both JSON and raw mappers."""
+    import json
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.kafka import KafkaAdapterManager
+    from csp.adapters.utils import JSONTextMessageMapper, RawTextMessageMapper
+
+    wire = spark.createDataFrame(
+        [(b"k1", json.dumps({"px": 1.5, "sz": 3}).encode(), "t", 0, 0,
+          dt.datetime(2020, 1, 1))],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+
+    class Trade(csp.Struct):
+        price: float
+        size: int
+
+    mgr = KafkaAdapterManager("b:9092", source_df=wire)
+    st = mgr.subscribe(Trade, JSONTextMessageMapper(), "t",
+                       field_map={"px": "price", "sz": "size"})
+    assert [(v.price, v.size) for _, v in st.collect_ticks("k1")] == [
+        (1.5, 3)]
+    sc = mgr.subscribe(float, JSONTextMessageMapper(), "t", field_map="px")
+    assert [v for _, v in sc.collect_ticks("k1")] == [1.5]
+    rw = mgr.subscribe(str, RawTextMessageMapper(), "t")
+    assert json.loads(rw.collect_ticks("k1")[0][1])["px"] == 1.5
+
+
+def test_timestamp_accessor_tz_ignores_host_zone():
+    """r10 review regression: the replay window converts naive engine
+    times as UTC, never through the host machine's local zone."""
+    import os
+    import time as time_mod
+
+    from csp_spark.adapters.db import DateTimeAccessor, TimestampAccessor
+
+    prev = os.environ.get("TZ")
+    os.environ["TZ"] = "America/Chicago"  # UTC-6 — would shift +6h
+    time_mod.tzset()
+    try:
+        acc = TimestampAccessor("ts", tz="UTC")
+        _, params = acc.get_time_constraint(
+            dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2)
+        )
+        assert params == [dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2)]
+        acc2 = DateTimeAccessor("d", "t", tz="UTC")
+        _, params2 = acc2.get_time_constraint(
+            dt.datetime(2020, 1, 1, 10), dt.datetime(2020, 1, 1, 12)
+        )
+        assert params2[1] == dt.time(10, 0) and params2[2] == dt.time(12, 0)
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time_mod.tzset()
+
+
+def test_dbreader_schema_struct_clear_errors():
+    """r10 review regression: typ=None on query-based or jdbc-URL
+    readers raises a clear error instead of a deep backend failure."""
+    import sqlite3
+
+    import pytest
+
+    from csp_spark.adapters.db import DBReader, TimestampAccessor
+
+    conn = sqlite3.connect(":memory:")
+    with pytest.raises(RuntimeError, match="query-based reader"):
+        DBReader(conn, TimestampAccessor("ts"),
+                 query="SELECT 1 AS ts").schema_struct()
+    with pytest.raises(RuntimeError, match="DB-API connection"):
+        DBReader("jdbc:postgresql://h/db", TimestampAccessor("ts"),
+                 table_name="t").schema_struct()

@@ -170,3 +170,42 @@ def test_csp_perspective_table(spark, edges):
     assert not stbl.is_running()
     assert len(stbl.to_json()) == 4
     stbl.adapter.stop()
+
+
+def test_perspective_multi_table_lifecycle(spark):
+    """r10 review regression: CspPerspectiveMultiTable.start launches
+    the per-table engine THREADS (non-blocking) and stop/join follow
+    the reference's runner contract."""
+    import datetime as dtm
+    import time
+
+    import pandas as pd
+    import pytest
+
+    from csp_spark.impl.pandas_perspective import (
+        CspPerspectiveMultiTable, CspPerspectiveTable,
+    )
+
+    def mk():
+        idx = pd.DatetimeIndex(
+            [dtm.datetime(2020, 1, 1), dtm.datetime(2020, 1, 1, 0, 1)]
+        )
+        data = pd.DataFrame(
+            {"index": ["a", "b"], "timestamp": idx, "v": [1.0, 2.0]}
+        )
+        return CspPerspectiveTable(data)
+
+    multi = CspPerspectiveMultiTable({"t1": mk(), "t2": mk()})
+    assert multi["t1"] is multi.tables["t1"]
+    with pytest.raises(ValueError, match="No active runner"):
+        multi.stop()
+    t0 = time.monotonic()
+    multi.start(
+        starttime=dtm.datetime(2020, 1, 1),
+        endtime=dtm.timedelta(seconds=30),
+    )
+    # non-blocking: both feeds run on threads, start returns immediately
+    assert time.monotonic() - t0 < 5.0
+    multi.stop()
+    assert not multi.is_running()
+    multi.join()  # idempotent after stop

@@ -782,8 +782,6 @@ def test_reference_impl_import_paths():
 
     for mod, names in {
         "csp.impl.pulladapter": ["PullInputAdapter"],
-        "csp.impl.pushadapter": ["PushInputAdapter"],
-        "csp.impl.pushpulladapter": ["PushPullInputAdapter", "PushGroup"],
         "csp.impl.outputadapter": ["OutputAdapter"],
         "csp.impl.adaptermanager": [
             "AdapterManagerImpl", "ManagedSimInputAdapter",
@@ -797,7 +795,9 @@ def test_reference_impl_import_paths():
         "csp.impl.pushadapter": [
             "PushInputAdapter", "PushGroup", "PushBatch",
         ],
-        "csp.impl.pushpulladapter": ["PushBatch", "PushGroup"],
+        "csp.impl.pushpulladapter": [
+            "PushPullInputAdapter", "PushBatch", "PushGroup",
+        ],
         "csp.impl.pandas_perspective": [
             "CspPerspectiveTable", "CspPerspectiveMultiTable",
         ],
@@ -837,7 +837,6 @@ def test_reference_impl_import_paths():
         ],
         "csp.adapters.utils": ["MsgMapper", "hash_mutable"],
         "csp.utils.datetime": ["utc_now"],
-        "csp.showgraph": ["show_graph"],
         # r7 additions — every csp.impl path real reference code
         # imports (grep over reference examples + adapters):
         "csp.impl.struct": [
@@ -846,7 +845,6 @@ def test_reference_impl_import_paths():
             "Struct", "StructMeta", "define_struct",
             "define_nested_struct", "defineStruct", "defineNestedStruct",
         ],
-        "csp.impl.constants": ["UNSET"],
         "csp.impl.genericpushadapter": ["GenericPushAdapter"],
         "csp.impl.mem_cache": [
             "csp_memoized_graph_object", "new_global_context",
@@ -909,7 +907,6 @@ def test_reference_impl_import_paths():
             "FastList", "TsTypeValidator",
         ],
         "csp.impl.types.container_type_normalizer": ["ContainerTypeNormalizer"],
-        "csp.impl.types.autogen_types": ["TimeIndexPolicy", "DuplicatePolicy"],
         "csp.impl.types.numpy_type_util": ["map_numpy_dtype_to_python_type"],
         "csp.adapters.output_adapters.parquet": [
             "ParquetWriter", "resolve_array_shape_column_name",
