@@ -133,22 +133,42 @@ class CSVReader:
         from ..core.ticks import GLOBAL_KEY, KEY, SEQ, TS, VALUE, TickStream
 
         spark = self._spark or get_spark()
-        tc = self._time_converter
-        if not isinstance(tc, _TimeConverter):
-            raise TypeError(
-                "CSVReader needs a time_converter built by "
-                "csp.adapters.csv.time_converter / "
-                "YYYYMMDD_TIME_formatter (the declarative form the "
-                "Spark plan parses with)"
+        if symbol is not None and self._symbol_column is None:
+            # same misuse guard as the sibling DBReader.subscribe:
+            # without a symbol column every row would be mislabeled
+            # under this symbol (the reference delivers no rows here)
+            raise RuntimeError(
+                "Attempted to subscribe to symbol %s but no symbol "
+                "column was passed" % symbol
             )
+        tc = self._time_converter
         df = (
             spark.read.option("header", "true")
             .option("delimiter", self._delimiter)
             .csv(self._filename)
         )
+        if isinstance(tc, _TimeConverter):
+            ts_col = tc.spark_ts()
+        elif callable(tc):
+            # reference contract (csv.py:10-18): ANY row callable
+            # row-dict -> datetime. Escape-hatch path: a row-at-a-time
+            # UDF over the csv row struct (the declarative
+            # time_converter/_TimeConverter form above is the fast
+            # path Catalyst parses with — prefer it)
+            from pyspark.sql.types import TimestampType
+
+            _conv = F.udf(
+                lambda r: tc(r.asDict()), TimestampType(), useArrow=False
+            )
+            ts_col = _conv(F.struct(*[F.col(c) for c in df.columns]))
+        else:
+            raise TypeError(
+                "time_converter must be callable (row -> datetime) or "
+                "built by csp.adapters.csv.time_converter / "
+                "YYYYMMDD_TIME_formatter"
+            )
         if symbol is not None and self._symbol_column is not None:
             df = df.filter(F.col(self._symbol_column) == symbol)
-        ts_col = tc.spark_ts()
         # engine window when inside a run frame (reference: the sim
         # replay starts at the first row >= starttime)
         from ..plans.runtime import _run_info_stack

@@ -547,6 +547,20 @@ class DBReader:
         ]
         pdf = pd.read_sql(sql, self._raw_connection(), params=params)
         pdf = self._time_accessor.coerce_pandas(pdf)
+        if len(pdf) == 0:
+            # empty result set (e.g. a replay window with no data): the
+            # reference adapter emits no ticks; createDataFrame(pdf)
+            # would raise CANNOT_INFER_EMPTY_SCHEMA on the all-object
+            # empty frame, so build the schema from the pandas dtypes
+            # (struct subscriptions re-cast via Struct.pack, scalar
+            # subscriptions via the typ cast in _subscribe)
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType([
+                StructField(c, _pd_dtype_to_spark(pdf[c].dtype), True)
+                for c in pdf.columns
+            ])
+            return spark.createDataFrame([], schema=schema)
         return spark.createDataFrame(pdf)
 
     def _subscribe(self, symbol, typ, field_map, push_mode):
@@ -567,8 +581,15 @@ class DBReader:
         ts_col = self._time_accessor.spark_ts(df)
         if isinstance(field_map, str):
             # single-column scalar subscription (reference: str
-            # field_map maps one db column onto a scalar edge)
+            # field_map maps one db column onto a scalar edge); cast to
+            # the subscribed scalar type so the edge schema is stable
+            # even when the db hands back text affinity or the replay
+            # window is empty
             value = F.col(field_map)
+            _casts = {float: "double", int: "long", bool: "boolean",
+                      str: "string"}
+            if typ in _casts:
+                value = value.cast(_casts[typ])
         elif isinstance(typ, type) and issubclass(typ, Struct):
             fm = field_map or {
                 f: f for f in typ.__metadata__ if f in df.columns
@@ -645,6 +666,25 @@ def _dtype_to_python(dtype) -> type:
     if pd.api.types.is_datetime64_any_dtype(dtype):
         return _dt.datetime
     return str
+
+
+def _pd_dtype_to_spark(dtype):
+    """Spark type for one pandas dtype — used only to give an EMPTY
+    result frame an explicit schema (a populated frame infers via
+    Arrow). Object columns map to string; downstream struct packs /
+    scalar subscriptions re-cast to the declared types."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if pd.api.types.is_bool_dtype(dtype):
+        return T.BooleanType()
+    if pd.api.types.is_integer_dtype(dtype):
+        return T.LongType()
+    if pd.api.types.is_float_dtype(dtype):
+        return T.DoubleType()
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return T.TimestampType()
+    return T.StringType()
 
 
 def _inline_params(sql: str, params: list) -> str:

@@ -99,4 +99,15 @@ def __getattr__(name):
     raise AttributeError(f"module 'csp.adapters.perspective' has no attribute {name!r}")
 
 
-__all__ += ["perspective_thread", "View", "Table"]
+__all__ += ["perspective_thread"]
+# View/Table stay resolvable via __getattr__ either way, but only
+# advertise them in __all__ when the optional dep is importable —
+# otherwise `from csp.adapters.perspective import *` (which resolves
+# every __all__ name eagerly) breaks on a machine without
+# perspective-python
+try:  # pragma: no cover - environment-dependent
+    import perspective as _psp  # noqa: F401
+
+    __all__ += ["View", "Table"]
+except ImportError:
+    pass

@@ -265,12 +265,14 @@ class WebsocketAdapterManager:
         """Apply WebsocketHeaderUpdate ticks (reference
         websocket.py:450-452): header values take effect at the next
         (re)connect handshake."""
-        from ..core.ticks import VALUE
+        from ..core.ticks import SEQ, TS, VALUE
 
         from pyspark.sql import Row
 
         df = x.df if hasattr(x, "df") else x
-        for r in df.select(VALUE).collect():
+        # engine order: with several updates to the same header key,
+        # last-tick-wins must mean (ts, seq)-last, not partition order
+        for r in df.orderBy(TS, SEQ).select(VALUE).collect():
             v = r[VALUE]
             # a Row IS a tuple — test it before the list-of-updates case
             updates = [v] if isinstance(v, (Row, dict)) else (

@@ -1337,3 +1337,149 @@ def test_dbreader_schema_struct_clear_errors():
     with pytest.raises(RuntimeError, match="DB-API connection"):
         DBReader("jdbc:postgresql://h/db", TimestampAccessor("ts"),
                  table_name="t").schema_struct()
+
+
+def test_dbreader_empty_window_yields_empty_stream(spark):
+    """r11 ADVICE (high): a replay window / symbol with NO rows must
+    yield an empty tick stream (the reference emits no ticks), not a
+    CANNOT_INFER_EMPTY_SCHEMA crash from the empty pandas frame."""
+    import sqlite3
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.db import DBReader, TimestampAccessor
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE prices (ts TEXT, symbol TEXT, price REAL, size INTEGER)"
+    )
+    conn.execute(
+        "INSERT INTO prices VALUES ('2020-06-01 10:00:00','AAPL',1.0,1)"
+    )
+    conn.commit()
+
+    class Price(csp.Struct):
+        price: float
+        size: int
+
+    def graph():
+        reader = DBReader.create_from_connection(
+            conn, TimestampAccessor("ts", tz="UTC"),
+            table_name="prices", symbol_column="symbol",
+        )
+        return {
+            "aapl": reader.subscribe("AAPL", Price),          # empty window
+            "px": reader.subscribe("AAPL", float, field_map="price"),
+            "none": reader.subscribe("NOSUCH", Price),        # empty symbol
+        }
+
+    # window entirely before the data: every subscription is empty
+    res = csp.run(
+        graph,
+        starttime=dt.datetime(2020, 1, 1),
+        endtime=dt.datetime(2020, 1, 2),
+    )
+    assert res["aapl"] == [] and res["px"] == [] and res["none"] == []
+    # scalar subscription's empty frame still carries the scalar type
+    def g2():
+        reader = DBReader.create_from_connection(
+            conn, TimestampAccessor("ts", tz="UTC"),
+            table_name="prices", symbol_column="symbol",
+        )
+        return {"px": reader.subscribe("AAPL", float, field_map="price")}
+
+    stream = None
+
+    def g3():
+        nonlocal stream
+        out = g2()
+        stream = out["px"]
+        return out
+
+    csp.run(g3, starttime=dt.datetime(2020, 1, 1),
+            endtime=dt.datetime(2020, 1, 2))
+    assert dict(stream.df.dtypes)["value"] == "double"
+
+
+def test_csvreader_symbol_without_symbol_column_raises(spark, tmp_path):
+    """r11 ADVICE (medium): subscribe(symbol) on a reader with no
+    symbol_column must fail loudly (same guard as DBReader.subscribe)
+    instead of mislabeling every row under that symbol."""
+    from csp_spark.adapters.csv import CSVReader, YYYYMMDD_TIME_formatter
+
+    path = str(tmp_path / "t.csv")
+    with open(path, "w") as f:
+        f.write("time,price\n20200101 09:30:00,1.0\n")
+    reader = CSVReader(path, YYYYMMDD_TIME_formatter("time"))
+    with pytest.raises(RuntimeError, match="no symbol column"):
+        reader.subscribe("AAPL", float, field_map="price")
+    # subscribe_all still works without a symbol column
+    assert reader.subscribe_all(float, field_map="price").df.count() == 1
+
+
+def test_csvreader_arbitrary_callable_time_converter(spark, tmp_path):
+    """r11 ADVICE (low): the reference contract (csv.py:10-18) is ANY
+    row callable -> datetime; a hand-written closure must work, not
+    just the package's declarative _TimeConverter."""
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.csv import CSVReader
+
+    path = str(tmp_path / "t.csv")
+    lines = [
+        "epoch_min,symbol,price",
+        "0,AAPL,100.0",
+        "2,AAPL,101.0",
+        "5,IBM,50.0",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    def my_converter(row):  # hand-written reference-style closure
+        return dt.datetime(2020, 1, 1) + dt.timedelta(
+            minutes=int(row["epoch_min"])
+        )
+
+    reader = CSVReader(path, my_converter, symbol_column="symbol")
+    got = reader.subscribe("AAPL", float, field_map="price").collect_ticks(
+        "AAPL"
+    )
+    assert got == [
+        (dt.datetime(2020, 1, 1, 0, 0), 100.0),
+        (dt.datetime(2020, 1, 1, 0, 2), 101.0),
+    ]
+    # non-callable still rejected with a clear error
+    with pytest.raises(TypeError, match="callable"):
+        CSVReader(path, 42, symbol_column="symbol").subscribe(
+            "AAPL", float, field_map="price"
+        )
+
+
+def test_perspective_star_import_without_dep():
+    """r11 ADVICE (low): `from csp.adapters.perspective import *` must
+    work on a machine without perspective-python (View/Table stay
+    resolvable via __getattr__, advertised in __all__ only when the
+    optional dep imports)."""
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    ns: dict = {}
+    exec("from csp.adapters.perspective import *", ns)
+    assert "PerspectiveAdapter" in ns and "perspective_thread" in ns
+    try:
+        import perspective  # noqa: F401
+
+        has_psp = True
+    except ImportError:
+        has_psp = False
+    import csp.adapters.perspective as pmod
+
+    assert (("View" in pmod.__all__) == has_psp)
+    if not has_psp:
+        assert "View" not in ns
+        with pytest.raises(ImportError):
+            exec("from csp.adapters.perspective import Table", {})

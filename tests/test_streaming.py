@@ -1618,3 +1618,26 @@ def test_websocket_adapter_manager_in_realtime_run(spark):
     assert "Connected" in stat[0].msg
     # and the protocol details held (pong + close handshake)
     assert srv.got_pong and srv.got_close_reply
+
+
+def test_websocket_update_headers_engine_order(spark):
+    """r11 ADVICE (low): several updates to the SAME header key must
+    resolve (ts, seq)-last — engine order — not whatever partition
+    order collect() happens to return."""
+    import csp_spark
+    from csp_spark.adapters.websocket import WebsocketAdapterManager
+    from csp_spark.core.ticks import TickStream
+
+    mgr = WebsocketAdapterManager("ws://127.0.0.1:1/never-connected")
+    rows = [
+        (dt.datetime(2020, 1, 1, 0, 0, i),
+         {"key": "X-Token", "value": f"v{i}"})
+        for i in range(16)
+    ]
+    hu = csp_spark.TickStream.from_rows(
+        spark, rows, value_type="key string, value string", key="k",
+    )
+    # scramble physical layout: collect() order != engine order
+    scrambled = TickStream(hu.df.repartition(8))
+    mgr.update_headers(scrambled)
+    assert mgr._properties["headers"]["X-Token"] == "v15"
