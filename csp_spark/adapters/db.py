@@ -17,7 +17,13 @@ Spark-first split, two backends chosen by the connection argument:
 - a **JDBC URL string** (``jdbc:...``): the query — time constraint,
   symbol filter, user constraint — is composed into a pushdown
   subquery for ``spark.read.jdbc``; the database does the filtering
-  and Spark parallelizes the fetch. This is the 100 TB path.
+  and Spark parallelizes the fetch. This is the 100 TB path. Pass
+  ``num_partitions=N`` to split the read into N concurrent
+  range-bracketed scans on the accessor's time column (or an explicit
+  ``partition_column`` + ``lower_bound``/``upper_bound``); the bounds
+  default to the engine replay window. A partitioned read derives SEQ
+  from the row data (layout-independent) instead of ingestion order —
+  see ``_subscribe``.
 - a **DB-API connection** (anything with ``.cursor()``, e.g. the
   stdlib ``sqlite3``; a SQLAlchemy engine also works via its DBAPI
   pool): the same composed SQL runs through ``pandas.read_sql`` on
@@ -123,6 +129,18 @@ class TimeAccessor(ABC):
         their concatenation."""
         return pdf
 
+    def partition_column(self):
+        """Column the partitioned JDBC read splits on, or None when
+        this accessor has no single splittable time column (the caller
+        must then pass partition_column explicitly)."""
+        return None
+
+    def partition_bounds(self, starttime, endtime):
+        """(lower, upper) values of :meth:`partition_column` covering
+        the replay window, in the DB's own representation — or None
+        when not derivable."""
+        return None
+
 
 class EngineStartTimeAccessor(TimeAccessor):
     """Constant accessor for data ingested once at engine start time
@@ -223,6 +241,20 @@ class TimestampAccessor(TimeAccessor):
                 pass
         return pdf
 
+    def partition_column(self):
+        return self._time_column
+
+    def partition_bounds(self, starttime, endtime):
+        # the same tz conversion the WHERE constraint applies, so the
+        # partition stride brackets exactly the constrained range
+        if self._tz:
+            starttime = _as_utc(starttime).astimezone(self._tz)
+            endtime = _as_utc(endtime).astimezone(self._tz)
+        return (
+            starttime.replace(tzinfo=None),
+            endtime.replace(tzinfo=None),
+        )
+
 
 class DateTimeAccessor(TimeAccessor):
     """Separate date + time-of-day columns (reference db.py:117-175).
@@ -317,6 +349,11 @@ class DBReader:
         log_query: bool = False,
         use_raw_user_query: bool = False,
         spark=None,
+        num_partitions: int | None = None,
+        partition_column: str | None = None,
+        lower_bound=None,
+        upper_bound=None,
+        fetch_size: int | None = None,
     ):
         # the reference's construction rules, verbatim semantics
         if use_raw_user_query and not query:
@@ -335,6 +372,22 @@ class DBReader:
         self._log_query = log_query
         self._use_raw_user_query = use_raw_user_query
         self._spark = spark
+        # Spark-first scale extensions (beyond the reference API): a
+        # partitioned JDBC read — N concurrent range-bracketed scans
+        # instead of one cursor. At 100 TB a single-task JDBC read is
+        # the ingest bottleneck; these map 1:1 onto spark.read.jdbc's
+        # partitionColumn/lowerBound/upperBound/numPartitions.
+        if num_partitions is not None and num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        if (lower_bound is None) != (upper_bound is None):
+            raise ValueError(
+                "lower_bound and upper_bound must be given together"
+            )
+        self._num_partitions = num_partitions
+        self._partition_column = partition_column
+        self._lower_bound = lower_bound
+        self._upper_bound = upper_bound
+        self._fetch_size = fetch_size
         self._requested_cols: set[str] = set()
         time_columns = time_accessor.get_time_columns(connection)
         if time_columns:
@@ -469,6 +522,43 @@ class DBReader:
         is passed through — pandas accepts it natively)."""
         return self._connection
 
+    def _resolve_partitioning(self):
+        """(column, lower, upper) for the partitioned JDBC read:
+        explicit ctor values win; otherwise the accessor's splittable
+        time column bracketed by the engine replay window."""
+        pc = self._partition_column or self._time_accessor.partition_column()
+        if pc is None:
+            raise RuntimeError(
+                "num_partitions > 1 needs a partition_column: the "
+                f"{type(self._time_accessor).__name__} has no single "
+                "splittable time column — pass partition_column/"
+                "lower_bound/upper_bound explicitly"
+            )
+        lo, hi = self._lower_bound, self._upper_bound
+        if lo is None:
+            start, end = self._window()
+            if start is not None and end is not None and (
+                self._partition_column is None
+                or self._partition_column
+                == self._time_accessor.partition_column()
+            ):
+                bounds = self._time_accessor.partition_bounds(start, end)
+                if bounds is not None:
+                    lo, hi = bounds
+        if lo is None:
+            raise RuntimeError(
+                "num_partitions > 1 needs lower_bound/upper_bound: no "
+                "engine replay window to derive them from (construct "
+                "the reader inside a csp.run frame, or pass the bounds "
+                "explicitly)"
+            )
+        return pc, lo, hi
+
+    def _is_partitioned_read(self) -> bool:
+        return isinstance(self._connection, str) and (
+            (self._num_partitions or 1) > 1
+        )
+
     def _window(self):
         """[engine start, engine end] when built inside a run() frame,
         else unbounded (reference: the adapter impl reads the engine's
@@ -529,8 +619,18 @@ class DBReader:
             reader = (
                 spark.read.format("jdbc")
                 .option("url", self._connection)
-                .option("dbtable", f"({sql}) AS __csp_q")
+                .option("dbtable", f"({sql}) AS csp_q")
             )
+            if self._fetch_size:
+                reader = reader.option("fetchsize", str(self._fetch_size))
+            if (self._num_partitions or 1) > 1:
+                pc, lo, hi = self._resolve_partitioning()
+                reader = (
+                    reader.option("partitionColumn", pc)
+                    .option("lowerBound", _jdbc_bound(lo))
+                    .option("upperBound", _jdbc_bound(hi))
+                    .option("numPartitions", str(self._num_partitions))
+                )
             return reader.load()
         # DB-API / SQLAlchemy backend: one driver-side cursor, exactly
         # the reference's own execution shape; Arrow batches it to JVM
@@ -591,8 +691,13 @@ class DBReader:
             if typ in _casts:
                 value = value.cast(_casts[typ])
         elif isinstance(typ, type) and issubclass(typ, Struct):
+            # membership is case-insensitive like Spark's own column
+            # resolution (a real database — e.g. Derby, Oracle —
+            # canonicalizes unquoted identifiers to UPPERCASE, so
+            # 'price' comes back as 'PRICE')
+            cols_l = {c.lower() for c in df.columns}
             fm = field_map or {
-                f: f for f in typ.__metadata__ if f in df.columns
+                f: f for f in typ.__metadata__ if f.lower() in cols_l
             }
             value = typ.pack(
                 **{sf: F.col(dbcol) for dbcol, sf in fm.items()}
@@ -601,13 +706,26 @@ class DBReader:
             raise TypeError(f"cannot subscribe with typ={typ!r}")
         key = (
             F.col(self._symbol_column)
-            if self._symbol_column and self._symbol_column in df.columns
+            if self._symbol_column
+            and self._symbol_column.lower() in {c.lower() for c in df.columns}
             else F.lit(symbol if symbol is not None else GLOBAL_KEY)
         )
+        if self._is_partitioned_read():
+            # N concurrent range scans have no global ingestion order,
+            # and monotonically_increasing_id would make same-ts tie
+            # order depend on the partition layout. Derive SEQ from the
+            # row DATA instead (layout-independent, deterministic): the
+            # accessor's ORDER BY column(s) dominate via TS; within a
+            # ts tie the hash fixes an arbitrary-but-stable order —
+            # exactly the guarantee a single DB cursor gives, where tie
+            # order is engine-dependent too.
+            seq_col = F.xxhash64(*[F.col(c) for c in df.columns])
+        else:
+            seq_col = F.monotonically_increasing_id()
         out = df.select(
             key.cast("string").alias(KEY),
             ts_col.alias(TS),
-            F.monotonically_increasing_id().alias(SEQ),
+            seq_col.alias(SEQ),
             value.alias(VALUE),
         )
         stream = TickStream(out)
@@ -666,6 +784,16 @@ def _dtype_to_python(dtype) -> type:
     if pd.api.types.is_datetime64_any_dtype(dtype):
         return _dt.datetime
     return str
+
+
+def _jdbc_bound(v) -> str:
+    """lowerBound/upperBound option value: Spark parses timestamps
+    from 'YYYY-MM-DD HH:MM:SS', everything else stringifies."""
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, (_dt.date, _dt.time)):
+        return v.isoformat()
+    return str(v)
 
 
 def _pd_dtype_to_spark(dtype):

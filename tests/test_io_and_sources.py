@@ -1483,3 +1483,98 @@ def test_perspective_star_import_without_dep():
         assert "View" not in ns
         with pytest.raises(ImportError):
             exec("from csp.adapters.perspective import Table", {})
+
+
+def test_dbreader_partitioned_jdbc_read(spark, tmp_path):
+    """r11 verdict item 3: the JDBC backend's partitioned read path —
+    N concurrent range scans against a REAL database (embedded Derby,
+    whose driver ships in Spark's jars) must produce the same ticks in
+    the same (ts, seq) order as the single-partition read, with the
+    scan actually split N ways."""
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.db import DBReader, TimestampAccessor
+
+    url = f"jdbc:derby:{tmp_path}/pdb;create=true"
+    jvm = spark._jvm
+    jconn = jvm.java.sql.DriverManager.getConnection(url)
+    st = jconn.createStatement()
+    st.execute(
+        "CREATE TABLE trades (ts TIMESTAMP, symbol VARCHAR(8), "
+        "price DOUBLE, size INTEGER)"
+    )
+    rows = []
+    for i in range(40):
+        t = dt.datetime(2020, 1, 1, 9, 30) + dt.timedelta(minutes=i)
+        sym = "AAPL" if i % 3 else "IBM"
+        rows.append((t, sym, 100.0 + i, 10 * i))
+        st.execute(
+            f"INSERT INTO trades VALUES (TIMESTAMP('{t.isoformat(sep=' ')}')"
+            f", '{sym}', {100.0 + i}, {10 * i})"
+        )
+    jconn.commit()
+
+    class Trade(csp.Struct):
+        price: float
+        size: int
+
+    def mk(n_parts):
+        return DBReader(
+            url, TimestampAccessor("ts", tz="UTC"),
+            table_name="trades", symbol_column="symbol",
+            num_partitions=n_parts,
+            lower_bound=dt.datetime(2020, 1, 1, 9, 30),
+            upper_bound=dt.datetime(2020, 1, 1, 10, 9),
+        )
+
+    # --- outside a run frame, explicit bounds: plan splits N ways
+    single = mk(1).subscribe("AAPL", Trade)
+    multi = mk(4).subscribe("AAPL", Trade)
+    assert multi.df.rdd.getNumPartitions() == 4
+    assert single.df.rdd.getNumPartitions() == 1
+    s_ticks = [(t, v.price, v.size) for t, v in single.collect_ticks("AAPL")]
+    m_ticks = [(t, v.price, v.size) for t, v in multi.collect_ticks("AAPL")]
+    assert m_ticks == s_ticks and len(s_ticks) == 26
+    # deterministic across re-reads: data-derived SEQ, not layout order
+    again = [(t, v.price, v.size) for t, v in
+             mk(4).subscribe("AAPL", Trade).collect_ticks("AAPL")]
+    assert again == m_ticks
+    # oracle: the rows straight off the cursor, time-ordered
+    want = sorted(
+        (t, p, s) for (t, sym, p, s) in rows if sym == "AAPL"
+    )
+    assert m_ticks == want
+
+    # --- inside a run frame: bounds derive from the replay window
+    def graph():
+        reader = DBReader(
+            url, TimestampAccessor("ts", tz="UTC"),
+            table_name="trades", symbol_column="symbol",
+            num_partitions=3,
+        )
+        return {"a": reader.subscribe("AAPL", Trade)}
+
+    res = csp.run(
+        graph,
+        starttime=dt.datetime(2020, 1, 1, 9, 30),
+        endtime=dt.datetime(2020, 1, 1, 9, 59),
+    )
+    in_window = [w for w in want
+                 if w[0] <= dt.datetime(2020, 1, 1, 9, 59)]
+    assert [(t, v.price, v.size) for t, v in res["a"]] == in_window
+
+    # --- misuse guards
+    from csp.adapters.db import DateTimeAccessor
+
+    with pytest.raises(RuntimeError, match="partition_column"):
+        DBReader(url, DateTimeAccessor("d", "t"), table_name="trades",
+                 num_partitions=2)._resolve_partitioning()
+    with pytest.raises(RuntimeError, match="lower_bound"):
+        DBReader(url, TimestampAccessor("ts", tz="UTC"),
+                 table_name="trades",
+                 num_partitions=2)._resolve_partitioning()
+    with pytest.raises(ValueError, match="together"):
+        DBReader(url, TimestampAccessor("ts"), table_name="trades",
+                 num_partitions=2, lower_bound=dt.datetime(2020, 1, 1))
