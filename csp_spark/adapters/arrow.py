@@ -18,3 +18,10 @@ __all__ = [
     "struct_to_record_batches",
     "write_record_batches",
 ]
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.adapters.arrow import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

@@ -424,3 +424,10 @@ def _nested_field(col, path):
     for p in path:
         col = col[p]
     return col
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.adapters.kafka import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

@@ -17,3 +17,11 @@ def resolve_array_shape_column_name(
     array column's per-row shape (see parquet_utility_nodes)."""
     assert column_name
     return user_provided_shape_column or f"{column_name}{_ARRAY_DIMENSIONS_SUFFIX}"
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.adapters.output_adapters.parquet import K, V`
+from typing import TypeVar as _TypeVar
+
+K = _TypeVar("K")
+V = _TypeVar("V")

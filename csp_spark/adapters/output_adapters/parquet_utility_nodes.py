@@ -113,3 +113,10 @@ def reshape_numpy_array(
 
     out = build(0, F.lit(0).cast("long"))
     return TickStream(joined.select(KEY, TS, SEQ, out.alias(VALUE)))
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.adapters.output_adapters.parquet_utility_nodes import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

@@ -295,3 +295,10 @@ __all__ = [
     "publish_parquet",
     "publish_parquet_stream",
 ]
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.adapters.parquet import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

@@ -419,3 +419,10 @@ class _MappedStream:
         from ..core.ticks import TickStream
 
         return getattr(TickStream(self.df, self.value_col), name)
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.adapters.websocket import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

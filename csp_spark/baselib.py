@@ -62,3 +62,10 @@ K = _typing.TypeVar("K")
 V = _typing.TypeVar("V")
 Y = _typing.TypeVar("Y")
 U = _typing.TypeVar("U")
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.baselib import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

@@ -23,3 +23,10 @@ import typing as _typing
 
 K = _typing.TypeVar("K")
 Y = _typing.TypeVar("Y")
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.basketlib import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

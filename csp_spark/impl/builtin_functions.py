@@ -47,3 +47,10 @@ def __getattr__(name: str):
 
 def __dir__():
     return sorted(_NAMES | {"CSP_BUILTIN_CONTEXT_DICT"})
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.impl.builtin_functions import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

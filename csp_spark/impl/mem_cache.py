@@ -54,6 +54,85 @@ class MemoizeControl:
         return False
 
 
+from collections import namedtuple as _namedtuple
+
+#: reference mem_cache.py:10 — the (func, normalized-args) cache key
+GraphFunctionObjectKey = _namedtuple("GraphFunctionObjectKey", ["func", "args"])
+
+
+class CspGraphObjectsMemCache:
+    """reference mem_cache.py:43-112 contract: a thread-local object
+    cache scoping graph-build memoization — with-block scoped, child
+    contexts snapshot the parent (``new_context``), and
+    ``get_object_stats`` reports per-function instantiation counts."""
+
+    import threading as _threading
+
+    _THREAD_LOCAL_INSTANCE = _threading.local()
+
+    def __init__(self):
+        self._instantiated_objects: dict = {}
+        self._user_objects: dict = {}
+        self._prev_instance = None
+
+    def clear(self, clear_user_objects: bool = True):
+        self._instantiated_objects.clear()
+        if clear_user_objects:
+            self._user_objects.clear()
+
+    def __enter__(self):
+        self._prev_instance = self.instance()
+        self._THREAD_LOCAL_INSTANCE.instance = self
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self._THREAD_LOCAL_INSTANCE.instance = self._prev_instance
+        return False
+
+    @classmethod
+    def new_context(cls) -> "CspGraphObjectsMemCache":
+        child = cls()
+        cur = cls.instance()
+        if cur:
+            child._instantiated_objects.update(cur._instantiated_objects)
+            child._user_objects.update(cur._user_objects)
+        return child
+
+    def get_object_stats(self, sort_by: str | None = "count") -> dict:
+        if sort_by not in (None, "name", "count"):
+            raise RuntimeError(f"Unsupported sort_by value {sort_by}")
+        res: dict = {}
+        for key in self._instantiated_objects:
+            name = key.func.__name__
+            res[name] = res.get(name, 0) + 1
+        if sort_by == "name":
+            return dict(sorted(res.items()))
+        if sort_by == "count":
+            return dict(sorted(res.items(), key=lambda t: (-t[1], t[0])))
+        return res
+
+    def __getitem__(self, key):
+        from .constants import UNSET
+
+        return self._instantiated_objects.get(key, UNSET)
+
+    def __setitem__(self, key, value):
+        self._instantiated_objects[key] = value
+
+    def get_user_object(self, key):
+        from .constants import UNSET
+
+        return self._user_objects.get(key, UNSET)
+
+    def set_user_object(self, key, value):
+        self[key] = value
+        self._user_objects[key] = value
+
+    @classmethod
+    def instance(cls):
+        return getattr(cls._THREAD_LOCAL_INSTANCE, "instance", None)
+
+
 def normalize_arg(arg):
     """reference mem_cache.py:135-149: a hashable normal form for
     memoization keys over (possibly nested) containers."""

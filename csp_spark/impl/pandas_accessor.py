@@ -8,3 +8,10 @@ from ..pandas_ext import (  # noqa: F401
     ToCspFrameAccessor,
     ToCspSeriesAccessor,
 )
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.impl.pandas_accessor import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

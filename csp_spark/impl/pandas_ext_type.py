@@ -21,3 +21,10 @@ def is_csp_type(arr_or_dtype) -> bool:
         )
     except Exception:
         return False
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.impl.pandas_ext_type import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

@@ -84,3 +84,10 @@ class _GenericTSTypesMeta(type):
 class GenericTSTypes(metaclass=_GenericTSTypesMeta):
     """reference tstype.py:128-136: per-type namespace of the common
     ts/basket annotations (``GenericTSTypes['T'].TS_TYPE`` etc.)."""
+
+
+# reference tstype.py module-scope TypeVars
+from typing import TypeVar as _TypeVar
+
+_TYPE_VAR = _TypeVar("T")
+_KEY_VAR = _TypeVar("K")

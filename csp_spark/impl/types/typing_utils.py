@@ -240,3 +240,10 @@ class TsTypeValidator:
         for v, a in zip(self._arg_validators, v_args):
             v.validate(a, info)
         return value_type
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.impl.types.typing_utils import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

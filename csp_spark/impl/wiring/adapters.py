@@ -5,7 +5,7 @@ The reference distinguishes ``*_adapter_def`` (C++-backed impls) from
 of adapter impl — Python classes lowered onto Spark plans — so the
 unprefixed builders are the py_* builders."""
 
-from ...core.surface import PushMode, ReplayMode  # noqa: F401
+from ...core.surface import PushMode, ReplayMode, add_graph_output  # noqa: F401
 from ...sinks.publish import py_output_adapter_def  # noqa: F401
 from ...sources.other import py_pull_adapter_def  # noqa: F401
 from ..adaptermanager import py_managed_adapter_def  # noqa: F401

@@ -130,3 +130,10 @@ COMP_OPS = ["eq", "ne", "lt", "gt", "le", "ge"]
 #: so the registry is deliberately empty (parity of shape, not of
 #: backing store)
 MATH_COMP_OPS_CPP: dict = {}
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.math import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

@@ -27,3 +27,10 @@ __all__ = (
     "hash_uniform",
     "hash_normal",
 )
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.random import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

