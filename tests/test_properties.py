@@ -1627,3 +1627,182 @@ def test_asof_join_fuzz_matches_merge_asof(spark, lsecs, rsecs,
     e = exp[cols].sort_values(["k", "ts", "v"]).reset_index(drop=True)
     g = got[cols].sort_values(["k", "ts", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(e, g, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# r11 verdict item 6: fuzz the class-shaped adapters on their sharp edges
+# ---------------------------------------------------------------------------
+
+_KAFKA_RENAMES = [
+    {"px": "px", "qty": "qty", "sym": "sym", "et": "et"},   # identity
+    {"px": "p", "qty": "q", "sym": "s", "et": "t"},          # full rename
+    {"px": "wire_price", "qty": "qty", "sym": "sym_col", "et": "et"},
+]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=600),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                      width=32),
+            st.integers(min_value=-10**9, max_value=10**9),
+        ),
+        min_size=1, max_size=16,
+    ),
+    fm=st.sampled_from(_KAFKA_RENAMES),
+    keyed=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_kafka_field_map_roundtrip_fuzz(spark, rows, fm, keyed):
+    """publish -> wire frame -> subscribe with the inverse field_map is
+    the identity on tick content (keyed and wildcard), for identity and
+    renaming maps, with the tick time recovered from a payload field
+    (tick_timestamp_from_field) — the whole mapping surface in one
+    property over the broker-free source_df seam."""
+    import csp_spark
+    from csp_spark.adapters.kafka import KafkaAdapterManager
+    from csp_spark.adapters.utils import JSONTextMessageMapper
+    from csp_spark.core.record import Struct
+
+    class Wire(Struct):
+        px: float
+        qty: int
+        sym: str
+        et: dt.datetime
+
+    data = [
+        (k, START + dt.timedelta(seconds=s), i,
+         {"px": float(px), "qty": qty, "sym": k,
+          "et": START + dt.timedelta(seconds=s)})
+        for i, (k, s, px, qty) in enumerate(rows)
+    ]
+    x = csp_spark.TickStream.from_rows(
+        spark, [(t, v) for _, t, _, v in data],
+        value_type="px double, qty long, sym string, et timestamp",
+        key="unused",
+    )
+    # re-key by the sym field (from_rows keys uniformly)
+    from pyspark.sql import functions as F
+
+    x = TickStream(x.df.withColumn(KEY, F.col(VALUE)["sym"]))
+
+    mapper = JSONTextMessageMapper()
+    mgr_out = KafkaAdapterManager("broker:9092")
+    wire = mgr_out.publish(mapper, "t1", "sym", x, field_map=fm)
+    source_df = (
+        wire.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        .withColumn("topic", F.lit("t1"))
+        .withColumn("partition", F.lit(0))
+        .withColumn("offset", F.monotonically_increasing_id())
+        .withColumn("timestamp", F.lit(dt.datetime(1999, 1, 1)))
+    )
+    inv = {w: s for s, w in fm.items()}
+    mgr_in = KafkaAdapterManager("broker:9092", source_df=source_df)
+    sub = mgr_in.subscribe(
+        Wire, mapper, "t1",
+        key=("k1" if keyed else None),
+        field_map=inv,
+        tick_timestamp_from_field=fm["et"],
+    )
+    got = sorted(
+        (r[KEY], r[TS], r[VALUE]["px"], r[VALUE]["qty"], r[VALUE]["sym"])
+        for r in sub.df.collect()
+    )
+    want = sorted(
+        (k, t, v["px"], v["qty"], v["sym"])
+        for k, t, _, v in data
+        if (not keyed) or k == "k1"
+    )
+    assert got == want
+
+
+_NY = "America/New_York"
+# naive NY-local minutes around both 2020 DST transitions, excluding
+# the nonexistent hour (02:xx Mar 8) and the ambiguous hour (01:xx
+# Nov 1) — the reference's own constraint composition (BETWEEN on
+# localized endpoints) is undefined there, like any naive-local schema
+_DST_BASES = [dt.datetime(2020, 3, 7, 22), dt.datetime(2020, 10, 31, 22)]
+
+
+def _valid_local(t: dt.datetime) -> bool:
+    if t.date() == dt.date(2020, 3, 8) and t.hour == 2:
+        return False
+    if t.date() == dt.date(2020, 11, 1) and t.hour == 1:
+        return False
+    return True
+
+
+@given(
+    base_i=st.integers(0, 1),
+    offs=st.lists(st.integers(0, 10 * 60), min_size=1, max_size=12,
+                  unique=True),
+    win=st.tuples(st.integers(0, 9 * 60), st.integers(30, 10 * 60)),
+)
+@settings(**_SETTINGS)
+def test_dbreader_dst_window_vs_pandas_oracle(spark, base_i, offs, win):
+    """DBReader replay windows ACROSS the America/New_York DST
+    transitions (the r10 host-tz bug class): a naive-local timestamp
+    column with a tz-labeled accessor must return exactly the rows a
+    pandas tz_localize/tz_convert replay returns, with engine times in
+    UTC — regardless of which side of the offset change each row and
+    each window endpoint lands on."""
+    import sqlite3
+
+    import pandas as pd
+    import zoneinfo
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.db import DBReader, TimestampAccessor
+
+    base = _DST_BASES[base_i]
+    locals_ = [base + dt.timedelta(minutes=m) for m in offs]
+    locals_ = [t for t in locals_ if _valid_local(t)]
+    if not locals_:
+        return
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE ev (ts TEXT, v REAL)")
+    conn.executemany(
+        "INSERT INTO ev VALUES (?,?)",
+        [(t.isoformat(sep=" "), float(i)) for i, t in enumerate(locals_)],
+    )
+    conn.commit()
+
+    ny = zoneinfo.ZoneInfo(_NY)
+    utc = dt.timezone.utc
+    # engine window in naive UTC, anchored to the same wall span
+    base_utc = base.replace(tzinfo=ny).astimezone(utc).replace(tzinfo=None)
+    lo = base_utc + dt.timedelta(minutes=min(win))
+    hi = base_utc + dt.timedelta(minutes=max(win))
+    if lo == hi:
+        hi += dt.timedelta(minutes=1)
+
+    def graph():
+        r = DBReader.create_from_connection(
+            conn, TimestampAccessor("ts", tz=_NY), table_name="ev",
+        )
+        return {"e": r.subscribe_all(float, field_map="v")}
+
+    res = csp.run(graph, starttime=lo, endtime=hi)
+
+    # pandas oracle: the reference constraint semantics — localized
+    # window endpoints BETWEEN on the naive column — then UTC times out
+    pdf = pd.DataFrame({"t": locals_,
+                        "v": [float(i) for i in range(len(locals_))]})
+    lo_l = lo.replace(tzinfo=utc).astimezone(ny).replace(tzinfo=None)
+    hi_l = hi.replace(tzinfo=utc).astimezone(ny).replace(tzinfo=None)
+    sel = pdf[(pdf.t >= lo_l) & (pdf.t <= hi_l)].copy()
+    sel["utc"] = (
+        pd.Series(sel.t).dt.tz_localize(_NY).dt.tz_convert("UTC")
+        .dt.tz_localize(None)
+    )
+    want = sorted(zip(sel.utc.dt.to_pydatetime(), sel.v))
+    got = sorted(res["e"])
+    assert got == [(t, v) for t, v in want]
