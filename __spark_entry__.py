@@ -3862,6 +3862,39 @@ _R10_PREFIX = [
     "ann_ivf_topk", "ann_hard_negatives",
 ]
 
+#: r11 evidence rotation (VERDICT r10 item 1): the 46 r8-stamped
+#: queries, oldest evidence first — the full op_* element-wise block,
+#: dedup minhash/simhash/components, the packing family, the dynamic
+#: graphs, mm_features, the two r8 ann paths, the four r8 TPC-H
+#: queries, the random sources, and the six r8 stats options — then 4
+#: oldest-r9 fill slots (q1/q2/q4/q7). r11's code changes (adapter
+#: surfaces: DBReader partitioned JDBC + empty-window, CSVReader
+#: converter/symbol guards, portability exports) touch NO driver query
+#: plan, so no changed-plan entries are owed this round. After r11 no
+#: query's evidence is older than r9.
+_R11_PREFIX = [
+    "op_accum", "op_apply", "op_burst", "op_collect", "op_count",
+    "op_default", "op_delay", "op_demultiplex", "op_diff",
+    "op_dropdups", "op_dropdups_eps", "op_dropnans", "op_firstn",
+    "op_flatten", "op_last_value", "op_multiplex", "op_sample_asof",
+    "op_sessionize", "op_split_false", "op_unroll",
+    "op_hot_key_running",
+    "dedup_minhash", "dedup_simhash", "dedup_components",
+    "doc_incremental_dedup",
+    "doc_pack", "doc_pack_fit", "doc_pack_manifest", "doc_token_ids",
+    "dyn_cummax", "dyn_snap_attach",
+    "mm_features",
+    "ann_pq_topk", "ann_topk",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items",
+    "random_poisson", "random_brownian",
+    "stats_ema_adjust", "stats_minmax_sem", "stats_sampler",
+    "stats_trigger_reset", "stats_unique", "stats_xsec",
+    # 4 oldest-r9 fill slots
+    "q1_pricing_summary", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
@@ -4011,11 +4044,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
-    # dict — _R10_PREFIX (above) carries this round's evidence rotation;
+    # dict — _R11_PREFIX (above) carries this round's evidence rotation;
     # behind it, oracle-checked queries come before any rows-only rest
     # (none since r9: ann_knn_join_blas gained the shared knn oracle).
     o = oracle_sql()
-    front = {k: q[k] for k in _R10_PREFIX if k in q}
+    front = {k: q[k] for k in _R11_PREFIX if k in q}
     return {
         **front,
         **{k: v for k, v in q.items() if k in o and k not in front},

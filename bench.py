@@ -287,7 +287,21 @@ def main() -> None:
                  "in NO frozen subtotal. r10 ann changes (blas margin "
                  "2e-6->2.5e-6; kmeans++ d2min pin; train-collect "
                  "count reuse) verified bit-identical outputs at "
-                 "test scales before landing — no plan shape change.",
+                 "test scales before landing — no plan shape change. "
+                 "r11 adjudications of the two r10 >1.5x cold drifts "
+                 "(same-session protocol, settled box, FIRST Spark "
+                 "job of the session, bench-identical warm-up, 3 "
+                 "cold+warm trials each): ann_pq_topk colds "
+                 "5.21/1.90/1.71s warm 2.11/1.95/1.80 (trial0 is "
+                 "fresh-JVM codegen JIT of the ADC LUT tree; "
+                 "bench-context repeats sit at 1.7-1.9 vs r9's 2.90 "
+                 "bench cold) — AMBIENT, plan unchanged; ann_knn_join "
+                 "colds 3.38/2.44/2.00 warm 2.48/1.93/2.17 vs r9 "
+                 "bench 1.78 — repeats at-or-below the r9 band, the "
+                 "r10 driver reading 2.92 was the busy-box inflation "
+                 "(r10 median per-query ratio 1.19x): AMBIENT. "
+                 "No bench-set query code changed in r11 (adapter "
+                 "surfaces + portability exports only).",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
