@@ -125,6 +125,11 @@ class CSVReader:
     def subscribe_all(self, typ, field_map=None, push_mode=None):
         return self._subscribe(None, typ, field_map, push_mode)
 
+    def _create(self, engine, memo):
+        """Runtime-half factory (reference csv.py:47): subclasses
+        override this to swap in a customized CSVReaderImpl."""
+        return CSVReaderImpl(engine, self)
+
     def _subscribe(self, symbol, typ, field_map, push_mode):
         from pyspark.sql import functions as F
 
@@ -216,3 +221,97 @@ class CSVReader:
 
             return last_value(stream)
         return stream
+
+
+# ---------------------------------------------------------------------
+# Runtime halves (reference csv.py:49-113): the managed-sim classes a
+# user program may SUBCLASS to customize row handling. The Spark scan
+# path above stays the default CSVReader.subscribe; these drive the
+# shared driver-side timeslice loop in csp_spark.impl.adaptermanager —
+# the same execution shape the reference engine gives them.
+
+from ..impl.adaptermanager import (  # noqa: E402
+    AdapterManagerImpl, ManagedSimInputAdapter, py_managed_adapter_def,
+)
+
+
+class CSVReaderImpl(AdapterManagerImpl):
+    """Runtime manager half (reference csv.py:49-100): one pass over
+    the file in time order, routing each row to the adapters
+    registered for its symbol (and to every subscribe_all adapter)."""
+
+    def __init__(self, engine, adapterRep):
+        super().__init__(engine)
+        self._rep = adapterRep
+        self._inputs: dict = {}
+        self._rows = None       # iterator of (time, row) pairs
+        self._pending = None    # head of the iterator, not yet due
+
+    def start(self, starttime, endtime):
+        import csv as _csv
+
+        conv = self._rep._time_converter
+        fh = open(self._rep._filename, newline="")
+        reader = _csv.DictReader(fh, delimiter=self._rep._delimiter)
+
+        def timed():
+            with fh:
+                for row in reader:
+                    yield conv(row), row
+
+        self._rows = timed()
+        # fast-forward to the engine window (reference: replay begins
+        # at the first row >= starttime)
+        for t, row in self._rows:
+            if t >= starttime:
+                self._pending = (t, row)
+                break
+
+    def stop(self):
+        self._rows = None
+        self._pending = None
+
+    def register_input_adapter(self, symbol, adapter):
+        self._inputs.setdefault(symbol, []).append(adapter)
+
+    def process_next_sim_timeslice(self, now):
+        while self._pending is not None:
+            t, row = self._pending
+            if t > now:
+                return t
+            self.process_row(row)
+            self._pending = next(self._rows, None)
+        return None
+
+    def process_row(self, row):
+        sym_col = self._rep._symbol_column
+        if sym_col is not None:
+            for adapter in self._inputs.get(row[sym_col], []):
+                adapter.process_dict(row)
+        for adapter in self._inputs.get("", []):  # subscribe_all
+            adapter.process_dict(row)
+
+
+class CSVReadAdapterImpl(ManagedSimInputAdapter):
+    """Runtime per-subscription half (reference csv.py:103-107)."""
+
+    def __init__(self, managerImpl, symbol, typ, field_map):
+        managerImpl.register_input_adapter(symbol, self)
+        super().__init__(typ, field_map)
+
+
+def CSVReadAdapter(mgr, symbol, typ, fieldMap=None, push_mode=None):
+    """Graph-time subscription via the runtime halves (reference
+    csv.py:109-111 builds this with py_managed_adapter_def; here the
+    def is built per call so the edge's value schema follows the
+    subscribed ``typ`` instead of one generic declaration)."""
+    from ..core.surface import ts as _ts
+
+    f = py_managed_adapter_def(
+        "csvadapter", CSVReadAdapterImpl, _ts[typ], type(mgr),
+        symbol=str, typ=object, fieldMap=(object, None),
+    )
+    return f(mgr, symbol, typ, fieldMap, push_mode=push_mode)
+
+
+__all__ += ["CSVReaderImpl", "CSVReadAdapterImpl", "CSVReadAdapter"]

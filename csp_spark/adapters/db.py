@@ -511,6 +511,11 @@ class DBReader:
     def subscribe_all(self, typ=None, field_map=None, push_mode=None):
         return self._subscribe(None, typ, field_map, push_mode)
 
+    def _create(self, engine, memo):
+        """Runtime-half factory (reference db.py:309): subclasses
+        override this to swap in a customized DBReaderImpl."""
+        return DBReaderImpl(engine, self)
+
     # ------------------------------------------------------ internals
     def _qualified_table(self) -> str:
         if self._schema_name:
@@ -833,3 +838,153 @@ def _inline_params(sql: str, params: list) -> str:
         else:
             out.append(ch)
     return "".join(out)
+
+
+# ---------------------------------------------------------------------
+# Runtime halves (reference db.py:312-440): the managed-sim classes a
+# user program may SUBCLASS. The Spark backends above stay the default
+# DBReader.subscribe; these drive the shared driver-side timeslice
+# loop in csp_spark.impl.adaptermanager over a DB-API cursor — the
+# reference's own execution shape (it pulls one sqlalchemy result set;
+# this pulls one DB-API result set, no sqlalchemy dependency). Symbol
+# routing happens at dispatch: functionally the reference's
+# symbol-IN-constraint, applied driver-side on the authoring surface.
+
+from ..impl.adaptermanager import (  # noqa: E402
+    AdapterManagerImpl, ManagedSimInputAdapter, py_managed_adapter_def,
+)
+
+
+class DBReaderImpl(AdapterManagerImpl):
+    """Runtime manager half (reference db.py:312-425)."""
+
+    def __init__(self, engine, adapterRep):
+        super().__init__(engine)
+        self._rep = adapterRep
+        self._inputs: dict = {}
+        self._rows = None
+        self._pending = None
+
+    def _row_iter(self, starttime, endtime):
+        rep = self._rep
+        if isinstance(rep._connection, str):
+            raise RuntimeError(
+                "DBReaderImpl runs a driver-side DB-API cursor; a "
+                "jdbc: URL reader has no cursor — use "
+                "DBReader.subscribe (the Spark pushdown backend)"
+            )
+        from ..plans.runtime import _run_info_stack
+
+        # borrow the reader's own SQL composition under a synthetic
+        # window frame so the WHERE/ORDER BY match the batch backend
+        _run_info_stack.append(
+            {"start": starttime, "end": endtime, "realtime": False}
+        )
+        try:
+            sql, params = rep._compose_sql(None)
+        finally:
+            _run_info_stack.pop()
+        if rep._log_query:
+            import logging
+
+            logging.getLogger(__name__).info("DBReaderImpl query: %s", sql)
+        params = [
+            p.isoformat(sep=" ") if isinstance(p, _dt.datetime)
+            else p.isoformat() if isinstance(p, (_dt.date, _dt.time))
+            else p
+            for p in params
+        ]
+        cur = rep._raw_connection().cursor()
+        cur.execute(sql, params)
+        cols = [d[0] for d in cur.description]
+        acc = rep._time_accessor
+        for raw in cur:
+            row = dict(zip(cols, raw))
+            t = _row_time(acc, row)
+            yield t, row
+
+    def start(self, starttime, endtime):
+        self._rows = self._row_iter(starttime, endtime)
+        self._pending = next(self._rows, None)
+
+    def stop(self):
+        self._rows = None
+        self._pending = None
+
+    def register_input_adapter(self, symbol, adapter):
+        self._inputs.setdefault(symbol, []).append(adapter)
+
+    def process_next_sim_timeslice(self, now):
+        while self._pending is not None:
+            t, row = self._pending
+            if t > now:
+                return t
+            self.process_row(row)
+            self._pending = next(self._rows, None)
+        return None
+
+    def process_row(self, row):
+        sym_col = self._rep._symbol_column
+        if sym_col is not None and sym_col in row:
+            for adapter in self._inputs.get(row[sym_col], []):
+                adapter.process_dict(row, keep_none=False)
+        for adapter in self._inputs.get("", []):  # subscribe_all
+            adapter.process_dict(row, keep_none=False)
+
+
+def _row_time(accessor, row) -> _dt.datetime:
+    """Engine (naive-UTC) time of one cursor row: the accessor's
+    get_time, with sqlite's ISO-text timestamps parsed first and any
+    tz-aware result normalized back to the engine clock."""
+    tc = accessor.get_time_columns(None)
+    if tc:
+        for c in tc:
+            name = c[0] if isinstance(c, tuple) else c
+            v = row.get(name)
+            if isinstance(v, str):
+                try:
+                    row[name] = _dt.datetime.fromisoformat(v)
+                except ValueError:
+                    try:
+                        row[name] = _dt.date.fromisoformat(v)
+                    except ValueError:
+                        try:
+                            row[name] = _dt.time.fromisoformat(v)
+                        except ValueError:
+                            pass
+    t = accessor.get_time(row)
+    if t.tzinfo is not None:
+        t = t.astimezone(UTC).replace(tzinfo=None)
+    return t
+
+
+class DBReadAdapterImpl(ManagedSimInputAdapter):
+    """Runtime per-subscription half (reference db.py:432-436)."""
+
+    def __init__(self, managerImpl, symbol, typ, field_map):
+        managerImpl.register_input_adapter(symbol, self)
+        super().__init__(typ, field_map)
+
+
+def DBReadAdapter(mgr, symbol, typ, fieldMap=None, push_mode=None):
+    """Graph-time subscription via the runtime halves (reference
+    db.py:438-440; per-call def so the edge schema follows ``typ``)."""
+    from ..core.record import Struct
+    from ..core.surface import ts as _ts
+
+    # the reference's subscribe() feeds the query's select list from
+    # the subscription's fields — same bookkeeping for the direct form
+    if isinstance(fieldMap, dict):
+        mgr._requested_cols.update(fieldMap.keys())
+    elif isinstance(fieldMap, str):
+        mgr._requested_cols.add(fieldMap)
+    elif isinstance(typ, type) and issubclass(typ, Struct):
+        mgr._requested_cols.update(typ.__metadata__.keys())
+    f = py_managed_adapter_def(
+        "dbadapter", DBReadAdapterImpl, _ts[typ], type(mgr),
+        symbol=object, typ=object, fieldMap=(object, None),
+    )
+    return f(mgr, symbol, typ, fieldMap, push_mode=push_mode)
+
+
+__all__ += ["DBReaderImpl", "DBReadAdapterImpl", "DBReadAdapter"]

@@ -60,10 +60,60 @@ class ManagedSimInputAdapter:
     timeslice."""
 
     def __init__(self, typ: Any = None, field_map: Any = None):
+        from ..core.record import Struct
+
+        # the reference's construction rules (adaptermanager.py:29-37)
+        if field_map is None or isinstance(field_map, dict):
+            if isinstance(typ, type) and not (
+                typ is None or issubclass(typ, Struct)
+            ):
+                raise TypeError(
+                    "type must be csp.Struct when no fieldMap or dict "
+                    "fieldMap is used"
+                )
+        elif not isinstance(field_map, str):
+            raise TypeError(
+                "fieldMap should be str for single field mapping or "
+                "dict for csp.Struct mapping"
+            )
         self._typ = typ
+        self._type = typ  # reference attribute name
+        if field_map is None and isinstance(typ, type) and issubclass(
+            typ, Struct
+        ):
+            field_map = {k: k for k in typ.__metadata__}
         self._field_map = field_map
         self._engine: _SimEngine | None = None
         self._buffer: list = []  # (ts, order, value)
+
+    def start(self, starttime, endtime):
+        pass
+
+    def stop(self):
+        pass
+
+    def process_dict(self, data: dict, keep_none: bool = True):
+        """Reference adaptermanager.py:45-64 contract: convert one row
+        mapping into this adapter's type via the field map and tick it.
+        str field map -> a scalar edge from one column (None skips the
+        row); dict field map -> a struct built from the mapped columns,
+        each coerced to its declared field type."""
+        fm = self._field_map
+        if isinstance(fm, str):
+            v = data[fm]
+            if v is None:
+                return
+            value = v if isinstance(v, self._type) else self._type(v)
+        else:
+            meta = self._type.__metadata__
+            final = {}
+            for src, dst in (fm or {}).items():
+                v = data[src]
+                if keep_none or v is not None:
+                    dt_ = meta[dst]
+                    final[dst] = v if isinstance(v, dt_) else dt_(v)
+            value = self._type(**final)
+        self.push_tick(value)
 
     def push_tick(self, value) -> bool:
         eng = self._engine

@@ -1578,3 +1578,118 @@ def test_dbreader_partitioned_jdbc_read(spark, tmp_path):
     with pytest.raises(ValueError, match="together"):
         DBReader(url, TimestampAccessor("ts"), table_name="trades",
                  num_partitions=2, lower_bound=dt.datetime(2020, 1, 1))
+
+
+def test_csv_db_runtime_impl_halves(spark, tmp_path):
+    """r11: the managed-sim runtime halves (reference csv.py:49-113,
+    db.py:312-440) — CSVReadAdapter/DBReadAdapter subscriptions driven
+    by the shared timeslice loop match the Spark-scan subscribe path
+    tick-for-tick, and SUBCLASSING the impl (the reason these classes
+    are user-visible) customizes row handling."""
+    import sqlite3
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.csv import (
+        CSVReadAdapter, CSVReader, CSVReaderImpl, YYYYMMDD_TIME_formatter,
+    )
+    from csp.adapters.db import (
+        DBReadAdapter, DBReader, DBReaderImpl, TimestampAccessor,
+    )
+
+    path = str(tmp_path / "rt.csv")
+    lines = [
+        "time,symbol,price,size",
+        "20200101 09:30:00,AAPL,100.0,10",
+        "20200101 09:31:00,AAPL,101.0,20",
+        "20200101 09:31:00,IBM,50.0,5",
+        "20200102 09:30:00,AAPL,102.0,30",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    class Price(csp.Struct):
+        price: float
+        size: int
+
+    st, en = dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 1, 23, 59)
+
+    # --- CSV: runtime-half subscription == Spark-scan subscription
+    def g_csv():
+        r = CSVReader(path, YYYYMMDD_TIME_formatter("time"),
+                      symbol_column="symbol")
+        return {
+            "rt": CSVReadAdapter(r, "AAPL", Price),
+            "scan": r.subscribe("AAPL", Price),
+            "all_rt": CSVReadAdapter(r, "", Price),  # reference "": all
+        }
+
+    res = csp.run(g_csv, starttime=st, endtime=en)
+    as_tuples = lambda tks: [(t, v.price, v.size) for t, v in tks]
+    assert as_tuples(res["rt"]) == as_tuples(res["scan"])
+    assert len(res["all_rt"]) == 3
+    # csv columns arrive as text; process_dict coerced per field type
+    assert all(isinstance(v.price, float) and isinstance(v.size, int)
+               for _, v in res["rt"])
+
+    # --- DB: runtime-half subscription == DB-API Spark subscription
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE prices (ts TEXT, symbol TEXT, price REAL, size INTEGER)"
+    )
+    conn.executemany(
+        "INSERT INTO prices VALUES (?,?,?,?)",
+        [("2020-01-01 09:30:00", "AAPL", 100.0, 10),
+         ("2020-01-01 09:31:00", "AAPL", 101.0, 20),
+         ("2020-01-01 09:31:00", "IBM", 50.0, 5),
+         ("2020-01-02 09:30:00", "AAPL", 102.0, 30)],
+    )
+    conn.commit()
+
+    def g_db():
+        r = DBReader.create_from_connection(
+            conn, TimestampAccessor("ts", tz="UTC"),
+            table_name="prices", symbol_column="symbol",
+        )
+        return {
+            "rt": DBReadAdapter(r, "AAPL", Price),
+            "spark": r.subscribe("AAPL", Price),
+        }
+
+    res = csp.run(g_db, starttime=st, endtime=en)
+    assert as_tuples(res["rt"]) == as_tuples(res["spark"]) and len(
+        res["rt"]) == 2
+
+    # --- the subclass path: a custom impl that upcases a column
+    class ShoutingCSVReaderImpl(CSVReaderImpl):
+        def process_row(self, row):
+            row = dict(row, symbol=row["symbol"].lower())
+            super().process_row(row)
+
+    class ShoutingCSVReader(CSVReader):
+        def _create(self, engine, memo):
+            return ShoutingCSVReaderImpl(engine, self)
+
+    class Tagged(csp.Struct):
+        price: float
+        symbol: str
+
+    def g_sub():
+        r = ShoutingCSVReader(path, YYYYMMDD_TIME_formatter("time"),
+                              symbol_column="symbol")
+        return {"x": CSVReadAdapter(r, "aapl", Tagged)}
+
+    res = csp.run(g_sub, starttime=st, endtime=en)
+    assert [v.symbol for _, v in res["x"]] == ["aapl", "aapl"]
+
+    # jdbc-URL readers have no cursor for the driver-side impl half
+    def g_bad():
+        r = DBReader("jdbc:postgresql://h/db",
+                     TimestampAccessor("ts", tz="UTC"),
+                     table_name="prices", symbol_column="symbol")
+        return {"x": DBReadAdapter(r, "AAPL", Price)}
+
+    with pytest.raises(Exception, match="cursor|pushdown"):
+        csp.run(g_bad, starttime=st, endtime=en)
