@@ -186,11 +186,11 @@ class CSVReader:
                 df = df.filter(ts_col <= F.lit(frame["end"]))
         if isinstance(field_map, str):
             # scalar edge: csv columns are read as strings, cast to typ
-            _casts = {float: "double", int: "long", bool: "boolean",
-                      str: "string"}
+            from ..core.record import PY_TO_SPARK_SCALAR
+
             value = F.col(field_map)
-            if typ in _casts:
-                value = value.cast(_casts[typ])
+            if typ in PY_TO_SPARK_SCALAR:
+                value = value.cast(PY_TO_SPARK_SCALAR[typ])
         elif isinstance(typ, type) and issubclass(typ, Struct):
             fm = field_map or {
                 f: f for f in typ.__metadata__ if f in df.columns
@@ -231,65 +231,24 @@ class CSVReader:
 # the same execution shape the reference engine gives them.
 
 from ..impl.adaptermanager import (  # noqa: E402
-    AdapterManagerImpl, ManagedSimInputAdapter, py_managed_adapter_def,
+    ManagedSimInputAdapter, PendingRowManagerImpl, py_managed_adapter_def,
 )
 
 
-class CSVReaderImpl(AdapterManagerImpl):
+class CSVReaderImpl(PendingRowManagerImpl):
     """Runtime manager half (reference csv.py:49-100): one pass over
     the file in time order, routing each row to the adapters
-    registered for its symbol (and to every subscribe_all adapter)."""
+    registered for its symbol (and to every subscribe_all adapter).
+    The timeslice loop, tz normalization, and symbol dispatch live on
+    the shared PendingRowManagerImpl."""
 
-    def __init__(self, engine, adapterRep):
-        super().__init__(engine)
-        self._rep = adapterRep
-        self._inputs: dict = {}
-        self._rows = None       # iterator of (time, row) pairs
-        self._pending = None    # head of the iterator, not yet due
-
-    def start(self, starttime, endtime):
+    def _row_iter(self, starttime, endtime):
         import csv as _csv
 
         conv = self._rep._time_converter
-        fh = open(self._rep._filename, newline="")
-        reader = _csv.DictReader(fh, delimiter=self._rep._delimiter)
-
-        def timed():
-            with fh:
-                for row in reader:
-                    yield conv(row), row
-
-        self._rows = timed()
-        # fast-forward to the engine window (reference: replay begins
-        # at the first row >= starttime)
-        for t, row in self._rows:
-            if t >= starttime:
-                self._pending = (t, row)
-                break
-
-    def stop(self):
-        self._rows = None
-        self._pending = None
-
-    def register_input_adapter(self, symbol, adapter):
-        self._inputs.setdefault(symbol, []).append(adapter)
-
-    def process_next_sim_timeslice(self, now):
-        while self._pending is not None:
-            t, row = self._pending
-            if t > now:
-                return t
-            self.process_row(row)
-            self._pending = next(self._rows, None)
-        return None
-
-    def process_row(self, row):
-        sym_col = self._rep._symbol_column
-        if sym_col is not None:
-            for adapter in self._inputs.get(row[sym_col], []):
-                adapter.process_dict(row)
-        for adapter in self._inputs.get("", []):  # subscribe_all
-            adapter.process_dict(row)
+        with open(self._rep._filename, newline="") as fh:
+            for row in _csv.DictReader(fh, delimiter=self._rep._delimiter):
+                yield conv(row), row
 
 
 class CSVReadAdapterImpl(ManagedSimInputAdapter):

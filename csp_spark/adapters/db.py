@@ -575,7 +575,7 @@ class DBReader:
             return frame["start"], frame["end"]
         return None, None
 
-    def _compose_sql(self, symbol) -> tuple[str, list]:
+    def _compose_sql(self, symbol, symbols=None) -> tuple[str, list]:
         base = (
             f"({self._query}) AS __user_q"
             if self._query
@@ -594,6 +594,14 @@ class DBReader:
         if symbol is not None:
             where.append(f"{self._symbol_column} = ?")
             params.append(symbol)
+        elif symbols:
+            # runtime-half pushdown (reference db.py:404-406): every
+            # subscription names a symbol, so the database filters
+            where.append(
+                f"{self._symbol_column} IN "
+                f"({', '.join('?' for _ in symbols)})"
+            )
+            params.extend(symbols)
         if self._constraint is not None:
             if isinstance(self._constraint, tuple):
                 where.append(self._constraint[0])
@@ -691,10 +699,10 @@ class DBReader:
             # even when the db hands back text affinity or the replay
             # window is empty
             value = F.col(field_map)
-            _casts = {float: "double", int: "long", bool: "boolean",
-                      str: "string"}
-            if typ in _casts:
-                value = value.cast(_casts[typ])
+            from ..core.record import PY_TO_SPARK_SCALAR
+
+            if typ in PY_TO_SPARK_SCALAR:
+                value = value.cast(PY_TO_SPARK_SCALAR[typ])
         elif isinstance(typ, type) and issubclass(typ, Struct):
             # membership is case-insensitive like Spark's own column
             # resolution (a real database — e.g. Derby, Oracle —
@@ -851,19 +859,18 @@ def _inline_params(sql: str, params: list) -> str:
 # symbol-IN-constraint, applied driver-side on the authoring surface.
 
 from ..impl.adaptermanager import (  # noqa: E402
-    AdapterManagerImpl, ManagedSimInputAdapter, py_managed_adapter_def,
+    ManagedSimInputAdapter, PendingRowManagerImpl, py_managed_adapter_def,
 )
 
 
-class DBReaderImpl(AdapterManagerImpl):
-    """Runtime manager half (reference db.py:312-425)."""
+class DBReaderImpl(PendingRowManagerImpl):
+    """Runtime manager half (reference db.py:312-425). The timeslice
+    loop, tz normalization, and symbol dispatch live on the shared
+    PendingRowManagerImpl; this class owns the cursor: the reader's
+    own composed SQL plus — when every subscription is an explicit
+    symbol — the reference's ``symbol IN (...)`` pushdown."""
 
-    def __init__(self, engine, adapterRep):
-        super().__init__(engine)
-        self._rep = adapterRep
-        self._inputs: dict = {}
-        self._rows = None
-        self._pending = None
+    _keep_none = False  # DB rows carry SQL NULLs; unset beats None
 
     def _row_iter(self, starttime, endtime):
         rep = self._rep
@@ -875,13 +882,19 @@ class DBReaderImpl(AdapterManagerImpl):
             )
         from ..plans.runtime import _run_info_stack
 
+        # symbol pushdown: every registered subscription is known
+        # before the cursor opens; "" (subscribe_all) disables it
+        symbols = (
+            sorted(self._inputs) if self._inputs and
+            "" not in self._inputs and rep._symbol_column else None
+        )
         # borrow the reader's own SQL composition under a synthetic
         # window frame so the WHERE/ORDER BY match the batch backend
         _run_info_stack.append(
             {"start": starttime, "end": endtime, "realtime": False}
         )
         try:
-            sql, params = rep._compose_sql(None)
+            sql, params = rep._compose_sql(None, symbols=symbols)
         finally:
             _run_info_stack.pop()
         if rep._log_query:
@@ -894,68 +907,39 @@ class DBReaderImpl(AdapterManagerImpl):
             else p
             for p in params
         ]
-        cur = rep._raw_connection().cursor()
+        conn = rep._raw_connection()
+        if not hasattr(conn, "cursor") and hasattr(conn, "raw_connection"):
+            conn = conn.raw_connection()  # SQLAlchemy engine -> DBAPI
+        cur = conn.cursor()
         cur.execute(sql, params)
         cols = [d[0] for d in cur.description]
         acc = rep._time_accessor
+        # hoisted per-row work: the accessor's time column names
+        tc = acc.get_time_columns(None) or []
+        tcols = [c[0] if isinstance(c, tuple) else c for c in tc]
         for raw in cur:
             row = dict(zip(cols, raw))
-            t = _row_time(acc, row)
+            for name in tcols:
+                v = row.get(name)
+                if isinstance(v, str):
+                    row[name] = _parse_temporal(v)
+            t = acc.get_time(row)
+            if t.tzinfo is not None:
+                t = t.astimezone(UTC).replace(tzinfo=None)
             yield t, row
 
-    def start(self, starttime, endtime):
-        self._rows = self._row_iter(starttime, endtime)
-        self._pending = next(self._rows, None)
 
-    def stop(self):
-        self._rows = None
-        self._pending = None
-
-    def register_input_adapter(self, symbol, adapter):
-        self._inputs.setdefault(symbol, []).append(adapter)
-
-    def process_next_sim_timeslice(self, now):
-        while self._pending is not None:
-            t, row = self._pending
-            if t > now:
-                return t
-            self.process_row(row)
-            self._pending = next(self._rows, None)
-        return None
-
-    def process_row(self, row):
-        sym_col = self._rep._symbol_column
-        if sym_col is not None and sym_col in row:
-            for adapter in self._inputs.get(row[sym_col], []):
-                adapter.process_dict(row, keep_none=False)
-        for adapter in self._inputs.get("", []):  # subscribe_all
-            adapter.process_dict(row, keep_none=False)
-
-
-def _row_time(accessor, row) -> _dt.datetime:
-    """Engine (naive-UTC) time of one cursor row: the accessor's
-    get_time, with sqlite's ISO-text timestamps parsed first and any
-    tz-aware result normalized back to the engine clock."""
-    tc = accessor.get_time_columns(None)
-    if tc:
-        for c in tc:
-            name = c[0] if isinstance(c, tuple) else c
-            v = row.get(name)
-            if isinstance(v, str):
-                try:
-                    row[name] = _dt.datetime.fromisoformat(v)
-                except ValueError:
-                    try:
-                        row[name] = _dt.date.fromisoformat(v)
-                    except ValueError:
-                        try:
-                            row[name] = _dt.time.fromisoformat(v)
-                        except ValueError:
-                            pass
-    t = accessor.get_time(row)
-    if t.tzinfo is not None:
-        t = t.astimezone(UTC).replace(tzinfo=None)
-    return t
+def _parse_temporal(v: str):
+    """sqlite hands back ISO text for datetime/date/time columns;
+    parse whichever form this value is (unparseable text passes
+    through for the accessor to reject)."""
+    for parse in (_dt.datetime.fromisoformat, _dt.date.fromisoformat,
+                  _dt.time.fromisoformat):
+        try:
+            return parse(v)
+        except ValueError:
+            continue
+    return v
 
 
 class DBReadAdapterImpl(ManagedSimInputAdapter):

@@ -86,6 +86,16 @@ def _unwrap_optional(py: Any) -> tuple[Any, bool]:
     return py, False
 
 
+#: scalar subscription cast targets shared by the file/db adapters
+#: (one table so the adapters can't drift; DDL strings, usable with
+#: Column.cast)
+PY_TO_SPARK_SCALAR = {
+    float: "double", int: "long", bool: "boolean", str: "string",
+    __import__("datetime").datetime: "timestamp",
+    __import__("datetime").date: "date",
+}
+
+
 def _spark_type(py: Any) -> T.DataType:
     py, _ = _unwrap_optional(py)
     # under `from __future__ import annotations` class annotations are

@@ -21,8 +21,30 @@ import datetime as _dt
 from typing import Any
 
 __all__ = [
-    "AdapterManagerImpl", "ManagedSimInputAdapter", "py_managed_adapter_def",
+    "AdapterManagerImpl", "PendingRowManagerImpl",
+    "ManagedSimInputAdapter", "py_managed_adapter_def",
 ]
+
+_FALSEY = {"false", "f", "no", "n", "0", ""}
+_TRUTHY = {"true", "t", "yes", "y", "1"}
+
+
+def _coerce(value, typ):
+    """Field coercion for process_dict. One deliberate deviation from
+    the reference's bare ``typ(value)``: bool from TEXT rows parses
+    'False'/'0' as False (bool('False') is True in Python — the Spark
+    scan path casts the same column to boolean correctly, and the two
+    paths must agree)."""
+    if isinstance(value, typ):
+        return value
+    if typ is bool and isinstance(value, str):
+        s = value.strip().lower()
+        if s in _TRUTHY:
+            return True
+        if s in _FALSEY:
+            return False
+        raise ValueError(f"cannot parse {value!r} as bool")
+    return typ(value)
 
 
 class _SimEngine:
@@ -52,6 +74,80 @@ class AdapterManagerImpl:
         """Push all of timeslice ``now``'s ticks; return the next
         event's datetime, or None when the source is exhausted."""
         raise NotImplementedError
+
+
+class PendingRowManagerImpl(AdapterManagerImpl):
+    """Shared managed-sim manager half for row-source adapters (CSV,
+    DB): subclasses supply ``_row_iter(starttime, endtime)`` yielding
+    time-ordered ``(time, row_dict)`` pairs; this base owns the
+    pending-row timeslice loop, tz normalization to the naive-UTC
+    engine clock, symbol routing, and subscribe_all ("") dispatch —
+    one implementation so the two adapters can never drift."""
+
+    #: subclasses set this to the symbol column name (or None)
+    _symbol_column_attr = "_symbol_column"
+
+    def __init__(self, engine, adapterRep):
+        super().__init__(engine)
+        self._rep = adapterRep
+        self._inputs: dict = {}
+        self._rows = None
+        self._pending = None
+
+    # ------------------------------------------------------- contract
+    def _row_iter(self, starttime, endtime):
+        raise NotImplementedError
+
+    #: keep_none passed to process_dict (DB rows may carry SQL NULLs;
+    #: csv text rows never do)
+    _keep_none = True
+
+    # ------------------------------------------------------- lifecycle
+    def start(self, starttime, endtime):
+        self._rows = self._normalized(self._row_iter(starttime, endtime))
+        # fast-forward to the engine window (replay begins at the
+        # first row >= starttime)
+        for t, row in self._rows:
+            if t >= starttime:
+                self._pending = (t, row)
+                break
+
+    @staticmethod
+    def _normalized(it):
+        for t, row in it:
+            if t.tzinfo is not None:
+                # engine clock is naive UTC
+                t = t.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            yield t, row
+
+    def stop(self):
+        self._rows = None
+        self._pending = None
+
+    def register_input_adapter(self, symbol, adapter):
+        self._inputs.setdefault(symbol, []).append(adapter)
+
+    def process_next_sim_timeslice(self, now):
+        while self._pending is not None:
+            t, row = self._pending
+            if t > now:
+                return t
+            self.process_row(row)
+            self._pending = next(self._rows, None)
+        return None
+
+    def process_row(self, row):
+        sym_col = getattr(self._rep, self._symbol_column_attr, None)
+        targets = []
+        if sym_col is not None and sym_col in row:
+            targets.extend(self._inputs.get(row[sym_col], []))
+        for adapter in self._inputs.get("", []):  # subscribe_all
+            # a row whose symbol cell IS the empty string must not be
+            # delivered twice to the same adapter
+            if adapter not in targets:
+                targets.append(adapter)
+        for adapter in targets:
+            adapter.process_dict(row, keep_none=self._keep_none)
 
 
 class ManagedSimInputAdapter:
@@ -103,15 +199,14 @@ class ManagedSimInputAdapter:
             v = data[fm]
             if v is None:
                 return
-            value = v if isinstance(v, self._type) else self._type(v)
+            value = _coerce(v, self._type)
         else:
             meta = self._type.__metadata__
             final = {}
             for src, dst in (fm or {}).items():
                 v = data[src]
                 if keep_none or v is not None:
-                    dt_ = meta[dst]
-                    final[dst] = v if isinstance(v, dt_) else dt_(v)
+                    final[dst] = _coerce(v, meta[dst])
             value = self._type(**final)
         self.push_tick(value)
 

@@ -103,6 +103,10 @@ class CspGraphObjectsMemCache:
             raise RuntimeError(f"Unsupported sort_by value {sort_by}")
         res: dict = {}
         for key in self._instantiated_objects:
+            # user objects (set_user_object) may use arbitrary keys —
+            # the stats report covers graph-function instantiations
+            if not isinstance(key, GraphFunctionObjectKey):
+                continue
             name = key.func.__name__
             res[name] = res.get(name, 0) + 1
         if sort_by == "name":

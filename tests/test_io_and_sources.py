@@ -1693,3 +1693,111 @@ def test_csv_db_runtime_impl_halves(spark, tmp_path):
 
     with pytest.raises(Exception, match="cursor|pushdown"):
         csp.run(g_bad, starttime=st, endtime=en)
+
+
+def test_runtime_halves_review_fixes(spark, tmp_path):
+    """r11 round-diff review regressions: tz-aware converters through
+    the CSV runtime half, bool coercion from text rows, empty-symbol
+    rows not double-delivered, the DB impl's symbol IN pushdown, and
+    SQLAlchemy-engine cursor unwrapping."""
+    import sqlite3
+    import zoneinfo
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.csv import CSVReadAdapter, CSVReader, time_converter
+    from csp.adapters.db import DBReader, TimestampAccessor
+    from csp.impl.adaptermanager import ManagedSimInputAdapter
+
+    st, en = dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2)
+
+    # --- tz-aware converter: runtime half == Spark scan path (both
+    # must land on the naive-UTC engine clock)
+    path = str(tmp_path / "tz.csv")
+    with open(path, "w") as f:
+        f.write("time,symbol,price,is_open\n"
+                "2020-01-01 04:30:00,AAPL,1.5,True\n"
+                "2020-01-01 05:30:00,AAPL,2.5,False\n"
+                ",,0.0,False\n".replace(",,", "2020-01-01 06:00:00,,"))
+    ny = zoneinfo.ZoneInfo("America/New_York")
+    conv = time_converter("time", "%Y-%m-%d %H:%M:%S", tz=ny)
+
+    class Quote(csp.Struct):
+        price: float
+        is_open: bool
+
+    def g():
+        r = CSVReader(path, conv, symbol_column="symbol")
+        return {
+            "rt": CSVReadAdapter(r, "AAPL", Quote),
+            "scan": r.subscribe("AAPL", Quote),
+            "all": CSVReadAdapter(r, "", Quote),
+        }
+
+    res = csp.run(g, starttime=st, endtime=en)
+    tup = lambda tks: [(t, v.price, v.is_open) for t, v in tks]
+    assert tup(res["rt"]) == tup(res["scan"])
+    # NY 04:30 local = 09:30 UTC; bool 'False' text parses as False
+    assert tup(res["rt"]) == [
+        (dt.datetime(2020, 1, 1, 9, 30), 1.5, True),
+        (dt.datetime(2020, 1, 1, 10, 30), 2.5, False),
+    ]
+    # the empty-symbol row reaches subscribe_all exactly ONCE
+    assert len(res["all"]) == 3
+
+    # --- bool coercion rejects garbage loudly
+    a = ManagedSimInputAdapter(bool, "b")
+    with pytest.raises(ValueError, match="bool"):
+        a.process_dict({"b": "maybe"})
+
+    # --- DB symbol pushdown: explicit subscriptions compose IN (...)
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE p (ts TEXT, symbol TEXT, price REAL)")
+    reader = DBReader.create_from_connection(
+        conn, TimestampAccessor("ts", tz="UTC"),
+        table_name="p", symbol_column="symbol",
+    )
+    reader._requested_cols.add("price")
+    sql, params = reader._compose_sql(None, symbols=["AAPL", "IBM"])
+    assert "symbol IN (?, ?)" in sql and params[-2:] == ["AAPL", "IBM"]
+
+    # --- SQLAlchemy-engine-shaped connections unwrap to a DBAPI cursor
+    class FakeEngine:  # sqlalchemy.Engine duck shape: no .cursor()
+        def __init__(self, dbapi):
+            self._dbapi = dbapi
+
+        def raw_connection(self):
+            return self._dbapi
+
+    conn.execute("INSERT INTO p VALUES ('2020-01-01 10:00:00','AAPL',7.0)")
+    conn.commit()
+
+    class Px(csp.Struct):
+        price: float
+
+    from csp.adapters.db import DBReadAdapter
+
+    def g2():
+        r = DBReader.create_from_connection(
+            FakeEngine(conn), TimestampAccessor("ts", tz="UTC"),
+            table_name="p", symbol_column="symbol",
+        )
+        return {"x": DBReadAdapter(r, "AAPL", Px)}
+
+    res2 = csp.run(g2, starttime=st, endtime=en)
+    assert [(t, v.price) for t, v in res2["x"]] == [
+        (dt.datetime(2020, 1, 1, 10, 0), 7.0)
+    ]
+
+    # --- mem_cache: user objects with arbitrary keys don't break stats
+    from csp.impl.mem_cache import (
+        CspGraphObjectsMemCache, GraphFunctionObjectKey,
+    )
+
+    c = CspGraphObjectsMemCache()
+    with c:
+        c.set_user_object(GraphFunctionObjectKey(func=g2, args=("u",)), 1)
+        c._instantiated_objects["arbitrary"] = 2  # user-style key
+        assert c.get_object_stats() == {"g2": 1}
