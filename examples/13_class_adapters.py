@@ -104,6 +104,55 @@ def main() -> None:
     print("Kafka publish wire:", [(r.key, r.value) for r in frames])
     assert [r.key for r in frames] == ["3", "4"]
 
+    # --------------------------- runtime halves (r11): the SUBCLASS path
+    # reference programs that customize CSVReaderImpl/DBReaderImpl port
+    # unchanged — the managed-sim timeslice loop drives them
+    from csp.adapters.csv import CSVReadAdapter, CSVReaderImpl
+
+    class DollarizeImpl(CSVReaderImpl):
+        def process_row(self, row):
+            row = dict(row, price=float(row["price"]) * 100)  # cents->$
+            super().process_row(row)
+
+    class DollarizeReader(CSVReader):
+        def _create(self, engine, memo):
+            return DollarizeImpl(engine, self)
+
+    def g():
+        r = DollarizeReader(path, YYYYMMDD_TIME_formatter("time"),
+                            symbol_column="symbol")
+        return {"x": CSVReadAdapter(r, "AAPL", Price)}
+
+    res = csp.run(g, starttime=START, endtime=START + dt.timedelta(days=1))
+    print("subclassed CSVReaderImpl:", [v.price for _, v in res["x"]])
+    assert [v.price for _, v in res["x"]] == [10000.0, 10150.0]
+
+    # --------------------- partitioned JDBC read (r11, embedded Derby)
+    # at scale, num_partitions=N turns the one-cursor read into N
+    # concurrent range-bracketed scans; SEQ derives from row data so
+    # (ts, seq) order is independent of the partition layout
+    derby = tempfile.mkdtemp()
+    url = f"jdbc:derby:{derby}/exdb;create=true"
+    jconn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    cur = jconn.createStatement()
+    cur.execute("CREATE TABLE trades (ts TIMESTAMP, symbol VARCHAR(8), "
+                "price DOUBLE, size INTEGER)")
+    for i in range(12):
+        t = (START + dt.timedelta(minutes=i)).isoformat(sep=" ")
+        cur.execute(f"INSERT INTO trades VALUES (TIMESTAMP('{t}'), "
+                    f"'AAPL', {100.0 + i}, {i})")
+    jconn.commit()
+    reader = DBReader(
+        url, TimestampAccessor("ts", tz="UTC"),
+        table_name="trades", symbol_column="symbol",
+        num_partitions=4,
+        lower_bound=START, upper_bound=START + dt.timedelta(minutes=11),
+    )
+    stream = reader.subscribe("AAPL", Price)
+    print("partitioned JDBC read:", stream.df.rdd.getNumPartitions(),
+          "partitions,", stream.df.count(), "rows")
+    assert stream.df.rdd.getNumPartitions() == 4
+
     print("OK")
 
 

@@ -1806,3 +1806,67 @@ def test_dbreader_dst_window_vs_pandas_oracle(spark, base_i, offs, win):
     want = sorted(zip(sel.utc.dt.to_pydatetime(), sel.v))
     got = sorted(res["e"])
     assert got == [(t, v) for t, v in want]
+
+
+@given(
+    offs=st.lists(st.integers(0, 3 * 24 * 60 - 1), min_size=1, max_size=14,
+                  unique=True),
+    win=st.tuples(st.integers(0, 3 * 24 * 60 - 1),
+                  st.integers(0, 3 * 24 * 60 - 1)),
+    tz_ny=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_dbreader_datetime_accessor_span_vs_pandas(spark, offs, win, tz_ny):
+    """DateTimeAccessor's three-conjunct span constraint (reference
+    db.py:136-156: date BETWEEN + boundary-day time exclusions) over
+    separate date/time-of-day TEXT columns must select exactly the
+    rows whose combined datetime falls in the replay window — checked
+    against a pandas combine-and-filter oracle, for single-day and
+    multi-day windows, naive-UTC and tz-labeled accessors alike."""
+    import sqlite3
+    import zoneinfo
+
+    import pandas as pd
+
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.db import DateTimeAccessor, DBReader
+
+    tz = "America/New_York" if tz_ny else "UTC"
+    base = dt.datetime(2020, 7, 6)  # DST-stable days in both zones
+    times = [base + dt.timedelta(minutes=m) for m in offs]
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE ev (d TEXT, t TEXT, v REAL)")
+    conn.executemany(
+        "INSERT INTO ev VALUES (?,?,?)",
+        [(x.date().isoformat(), x.time().isoformat(), float(i))
+         for i, x in enumerate(times)],
+    )
+    conn.commit()
+
+    zone = zoneinfo.ZoneInfo(tz)
+    utc = dt.timezone.utc
+    lo_local = base + dt.timedelta(minutes=min(win))
+    hi_local = base + dt.timedelta(minutes=max(win) + 1)
+    # engine window in naive UTC
+    lo = lo_local.replace(tzinfo=zone).astimezone(utc).replace(tzinfo=None)
+    hi = hi_local.replace(tzinfo=zone).astimezone(utc).replace(tzinfo=None)
+
+    def graph():
+        r = DBReader.create_from_connection(
+            conn, DateTimeAccessor("d", "t", tz=tz), table_name="ev",
+        )
+        return {"e": r.subscribe_all(float, field_map="v")}
+
+    res = csp.run(graph, starttime=lo, endtime=hi)
+
+    pdf = pd.DataFrame({"x": times, "v": [float(i) for i in range(len(times))]})
+    sel = pdf[(pdf.x >= lo_local) & (pdf.x <= hi_local)].copy()
+    sel["utc"] = (
+        pd.Series(sel.x).dt.tz_localize(tz).dt.tz_convert("UTC")
+        .dt.tz_localize(None)
+    )
+    want = sorted(zip(sel.utc.dt.to_pydatetime(), sel.v))
+    assert sorted(res["e"]) == [(t, v) for t, v in want]
