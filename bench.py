@@ -301,7 +301,14 @@ def main() -> None:
                  "r10 driver reading 2.92 was the busy-box inflation "
                  "(r10 median per-query ratio 1.19x): AMBIENT. "
                  "No bench-set query code changed in r11 (adapter "
-                 "surfaces + portability exports only).",
+                 "surfaces + portability exports only). r11 "
+                 "end-of-session settled local run (q1 cold 1.18 "
+                 "sanity-clean): headline 46.07/28.30 vs r9 "
+                 "43.7/27.4 (ambient band), r2 23.0/11.3, r4 "
+                 "36.8/21.5, r8 13.10/9.00 (vs r9 13.1/8.4) — and "
+                 "the two adjudicated queries read ann_pq_topk 2.62 "
+                 "/ ann_knn_join 1.84 cold in bench context, both "
+                 "inside their r9 bands, sealing AMBIENT.",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
