@@ -59,6 +59,7 @@ from .plans.runtime import (
     attached,
     engine_end_time,
     engine_start_time,
+    engine_window,
     in_realtime,
     is_configured_realtime,
     csp_memoized,

@@ -476,3 +476,39 @@ class Struct(metaclass=StructMeta):
         return s.with_df(
             s.df.withColumn(s.value_col, packed), s.value_col
         )
+
+    @classmethod
+    def collectts(cls, fields: Mapping[str, Any] | None = None, **kw):
+        """Typed struct_collectts (reference struct.py:211-215:
+        ``MyData.collectts(b=..., i=...)``): fields that ticked on the
+        same engine cycle packed into this record, absent fields
+        unset/NULL."""
+        from ..operators.baselib import struct_collectts
+
+        fields = {**(dict(fields) if fields else {}), **kw}
+        s = struct_collectts(dict(fields))
+        packed = cls.pack(
+            **{k: F.col(f"{s.value_col}.{k}") for k in fields}
+        )
+        return s.with_df(
+            s.df.withColumn(s.value_col, packed), s.value_col
+        )
+
+    @classmethod
+    def metadata(cls, typed: bool = False):
+        """reference struct.py:187-191 — field-name -> type mapping
+        (``typed`` is accepted for signature parity; field types here
+        are already the python types)."""
+        return dict(cls.__metadata__)
+
+    @classmethod
+    def default_field_map(cls):
+        """reference struct.py:318-326 — the identity field map the
+        adapters build when none is given, nested structs recursing."""
+        fm = {}
+        for k, v in cls.__metadata__.items():
+            if isinstance(v, type) and issubclass(v, Struct):
+                fm[k] = {k: v.default_field_map()}
+            else:
+                fm[k] = k
+        return fm

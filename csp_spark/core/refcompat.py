@@ -58,7 +58,8 @@ def _coerce(v: Any) -> Any:
     if isinstance(v, Struct):
         return v.to_dict()
     if isinstance(v, _np.ndarray):
-        return [float(e) for e in v]
+        # N-d arrays nest (e.g. a covariance matrix constant)
+        return v.tolist()
     return v
 
 
@@ -89,7 +90,15 @@ def const(*args: Any, **kwargs: Any) -> TickStream:
             "csp.const(value) needs an engine start time — call it "
             "inside csp.run(..., starttime=...) or pass start="
         )
-    vt = kwargs.pop("value_type", None) or _type_ddl(type(value))
+    vt = kwargs.pop("value_type", None)
+    if vt is None:
+        import numpy as _np
+
+        if isinstance(value, _np.ndarray) and value.ndim > 1:
+            # N-d constants (e.g. a covariance matrix) nest the DDL
+            vt = "array<" * value.ndim + "double" + ">" * value.ndim
+        else:
+            vt = _type_ddl(type(value))
     return _bl.const(
         _ambient_spark(), _coerce(value), start, delay=delay,
         value_type=vt, **kwargs,

@@ -237,9 +237,28 @@ class TickStream:
 
         return _run(lambda: self, *args, **kwargs)
 
-    def apply(self, fn, result_type: str = "double") -> "TickStream":
+    def apply(self, fn, *args, **kwargs) -> "TickStream":
+        """Reference Edge.apply (wiring/edge.py:214-233): ``fn`` per
+        tick value; a ``(fn, typ)`` tuple names a DIFFERENT output
+        type (default: the input type, so array edges stay arrays);
+        extra args/kwargs partial-apply. Back-compat: a single string
+        second positional is the csp_spark DDL result_type form."""
         from ..operators.baselib import apply_
 
+        result_type = None
+        if isinstance(fn, tuple):
+            fn, result_type = fn
+        if len(args) == 1 and isinstance(args[0], str) and not kwargs:
+            result_type, args = args[0], ()
+        if result_type is None:
+            result_type = dict(self.df.dtypes)[self.value_col]
+        elif isinstance(result_type, type):
+            from .record import _spark_type
+
+            result_type = _spark_type(result_type).simpleString()
+        if args or kwargs:
+            _f, _a, _k = fn, args, kwargs
+            fn = lambda x: _f(x, *_a, **_k)  # noqa: E731
         return apply_(self, fn, result_type)
 
     def _binop(self, other, col_fn, swap: bool = False):
@@ -248,8 +267,24 @@ class TickStream:
 
             a, b = (other, self) if swap else (self, other)
             return binary_op(a, b, col_fn)
-        lit = F.lit(other)
         this = F.col(self.value_col)
+        if dict(self.df.dtypes)[self.value_col].startswith("array"):
+            # numpy broadcast semantics on array edges (the reference's
+            # edges carry np arrays): vector other -> elementwise
+            # zip_with, scalar other -> transform
+            import numpy as _np
+
+            if isinstance(other, (list, tuple, _np.ndarray)):
+                arr = F.array(*[F.lit(float(x)) for x in other])
+                fn = (lambda a, b: col_fn(b, a)) if swap else col_fn
+                return self.with_df(self.df.withColumn(
+                    self.value_col, F.zip_with(this, arr, fn)))
+            lit = F.lit(other)
+            fn = (lambda a: col_fn(lit, a)) if swap else (
+                lambda a: col_fn(a, lit))
+            return self.with_df(self.df.withColumn(
+                self.value_col, F.transform(this, fn)))
+        lit = F.lit(other)
         args = (lit, this) if swap else (this, lit)
         return self.with_df(self.df.withColumn(self.value_col, col_fn(*args)))
 

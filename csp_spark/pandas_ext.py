@@ -170,6 +170,49 @@ class TsArray(ExtensionArray, ExtensionScalarOpsMixin):
 
     # elementwise ops delegate to the edges' dunders
 
+    def _reduce(self, name, *, skipna: bool = True, keepdims: bool = False,
+                **kwargs):
+        """Reductions over a Series of EDGES produce one edge (the
+        reference pandas extension's semantics: sum/mean/min/max/prod
+        fold the aligned last values across the basket). NaN edges
+        (missing) are dropped like skipna."""
+        edges = [e for e in self._data
+                 if e is not None and not (isinstance(e, float))]
+        if not edges:
+            raise TypeError(f"cannot reduce an empty ts series: {name}")
+        import operator as _op
+
+        from .core.ticks import TickStream  # noqa: F401
+
+        def _fold(op):
+            out = edges[0]
+            for e in edges[1:]:
+                out = op(out, e)
+            return out
+
+        if name == "sum":
+            res = _fold(_op.add)
+        elif name == "prod":
+            res = _fold(_op.mul)
+        elif name == "mean":
+            res = _fold(_op.add) / float(len(edges))
+        elif name == "min":
+            from . import math as _m
+
+            res = _fold(lambda a, b: _m.min(a, b))
+        elif name == "max":
+            from . import math as _m
+
+            res = _fold(lambda a, b: _m.max(a, b))
+        else:
+            raise TypeError(
+                f"'TsArray' with dtype {self.dtype} does not support "
+                f"reduction '{name}'"
+            )
+        if keepdims:
+            return type(self)([res], dtype=self._dtype)
+        return res
+
 
 TsArray._add_arithmetic_ops()
 TsArray._add_comparison_ops()
@@ -184,6 +227,11 @@ def _collect_edges(edges: "list[tuple[Any, TickStream]]",
     {cell_label: [(ts, value), ...] in engine order}."""
     if not edges:
         return {}
+    # reference run() signature: endtime may be a timedelta from start
+    if isinstance(endtime, _dt.timedelta):
+        if starttime is None:
+            raise ValueError("endtime as a timedelta needs starttime")
+        endtime = starttime + endtime
     parts = []
     for pos, (_, e) in enumerate(edges):
         d = e.df.select(
@@ -227,9 +275,13 @@ class CspSeriesAccessor(_EdgeItems):
         self._obj = obj
 
     def apply(self, func, *args, **kwargs) -> pd.Series:
-        """Elementwise edge transform: ``s.csp.apply(csp.ema, alpha=.1)``."""
+        """Reference pandas_accessor.py:179-196: Edge.apply per cell —
+        ``func`` maps each VALUE of each edge (``s.csp.apply(np.log)``);
+        a ``(func, typ)`` tuple names a different output type. For
+        edge-level transforms (e.g. csp.ema) use ``pipe``."""
         out = [
-            func(e, *args, **kwargs) if isinstance(e, TickStream) else e
+            e.apply(func, *args, **kwargs) if isinstance(e, TickStream)
+            else e
             for e in self._obj
         ]
         return pd.Series(
@@ -276,15 +328,16 @@ class CspSeriesAccessor(_EdgeItems):
 
 @register_series_accessor("to_csp")
 class ToCspSeriesAccessor:
-    """Reference pandas_accessor.py:389: lift a DatetimeIndex-ed pandas
-    Series into an edge (csp.curve of its (time, value) pairs)."""
+    """Reference pandas_accessor.py:388-428: lift a DatetimeIndex-ed
+    pandas Series into an edge; a MultiIndex (outer labels, inner
+    DatetimeIndex — the shape ``df.csp.run`` returns) lifts into a
+    Series of edges per outer label (TsDtype). ``spark`` is optional
+    (ambient session); reference calls pass drop_na first."""
 
     def __init__(self, obj: pd.Series):
         self._obj = obj
 
-    def __call__(self, spark, drop_na: bool = False,
-                 key: str = GLOBAL_KEY) -> TickStream:
-        s = self._obj
+    def _lift_one(self, spark, s, drop_na, key) -> TickStream:
         if drop_na:
             s = s.dropna()
         idx = s.index.get_level_values(-1) if s.index.nlevels > 1 else s.index
@@ -304,23 +357,74 @@ class ToCspSeriesAccessor:
         )
         return TickStream(df)
 
+    def __call__(self, spark=None, drop_na: bool = False,
+                 key: str = GLOBAL_KEY):
+        if isinstance(spark, bool):  # reference form: to_csp(drop_na)
+            spark, drop_na = None, spark
+        if spark is None:
+            from .core.session import get_spark
+
+            spark = get_spark()
+        s = self._obj
+        if s.index.nlevels == 1:
+            return self._lift_one(spark, s, drop_na, key)
+        if not isinstance(s.index.levels[-1], pd.DatetimeIndex):
+            raise TypeError(
+                "Last (innermost) index must be of type DatetimeIndex"
+            )
+        levels = list(range(s.index.nlevels - 1))
+        lifted = s.groupby(level=levels, group_keys=False).apply(
+            lambda sub: self._lift_one(
+                spark, sub.droplevel(levels), drop_na,
+                str(sub.index[0][0]) if len(levels) == 1
+                else str(tuple(sub.index[0][:-1])),
+            )
+        )
+        return lifted.astype(TsDtype(float))
+
+    def _static_agg(self, agg: str = "last"):
+        """reference pandas_accessor.py:413-428: aggregate across the
+        time dimension (used by the frame to_csp for static columns)."""
+        s = self._obj
+        if s.index.nlevels == 1:
+            if not isinstance(s.index, pd.DatetimeIndex):
+                raise TypeError("Index must be of type DatetimeIndex")
+            return s.groupby(np.zeros(len(s))).agg(agg).loc[0]
+        if not isinstance(s.index.levels[-1], pd.DatetimeIndex):
+            raise TypeError(
+                "Last (innermost) index must be of type DatetimeIndex"
+            )
+        levels = list(range(s.index.nlevels - 1))
+        return s.groupby(level=levels, group_keys=False).agg(agg)
+
 
 @register_dataframe_accessor("to_csp")
 class ToCspFrameAccessor:
-    """Reference pandas_accessor.py:640: lift a DatetimeIndex-ed pandas
-    frame into a dict of edges — one per (selected) column, each the
-    column's (time, value) curve."""
+    """Reference pandas_accessor.py:639-663: lift a pandas frame back
+    into edges — selected ``columns`` become edge(-series) columns,
+    the rest aggregate across time with ``agg``. A flat DatetimeIndex
+    returns the dict-of-edges form; a MultiIndex (``df.csp.run``
+    output) returns a DataFrame of TsDtype columns — the round-trip
+    the reference example runs."""
 
     def __init__(self, obj: pd.DataFrame):
         self._obj = obj
 
-    def __call__(self, spark, columns=None, agg: str = "last",
-                 drop_na: bool = False, key: str = GLOBAL_KEY) -> dict:
-        cols = list(columns) if columns is not None else list(self._obj.columns)
-        return {
-            c: self._obj[c].to_csp(spark, drop_na=drop_na, key=key)
-            for c in cols
-        }
+    def __call__(self, spark=None, columns=None, agg: str = "last",
+                 drop_na: bool = False, key: str = GLOBAL_KEY):
+        if isinstance(spark, (list, tuple)):  # reference: to_csp(columns)
+            spark, columns = None, spark
+        outputs = {}
+        for col in self._obj.columns:
+            series = self._obj[col]
+            if columns is None or col in columns:
+                outputs[col] = series.to_csp(spark, drop_na=drop_na,
+                                             key=key)
+            else:
+                outputs[col] = series.to_csp._static_agg(agg)
+        if self._obj.index.nlevels == 1:
+            return outputs
+        return pd.DataFrame(outputs, columns=self._obj.columns)
 
 
 @register_dataframe_accessor("csp")

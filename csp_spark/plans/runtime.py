@@ -53,6 +53,39 @@ def _clip(x: TickStream, start, end) -> TickStream:
     return x.with_df(df)
 
 
+class engine_window:
+    """Beyond-reference helper: a bounded engine frame for MODULE-SCOPE
+    wiring. The reference's pandas-extension example builds edges
+    outside ``csp.run`` (edges are graph descriptions there, bounded
+    only at run time); this engine's bounded sources (``csp.timer``,
+    ``csp.curve``...) resolve their grids at WIRING time, so wiring
+    outside a run needs the bounds up front::
+
+        with csp_spark.engine_window(start, end):
+            trigger = csp.timer(timedelta(seconds=2))
+            ...build the frame / edges...
+        edge.run(starttime=start, endtime=end)
+
+    Reentrant (frames nest like csp.run's own).
+    """
+
+    def __init__(self, starttime, endtime, realtime: bool = False):
+        if isinstance(endtime, _dt.timedelta):
+            endtime = starttime + endtime
+        self._frame = {
+            "start": starttime, "end": endtime, "realtime": bool(realtime),
+            "feedbacks": [], "push_captures": [], "sink_nodes": [],
+        }
+
+    def __enter__(self):
+        _run_info_stack.append(self._frame)
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        _run_info_stack.pop()
+        return False
+
+
 def run(
     graph_fn: Callable[..., Mapping[str, TickStream] | TickStream],
     *args: Any,

@@ -11,13 +11,77 @@ retry-independent) — see sources/random_gen.py.
 """
 
 from .sources.random_gen import (
-    brownian_motion,
+    brownian_motion as _brownian_scalar,
     brownian_motion_1d,
     brownian_motion_nd,
     hash_normal,
     hash_uniform,
     poisson_timer,
 )
+
+
+def _as_seed(seed) -> int:
+    """Reference contract: seed is anything np.random.default_rng
+    accepts (or a Generator); the hash-draw kernels need one int."""
+    import numpy as _np
+
+    if isinstance(seed, (int, _np.integer)):
+        return int(seed)
+    rng = seed if isinstance(seed, _np.random.Generator) \
+        else _np.random.default_rng(seed)
+    return int(rng.integers(1, 2**31 - 1))
+
+
+def _const_edge_value(edge, what: str):
+    """The single constant value of a parameter edge (the reference
+    accepts time-VARYING ts drift/covariance; this engine folds the
+    Cholesky at plan-build time, so the parameters must be const)."""
+    from .core.ticks import VALUE
+
+    rows = edge.df.select(VALUE).distinct().collect()
+    if len(rows) != 1:
+        raise NotImplementedError(
+            f"time-varying {what} is not supported here — pass a "
+            f"csp.const(...) edge (got {len(rows)} distinct values)"
+        )
+    return rows[0][0]
+
+
+def brownian_motion(trigger, drift=None, covariance=None, seed=42,
+                    return_increments=False, **kwargs):
+    """Reference signature (csp/random.py:70-133): N-dimensional
+    Brownian motion with ``ts`` drift/covariance edges and an
+    np.random seed — dispatched onto the constant-fold
+    :func:`brownian_motion_nd` kernel. The Spark-first SCALAR form
+    (``brownian_motion(trigger, drift=0.0, vol=1.0, ...)``, the common
+    case on keyed streams) is kept for plain-number arguments."""
+    from .core.ticks import TickStream
+
+    if covariance is None and not isinstance(drift, TickStream):
+        # scalar spark-first form (documented naming delta)
+        if return_increments:
+            raise NotImplementedError(
+                "return_increments is not supported; difference the "
+                "path with csp.diff"
+            )
+        if drift is None:
+            return _brownian_scalar(trigger, seed=_as_seed(seed), **kwargs)
+        return _brownian_scalar(trigger, drift=drift, seed=_as_seed(seed),
+                                **kwargs)
+    if return_increments:
+        raise NotImplementedError(
+            "return_increments is not supported; difference the path "
+            "with csp.diff"
+        )
+    dv = _const_edge_value(drift, "drift") if isinstance(
+        drift, TickStream) else list(drift)
+    cv = _const_edge_value(covariance, "covariance") if isinstance(
+        covariance, TickStream) else list(covariance)
+    return brownian_motion_nd(
+        trigger, drift=[float(x) for x in dv],
+        covariance=[[float(x) for x in row] for row in cv],
+        seed=_as_seed(seed), **kwargs,
+    )
 
 __all__ = (
     "poisson_timer",

@@ -385,17 +385,50 @@ def cross_sectional(x: TickStream, interval=None,
     return r.cross_sectional()
 
 
-def list_to_numpy(x: TickStream, **_kw: Any) -> TickStream:
-    """Reference csp.stats.list_to_numpy (stats.py:196): converts
-    ts[List[float]] → ts[np.ndarray]. Both are ArrayType columns in
-    the tick table, so this is the identity — kept for source
-    compatibility."""
-    return x
+def list_to_numpy(x, fillna: bool = False, **_kw: Any) -> TickStream:
+    """Reference csp.stats.list_to_numpy (stats.py:196): a LIST BASKET
+    of float edges → one array edge ticking on any input's cycle;
+    unticked elements hold their previous value when ``fillna`` else
+    read NaN. A single ts[List[float]] edge passes through (both are
+    ArrayType columns in the tick table)."""
+    if isinstance(x, TickStream):
+        return x
+    from pyspark.sql import functions as F
+
+    from ..operators.baselib import struct_collectts, struct_fromts
+
+    fields = {f"__e{i}": s for i, s in enumerate(x)}
+    s = struct_fromts(fields) if fillna else struct_collectts(fields)
+    arr = F.array(*[
+        F.coalesce(
+            F.col(f"{s.value_col}.__e{i}").cast("double"),
+            F.lit(float("nan")),
+        )
+        for i in range(len(fields))
+    ])
+    return s.with_df(
+        s.df.withColumn(s.value_col, arr), s.value_col
+    )
 
 
-def numpy_to_list(x: TickStream, **_kw: Any) -> TickStream:
-    """Inverse of list_to_numpy — identity here (stats.py:206)."""
-    return x
+def numpy_to_list(x: TickStream, n: int | None = None, **_kw: Any):
+    """Reference csp.stats.numpy_to_list (stats.py:208): one np-array
+    edge → a LIST BASKET of ``n`` scalar float edges (element i ticks
+    with x[i] on every tick of x). Without ``n`` this is the legacy
+    identity form (array edges already ride as ArrayType)."""
+    if n is None:
+        return x
+    from pyspark.sql import functions as F
+
+    return [
+        x.with_df(
+            x.df.withColumn(
+                x.value_col, F.col(x.value_col)[i].cast("double")
+            ),
+            x.value_col,
+        )
+        for i in range(n)
+    ]
 
 
 def cov_matrix(x: TickStream, interval=None, ddof: int = 1, **kw):

@@ -54,8 +54,8 @@ def test_series_of_edges_dunder_broadcast(spark, edges):
 def test_series_accessor_apply_run_snap(spark, edges):
     a, b = edges
     s = pd.Series(TsArray([a, b]), index=["a", "b"], name="px")
-    # apply: edge-level function over every cell
-    shifted = s.csp.apply(lambda e: e + 100.0)
+    # apply: Edge.apply per cell (reference: func maps each VALUE)
+    shifted = s.csp.apply(lambda v: v + 100.0)
     got = shifted.csp.run()
     assert list(got.loc["a"]) == [101.0, 102.0]
     # run window filters

@@ -1371,3 +1371,114 @@ def test_reference_portability_surfaces_r11(spark):
         GraphRunInfo.get_cur_run_times_info()
     with GraphRunInfo(dtm.datetime(2021, 1, 1), None, True):
         assert GraphRunInfo.get_cur_run_times_info().is_realtime
+
+
+def test_struct_classmethods_collectts_metadata_fieldmap(spark):
+    """reference struct.py:187-215 + 318-326: the Struct classmethods
+    reference programs call — ``MyData.collectts(b=..., i=...)``
+    (the kafka example's producer shape), ``metadata()``, and the
+    adapters' ``default_field_map()`` with nested-struct recursion."""
+    import datetime as dtm
+
+    import csp
+
+    class MyData(csp.Struct):
+        b: bool
+        i: int
+        d: float
+
+    def g():
+        b = csp.const(True)
+        i = csp.count(csp.timer(dtm.timedelta(seconds=1)))
+        return {"s": MyData.collectts(b=b, i=i)}
+
+    res = csp.run(g, starttime=dtm.datetime(2020, 1, 1),
+                  endtime=dtm.datetime(2020, 1, 1, 0, 0, 2))
+    got = [(v.b, v.i) for _, v in res["s"]]
+    # per-cycle semantics: only the fields that ticked this cycle set
+    assert got == [(True, None), (None, 1), (None, 2)]
+
+    assert MyData.metadata() == {"b": bool, "i": int, "d": float}
+    assert MyData.default_field_map() == {"b": "b", "i": "i", "d": "d"}
+
+    class Outer(csp.Struct):
+        x: float
+        inner: MyData
+
+    assert Outer.default_field_map() == {
+        "x": "x", "inner": {"inner": MyData.default_field_map()}
+    }
+
+
+def test_reference_pandas_extension_example_flow(spark):
+    """examples/06_advanced/e2_pandas_extension.py — the reference's
+    pandas-extension program, verbatim operations: module-scope edge
+    construction (engine_window supplies the bounds the reference
+    defers to run time), the reference brownian_motion signature
+    (ts drift/covariance + np rng seed), numpy_to_list basket split,
+    TsDtype columns with arithmetic, Series reductions over edges,
+    frame run, and the to_csp round-trip with static aggregation."""
+    import random
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import pandas as pd
+
+    import csp
+    import csp.impl.pandas_accessor  # noqa: F401 (registers accessors)
+    from csp.impl.pandas_ext_type import TsDtype
+    from csp.random import brownian_motion
+    from csp.stats import numpy_to_list
+
+    from csp_spark import engine_window
+
+    random.seed(1234)
+    rng = np.random.default_rng(seed=12)
+    N = 4
+    symbols = [f"S{i}" for i in range(N)]
+    open_prices = np.round(np.random.rand(N) * 200, 2)
+    start = datetime(2024, 1, 1)
+    end = start + timedelta(seconds=6)
+
+    with engine_window(start, end):
+        df = pd.DataFrame({"open_price": open_prices}, index=symbols)
+        trigger = csp.timer(timedelta(seconds=2))
+        mids = (
+            brownian_motion(
+                trigger, drift=csp.const(np.zeros(N)),
+                covariance=csp.const(0.01 * np.diag(np.ones(N))), seed=rng,
+            ).apply(np.exp) * open_prices
+        )
+        df["mid"] = pd.Series(numpy_to_list(mids, N), index=df.index,
+                              dtype=TsDtype(float))
+        width = csp.const(0.25)
+        df["bid"] = df["mid"] - width / 2.0
+        df["ask"] = df["mid"] + width / 2.0
+        weights = np.array([random.randint(0, 10) for _ in symbols])
+        weighted_price = (df["mid"] * weights).sum() / weights.sum()
+
+    assert str(df.dtypes["mid"]) == "ts[float]"
+    wp = weighted_price.run(starttime=start, endtime=end)
+    (ticks,) = wp.values()
+    assert len(ticks) == 3  # one per trigger tick
+
+    # independent oracle: recompute the weighted price from the per-
+    # symbol element runs at the final tick
+    per_el = df["mid"].csp.run(starttime=start, endtime=end)
+    last = per_el.groupby(level=0).last()
+    want = float((last.loc[symbols].to_numpy() * weights).sum()
+                 / weights.sum())
+    assert abs(ticks[-1][1] - want) < 1e-9
+
+    full = df.csp.run(start, timedelta(seconds=6))
+    assert full.shape == (3 * N, 3)  # (symbols x ticks, ts columns)
+
+    # round-trip: ts columns lift back to edges, statics aggregate
+    df2 = full.to_csp(columns=["bid", "ask", "mid"], agg="last")
+    assert str(df2.dtypes["mid"]) == "ts[float]"
+    out2 = df2["mid"].csp.apply(np.log).csp.run(starttime=start,
+                                                endtime=end)
+    pd.testing.assert_series_equal(
+        out2.sort_index(), np.log(per_el).sort_index(),
+        check_names=False,
+    )
