@@ -58,7 +58,11 @@ def _coerce(v: Any) -> Any:
     if isinstance(v, Struct):
         return v.to_dict()
     if isinstance(v, _np.ndarray):
-        # N-d arrays nest (e.g. a covariance matrix constant)
+        # N-d arrays nest (e.g. a covariance matrix constant); numeric
+        # dtypes cast to float so the array<double> DDL accepts them
+        # (int/bool elements would fail the schema verifier)
+        if v.dtype.kind in "biuf":
+            return v.astype(float).tolist()
         return v.tolist()
     return v
 

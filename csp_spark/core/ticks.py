@@ -245,10 +245,11 @@ class TickStream:
         second positional is the csp_spark DDL result_type form."""
         from ..operators.baselib import apply_
 
-        result_type = None
+        result_type = kwargs.pop("result_type", None)
         if isinstance(fn, tuple):
             fn, result_type = fn
-        if len(args) == 1 and isinstance(args[0], str) and not kwargs:
+        if len(args) == 1 and isinstance(args[0], str) and not kwargs \
+                and result_type is None:
             result_type, args = args[0], ()
         if result_type is None:
             result_type = dict(self.df.dtypes)[self.value_col]
@@ -275,10 +276,24 @@ class TickStream:
             import numpy as _np
 
             if isinstance(other, (list, tuple, _np.ndarray)):
-                arr = F.array(*[F.lit(float(x)) for x in other])
+                arr = F.array(*[
+                    F.lit(x.item() if hasattr(x, "item") else x)
+                    for x in other
+                ])
                 fn = (lambda a, b: col_fn(b, a)) if swap else col_fn
+                # numpy raises on a shape mismatch; zip_with would
+                # silently null-pad — guard per row
+                zipped = F.when(
+                    F.size(this) == F.lit(len(other)),
+                    F.zip_with(this, arr, fn),
+                ).otherwise(F.raise_error(F.concat(
+                    F.lit("array-edge broadcast shape mismatch: edge "
+                          "length "),
+                    F.size(this).cast("string"),
+                    F.lit(f" vs operand length {len(other)}"),
+                )))
                 return self.with_df(self.df.withColumn(
-                    self.value_col, F.zip_with(this, arr, fn)))
+                    self.value_col, zipped))
             lit = F.lit(other)
             fn = (lambda a: col_fn(lit, a)) if swap else (
                 lambda a: col_fn(a, lit))

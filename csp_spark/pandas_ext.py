@@ -176,13 +176,25 @@ class TsArray(ExtensionArray, ExtensionScalarOpsMixin):
         reference pandas extension's semantics: sum/mean/min/max/prod
         fold the aligned last values across the basket). NaN edges
         (missing) are dropped like skipna."""
-        edges = [e for e in self._data
-                 if e is not None and not (isinstance(e, float))]
+        # NA = None/NaN cells; plain floats are CONSTANT participants
+        # (the edge dunders fold them like numpy broadcast would)
+        def _is_na(e):
+            return e is None or (isinstance(e, float) and np.isnan(e))
+
+        if not skipna and any(_is_na(e) for e in self._data):
+            return float("nan")
+        edges = [e for e in self._data if not _is_na(e)]
         if not edges:
             raise TypeError(f"cannot reduce an empty ts series: {name}")
+        if not any(isinstance(e, TickStream) for e in edges):
+            # all-constant series: plain numeric reduction
+            import numpy as _np
+
+            return getattr(_np, name)(edges)
+        # fold starting from an edge so constants ride the dunders
+        edges.sort(key=lambda e: not isinstance(e, TickStream))
         import operator as _op
 
-        from .core.ticks import TickStream  # noqa: F401
 
         def _fold(op):
             out = edges[0]
@@ -292,7 +304,19 @@ class CspSeriesAccessor(_EdgeItems):
         )
 
     def pipe(self, func, *args, **kwargs):
-        return self.apply(lambda e: e.pipe(func, *args, **kwargs))
+        """Edge-level transform per cell (``s.csp.pipe(csp.ema,
+        alpha=.1)``) — the counterpart of the value-level ``apply``."""
+        out = [
+            e.pipe(func, *args, **kwargs) if isinstance(e, TickStream)
+            else e
+            for e in self._obj
+        ]
+        return pd.Series(
+            TsArray(out, dtype=TsDtype(self._obj.dtype.subtype
+                                       if isinstance(self._obj.dtype, TsDtype)
+                                       else float)),
+            index=self._obj.index, name=self._obj.name,
+        )
 
     def run(self, starttime: _dt.datetime | None = None,
             endtime: _dt.datetime | None = None) -> pd.Series:

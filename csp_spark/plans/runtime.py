@@ -71,6 +71,8 @@ class engine_window:
 
     def __init__(self, starttime, endtime, realtime: bool = False):
         if isinstance(endtime, _dt.timedelta):
+            if starttime is None:
+                raise ValueError("endtime as a timedelta needs starttime")
             endtime = starttime + endtime
         self._frame = {
             "start": starttime, "end": endtime, "realtime": bool(realtime),
@@ -82,7 +84,21 @@ class engine_window:
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb):
-        _run_info_stack.pop()
+        frame = _run_info_stack.pop()
+        if exc_type is None and (
+            frame["feedbacks"] or frame["push_captures"]
+            or frame["sink_nodes"]
+        ):
+            # these registrations need csp.run's fixed-point/capture/
+            # sink machinery; leaving them on a plain window frame
+            # would silently compute with zero feedback ticks / never
+            # run the sinks
+            raise RuntimeError(
+                "csp.feedback / push adapters / sink nodes were wired "
+                "inside engine_window — these need csp.run(graph, "
+                "starttime=..., endtime=...); engine_window only "
+                "bounds plain source/operator wiring"
+            )
         return False
 
 

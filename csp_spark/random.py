@@ -73,6 +73,11 @@ def brownian_motion(trigger, drift=None, covariance=None, seed=42,
             "return_increments is not supported; difference the path "
             "with csp.diff"
         )
+    if drift is None or covariance is None:
+        raise ValueError(
+            "the N-dimensional brownian_motion form needs BOTH drift "
+            "and covariance (ts edges or sequences)"
+        )
     dv = _const_edge_value(drift, "drift") if isinstance(
         drift, TickStream) else list(drift)
     cv = _const_edge_value(covariance, "covariance") if isinstance(

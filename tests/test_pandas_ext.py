@@ -209,3 +209,53 @@ def test_perspective_multi_table_lifecycle(spark):
     multi.stop()
     assert not multi.is_running()
     multi.join()  # idempotent after stop
+
+
+def test_r11_review_fixes_pandas_surfaces(spark):
+    """r11 late-review regressions: pipe stays edge-level after apply
+    went value-level; TsArray reductions fold constant cells and honor
+    skipna=False; int/bool ndarray constants; apply(result_type=)
+    keyword; array-edge broadcast shape mismatch raises."""
+    import datetime as dtm
+    import math
+
+    import numpy as np
+
+    import csp_spark
+    from csp_spark import TsArray, TsDtype, engine_window
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp_spark.operators.baselib import accum
+
+    start = dtm.datetime(2024, 1, 1)
+    end = start + dtm.timedelta(seconds=4)
+    with engine_window(start, end):
+        e1 = csp.count(csp.timer(dtm.timedelta(seconds=1)))
+        ic = csp.const(np.array([1, 2, 3]))        # int dtype
+        arr3 = csp.const(np.array([1.0, 2.0, 3.0]))
+
+    assert ic.collect_ticks("")[0][1] == [1.0, 2.0, 3.0]
+
+    s = pd.Series(TsArray([e1]), index=["a"])
+    piped = s.csp.pipe(accum)
+    assert list(piped.csp.run(starttime=start, endtime=end).loc["a"]) == \
+        [1.0, 3.0, 6.0, 10.0]
+
+    s2 = pd.Series(TsArray([e1, 2.0]), index=["a", "b"],
+                   dtype=TsDtype(float))
+    assert [v for _, v in s2.sum().collect_ticks("")] == \
+        [3.0, 4.0, 5.0, 6.0]
+    assert math.isnan(
+        pd.Series(TsArray([e1, float("nan")])).sum(skipna=False))
+
+    typed = e1.apply(lambda v: str(v), result_type="string")
+    assert dict(typed.df.dtypes)["value"] == "string"
+
+    bad = arr3 * np.array([1.0, 2.0])
+    with pytest.raises(Exception, match="shape mismatch"):
+        bad.df.collect()
+
+    with pytest.raises(RuntimeError, match="engine_window"):
+        with engine_window(start, end):
+            csp.feedback(float)
