@@ -50,11 +50,22 @@ class TickStream:
     wiring' rows).
     """
 
-    __slots__ = ("df", "value_col")
+    __slots__ = ("df", "value_col", "local_rows")
 
-    def __init__(self, df: DataFrame, value_col: str = VALUE):
+    def __init__(
+        self,
+        df: DataFrame,
+        value_col: str = VALUE,
+        local_rows: tuple | None = None,
+    ):
         self.df = df
         self.value_col = value_col
+        # driver-born (key, ts, seq, value) rows when the stream was
+        # built from literals (const/curve via from_rows) — lets
+        # plan-build-time constant folds (csp.random covariance) read
+        # the value with NO Spark action. Derived streams drop it (a
+        # transform may change values).
+        self.local_rows = local_rows
 
     # ------------------------------------------------------------------
     # construction
@@ -104,7 +115,9 @@ class TickStream:
                 ),
             ]
         )
-        return TickStream(spark.createDataFrame(norm, schema))
+        return TickStream(
+            spark.createDataFrame(norm, schema), local_rows=tuple(norm)
+        )
 
     @staticmethod
     def from_table(

@@ -25,6 +25,29 @@ from typing import Any
 from ..core.record import Struct, StructMeta  # noqa: F401
 
 
+class _YamlHandler:
+    """Module-scope YAML handler (parity: reference struct.py:14 caches
+    a ``ruamel.yaml.YAML()`` instance as ``g_YAML`` — "avoid recreating
+    this object every call"). ruamel isn't a dependency here; this
+    exposes the same ``dump(data, stream)`` / ``load(stream)`` calls
+    backed by pyyaml's safe variants, which Struct.to_yaml/from_yaml
+    (core/record.py:385,396) also use — round-trips agree."""
+
+    def dump(self, data, stream):
+        import yaml
+
+        yaml.safe_dump(data, stream, default_flow_style=False,
+                       sort_keys=False)
+
+    def load(self, stream):
+        import yaml
+
+        return yaml.safe_load(stream)
+
+
+g_YAML = _YamlHandler()
+
+
 def define_struct(
     name: str,
     metadata: dict,

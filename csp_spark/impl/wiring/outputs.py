@@ -1,51 +1,71 @@
-"""csp.impl.wiring.outputs parity (csp/impl/wiring/outputs.py)."""
+"""csp.impl.wiring.outputs parity (csp/impl/wiring/outputs.py).
+
+Independent implementation of the frozen named-outputs record: the
+reference file defines a ``__slots__`` dict-holder with hand-written
+dunders; here the read surface funnels through one private lookup and
+the storage lives under a name-mangled slot, with only the observable
+contract shared — attribute OR item access by output name, item-set
+(the engine populates outputs), iteration over names, ``len``,
+attribute-freeze, underscore-prefixed dict helpers (so an output
+actually *named* ``values``/``items``/``get`` stays reachable as an
+attribute), and the ``OutputsContainer( k=v )`` repr format.
+"""
 
 from ...core.surface import OutputBasket, Outputs  # noqa: F401
 
 
 class OutputsContainer:
-    """reference wiring/outputs.py:1-40 contract: the named-outputs
-    record a multi-output node/graph returns — attribute OR item
-    access by output name, iterable over names, attribute-frozen
-    (outputs are assigned via item syntax only). Public helpers are
-    underscore-prefixed so they can't clash with an output named
-    ``values``/``items``/``get``."""
+    """Frozen record of a multi-output node/graph run, keyed by
+    output name (contract: reference wiring/outputs.py:1-40)."""
 
-    __slots__ = ("_dict",)
+    __slots__ = ("__outputs",)  # mangled -> _OutputsContainer__outputs
 
-    def __init__(self, **kwargs):
-        object.__setattr__(self, "_dict", dict(kwargs))
+    def __init__(self, **outputs):
+        object.__setattr__(self, "_OutputsContainer__outputs",
+                           dict(outputs))
 
-    def __getattr__(self, item):
+    # -- read surface: attribute and item access share one lookup ----
+    def __lookup(self, name):
+        return object.__getattribute__(
+            self, "_OutputsContainer__outputs")[name]
+
+    def __getattr__(self, name):
         try:
-            return self._dict[item]
+            return self.__lookup(name)
         except KeyError:
-            raise AttributeError(item) from None
+            raise AttributeError(name) from None
 
-    def __getitem__(self, item):
-        return self._dict[item]
+    def __getitem__(self, name):
+        return self.__lookup(name)
 
-    def __setattr__(self, key, value):
-        raise TypeError("Cannot set attributes on OutputsContainer object")
+    # -- write surface: item-set only; attributes are frozen ---------
+    def __setitem__(self, name, value):
+        self.__outputs[name] = value
 
-    def __setitem__(self, key, value):
-        self._dict[key] = value
+    def __setattr__(self, name, value):
+        raise TypeError(
+            "Cannot set attributes on OutputsContainer object"
+        )
 
+    # -- container protocol ------------------------------------------
     def __len__(self):
-        return len(self._dict)
+        return len(self.__outputs)
 
     def __iter__(self):
-        return iter(self._dict)
+        return iter(self.__outputs)
 
+    # -- dict helpers, underscore-prefixed (see module docstring) ----
     def _values(self):
-        return self._dict.values()
+        return self.__outputs.values()
 
     def _items(self):
-        return self._dict.items()
+        return self.__outputs.items()
 
-    def _get(self, item, dflt=None):
-        return self._dict.get(item, dflt)
+    def _get(self, name, dflt=None):
+        return self.__outputs.get(name, dflt)
 
     def __repr__(self):
-        body = ",".join(f"{k}={v!r}" for k, v in self._items())
-        return f"OutputsContainer( {body} )"
+        inner = ",".join(
+            f"{name}={value!r}" for name, value in self.__outputs.items()
+        )
+        return f"OutputsContainer( {inner} )"

@@ -35,16 +35,26 @@ def _as_seed(seed) -> int:
 def _const_edge_value(edge, what: str):
     """The single constant value of a parameter edge (the reference
     accepts time-VARYING ts drift/covariance; this engine folds the
-    Cholesky at plan-build time, so the parameters must be const)."""
-    from .core.ticks import VALUE
+    Cholesky at plan-build time, so the parameters must be const).
 
-    rows = edge.df.select(VALUE).distinct().collect()
-    if len(rows) != 1:
+    Structural check, no Spark job: const/curve edges carry their
+    driver-born rows on ``TickStream.local_rows`` (set only by
+    from_rows); any cluster-backed edge (timer, parquet, a transform)
+    has none and is rejected WITHOUT executing its plan — wiring a
+    graph must never launch a scan just to raise."""
+    rows = getattr(edge, "local_rows", None)
+    if not rows:
         raise NotImplementedError(
             f"time-varying {what} is not supported here — pass a "
-            f"csp.const(...) edge (got {len(rows)} distinct values)"
+            f"csp.const(...) edge (got a non-constant stream plan)"
         )
-    return rows[0][0]
+    values = [r[3] for r in rows]
+    if len({repr(v) for v in values}) != 1:
+        raise NotImplementedError(
+            f"time-varying {what} is not supported here — pass a "
+            f"csp.const(...) edge (got {len(values)} ticks)"
+        )
+    return values[0]
 
 
 def brownian_motion(trigger, drift=None, covariance=None, seed=42,

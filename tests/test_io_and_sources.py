@@ -1839,3 +1839,38 @@ def test_perspective_view_table_with_dep_present(monkeypatch):
     # restore the real (dep-absent) module state for later tests
     monkeypatch.delitem(sys.modules, "perspective")
     importlib.reload(fresh)
+
+
+def test_brownian_reference_signature_wires_without_spark_job(spark):
+    """Wiring the reference-signature brownian_motion must not launch
+    a Spark job (VERDICT r11 finding 3): const parameter edges are
+    driver-born LocalRelations, folded locally; a cluster-backed
+    parameter edge raises NotImplementedError WITHOUT executing its
+    plan. Job-count is observed via a dedicated job group."""
+    from csp_spark.operators.baselib import const, timer
+    from csp_spark.random import brownian_motion
+
+    start = dt.datetime(2024, 1, 1)
+    end = start + dt.timedelta(seconds=4)
+    trig = timer(spark, start, end, dt.timedelta(seconds=1))
+    drift = const(spark, [0.0, 0.0], start, value_type="array<double>")
+    cov = const(
+        spark, [[0.01, 0.0], [0.0, 0.01]], start,
+        value_type="array<array<double>>",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("bm_wire_nojob", "wiring must not run jobs")
+    try:
+        bm = brownian_motion(trig, drift=drift, covariance=cov, seed=5)
+        with pytest.raises(NotImplementedError, match="time-varying"):
+            # timer is a cluster plan (range+sequence) — must raise
+            # structurally, not by scanning it
+            brownian_motion(trig, drift=trig, covariance=cov, seed=5)
+        jobs = sc.statusTracker().getJobIdsForGroup("bm_wire_nojob")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert list(jobs) == [], f"wiring launched Spark jobs: {jobs}"
+    # the wired stream still runs correctly afterwards
+    path = [v for _, v in bm.collect_ticks()]
+    assert len(path) == 4 and len(path[0]) == 2
