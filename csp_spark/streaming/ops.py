@@ -534,6 +534,8 @@ def run_node_stream(
     state: "dict | None" = None,
     output_type: str = "double",
     initial_states: "dict | DataFrame | None" = None,
+    alarms: bool = False,
+    watermark: "_dt.timedelta" = _dt.timedelta(0),
 ) -> DataFrame:
     """:func:`csp_spark.run_node` in REALTIME mode — imperative
     per-cycle nodes over live microbatches, per-key state in the state
@@ -544,15 +546,35 @@ def run_node_stream(
     engine cycles with last-value carry (align_stream's kernel), and
     the user's ``fn(cycle)`` runs once per cycle with its state dict
     pickled into the store between microbatches (arbitrary Python
-    state, same bytes the batch runner keeps in-process). Alarms are
-    batch-only — ``schedule_alarm`` raises here (streaming wakeups
-    belong to watermark/timeout operators); use run_node for replayed
-    history, then hand over via streaming.hybrid.
+    state, same bytes the batch runner keeps in-process).
+
+    **Alarms** (``alarms=True``): ``cycle.schedule_alarm`` /
+    ``cancel_alarm`` work in a live streaming query with the
+    reference's engine semantics (cpp AlarmInputAdapter): an alarm
+    fires as its OWN engine cycle at its scheduled time — interleaved
+    in (ts, seq) order with input cycles when input is flowing, and
+    woken by an event-time state timeout when the key is idle (the
+    watermark advancing past the alarm time is the streaming analog of
+    the engine clock reaching it). The pending-alarm heap is pickled
+    WITH the user state dict in one blob, so a handle a node stored in
+    ``cycle.state`` still cancels the heap's entry after a state-store
+    round trip (pickle preserves object identity within one blob).
+    Spark 4's ``transformWithStateInPandas`` timers are the
+    one-timer-per-alarm native API, but its Python worker needs the
+    ``google.protobuf`` package (absent in this environment), so the
+    timer is emulated on ``applyInPandasWithState`` with ONE re-armed
+    event-time timeout = the earliest pending alarm — semantically
+    identical (timers only WAKE the key; firing order is owned by the
+    heap either way). With ``alarms=False`` (default)
+    ``schedule_alarm`` raises, keeping the no-alarm fast path's state
+    row free of the heap blob.
 
     Ordering contract: rows arrive time-ordered per key across
     microbatches; within a batch cycles fold in (ts, seq) order with
     coincident multi-stream ticks collapsed to ONE cycle (batch
-    align's rule). Equality-tested against batch run_node.
+    align's rule); an alarm coincident with an input tick fires after
+    that timestamp's input cycles (batch _keyed_runner's rule).
+    Equality-tested against batch run_node, alarms included.
     """
     import pickle
 
@@ -592,6 +614,11 @@ def run_node_stream(
         ", ".join(f"s{i} double" for i in range(n_src)) + ", ustate binary"
     )
     init_state = dict(state or {})
+    if alarms:
+        return _run_node_stream_alarms(
+            fn, u, names, n_src, out_schema, state_schema, init_state,
+            initial_states, watermark,
+        )
     # hybrid handover: per-key replay-terminal states (see
     # run_node_with_states / run_hybrid_node). A DataFrame of
     # (key, state binary) is collected HERE — a visible driver action,
@@ -605,8 +632,9 @@ def run_node_stream(
 
     def _no_alarms(*_a, **_k):
         raise NotImplementedError(
-            "alarms are batch-only: run_node over history, then hand over "
-            "via streaming.hybrid / watermark operators"
+            "alarms are batch-only on this path: pass alarms=True to "
+            "run_node_stream for the event-time-timer streaming engine, "
+            "or run_node over history then hand over via streaming.hybrid"
         )
 
     def fold(
@@ -658,4 +686,139 @@ def run_node_stream(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _run_node_stream_alarms(
+    fn, u, names, n_src, out_schema, state_schema, init_state,
+    initial_states, watermark,
+):
+    """The alarms=True engine behind :func:`run_node_stream` (see its
+    docstring for the semantics and the transformWithStateInPandas
+    note). State row: n_src last-value doubles + ONE pickle of
+    ``(ustate, heap, order, fired)`` — heap entries are
+    ``(pd.Timestamp, order, handle)`` exactly as the batch runner's
+    (core/noderun.py:223); pickling user state and heap together keeps
+    handle identity across the state store, so cancel_alarm on a
+    stored handle still kills the heap entry."""
+    import heapq
+    import pickle
+
+    from ..core.noderun import (
+        _ALARM_SEQ_BASE, _MAX_ALARM_CYCLES, NO_OUTPUT, NodeCycle,
+    )
+
+    if initial_states is not None and not isinstance(initial_states, dict):
+        initial_states = {
+            r[0]: pickle.loads(bytes(r[1])) for r in initial_states.collect()
+        }
+    seed_states = initial_states or {}
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        timed_out = state.hasTimedOut
+        if state.exists:
+            stored = state.get
+            last = list(stored[:n_src])
+            ustate, heap, order0, fired0 = pickle.loads(bytes(stored[n_src]))
+        elif key[0] in seed_states:
+            last = [None] * n_src
+            ustate, heap, order0, fired0 = (
+                _copy.deepcopy(seed_states[key[0]]), [], 0, 0,
+            )
+        else:
+            last = [None] * n_src
+            ustate, heap, order0, fired0 = (
+                _copy.deepcopy(init_state), [], 0, 0,
+            )
+        order = [order0]
+        fired = [fired0]
+        out = []
+
+        def _schedule(ats, value):
+            handle = {"alive": True, "value": value, "ts": ats}
+            order[0] += 1
+            heapq.heappush(heap, (pd.Timestamp(ats), order[0], handle))
+            return handle
+
+        def _emit(cyc, r):
+            if r is not NO_OUTPUT and r is not None:
+                out.append((key[0], cyc.now, cyc.seq, r))
+
+        def _fire(limit_ts, inclusive):
+            """Fire due alarms: ats < limit (input-cycle interleave —
+            the batch runner's _fire_alarms rule, so a coincident
+            alarm lands AFTER that timestamp's input cycles) or
+            ats <= limit (watermark drain — the engine clock reached
+            the alarm time)."""
+            while heap and fired[0] < _MAX_ALARM_CYCLES:
+                ats, _, handle = heap[0]
+                if not handle["alive"]:
+                    heapq.heappop(heap)
+                    continue
+                if limit_ts is not None and (
+                    ats > limit_ts if inclusive else ats >= limit_ts
+                ):
+                    break
+                heapq.heappop(heap)
+                fired[0] += 1
+                cyc = NodeCycle(
+                    ats, _ALARM_SEQ_BASE + fired[0], ustate,
+                    {n: last[i] for i, n in enumerate(names)}, {},
+                    _schedule, alarm=handle["value"],
+                )
+                _emit(cyc, fn(cyc))
+
+        if not timed_out:
+            chunks = list(pdfs)
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    [TS, SEQ, "__src"]
+                )
+                cycles: "list[tuple]" = []
+                cur = None
+                for ts, seq, src, v in zip(
+                    pdf[TS], pdf[SEQ], pdf["__src"], pdf[VALUE]
+                ):
+                    if cur is None or (ts, seq) != cur[0]:
+                        cur = ((ts, seq), [])
+                        cycles.append(cur)
+                    cur[1].append((int(src), float(v)))
+                for (ts, seq), updates in cycles:
+                    _fire(ts, inclusive=False)
+                    ticked = {}
+                    for src, v in updates:
+                        last[src] = v
+                        ticked[names[src]] = True
+                    vals = {n: last[i] for i, n in enumerate(names)}
+                    cyc = NodeCycle(
+                        ts, int(seq), ustate, vals, ticked, _schedule
+                    )
+                    _emit(cyc, fn(cyc))
+        # drain alarms the engine clock (= the watermark) has reached —
+        # on a timeout wake this is the whole reason we're here; after
+        # input it catches alarms between the last row and the watermark
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            _fire(pd.Timestamp(wm_ms, unit="ms"), inclusive=True)
+        # re-arm: ONE event-time timeout at the earliest live alarm
+        # (must sit strictly past the current watermark)
+        while heap and not heap[0][2]["alive"]:
+            heapq.heappop(heap)
+        state.update(
+            tuple(last)
+            + (pickle.dumps((ustate, heap, order[0], fired[0])),)
+        )
+        if heap:
+            next_ms = heap[0][0].value // 1_000_000
+            state.setTimeoutTimestamp(max(next_ms, wm_ms + 1))
+        yield pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
+
+    return with_watermark(u, watermark).groupBy(KEY).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

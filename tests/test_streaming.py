@@ -1138,6 +1138,116 @@ def test_run_node_stream_alarm_raises(spark, tmp_path):
         collect_stream(run_node_stream(arm, x))
 
 
+def test_run_node_stream_alarms_match_batch(spark, tmp_path):
+    """Streaming alarms (r11 verdict task 3): run_node_stream(
+    alarms=True) runs csp.alarms in a LIVE streaming query with the
+    reference engine's semantics — an alarm fires as its own cycle at
+    its scheduled time (cpp AlarmInputAdapter). Covered here: a
+    self-RESCHEDULING repeating alarm, a debounce alarm cancelled and
+    re-armed on every input tick (the handle crosses state-store
+    pickles), interleave of alarm and input cycles inside a batch, and
+    idle-key firing via the event-time timeout (no input for the key —
+    only the advancing watermark wakes it). Output equals the batch
+    run_node replay with end= the final watermark, seqs included; the
+    state store's pickled blob (user state + alarm heap) is read back
+    and bounded."""
+    import pickle
+    import uuid as _uuid
+
+    from csp_spark import TickStream, run_node
+    from csp_spark.plans.runtime import _run_info_stack
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    def node(cycle):
+        if cycle.ticked("alarm"):
+            n = cycle.state.get("fired", 0) + 1
+            cycle.state["fired"] = n
+            if cycle.alarm == 1.0:
+                # repeating alarm reschedules itself (+2.5s)
+                cycle.state["rep"] = cycle.schedule_alarm(
+                    dt.timedelta(seconds=2.5), 1.0)
+                return 1000.0 + n
+            return 2000.0 + n  # the debounce alarm actually fired
+        v = cycle["x"]
+        if cycle.state.get("deb") is not None:
+            cycle.cancel_alarm(cycle.state["deb"])
+        cycle.state["deb"] = cycle.schedule_alarm(
+            dt.timedelta(seconds=3), 2.0)
+        if "rep" not in cycle.state:
+            cycle.state["rep"] = cycle.schedule_alarm(
+                dt.timedelta(seconds=2.5), 1.0)
+        return v
+
+    # input microbatches: 2 data files for key s, then 2 watermark
+    # flushes. availableNow runs a FINAL no-data batch for pending
+    # event-time timeouts, so the last flush's ts (t+30s) IS the final
+    # watermark = the engine-endtime analog: every alarm <= t+30 fires
+    rows_f1 = [("s", START, 0, 1.0),
+               ("s", START + dt.timedelta(seconds=2), 0, 2.0)]
+    rows_f2 = [("s", START + dt.timedelta(seconds=4), 0, 3.0),
+               ("s", START + dt.timedelta(seconds=6), 0, 4.0)]
+    rows_f3 = [("zflush", START + dt.timedelta(seconds=12), 0, 99.0)]
+    rows_f4 = [("zflush", START + dt.timedelta(seconds=30), 0, 98.0)]
+    land = tmp_path / "alarms_in"
+    land.mkdir()
+    for i, rows in enumerate([rows_f1, rows_f2, rows_f3, rows_f4]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(str(land / f"b{i}"))
+    stream = file_ticks(
+        spark, str(land / "*"), SCHEMA, ts_col="ts", value_col="value",
+        key_col="key", max_files_per_trigger=1,
+    )
+    out = run_node_stream(node, {"x": stream}, alarms=True)
+    name = f"alarm_sink_{_uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "alarms_ckpt")
+    _run_info_stack.append({"start": None, "end": None, "realtime": True})
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        _run_info_stack.pop()
+    got = sorted(
+        (r["key"], r["ts"], r["seq"], r["value"])
+        for r in spark.table(name).collect()
+    )
+
+    # batch oracle: same ticks, engine end = the final watermark
+    all_rows = rows_f1 + rows_f2 + rows_f3 + rows_f4
+    ref_ts = run_node(
+        node, {"x": TickStream(spark.createDataFrame(all_rows, SCHEMA))},
+        end=START + dt.timedelta(seconds=30),
+    )
+    ref = sorted(
+        (r["key"], r["ts"], r["seq"], r["value"])
+        for r in ref_ts.df.collect()
+    )
+    assert got == ref
+    # the run really produced alarm cycles of BOTH kinds
+    vals = [v for _, _, _, v in got]
+    assert any(1000.0 <= v < 2000.0 for v in vals)   # repeating fired
+    assert any(v >= 2000.0 for v in vals)            # debounce fired
+    assert sum(v >= 2000.0 for v in vals) == 2       # one live debounce per key
+
+    # timer/heap state read back from the ACTUAL state store: one row
+    # per key, blob = (ustate, heap, order, fired), heap bounded
+    state = spark.read.format("statestore").load(ckpt).collect()
+    by_key = {r.key.key: r for r in state}
+    assert set(by_key) == {"s", "zflush"}
+    for k, r in by_key.items():
+        ustate, heap, order, fired = pickle.loads(
+            bytes(r.value.groupState[-1]))
+        assert len(heap) <= 3, f"{k}: alarm heap grew: {len(heap)}"
+        assert all(h[2]["alive"] for h in heap if h[0] == heap[0][0])
+    # key s: the repeating alarm is still pending (rescheduled past the
+    # final watermark), the cancelled debounce handles are gone
+    _, s_heap, _, s_fired = pickle.loads(
+        bytes(by_key["s"].value.groupState[-1]))
+    # rep fired at 2.5,5,...,30 (12x) + the one surviving debounce
+    assert s_fired == 13 and [h for h in s_heap if h[2]["alive"]]
+
+
 def test_hybrid_node_equals_pure_batch(spark, tmp_path):
     """Replay->live for imperative nodes: a stateful counter/EW node
     replays history, its terminal state dicts seed the streaming
