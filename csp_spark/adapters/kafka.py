@@ -33,10 +33,29 @@ from enum import IntEnum
 from ..sinks.publish import publish_kafka_stream
 from ..streaming.sources import kafka_ticks
 
+# module-level mapper re-exports (reference kafka.py:11-19 — user code
+# like examples/03_using_adapters/kafka/e1_kafka.py imports the mapper
+# family from csp.adapters.kafka, not csp.adapters.utils)
+from .utils import (  # noqa: F401
+    BytesMessageProtoMapper,
+    DateTimeType,
+    JSONTextMessageMapper,
+    MsgMapper,
+    RawBytesMessageMapper,
+    RawTextMessageMapper,
+    hash_mutable,
+)
+
 __all__ = [
+    "BytesMessageProtoMapper",
+    "DateTimeType",
+    "JSONTextMessageMapper",
     "KafkaAdapterManager",
     "KafkaStartOffset",
     "KafkaStatusMessageType",
+    "MsgMapper",
+    "RawBytesMessageMapper",
+    "RawTextMessageMapper",
     "kafka_ticks",
     "publish_kafka_stream",
 ]
@@ -382,12 +401,23 @@ class KafkaAdapterManager:
             payload = F.struct(*[
                 v[n].alias(field_map.get(n, n)) for n in names
             ])
-        out = df.select(
-            key_col.cast("string").alias("key"),
-            F.to_json(payload).alias("value"),
-        )
+        key_expr = key_col.cast("string").alias("key")
+        value_expr = F.to_json(payload).alias("value")
         if not df.isStreaming:
-            return out  # batch form: the wire frame, assertable in tests
+            # batch form: the wire frame, assertable in tests. It also
+            # carries the broker-side meta a real produce would create
+            # (timestamp = produce time = the tick time, offset = the
+            # per-partition sequence = SEQ) so a source_df seam round
+            # trip is lossless — the kafka SINK columns stay key/value
+            # (the streaming branch keeps only those two).
+            from ..core.ticks import SEQ, TS
+
+            return df.select(
+                key_expr, value_expr,
+                F.col(TS).alias("timestamp"),
+                F.col(SEQ).alias("offset"),
+            )
+        out = df.select(key_expr, value_expr)
         import tempfile
 
         return (

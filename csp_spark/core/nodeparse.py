@@ -360,11 +360,20 @@ def _parse(fn: Callable):
         outputs = None
         output_type = _elem_type(ret) if basket_out is None else None
 
-    # csp module aliases visible to the body (import csp / as-alias)
+    # csp module aliases visible to the body (import csp / as-alias) —
+    # scanning globals AND closure cells (a node defined inside a
+    # function sees `import csp` from the enclosing scope as a freevar)
     import csp_spark as _pkg
 
+    _visible = dict(fn.__globals__)
+    if fn.__closure__:
+        for _n, _cell in zip(fn.__code__.co_freevars, fn.__closure__):
+            try:
+                _visible[_n] = _cell.cell_contents
+            except ValueError:
+                pass
     aliases = {
-        n for n, v in fn.__globals__.items()
+        n for n, v in _visible.items()
         if v is _pkg or getattr(v, "__name__", "") in ("csp", "csp_spark")
     } or {"csp"}
 
@@ -727,6 +736,18 @@ def _compile_cycle(
     mod = ast.Module(body=defs, type_ignores=[])
     ast.fix_missing_locations(mod)
     ns = dict(fn.__globals__)
+    # a node defined inside a function closes over enclosing-scope
+    # names (imports, helpers, constants) — the reference executes the
+    # original function object so its closure just works; the AST
+    # recompile must carry those cells into the exec namespace
+    # (snapshot at wiring time; an empty cell — e.g. a not-yet-bound
+    # self-reference — is skipped)
+    if fn.__closure__:
+        for name, cell in zip(fn.__code__.co_freevars, fn.__closure__):
+            try:
+                ns[name] = cell.cell_contents
+            except ValueError:
+                pass
     ns["__wrap"] = _wrap
     ns["__scalars"] = dict(scalars)
     ns["__mk_basket"] = _BasketView
