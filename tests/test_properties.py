@@ -1870,3 +1870,164 @@ def test_dbreader_datetime_accessor_span_vs_pandas(spark, offs, win, tz_ny):
     )
     want = sorted(zip(sel.utc.dt.to_pydatetime(), sel.v))
     assert sorted(res["e"]) == [(t, v) for t, v in want]
+
+
+# ---------------------------------------------------------------------------
+# r12 verdict task 8: endurance/property follow-through on the r11 surfaces
+# ---------------------------------------------------------------------------
+
+_derby_counter = [0]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["AAPL", "IBM"]),
+            st.integers(min_value=0, max_value=12),  # minute offset; TIES
+        ),
+        min_size=2, max_size=18,
+    ),
+    n_parts=st.sampled_from([2, 3, 4]),
+)
+@settings(**_SETTINGS)
+def test_partitioned_jdbc_tie_order_fuzz(spark, rows, n_parts):
+    """The documented multi-partition DBReader tie contract (r11
+    verdict finding 4): with same-timestamp ticks, the partitioned
+    JDBC read orders ties by xxhash64 of row data — LAYOUT-INDEPENDENT
+    but not cursor order. Property over tie-heavy random tables in an
+    embedded Derby: (1) every partitioned read of ANY partition count
+    produces the identical tick sequence (re-read and 1-vs-N
+    stability of the contract's observable), (2) cross-timestamp order
+    is time order, (3) per-timestamp tick MULTISETS equal the raw
+    cursor's (no row lost/duplicated by the range split), matching the
+    single-partition path's."""
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.db import DBReader, TimestampAccessor
+
+    _derby_counter[0] += 1
+    url = f"jdbc:derby:memory:tieprop{_derby_counter[0]};create=true"
+    jvm = spark._jvm
+    jconn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        cur = jconn.createStatement()
+        cur.execute(
+            "CREATE TABLE trades (ts TIMESTAMP, symbol VARCHAR(8), "
+            "price DOUBLE)"
+        )
+        data = []
+        for i, (sym, m) in enumerate(rows):
+            t = dt.datetime(2020, 1, 1, 9, 30) + dt.timedelta(minutes=m)
+            price = 100.0 + i  # rows stay distinct; timestamps tie
+            data.append((t, sym, price))
+            cur.execute(
+                f"INSERT INTO trades VALUES (TIMESTAMP('"
+                f"{t.isoformat(sep=' ')}'), '{sym}', {price})"
+            )
+        jconn.commit()
+
+        lo = dt.datetime(2020, 1, 1, 9, 30)
+        hi = dt.datetime(2020, 1, 1, 9, 59)
+
+        def read(parts):
+            r = DBReader(
+                url, TimestampAccessor("ts", tz="UTC"),
+                table_name="trades", symbol_column="symbol",
+                num_partitions=parts, lower_bound=lo, upper_bound=hi,
+            )
+            s = r.subscribe_all(float, field_map="price")
+            return [(row["ts"], row["seq"], row["key"], row["value"])
+                    for row in s.df.orderBy("ts", "seq").collect()]
+
+        multi = read(n_parts)
+        # (1) layout independence: other partition counts + re-read
+        assert read(n_parts) == multi
+        assert read(2 if n_parts != 2 else 3) == multi
+        # (2) time order
+        assert [t for t, *_ in multi] == sorted(t for t, *_ in multi)
+        # (3) per-timestamp multisets match the cursor rows and the
+        # single-partition path (whose tie ORDER is cursor order — the
+        # documented delta, so compare as sets per timestamp)
+        from collections import Counter
+
+        def per_ts(ticks):
+            c = {}
+            for t, _seq, k, v in ticks:
+                c.setdefault(t, Counter())[(k, v)] += 1
+            return c
+
+        want = {}
+        for t, sym, price in data:
+            want.setdefault(t, Counter())[(sym, price)] += 1
+        assert per_ts(multi) == want
+        assert per_ts(read(1)) == want
+        # (ts, seq) is a usable total order: unique within timestamp
+        seqs = [(t, s) for t, s, *_ in multi]
+        assert len(set(seqs)) == len(seqs)
+    finally:
+        jconn.close()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["AAPL", "IBM", ""]),  # "" = symbolless row
+            st.integers(min_value=0, max_value=30),  # second offset; ties
+            st.floats(min_value=-50, max_value=50, allow_nan=False,
+                      width=32),
+        ),
+        min_size=1, max_size=16,
+    ),
+    win=st.tuples(st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=0, max_value=30)),
+)
+@settings(**_SETTINGS)
+def test_pending_row_manager_timeslices_fuzz(spark, tmp_path_factory,
+                                             rows, win):
+    """PendingRowManagerImpl (the shared CSV/DB managed-sim timeslice
+    loop, r11) vs the Spark-scan subscribe path over random row
+    tapes: arbitrary tie patterns, symbolless rows, and a random
+    engine window cutting the tape anywhere — keyed and
+    subscribe_all("") subscriptions must deliver identical ticks."""
+    import csp_spark
+
+    csp_spark.enable_reference_alias()
+    import csp
+    from csp.adapters.csv import (
+        CSVReadAdapter, CSVReader, YYYYMMDD_TIME_formatter,
+    )
+
+    base = dt.datetime(2020, 1, 1, 9, 30)
+    data = sorted(
+        (base + dt.timedelta(seconds=s), sym, float(round(v, 3)))
+        for sym, s, v in rows
+    )
+    d = tmp_path_factory.mktemp("prm")
+    path = str(d / "tape.csv")
+    with open(path, "w") as f:
+        f.write("time,symbol,price\n")
+        for t, sym, v in data:
+            f.write(f"{t.strftime('%Y%m%d %H:%M:%S')},{sym},{v!r}\n")
+
+    lo = base + dt.timedelta(seconds=min(win))
+    hi = base + dt.timedelta(seconds=max(win))
+
+    def graph():
+        r = CSVReader(path, YYYYMMDD_TIME_formatter("time"),
+                      symbol_column="symbol")
+        return {
+            "rt": CSVReadAdapter(r, "AAPL", float, fieldMap="price"),
+            "scan": r.subscribe("AAPL", float, field_map="price"),
+            "all_rt": CSVReadAdapter(r, "", float, fieldMap="price"),
+            "all_scan": r.subscribe_all(float, field_map="price"),
+        }
+
+    res = csp.run(graph, starttime=lo, endtime=hi)
+    assert res["rt"] == res["scan"]
+    assert res["all_rt"] == res["all_scan"]
+    # independent replay of the tape: keyed ticks in the window
+    want = [(t, v) for t, sym, v in data if sym == "AAPL" and lo <= t <= hi]
+    assert [(t, round(v, 3)) for t, v in res["rt"]] == [
+        (t, round(v, 3)) for t, v in want]
