@@ -3895,6 +3895,38 @@ _R11_PREFIX = [
     "q7_volume_shipping",
 ]
 
+# r12 rotation (VERDICT r11 task 1): the 45 r9-stamped queries (the
+# q8-q22 TPC-H block, the r9 stats block, src/basket/op r9 stragglers,
+# the bpe/split/chunk doc family, frame_pandas_ts, ann_ivf_exact,
+# ann_knn_join, text_repetition — 44), plus the three queries whose
+# paths r12 touched (random_brownian: const-edge local_rows fold;
+# op_node_ast/op_node_cumsum: nodeparse closure-cell support), filled
+# to 50 with r10 stamps (op_filter, op_feedback_scan, op_merge).
+# After this round no query's driver evidence is older than r10.
+_R12_PREFIX = [
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q12_shipmode_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_discounted_revenue", "q20_part_promotion",
+    "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
+    "stats_rolling_tick", "stats_rolling_time", "stats_expanding",
+    "stats_quantile", "stats_order", "stats_ema", "stats_ema_cov",
+    "stats_corr", "stats_argminmax", "stats_cov_matrix",
+    "stats_skew_kurt",
+    "src_curve", "src_timer",
+    "basket_sync", "basket_sample",
+    "op_edge_math", "op_times", "op_value_at", "op_struct_field",
+    "op_dynamic_collect",
+    "doc_bpe_tokens", "doc_bpe_apply", "doc_chunk", "doc_split",
+    "doc_group_split", "doc_repeat_epochs",
+    "frame_pandas_ts",
+    "ann_ivf_exact", "ann_knn_join",
+    "text_repetition",
+    "random_brownian", "op_node_ast", "op_node_cumsum",
+    "op_filter", "op_feedback_scan", "op_merge",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
@@ -4044,11 +4076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
-    # dict — _R11_PREFIX (above) carries this round's evidence rotation;
+    # dict — _R12_PREFIX (above) carries this round's evidence rotation;
     # behind it, oracle-checked queries come before any rows-only rest
     # (none since r9: ann_knn_join_blas gained the shared knn oracle).
     o = oracle_sql()
-    front = {k: q[k] for k in _R11_PREFIX if k in q}
+    front = {k: q[k] for k in _R12_PREFIX if k in q}
     return {
         **front,
         **{k: v for k, v in q.items() if k in o and k not in front},
