@@ -3895,7 +3895,7 @@ _R11_PREFIX = [
     "q7_volume_shipping",
 ]
 
-# r12 rotation (VERDICT r11 task 1): the 45 r9-stamped queries (the
+# r12 rotation (VERDICT r11 task 1): the 44 r9-stamped queries (the
 # q8-q22 TPC-H block, the r9 stats block, src/basket/op r9 stragglers,
 # the bpe/split/chunk doc family, frame_pandas_ts, ann_ivf_exact,
 # ann_knn_join, text_repetition — 44), plus the three queries whose

@@ -404,19 +404,21 @@ class KafkaAdapterManager:
         key_expr = key_col.cast("string").alias("key")
         value_expr = F.to_json(payload).alias("value")
         if not df.isStreaming:
-            # batch form: the wire frame, assertable in tests. It also
-            # carries the broker-side meta a real produce would create
-            # (timestamp = produce time = the tick time, offset = the
-            # per-partition sequence = SEQ) so a source_df seam round
-            # trip is lossless — the kafka SINK columns stay key/value
-            # (the streaming branch keeps only those two).
+            # batch form: the wire frame, assertable in tests. When the
+            # input is a tick frame it also carries the broker-side
+            # meta a real produce would create (timestamp = produce
+            # time = the tick time, offset = the per-partition
+            # sequence = SEQ) so a source_df seam round trip is
+            # lossless; a plain value-only DataFrame (also legal here)
+            # keeps the bare key/value shape. The kafka SINK columns
+            # stay key/value (the streaming branch keeps only those).
             from ..core.ticks import SEQ, TS
 
-            return df.select(
-                key_expr, value_expr,
-                F.col(TS).alias("timestamp"),
-                F.col(SEQ).alias("offset"),
-            )
+            meta = []
+            if TS in df.columns and SEQ in df.columns:
+                meta = [F.col(TS).alias("timestamp"),
+                        F.col(SEQ).alias("offset")]
+            return df.select(key_expr, value_expr, *meta)
         out = df.select(key_expr, value_expr)
         import tempfile
 

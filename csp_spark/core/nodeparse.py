@@ -739,9 +739,11 @@ def _compile_cycle(
     # a node defined inside a function closes over enclosing-scope
     # names (imports, helpers, constants) — the reference executes the
     # original function object so its closure just works; the AST
-    # recompile must carry those cells into the exec namespace
-    # (snapshot at wiring time; an empty cell — e.g. a not-yet-bound
-    # self-reference — is skipped)
+    # recompile must carry those cells into the exec namespace.
+    # Documented delta: cells are SNAPSHOT at wiring time (the
+    # reference reads them live at call time), so rebinding a freevar
+    # after wiring — or wiring while a cell is still empty — uses the
+    # wiring-time value / raises NameError at engine time
     if fn.__closure__:
         for name, cell in zip(fn.__code__.co_freevars, fn.__closure__):
             try:

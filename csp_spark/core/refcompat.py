@@ -224,7 +224,15 @@ def _curve_infer(data, kwargs) -> TickStream:
     df = df.withColumn("ts", df["ts"].cast("timestamp")).withColumn(
         "seq", df["seq"].cast("long")
     )
-    return TickStream(df)
+    # driver-born literal rows stay readable for const-parameter folds
+    # (csp.random drift/covariance via object-typed curves), same
+    # contract as TickStream.from_rows
+    from ..core.ticks import LOCAL_ROWS_CAP
+
+    return TickStream(
+        df,
+        local_rows=(tuple(rows) if len(rows) <= LOCAL_ROWS_CAP else None),
+    )
 
 
 def print_ticks(a: Any, b: Any = None, **kwargs: Any) -> None:

@@ -32,6 +32,10 @@ VALUE = "value"
 #: default key for unkeyed (single-series) streams
 GLOBAL_KEY = ""
 
+#: largest literal stream whose rows stay readable driver-side on
+#: TickStream.local_rows (const-parameter folds); bigger curves drop it
+LOCAL_ROWS_CAP = 64
+
 
 def _as_ts(x: Any) -> _dt.datetime:
     if isinstance(x, _dt.datetime):
@@ -64,7 +68,10 @@ class TickStream:
         # built from literals (const/curve via from_rows) — lets
         # plan-build-time constant folds (csp.random covariance) read
         # the value with NO Spark action. Derived streams drop it (a
-        # transform may change values).
+        # transform may change values). Capped (LOCAL_ROWS_CAP): the
+        # only consumer is the const-parameter fold, so a large replay
+        # curve must not stay pinned on the driver for the stream's
+        # lifetime.
         self.local_rows = local_rows
 
     # ------------------------------------------------------------------
@@ -116,7 +123,10 @@ class TickStream:
             ]
         )
         return TickStream(
-            spark.createDataFrame(norm, schema), local_rows=tuple(norm)
+            spark.createDataFrame(norm, schema),
+            local_rows=(
+                tuple(norm) if len(norm) <= LOCAL_ROWS_CAP else None
+            ),
         )
 
     @staticmethod

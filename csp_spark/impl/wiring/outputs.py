@@ -54,6 +54,15 @@ class OutputsContainer:
     def __iter__(self):
         return iter(self.__outputs)
 
+    # -- pickle/copy: default paths route through the frozen
+    # __setattr__ and raise; state travels as the plain dict ---------
+    def __getstate__(self):
+        return dict(self.__outputs)
+
+    def __setstate__(self, state):
+        object.__setattr__(self, "_OutputsContainer__outputs",
+                           dict(state))
+
     # -- dict helpers, underscore-prefixed (see module docstring) ----
     def _values(self):
         return self.__outputs.values()

@@ -619,16 +619,7 @@ def run_node_stream(
             fn, u, names, n_src, out_schema, state_schema, init_state,
             initial_states, watermark,
         )
-    # hybrid handover: per-key replay-terminal states (see
-    # run_node_with_states / run_hybrid_node). A DataFrame of
-    # (key, state binary) is collected HERE — a visible driver action,
-    # sized one pickled dict per key (bounded key sets; unbounded
-    # cardinality should resume from the streaming checkpoint instead).
-    if initial_states is not None and not isinstance(initial_states, dict):
-        initial_states = {
-            r[0]: pickle.loads(bytes(r[1])) for r in initial_states.collect()
-        }
-    seed_states = initial_states or {}
+    seed_states = _seed_initial_states(initial_states)
 
     def _no_alarms(*_a, **_k):
         raise NotImplementedError(
@@ -653,21 +644,7 @@ def run_node_stream(
         out = []
         chunks = list(pdfs)
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                [TS, SEQ, "__src"]
-            )
-            # group into engine cycles: apply ALL coincident updates,
-            # then run the node once (csp cycle-collapse rule)
-            cycles: "list[tuple]" = []
-            cur = None
-            for ts, seq, src, v in zip(
-                pdf[TS], pdf[SEQ], pdf["__src"], pdf[VALUE]
-            ):
-                if cur is None or (ts, seq) != cur[0]:
-                    cur = ((ts, seq), [])
-                    cycles.append(cur)
-                cur[1].append((int(src), float(v)))
-            for (ts, seq), updates in cycles:
+            for (ts, seq), updates in _collapse_cycles(chunks):
                 ticked = {}
                 for src, v in updates:
                     last[src] = v
@@ -680,6 +657,11 @@ def run_node_stream(
         state.update(tuple(last) + (pickle.dumps(ustate),))
         yield pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
 
+    # the caller's watermark applies here too (late-data tolerance for
+    # the state operator); the 0 default stays a no-op so the historic
+    # no-watermark behavior of this path is unchanged
+    if watermark:
+        u = with_watermark(u, watermark)
     return u.groupBy(KEY).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
@@ -687,6 +669,40 @@ def run_node_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _seed_initial_states(initial_states):
+    """Normalize run_node_stream's hybrid-handover seed: per-key
+    replay-terminal states (see run_node_with_states /
+    run_hybrid_node). A DataFrame of (key, state binary) is collected
+    HERE — a visible driver action, sized one pickled dict per key
+    (bounded key sets; unbounded cardinality should resume from the
+    streaming checkpoint instead)."""
+    import pickle
+
+    if initial_states is not None and not isinstance(initial_states, dict):
+        initial_states = {
+            r[0]: pickle.loads(bytes(r[1])) for r in initial_states.collect()
+        }
+    return initial_states or {}
+
+
+def _collapse_cycles(chunks):
+    """A key's microbatch chunks → engine cycles in (ts, seq) order,
+    coincident multi-stream ticks collapsed to ONE cycle (batch
+    align's rule) — the one implementation both streaming folds share.
+    Returns [((ts, seq), [(src, value), ...]), ...]."""
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        [TS, SEQ, "__src"]
+    )
+    cycles: "list[tuple]" = []
+    cur = None
+    for ts, seq, src, v in zip(pdf[TS], pdf[SEQ], pdf["__src"], pdf[VALUE]):
+        if cur is None or (ts, seq) != cur[0]:
+            cur = ((ts, seq), [])
+            cycles.append(cur)
+        cur[1].append((int(src), float(v)))
+    return cycles
 
 
 def _run_node_stream_alarms(
@@ -700,7 +716,18 @@ def _run_node_stream_alarms(
     ``(pd.Timestamp, order, handle)`` exactly as the batch runner's
     (core/noderun.py:223); pickling user state and heap together keeps
     handle identity across the state store, so cancel_alarm on a
-    stored handle still kills the heap entry."""
+    stored handle still kills the heap entry. ``fired`` persists only
+    to keep alarm-cycle seqs unique and batch-matching; the
+    _MAX_ALARM_CYCLES runaway guard applies PER WAKE, as in one batch
+    replay — a long-lived query never exhausts a lifetime budget.
+
+    Handover caveat: ``initial_states`` seeds the USER state dict only
+    — run_node_with_states fires every alarm due by the replay end and
+    its terminal states carry no pending heap, so an alarm scheduled
+    past the handover point does not cross it. A node continuing live
+    must re-arm from its state; a guard like ``if 'rep' not in
+    cycle.state`` over a stored handle will skip that re-arm (store
+    scheduling metadata, not the handle, if you hand over)."""
     import heapq
     import pickle
 
@@ -708,11 +735,7 @@ def _run_node_stream_alarms(
         _ALARM_SEQ_BASE, _MAX_ALARM_CYCLES, NO_OUTPUT, NodeCycle,
     )
 
-    if initial_states is not None and not isinstance(initial_states, dict):
-        initial_states = {
-            r[0]: pickle.loads(bytes(r[1])) for r in initial_states.collect()
-        }
-    seed_states = initial_states or {}
+    seed_states = _seed_initial_states(initial_states)
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -733,7 +756,8 @@ def _run_node_stream_alarms(
                 _copy.deepcopy(init_state), [], 0, 0,
             )
         order = [order0]
-        fired = [fired0]
+        fired = [fired0]   # cumulative: alarm-cycle seq numbering
+        fired_now = [0]    # this wake only: the runaway guard's scope
         out = []
 
         def _schedule(ats, value):
@@ -752,7 +776,7 @@ def _run_node_stream_alarms(
             alarm lands AFTER that timestamp's input cycles) or
             ats <= limit (watermark drain — the engine clock reached
             the alarm time)."""
-            while heap and fired[0] < _MAX_ALARM_CYCLES:
+            while heap and fired_now[0] < _MAX_ALARM_CYCLES:
                 ats, _, handle = heap[0]
                 if not handle["alive"]:
                     heapq.heappop(heap)
@@ -763,6 +787,7 @@ def _run_node_stream_alarms(
                     break
                 heapq.heappop(heap)
                 fired[0] += 1
+                fired_now[0] += 1
                 cyc = NodeCycle(
                     ats, _ALARM_SEQ_BASE + fired[0], ustate,
                     {n: last[i] for i, n in enumerate(names)}, {},
@@ -773,19 +798,7 @@ def _run_node_stream_alarms(
         if not timed_out:
             chunks = list(pdfs)
             if chunks:
-                pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                    [TS, SEQ, "__src"]
-                )
-                cycles: "list[tuple]" = []
-                cur = None
-                for ts, seq, src, v in zip(
-                    pdf[TS], pdf[SEQ], pdf["__src"], pdf[VALUE]
-                ):
-                    if cur is None or (ts, seq) != cur[0]:
-                        cur = ((ts, seq), [])
-                        cycles.append(cur)
-                    cur[1].append((int(src), float(v)))
-                for (ts, seq), updates in cycles:
+                for (ts, seq), updates in _collapse_cycles(chunks):
                     _fire(ts, inclusive=False)
                     ticked = {}
                     for src, v in updates:

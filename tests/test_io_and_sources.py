@@ -1874,3 +1874,55 @@ def test_brownian_reference_signature_wires_without_spark_job(spark):
     # the wired stream still runs correctly afterwards
     path = [v for _, v in bm.collect_ticks()]
     assert len(path) == 4 and len(path[0]) == 2
+
+
+def test_const_fold_accepts_object_curves_and_caps_local_rows(spark):
+    """Review follow-ups on the const-edge fold: (1) a driver-born
+    object-typed curve (refcompat._curve_infer — not from_rows) also
+    carries local_rows, so the reference brownian_motion signature
+    accepts it without a Spark job; (2) big literal curves DROP
+    local_rows (they are not pinned on the driver for life); (3) the
+    kafka batch publish still accepts a plain value-only DataFrame."""
+    import csp_spark
+    from csp_spark.core.ticks import LOCAL_ROWS_CAP, TickStream
+    from csp_spark.operators.baselib import timer
+    from csp_spark.random import brownian_motion
+
+    csp_spark.enable_reference_alias()
+    import csp
+
+    start = dt.datetime(2024, 1, 1)
+    end = start + dt.timedelta(seconds=3)
+    with csp_spark.engine_window(start, end):
+        trig = timer(spark, start, end, dt.timedelta(seconds=1))
+        drift = csp.curve(object, [(start, [0.0, 0.0])])
+        cov = csp.curve(object, [(start, [[0.01, 0.0], [0.0, 0.01]])])
+        sc = spark.sparkContext
+        sc.setJobGroup("obj_curve_nojob", "const fold")
+        bm = brownian_motion(trig, drift=drift, covariance=cov, seed=3)
+        jobs = sc.statusTracker().getJobIdsForGroup("obj_curve_nojob")
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == []
+    assert len(bm.collect_ticks()) == 3
+
+    big = TickStream.from_rows(
+        spark,
+        [(start + dt.timedelta(seconds=i), float(i))
+         for i in range(LOCAL_ROWS_CAP + 1)],
+    )
+    assert big.local_rows is None
+    small = TickStream.from_rows(spark, [(start, 1.0)])
+    assert small.local_rows is not None
+
+    # kafka publish, plain value-only frame (no ts/seq): bare wire
+    from csp_spark.adapters.kafka import (
+        JSONTextMessageMapper, KafkaAdapterManager,
+    )
+    from pyspark.sql import functions as F
+
+    plain = spark.range(3).select(
+        F.struct(F.col("id").cast("double").alias("px"),
+                 F.lit("A").alias("sym")).alias("value"))
+    wire = KafkaAdapterManager("b:9092").publish(
+        JSONTextMessageMapper(), "t", "sym", plain)
+    assert wire.columns == ["key", "value"] and wire.count() == 3

@@ -1421,6 +1421,14 @@ def test_reference_sweep_names_r12(spark):
         oc.nope
     with pytest.raises(TypeError):
         oc.x = 9
+    # pickle/copy travel as the plain dict (the frozen __setattr__
+    # must not break the default copy machinery)
+    import copy as _copy
+    import pickle as _pickle
+
+    oc2 = _pickle.loads(_pickle.dumps(oc))
+    assert dict(oc2._items()) == dict(oc._items())
+    assert dict(_copy.deepcopy(oc)._items()) == dict(oc._items())
 
 
 def test_struct_classmethods_collectts_metadata_fieldmap(spark):

@@ -1863,3 +1863,84 @@ def test_streaming_state_stays_bounded(spark, tmp_path):
         assert all(len(pickle.loads(p)) == 1 for p in raw)
         sizes[tag] = max(len(p) for p in raw)
     assert sizes["node_long"] <= sizes["node_short"] + 8
+
+
+def test_run_node_stream_alarm_cap_is_per_wake(spark, tmp_path,
+                                               monkeypatch):
+    """The _MAX_ALARM_CYCLES runaway guard scopes to ONE wake (as one
+    batch replay), not the key's lifetime: with the cap patched to 2,
+    a repeating alarm still fires in EVERY wake (2 per wake here, 4
+    total) — a cumulative cap would stop at 2 forever while the
+    timeout kept re-arming."""
+    import uuid as _uuid
+
+    import csp_spark.core.noderun as noderun
+    from csp_spark.plans.runtime import _run_info_stack
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    monkeypatch.setattr(noderun, "_MAX_ALARM_CYCLES", 2)
+
+    def node(cycle):
+        if cycle.ticked("alarm"):
+            cycle.schedule_alarm(dt.timedelta(seconds=2), 1.0)
+            return 1.0
+        if not cycle.state.get("armed"):
+            cycle.state["armed"] = True
+            cycle.schedule_alarm(dt.timedelta(seconds=2), 1.0)
+        return None
+
+    land = tmp_path / "cap_in"
+    land.mkdir()
+    batches = [
+        [("s", START, 0, 0.0)],                               # arm @2
+        [("zf", START + dt.timedelta(seconds=6), 0, 0.0)],    # wm -> 0
+        [("zf", START + dt.timedelta(seconds=11), 0, 0.0)],   # wm -> 6
+        [("zf", START + dt.timedelta(seconds=30), 0, 0.0)],   # wm -> 11
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(str(land / f"b{i}"))
+    stream = file_ticks(
+        spark, str(land / "*"), SCHEMA, ts_col="ts", value_col="value",
+        key_col="key", max_files_per_trigger=1,
+    )
+    out = run_node_stream(node, {"x": stream}, alarms=True)
+    name = f"cap_sink_{_uuid.uuid4().hex[:8]}"
+    _run_info_stack.append({"start": None, "end": None, "realtime": True})
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        _run_info_stack.pop()
+    fired = [r for r in spark.table(name).collect()
+             if r["key"] == "s" and r["value"] == 1.0]
+    # chain 2,4,6,8,... clipped by the final watermark (30s) would be
+    # 14 uncapped; the per-wake cap of 2 yields 2 per waking batch —
+    # strictly MORE than 2 proves the cap is not cumulative
+    assert len(fired) > 2, [r["ts"] for r in fired]
+    # and each wake really was bounded: fired times advance 2-by-2
+    # per drain (2 fired before each watermark barrier)
+    assert len(fired) % 2 == 0
+
+
+def test_run_node_stream_watermark_applies_without_alarms(spark,
+                                                          tmp_path):
+    """The watermark= parameter reaches the plan on the alarms=False
+    path too (review finding: it used to be silently ignored)."""
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    d = tmp_path / "wm_in"
+    d.mkdir()
+    spark.createDataFrame([("s", START, 0, 1.0)], SCHEMA).coalesce(
+        1).write.parquet(str(d / "b0"))
+    stream = file_ticks(spark, str(d / "*"), SCHEMA, ts_col="ts",
+                        value_col="value", key_col="key")
+    out = run_node_stream(lambda c: c["x"], {"x": stream},
+                          watermark=dt.timedelta(seconds=7))
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "7 seconds" in plan and "EventTimeWatermark" in plan
+    # and the default stays watermark-free (historic behavior)
+    out0 = run_node_stream(lambda c: c["x"], {"x": stream})
+    assert "EventTimeWatermark" not in out0._jdf.queryExecution(
+        ).logical().toString()
