@@ -173,7 +173,7 @@ def _state_factory(state):
 
 def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
                   on_start=None, start_ts=None, has_seed=False,
-                  on_stop=None):
+                  on_stop=None, keep_alarms=False):
     """The per-key cycle engine shared by run_node and
     run_node_with_states: input cycles in (ts, seq) order, alarm heap
     merged in, optional terminal-state row (pickled) appended.
@@ -271,6 +271,11 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
                 if limit_ts is not None and ats >= limit_ts:
                     break
                 if end is not None and ats > pd.Timestamp(end):
+                    if keep_alarms:
+                        # handover mode: alarms scheduled past the
+                        # engine end stay pending (ats order => the
+                        # whole remaining heap is past end)
+                        break
                     heapq.heappop(heap)
                     continue
                 heapq.heappop(heap)
@@ -310,7 +315,17 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
             ))
         if emit_state:
             final_ts = tss[n_rows - 1] if n_rows else None
-            out.append((key, final_ts, STATE_SEQ, None, pickle.dumps(st)))
+            if keep_alarms:
+                # the streaming alarm engine's blob shape (user state +
+                # pending heap + counters, ONE pickle so handle
+                # identity crosses the handover); dead handles at the
+                # head are dropped here, not at the consumer
+                while heap and not heap[0][2]["alive"]:
+                    heapq.heappop(heap)
+                payload = pickle.dumps((st, heap, order[0], fired[0]))
+            else:
+                payload = pickle.dumps(st)
+            out.append((key, final_ts, STATE_SEQ, None, payload))
 
     return _run
 
@@ -430,6 +445,7 @@ def run_node_with_states(
     output_type: str = "double",
     end: _dt.datetime | None = None,
     buckets: int | None = _NODE_BUCKETS,
+    keep_alarms: bool = False,
 ) -> "tuple[TickStream, Any]":
     """run_node plus each key's TERMINAL state: returns
     ``(output, states)`` where ``states`` is a DataFrame of
@@ -444,6 +460,15 @@ def run_node_with_states(
     dict); the hybrid consumer collects it to the driver, which suits
     bounded key sets — for unbounded cardinality keep the streaming
     query running from its checkpoint instead of re-seeding.
+
+    ``keep_alarms=True``: alarms scheduled past ``end`` are NOT
+    dropped — each state row pickles ``(state, pending_heap, order,
+    fired)`` (the streaming alarm engine's blob, one pickle so handles
+    stored in the state dict keep their heap identity), and
+    ``run_node_stream(alarms=True, initial_states=...)`` resumes them:
+    pending alarms fire live at their scheduled times and alarm-cycle
+    seq numbering continues where the replay stopped. Only the
+    alarms=True streaming runner accepts this shape.
     """
     streams = (
         {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
@@ -456,7 +481,8 @@ def run_node_with_states(
         "__state binary"
     )
     runner = _keyed_runner(
-        fn, names, mk_state, multi=None, end=end, emit_state=True
+        fn, names, mk_state, multi=None, end=end, emit_state=True,
+        keep_alarms=keep_alarms,
     )
 
     from pyspark.sql import functions as F

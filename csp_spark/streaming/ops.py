@@ -620,6 +620,13 @@ def run_node_stream(
             initial_states, watermark,
         )
     seed_states = _seed_initial_states(initial_states)
+    bad = [k for k, v in seed_states.items() if _is_alarm_seed(v)]
+    if bad:
+        raise ValueError(
+            "initial_states carry pending-alarm blobs (run_node_with_"
+            "states(keep_alarms=True)) — resume them with alarms=True; "
+            f"the no-alarm runner would silently drop them (keys {bad[:3]})"
+        )
 
     def _no_alarms(*_a, **_k):
         raise NotImplementedError(
@@ -687,6 +694,16 @@ def _seed_initial_states(initial_states):
     return initial_states or {}
 
 
+def _is_alarm_seed(v):
+    """run_node_with_states(keep_alarms=True) state shape:
+    (state dict, pending heap list, order int, fired int)."""
+    return (
+        isinstance(v, tuple) and len(v) == 4 and isinstance(v[0], dict)
+        and isinstance(v[1], list) and isinstance(v[2], int)
+        and isinstance(v[3], int)
+    )
+
+
 def _collapse_cycles(chunks):
     """A key's microbatch chunks → engine cycles in (ts, seq) order,
     coincident multi-stream ticks collapsed to ONE cycle (batch
@@ -695,6 +712,9 @@ def _collapse_cycles(chunks):
     pdf = pd.concat(chunks, ignore_index=True).sort_values(
         [TS, SEQ, "__src"]
     )
+    # __src < 0 rows are group-materialization seeds (alarm handover),
+    # not input ticks
+    pdf = pdf[pdf["__src"] >= 0]
     cycles: "list[tuple]" = []
     cur = None
     for ts, seq, src, v in zip(pdf[TS], pdf[SEQ], pdf["__src"], pdf[VALUE]):
@@ -721,13 +741,18 @@ def _run_node_stream_alarms(
     _MAX_ALARM_CYCLES runaway guard applies PER WAKE, as in one batch
     replay — a long-lived query never exhausts a lifetime budget.
 
-    Handover caveat: ``initial_states`` seeds the USER state dict only
-    — run_node_with_states fires every alarm due by the replay end and
-    its terminal states carry no pending heap, so an alarm scheduled
-    past the handover point does not cross it. A node continuing live
-    must re-arm from its state; a guard like ``if 'rep' not in
-    cycle.state`` over a stored handle will skip that re-arm (store
-    scheduling metadata, not the handle, if you hand over)."""
+    Handover: seed ``initial_states`` from ``run_node_with_states(
+    keep_alarms=True)`` and pending alarms CROSS the replay→live
+    boundary — each seed is the engine's own (state, heap, order,
+    fired) blob, so handles stored in the state dict still cancel, and
+    alarm-cycle seqs continue where the replay stopped — including for
+    keys that never receive a live input (a synthetic seed row
+    materializes each alarm-carrying key's state in trigger 1, so the
+    watermark alone fires them). A plain-dict seed (the
+    default run_node_with_states shape) carries NO heap — alarms
+    scheduled past the replay end were dropped there, and a guard like
+    ``if 'rep' not in cycle.state`` over a stored handle will skip
+    re-arming."""
     import heapq
     import pickle
 
@@ -736,6 +761,37 @@ def _run_node_stream_alarms(
     )
 
     seed_states = _seed_initial_states(initial_states)
+
+    # a seeded key with PENDING alarms but no live input would never
+    # materialize in the state store (applyInPandasWithState has no
+    # initialState) — its alarms would sit unfired forever. Inject ONE
+    # synthetic row per such key through a side file-stream union: the
+    # fold drops it from cycle collapse (__src < 0) but the wake
+    # creates the state row and arms the timeout. The row carries an
+    # ancient fixed timestamp — it arrives in trigger 1 while the
+    # watermark is still 0 (so it is not dropped as late) and can
+    # never ADVANCE the watermark past legitimate live data.
+    pending = [
+        k for k, v in seed_states.items()
+        if _is_alarm_seed(v) and any(e[2]["alive"] for e in v[1])
+    ]
+    if pending:
+        import tempfile
+
+        spark = u.sparkSession
+        seed_dir = tempfile.mkdtemp(prefix="csp_alarm_seed_")
+        ancient = _dt.datetime(1970, 1, 1, 0, 0, 1)
+        seed_rows = [(k, ancient, 0, -1, None) for k in pending]
+        schema = (
+            f"{KEY} string, {TS} timestamp, {SEQ} long, "
+            f"__src int, {VALUE} double"
+        )
+        spark.createDataFrame(seed_rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(seed_dir)
+        u = u.unionByName(
+            spark.readStream.format("parquet").schema(u.schema)
+            .load(seed_dir)
+        )
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -747,9 +803,17 @@ def _run_node_stream_alarms(
             ustate, heap, order0, fired0 = pickle.loads(bytes(stored[n_src]))
         elif key[0] in seed_states:
             last = [None] * n_src
-            ustate, heap, order0, fired0 = (
-                _copy.deepcopy(seed_states[key[0]]), [], 0, 0,
-            )
+            seed = seed_states[key[0]]
+            if _is_alarm_seed(seed):
+                # replay handover with pending alarms
+                # (run_node_with_states(keep_alarms=True)): ONE
+                # deepcopy keeps handle identity between the copied
+                # state dict and the copied heap
+                ustate, heap, order0, fired0 = _copy.deepcopy(seed)
+            else:
+                ustate, heap, order0, fired0 = (
+                    _copy.deepcopy(seed), [], 0, 0,
+                )
         else:
             last = [None] * n_src
             ustate, heap, order0, fired0 = (
@@ -824,8 +888,14 @@ def _run_node_stream_alarms(
             + (pickle.dumps((ustate, heap, order[0], fired[0])),)
         )
         if heap:
+            # wake 1 ms EARLY: Spark fires an event-time timeout only
+            # when the watermark advances strictly BEYOND it, so a
+            # timeout set AT the alarm time would miss a watermark that
+            # lands exactly on it (batch `end` is inclusive — an alarm
+            # at exactly the final watermark must fire). The early wake
+            # at worst drains nothing and re-arms.
             next_ms = heap[0][0].value // 1_000_000
-            state.setTimeoutTimestamp(max(next_ms, wm_ms + 1))
+            state.setTimeoutTimestamp(max(next_ms - 1, wm_ms + 1))
         yield pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
 
     return with_watermark(u, watermark).groupBy(KEY).applyInPandasWithState(

@@ -1944,3 +1944,153 @@ def test_run_node_stream_watermark_applies_without_alarms(spark,
     out0 = run_node_stream(lambda c: c["x"], {"x": stream})
     assert "EventTimeWatermark" not in out0._jdf.queryExecution(
         ).logical().toString()
+
+
+def test_alarm_handover_replay_to_live(spark, tmp_path):
+    """Pending alarms CROSS the replay->live handover:
+    run_node_with_states(keep_alarms=True) keeps alarms scheduled past
+    the replay end in the state blob, and run_node_stream(alarms=True,
+    initial_states=...) fires them live at their scheduled times —
+    including CANCELLING a replay-scheduled handle from a live cycle
+    (handle identity survives batch pickle -> seed deepcopy -> state
+    store pickles). Replay ∪ live output equals ONE batch run over
+    history ∪ live, seqs included."""
+    import uuid as _uuid
+
+    from csp_spark import TickStream
+    from csp_spark.core.noderun import run_node, run_node_with_states
+    from csp_spark.plans.runtime import _run_info_stack
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    def node(cycle):
+        if cycle.ticked("alarm"):
+            # repeating alarm reschedules itself every 4s
+            cycle.state["rep"] = cycle.schedule_alarm(
+                dt.timedelta(seconds=4), 1.0)
+            return 500.0 + cycle.alarm
+        if not cycle.state.get("armed"):
+            cycle.state["armed"] = True
+            cycle.state["rep"] = cycle.schedule_alarm(
+                dt.timedelta(seconds=4), 1.0)
+            cycle.state["shot"] = cycle.schedule_alarm(
+                dt.timedelta(seconds=25), 2.0)
+            return cycle["x"]
+        h = cycle.state.pop("shot", None)
+        if h is not None:
+            cycle.cancel_alarm(h)  # live cancel of a REPLAY handle
+        return cycle["x"]
+
+    hist = [("s", START, 0, 1.0)]
+    live1 = [("s", START + dt.timedelta(seconds=10), 0, 2.0)]
+    live2 = [("zf", START + dt.timedelta(seconds=20), 0, 9.0)]
+    live3 = [("zf", START + dt.timedelta(seconds=40), 0, 8.0)]
+
+    # --- replay half: [0s, 6s] — rep fires at 4s, reschedules 8s
+    # (pending), the 25s one-shot pending; both cross in the blob
+    replay_out, states = run_node_with_states(
+        node, {"x": TickStream(spark.createDataFrame(hist, SCHEMA))},
+        end=START + dt.timedelta(seconds=6), keep_alarms=True,
+    )
+    replay_rows = [(r["key"], r["ts"], r["seq"], r["value"])
+                   for r in replay_out.df.collect()]
+    assert any(v == 501.0 for *_, v in replay_rows)  # rep fired at 4s
+
+    # --- live half over microbatch drops, seeded with the blobs
+    land = tmp_path / "ho_in"
+    land.mkdir()
+    for i, rows in enumerate([live1, live2, live3]):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(str(land / f"b{i}"))
+    stream = file_ticks(
+        spark, str(land / "*"), SCHEMA, ts_col="ts", value_col="value",
+        key_col="key", max_files_per_trigger=1,
+    )
+    out = run_node_stream(node, {"x": stream}, alarms=True,
+                          initial_states=states)
+    name = f"ho_sink_{_uuid.uuid4().hex[:8]}"
+    _run_info_stack.append({"start": None, "end": None, "realtime": True})
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        _run_info_stack.pop()
+    live_rows = [(r["key"], r["ts"], r["seq"], r["value"])
+                 for r in spark.table(name).collect()]
+
+    got = sorted(replay_rows + live_rows)
+
+    # --- oracle: ONE batch run over history ∪ live, end = final
+    # watermark (the last flush's ts — availableNow's trailing batch)
+    ref_ts = run_node(
+        node,
+        {"x": TickStream(
+            spark.createDataFrame(hist + live1 + live2 + live3, SCHEMA))},
+        end=START + dt.timedelta(seconds=40),
+    )
+    ref = sorted((r["key"], r["ts"], r["seq"], r["value"])
+                 for r in ref_ts.df.collect())
+    assert got == ref
+    # the replay-scheduled one-shot was cancelled LIVE: 502 never fired
+    assert not any(v == 502.0 for *_, v in got)
+    # the pending repeating alarm really fired live (8s, 12s, ...)
+    assert any(v == 501.0 and ts > START + dt.timedelta(seconds=6)
+               for _, ts, _, v in live_rows)
+
+    # misuse guard: alarm blobs into the no-alarm runner raise loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alarms=True"):
+        run_node_stream(node, {"x": stream}, initial_states=states)
+
+
+def test_alarm_handover_idle_key_fires(spark, tmp_path):
+    """A seeded key with pending alarms but NO live input at all: the
+    synthetic seed row materializes its state in trigger 1, so the
+    advancing watermark alone fires the replay-armed alarm at exactly
+    its scheduled time (this scenario found the state-store
+    materialization hole during verification)."""
+    import uuid as _uuid
+
+    from csp_spark import TickStream
+    from csp_spark.core.noderun import run_node_with_states
+    from csp_spark.plans.runtime import _run_info_stack
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    def node(cycle):
+        if cycle.ticked("alarm"):
+            return 300.0
+        if not cycle.state.get("armed"):
+            cycle.state["armed"] = True
+            cycle.schedule_alarm(dt.timedelta(seconds=7), 3.0)
+        return cycle["x"]
+
+    hist = [("q", START, 0, 1.0)]
+    _, states = run_node_with_states(
+        node, {"x": TickStream(spark.createDataFrame(hist, SCHEMA))},
+        end=START + dt.timedelta(seconds=5), keep_alarms=True)
+
+    land = tmp_path / "idle_in"
+    land.mkdir()
+    # only watermark-flush traffic on OTHER keys
+    for i, sec in enumerate([12, 30]):
+        spark.createDataFrame(
+            [("zz", START + dt.timedelta(seconds=sec), 0, 0.0)], SCHEMA
+        ).coalesce(1).write.parquet(str(land / f"b{i}"))
+    stream = file_ticks(
+        spark, str(land / "*"), SCHEMA, ts_col="ts", value_col="value",
+        key_col="key", max_files_per_trigger=1,
+    )
+    out = run_node_stream(node, {"x": stream}, alarms=True,
+                          initial_states=states)
+    name = f"idle_sink_{_uuid.uuid4().hex[:8]}"
+    _run_info_stack.append({"start": None, "end": None, "realtime": True})
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        _run_info_stack.pop()
+    got = [(r["ts"], r["value"]) for r in spark.table(name).collect()
+           if r["key"] == "q"]
+    assert got == [(START + dt.timedelta(seconds=7), 300.0)]
