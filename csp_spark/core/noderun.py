@@ -62,6 +62,34 @@ _MAX_ALARM_CYCLES = 1_000_000
 #: "synthetic row" convention; filtered from user-visible output)
 STATE_SEQ = -(1 << 40)
 
+
+class AlarmHandoff:
+    """The replay→live handover record emitted by
+    ``run_node_with_states(keep_alarms=True)`` and consumed by
+    ``run_node_stream(alarms=True, initial_states=...)``: the node's
+    terminal state dict, its pending alarm heap (one pickle with the
+    state so handles stored there keep heap identity), the engine
+    counters, and the replay's last input values (alarm cycles read
+    inputs). A distinct TYPE — not a shape — so a user state that
+    happens to be a tuple can never be misread as a handoff."""
+
+    __slots__ = ("state", "heap", "order", "fired", "last")
+
+    def __init__(self, state, heap, order, fired, last):
+        self.state = state
+        self.heap = heap
+        self.order = order
+        self.fired = fired
+        self.last = last
+
+    # slots-only classes need explicit pickle plumbing on py<3.11
+    # semantics; keep it explicit and version-proof
+    def __getstate__(self):
+        return (self.state, self.heap, self.order, self.fired, self.last)
+
+    def __setstate__(self, t):
+        (self.state, self.heap, self.order, self.fired, self.last) = t
+
 #: seq marker for the synthetic group-seed row injected when a node
 #: with csp.start() alarms has NO input ticks at all (e.g. a feedback
 #: graph's first fixed-point pass): applyInPandas produces zero groups
@@ -316,13 +344,24 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
         if emit_state:
             final_ts = tss[n_rows - 1] if n_rows else None
             if keep_alarms:
-                # the streaming alarm engine's blob shape (user state +
-                # pending heap + counters, ONE pickle so handle
-                # identity crosses the handover); dead handles at the
-                # head are dropped here, not at the consumer
+                # ONE pickle of the typed handoff record so handle
+                # identity crosses the handover; dead handles at the
+                # head are dropped here, not at the consumer. Last
+                # input values cross too (alarm cycles read inputs) —
+                # coerced to the streaming runner's double channel.
                 while heap and not heap[0][2]["alive"]:
                     heapq.heappop(heap)
-                payload = pickle.dumps((st, heap, order[0], fired[0]))
+
+                def _dbl(v):
+                    try:
+                        return None if v is None else float(v)
+                    except (TypeError, ValueError):
+                        return None
+
+                payload = pickle.dumps(AlarmHandoff(
+                    st, heap, order[0], fired[0],
+                    {n: _dbl(v) for n, v in last_vals.items()},
+                ))
             else:
                 payload = pickle.dumps(st)
             out.append((key, final_ts, STATE_SEQ, None, payload))
@@ -470,6 +509,12 @@ def run_node_with_states(
     seq numbering continues where the replay stopped. Only the
     alarms=True streaming runner accepts this shape.
     """
+    if keep_alarms and end is None:
+        raise ValueError(
+            "keep_alarms=True needs end= (the handover boundary): "
+            "without it the trailing drain fires EVERY pending alarm "
+            "in the replay and nothing would be left to hand over"
+        )
     streams = (
         {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
     )

@@ -227,11 +227,14 @@ def _curve_infer(data, kwargs) -> TickStream:
     # driver-born literal rows stay readable for const-parameter folds
     # (csp.random drift/covariance via object-typed curves), same
     # contract as TickStream.from_rows
-    from ..core.ticks import LOCAL_ROWS_CAP
+    from ..core.ticks import LOCAL_ROWS_CAP, LOCAL_ROWS_OVER_CAP
 
     return TickStream(
         df,
-        local_rows=(tuple(rows) if len(rows) <= LOCAL_ROWS_CAP else None),
+        local_rows=(
+            tuple(rows) if len(rows) <= LOCAL_ROWS_CAP
+            else LOCAL_ROWS_OVER_CAP
+        ),
     )
 
 

@@ -33,8 +33,11 @@ VALUE = "value"
 GLOBAL_KEY = ""
 
 #: largest literal stream whose rows stay readable driver-side on
-#: TickStream.local_rows (const-parameter folds); bigger curves drop it
+#: TickStream.local_rows (const-parameter folds); bigger curves carry
+#: the OVER_CAP marker instead so error messages can say WHY the fold
+#: refused (capped, not non-constant)
 LOCAL_ROWS_CAP = 64
+LOCAL_ROWS_OVER_CAP = "__local_rows_over_cap__"
 
 
 def _as_ts(x: Any) -> _dt.datetime:
@@ -125,7 +128,8 @@ class TickStream:
         return TickStream(
             spark.createDataFrame(norm, schema),
             local_rows=(
-                tuple(norm) if len(norm) <= LOCAL_ROWS_CAP else None
+                tuple(norm) if len(norm) <= LOCAL_ROWS_CAP
+                else LOCAL_ROWS_OVER_CAP
             ),
         )
 

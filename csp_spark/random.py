@@ -42,7 +42,15 @@ def _const_edge_value(edge, what: str):
     from_rows); any cluster-backed edge (timer, parquet, a transform)
     has none and is rejected WITHOUT executing its plan — wiring a
     graph must never launch a scan just to raise."""
+    from .core.ticks import LOCAL_ROWS_OVER_CAP
+
     rows = getattr(edge, "local_rows", None)
+    if rows == LOCAL_ROWS_OVER_CAP:
+        raise NotImplementedError(
+            f"the {what} edge is a literal curve with more ticks than "
+            "the constant fold reads driver-side (LOCAL_ROWS_CAP) — "
+            "pass the single value as csp.const(...)"
+        )
     if not rows:
         raise NotImplementedError(
             f"time-varying {what} is not supported here — pass a "

@@ -247,6 +247,8 @@ def run_hybrid_node(
     lives: "Mapping[str, DataFrame] | DataFrame",
     state: "dict | None" = None,
     output_type: str = "double",
+    alarms: bool = False,
+    end: "_dt.datetime | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Replay→live for IMPERATIVE nodes (core/noderun.run_node): the
     batch runner replays history and hands each key's terminal state
@@ -265,6 +267,13 @@ def run_hybrid_node(
     a node reading last-values it never stored must re-observe them
     (store what you need in state — same contract as a csp node
     restarting from a snapshot).
+
+    ``alarms=True`` (+ ``end`` = the handover boundary): the replay
+    keeps alarms pending past ``end`` (run_node_with_states
+    keep_alarms) and the live runner resumes them
+    (run_node_stream(alarms=True)) — pending alarms, handle
+    cancellation, seq numbering, and the replay's last input values
+    all cross the boundary.
     """
     from ..core.noderun import run_node_with_states
     from .ops import run_node_stream
@@ -280,8 +289,11 @@ def run_hybrid_node(
         {n: TickStream(h) for n, h in hmap.items()},
         state=state,
         output_type=output_type,
+        end=end,
+        keep_alarms=alarms,
     )
     live = run_node_stream(
-        fn, lmap, state=state, output_type=output_type, initial_states=states
+        fn, lmap, state=state, output_type=output_type,
+        initial_states=states, alarms=alarms,
     )
     return replay.df, live

@@ -695,13 +695,12 @@ def _seed_initial_states(initial_states):
 
 
 def _is_alarm_seed(v):
-    """run_node_with_states(keep_alarms=True) state shape:
-    (state dict, pending heap list, order int, fired int)."""
-    return (
-        isinstance(v, tuple) and len(v) == 4 and isinstance(v[0], dict)
-        and isinstance(v[1], list) and isinstance(v[2], int)
-        and isinstance(v[3], int)
-    )
+    """run_node_with_states(keep_alarms=True) emits typed AlarmHandoff
+    records — an isinstance check, so an arbitrary user state dict or
+    tuple can never be misread as a handoff blob."""
+    from ..core.noderun import AlarmHandoff
+
+    return isinstance(v, AlarmHandoff)
 
 
 def _collapse_cycles(chunks):
@@ -773,9 +772,14 @@ def _run_node_stream_alarms(
     # never ADVANCE the watermark past legitimate live data.
     pending = [
         k for k, v in seed_states.items()
-        if _is_alarm_seed(v) and any(e[2]["alive"] for e in v[1])
+        if _is_alarm_seed(v) and any(e[2]["alive"] for e in v.heap)
     ]
     if pending:
+        # (hybrid.seed_ticks is the same write-once-file-source trick,
+        # but it seeds through the VALUE channel with SEED_SEQ rows;
+        # these rows ride the node union's __src tag instead, so the
+        # shapes don't share code. The temp dir lives as long as the
+        # streaming query — same lifetime as seed_ticks' directory.)
         import tempfile
 
         spark = u.sparkSession
@@ -802,15 +806,20 @@ def _run_node_stream_alarms(
             last = list(stored[:n_src])
             ustate, heap, order0, fired0 = pickle.loads(bytes(stored[n_src]))
         elif key[0] in seed_states:
-            last = [None] * n_src
             seed = seed_states[key[0]]
             if _is_alarm_seed(seed):
                 # replay handover with pending alarms
                 # (run_node_with_states(keep_alarms=True)): ONE
                 # deepcopy keeps handle identity between the copied
-                # state dict and the copied heap
-                ustate, heap, order0, fired0 = _copy.deepcopy(seed)
+                # state dict and the copied heap; the replay's last
+                # input values cross too (alarm cycles read inputs)
+                s2 = _copy.deepcopy(seed)
+                ustate, heap, order0, fired0 = (
+                    s2.state, s2.heap, s2.order, s2.fired,
+                )
+                last = [(s2.last or {}).get(n) for n in names]
             else:
+                last = [None] * n_src
                 ustate, heap, order0, fired0 = (
                     _copy.deepcopy(seed), [], 0, 0,
                 )

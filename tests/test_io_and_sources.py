@@ -1910,9 +1910,11 @@ def test_const_fold_accepts_object_curves_and_caps_local_rows(spark):
         [(start + dt.timedelta(seconds=i), float(i))
          for i in range(LOCAL_ROWS_CAP + 1)],
     )
-    assert big.local_rows is None
+    from csp_spark.core.ticks import LOCAL_ROWS_OVER_CAP
+
+    assert big.local_rows == LOCAL_ROWS_OVER_CAP  # marker, not rows
     small = TickStream.from_rows(spark, [(start, 1.0)])
-    assert small.local_rows is not None
+    assert isinstance(small.local_rows, tuple)
 
     # kafka publish, plain value-only frame (no ts/seq): bare wire
     from csp_spark.adapters.kafka import (

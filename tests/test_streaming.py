@@ -2094,3 +2094,92 @@ def test_alarm_handover_idle_key_fires(spark, tmp_path):
     got = [(r["ts"], r["value"]) for r in spark.table(name).collect()
            if r["key"] == "q"]
     assert got == [(START + dt.timedelta(seconds=7), 300.0)]
+
+
+def test_alarm_handover_review_fixes(spark, tmp_path):
+    """Second-review regressions on the handover: (1) the replay's
+    LAST INPUT VALUES cross — an alarm firing live before any live
+    tick still reads cycle['x']; (2) keep_alarms without end= raises
+    (the trailing drain would fire everything, leaving nothing to hand
+    over); (3) a user state that happens to be a (dict, list, int,
+    int) tuple is NOT misread as a handoff blob (typed AlarmHandoff,
+    not shape-sniffing); (4) run_hybrid_node(alarms=True, end=) plumbs
+    the whole handover through the high-level entry point."""
+    import uuid as _uuid
+
+    import pytest as _pytest
+
+    from csp_spark import TickStream
+    from csp_spark.core.noderun import run_node, run_node_with_states
+    from csp_spark.plans.runtime import _run_info_stack
+    from csp_spark.streaming import (
+        file_ticks, run_hybrid_node, run_node_stream,
+    )
+
+    def node(cycle):
+        if cycle.ticked("alarm"):
+            # the alarm READS the input's last value (finding 1)
+            return (cycle["x"] or 0.0) * 100.0
+        if not cycle.state.get("armed"):
+            cycle.state["armed"] = True
+            cycle.schedule_alarm(dt.timedelta(seconds=7), 1.0)
+        return cycle["x"]
+
+    hist = [("q", START, 0, 3.0)]
+    flush = [[("zz", START + dt.timedelta(seconds=12), 0, 0.0)],
+             [("zz", START + dt.timedelta(seconds=30), 0, 0.0)]]
+    land = tmp_path / "rf_in"
+    land.mkdir()
+    for i, rows in enumerate(flush):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(land / f"b{i}"))
+
+    # (2) keep_alarms demands the boundary
+    with _pytest.raises(ValueError, match="end="):
+        run_node_with_states(
+            node, {"x": TickStream(spark.createDataFrame(hist, SCHEMA))},
+            keep_alarms=True)
+
+    # (1)+(4): via run_hybrid_node — alarm fires live at 7s reading
+    # the REPLAY's last x (3.0) -> 300.0
+    stream = file_ticks(
+        spark, str(land / "*"), SCHEMA, ts_col="ts", value_col="value",
+        key_col="key", max_files_per_trigger=1,
+    )
+    replay_df, live = run_hybrid_node(
+        node, spark.createDataFrame(hist, SCHEMA), stream,
+        alarms=True, end=START + dt.timedelta(seconds=5),
+    )
+    assert [(r["ts"], r["value"]) for r in replay_df.collect()] == [
+        (START, 3.0)]
+    name = f"rf_sink_{_uuid.uuid4().hex[:8]}"
+    _run_info_stack.append({"start": None, "end": None, "realtime": True})
+    try:
+        q = (live.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        _run_info_stack.pop()
+    got = [(r["ts"], r["value"]) for r in spark.table(name).collect()
+           if r["key"] == "q"]
+    assert got == [(START + dt.timedelta(seconds=7), 300.0)]
+
+    # (3) a tuple-shaped USER state seed stays a user state
+    def echo_state(cycle):
+        d, lst, a, b = cycle.state["acc"]  # intact 4-tuple
+        return float(a + b + len(lst) + len(d))
+
+    out = run_node_stream(
+        echo_state, {"x": stream}, alarms=True,
+        initial_states={"zz": {"acc": ({"k": 1}, [1, 2], 3, 4)}},
+    )
+    name2 = f"rf2_sink_{_uuid.uuid4().hex[:8]}"
+    _run_info_stack.append({"start": None, "end": None, "realtime": True})
+    try:
+        q = (out.writeStream.format("memory").queryName(name2)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        _run_info_stack.pop()
+    vals = {r["value"] for r in spark.table(name2).collect()}
+    assert vals == {10.0}  # 3+4+2+1 — the tuple arrived untouched
