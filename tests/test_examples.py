@@ -21,6 +21,7 @@ EXAMPLES = [
     "11_live_table",
     "12_incremental_refresh",
     "13_class_adapters",
+    "14_streaming_alarms",
 ]
 
 
