@@ -332,7 +332,14 @@ def main() -> None:
                  "in NO frozen subtotal — at sf0.01 warm it already "
                  "matches exact (1.2s vs 1.3s; the gap opens with "
                  "corpus size as the exact model table outgrows "
-                 "broadcast).",
+                 "broadcast). r12 end-of-session settled runs (box "
+                 "idle after the full pytest+gates, two back-to-back "
+                 "sessions): headline 49.7/31.2 then 55.9/30.7 — "
+                 "warm (the stabler signal) within ~8% of r11's 28.3 "
+                 "settled warm, cold q1 1.26/1.57 showing residual "
+                 "post-pytest cache churn; PLAN_AUDIT byte-identical "
+                 "to r11 (zero plan drift, no bench query passes "
+                 "through r12-changed code): AMBIENT.",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
