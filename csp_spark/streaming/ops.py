@@ -613,10 +613,15 @@ def run_node_stream(
     state_schema = (
         ", ".join(f"s{i} double" for i in range(n_src)) + ", ustate binary"
     )
-    init_state = dict(state or {})
+    # batch run_node parity: state may be a zero-arg factory (fresh
+    # per key) or a dict prototype (deep-copied per key)
+    mk_state = (
+        state if callable(state)
+        else (lambda proto=dict(state or {}): _copy.deepcopy(proto))
+    )
     if alarms:
         return _run_node_stream_alarms(
-            fn, u, names, n_src, out_schema, state_schema, init_state,
+            fn, u, names, n_src, out_schema, state_schema, mk_state,
             initial_states, watermark,
         )
     seed_states = _seed_initial_states(initial_states)
@@ -647,7 +652,7 @@ def run_node_stream(
             ustate = _copy.deepcopy(seed_states[key[0]])
         else:
             last = [None] * n_src
-            ustate = _copy.deepcopy(init_state)
+            ustate = mk_state()
         out = []
         chunks = list(pdfs)
         if chunks:
@@ -725,7 +730,7 @@ def _collapse_cycles(chunks):
 
 
 def _run_node_stream_alarms(
-    fn, u, names, n_src, out_schema, state_schema, init_state,
+    fn, u, names, n_src, out_schema, state_schema, mk_state,
     initial_states, watermark,
 ):
     """The alarms=True engine behind :func:`run_node_stream` (see its
@@ -826,7 +831,7 @@ def _run_node_stream_alarms(
         else:
             last = [None] * n_src
             ustate, heap, order0, fired0 = (
-                _copy.deepcopy(init_state), [], 0, 0,
+                mk_state(), [], 0, 0,
             )
         order = [order0]
         fired = [fired0]   # cumulative: alarm-cycle seq numbering

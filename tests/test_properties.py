@@ -2031,3 +2031,83 @@ def test_pending_row_manager_timeslices_fuzz(spark, tmp_path_factory,
     want = [(t, v) for t, sym, v in data if sym == "AAPL" and lo <= t <= hi]
     assert [(t, round(v, 3)) for t, v in res["rt"]] == [
         (t, round(v, 3)) for t, v in want]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=20),   # seconds; ties ok
+            st.integers(min_value=0, max_value=8),    # action selector
+        ),
+        min_size=1, max_size=10,
+    ),
+    delay=st.sampled_from([2, 3, 5]),
+)
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_streaming_alarms_fuzz_match_batch(spark, tmp_path_factory,
+                                           rows, delay):
+    """Random tick/schedule/cancel interleavings: run_node_stream(
+    alarms=True) over microbatch drops equals batch run_node on the
+    same program — the deterministic alarm tests' invariant, fuzzed
+    (action per tick: schedule a +delay alarm, cancel the last pending
+    handle, or neither; alarms echo; engine end = final watermark)."""
+    import uuid as _uuid
+
+    from csp_spark import TickStream
+    from csp_spark.core.noderun import run_node
+    from csp_spark.plans.runtime import _run_info_stack
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    def node(cycle):
+        if cycle.ticked("alarm"):
+            return 1000.0 + cycle.alarm
+        act = int(cycle["x"]) % 3
+        if act == 0:
+            cycle.state.setdefault("hs", []).append(
+                cycle.schedule_alarm(dt.timedelta(seconds=delay),
+                                     float(int(cycle["x"]))))
+        elif act == 1 and cycle.state.get("hs"):
+            cycle.cancel_alarm(cycle.state["hs"].pop())
+        return cycle["x"]
+
+    data = sorted(
+        {(k, s): float(a) for k, s, a in rows}.items()
+    )  # one row per (key, sec): dup rows would need seq bookkeeping
+    ticks = [(k, START + dt.timedelta(seconds=s), 0, v)
+             for (k, s), v in data]
+    top = max(s for (_, s), _ in data)
+    flush = [("zz", START + dt.timedelta(seconds=top + 10), 0, 2.0),
+             ("zz", START + dt.timedelta(seconds=top + 40), 0, 2.0)]
+
+    d = tmp_path_factory.mktemp("alarm_fuzz")
+    half = max(1, len(ticks) // 2)
+    batches = [ticks[:half], ticks[half:] or [flush[0]], *[[f] for f in
+               (flush if ticks[half:] else flush[1:])]]
+    for i, chunk in enumerate(b for b in batches if b):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(str(d / f"b{i}"))
+    stream = file_ticks(spark, str(d / "*"), SCHEMA, ts_col="ts",
+                        value_col="value", key_col="key",
+                        max_files_per_trigger=1)
+    out = run_node_stream(node, {"x": stream}, alarms=True)
+    name = f"af_{_uuid.uuid4().hex[:8]}"
+    _run_info_stack.append({"start": None, "end": None, "realtime": True})
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        _run_info_stack.pop()
+    got = sorted((r["key"], r["ts"], r["seq"], r["value"])
+                 for r in spark.table(name).collect())
+    ref = sorted(
+        (r["key"], r["ts"], r["seq"], r["value"])
+        for r in run_node(
+            node,
+            {"x": TickStream(spark.createDataFrame(ticks + flush, SCHEMA))},
+            end=START + dt.timedelta(seconds=top + 40),
+        ).df.collect()
+    )
+    assert got == ref

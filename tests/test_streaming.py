@@ -2183,3 +2183,42 @@ def test_alarm_handover_review_fixes(spark, tmp_path):
         _run_info_stack.pop()
     vals = {r["value"] for r in spark.table(name2).collect()}
     assert vals == {10.0}  # 3+4+2+1 — the tuple arrived untouched
+
+
+def test_run_node_stream_state_factory(spark, tmp_path):
+    """Batch parity (run_node accepts a zero-arg state FACTORY): the
+    streaming runner now does too — fresh state per key, both with and
+    without alarms."""
+    from csp_spark import TickStream, run_node
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    rows = [("a", START, 0, 1.0), ("b", START + dt.timedelta(seconds=1), 0, 5.0),
+            ("a", START + dt.timedelta(seconds=2), 0, 2.0)]
+    d = tmp_path / "fac_in"
+    d.mkdir()
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(d / "b0"))
+    stream = file_ticks(spark, str(d / "*"), SCHEMA, ts_col="ts",
+                        value_col="value", key_col="key")
+
+    def factory():
+        return {"acc": [10.0]}  # mutable seed: must NOT share across keys
+
+    def node(cycle):
+        cycle.state["acc"].append(cycle["x"])
+        return float(sum(cycle.state["acc"]))
+
+    got = sorted(
+        (r["key"], r["ts"], r["value"])
+        for r in collect_stream(
+            run_node_stream(node, {"x": stream}, state=factory)).collect()
+    )
+    ref = sorted(
+        (r["key"], r["ts"], r["value"])
+        for r in run_node(
+            node, {"x": TickStream(spark.createDataFrame(rows, SCHEMA))},
+            state=factory).df.collect()
+    )
+    assert got == ref
+    assert ("a", START + dt.timedelta(seconds=2), 13.0) in got
+    assert ("b", START + dt.timedelta(seconds=1), 15.0) in got
