@@ -245,7 +245,7 @@ def run_hybrid_node(
     fn,
     histories: "Mapping[str, DataFrame] | DataFrame",
     lives: "Mapping[str, DataFrame] | DataFrame",
-    state: "dict | None" = None,
+    state: "dict | Callable[[], dict] | None" = None,
     output_type: str = "double",
     alarms: bool = False,
     end: "_dt.datetime | None" = None,

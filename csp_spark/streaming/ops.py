@@ -531,7 +531,7 @@ def ingest_dedup_batch(
 def run_node_stream(
     fn,
     streams: "DataFrame | dict[str, DataFrame]",
-    state: "dict | None" = None,
+    state: "dict | Callable[[], dict] | None" = None,
     output_type: str = "double",
     initial_states: "dict | DataFrame | None" = None,
     alarms: bool = False,
@@ -614,11 +614,11 @@ def run_node_stream(
         ", ".join(f"s{i} double" for i in range(n_src)) + ", ustate binary"
     )
     # batch run_node parity: state may be a zero-arg factory (fresh
-    # per key) or a dict prototype (deep-copied per key)
-    mk_state = (
-        state if callable(state)
-        else (lambda proto=dict(state or {}): _copy.deepcopy(proto))
-    )
+    # per key) or a dict prototype (deep-copied per key) — the ONE
+    # implementation of that rule lives in core.noderun
+    from ..core.noderun import _state_factory
+
+    mk_state = _state_factory(state)
     if alarms:
         return _run_node_stream_alarms(
             fn, u, names, n_src, out_schema, state_schema, mk_state,

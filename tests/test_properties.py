@@ -2073,8 +2073,11 @@ def test_streaming_alarms_fuzz_match_batch(spark, tmp_path_factory,
         return cycle["x"]
 
     data = sorted(
-        {(k, s): float(a) for k, s, a in rows}.items()
-    )  # one row per (key, sec): dup rows would need seq bookkeeping
+        {(k, s): float(a) for k, s, a in rows}.items(),
+        key=lambda kv: (kv[0][1], kv[0][0]),
+    )  # one row per (key, sec), TIME-ordered across keys: microbatch
+    # files must respect global time order or the 0-delay watermark
+    # drops later-batch rows as late (the streaming in-order contract)
     ticks = [(k, START + dt.timedelta(seconds=s), 0, v)
              for (k, s), v in data]
     top = max(s for (_, s), _ in data)
