@@ -2222,3 +2222,91 @@ def test_run_node_stream_state_factory(spark, tmp_path):
     assert got == ref
     assert ("a", START + dt.timedelta(seconds=2), 13.0) in got
     assert ("b", START + dt.timedelta(seconds=1), 15.0) in got
+
+
+def test_run_node_stream_alarms_survive_checkpoint_restart(spark,
+                                                           tmp_path):
+    """Deployment realism: a streaming alarm query stopped after some
+    microbatches and RESTARTED from its checkpoint (new query
+    instance, fresh fold closures) continues exactly — the pickled
+    user state + alarm heap reload from the state store and the
+    re-armed event-time timeout still fires pending alarms. Combined
+    output across the restart equals one batch replay."""
+    from csp_spark import TickStream
+    from csp_spark.core.noderun import run_node
+    from csp_spark.plans.runtime import _run_info_stack
+    from csp_spark.streaming import file_ticks, run_node_stream
+
+    def node(cycle):
+        if cycle.ticked("alarm"):
+            # repeating alarm: reschedule +4s
+            cycle.schedule_alarm(dt.timedelta(seconds=4), 1.0)
+            return 700.0
+        if not cycle.state.get("armed"):
+            cycle.state["armed"] = True
+            cycle.schedule_alarm(dt.timedelta(seconds=4), 1.0)
+        return cycle["x"]
+
+    rows = [("s", START, 0, 1.0),
+            ("s", START + dt.timedelta(seconds=2), 0, 2.0)]
+    flush1 = [("zf", START + dt.timedelta(seconds=10), 0, 0.0)]
+    flush2 = [("zf", START + dt.timedelta(seconds=21), 0, 0.0)]
+    flush3 = [("zf", START + dt.timedelta(seconds=40), 0, 0.0)]
+    land = tmp_path / "ckpt_in"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "ckpt_out")
+
+    def drop(i, chunk):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(str(land / f"b{i}"))
+
+    def run_once():
+        # parquet sink: the memory sink cannot recover from a
+        # checkpoint — a file sink is the real deployment shape anyway
+        stream = file_ticks(
+            spark, str(land / "*"), SCHEMA, ts_col="ts",
+            value_col="value", key_col="key", max_files_per_trigger=1,
+        )
+        out = run_node_stream(node, {"x": stream}, alarms=True)
+        _run_info_stack.append(
+            {"start": None, "end": None, "realtime": True})
+        try:
+            q = (out.writeStream.format("parquet").option("path", sink)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            _run_info_stack.pop()
+
+    # session 1: data + one flush (watermark 10s: alarms 4s, 8s fire)
+    drop(0, rows)
+    drop(1, flush1)
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert sum(1 for r in first if r["value"] == 700.0) >= 1
+
+    # session 2: NEW query instance from the SAME checkpoint; more
+    # flushes advance the watermark — the heap reloaded from the state
+    # store keeps firing the chain (12s, 16s, 20s ... 40s)
+    drop(2, flush2)
+    drop(3, flush3)
+    run_once()
+    got = sorted(
+        (r["key"], r["ts"], r["seq"], r["value"])
+        for r in spark.read.parquet(sink).collect() if r["key"] == "s"
+    )
+    ref = sorted(
+        (r["key"], r["ts"], r["seq"], r["value"])
+        for r in run_node(
+            node,
+            {"x": TickStream(spark.createDataFrame(
+                rows + flush1 + flush2 + flush3, SCHEMA))},
+            end=START + dt.timedelta(seconds=40),
+        ).df.collect() if r["key"] == "s"
+    )
+    assert got == ref
+    # alarms really fired on BOTH sides of the restart
+    fired_ts = [ts for _, ts, _, v in got if v == 700.0]
+    assert any(ts <= START + dt.timedelta(seconds=10) for ts in fired_ts)
+    assert any(ts > START + dt.timedelta(seconds=21) for ts in fired_ts)
