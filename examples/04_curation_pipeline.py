@@ -114,9 +114,18 @@ def main() -> None:
     ).select("doc_id")
     clean = clean.join(structural, "doc_id", "left_semi")
 
-    # 2. exact dedup on normalized text
+    # 2. exact dedup on normalized text.
+    #    Each demo stage below re-references its upstream result on BOTH
+    #    sides of a join (dedup groups⋈source, span census⋈tokens,
+    #    decontaminate⋈survivors, scores⋈docs): composed lazily, the
+    #    plan TREE doubles per stage — exponentially large plans whose
+    #    analysis/plan-string cost dwarfs the data work (optimization
+    #    guide §3.3/§7.3). localCheckpoint() at each fan-out point
+    #    truncates the lineage so every stage's plan stays stage-sized.
+    clean = clean.localCheckpoint()
     deduped = dedup_exact(clean.select("doc_id", "text"))
     n2 = deduped.count()
+    deduped = deduped.localCheckpoint()
 
     # 2b. sub-document dedup: strip token spans duplicated elsewhere
     #     in the corpus (Lee et al. ACL'22 family), keeping one
@@ -125,13 +134,13 @@ def main() -> None:
 
     despanned = remove_repeated_spans(deduped, k=10)
     n_span_tokens = despanned.agg(F.sum("n_removed_tokens")).first()[0]
-    deduped = despanned.select("doc_id", "text")
+    deduped = despanned.select("doc_id", "text").localCheckpoint()
 
     # 3. decontamination vs a (tiny) benchmark set
     evals = docs.filter(F.col("doc_id") % 97 == 0)
     decon = decontaminate(deduped, evals, n=8, min_matches=1)
     keep_ids = decon.filter(~F.col("contaminated")).select("doc_id")
-    survivors = deduped.join(keep_ids, "doc_id", "left_semi")
+    survivors = deduped.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
 
     # 4. quality scoring + filter: the deterministic hashed linear
     #    model AND the statistical LM signal (drop the worst-perplexity
