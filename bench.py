@@ -103,6 +103,46 @@ COMPARABLE_R8 = [
 ]
 
 
+def _hard_negatives_live(spark, sf_dir):
+    # PRODUCTION mining path (r9 verdict item 6): cluster + mine in
+    # one plan, NO artifact persist/replay — the bench-set
+    # ann_hard_negatives times the oracle form (persist + replay),
+    # which overstates production cost by the artifact round-trip.
+    # Not in any frozen subtotal; tracked per-round under this key.
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from csp_spark.similarity import hard_negatives
+    from csp_spark.sources import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    return hard_negatives(emb, k=3, n_clusters=16, exclude_eps=0.99)
+
+
+def _doc_dsir_hashed(spark, sf_dir):
+    # PRODUCTION DSIR path (r11 verdict task 6): same inputs as the
+    # bench-set doc_dsir but with the paper's hashed-feature
+    # compression (n_buckets) — the model table caps at n_buckets
+    # rows and BROADCASTS, replacing the exact-gram form's gram-key
+    # shuffle (the oracle shape a 100 TB run would not execute).
+    # Not in any frozen subtotal; tracked per-round under this key.
+    from pyspark.sql import functions as F
+
+    from csp_spark.pipeline.dsir import dsir_select
+    from csp_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    tgt = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    return dsir_select(docs, tgt, k=100, n_buckets=1 << 16)
+
+
+# module-level so tools/opt_measure.py can plan/time the production
+# forms by name exactly as the bench runs them
+EXTRA_QUERIES = {
+    "ann_hard_negatives_live": _hard_negatives_live,
+    "doc_dsir_hashed": _doc_dsir_hashed,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -126,34 +166,7 @@ def main() -> None:
     total = 0.0
     warm_total = 0.0
 
-    def _hard_negatives_live(spark, sf_dir):
-        # PRODUCTION mining path (r9 verdict item 6): cluster + mine in
-        # one plan, NO artifact persist/replay — the bench-set
-        # ann_hard_negatives times the oracle form (persist + replay),
-        # which overstates production cost by the artifact round-trip.
-        # Not in any frozen subtotal; tracked per-round under this key.
-        from csp_spark.similarity import hard_negatives
-
-        emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
-        return hard_negatives(emb, k=3, n_clusters=16, exclude_eps=0.99)
-
-    def _doc_dsir_hashed(spark, sf_dir):
-        # PRODUCTION DSIR path (r11 verdict task 6): same inputs as the
-        # bench-set doc_dsir but with the paper's hashed-feature
-        # compression (n_buckets) — the model table caps at n_buckets
-        # rows and BROADCASTS, replacing the exact-gram form's gram-key
-        # shuffle (the oracle shape a 100 TB run would not execute).
-        # Not in any frozen subtotal; tracked per-round under this key.
-        from csp_spark.pipeline.dsir import dsir_select
-
-        docs = read_table(spark, f"{sf_dir}/documents.parquet")
-        tgt = docs.filter(F.col("source").isin("src0", "src1", "src2"))
-        return dsir_select(docs, tgt, k=100, n_buckets=1 << 16)
-
-    extras = {
-        "ann_hard_negatives_live": _hard_negatives_live,
-        "doc_dsir_hashed": _doc_dsir_hashed,
-    }
+    extras = EXTRA_QUERIES
     for name in BENCH_QUERIES + COMPARABLE_R8 + list(extras):
         fn = extras.get(name) or qs[name]
         t0 = time.perf_counter()

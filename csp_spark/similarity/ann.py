@@ -567,48 +567,18 @@ def hard_negatives(
     # expressions in the same (n_a * n_b) order, so every double is
     # bit-identical to the inline form and oracles are unaffected.
     celln = cells.withColumn("__vn", norm(F.col("v")))
-    _pair_cos = F.round(
-        dot(F.col("a.v"), F.col("b.v"))
-        / (F.col("a.__vn") * F.col("b.__vn")),
-        6,
-    )
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
     over = sizes.filter(F.col("__n") > cap).collect()
     if over and on_over_cap == "raise":
         worst = max(r["__n"] for r in over)
         raise RuntimeError(
             f"hard_negatives: {len(over)} cell(s) exceed cap={cap} "
-            f"(largest={worst}) — the in-cell candidate join would be "
-            "that cell's |cell|^2. Raise n_clusters (smaller cells), "
-            "raise cap, or pass on_over_cap='sample' to rank each "
-            "anchor against a deterministic md5 sample of its cell."
+            f"(largest={worst}) — the in-cell candidate scoring would "
+            "be that cell's |cell|^2. Raise n_clusters (smaller "
+            "cells), raise cap, or pass on_over_cap='sample' to rank "
+            "each anchor against a deterministic md5 sample of its "
+            "cell."
         )
-    def _sym_pairs(src):
-        # exact path: undirected in-cell self-join (half the pairs),
-        # then symmetrize — every candidate serves both anchors
-        pairs = (
-            src.alias("a")
-            .join(
-                src.alias("b"),
-                on=[
-                    F.col("a.cell") == F.col("b.cell"),
-                    F.col("a.id") < F.col("b.id"),
-                ],
-            )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                _pair_cos.alias("__cos"),
-            )
-        )
-        return pairs.select(
-            F.col("id_a").alias("anchor"), F.col("id_b").alias("negative"),
-            F.col("__cos").alias("cos_sim"),
-        ).unionByName(pairs.select(
-            F.col("id_b").alias("anchor"), F.col("id_a").alias("negative"),
-            F.col("__cos").alias("cos_sim"),
-        ))
-
     if over:
         logger.warning(
             "hard_negatives: %d cell(s) over cap=%d (largest=%d) — "
@@ -616,43 +586,150 @@ def hard_negatives(
             "candidate subset (top-k of the sample)",
             len(over), cap, max(r["__n"] for r in over),
         )
-        # ONLY the over-cap cells take the sampled directed join;
-        # under-cap cells keep the exact symmetric half-pairs path
-        # (scoring each unordered pair once, not twice). The per-cell
-        # keep fraction rides a literal map built from the already-
-        # collected over-cap sizes — no second sizes aggregate in the
-        # plan. seed+1: independent of any caller's row-sampling draws.
+    # Candidate SELECTION is a per-cell BLAS pass; the returned pairs
+    # are RE-SCORED with the exact JVM expressions below (the
+    # knn_join method="blas" discipline, r9-adjudicated): the former
+    # in-cell self-join evaluated the interpreted zip_with/aggregate
+    # cosine on EVERY candidate pair — and twice per pair once
+    # Catalyst pushed the exclude_eps filter into the HashJoin's
+    # bound condition (one eval in the join predicate, one in the
+    # projection feeding the rank window). Interpreted higher-order
+    # evals are 10-100x slower than the same math in one BLAS matmul,
+    # and their megamorphic eval() call sites degrade further in
+    # long-lived sessions. The matmul selects a margin-superset of
+    # every pair that can reach rank<=k; only those <= |anchors| x
+    # (k + boundary ties) survivors pay the exact interpreted
+    # re-score, so the returned doubles are bit-identical to the
+    # former all-pairs form (multiplication is commutative bit-wise
+    # and the dot's index-order sum is symmetric, so anchor/negative
+    # orientation cannot change a rounded value).
+    #
+    # |blas - exact| per similarity is a few ulp; after both round to
+    # 6dp they differ by at most one 1e-6 grid step, so any margin in
+    # (2e-6, 3e-6) admits every true survivor (the knn_join margin
+    # proof verbatim). The kth cutoff under exclude_eps is computed
+    # over the pairs CERTAINLY below eps (s < eps - margin) — a
+    # subset of the exact kept set, so the cutoff can only be lower
+    # than the true kth and selection stays a superset.
+    margin = 2.5e-6
+    eps_f = float(exclude_eps) if exclude_eps is not None else None
+    kk = int(k)
+
+    # The md5 candidate draw for over-cap cells is computed JVM-side
+    # (same split_uniform expression and seed+1 as the former sampled
+    # join) and shipped to the selection pass as a boolean column.
+    if over:
         over_ids = [r["cell"] for r in over]
         frac_map = F.create_map(*[
             F.lit(x)
             for r in over
             for x in (r["cell"], float(cap) / float(r["__n"]))
         ])
-        hot = celln.filter(F.col("cell").isin(over_ids))
-        cand = hot.filter(
+        cand_flag = F.when(
+            F.col("cell").isin(over_ids),
             split_uniform(F.col("id"), seed + 1)
-            < F.element_at(frac_map, F.col("cell"))
-        )
-        directed_hot = (
-            hot.alias("a")
-            .join(
-                cand.alias("b"),
-                on=[
-                    F.col("a.cell") == F.col("b.cell"),
-                    F.col("a.id") != F.col("b.id"),
-                ],
-            )
-            .select(
-                F.col("a.id").alias("anchor"),
-                F.col("b.id").alias("negative"),
-                _pair_cos.alias("cos_sim"),
-            )
-        )
-        directed = _sym_pairs(
-            celln.filter(~F.col("cell").isin(over_ids))
-        ).unionByName(directed_hot)
+            < F.element_at(frac_map, F.col("cell")),
+        ).otherwise(F.lit(True))
     else:
-        directed = _sym_pairs(celln)
+        cand_flag = F.lit(True)
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = cells.schema["id"].dataType
+    pair_schema = StructType([
+        StructField("anchor", id_type), StructField("negative", id_type)
+    ])
+
+    def _select_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        ids = pdf["id"].to_numpy()
+        out_a: list = []
+        out_n: list = []
+        if n >= 2:
+            dim = len(pdf["v"].iloc[0])
+            V = _vec_matrix(pdf["v"], dim, "hard_negatives", "v")
+            norms = np.sqrt((V * V).sum(axis=1))
+            cand_idx = np.flatnonzero(pdf["__cand"].to_numpy())
+            Vc, nc, idc = V[cand_idx], norms[cand_idx], ids[cand_idx]
+            if len(cand_idx):
+                # anchor blocks bound the similarity slab to ~32 MB
+                # regardless of cell size (cap rows x 8 B doubles)
+                B = max(1, 4_000_000 // len(cand_idx))
+                for s0 in range(0, n, B):
+                    s1 = min(n, s0 + B)
+                    S = np.round(
+                        (V[s0:s1] @ Vc.T)
+                        / np.outer(norms[s0:s1], nc), 6,
+                    )
+                    for bi in range(s1 - s0):
+                        i = s0 + bi
+                        srow = S[bi]
+                        mask = idc != ids[i]
+                        if eps_f is not None:
+                            # NaN < eps is False on both engines, so
+                            # zero-norm pairs drop out identically
+                            sure = mask & (srow < eps_f - margin)
+                            maybe = mask & (srow < eps_f + margin)
+                        else:
+                            sure = maybe = mask
+                        ms = srow[sure]
+                        if len(ms) > kk:
+                            kth = np.partition(ms, len(ms) - kk)[
+                                len(ms) - kk]
+                            # NaN ranks ABOVE every double in Spark's
+                            # DESC order — keep NaN rows like the
+                            # former window input did
+                            keep = maybe & (
+                                (srow >= kth - margin) | np.isnan(srow)
+                            )
+                        else:
+                            keep = maybe
+                        js = np.flatnonzero(keep)
+                        if len(js):
+                            out_a.append(np.full(len(js), ids[i]))
+                            out_n.append(idc[js])
+        if out_a:
+            return pd.DataFrame({
+                "anchor": np.concatenate(out_a),
+                "negative": np.concatenate(out_n),
+            })
+        return pd.DataFrame({
+            "anchor": pd.Series([], dtype=ids.dtype),
+            "negative": pd.Series([], dtype=ids.dtype),
+        })
+
+    pair_keys = (
+        celln.select("cell", "id", "v", cand_flag.alias("__cand"))
+        .groupBy("cell")
+        .applyInPandas(lambda _, pdf: _select_pairs(pdf),
+                       schema=pair_schema)
+    )
+    # Exact re-score of the survivor pairs with the SAME factor
+    # expressions (and evaluation order) as the former all-pairs
+    # join, so every returned double is bit-identical and the same
+    # oracles replay it.
+    va = celln.select(
+        F.col("id").alias("anchor"), F.col("v").alias("__va"),
+        F.col("__vn").alias("__na"),
+    )
+    vb = celln.select(
+        F.col("id").alias("negative"), F.col("v").alias("__vb"),
+        F.col("__vn").alias("__nb"),
+    )
+    directed = (
+        pair_keys.join(va, "anchor").join(vb, "negative")
+        .select(
+            "anchor", "negative",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
     if exclude_eps is not None:
         directed = directed.filter(
             F.col("cos_sim") < F.lit(float(exclude_eps))

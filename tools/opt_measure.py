@@ -58,11 +58,14 @@ def mode_plans(out_dir: str, names: list[str]) -> None:
     os.makedirs(out_dir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     suffix = os.environ.get("OPT_SUFFIX", "before")
+    from bench import EXTRA_QUERIES
+
     spark = _spark()
     qs = E.queries()
     targets = names or list(dict.fromkeys(BENCH_QUERIES + COMPARABLE_R8))
     for name in targets:
-        df = qs[name](spark, sf_dir)
+        fn = EXTRA_QUERIES.get(name) or qs[name]
+        df = fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -73,10 +76,12 @@ def mode_plans(out_dir: str, names: list[str]) -> None:
 
 
 def mode_time(name: str, reps: int) -> None:
+    from bench import EXTRA_QUERIES
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = _spark()
     _warmup(spark, sf_dir)
-    fn = E.queries()[name]
+    fn = EXTRA_QUERIES.get(name) or E.queries()[name]
     for i in range(reps):
         spark.sparkContext.setJobDescription(f"{name} rep{i}")
         t0 = time.perf_counter()
