@@ -910,29 +910,32 @@ def knn_join(
     broadcast a large query side — flip the arguments and transpose
     the result instead.
 
-    method="exact" (default): similarities are JVM-side sequential
-    zip_with/aggregate sums — bit-reproducible by any engine replaying
-    a sequential sum (the DuckDB oracle), at interpreted-expression
-    throughput. method="blas": one Arrow pass SELECTS each partition's
-    top-k candidates against the whole query matrix with a numpy
-    matmul (C-BLAS; ~10-50x the exact path's scoring throughput at
+    Scoring (both method values — the names are kept for call-site
+    compat): one Arrow pass SELECTS each partition's top-k candidates
+    against the whole query matrix with a numpy matmul (C-BLAS;
+    ~10-50x an interpreted zip_with/aggregate scorer's throughput at
     large |C|x|Q|), keeping a 2.5e-6 safety margin around the k-th
     score (strictly above the worst-case 2e-6 rounding gap, below the
-    next 1e-6 grid step); the surviving <= partitions x |Q| x k rows are then
-    RE-SCORED with the exact path's own JVM expressions. BLAS-vs-
-    sequential summation differs by last-ulp (<< the margin), so the
-    exact top-k set provably survives selection and the returned
-    values are bit-identical to method="exact" — blas is the scale
-    path AND conformance-exact. (An unrolled codegen sum was measured
-    and rejected: 64-dim element_at chains exceed Janino's 64KB method
-    limit and the compile latency exceeds the interpreted win.)
+    next 1e-6 grid step); the surviving <= partitions x |Q| x k rows
+    are then RE-SCORED with JVM-side sequential zip_with/aggregate
+    sums — bit-reproducible by any engine replaying a sequential sum
+    (the DuckDB oracle). BLAS-vs-sequential summation differs by
+    last-ulp (<< the margin), so the exact top-k set provably survives
+    selection and the returned values are bit-identical to the former
+    all-pairs interpreted scorer, which r12 removed after executor
+    thread dumps showed its ZipWith/ArrayAggregate eval() dominating
+    (higher-order lambdas never enter whole-stage codegen, and their
+    megamorphic call sites degrade further in long sessions). (An
+    unrolled codegen sum was measured and rejected twice, r9 and r12:
+    64-dim element_at chains exceed Janino's 64KB method limit and
+    the compile latency exceeds the interpreted win.)
     """
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
     )
-    if method == "blas":
+    if method in ("blas", "exact"):
         from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
         sel_schema = StructType([

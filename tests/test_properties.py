@@ -816,10 +816,17 @@ def test_rolling_time_window_nan_poisoning_matches_cycle_replay(
 )
 @settings(**_SETTINGS)
 def test_knn_join_blas_bit_identical_to_exact(spark, vals, ndup):
-    """knn_join(method="blas") must return the exact path's result
+    """knn_join must return the all-pairs sequential-sum result
     BIT-FOR-BIT on arbitrary corpora — including duplicated vectors
     (forced cos=1.0 ties at the top-k boundary, the adversarial case
-    for the margin-guarded BLAS selection + exact JVM re-score)."""
+    for the margin-guarded BLAS selection + exact JVM re-score).
+
+    Since r12 both method values share the BLAS-selection path, so
+    the ground truth here is an INDEPENDENT pure-Python replay of the
+    former interpreted scorer: a 0.0-seeded left-to-right float fold
+    for dot and norm (IEEE addition is deterministic, so this
+    reproduces the JVM aggregate() doubles exactly), every pair
+    scored, rounded to 6dp, ranked desc with cid tiebreak."""
     import numpy as np
     from csp_spark.similarity import knn_join
 
@@ -839,12 +846,39 @@ def test_knn_join_blas_bit_identical_to_exact(spark, vals, ndup):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     qs = emb.select(F.col("vec_id").alias("qid"), "embedding")
     cs = emb.select(F.col("vec_id").alias("cid"), "embedding")
-    e = sorted((r.qid, r.rank, r.cid, r.cos_sim) for r in
-               knn_join(qs, cs, k=3, query_id="qid", corpus_id="cid").collect())
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def _fold_norm(a):
+        import math
+
+        acc = 0.0
+        for x in a:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    expect = []
+    for qid, qv in rows:
+        scored = sorted(
+            (
+                -round(_fold_dot(cv, qv) / (_fold_norm(cv) * _fold_norm(qv)), 6),
+                cid,
+            )
+            for cid, cv in rows if cid != qid
+        )
+        for rank, (negs, cid) in enumerate(scored[:3], 1):
+            expect.append((qid, rank, cid, -negs))
+    e = sorted(expect)
     b = sorted((r.qid, r.rank, r.cid, r.cos_sim) for r in
                knn_join(qs, cs.repartition(3), k=3, query_id="qid",
                         corpus_id="cid", method="blas").collect())
+    d = sorted((r.qid, r.rank, r.cid, r.cos_sim) for r in
+               knn_join(qs, cs, k=3, query_id="qid", corpus_id="cid").collect())
     assert e == b
+    assert e == d
 
 
 # ---------------------------------------------------------------------------

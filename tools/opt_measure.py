@@ -92,11 +92,45 @@ def mode_time(name: str, reps: int) -> None:
     spark.sparkContext.setJobDescription(None)
 
 
+def mode_ab(names: list[str], rounds: int) -> None:
+    """Interleaved A/B/...: alternate the named queries within ONE
+    session for `rounds` rounds. The box's speed drifts by 2-3x over
+    minutes (hypervisor noise), so only within-round ratios are
+    trustworthy; report per-round times and the median ratio vs the
+    first name."""
+    import statistics
+
+    from bench import EXTRA_QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _spark()
+    _warmup(spark, sf_dir)
+    qs = E.queries()
+    fns = {n: EXTRA_QUERIES.get(n) or qs[n] for n in names}
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for r in range(rounds):
+        for n in names:
+            spark.sparkContext.setJobDescription(f"ab {n} r{r}")
+            t0 = time.perf_counter()
+            fns[n](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            times[n].append(time.perf_counter() - t0)
+        print("round", r, {n: round(times[n][-1], 3) for n in names})
+    base = names[0]
+    for n in names[1:]:
+        ratios = [b / a for a, b in zip(times[base], times[n])]
+        print(f"median {n}/{base} ratio: "
+              f"{statistics.median(ratios):.3f}")
+    spark.sparkContext.setJobDescription(None)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "plans":
         mode_plans(sys.argv[2], sys.argv[3:])
     elif mode == "time":
         mode_time(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    elif mode == "ab":
+        mode_ab(sys.argv[2].split(","), int(sys.argv[3]) if len(sys.argv) > 3 else 4)
     else:
         raise SystemExit(f"unknown mode {mode}")
