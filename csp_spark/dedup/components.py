@@ -64,19 +64,27 @@ def connected_components(
     Reference parity: csp has no graph stage (it is a stream engine);
     this is part of the LLM-pipeline mandate, not a csp port.
     """
-    sym = (
+    sym_plan = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # materialize ONCE: the pair source is often an expensive
-        # pipeline (minhash LSH); without this every job in round 1
-        # (neighbor-min, convergence probe, relabel) re-executes it
-        .localCheckpoint(eager=True)
     )
-    # the checkpoint materialized sym, so this count reads cached blocks
-    if sym.count() <= local_threshold:
-        return _local_components(sym)
+    # ONE job decides the path AND feeds the local solver: collect up
+    # to threshold+1 edges (<= ~32 MB of id pairs). The former shape —
+    # eager localCheckpoint, then count, then toLocalIterator (one
+    # sequential job per partition) — cost 2 + n_partitions driver
+    # round-trips before any union-find work even on a 50-edge graph.
+    head = sym_plan.limit(local_threshold + 1).collect()
+    if len(head) <= local_threshold:
+        return _local_components(
+            head, sym_plan.schema, pairs.sparkSession
+        )
+    # pair graph too big for one machine: distributed contraction.
+    # materialize ONCE: the pair source is often an expensive
+    # pipeline (minhash LSH); without this every job in round 1
+    # (neighbor-min, convergence probe, relabel) re-executes it
+    sym = sym_plan.localCheckpoint(eager=True)
     # labels over ORIGINAL nodes; cedges over current component labels.
     labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
         "component", F.col("id")
@@ -132,10 +140,11 @@ def connected_components(
     return labels
 
 
-def _local_components(sym: DataFrame) -> DataFrame:
-    """Driver-side union-find over a small (pre-counted) edge set.
-    Union-by-min + path compression: the root of every set is its
-    minimum id, so labels equal the distributed loop's bit-for-bit."""
+def _local_components(edges, sym_schema, spark) -> DataFrame:
+    """Driver-side union-find over a small (already-collected) edge
+    row list. Union-by-min + path compression: the root of every set
+    is its minimum id, so labels equal the distributed loop's
+    bit-for-bit."""
     parent: dict = {}
 
     def find(x):
@@ -146,7 +155,7 @@ def _local_components(sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym.toLocalIterator():
+    for row in edges:
         u, v = row["u"], row["v"]
         parent.setdefault(u, u)
         parent.setdefault(v, v)
@@ -159,11 +168,11 @@ def _local_components(sym: DataFrame) -> DataFrame:
             parent[ru] = rv
 
     out_schema = T.StructType([
-        T.StructField("id", sym.schema["u"].dataType),
-        T.StructField("component", sym.schema["u"].dataType),
+        T.StructField("id", sym_schema["u"].dataType),
+        T.StructField("component", sym_schema["u"].dataType),
     ])
     rows = [(n, find(n)) for n in parent]
-    return sym.sparkSession.createDataFrame(rows, out_schema)
+    return spark.createDataFrame(rows, out_schema)
 
 
 def resolve_duplicates(
