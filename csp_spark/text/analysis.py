@@ -654,9 +654,14 @@ def repeated_spans(
     no token-array duplication) → explode to (id, pos, gh) — 8-byte
     hashes, linear in corpus tokens → ONE hash-aggregate by gh
     (count + min occurrence key, map-side partial) → one shuffle join
-    back on gh → per-doc sorted-positions fold merges intervals inside
-    an array aggregate (no window, no second shuffle beyond the keyed
-    collect). Everything JVM-side.
+    back on gh → per-doc interval merge as two native window passes
+    over (id, pos) plus a hash aggregate on (id, run): a span opens
+    where the gap to the previous duplicated position exceeds k, the
+    running sum of those breaks numbers the merged runs, and
+    min/max-per-run recovers [s, e). Everything JVM-side and linear —
+    the earlier array-aggregate fold rebuilt its accumulator array per
+    element (quadratic per doc) and, as a higher-order lambda, never
+    entered whole-stage codegen.
 
     Returns (id_col, span_start, span_end): 1-based token offsets,
     end exclusive, one row per merged duplicated span.
@@ -687,46 +692,28 @@ def repeated_spans(
     marked = occ.join(census, "gh")
     if keep_first:
         marked = marked.filter(okey != F.col("min_ok"))
-    spans = marked.groupBy("id").agg(
-        F.sort_array(F.collect_list("pos")).alias("ps")
-    )
-    # fold sorted start positions into merged [s, e) intervals:
-    # extend the open interval while the next start is ≤ its end
-    # (overlap or adjacency), else open a new one
-    empty = F.array().cast("array<struct<s:long,e:long>>")
-    merged = F.aggregate(
-        F.col("ps"),
-        empty,
-        lambda acc, p: F.when(
-            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["s"].alias("s"),
-                        F.greatest(
-                            F.element_at(acc, -1)["e"], (p + k).cast("long")
-                        ).alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        p.cast("long").alias("s"), (p + k).cast("long").alias("e")
-                    )
-                ),
-            )
-        ),
-    )
-    return spans.select(
-        F.col("id").alias(id_col), F.explode(merged).alias("sp")
+    # merge covers [pos, pos+k) into maximal spans: with one fixed
+    # span length, ends are monotone in starts, so a new merged run
+    # opens exactly when pos > prev_pos + k (strict: pos == prev+k is
+    # adjacency and merges, end being exclusive). lag + running-sum
+    # share one sort under the same (id, pos) window spec, and the
+    # (id, run) aggregate reuses the window's hash partitioning on id
+    # — no shuffle beyond the keyed pass the old collect_list paid.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = marked.select(
+        "id",
+        "pos",
+        F.when(
+            F.col("pos") > F.lag("pos").over(w) + k, 1
+        ).otherwise(0).alias("brk"),
+    ).select("id", "pos", F.sum("brk").over(w).alias("run"))
+    return runs.groupBy("id", "run").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + k).cast("long").alias("span_end"),
     ).select(
-        id_col,
-        F.col("sp.s").alias("span_start"),
-        F.col("sp.e").alias("span_end"),
+        F.col("id").alias(id_col), "span_start", "span_end"
     )
 
 
