@@ -60,7 +60,8 @@ _REL_MAX = (2 ** 63 - 1) // _TIE_S - _TIE_S  # ~71-year per-key span
 
 
 def causal_time_window(
-    partition_cols: list, order_cols: list, us: int
+    partition_cols: list, order_cols: list, us: int,
+    ts0: Column | None = None, tie_group: str = "__tsu",
 ) -> tuple[Column, tuple[int, int]]:
     """Exact per-cycle ``(t-d, t]`` time window over possibly-
     coincident engine cycles: returns ``(order_value, (lo, hi))`` for
@@ -84,7 +85,17 @@ def causal_time_window(
       would need tie' ≥ tie + S/2 + 1 > TIE_MAX — impossible.
 
     Ranks past S/2-1 or spans past ~71 years raise loudly instead of
-    silently corrupting frames."""
+    silently corrupting frames.
+
+    ``ts0`` (optional) is a pre-computed per-partition min of ``__tsu``
+    — pass it when the caller already materializes one so the plan
+    computes the min ONCE instead of per call site (guide §2.4: the
+    inline form adds a whole extra Window pass). ``tie_group`` names
+    the column whose equal values define one coincident-µs group; a
+    caller whose frame orders by a column physically 1:1 with
+    ``__tsu`` (e.g. the raw timestamp) can pass that column so the tie
+    window's required sort matches an existing sort and Catalyst drops
+    the re-sort."""
     if us - 1 > _REL_MAX:
         # same ceiling as the runtime span check: past it the frame
         # bound (us-1)*S + S/2-1 itself overflows int64 at plan build
@@ -93,11 +104,11 @@ def causal_time_window(
             f"encoding range ({us} µs > {_REL_MAX + 1} µs)"
         )
     tie = F.row_number().over(
-        Window.partitionBy(*partition_cols, "__tsu").orderBy(*order_cols)
+        Window.partitionBy(*partition_cols, tie_group).orderBy(*order_cols)
     ) - 1
-    rel = F.col("__tsu") - F.min("__tsu").over(
-        Window.partitionBy(*partition_cols)
-    )
+    if ts0 is None:
+        ts0 = F.min("__tsu").over(Window.partitionBy(*partition_cols))
+    rel = F.col("__tsu") - ts0
     v = (
         F.when(tie > F.lit(_TIE_MAX), F.raise_error(F.lit(
             f"time-window: more than {_TIE_MAX + 1} engine cycles share "
@@ -213,54 +224,130 @@ class Rolling:
             .orderBy(TS, SEQ, "__pri")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # full-frame twin of w_all: same (partition, order) spec, so
+        # Catalyst folds its expressions into the SAME Window operator
+        # as the cumulative ones (ExtractWindowExpressions groups by
+        # partition+order, frames may differ) — a bare
+        # Window.partitionBy(KEY) would cost its own pass instead
+        w_full = (
+            Window.partitionBy(KEY)
+            .orderBy(TS, SEQ, "__pri")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
         is_data = (F.col("__pri") == _PRI_DATA).cast("int")
         is_reset = (F.col("__pri") == _PRI_RESET).cast("int")
         nanish = F.isnan(VALUE) if self._float else F.lit(False)
         vv = F.when(F.col(VALUE).isNotNull() & ~nanish, F.col(VALUE))
-        wlast = F.last("__wraw", ignorenulls=True).over(w_all)
-        df = df.select(
-            KEY, TS, SEQ, "__pri", VALUE,
-            F.sum(is_reset).over(w_all).alias("__epoch"),
-            F.sum(is_data).over(w_all).alias("__didx"),
-            vv.alias("__vv"),
-            (F.col(VALUE).isNotNull() & nanish).cast("int").alias("__isnan"),
-            F.unix_micros(F.col(TS)).alias("__tsu"),
+        # control-stream-free fast paths (guide §2.4 — remove whole
+        # window passes): with no reset stream __epoch is identically
+        # 0 (sum of an always-0 indicator), with no weights stream
+        # __wv is identically NULL — fold both to literals so the
+        # cumulative Window pass carries fewer buffers and, where ALL
+        # rows are data rows, the stat frame below can share w_all's
+        # (partition, order) spec and fuse into ONE Window operator.
+        # Values are unchanged (0 == sum(0), NULL == gated NULL), so
+        # every statistic is bit-identical; the oracle gate re-proves.
+        epoch = (F.lit(0).cast("bigint") if reset is None
+                 else F.sum(is_reset).over(w_all))
+        if weights is None:
+            wv = F.lit(None).cast("double")
+        else:
+            wlast = F.last("__wraw", ignorenulls=True).over(w_all)
             # per-data-row weight: the as-of weight where the row carries a
             # usable value AND a positive weight exists (w<=0 skipped —
             # WeightedVariance::add, statsimpl.h:469-472)
-            F.when(
-                vv.isNotNull() & (wlast > 0) & (F.col("__pri") == _PRI_DATA), wlast
-            ).alias("__wv"),
+            wv = F.when(
+                vv.isNotNull() & (wlast > 0) & (F.col("__pri") == _PRI_DATA),
+                wlast,
+            )
+        # every row is a data row iff no trigger/reset/weight rows were
+        # unioned in (a sampler only re-clocks the data rows themselves)
+        only_data = trigger is None and reset is None and weights is None
+        needs_ts0 = isinstance(self.interval, _dt.timedelta) or (
+            isinstance(self.min_window, _dt.timedelta)
+            and self.min_window > _dt.timedelta(0)
+            and self.start_time is None
         )
+        didx = F.sum(is_data).over(w_all)
+        cols = [
+            KEY, TS, SEQ, "__pri", VALUE,
+            epoch.alias("__epoch"),
+            vv.alias("__vv"),
+            (F.col(VALUE).isNotNull() & nanish).cast("int").alias("__isnan"),
+            F.unix_micros(F.col(TS)).alias("__tsu"),
+            wv.alias("__wv"),
+        ]
+        if not only_data:
+            # the tick-window frame below orders by the materialized
+            # running data index; with control rows present it cannot
+            # share w_all's spec, so the column is real work here
+            cols.append(didx.alias("__didx"))
+            didx = F.col("__didx")
+        # with only data rows __didx is referenced (if at all) by the
+        # warm-up gate alone — keep it an unevaluated window expression
+        # over w_all's own spec so it extracts into the SAME Window
+        # operator as the statistics instead of forcing an earlier
+        # materializing pass (one Window op total for tick/expanding)
+        if needs_ts0:
+            # per-key first timestamp, materialized ONCE in the fused
+            # pass; the time-window rel encoding and the timedelta
+            # warm-up gate both read it (the old shape computed an
+            # inline min(__tsu) per use — one extra Window pass each)
+            cols.append(
+                F.min(F.unix_micros(F.col(TS))).over(w_full).alias("__ts0")
+            )
+        df = df.select(*cols)
         self._frame = df
         self._emit_pri = _PRI_TRIGGER if trigger is not None else _PRI_DATA
+        pb = [KEY] if reset is None else [KEY, "__epoch"]
 
         # window frame over which statistics aggregate
         if self.interval is None:
             self._w = (
-                Window.partitionBy(KEY, "__epoch")
+                Window.partitionBy(*pb)
                 .orderBy(TS, SEQ, "__pri")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
         elif isinstance(self.interval, int):
-            # tick window: range over the running data-tick index; trigger
-            # rows share the index of the preceding data row and carry NULL
-            # values, so they never perturb aggregates
-            self._w = (
-                Window.partitionBy(KEY, "__epoch")
-                .orderBy("__didx")
-                .rangeBetween(-(self.interval - 1), 0)
-            )
+            if only_data:
+                # every row is a data row, so the running data-tick
+                # index equals the row position: the tick window is a
+                # plain ROWS frame under w_all's own (partition,
+                # order) spec — the stats fuse into the cumulative
+                # Window operator instead of paying a second
+                # Sort+Window over __didx (identical frames row-set:
+                # __didx is strictly +1 per row here)
+                self._w = (
+                    Window.partitionBy(*pb)
+                    .orderBy(TS, SEQ, "__pri")
+                    .rowsBetween(-(self.interval - 1), 0)
+                )
+            else:
+                # tick window: range over the running data-tick index;
+                # trigger rows share the index of the preceding data
+                # row and carry NULL values, so they never perturb
+                # aggregates
+                self._w = (
+                    Window.partitionBy(*pb)
+                    .orderBy("__didx")
+                    .rangeBetween(-(self.interval - 1), 0)
+                )
         else:
             us = (self.interval // _dt.timedelta(microseconds=1))
             # (t - d, t] — exclusive left edge at µs resolution, matching
             # the reference's WindowBuffer time windows / pandas
             # closed='right'; sub-timestamp CAUSAL (an early cycle at a
             # shared timestamp must not see later same-timestamp ticks)
-            tw, (lo, hi) = causal_time_window([KEY], [SEQ, "__pri"], us)
+            # tie_group=TS: timestamps are µs-precision, so grouping by
+            # TS equals grouping by __tsu while letting the tie
+            # window's sort (key, ts, seq, __pri) match w_all's
+            tw, (lo, hi) = causal_time_window(
+                [KEY], [SEQ, "__pri"], us,
+                ts0=F.col("__ts0"), tie_group=TS,
+            )
             self._frame = self._frame.withColumn("__tw", tw)
             self._w = (
-                Window.partitionBy(KEY, "__epoch")
+                Window.partitionBy(*pb)
                 .orderBy("__tw")
                 .rangeBetween(lo, hi)
             )
@@ -270,7 +357,11 @@ class Rolling:
         if mw is None or (isinstance(mw, int) and mw <= 1):
             self._warm = F.lit(True)
         elif isinstance(mw, int):
-            self._warm = F.col("__didx") >= mw
+            self._warm = didx >= mw
+        elif mw <= _dt.timedelta(0) and self.start_time is None:
+            # a non-positive warm-up from the stream's own first tick
+            # admits every row — skip the gate (and its min window)
+            self._warm = F.lit(True)
         else:
             mw_us = (mw // _dt.timedelta(microseconds=1))
             if self.start_time is not None:
@@ -282,7 +373,7 @@ class Rolling:
                     F.lit(self.start_time).cast("timestamp")
                 )
             else:
-                start_u = F.min("__tsu").over(Window.partitionBy(KEY))
+                start_u = F.col("__ts0")
             self._warm = F.col("__tsu") >= start_u + mw_us
 
     # ------------------------------------------------------------------
@@ -302,9 +393,16 @@ class Rolling:
         return F.when(self._ok(needs), agg).otherwise(_nan())
 
     def _emit(self, expr: Column, name: str = VALUE) -> TickStream:
+        # ONE select for stat + warm gate: chained withColumn puts a
+        # Project between the window expressions, which blocks
+        # CollapseWindow and leaves N stacked same-spec Window
+        # operators (N buffer passes); a single projection extracts
+        # them into one Window operator (guide §2.4)
+        keep = [c for c in self._frame.columns if c != name]
         out = (
-            self._frame.withColumn(name, expr)
-            .withColumn("__warm", self._warm)
+            self._frame.select(
+                *keep, expr.alias(name), self._warm.alias("__warm")
+            )
             .filter((F.col("__pri") == self._emit_pri) & F.col("__warm"))
             .select(KEY, TS, SEQ, name)
         )
@@ -313,10 +411,15 @@ class Rolling:
     def agg(self, **stats: Column) -> DataFrame:
         """Compute several statistics in one pass: ``r.agg(m=r.mean_col(),
         s=r.stddev_col())`` → one frame, one shuffle, N columns."""
-        out = self._frame
-        for name, col in stats.items():
-            out = out.withColumn(name, col)
-        return out.withColumn("__warm", self._warm).filter(
+        # single select (not chained withColumn) so every stat's window
+        # expressions land in ONE Window operator — see _emit
+        keep = [c for c in self._frame.columns if c not in stats]
+        out = self._frame.select(
+            *keep,
+            *[col.alias(name) for name, col in stats.items()],
+            self._warm.alias("__warm"),
+        )
+        return out.filter(
             (F.col("__pri") == self._emit_pri) & F.col("__warm")
         ).select(KEY, TS, SEQ, *stats)
 
@@ -447,6 +550,12 @@ class Rolling:
     def quantile_col(self, q: float, interpolation: str = "linear") -> Column:
         # stats.py:1800; order-statistic kernel Quantile :1127
         if interpolation == "linear":
+            # F.percentile over the window, kept deliberately: an r12
+            # A/B (same session, interleaved, 4 rounds) measured the
+            # "one collect_list + array_sort + exact-interpolation"
+            # rewrite at 3.5x SLOWER — the per-row array allocation +
+            # sort loses to Percentile's incremental map even on
+            # 20-row frames. Not an optimization target.
             return self._gated(F.percentile("__vv", F.lit(q)).over(self._w), needs=1)
         arr = F.array_sort(
             F.filter(F.collect_list("__vv").over(self._w), lambda v: ~F.isnan(v))
