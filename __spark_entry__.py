@@ -2193,13 +2193,27 @@ def ann_ivf_topk(spark, sf_dir):
     ).write.mode("overwrite").parquet(_IVF_CELLS_PATH)
     cells = spark.read.parquet(_IVF_CELLS_PATH)
     qlit = F.array(*[F.lit(float(v)) for v in qv])
+    # r12: the constant query norm is folded driver-side — the inline
+    # cosine() re-ran the interpreted norm(qlit) fold on every probed
+    # row (a third of the per-row work). math.sqrt over the 0.0-seeded
+    # left-to-right sum replays the JVM fold's accumulation order, so
+    # every double is bit-identical (oracle re-proven).
+    import math as _math
+
+    qn = _math.sqrt(sum(float(v) * float(v) for v in qv))
+    from csp_spark.similarity.ann import dot as _dot, norm as _norm
+
     top = (
         cells.filter(F.col("probed"))
         .select("vec_id")
         .join(emb, "vec_id")
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding"), qlit), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("embedding"), qlit)
+                / (_norm(F.col("embedding")) * F.lit(qn)),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col("vec_id"))
         .limit(10)

@@ -16,6 +16,7 @@ because it needs no training pass.
 from __future__ import annotations
 
 import logging
+import math
 import os
 from typing import Sequence
 
@@ -180,11 +181,22 @@ def lsh_topk(
         probes += [qbucket ^ (1 << i) for i in range(bits)]
     indexed = lsh_index(embeddings, bits=bits, dim=dim, vec_col=vec_col, seed=seed)
     q = F.array(*[F.lit(float(v)) for v in query])
+    # query norm folded driver-side (cosine(v, q) would re-run the
+    # interpreted norm(q) fold on EVERY scanned row — a third of the
+    # per-row work for a constant). math.sqrt over the 0.0-seeded
+    # left-to-right sum replays norm()'s own accumulation order, so
+    # the double — and the output — is bit-identical (NOT
+    # np.linalg.norm, whose BLAS nrm2 scales to avoid overflow and can
+    # differ in the last ulp).
+    qn = math.sqrt(sum(float(v) * float(v) for v in query))
     return (
         indexed.filter(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn)),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
@@ -404,11 +416,18 @@ def ivf_topk(
     order = np.argsort(((centers - q) ** 2).sum(axis=1))
     probes = [int(c) for c in order[:n_probe]]
     qlit = F.array(*[F.lit(float(v)) for v in query])
+    # constant query norm folded driver-side — bit-identical to the
+    # per-row interpreted norm(qlit) fold (see lsh_topk)
+    qn = math.sqrt(sum(float(v) * float(v) for v in query))
     return (
         indexed.filter(F.col("cell").isin(probes))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), qlit)
+                / (norm(F.col(vec_col)) * F.lit(qn)),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
@@ -805,11 +824,18 @@ def ivf_topk_indexed(
     order = np.argsort(((np.asarray(centers) - q) ** 2).sum(axis=1))
     probes = [int(c) for c in order[:n_probe]]
     qlit = F.array(*[F.lit(float(v)) for v in query])
+    # constant query norm folded driver-side — bit-identical to the
+    # per-row interpreted norm(qlit) fold (see lsh_topk)
+    qn = math.sqrt(sum(float(v) * float(v) for v in query))
     return (
         index_df.filter(F.col("cell").isin(probes))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), qlit)
+                / (norm(F.col(vec_col)) * F.lit(qn)),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
