@@ -3385,11 +3385,14 @@ def op_sessionize(spark, sf_dir):
     x = _events_stream(spark, sf_dir)
     s = sessionize(x, dt_.timedelta(hours=4))
     vd = F.col(s.value_col).cast(_DEC)
+    # r12: group by the RAW string key and cast to user_id AFTER the
+    # aggregate — grouping by cast(KEY) broke Catalyst's subset rule
+    # (hashpartitioning(key) satisfies clustering on (key, session_idx)
+    # but not on (cast(key), session_idx)), forcing a second Exchange
+    # after the window pass's own. Keys are 1:1 with their long casts,
+    # so the groups — and every aggregate value — are identical.
     return (
-        s.df.groupBy(
-            F.col(KEY).cast("long").alias("user_id"),
-            F.col("session_idx"),
-        )
+        s.df.groupBy(F.col(KEY), F.col("session_idx"))
         .agg(
             F.min(TS).alias("session_start"),
             F.max(TS).alias("session_end"),
@@ -3397,6 +3400,11 @@ def op_sessionize(spark, sf_dir):
             .alias("duration_us"),
             F.count(F.lit(1)).alias("n_ticks"),
             F.round(F.sum(vd).cast("double"), 6).alias("sum_v"),
+        )
+        .select(
+            F.col(KEY).cast("long").alias("user_id"),
+            "session_idx", "session_start", "session_end",
+            "duration_us", "n_ticks", "sum_v",
         )
     )
 

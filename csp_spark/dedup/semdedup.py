@@ -31,7 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..similarity.ann import cosine, ivf_index
+import math as _math
+
+from ..similarity.ann import cosine, dot, ivf_index, norm
 from .dedup import _capped_bucket_pairs
 
 
@@ -80,24 +82,47 @@ def semdedup(
                 .orderBy("i").collect()
             )
             cvec = F.array(*[F.lit(float(r["m"])) for r in mean])
-            cells = cells.withColumn("__csim", cosine(F.col("v"), cvec))
+            # centroid norm folded driver-side with the JVM fold's own
+            # 0.0-seeded left-to-right accumulation — bit-identical to
+            # the per-row interpreted norm(cvec) it replaces (r12; the
+            # higher-order fold never enters codegen, so re-running it
+            # per row was a third of the per-row scoring work)
+            cn = _math.sqrt(sum(float(r["m"]) * float(r["m"]) for r in mean))
+            cells = cells.withColumn(
+                "__csim",
+                dot(F.col("v"), cvec) / (norm(F.col("v")) * F.lit(cn)),
+            )
     else:
         indexed, centers = ivf_index(
             base, n_cells=n_clusters, id_col="id", vec_col="v", seed=seed
         )
+        # per-cell centroid norm computed ONCE here (same sequential
+        # fold as the JVM norm() — see the n_clusters<=1 branch)
         cdf = spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
-            "cell int, __cvec array<double>",
+            [
+                (
+                    int(i),
+                    [float(x) for x in c],
+                    _math.sqrt(sum(float(x) * float(x) for x in c)),
+                )
+                for i, c in enumerate(centers)
+            ],
+            "cell int, __cvec array<double>, __cn double",
         )
         cells = indexed.join(F.broadcast(cdf), "cell").withColumn(
-            "__csim", cosine(F.col("v"), F.col("__cvec"))
-        ).drop("__cvec")
+            "__csim",
+            dot(F.col("v"), F.col("__cvec"))
+            / (norm(F.col("v")) * F.col("__cn")),
+        ).drop("__cvec", "__cn")
     ord_col = (
         F.struct(F.col("__csim"), F.col("id")) if keep == "edge"
         else F.struct(F.col("id"))
     )
     rows = cells.select(
         "id", "cell", "v",
+        # the BLAS decision pass replays the __ord struct comparison
+        # from its components — carry the csim column itself for edge
+        *(["__csim"] if keep == "edge" else []),
         ord_col.alias("__ord"),
         # exact-signature hash for the degenerate-cell star grouping:
         # identical vectors share it, and payload (v, __ord with
@@ -107,17 +132,163 @@ def semdedup(
         # valid dup-pair removal
         F.xxhash64(F.col("v").cast("string")).alias("__sigh"),
     )
-    pairs = _capped_bucket_pairs(
-        rows, ["cell"], cap, "semdedup", payload=("v", "__ord")
-    )
-    removed = (
-        pairs.filter(cosine(F.col("v_a"), F.col("v_b")) >= F.lit(eps))
-        .select(
-            F.when(F.col("__ord_a") > F.col("__ord_b"), F.col("id_a"))
-            .otherwise(F.col("id_b")).alias("id")
+    # Removal decisions are a per-cell BLAS pass (r12; the
+    # hard_negatives _select_pairs discipline): the former in-cell
+    # self-join evaluated the interpreted zip_with/aggregate cosine
+    # inside the join condition on EVERY pair — for n_clusters=1 the
+    # constant cell key even folded away, leaving a single-task
+    # BroadcastNestedLoopJoin (executor dump: ArrayAggregate.eval in
+    # the bound condition; 60-110 s at sf0.1 vs ~1 s after). One numpy
+    # matmul per cell decides every pair whose |cosine - eps| clears a
+    # 1e-9 margin (BLAS vs the JVM's sequential fold differs by
+    # ~1e-13); only margin-band pairs — typically zero — are re-scored
+    # with the exact former JVM expressions, so the removed-id SET is
+    # identical. Spark's nanSafeCompare makes NaN >= eps TRUE, so NaN
+    # similarities (zero-norm vectors) count as removals here too.
+    # Over-cap cells keep the star/salt guard path with the former
+    # exact filter (bounded pair volume by construction, logged).
+    sizes = rows.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    over_rows = sizes.filter(F.col("__n") > cap).collect()
+    removed_parts = []
+    if over_rows:
+        over_df = spark.createDataFrame(
+            [(r["cell"],) for r in over_rows], rows.select("cell").schema
         )
-        .distinct()
+        ok_rows = rows.join(F.broadcast(over_df), "cell", "left_anti")
+        bad_rows = rows.join(F.broadcast(over_df), "cell", "left_semi")
+        pairs_bad = _capped_bucket_pairs(
+            bad_rows, ["cell"], cap, "semdedup", payload=("v", "__ord")
+        )
+        removed_parts.append(
+            pairs_bad.filter(cosine(F.col("v_a"), F.col("v_b")) >= F.lit(eps))
+            .select(
+                F.when(F.col("__ord_a") > F.col("__ord_b"), F.col("id_a"))
+                .otherwise(F.col("id_b")).alias("id")
+            )
+        )
+    else:
+        ok_rows = rows
+
+    from pyspark.sql.types import ByteType, StructField, StructType
+
+    id_type = rows.schema["id"].dataType
+    dec_schema = StructType([
+        StructField("__kind", ByteType(), False),
+        StructField("__xa", id_type),
+        StructField("__xb", id_type),
+    ])
+    eps_f = float(eps)
+    margin = 1e-9
+    edge_order = keep == "edge"
+
+    def _decide(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "__kind": pd.Series([], dtype="int8"),
+            "__xa": pd.Series([], dtype=pdf["id"].dtype),
+            "__xb": pd.Series([], dtype=pdf["id"].dtype),
+        })
+        if n < 2:
+            return empty
+        from ..similarity.ann import _vec_matrix
+
+        dim = len(pdf["v"].iloc[0])
+        V = _vec_matrix(pdf["v"], dim, "semdedup", "v")
+        norms = np.sqrt((V * V).sum(axis=1))
+        ids = pdf["id"].to_numpy()
+        # keep-order rank replaying the JVM struct comparison: for
+        # "edge" (__csim, id) with NaN mapped to +inf (Spark's
+        # nanSafeCompare ranks NaN above every double and equal to
+        # itself, falling through to the id; cosine cannot be a real
+        # +inf, so the mapping is exact), else id alone; ids are
+        # unique, so the rank is total — higher rank == worse == the
+        # removed side of a duplicate pair
+        if edge_order:
+            csim = pdf["__csim"].to_numpy(dtype=np.float64)
+            key1 = np.where(np.isnan(csim), np.inf, csim)
+            srt = pd.DataFrame({"k": key1, "i": ids}).sort_values(
+                ["k", "i"], kind="stable"
+            ).index.to_numpy()
+        else:
+            srt = pd.DataFrame({"i": ids}).sort_values(
+                "i", kind="stable"
+            ).index.to_numpy()
+        rank = np.empty(n, dtype=np.int64)
+        rank[srt] = np.arange(n)
+        rm = np.zeros(n, dtype=bool)
+        out_a: list = []
+        out_b: list = []
+        B = max(1, 4_000_000 // n)  # ~32 MB similarity slabs
+        for s0 in range(0, n, B):
+            s1 = min(n, s0 + B)
+            S = (V[s0:s1] @ V.T) / np.outer(norms[s0:s1], norms)
+            for bi in range(s1 - s0):
+                i = s0 + bi
+                srow = S[bi]
+                # strict upper triangle: each unordered pair once
+                js = np.arange(i + 1, n)
+                s = srow[i + 1:]
+                nan = np.isnan(s)
+                sure = (s >= eps_f + margin) | nan
+                maybe = ~sure & (s >= eps_f - margin)
+                if sure.any():
+                    jj = js[sure]
+                    worse = np.where(rank[jj] > rank[i], jj, i)
+                    rm[worse] = True
+                mj = js[maybe]
+                if len(mj):
+                    out_a.append(np.full(len(mj), ids[i]))
+                    out_b.append(ids[mj])
+        frames = []
+        ridx = np.flatnonzero(rm)
+        if len(ridx):
+            frames.append(pd.DataFrame({
+                "__kind": np.zeros(len(ridx), dtype="int8"),
+                "__xa": ids[ridx], "__xb": ids[ridx],
+            }))
+        if out_a:
+            frames.append(pd.DataFrame({
+                "__kind": np.ones(sum(map(len, out_a)), dtype="int8"),
+                "__xa": np.concatenate(out_a),
+                "__xb": np.concatenate(out_b),
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    dec_cols = ["cell", "id", "v"] + (["__csim"] if edge_order else [])
+    decisions = (
+        ok_rows.select(*dec_cols)
+        .groupBy("cell")
+        .applyInPandas(lambda _, pdf: _decide(pdf), schema=dec_schema)
     )
+    # margin-band pairs (|blas_cos - eps| <= 1e-9, usually none) get
+    # the former exact JVM decision: same cosine expression, same
+    # __ord struct comparison — the removed-id set stays identical
+    side = rows.select("id", "v", "__ord")
+    recheck = (
+        decisions.filter(F.col("__kind") == 1)
+        .join(side.select(F.col("id").alias("__xa"),
+                          F.col("v").alias("v_a"),
+                          F.col("__ord").alias("__ord_a")), "__xa")
+        .join(side.select(F.col("id").alias("__xb"),
+                          F.col("v").alias("v_b"),
+                          F.col("__ord").alias("__ord_b")), "__xb")
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= F.lit(eps))
+        .select(
+            F.when(F.col("__ord_a") > F.col("__ord_b"), F.col("__xa"))
+            .otherwise(F.col("__xb")).alias("id")
+        )
+    )
+    removed_parts.append(
+        decisions.filter(F.col("__kind") == 0).select(F.col("__xa").alias("id"))
+    )
+    removed_parts.append(recheck)
+    removed = removed_parts[0]
+    for p in removed_parts[1:]:
+        removed = removed.unionByName(p)
+    removed = removed.distinct()
     return (
         cells.join(removed.withColumn("__rm", F.lit(1)), "id", "left")
         .select(
