@@ -138,13 +138,19 @@ def align(streams: Mapping[str, TickStream], keep_ticked: bool = True) -> DataFr
             F.lit(False),
         )
         out_cols.append(active_tick.alias("__active_tick"))
+    # final row of the cycle = the max-SRC row (each source contributes
+    # at most one row per (key, ts, seq) — seq is unique within a
+    # stream — so SRC values are distinct inside a cycle group and this
+    # picks exactly the row the former row_number()-desc-over-SRC
+    # picked). max(SRC) shares w_cycle's (partition, order) spec with
+    # the __ticked flags above, so it folds into the SAME Window
+    # operator instead of paying its own Window pass + descending
+    # re-sort (guide §2.4).
     out = u.select(
         *out_cols,
-        F.row_number()
-        .over(Window.partitionBy(KEY, TS, SEQ).orderBy(F.desc(SRC)))
-        .alias("__cycle_rn"),
+        (F.col(SRC) == F.max(SRC).over(w_cycle)).alias("__cycle_last"),
     )
-    out = out.filter(F.col("__cycle_rn") == 1).drop("__cycle_rn")
+    out = out.filter(F.col("__cycle_last")).drop("__cycle_last")
     if passive:
         out = out.filter(F.col("__active_tick")).drop("__active_tick")
     return out
