@@ -163,6 +163,75 @@ def running_unkeyed(
 _WINDOWED_AGGS = ("sum", "count", "mean", "min", "max")
 
 
+def _apply_win_rows(df, keep_cols, spec, w, aggs):
+    """win_<agg> columns for the ROWS sliding frame [-(w-1), 0] under
+    ``spec`` (a partition+order WindowSpec), computed as exact PREFIX
+    DIFFERENCES for sum/count/mean: Spark executes a sliding frame by
+    re-accumulating all w rows per output row (SlidingWindowFunction-
+    Frame — O(n·w) BigDecimal updates for the DECIMAL sums), while the
+    cumulative frame is incremental — cum(i) − lag(cum, w) costs two
+    O(n) passes sharing one sort. Decimal/long arithmetic is exact, so
+    every produced value is bit-identical to the sliding aggregate
+    (headroom: the cumulative DECIMAL(37,10) holds 27 integer digits —
+    a full-partition running total, not just a window's). min/max keep
+    the sliding frame: double comparisons are cheap and have no exact
+    inverse. The lag stage is a second Window operator over the same
+    (partition, order) spec — no extra Sort or Exchange."""
+    cum = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sli = spec.rowsBetween(-(w - 1), 0)
+    # one digit narrower than _DEC so the cumulative sum is (37,10) and
+    # the prefix subtraction lands exactly on DECIMAL(38,10) — the same
+    # type the sliding sum produces. Summing (38,10) values would make
+    # the subtraction overflow to precision 39, and Spark's precision-
+    # loss adjustment would drop the scale to 9, changing win_mean's
+    # division type (scale 9 vs the sliding path's 10). The double →
+    # decimal cast rounds identically at either precision.
+    _cdec = "decimal(27,10)"
+    need_sum = "sum" in aggs or "mean" in aggs
+    # the count rides along with any sum: an all-NULL frame must yield
+    # a NULL sum (the sliding aggregate's contract), and only the
+    # count difference can detect it (the prefix difference alone
+    # reads 0 there)
+    need_cnt = "count" in aggs or need_sum
+    stage1 = []
+    if need_sum:
+        stage1.append(F.sum(F.col("__v").cast(_cdec)).over(cum).alias("__cs"))
+    if need_cnt:
+        stage1.append(F.count("__v").over(cum).alias("__ck"))
+    if "min" in aggs:
+        stage1.append(F.min("__v").over(sli).alias("__wmin"))
+    if "max" in aggs:
+        stage1.append(F.max("__v").over(sli).alias("__wmax"))
+    df1 = df.select(*keep_cols, *stage1)
+    if need_cnt:
+        k = F.col("__ck") - F.coalesce(
+            F.lag("__ck", w).over(spec), F.lit(0).cast("bigint")
+        )
+    if need_sum:
+        dec_t = df1.schema["__cs"].dataType.simpleString()
+        # k > 0 guard: the sliding sum is NULL on an all-NULL frame;
+        # the bare prefix difference would read 0 there instead
+        s = F.when(
+            k > 0,
+            F.col("__cs") - F.coalesce(
+                F.lag("__cs", w).over(spec), F.lit(0).cast(dec_t)
+            ),
+        )
+    out = []
+    for a in aggs:
+        if a == "sum":
+            out.append(s.cast("double").alias("win_sum"))
+        elif a == "count":
+            out.append(k.alias("win_count"))
+        elif a == "mean":
+            out.append(F.when(k > 0, (s / k).cast("double")).alias("win_mean"))
+        elif a == "min":
+            out.append(F.col("__wmin").alias("win_min"))
+        else:
+            out.append(F.col("__wmax").alias("win_max"))
+    return df1.select(*keep_cols, *out)
+
+
 def _win_cols(aggs, frame):
     """win_<agg> window columns over the given frame; sum/mean combine
     through DECIMAL for order-independent exactness."""
@@ -356,11 +425,9 @@ def windowed_unkeyed(
     max_pid = pids[-1]
     if any(sizes[p] < window - 1 for p in pids if p != max_pid):
         # tiny input relative to the partition grain: exact fallback
-        wglob = (
-            Window.orderBy(TS, SEQ).rowsBetween(-(window - 1), 0)
+        return _apply_win_rows(
+            base, [KEY, TS, SEQ], Window.orderBy(TS, SEQ), window, aggs
         )
-        out = base.select(KEY, TS, SEQ, *_cols(wglob))
-        return out
 
     # tails: each partition's last window-1 rows, re-tagged with its
     # (next NON-EMPTY) successor's actual pid — a broadcast of
@@ -378,15 +445,15 @@ def windowed_unkeyed(
         .withColumn("__tail", F.lit(True))
     )
     aug = base.withColumn("__tail", F.lit(False)).unionByName(tails)
-    wloc = (
-        Window.partitionBy("__pid")
-        .orderBy(TS, SEQ)
-        .rowsBetween(-(window - 1), 0)
-    )
     return (
-        aug.select(KEY, TS, SEQ, F.col("__tail"), *_cols(wloc))
+        _apply_win_rows(
+            # __pid rides through: the helper's projections must keep
+            # every column the window spec partitions by
+            aug, [KEY, TS, SEQ, "__pid", "__tail"],
+            Window.partitionBy("__pid").orderBy(TS, SEQ), window, aggs,
+        )
         .filter(~F.col("__tail"))
-        .drop("__tail")
+        .drop("__tail", "__pid")
     )
 
 
@@ -502,15 +569,15 @@ def windowed_hot_keys(
             .orderBy(F.unix_micros(F.col(TS)))
             .rangeBetween(-(us - 1), 0)
         )
+        norm_out = normal.df.select(
+            KEY, TS, SEQ, F.col(x.value_col).alias("__v")
+        ).select(KEY, TS, SEQ, *_win_cols(aggs, worder))
     else:
-        worder = (
-            Window.partitionBy(KEY)
-            .orderBy(TS, SEQ)
-            .rowsBetween(-(window - 1), 0)
+        norm_out = _apply_win_rows(
+            normal.df.select(KEY, TS, SEQ, F.col(x.value_col).alias("__v")),
+            [KEY, TS, SEQ],
+            Window.partitionBy(KEY).orderBy(TS, SEQ), window, aggs,
         )
-    norm_out = normal.df.select(
-        KEY, TS, SEQ, F.col(x.value_col).alias("__v")
-    ).select(KEY, TS, SEQ, *_win_cols(aggs, worder))
     out = norm_out
     for k in hot:
         hk = TickStream(

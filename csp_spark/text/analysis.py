@@ -60,9 +60,12 @@ def char_count(text: Column) -> Column:
 
 def avg_word_len(text: Column) -> Column:
     t = tokens(text)
-    return F.aggregate(
-        t, F.lit(0.0), lambda acc, w: acc + F.length(w)
-    ) / F.size(t)
+    # total token chars via one codegen concat+length instead of an
+    # interpreted per-word aggregate fold (higher-order lambdas never
+    # enter whole-stage codegen). Bit-identical: the fold summed int
+    # lengths into a 0.0-seeded double — exact for any corpus-sized
+    # count — and Spark's / promotes both forms to double.
+    return F.length(F.concat_ws("", t)) / F.size(t)
 
 
 def _ratio(num: Column, den: Column) -> Column:
@@ -1009,7 +1012,9 @@ def gopher_rules(
     sw_hits = F.size(
         F.array_intersect(t, F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]))
     )
-    mwl = F.aggregate(t, F.lit(0.0), lambda a, w: a + F.length(w)) / n_words
+    # codegen concat+length, not an interpreted per-word fold — same
+    # double (see avg_word_len)
+    mwl = F.length(F.concat_ws("", t)) / n_words
     r = {
         "r1_word_count": (n_words >= min_words) & (n_words <= max_words),
         "r2_mean_word_len": (mwl >= 3.0) & (mwl <= 10.0),
