@@ -29,12 +29,13 @@ from pyspark.sql import functions as F
 from ..text.analysis import tokens
 
 
-def _doc_gram_counts(
+def _gram_rows(
     docs: DataFrame, text_col: str, id_col: str,
     n_buckets: int | None,
 ) -> DataFrame:
-    """(id, gram, c): unigram + bigram counts per document. Grams with
-    empty tokens are dropped (blank/whitespace-only text)."""
+    """(id, g): one row per unigram + bigram OCCURRENCE — the shared
+    pre-aggregate subplan (all codegen, no shuffle). Grams with empty
+    tokens are dropped (blank/whitespace-only text)."""
     toks = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
     )
@@ -56,7 +57,19 @@ def _doc_gram_counts(
     grams = uni.unionByName(bi)
     if n_buckets is not None:
         grams = grams.select("id", F.pmod(F.xxhash64("g"), F.lit(n_buckets)).alias("g"))
-    return grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return grams
+
+
+def _doc_gram_counts(
+    docs: DataFrame, text_col: str, id_col: str,
+    n_buckets: int | None,
+) -> DataFrame:
+    """(id, gram, c): unigram + bigram counts per document."""
+    return (
+        _gram_rows(docs, text_col, id_col, n_buckets)
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def dsir_weights(
@@ -72,9 +85,22 @@ def dsir_weights(
     neutrally). Both models are add-``smoothing`` smoothed over the
     union vocabulary, so unseen-in-target grams are defined."""
     raw_counts = _doc_gram_counts(raw_docs, text_col, id_col, n_buckets)
-    tgt_counts = _doc_gram_counts(target_docs, text_col, id_col, n_buckets)
-    raw_model = raw_counts.groupBy("g").agg(F.sum("c").alias("c_raw"))
-    tgt_model = tgt_counts.groupBy("g").agg(F.sum("c").alias("c_tgt"))
+    # models aggregate the PRE-(id,g) gram rows directly: summing the
+    # per-doc counts and counting occurrences are the same exact
+    # integer, and this keeps the expensive (id, g) census a
+    # single-use subplan — the old shape recomputed the whole raw
+    # census (scan + explode + corpus-wide (id,g) exchange) once for
+    # the model and once for the scoring join. The g-aggregate's own
+    # shuffle stays tiny either way (map-side partials collapse to
+    # distinct grams per partition).
+    raw_model = (
+        _gram_rows(raw_docs, text_col, id_col, n_buckets)
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c_raw"))
+    )
+    tgt_model = (
+        _gram_rows(target_docs, text_col, id_col, n_buckets)
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
     # union vocabulary + totals: a handful of 1-row aggregates
     model = raw_model.join(tgt_model, "g", "full").select(
         "g",

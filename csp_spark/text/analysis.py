@@ -916,12 +916,14 @@ def lm_scores(
 
     Scale shape: training = two hash-aggregates over 8-byte gram
     hashes (n-gram and context counts; map-side partials) + one
-    count-distinct for V; scoring = per-doc gram/context hash arrays
-    (higher-order transform — exploded rows carry hashes only) → two
-    shuffle joins against the count tables → one keyed average.
-    Nothing leaves the JVM. Grams the model never saw score with
-    count 0 (pure smoothing mass), so an external ``lm_docs`` corpus
-    works unchanged.
+    count-distinct for V; scoring = one position explode per doc with
+    both hashes computed on the slice inside the same codegen stage
+    (the token array never crosses a row boundary; exploded rows
+    carry hashes only) → two shuffle joins against the count tables →
+    one keyed average. Nothing leaves the JVM and no interpreted
+    higher-order lambda remains on a corpus-sized path. Grams the
+    model never saw score with count 0 (pure smoothing mass), so an
+    external ``lm_docs`` corpus works unchanged.
 
     Output: (id_col, n_grams, avg_nll); docs shorter than ``n``
     tokens have n_grams=0 and NULL avg_nll (no evidence — downstream
@@ -930,36 +932,51 @@ def lm_scores(
     lm_docs = lm_docs if lm_docs is not None else docs
 
     tr = lm_docs.select(tokens(F.col(text_col)).alias("t"))
+
+    # gram hashing in the codegen explode form (same strings → same
+    # xxhash64 values as the _gram_hashes transform; the carried token
+    # array is pruned before any exchange — see repeated_spans)
+    def _hash_at(m: int) -> Column:
+        return F.xxhash64(F.array_join(F.slice("t", F.col("i"), m), " "))
+
+    def _gram_rows(m: int, alias: str) -> DataFrame:
+        return (
+            tr.filter(F.size("t") >= m)
+            .select(
+                "t",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("t") - (m - 1))
+                ).alias("i"),
+            )
+            .select(_hash_at(m).alias(alias))
+        )
+
     gram_counts = (
-        tr.select(F.explode(_gram_hashes(F.col("t"), n)).alias("gh"))
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c_gram"))
+        _gram_rows(n, "gh").groupBy("gh").agg(F.count(F.lit(1)).alias("c_gram"))
     )
     ctx_counts = (
-        tr.select(F.explode(_gram_hashes(F.col("t"), n - 1)).alias("ch"))
-        .groupBy("ch")
-        .agg(F.count(F.lit(1)).alias("c_ctx"))
+        _gram_rows(n - 1, "ch").groupBy("ch").agg(F.count(F.lit(1)).alias("c_ctx"))
     )
     vocab = tr.select(F.explode("t").alias("w")).filter(
         F.length("w") > 0
     ).agg(F.count_distinct("w").alias("V"))
 
-    d = docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
-    ).select(
-        "id",
-        _gram_hashes(F.col("t"), n - 1).alias("chs"),
-        _gram_hashes(F.col("t"), n).alias("ghs"),
+    # scoring: ONE explode yields both the gram hash and its context
+    # hash per position (the former arrays_zip of two transform-built
+    # hash arrays); positions run 1..len-n+1 exactly as before
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+        )
+        .filter(F.size("t") >= n)
+        .select(
+            "id", "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (n - 1))
+            ).alias("i"),
+        )
+        .select("id", _hash_at(n - 1).alias("ch"), _hash_at(n).alias("gh"))
     )
-    pairs = d.select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("chs"), 1, F.size("ghs")).alias("ch"),
-                F.col("ghs").alias("gh"),
-            )
-        ).alias("z"),
-    ).select("id", F.col("z.ch").alias("ch"), F.col("z.gh").alias("gh"))
     scored = (
         pairs.join(gram_counts, "gh", "left")
         .join(ctx_counts, "ch", "left")
