@@ -215,14 +215,35 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
     def _run(bpdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         # ONE (ts, seq) lexsort per bucket — groupby preserves row
-        # order within groups, so the per-key frames arrive already in
+        # order within groups, so the per-key slices arrive already in
         # engine order (a per-key sort_values was ~25% of runner time
         # at 1.5k keys/bucket)
         bpdf = bpdf.sort_values([TS, SEQ])
+        # columns extracted ONCE per bucket, sliced per key by the
+        # groupby's positional indices: building 5+ pandas column
+        # objects per KEY (frame __getitem__ + block _chop) was most
+        # of runner time at 1.5k keys/bucket. Positional .array /
+        # fancy-indexed ExtensionArrays keep pandas value semantics
+        # (pd.NaT, np.float64) without Series indexing machinery.
+        keys_all = bpdf[KEY].array
+        tss_all = bpdf[TS].array
+        seqs_all = bpdf[SEQ].to_numpy()
+        tcols_all = {n: bpdf[_ticked_col(n)].to_numpy() for n in names}
+        vcols_all = {n: bpdf[n].array for n in names}
         # dropna=False: a NULL key is a real group (pandas drops it by
-        # default; Spark's own groupBy(KEY) kept it)
-        for _key, kpdf in bpdf.groupby(KEY, sort=False, dropna=False):
-            _one_key(kpdf, out)
+        # default; Spark's own groupBy(KEY) kept it). .indices yields
+        # first-occurrence-ordered positional arrays, increasing
+        # within each group — engine order under the lexsort above.
+        for idx in bpdf.groupby(
+            KEY, sort=False, dropna=False
+        ).indices.values():
+            _one_key(
+                keys_all[idx[0]],
+                tss_all[idx], seqs_all[idx],
+                {n: a[idx] for n, a in tcols_all.items()},
+                {n: a[idx] for n, a in vcols_all.items()},
+                out,
+            )
         if multi:
             cols = [KEY, TS, SEQ]
             for n in multi:
@@ -232,21 +253,17 @@ def _keyed_runner(fn, names, mk_state, multi, end, emit_state,
             return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE, "__state"])
         return pd.DataFrame(out, columns=[KEY, TS, SEQ, VALUE])
 
-    def _one_key(pdf: pd.DataFrame, out: list) -> None:
-        # positional .array access everywhere: Series.iloc per element
-        # walks the full indexing machinery (~20 µs/cell — it was HALF
-        # of runner time); ExtensionArray indexing is a plain fetch and
-        # keeps pandas value semantics (pd.NaT, np.float64)
+    def _one_key(key, tss, seqs, tcols, vcols, out: list) -> None:
         st = mk_state()
-        key = pdf[KEY].array[0]
         if has_seed:
             # drop group-seed rows (they only exist to materialize an
             # otherwise-empty group for a start-alarm-driven node)
-            pdf = pdf[pdf[SEQ].to_numpy() != _START_SEED_SEQ]
-        tcols = {n: pdf[_ticked_col(n)].to_numpy() for n in names}
-        vcols = {n: pdf[n].array for n in names}
-        tss, seqs = pdf[TS].array, pdf[SEQ].to_numpy()
-        n_rows = len(pdf)
+            live = seqs != _START_SEED_SEQ
+            if not live.all():
+                tss, seqs = tss[live], seqs[live]
+                tcols = {n: a[live] for n, a in tcols.items()}
+                vcols = {n: a[live] for n, a in vcols.items()}
+        n_rows = len(seqs)
 
         heap: list = []  # (alarm_ts, order, handle)
         order = [0]
