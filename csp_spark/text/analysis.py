@@ -150,13 +150,19 @@ def winnow_fingerprints(
 
     Scale shape: ZERO shuffle — the rolling hash sequence AND the
     window-min selection are per-doc array expressions (higher-order
-    functions), so the whole operator is scan → per-row codegen →
+    functions), so the whole operator is scan → per-row work →
     explode of the (small, ~L/w element) selected array. The earlier
     explode-then-window plan carried the full normalized text on every
     shingle row (O(len²) bytes per doc) and shuffled every shingle by
     doc id for the ordered window-min; at 10x corpus that spilled and
-    scaled 13.4x. This form holds per-row memory at O(len) and
-    per-doc work at O(len·w), all inside WholeStageCodegen.
+    scaled 13.4x. The window-min itself is a LOG-STEP DOUBLING of
+    whole-array least() zips (O(len·log w) lambda evaluations, NULL
+    padding reproduces the truncated leading windows), not a per-
+    element slice + array_min (O(len·w) interpreted evals, one array
+    allocation per element — higher-order lambdas never enter
+    whole-stage codegen, and that form measured ~6x slower at 10x
+    corpus once the session's eval sites go megamorphic). Per-row
+    memory stays O(len).
 
     hash_style: "xx64" (default) keeps the per-doc hash array at
     8-byte longs; "md5" exists so external engines (DuckDB oracle)
@@ -192,16 +198,28 @@ def winnow_fingerprints(
     # Select h[i] when it equals the min of the w-window ending at i
     # (trailing window truncated at the doc start, matching the
     # rowsBetween(-(w-1), 0) frame of the window-function form).
+    # Sliding min by doubling: each pass zips the running-min array
+    # with itself shifted ``step`` right, so the covered span grows
+    # 1 → 2 → 4 → ... → w in ceil(log2 w) whole-array passes. The
+    # shift pads with NULLs, which least() skips — exactly the
+    # truncated windows at the doc start.
+    elem_t = "string" if hash_style == "md5" else "bigint"
+
+    def _shift(arr, d):
+        return F.concat(
+            F.array_repeat(F.lit(None).cast(elem_t), d),
+            F.slice(arr, 1, F.greatest(F.size(arr) - d, F.lit(0))),
+        )
+
+    m = F.col("hs")
+    span = 1
+    while span < w:
+        step = min(span, w - span)
+        m = F.zip_with(m, _shift(m, step), lambda x, y: F.least(x, y))
+        span += step
     sel = F.filter(
-        F.col("hs"),
-        lambda x, i: x
-        == F.array_min(
-            F.slice(
-                F.col("hs"),
-                F.greatest(i - (w - 2), F.lit(1)),
-                F.least(i + F.lit(1), F.lit(w)),
-            )
-        ),
+        F.zip_with(F.col("hs"), m, lambda x, mn: F.when(x == mn, x)),
+        lambda x: x.isNotNull(),
     )
     arr = F.array_distinct(sel) if distinct else sel
     return hashed.select("id", F.explode(arr).alias("fp"))

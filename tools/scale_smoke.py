@@ -83,6 +83,10 @@ QUERIES = [
     # r8 addition: gap sessionization (one key shuffle + two window
     # passes — keys scale with the data, sessions are parallelism)
     "op_sessionize",
+    # r12 addition: unkeyed tick window now computes sum/count/mean as
+    # prefix differences (cum − lag over the pid-pinned sort) — must
+    # stay ~linear in rows like the sliding form it replaced
+    "op_windowed_global",
 ]
 
 
