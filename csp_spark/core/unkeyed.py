@@ -171,12 +171,16 @@ def _apply_win_rows(df, keep_cols, spec, w, aggs):
     Frame — O(n·w) BigDecimal updates for the DECIMAL sums), while the
     cumulative frame is incremental — cum(i) − lag(cum, w) costs two
     O(n) passes sharing one sort. Decimal/long arithmetic is exact, so
-    every produced value is bit-identical to the sliding aggregate
-    (headroom: the cumulative DECIMAL(37,10) holds 27 integer digits —
-    a full-partition running total, not just a window's). min/max keep
-    the sliding frame: double comparisons are cheap and have no exact
-    inverse. The lag stage is a second Window operator over the same
-    (partition, order) spec — no extra Sort or Exchange."""
+    every produced value is bit-identical to the sliding aggregate for
+    |value| < 1e17 (the DECIMAL(27,10) per-value domain; the sliding
+    form's own cast bound was 1e18, where it silently DROPPED the
+    value from the sum — here an out-of-domain value raises instead,
+    see the guard below). Cumulative headroom: DECIMAL(37,10) holds 27
+    integer digits — a full-partition running total, not just a
+    window's. min/max keep the sliding frame: double comparisons are
+    cheap and have no exact inverse. The lag stage is a second Window
+    operator over the same (partition, order) spec — no extra Sort or
+    Exchange."""
     cum = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sli = spec.rowsBetween(-(w - 1), 0)
     # one digit narrower than _DEC so the cumulative sum is (37,10) and
@@ -187,6 +191,20 @@ def _apply_win_rows(df, keep_cols, spec, w, aggs):
     # division type (scale 9 vs the sliding path's 10). The double →
     # decimal cast rounds identically at either precision.
     _cdec = "decimal(27,10)"
+    # fail LOUD on per-value overflow: with ANSI off the cast yields
+    # NULL, which sum() would silently skip — corrupting win_sum/
+    # win_mean while win_count still counts the row (the sliding form
+    # had the same silent mode one decade higher, at 1e18)
+    vd = F.when(
+        F.col("__v").isNotNull() & F.col("__v").cast(_cdec).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("windowed aggregate value out of DECIMAL(27,10) "
+                      "range (|v| >= 1e17): "),
+                F.col("__v").cast("string"),
+            )
+        ).cast(_cdec),
+    ).otherwise(F.col("__v").cast(_cdec))
     need_sum = "sum" in aggs or "mean" in aggs
     # the count rides along with any sum: an all-NULL frame must yield
     # a NULL sum (the sliding aggregate's contract), and only the
@@ -195,7 +213,7 @@ def _apply_win_rows(df, keep_cols, spec, w, aggs):
     need_cnt = "count" in aggs or need_sum
     stage1 = []
     if need_sum:
-        stage1.append(F.sum(F.col("__v").cast(_cdec)).over(cum).alias("__cs"))
+        stage1.append(F.sum(vd).over(cum).alias("__cs"))
     if need_cnt:
         stage1.append(F.count("__v").over(cum).alias("__ck"))
     if "min" in aggs:

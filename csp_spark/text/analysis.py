@@ -202,7 +202,13 @@ def winnow_fingerprints(
     # with itself shifted ``step`` right, so the covered span grows
     # 1 → 2 → 4 → ... → w in ceil(log2 w) whole-array passes. The
     # shift pads with NULLs, which least() skips — exactly the
-    # truncated windows at the doc start.
+    # truncated windows at the doc start. Each pass is PROJECTED into
+    # a bound column before the next consumes it: a pass references
+    # its input three times (zip_with arg + the shift's slice/size),
+    # so inlining would re-evaluate the previous pass ~3x per level —
+    # O(len·3^log2 w) instead of O(len·log w). CollapseProject keeps
+    # the projection (multi-referenced non-cheap alias), the same
+    # device as the ``hs`` materialization above.
     elem_t = "string" if hash_style == "md5" else "bigint"
 
     def _shift(arr, d):
@@ -211,18 +217,25 @@ def winnow_fingerprints(
             F.slice(arr, 1, F.greatest(F.size(arr) - d, F.lit(0))),
         )
 
-    m = F.col("hs")
-    span = 1
+    cur = hashed
+    m_col, span, lvl = "hs", 1, 0
     while span < w:
         step = min(span, w - span)
-        m = F.zip_with(m, _shift(m, step), lambda x, y: F.least(x, y))
-        span += step
+        nxt = f"__m{lvl}"
+        cur = cur.select(
+            "id", "hs",
+            F.zip_with(
+                F.col(m_col), _shift(F.col(m_col), step),
+                lambda x, y: F.least(x, y),
+            ).alias(nxt),
+        )
+        m_col, span, lvl = nxt, span + step, lvl + 1
     sel = F.filter(
-        F.zip_with(F.col("hs"), m, lambda x, mn: F.when(x == mn, x)),
+        F.zip_with(F.col("hs"), F.col(m_col), lambda x, mn: F.when(x == mn, x)),
         lambda x: x.isNotNull(),
     )
     arr = F.array_distinct(sel) if distinct else sel
-    return hashed.select("id", F.explode(arr).alias("fp"))
+    return cur.select("id", F.explode(arr).alias("fp"))
 
 
 #: PII patterns — deliberately simple, deterministic regexes (real
@@ -573,11 +586,17 @@ def _require_integral_id(docs: DataFrame, id_col: str, where: str) -> None:
 
 def _gram_hashes(toks: Column, n: int) -> Column:
     """xxhash64 of every word ``n``-gram of a token array, as an array
-    (one element per start position, in position order). Computed with
-    a higher-order transform so downstream explodes carry 8-byte
-    hashes, never the token array itself (the explode-positions-then-
-    slice form duplicates the whole array onto every exploded row —
-    O(len²) bytes per doc, the same cliff winnow_fingerprints hit).
+    (one element per start position, in position order). A higher-order
+    transform — interpreted, never whole-stage codegen. Hot corpus
+    paths (repeated_spans, lm_scores, DSIR) use the faster codegen
+    form instead: explode the positions and hash
+    ``array_join(slice(toks, i, n))`` per row INSIDE the same codegen
+    stage, pruning the array before any exchange (same strings → same
+    hashes; the old O(len²)-bytes worry only applies when the carried
+    array crosses a row-materialization boundary, which that shape
+    avoids). This array form remains for callers that need the hashes
+    as a per-doc ARRAY column (decontaminate's eval-gram broadcast,
+    repetition profiles — small inputs by construction).
     Docs shorter than ``n`` tokens yield an empty array."""
     return F.when(
         F.size(toks) >= n,
@@ -700,9 +719,9 @@ def repeated_spans(
         toks.filter(F.size("t") >= k)
         .select(
             "id", "t",
-            F.posexplode(
+            F.explode(
                 F.sequence(F.lit(1), F.size("t") - (k - 1))
-            ).alias("p0", "i"),
+            ).alias("i"),
         )
         .select(
             "id",

@@ -275,6 +275,81 @@ def test_winnow_fingerprints(spark):
     assert len(sets[1]) < n_shingles / 2
 
 
+def test_winnow_doubling_matches_bruteforce(spark):
+    """The log-step doubling sliding-min (incl. odd w — uneven final
+    step — and w=1) selects exactly the brute-force trailing-window
+    minima, multiplicity preserved."""
+    import hashlib
+
+    txts = [
+        (1, "a b c a b c a b c d e f g h i j k"),
+        (2, "x y z z y x x y z w w w"),
+        (3, "solo"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(txts, "doc_id long, text string")
+    k = 3
+    for w in (1, 2, 3, 5, 7):
+        got = sorted(
+            (r["id"], r["fp"])
+            for r in TX.winnow_fingerprints(
+                docs, k=k, w=w, hash_style="md5", distinct=False
+            ).collect()
+        )
+        exp = []
+        for i, t in txts:
+            n = " ".join(t.split())
+            hs = [
+                hashlib.md5(n[p:p + k].encode()).hexdigest()
+                for p in range(max(len(n) - k + 1, 1))
+            ]
+            for j, h in enumerate(hs):
+                if h == min(hs[max(0, j - w + 1):j + 1]):
+                    exp.append((i, h))
+        assert got == sorted(exp), w
+
+
+def test_windowed_unkeyed_overflow_raises(spark):
+    """Prefix-difference windows fail LOUD on |v| >= 1e17 (the
+    DECIMAL(27,10) per-value domain) instead of silently skipping the
+    value as the old sliding cast did at 1e18."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from csp_spark import TickStream
+    from csp_spark.core.unkeyed import windowed_unkeyed
+
+    rows = [
+        ("g", dt.datetime(2024, 1, 1, 0, 0, i), i, v)
+        for i, v in enumerate([2e17, 1.0, 2.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, seq long, value double"
+    )
+    x = TickStream.from_table(
+        df, ts_col="ts", value_col="value", seq_col="seq", key_col="key"
+    )
+    with _pytest.raises(Exception, match="DECIMAL\\(27,10\\)"):
+        windowed_unkeyed(x, 2, num_partitions=2).collect()
+    # one decade below the bound stays exact
+    ok = [
+        ("g", dt.datetime(2024, 1, 1, 0, 0, i), i, v)
+        for i, v in enumerate([9e16, None, 2.0])
+    ]
+    df2 = spark.createDataFrame(
+        ok, "key string, ts timestamp, seq long, value double"
+    )
+    x2 = TickStream.from_table(
+        df2, ts_col="ts", value_col="value", seq_col="seq", key_col="key"
+    )
+    got = {
+        r["seq"]: (r["win_sum"], r["win_count"])
+        for r in windowed_unkeyed(x2, 2, num_partitions=2).collect()
+    }
+    assert got == {0: (9e16, 1), 1: (9e16, 1), 2: (2.0, 1)}
+
+
 def test_ivf_topk_recall(spark):
     from csp_spark.similarity import cosine_topk, ivf_topk
 
