@@ -305,16 +305,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eu_cost = cost.join(eu_supp, cost.l_suppkey == eu_supp.s_suppkey)
-    min_cost = eu_cost.groupBy("l_partkey").agg(
-        F.min("supply_cost").alias("min_cost")
-    ).select(F.col("l_partkey").alias("mk"), "min_cost")
+    # correlated-MIN via a window over the SAME rows instead of a
+    # groupBy + equality join-back: the join-back form planned the
+    # whole eu_cost subtree TWICE (two full lineitem scans+aggregates)
+    # and sort-merge-joined the two copies on (partkey, cost); the
+    # full-frame window min computes eu_cost once behind ONE
+    # l_partkey exchange and keeps the same rows — supply_cost is a
+    # DECIMAL, so the equality is exact in both forms (guide §2.4/§3;
+    # r12: 18 scans → 10, 12 Exchanges → 6, SortMergeJoin → none,
+    # row-identical at sf0.001/0.01/0.1).
+    min_w = Window.partitionBy("l_partkey")
+    flt = eu_cost.withColumn(
+        "min_cost", F.min("supply_cost").over(min_w)
+    ).filter(F.col("supply_cost") == F.col("min_cost"))
     return (
-        eu_cost.join(
-            min_cost,
-            (eu_cost.l_partkey == F.col("mk"))
-            & (eu_cost.supply_cost == F.col("min_cost")),
-        )
-        .join(p, eu_cost.l_partkey == p.p_partkey)
+        flt.join(p, flt.l_partkey == p.p_partkey)
         .select(
             F.round("s_acctbal", 4).alias("s_acctbal"),
             "s_name", "n_name", "p_partkey", "supply_cost",
