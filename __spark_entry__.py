@@ -514,6 +514,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("total_revenue")
         )
+        # the revenue view feeds BOTH the MAX scalar and the equality
+        # filter; as two plan subtrees the quarter's lineitem scan +
+        # aggregate ran twice (column pruning makes the copies differ,
+        # so ReuseExchange never fires). A lazy localCheckpoint
+        # materializes the supplier-sized view once and both readers
+        # share it (guide §3.3/§5 — the run_node device; an
+        # unpartitioned window-MAX would instead single-partition the
+        # view, the known 100 TB hazard). Row-identical at all SFs.
+        .localCheckpoint(eager=False)
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -555,17 +564,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey, no per-row subquery execution."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
-    avg_qty = (
-        l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
-        .groupBy("l_partkey")
-        .agg(
-            (F.lit(0.4) * (_dsum(F.col("l_quantity")) / F.count(F.lit(1))))
-            .alias("qty_cut")
-        )
-        .select(F.col("l_partkey").alias("ak"), "qty_cut")
+    # correlated AVG as a window over the SAME (already part-filtered)
+    # rows instead of a grouped aggregate joined back to a SECOND,
+    # UNFILTERED lineitem scan: one scan instead of two, the exchange
+    # carries only the Brand#2 lines, and the avg table no longer has
+    # to fit a broadcast (guide §2.4/§3.2; r12: 2 lineitem scans → 1,
+    # row-identical at sf0.001/0.01/0.1 — the window sum is the same
+    # exact DECIMAL sum the groupBy form computed).
+    j = l.join(
+        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey")
+    )
+    avg_w = Window.partitionBy("l_partkey")
+    qty_cut = F.lit(0.4) * (
+        F.sum(F.col("l_quantity").cast(_DEC)).over(avg_w).cast("double")
+        / F.count(F.lit(1)).over(avg_w)
     )
     return (
-        l.join(avg_qty, l.l_partkey == F.col("ak"))
+        j.withColumn("qty_cut", qty_cut)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.round(_dsum(F.col("l_extendedprice")) / F.lit(7.0), 4).alias(
