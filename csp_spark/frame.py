@@ -246,10 +246,20 @@ class TsFrame:
                 .filter(all_valid)
                 .groupBy(KEY)
                 .agg(F.min(F.struct(TS, SEQ)).alias("__thr"))
+                # the threshold is consumed by the trigger gate AND by
+                # every column's buffer gate (1 + n_columns subtrees);
+                # without materialization Catalyst re-plans the whole
+                # align + aggregate per consumer — with it the
+                # key-sized rows compute once (frame_pandas_ts:
+                # 18 source scans → 8, guide §3.3/§5)
+                .localCheckpoint(eager=False)
             )
             trig = trig.join(thr, KEY).filter(
                 F.struct(F.col("trig_ts"), F.col("trig_seq")) >= F.col("__thr")
             ).drop("__thr")
+            # gated triggers feed every column's rank union; the rows
+            # are trigger-tick-sized by construction
+            trig = trig.localCheckpoint(eager=False)
 
         from pyspark.sql import Window as W
 
