@@ -231,14 +231,25 @@ def incremental_dedup(
         def pair_fn(d):
             return minhash_lsh_pairs(d, text_col=text_col, id_col=id_col)
 
-    ex_ids = existing.select(F.col(id_col).alias("id")).withColumn(
-        "is_existing", F.lit(True)
-    )
     union = existing.select(id_col, text_col).unionByName(
         incoming.select(id_col, text_col)
     )
     pairs = pair_fn(union)
-    comp = connected_components(pairs).join(ex_ids, "id", "left").withColumn(
+    comp = connected_components(pairs)
+    # Every table from here on is bounded by |paired docs|, while
+    # `existing` is corpus-sized — so orient the one big-side join as
+    # stream-the-corpus / broadcast-the-components (a LEFT join with
+    # comp on the left would instead force the planner to build or
+    # sort the corpus side: 4 SortMergeJoins of the corpus at scale,
+    # guide §3.1). exist_in_comp = existing members that appear in any
+    # component (≤ |comp| rows), then the is_existing flag and both
+    # rule joins stay broadcast-small.
+    exist_in_comp = (
+        existing.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(comp.select("id")), "id", "left_semi")
+        .withColumn("is_existing", F.lit(True))
+    )
+    comp = comp.join(F.broadcast(exist_in_comp), "id", "left").withColumn(
         "is_existing", F.coalesce("is_existing", F.lit(False))
     )
     # a component is "anchored" if any member is existing: every
@@ -249,8 +260,8 @@ def incremental_dedup(
     )
     drop = (
         comp.filter(~F.col("is_existing"))
-        .join(anchored, "component")
+        .join(F.broadcast(anchored), "component")
         .filter((F.col("anchored") == 1) | (F.col("id") != F.col("component")))
         .select(F.col("id").alias(id_col))
     )
-    return incoming.join(drop, id_col, "left_anti")
+    return incoming.join(F.broadcast(drop), id_col, "left_anti")
