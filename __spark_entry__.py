@@ -1551,12 +1551,17 @@ def stats_cov_matrix(spark, sf_dir):
         .alias("value")
     ).withColumn(SEQ, F.lit(0).cast("long"))
     x = TickStream(series)
-    c = cov_matrix(x, ddof=1)
-    r = corr_matrix(x).withColumnRenamed("corr", "corr_v")
-    out = c.join(r, on=["key_a", "key_b"]).select(
+    # fused cov+corr over ONE coincident-pair frame (stats/matrix.py
+    # cov_corr_matrix): composing cov_matrix ⋈ corr_matrix planned the
+    # pair self-join twice (4 source scans) and sort-merge-joined the
+    # two aggregates; the fused aggregate computes the identical
+    # per-group expressions once (r12: 2 SMJ → 0, scans halved)
+    from csp_spark.stats.matrix import cov_corr_matrix
+
+    out = cov_corr_matrix(x, ddof=1).select(
         "key_a", "key_b",
         F.round("cov", 6).alias("cov_v"),
-        F.round("corr_v", 6).alias("corr_v"),
+        F.round("corr", 6).alias("corr_v"),
     )
     return out
 

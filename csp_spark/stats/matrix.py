@@ -60,6 +60,26 @@ def corr_matrix(x: TickStream) -> DataFrame:
     )
 
 
+def cov_corr_matrix(x: TickStream, ddof: int = 1) -> DataFrame:
+    """cov_matrix + corr_matrix fused over ONE coincident-pair frame:
+    (key_a, key_b, cov, corr). Composing the two separate functions
+    plans the self-equi-join twice and joins the two aggregates back
+    together (two pair shuffles + a result join); a consumer that
+    wants both matrices pays one pair join and one aggregate here —
+    the per-group expressions are identical to the standalone forms,
+    so the values match them exactly."""
+    p = _pairs(x)
+    n = F.count(F.lit(1))
+    cov = F.covar_pop("va", "vb") * n / (n - F.lit(ddof))
+    return (
+        p.groupBy("key_a", "key_b")
+        .agg(
+            F.when(n > ddof, cov).alias("cov"),
+            F.corr("va", "vb").alias("corr"),
+        )
+    )
+
+
 def rolling_cov_matrix(
     x: TickStream, interval: int | _dt.timedelta, ddof: int = 1
 ) -> DataFrame:

@@ -315,6 +315,19 @@ def test_cov_corr_matrix_vs_numpy(spark):
             assert abs(got_cov[(keys[i], keys[j])] - c_np[i, j]) < 1e-9
             assert abs(got_corr[(keys[i], keys[j])] - r_np[i, j]) < 1e-9
 
+    # the fused single-aggregate form must equal the standalone
+    # matrices bit-for-bit (it runs the identical per-group
+    # expressions over the identical pair frame, once)
+    from csp_spark.stats.matrix import cov_corr_matrix
+
+    fused = {
+        (r["key_a"], r["key_b"]): (r["cov"], r["corr"])
+        for r in cov_corr_matrix(x, ddof=1).collect()
+    }
+    assert set(fused) == set(got_cov)
+    for k, (cv, cr) in fused.items():
+        assert cv == got_cov[k] and cr == got_corr[k]
+
 
 def test_ema_halflife_long_span_fallback(spark):
     """Keys spanning >900 halflives route to the decay-recursion
