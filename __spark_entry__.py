@@ -32,7 +32,7 @@ from csp_spark.plans import dynamic_apply, feedback_iterate
 from csp_spark.sources import read_table
 from csp_spark.sources.random_gen import brownian_motion, poisson_timer
 from csp_spark.stats import (
-    Rolling, RollingPair, cov_matrix, corr_matrix, ema, ema_std, ema_var,
+    Rolling, RollingPair, cov_corr_matrix, ema, ema_std, ema_var,
 )
 from csp_spark import dedup as DD
 from csp_spark import text as TX
@@ -570,10 +570,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries only the Brand#2 lines, and the avg table no longer has
     # to fit a broadcast (guide §2.4/§3.2; r12: 2 lineitem scans → 1,
     # row-identical at sf0.001/0.01/0.1 — the window sum is the same
-    # exact DECIMAL sum the groupBy form computed).
-    j = l.join(
-        F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey")
-    )
+    # exact DECIMAL sum the groupBy form computed). The part-key join
+    # is deliberately un-hinted: the planner broadcasts it at these
+    # sizes, and at a scale where Brand#2's key set outgrows the
+    # broadcast cap it must keep its shuffle fallback.
+    j = l.join(p.select("p_partkey"), l.l_partkey == F.col("p_partkey"))
     avg_w = Window.partitionBy("l_partkey")
     qty_cut = F.lit(0.4) * (
         F.sum(F.col("l_quantity").cast(_DEC)).over(avg_w).cast("double")
@@ -1556,8 +1557,6 @@ def stats_cov_matrix(spark, sf_dir):
     # pair self-join twice (4 source scans) and sort-merge-joined the
     # two aggregates; the fused aggregate computes the identical
     # per-group expressions once (r12: 2 SMJ → 0, scans halved)
-    from csp_spark.stats.matrix import cov_corr_matrix
-
     out = cov_corr_matrix(x, ddof=1).select(
         "key_a", "key_b",
         F.round("cov", 6).alias("cov_v"),

@@ -238,18 +238,23 @@ def incremental_dedup(
     comp = connected_components(pairs)
     # Every table from here on is bounded by |paired docs|, while
     # `existing` is corpus-sized — so orient the one big-side join as
-    # stream-the-corpus / broadcast-the-components (a LEFT join with
-    # comp on the left would instead force the planner to build or
-    # sort the corpus side: 4 SortMergeJoins of the corpus at scale,
-    # guide §3.1). exist_in_comp = existing members that appear in any
-    # component (≤ |comp| rows), then the is_existing flag and both
-    # rule joins stay broadcast-small.
+    # stream-the-corpus / semi-reduce-by-the-components (a LEFT join
+    # with comp on the left forced the planner to build or sort the
+    # corpus side: 4 SortMergeJoins of the corpus at scale, guide
+    # §3.1). exist_in_comp = existing members that appear in any
+    # component (≤ |comp| rows); the rule joins then only ever touch
+    # pair-bounded tables. No forced broadcast hints: |comp| is
+    # usually tiny but scales with the paired docs in a dup-heavy
+    # ingest, so the planner/AQE must keep its shuffle fallback — the
+    # local union-find path yields size-known local relations that
+    # broadcast statically anyway, and AQE upgrades the rest at
+    # runtime when they measure small.
     exist_in_comp = (
         existing.select(F.col(id_col).alias("id"))
-        .join(F.broadcast(comp.select("id")), "id", "left_semi")
+        .join(comp.select("id"), "id", "left_semi")
         .withColumn("is_existing", F.lit(True))
     )
-    comp = comp.join(F.broadcast(exist_in_comp), "id", "left").withColumn(
+    comp = comp.join(exist_in_comp, "id", "left").withColumn(
         "is_existing", F.coalesce("is_existing", F.lit(False))
     )
     # a component is "anchored" if any member is existing: every
@@ -260,8 +265,8 @@ def incremental_dedup(
     )
     drop = (
         comp.filter(~F.col("is_existing"))
-        .join(F.broadcast(anchored), "component")
+        .join(anchored, "component")
         .filter((F.col("anchored") == 1) | (F.col("id") != F.col("component")))
         .select(F.col("id").alias(id_col))
     )
-    return incoming.join(F.broadcast(drop), id_col, "left_anti")
+    return incoming.join(drop, id_col, "left_anti")

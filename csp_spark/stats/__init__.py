@@ -1,6 +1,6 @@
 from .rolling import Rolling, RollingPair
 from .ema import ema_var, ema_std, ema_cov
-from .matrix import rolling_cov_matrix
+from .matrix import cov_corr_matrix, rolling_cov_matrix
 from .resample import ohlc_bars, session_bars, sessionize
 
 # functional csp.stats surface (reference csp/stats.py names) — thin
@@ -18,7 +18,8 @@ from .functions import (  # noqa: F401
 
 __all__ = [
     "Rolling", "RollingPair", "ema", "ema_var", "ema_std", "ema_cov",
-    "cov_matrix", "corr_matrix", "rolling_cov_matrix", "ohlc_bars",
+    "cov_matrix", "corr_matrix", "cov_corr_matrix", "rolling_cov_matrix",
+    "ohlc_bars",
     "sessionize", "session_bars",
     "argmax", "argmin", "corr", "count", "cov", "cross_sectional",
     "first", "gmean", "kurt", "last", "list_to_numpy", "max", "mean",
