@@ -352,7 +352,15 @@ def main() -> None:
                  "settled warm, cold q1 1.26/1.57 showing residual "
                  "post-pytest cache churn; PLAN_AUDIT byte-identical "
                  "to r11 (zero plan drift, no bench query passes "
-                 "through r12-changed code): AMBIENT.",
+                 "through r12-changed code): AMBIENT. [That sentence "
+                 "described the interrupted r12 BUILD tail only; it "
+                 "is superseded by the r12 OPTIMIZATION round, which "
+                 "deliberately changed many bench-query plans — every "
+                 "change oracle-verified bit/row-identical before "
+                 "landing and documented per-item in "
+                 "OPTIMIZATION_r12.md with before/after plans in "
+                 "plans/r12/; PLAN_AUDIT was regenerated after the "
+                 "optimization work with each drift explained.]",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
