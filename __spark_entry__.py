@@ -1567,19 +1567,15 @@ def stats_cov_matrix(spark, sf_dir):
 
 def dedup_embedding(spark, sf_dir):
     # exact cosine near-dup pairs (brute force; the LSH-probed variant is
-    # embedding_near_dups — approximate, tested in tests/)
+    # embedding_near_dups — approximate, tested in tests/). r12: the
+    # former inline all-pairs join scored every |V|^2 pair with the
+    # interpreted zip_with/aggregate cosine inside a BNLJ (64 s at
+    # sf0.1); cosine_pairs_above keeps the identical rows/values via
+    # BLAS margin-selection + exact JVM re-score (the knn_join/
+    # hard_negatives/semdedup discipline).
+    from csp_spark.similarity import cosine_pairs_above
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn(
-            "cos_sim",
-            F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6),
-        )
-        .filter(F.col("cos_sim") >= 0.35)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return cosine_pairs_above(emb, threshold=0.35)
 
 
 def doc_semdedup(spark, sf_dir):

@@ -118,11 +118,18 @@ def semdedup(
         F.struct(F.col("__csim"), F.col("id")) if keep == "edge"
         else F.struct(F.col("id"))
     )
+    if keep == "edge":
+        # the decision pass must replay the JVM struct comparison, and
+        # Arrow delivers BOTH a NULL __csim (zero divisor — ranks
+        # SMALLEST) and a NaN __csim (NaN inputs — ranks LARGEST under
+        # nanSafeCompare) as NaN; ship the engine's own NULL flag so
+        # the two are split exactly as the JVM sees them
+        cells = cells.withColumn("__csim_null", F.col("__csim").isNull())
     rows = cells.select(
         "id", "cell", "v",
         # the BLAS decision pass replays the __ord struct comparison
         # from its components — carry the csim column itself for edge
-        *(["__csim"] if keep == "edge" else []),
+        *(["__csim", "__csim_null"] if keep == "edge" else []),
         ord_col.alias("__ord"),
         # exact-signature hash for the degenerate-cell star grouping:
         # identical vectors share it, and payload (v, __ord with
@@ -143,8 +150,10 @@ def semdedup(
     # 1e-9 margin (BLAS vs the JVM's sequential fold differs by
     # ~1e-13); only margin-band pairs — typically zero — are re-scored
     # with the exact former JVM expressions, so the removed-id SET is
-    # identical. Spark's nanSafeCompare makes NaN >= eps TRUE, so NaN
-    # similarities (zero-norm vectors) count as removals here too.
+    # identical. Degenerates match the JVM exactly: NaN-element pairs
+    # (JVM cosine NaN; nanSafeCompare makes NaN >= eps TRUE) are sure
+    # removals, while zero-norm pairs (JVM divisor exactly 0 → NULL →
+    # the filter KEEPS them) go through the exact recheck.
     # Over-cap cells keep the star/salt guard path with the former
     # exact filter (bounded pair volume by construction, logged).
     sizes = rows.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
@@ -208,7 +217,16 @@ def semdedup(
         # removed side of a duplicate pair
         if edge_order:
             csim = pdf["__csim"].to_numpy(dtype=np.float64)
-            key1 = np.where(np.isnan(csim), np.inf, csim)
+            # JVM __csim is NULL when its divisor is exactly 0 (NULL
+            # ranks SMALLEST in the struct comparison) and NaN from NaN
+            # inputs (ranks LARGEST under nanSafeCompare); Arrow
+            # delivers both as NaN, so the engine's own NULL flag
+            # (__csim_null) splits them exactly
+            cnull = pdf["__csim_null"].to_numpy(dtype=bool)
+            key1 = np.where(
+                cnull, -np.inf,
+                np.where(np.isnan(csim), np.inf, csim),
+            )
             srt = pd.DataFrame({"k": key1, "i": ids}).sort_values(
                 ["k", "i"], kind="stable"
             ).index.to_numpy()
@@ -224,16 +242,26 @@ def semdedup(
         B = max(1, 4_000_000 // n)  # ~32 MB similarity slabs
         for s0 in range(0, n, B):
             s1 = min(n, s0 + B)
-            S = (V[s0:s1] @ V.T) / np.outer(norms[s0:s1], norms)
+            denom = np.outer(norms[s0:s1], norms)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                S = (V[s0:s1] @ V.T) / denom
             for bi in range(s1 - s0):
                 i = s0 + bi
                 srow = S[bi]
                 # strict upper triangle: each unordered pair once
                 js = np.arange(i + 1, n)
                 s = srow[i + 1:]
-                nan = np.isnan(s)
-                sure = (s >= eps_f + margin) | nan
-                maybe = ~sure & (s >= eps_f - margin)
+                # a zero divisor makes the JVM cosine NULL (Spark
+                # division semantics), which fails `>= eps` and keeps
+                # the pair — numpy sees 0/0 NaN there, which must NOT
+                # be conflated with true NaN (NaN elements), where the
+                # JVM comparison is TRUE (nanSafeCompare). Route every
+                # zero-divisor pair through the exact JVM recheck so
+                # the engine itself decides.
+                zd = denom[bi, i + 1:] == 0.0
+                nan = np.isnan(s) & ~zd
+                sure = ((s >= eps_f + margin) | nan) & ~zd
+                maybe = ~sure & (((s >= eps_f - margin) & ~zd) | zd)
                 if sure.any():
                     jj = js[sure]
                     worse = np.where(rank[jj] > rank[i], jj, i)
@@ -257,7 +285,8 @@ def semdedup(
             }))
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    dec_cols = ["cell", "id", "v"] + (["__csim"] if edge_order else [])
+    dec_cols = ["cell", "id", "v"] + (
+        ["__csim", "__csim_null"] if edge_order else [])
     decisions = (
         ok_rows.select(*dec_cols)
         .groupBy("cell")

@@ -694,7 +694,13 @@ def hard_negatives(
                             maybe = mask & (srow < eps_f + margin)
                         else:
                             sure = maybe = mask
+                        # kth over REAL scores only (with exclude_eps
+                        # the sure mask already excludes NaN — NaN < x
+                        # is False — but the eps-None branch lets them
+                        # through, and a NaN kth would fail every
+                        # comparison and drop the true top-k)
                         ms = srow[sure]
+                        ms = ms[~np.isnan(ms)]
                         if len(ms) > kk:
                             kth = np.partition(ms, len(ms) - kk)[
                                 len(ms) - kk]
@@ -912,6 +918,116 @@ def embedding_near_dups(
     return out
 
 
+def cosine_pairs_above(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine pairs: every (id_a < id_b) pair with
+    ``round(cosine, 6) >= threshold`` — the brute-force ground-truth
+    counterpart to :func:`embedding_near_dups` (which buckets by LSH
+    and only verifies within buckets).
+
+    Scale shape: the former expression form scored every |V|² pair
+    with the interpreted zip_with/aggregate cosine inside a
+    BroadcastNestedLoopJoin — the same per-PAIR megamorphic
+    interpreted-eval cliff r12 removed from knn_join/hard_negatives/
+    semdedup (measured 64 s at sf0.1 for 2000×64 vectors; executor
+    dumps show ArrayAggregate.eval dominating). Scoring is now one
+    numpy/C-BLAS matmul per corpus partition against a broadcast of
+    the full vector matrix; only pairs whose 6dp-rounded BLAS score
+    clears ``threshold − 2.5e-6`` (the knn_join margin proof: rounded
+    scores live on a 1e-6 grid and BLAS vs the JVM's sequential fold
+    differs by last-ulp, so the superset is guaranteed) — plus NaN
+    scores, which Spark's comparison ranks above every double exactly
+    as the former filter did — survive to a JVM re-score with the
+    SAME ``round(cosine(va, vb), 6)`` expression and the same
+    ``id_a < id_b`` comparison, so every returned row and double is
+    bit-identical to the former all-pairs join.
+
+    Bounds: like the BroadcastNestedLoopJoin it replaces, the vector
+    table is collected and broadcast once (ids + float64 vectors) —
+    inherent to the exact all-pairs form; at corpus scale use
+    :func:`embedding_near_dups`. Duplicate ids are supported: margin
+    selection is per id-pair and the re-score joins every row back,
+    reproducing the join's multiplicity.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(
+        # a NULL vector (or any NULL element) made the former join's
+        # cosine NULL, which fails every threshold — drop those rows up
+        # front so the output is unchanged and the matrix build is clean
+        F.col("v").isNotNull() & F.forall("v", lambda x: x.isNotNull())
+    )
+    id_type = base.schema["id"].dataType
+    out_schema = StructType([
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
+        StructField("cos_sim", DoubleType()),
+    ])
+    rows = base.collect()
+    if not rows:
+        return embeddings.sparkSession.createDataFrame([], out_schema)
+    import pandas as pd
+
+    mids = np.array([r["id"] for r in rows])
+    M = _vec_matrix(
+        pd.Series([list(r["v"]) if r["v"] is not None else None for r in rows]),
+        len(rows[0]["v"]), "cosine_pairs_above", vec_col,
+    )
+    mn = np.linalg.norm(M, axis=1)
+    bm = embeddings.sparkSession.sparkContext.broadcast((mids, M, mn))
+    thr = float(threshold)
+    margin = 2.5e-6  # see knn_join: strictly above the 2e-6 worst gap
+
+    cand_schema = StructType([
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
+    ])
+
+    def _select_pairs(batches):
+        bmids, bM, bmn = bm.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _vec_matrix(pdf["v"], bM.shape[1], "cosine_pairs_above", vec_col)
+            vids = pdf["id"].to_numpy()
+            vn = np.linalg.norm(V, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                S = np.round((V @ bM.T) / np.outer(vn, bmn), 6)
+            mask = (S >= thr - margin) | np.isnan(S)
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                yield pd.DataFrame({"id_a": vids[ii], "id_b": bmids[jj]})
+
+    cand = (
+        base.mapInPandas(_select_pairs, schema=cand_schema)
+        # one candidate per id PAIR (each unordered pair is seen from
+        # both orientations across partitions; dup-id multiplicity is
+        # reinstated by the row-level join-back below)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact re-score: the SAME expressions, casts and comparison as the
+    # former all-pairs join, evaluated only on the margin survivors
+    return (
+        cand.join(
+            F.broadcast(base.select(F.col("id").alias("id_a"),
+                                    F.col("v").alias("va"))), "id_a")
+        .join(
+            F.broadcast(base.select(F.col("id").alias("id_b"),
+                                    F.col("v").alias("vb"))), "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= F.lit(thr))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1018,9 +1134,19 @@ def knn_join(
                         idx = idx[cids != bqids[j]]
                     ss = s[idx, j]
                     if len(idx) > k:
-                        kth = np.partition(ss, len(ss) - k)[len(ss) - k]
-                        keep = ss >= kth - margin
-                        idx, ss = idx[keep], ss[keep]
+                        # kth over REAL scores only: a NaN kth (>= k
+                        # degenerate corpus rows) would fail every
+                        # comparison and silently drop the true top-k.
+                        # NaN-scored rows stay candidates — the exact
+                        # final window replays the JVM order (NaN
+                        # pairs rank first, zero-norm pairs NULL-last)
+                        nanm = np.isnan(ss)
+                        real = ss[~nanm]
+                        if len(real) > k:
+                            kth = np.partition(real, len(real) - k)[
+                                len(real) - k]
+                            keep = (ss >= kth - margin) | nanm
+                            idx, ss = idx[keep], ss[keep]
                     pools.append(pd.DataFrame({
                         "__qid": bqids[j],
                         "__cid": cids[idx],
@@ -1031,11 +1157,19 @@ def knn_join(
                 pool = pd.concat(pools).sort_values(
                     ["__qid", "__blas"], ascending=[True, False]
                 )
-                kthv = pool.groupby("__qid", sort=False)["__blas"].transform(
-                    lambda g: g.iloc[min(k, len(g)) - 1]
-                )
+
+                def _kth(g):
+                    # pandas sorts NaN last, so dropna keeps the real
+                    # scores in descending order; all-NaN groups keep
+                    # everything through the isna() arm below
+                    r = g.dropna()
+                    if r.empty:
+                        return -np.inf
+                    return r.iloc[min(k, len(r)) - 1]
+
+                kthv = pool.groupby("__qid", sort=False)["__blas"].transform(_kth)
                 yield pool.loc[
-                    pool["__blas"] >= kthv - margin,
+                    (pool["__blas"] >= kthv - margin) | pool["__blas"].isna(),
                     ["__qid", "__cid", "__cv"],
                 ]
 

@@ -2354,3 +2354,212 @@ def test_ivf_index_guards(spark, emb, monkeypatch):
     idx, C = ivf_index(dup, n_cells=8)
     assert C.shape[0] == 2 and len(np.unique(C, axis=0)) == 2
     assert idx.select("cell").distinct().count() == 2
+
+
+# ------------------------------------------- degenerate vectors (r12)
+# Zero-norm vectors make the JVM cosine NULL (Spark division by an
+# exactly-zero divisor yields NULL; the filter/comparison then keeps
+# the pair), while NaN ELEMENTS make it a true NaN (nanSafeCompare
+# ranks NaN above every double). numpy sees NaN in BOTH cases, so the
+# r12 BLAS selection passes must split them — these tests pin every
+# fixed path against the pure-JVM pair form evaluated by the engine
+# itself.
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb(spark):
+    data = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),          # near-dup of 1
+        (3, [0.0, 0.0, 0.0]),             # zero-norm -> JVM cosine NULL
+        (4, [float("nan"), 1.0, 0.0]),    # NaN element -> JVM cosine NaN
+        (5, [0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.0]),             # second zero vector
+        (7, [0.0, 0.0, 0.0]),             # zero vector ABOVE the NaN id
+    ]
+    return spark.createDataFrame(data, "vec_id int, embedding array<double>")
+
+
+def _jvm_semdedup_removed(spark, df, eps, keep):
+    """The pre-BLAS pure-JVM removal rule: id_a removed iff ANY other
+    row with a better (lower) __ord is eps-similar — every comparison
+    evaluated by Spark expressions, never numpy."""
+    from csp_spark.similarity.ann import cosine, dot, norm
+
+    base = df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    if keep == "edge":
+        import math as _m
+
+        mean = (
+            base.select(F.posexplode("v").alias("i", "x"))
+            .groupBy("i").agg(F.avg("x").alias("m")).orderBy("i").collect()
+        )
+        cvec = F.array(*[F.lit(float(r["m"])) for r in mean])
+        cn = _m.sqrt(sum(float(r["m"]) * float(r["m"]) for r in mean))
+        base = base.withColumn(
+            "__csim", dot(F.col("v"), cvec) / (norm(F.col("v")) * F.lit(cn))
+        )
+        ordc = F.struct(F.col("__csim"), F.col("id"))
+    else:
+        ordc = F.struct(F.col("id"))
+    base = base.withColumn("__ord", ordc)
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    F.col("__ord").alias("oa"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    F.col("__ord").alias("ob"))
+    rem = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(eps)))
+        .filter(F.col("ob") < F.col("oa"))
+        .select("id_a").distinct()
+    )
+    return {r["id_a"] for r in rem.collect()}
+
+
+@pytest.mark.parametrize("keep", ["min_id", "edge"])
+def test_semdedup_degenerate_matches_jvm(spark, degenerate_emb, keep):
+    exp = _jvm_semdedup_removed(spark, degenerate_emb, 0.5, keep)
+    out = DD.semdedup(
+        degenerate_emb, eps=0.5, n_clusters=1, keep=keep
+    ).toPandas()
+    got = set(out[out.kept == 0].vec_id)
+    assert got == exp
+    # scenario sanity (all verified against the engine itself above):
+    # zero-zero and zero-real pairs are NULL-cosine (divisor exactly
+    # 0) and never removal edges, but zero-NaN pairs ARE true NaN
+    # edges (0 * NaN divisor = NaN, not 0) — so the NaN row (id 4)
+    # and every zero row above it fall, while the lower-id zero (3)
+    # survives. For keep="edge" the NaN row also poisons the exact
+    # n=1 centroid (avg propagates NaN), making EVERY __csim NaN, so
+    # the struct order falls through to the id on ties and both
+    # policies agree here. (A mixed NULL/non-NULL __csim ordering is
+    # outcome-unobservable: NULL __csim requires a zero divisor,
+    # which makes either the row's own pair edges NULL or the whole
+    # cell's order uniform — the __csim_null plumbing still replays
+    # the JVM comparison exactly by construction.)
+    assert exp == {2, 4, 5, 6, 7}
+
+
+def test_knn_join_degenerate_zero_corpus_rows(spark):
+    # >= k zero-norm corpus rows used to poison the BLAS kth (NaN
+    # partition value fails every comparison -> ALL candidates dropped)
+    from csp_spark.similarity import knn_join
+    from csp_spark.similarity.ann import dot, norm
+    from pyspark.sql import Window
+
+    q = spark.createDataFrame([(100, [1.0, 0.0, 0.0])],
+                              "qid int, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.5, 0.5, 0.0]),
+            (3, [0.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 0.0]),
+            (5, [0.0, 0.0, 0.0]),
+        ],
+        "cid int, embedding array<double>",
+    )
+    out = knn_join(q, corpus, k=3, query_id="qid", corpus_id="cid",
+                   method="blas").collect()
+    # pure-JVM reference: score every pair with the exact expressions,
+    # rank with the same window (NULL cos_sim sorts last, cid breaks
+    # ties deterministically)
+    qn = q.select(F.col("qid").alias("__qid"),
+                  F.col("embedding").cast("array<double>").alias("__qv"))
+    qn = qn.withColumn("__qn", norm(F.col("__qv")))
+    cn = corpus.select(F.col("cid").alias("__cid"),
+                       F.col("embedding").cast("array<double>").alias("__cv"))
+    cn = cn.withColumn("__cn", norm(F.col("__cv")))
+    scored = cn.join(F.broadcast(qn)).select(
+        "__qid", "__cid",
+        F.round(dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn") * F.col("__qn")), 6).alias("cos_sim"),
+    ).filter(F.col("__qid") != F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.col("__cid"))
+    exp = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 3).collect())
+    key = lambda r: (r[0], r[2])  # (qid, rank)
+    got_s = sorted([tuple(r) for r in out], key=lambda t: (t[0], t[2]))
+    exp_s = sorted([(r["__qid"], r["__cid"], r["rank"], r["cos_sim"])
+                    for r in exp], key=lambda t: (t[0], t[2]))
+    assert got_s == exp_s
+    assert len(got_s) == 3  # the poisoned form returned ZERO rows
+
+
+def test_hard_negatives_eps_none_zero_corpus_rows(spark):
+    # eps=None branch: >= k zero-norm cell members used to poison the
+    # kth the same way; the top-k must be the REAL pairs
+    from csp_spark.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.5, 0.5, 0.0]),
+            (4, [0.0, 0.0, 0.0]),
+            (5, [0.0, 0.0, 0.0]),
+            (6, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = hard_negatives(emb, k=2, n_clusters=1, exclude_eps=None).toPandas()
+    real = {1, 2, 3}
+    for anchor, g in out.groupby("anchor"):
+        if anchor in real:
+            # both top-2 negatives of a real anchor are the other real
+            # rows (zero-norm pairs have NULL cos_sim -> rank last)
+            assert set(g["negative"]) == real - {anchor}, (anchor, g)
+            assert g["cos_sim"].notna().all()
+
+
+def test_cosine_pairs_above_matches_join_form(spark, emb, degenerate_emb):
+    # the BLAS-selected form must be row- and bit-identical to the
+    # former all-pairs join expression, including degenerate inputs
+    # (NULL vectors / NULL elements -> NULL cosine -> dropped;
+    # duplicate ids keep the join's multiplicity)
+    from csp_spark.similarity import cosine, cosine_pairs_above
+
+    def join_form(df, thr):
+        a = df.select(F.col("vec_id").alias("id_a"),
+                      F.col("embedding").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", F.round(
+                cosine(F.col("va").cast("array<double>"),
+                       F.col("vb").cast("array<double>")), 6))
+            .filter(F.col("cos_sim") >= thr)
+            .select("id_a", "id_b", "cos_sim")
+        )
+
+    def canon(rows):
+        # NaN != NaN in tuple equality; NaN cos_sim rows (NaN-element
+        # vectors: round(NaN) >= thr is TRUE via nanSafeCompare) are
+        # expected from BOTH forms identically
+        return sorted(
+            (a, b, "NaN" if isinstance(c, float) and math.isnan(c) else c)
+            for a, b, c in map(tuple, rows)
+        )
+
+    for df, thr in ((emb, 0.35), (degenerate_emb, 0.5)):
+        got = canon(cosine_pairs_above(
+            df, thr, id_col="vec_id", vec_col="embedding").collect())
+        exp = canon(join_form(df, thr).collect())
+        assert got == exp and len(exp) > 0
+
+    # duplicate ids + NULL vector/element rows
+    dup = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.0, 0.05]),
+            (3, None), (4, [1.0, None]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    got = sorted(map(tuple, cosine_pairs_above(
+        dup, 0.5, id_col="vec_id", vec_col="embedding").collect()))
+    exp = sorted(map(tuple, join_form(dup, 0.5).collect()))
+    assert got == exp and len(exp) == 2  # both id-1 rows pair with id 2
