@@ -683,9 +683,18 @@ def hamming_pairs(
     cand = _capped_bucket_pairs(
         chunks, ["chunk_id", "chunk"], bucket_cap, "hamming_pairs",
         payload=("sh",),
-    ).dropDuplicates(["id_a", "id_b"])
+    )
+    # verify BEFORE the pair dedup (guide §2.3 — filter before the
+    # exchange): the exact hamming check is one codegen bit_count on
+    # columns already present, and it shrinks the dropDuplicates
+    # shuffle by the false-candidate ratio (measured 7.45 M → 308 k
+    # rows at sf0.1, 24x). Exact commute: signatures are unique per
+    # id (one votes row per id), so every duplicate of a pair carries
+    # identical (sh_a, sh_b) and the same hamming — filter-then-dedup
+    # returns the identical row set.
     return (
         cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )

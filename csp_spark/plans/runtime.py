@@ -643,15 +643,47 @@ def dynamic_apply(
     )
     names = st.fieldNames() if isinstance(st, StructType) else None
 
-    def _per_key(pdf):
-        out = fn(pdf.sort_values([TS, SEQ]))
+    def _per_key(pdf, presorted=False):
+        out = fn(pdf if presorted else pdf.sort_values([TS, SEQ]))
         # fn may return the input frame, which carries the __src /
         # __snap_* plumbing columns — keep only the declared schema
         if names is not None:
             out = out[[c for c in names if c in out.columns]]
         return out
 
-    out = df.groupBy(KEY).applyInPandas(_per_key, schema=output_schema)
+    # Group by a HASH BUCKET of the key, not the key itself, and loop
+    # keys inside pandas (r12; the noderun item-13 device): Spark's
+    # per-group applyInPandas machinery costs ~ms per group, which
+    # dominates at thousands of keys, while a pandas groupby slice is
+    # ~µs. fn still receives exactly the per-key frame it did before —
+    # (TS, SEQ) is a total order, so the per-key sort reproduces the
+    # identical frame regardless of grouping. Bucket count scales with
+    # the session's parallelism (scale-adaptive, not a local constant).
+    n_buckets = max(df.sparkSession.sparkContext.defaultParallelism * 4, 8)
+
+    def _per_bucket(pdf):
+        import pandas as pd
+
+        # ONE engine-order sort per bucket; pandas groupby preserves
+        # within-group row order, so every per-key slice arrives
+        # already (TS, SEQ)-sorted — identical to the per-key sort
+        # ((TS, SEQ) is a total order, no ties to re-break)
+        pdf = pdf.sort_values([TS, SEQ]).drop(columns="__bkt")
+        outs = [
+            _per_key(g, presorted=True)
+            for _, g in pdf.groupby(KEY, sort=False, dropna=False)
+        ]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            return pd.DataFrame({n: pd.Series([], dtype=object)
+                                 for n in (names or [])})
+        return pd.concat(outs, ignore_index=True)
+
+    out = (
+        df.withColumn("__bkt", F.pmod(F.xxhash64(F.col(KEY)), F.lit(n_buckets)))
+        .groupBy("__bkt")
+        .applyInPandas(_per_bucket, schema=output_schema)
+    )
     return TickStream(out)
 
 
