@@ -160,6 +160,20 @@ def main() -> None:
         lambda pdf: pdf, schema="id long"
     ).count()
 
+    # r13 (VERDICT r12 item 8): a fixed CALIBRATION measurement so the
+    # judge can normalize driver-to-driver ambient drift instead of
+    # inferring it from untouched queries (r12's control group showed a
+    # pure-environment ×1.21 shift between driver runs). The calibration
+    # plan is the warm-up aggregate itself — already JIT-warm at this
+    # point, plan-stable across rounds, and in NO subtotal. Median of 3
+    # runs; reported as calibration_sec in both JSON lines.
+    _cal = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        li.groupBy("l_returnflag").agg(F.sum("l_quantity")).count()
+        _cal.append(time.perf_counter() - t0)
+    calibration_sec = round(sorted(_cal)[1], 4)
+
     qs = E.queries()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -203,6 +217,7 @@ def main() -> None:
         "metric": "headline_queries_detail",
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
+        "calibration_sec": calibration_sec,
         "sf": sf,
         "comparable_r2_set": COMPARABLE_R2,
         # each query is timed on its FIRST run in a fresh session, so
@@ -360,7 +375,12 @@ def main() -> None:
                  "landing and documented per-item in "
                  "OPTIMIZATION_r12.md with before/after plans in "
                  "plans/r12/; PLAN_AUDIT was regenerated after the "
-                 "optimization work with each drift explained.]",
+                 "optimization work with each drift explained.] "
+                 "r13 adds calibration_sec (VERDICT r12 item 8): the "
+                 "median of 3 timed runs of the fixed warm-up "
+                 "aggregate, in NO subtotal — divide two rounds' "
+                 "calibration_sec to normalize driver-to-driver "
+                 "ambient drift before reading per-query ratios.",
     }))
 
     # FINAL line: compact, numeric, parseable from a 2000-byte tail.
@@ -373,6 +393,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "value_warm": round(warm_total, 3),
+        "calibration_sec": calibration_sec,
         "comparable_r2_subtotal": round(
             sum(timings[n] for n in COMPARABLE_R2), 3),
         "comparable_r2_subtotal_warm": round(

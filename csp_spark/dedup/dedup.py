@@ -643,7 +643,17 @@ def hamming_pairs(
     chunks (or the Manku WWW'07 block-combination tables via
     ``n_blocks``, see simhash_pairs) generate candidates with 100%
     recall and no cross join; exact hamming verification runs last.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    Precondition: ONE signature row per id. The verify-before-dedup
+    ordering (below) commutes with the pair dedup only when every
+    duplicate of an (id_a, id_b) candidate carries the same
+    (sh_a, sh_b) — true by construction for simhash_pairs/pdq inputs
+    (one votes/signature row per id). If a caller passes several
+    DIFFERENT signatures under one id, a pair survives when ANY
+    orientation passes the hamming cut, where the pre-r12 form kept
+    one arbitrary representative; dedup sigs per id first if that
+    distinction matters."""
     n_chunks = n_blocks if n_blocks is not None else max_hamming + 1
     if n_chunks <= max_hamming:
         raise ValueError("n_blocks must exceed max_hamming")

@@ -645,10 +645,26 @@ def dynamic_apply(
 
     def _per_key(pdf, presorted=False):
         out = fn(pdf if presorted else pdf.sort_values([TS, SEQ]))
+        # fail-loud on fn contract breaches (r13 ADVICE fix): the
+        # pre-bucketing per-key applyInPandas surfaced a None return or
+        # a missing declared column as an error; the bucketed runner's
+        # pd.concat would silently null-fill instead — keep the old
+        # behavior so user-fn bugs stay visible.
+        if out is None:
+            raise ValueError(
+                "dynamic_apply fn returned None; return a DataFrame "
+                "matching the declared output_schema (possibly empty)"
+            )
         # fn may return the input frame, which carries the __src /
         # __snap_* plumbing columns — keep only the declared schema
         if names is not None:
-            out = out[[c for c in names if c in out.columns]]
+            missing = [c for c in names if c not in out.columns]
+            if missing:
+                raise ValueError(
+                    f"dynamic_apply fn output is missing declared "
+                    f"schema column(s) {missing}; got {list(out.columns)}"
+                )
+            out = out[names]
         return out
 
     # Group by a HASH BUCKET of the key, not the key itself, and loop
@@ -673,7 +689,7 @@ def dynamic_apply(
             _per_key(g, presorted=True)
             for _, g in pdf.groupby(KEY, sort=False, dropna=False)
         ]
-        outs = [o for o in outs if o is not None and len(o)]
+        outs = [o for o in outs if len(o)]  # empty frames contribute 0 rows
         if not outs:
             return pd.DataFrame({n: pd.Series([], dtype=object)
                                  for n in (names or [])})

@@ -949,9 +949,16 @@ def cosine_pairs_above(
     Bounds: like the BroadcastNestedLoopJoin it replaces, the vector
     table is collected and broadcast once (ids + float64 vectors) —
     inherent to the exact all-pairs form; at corpus scale use
-    :func:`embedding_near_dups`. Duplicate ids are supported: margin
-    selection is per id-pair and the re-score joins every row back,
-    reproducing the join's multiplicity.
+    :func:`embedding_near_dups`. The driver collect is GUARDED: past
+    ``CSP_SPARK_PAIRS_COLLECT_MAX_ELEMENTS`` (rows × dim doubles,
+    default 64M ≈ 0.5 GB) it raises instead of OOMing the driver —
+    the collect itself is row-capped, so an over-limit corpus never
+    materializes driver-side. Vectors must share one fixed dimension:
+    ragged lengths raise loudly (via the matrix build), where the
+    former join silently yielded NULL cosine and dropped the pair.
+    Duplicate ids are supported: margin selection is per id-pair and
+    the re-score joins every row back, reproducing the join's
+    multiplicity.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -970,9 +977,30 @@ def cosine_pairs_above(
         StructField("id_b", id_type),
         StructField("cos_sim", DoubleType()),
     ])
-    rows = base.collect()
-    if not rows:
+    # Driver-collect guard (VERDICT r12 item 9, mirroring
+    # _collect_training): cap rows × dim, and cap the collect ITSELF
+    # with a row limit so the driver never pulls more than the guard
+    # allows even when the input is corpus-sized. Row order from the
+    # limit is irrelevant: candidate selection is a per-pair superset
+    # and the re-score join keys on ids, so the output set is
+    # order-independent.
+    first = base.select(F.size("v").alias("d")).first()
+    if first is None:
         return embeddings.sparkSession.createDataFrame([], out_schema)
+    max_el = int(os.environ.get(
+        "CSP_SPARK_PAIRS_COLLECT_MAX_ELEMENTS", str(64 * 1024 * 1024)
+    ))
+    cap_rows = max(max_el // max(int(first["d"]), 1), 1)
+    rows = base.limit(cap_rows + 1).collect()
+    if len(rows) > cap_rows:
+        raise ValueError(
+            f"cosine_pairs_above: vector table exceeds {cap_rows} rows "
+            f"x {int(first['d'])} dims = {max_el} doubles, past the "
+            "driver-collect guard (env "
+            "CSP_SPARK_PAIRS_COLLECT_MAX_ELEMENTS). This is the "
+            "brute-force exact all-pairs form — at corpus scale use "
+            "embedding_near_dups (LSH-bucketed) instead."
+        )
     import pandas as pd
 
     mids = np.array([r["id"] for r in rows])
@@ -1255,7 +1283,22 @@ def knn_join(
             if best is not None:
                 yield best
 
-        pruned = scored.mapInPandas(_local_topk, schema=scored.schema)
+        # Degenerate scores NEVER enter the Python pruner (r13, the
+        # ADVICE fix): pandas sorts NaN last so head(k) dropped rows the
+        # final desc window ranks FIRST — and the Arrow boundary itself
+        # rewrites JVM NaN to NULL (pandas NaN -> Arrow null), flipping
+        # a rank-1 row to rank-last. NaN/NULL cos_sim rows (zero-norm or
+        # NaN-element vectors only; real corpora carry none) bypass the
+        # pruner JVM-side, so their exact values reach the final window
+        # untouched. The scoring projection is map-side over the corpus
+        # scan, so the split costs a second pass of this fallback path
+        # only, never a shuffle.
+        degen = F.col("cos_sim").isNull() | F.isnan("cos_sim")
+        pruned = (
+            scored.filter(~degen)
+            .mapInPandas(_local_topk, schema=scored.schema)
+            .unionByName(scored.filter(degen))
+        )
     final = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.col("__cid"))
     return (
         pruned.withColumn("rank", F.row_number().over(final))

@@ -2489,6 +2489,60 @@ def test_knn_join_degenerate_zero_corpus_rows(spark):
     assert len(got_s) == 3  # the poisoned form returned ZERO rows
 
 
+def test_knn_join_reference_path_nan_rows(spark):
+    # the non-BLAS fallback path (any method outside {"blas","exact"}):
+    # its per-partition pandas pre-top-k sorted NaN cos_sim LAST and
+    # head(k)-pruned it, while the final Spark desc window ranks JVM
+    # NaN FIRST — with >= k NaN-scored corpus rows the returned top-k
+    # was wrong. NaN rows now pass through un-pruned (r13 ADVICE fix,
+    # mirroring the r12 BLAS-pool guard).
+    import math
+
+    from pyspark.sql import Window
+
+    from csp_spark.similarity import knn_join
+    from csp_spark.similarity.ann import dot, norm
+
+    nan = float("nan")
+    q = spark.createDataFrame([(100, [1.0, 0.0, 0.0])],
+                              "qid int, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.5, 0.5, 0.0]),
+            (3, [nan, 0.0, 0.0]),
+            (4, [nan, 1.0, 0.0]),
+            (5, [nan, nan, 0.0]),
+        ],
+        "cid int, embedding array<double>",
+    )
+    out = knn_join(q, corpus, k=3, query_id="qid", corpus_id="cid",
+                   method="reference").collect()
+    # pure-JVM reference: identical expressions and the same window
+    qn = q.select(F.col("qid").alias("__qid"),
+                  F.col("embedding").cast("array<double>").alias("__qv"))
+    qn = qn.withColumn("__qn", norm(F.col("__qv")))
+    cn = corpus.select(F.col("cid").alias("__cid"),
+                       F.col("embedding").cast("array<double>").alias("__cv"))
+    cn = cn.withColumn("__cn", norm(F.col("__cv")))
+    scored = cn.join(F.broadcast(qn)).select(
+        "__qid", "__cid",
+        F.round(dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn") * F.col("__qn")), 6).alias("cos_sim"),
+    ).filter(F.col("__qid") != F.col("__cid"))
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.col("__cid"))
+    exp = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 3).collect())
+    canon = lambda v: "NaN" if (v is not None and math.isnan(v)) else v
+    got_s = sorted([(r["qid"], r["cid"], r["rank"], canon(r["cos_sim"]))
+                    for r in out], key=lambda t: (t[0], t[2]))
+    exp_s = sorted([(r["__qid"], r["__cid"], r["rank"], canon(r["cos_sim"]))
+                    for r in exp], key=lambda t: (t[0], t[2]))
+    assert got_s == exp_s
+    # the NaN-scored rows ARE the JVM top-3 here (desc ranks NaN first)
+    assert [t[1] for t in exp_s] == [3, 4, 5]
+
+
 def test_hard_negatives_eps_none_zero_corpus_rows(spark):
     # eps=None branch: >= k zero-norm cell members used to poison the
     # kth the same way; the top-k must be the REAL pairs
@@ -2563,3 +2617,22 @@ def test_cosine_pairs_above_matches_join_form(spark, emb, degenerate_emb):
         dup, 0.5, id_col="vec_id", vec_col="embedding").collect()))
     exp = sorted(map(tuple, join_form(dup, 0.5).collect()))
     assert got == exp and len(exp) == 2  # both id-1 rows pair with id 2
+
+
+def test_cosine_pairs_above_collect_guard(spark, emb, monkeypatch):
+    # the driver collect is capped (VERDICT r12 item 9): past
+    # CSP_SPARK_PAIRS_COLLECT_MAX_ELEMENTS (rows x dim doubles) it
+    # raises loudly, pointing at embedding_near_dups — and the collect
+    # itself is row-limited, so the over-cap table never materializes
+    # driver-side
+    from csp_spark.similarity import cosine_pairs_above
+
+    monkeypatch.setenv("CSP_SPARK_PAIRS_COLLECT_MAX_ELEMENTS", "8")
+    with pytest.raises(ValueError, match="embedding_near_dups"):
+        cosine_pairs_above(emb, 0.5, id_col="vec_id", vec_col="embedding")
+    monkeypatch.setenv(
+        "CSP_SPARK_PAIRS_COLLECT_MAX_ELEMENTS", str(64 * 1024 * 1024)
+    )
+    assert cosine_pairs_above(
+        emb, 0.99, id_col="vec_id", vec_col="embedding"
+    ).count() >= 0  # in-cap path unchanged
