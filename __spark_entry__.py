@@ -3969,6 +3969,51 @@ _R12_PREFIX = [
     "op_filter", "op_feedback_scan", "op_merge",
 ]
 
+# r13 rotation (VERDICT r12 item 1 — the top-leverage task): pin every
+# query whose code path r12 OR r13 changed, converting builder-attested
+# results into driver-attested ones. 33 changed-path pins — the r12
+# rewrites that rotated out of the r12 oracle sample (q2's window-MIN,
+# op_windowed_global's prefix difference + overflow guard, the four
+# BLAS passes, simhash/mm verify-first, dynamic_apply bucketing,
+# incremental_dedup semi-reduction, sessionize/sample_asof fusions,
+# repeated_spans/fingerprint/dsir/lm/text codegen forms, components
+# probe, stats_ema_adjust, the three probe-scan folds) plus every path
+# r13 touches (dedup_minhash's scoped-codegen signature stage,
+# frame_pandas_ts persist/broadcast, the run_node shared-exchange
+# align, dynamic_apply NULL-key prune, knn_join fallback fix,
+# dedup_embedding collect guard). Filled to 50 with the 17 oldest
+# (r10-stamped) evidence slots. Still r10-stamped after this round
+# (next rotation's fill candidates): op_asof_directions,
+# stats_ohlc_bars, doc_mixture, the three sink_* roundtrips,
+# op_exprtk_vec, text_boilerplate, doc_decontaminate, text_term_stats,
+# text_tfidf, text_quality_model, basket_sync_trigger.
+_R13_PREFIX = [
+    # r12/r13 changed paths (driver-attest these first)
+    "q2_min_cost_supplier",
+    "op_windowed_global", "op_windowed_global_time",
+    "op_hot_key_running", "op_accum",
+    "doc_semdedup", "dedup_embedding",
+    "dedup_simhash", "mm_features",
+    "dyn_snap_attach", "dyn_cummax",
+    "doc_incremental_dedup",
+    "op_sessionize", "op_sample_asof",
+    "doc_repeated_spans", "text_fingerprint",
+    "ann_hard_negatives", "doc_dsir",
+    "dedup_components", "stats_ema_adjust",
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "text_stats", "doc_gopher", "doc_c4", "text_lm_score",
+    "dedup_minhash", "frame_pandas_ts",
+    "op_node_ast", "op_node_cumsum",
+    "ann_knn_join", "ann_knn_join_blas",
+    # 17 oldest-evidence (r10-stamped) fill slots
+    "op_gate", "op_struct_fromts", "op_struct_collectts",
+    "feedback_clamp", "stats_ema_halflife", "stats_rank",
+    "stats_weighted", "text_langid", "dedup_exact", "dedup_ngram",
+    "op_exprtk", "stats_ema_var", "op_struct_record",
+    "op_exprtk_state", "op_accum_global", "doc_weighted_sample",
+    "doc_cap_per_source",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
@@ -4118,11 +4163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
     }
     # The correctness harness evaluates a bounded prefix (50) of this
-    # dict — _R12_PREFIX (above) carries this round's evidence rotation;
+    # dict — _R13_PREFIX (above) carries this round's evidence rotation;
     # behind it, oracle-checked queries come before any rows-only rest
     # (none since r9: ann_knn_join_blas gained the shared knn oracle).
     o = oracle_sql()
-    front = {k: q[k] for k in _R12_PREFIX if k in q}
+    front = {k: q[k] for k in _R13_PREFIX if k in q}
     return {
         **front,
         **{k: v for k, v in q.items() if k in o and k not in front},

@@ -179,14 +179,34 @@ def _bucketed(df, n_buckets: int | None = _NODE_BUCKETS):
     """Group a keyed frame by key-hash bucket (shared by the node
     runners and basketlib's trigger-selection pass). NULL keys hash to
     a bucket of their own (xxhash64(NULL) is NULL → pmod NULL), so the
-    in-pandas loop must groupby with dropna=False to keep them."""
+    in-pandas loop must groupby with dropna=False to keep them.
+
+    When the frame ALREADY carries ``__node_b`` (align ran with
+    ``pre_partition`` — the r13 shared-exchange path), group on it
+    directly: the frame is hash-partitioned by that column, so the
+    groupBy adds no exchange at all."""
     from pyspark.sql import functions as F
 
+    if "__node_b" in df.columns:
+        return df.groupBy("__node_b")
     if n_buckets is None:
         n_buckets = _default_buckets(df.sparkSession)
     return df.withColumn(
         "__node_b", F.pmod(F.xxhash64(F.col(KEY)), F.lit(n_buckets))
     ).groupBy("__node_b")
+
+
+def _bucket_expr(streams, buckets: int | None = _NODE_BUCKETS):
+    """The node runners' hash-bucket expression (a pure function of
+    KEY), resolved at wiring time so align() can pre-partition its one
+    exchange by it (guide §2.4 — the window passes AND the runner's
+    groupBy then share that single shuffle of the wide frame)."""
+    from pyspark.sql import functions as F
+
+    if buckets is None:
+        spark = next(iter(streams.values())).df.sparkSession
+        buckets = _default_buckets(spark)
+    return F.pmod(F.xxhash64(F.col(KEY)), F.lit(buckets))
 
 
 def _state_factory(state):
@@ -427,7 +447,8 @@ def run_node(
         {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
     )
     names = list(streams)
-    wide = align(streams, keep_ticked=True)
+    wide = align(streams, keep_ticked=True,
+                 pre_partition=_bucket_expr(streams, buckets))
     has_seed = False
     if seed_empty_start and on_start is not None and start is not None:
         # a start-alarm node over a completely empty input (feedback
@@ -536,7 +557,8 @@ def run_node_with_states(
         {"x": inputs} if isinstance(inputs, TickStream) else dict(inputs)
     )
     names = list(streams)
-    wide = align(streams, keep_ticked=True)
+    wide = align(streams, keep_ticked=True,
+                 pre_partition=_bucket_expr(streams, buckets))
     mk_state = _state_factory(state)
     schema = (
         f"{KEY} string, {TS} timestamp, {SEQ} long, {VALUE} {output_type}, "

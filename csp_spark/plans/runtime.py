@@ -453,8 +453,20 @@ def attached(pdf=None, name: str | None = None):
     pandas frame with columns (ts, seq, value)."""
     if pdf is None:
         return _AttachMarker()
-    rows = pdf[pdf[DYN_SRC] == name]
-    return rows[[TS, SEQ, name]].rename(columns={name: "value"}).reset_index(drop=True)
+    import pandas as _pd
+
+    # one-allocation construction (r13, guide §4.5 — this helper runs
+    # once per KEY inside the bucketed runner, and the former
+    # mask-filter + select + rename + reset_index chain built four
+    # intermediate frames per call; fancy-indexed .array slices keep
+    # pandas value semantics (pd.NaT, extension dtypes) and a fresh
+    # RangeIndex exactly like the old reset_index form)
+    m = (pdf[DYN_SRC].to_numpy() == name)
+    return _pd.DataFrame({
+        TS: pdf[TS].array[m],
+        SEQ: pdf[SEQ].to_numpy()[m],
+        "value": pdf[name].array[m],
+    })
 
 
 def dynamic(trigger: TickStream, fn: Callable, *args, **kwargs):
@@ -619,20 +631,78 @@ def dynamic_apply(
         )
         df = df.unionByName(part)
     if snap_streams:
-        # first trigger tick per key = subgraph start time
-        t0 = x.df.groupBy(KEY).agg(F.min(TS).alias("__t0"))
+        # r13 (guide §2.4 — share one exchange, remove joins outright):
+        # the snap value (last tick of the snapped stream at-or-before
+        # this key's FIRST trigger tick) used to be a per-stream
+        # [aggregate t0 + join + sort-aggregate + broadcast-join-back]
+        # subtree — 2 extra scans, 2 joins and 2 broadcast-build jobs
+        # per snap stream. It is now computed INSIDE the runner's own
+        # bucket exchange: the snapped stream's (ts, seq, value) rows
+        # ride the union as marker rows (an un-spoofable "\\x00snap:"
+        # __src tag — user attach names are column identifiers and
+        # never contain NUL), two full-frame window passes over
+        # (bucket, key) derive first-trigger-ts and the as-of max, and
+        # the marker rows are dropped before the pandas runner, so fn
+        # receives exactly the frame it did before. max(struct(ts,
+        # seq, value)) picks the row max_by picked ((TS, SEQ) is
+        # unique within a stream) but stays a declarative aggregate.
+        # NULL keys keep a NULL snap (the former left join never
+        # matched them).
+        df = df.select(
+            "*",
+            *[
+                F.lit(None).cast(dict(s.df.dtypes)[s.value_col])
+                .alias(f"__snapv_{n}")
+                for n, s in snap_streams.items()
+            ],
+        )
         for n, s in snap_streams.items():
-            hit = (
-                s.df.join(t0, KEY)
-                .filter(F.col(TS) <= F.col("__t0"))
-                .groupBy(KEY)
-                .agg(
-                    F.max_by(
-                        F.col(s.value_col), F.struct(F.col(TS), F.col(SEQ))
-                    ).alias(f"__snap_{n}")
-                )
+            part = s.df.select(
+                KEY, TS, SEQ,
+                F.lit(None).cast(vt).alias(VALUE),
+                F.lit("\x00snap:" + n).alias(DYN_SRC),
+                *[
+                    F.lit(None).cast(dict(t.df.dtypes)[t.value_col]).alias(m)
+                    for m, t in attach.items()
+                ],
+                *[
+                    (F.col(s.value_col) if m == n
+                     else F.lit(None).cast(dict(t.df.dtypes)[t.value_col]))
+                    .alias(f"__snapv_{m}")
+                    for m, t in snap_streams.items()
+                ],
             )
-            df = df.join(hit, KEY, "left")
+            df = df.unionByName(part)
+
+    n_buckets = max(df.sparkSession.sparkContext.defaultParallelism * 4, 8)
+    df = df.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col(KEY)), F.lit(n_buckets))
+    )
+    if snap_streams:
+        from pyspark.sql import Window as _W
+
+        df = df.repartition(F.col("__bkt"))
+        wb = _W.partitionBy("__bkt", KEY)
+        df = df.withColumn(
+            "__t0", F.min(F.when(F.col(DYN_SRC) == "", F.col(TS))).over(wb)
+        )
+        for n in snap_streams:
+            m = F.when(
+                (F.col(DYN_SRC) == F.lit("\x00snap:" + n))
+                & (F.col(TS) <= F.col("__t0")),
+                F.struct(
+                    F.col(TS).alias("__t"),
+                    F.col(SEQ).alias("__s"),
+                    F.col(f"__snapv_{n}").alias("__v"),
+                ),
+            )
+            df = df.withColumn(
+                f"__snap_{n}",
+                F.when(F.col(KEY).isNotNull(), F.max(m).over(wb)["__v"]),
+            )
+        df = df.filter(
+            ~F.col(DYN_SRC).startswith("\x00")
+        ).drop("__t0", *[f"__snapv_{n}" for n in snap_streams])
 
     from pyspark.sql.types import StructType, _parse_datatype_string
 
@@ -675,7 +745,9 @@ def dynamic_apply(
     # (TS, SEQ) is a total order, so the per-key sort reproduces the
     # identical frame regardless of grouping. Bucket count scales with
     # the session's parallelism (scale-adaptive, not a local constant).
-    n_buckets = max(df.sparkSession.sparkContext.defaultParallelism * 4, 8)
+    # The __bkt column is added (and, on the snap path, the frame is
+    # already repartitioned by it) above, so the groupBy below reuses
+    # that single exchange.
 
     def _per_bucket(pdf):
         import pandas as pd
@@ -695,11 +767,7 @@ def dynamic_apply(
                                  for n in (names or [])})
         return pd.concat(outs, ignore_index=True)
 
-    out = (
-        df.withColumn("__bkt", F.pmod(F.xxhash64(F.col(KEY)), F.lit(n_buckets)))
-        .groupBy("__bkt")
-        .applyInPandas(_per_bucket, schema=output_schema)
-    )
+    out = df.groupBy("__bkt").applyInPandas(_per_bucket, schema=output_schema)
     return TickStream(out)
 
 
